@@ -1,0 +1,436 @@
+"""Profiling operators (SURVEY.md §2.4 A1–A12, §2.10).
+
+The reference computes each statistic as a separate whole-column pandas pass
+(~10 scans per profiled column, /root/reference/home.py:125-251).  Here every
+per-column statistic family is **fused into one wide aggregate** so a profile
+is a single Spark job / single scan regardless of column count — the scan
+reads only the profiled columns (Catalyst column pruning), and the aggregate
+is map-side partial so no row data crosses the shuffle, only partial states.
+
+All functions are pure ``DataFrame -> DataFrame`` and return *result tables*
+(long format, one row per column or per value), matching the reference's
+summary-table data model (home.py:41-52).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataqtor_spark.session import ROW_ID
+
+# Turkish-aware letter class used by the reference's pattern profiler
+# (home.py:229-251): letters → 'A', digits → '9'.
+LETTERS_TR = "A-Za-zÖÇĞİŞÜöçğışü"
+
+
+def _data_cols(df: DataFrame, cols: list[str] | None) -> list[str]:
+    if cols is not None:
+        return list(cols)
+    return [c for c in df.columns if c != ROW_ID]
+
+
+def _long_format(one_row: DataFrame, cols: list[str], fields: dict[str, str]) -> DataFrame:
+    """Explode a single wide agg row into (column, stat...) long format.
+
+    ``fields`` maps output field name -> per-column agg alias prefix.
+    """
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            *[F.col(f"{prefix}{c}").alias(out) for out, prefix in fields.items()],
+        )
+        for c in cols
+    ]
+    return one_row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# A1 — table shape / column classification (home.py:88-92)
+# ---------------------------------------------------------------------------
+
+NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+                 T.DayTimeIntervalType)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields
+            if isinstance(f.dataType, NUMERIC_TYPES) and f.name != ROW_ID]
+
+
+def nominal_columns(df: DataFrame) -> list[str]:
+    num = set(numeric_columns(df))
+    return [c for c in df.columns if c not in num and c != ROW_ID]
+
+
+def table_summary(df: DataFrame) -> DataFrame:
+    """Row/column counts + numeric-vs-nominal split, as a 1-row DataFrame."""
+    n_num, n_nom = len(numeric_columns(df)), len(nominal_columns(df))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_num + n_nom).cast("int").alias("n_columns"),
+        F.lit(n_num).cast("int").alias("n_numeric_columns"),
+        F.lit(n_nom).cast("int").alias("n_nominal_columns"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — per-column null/filled profile (home.py:146-152) — the flagship
+# ---------------------------------------------------------------------------
+
+def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(column, total_records, null_records, filled_records, null_pct, filled_pct).
+
+    One aggregate over all requested columns — a single scan however many
+    columns are profiled (the reference does one pass per column).
+    """
+    cols = _data_cols(df, cols)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(f"__nulls_{c}")
+        )
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__total").alias("total_records"),
+            F.col(f"__nulls_{c}").alias("null_records"),
+            (F.col("__total") - F.col(f"__nulls_{c}")).alias("filled_records"),
+        )
+        for c in cols
+    ]
+    return (
+        one.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .withColumn(
+            "null_pct",
+            F.when(F.col("total_records") > 0,
+                   F.round(F.col("null_records") * 100.0 / F.col("total_records"), 2)
+                   ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "filled_pct",
+            F.when(F.col("total_records") > 0,
+                   F.round(F.col("filled_records") * 100.0 / F.col("total_records"), 2)
+                   ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A5 — numeric describe (home.py:129-132,167-170)
+# ---------------------------------------------------------------------------
+
+def describe_numeric(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """count/mean/stddev/min/q1/median/q3/max/sum per numeric column.
+
+    Uses exact ``percentile`` (matches the reference's pandas describe and a
+    SQL oracle); at 100 TB swap ``percentile`` → ``percentile_approx`` via
+    ``approx=True`` — same single-pass shape, sketch-based state.
+    """
+    return _describe(df, cols, approx=False)
+
+
+def describe_numeric_approx(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    return _describe(df, cols, approx=True)
+
+
+def _describe(df: DataFrame, cols: list[str] | None, approx: bool) -> DataFrame:
+    cols = cols or numeric_columns(df)
+    pctl = "percentile_approx" if approx else "percentile"
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__count_{c}"),
+            F.avg(F.col(c)).alias(f"__mean_{c}"),
+            F.stddev_samp(F.col(c)).alias(f"__std_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"__min_{c}"),
+            F.expr(f"{pctl}({c}, 0.25)").cast("double").alias(f"__q1_{c}"),
+            F.expr(f"{pctl}({c}, 0.5)").cast("double").alias(f"__median_{c}"),
+            F.expr(f"{pctl}({c}, 0.75)").cast("double").alias(f"__q3_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__max_{c}"),
+            F.sum(F.col(c)).cast("double").alias(f"__sum_{c}"),
+        ]
+    one = df.agg(*aggs)
+    return _long_format(one, cols, {
+        "count": "__count_", "mean": "__mean_", "std": "__std_",
+        "min": "__min_", "q1": "__q1_", "median": "__median_",
+        "q3": "__q3_", "max": "__max_", "sum": "__sum_",
+    })
+
+
+# ---------------------------------------------------------------------------
+# A6 — string length stats + arg-min/arg-max (home.py:133-144)
+# ---------------------------------------------------------------------------
+
+def string_stats(df: DataFrame, col: str) -> DataFrame:
+    """min/max length, a value attaining each (deterministic tie-break:
+    lexicographically smallest), and alphabetic min/max — one aggregate.
+
+    ``min(struct(length, value))`` gives the arg-min with a total order, so
+    the answer is reproducible across partitionings (``min_by`` alone is
+    tie-unstable on a cluster).
+    """
+    c = F.col(col)
+    ln = F.length(c)
+    return df.agg(
+        F.min(ln).alias("min_length"),
+        F.max(ln).alias("max_length"),
+        F.min(F.struct(ln.alias("l"), c.alias("v")))["v"].alias("shortest_value"),
+        F.max(F.struct(ln.alias("l"), c.alias("v")))["v"].alias("longest_value"),
+        F.min(c).alias("alpha_min"),
+        F.max(c).alias("alpha_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/A8/A9 — frequency table, top/bottom-k, rare values (home.py:172-209)
+# ---------------------------------------------------------------------------
+
+def frequency(df: DataFrame, col: str) -> DataFrame:
+    """Per-value count and % of all rows (home.py:172-175).
+
+    The total comes from a broadcast scalar join, not a global window —
+    a single-partition window over the value counts would serialize at
+    scale; the broadcast keeps the whole thing map-side after one shuffle
+    for the groupBy.
+    """
+    counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("count"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "value", "count",
+        F.round(F.col("count") * 100.0 / F.col("__total"), 4).alias("pct"),
+    )
+
+
+def top_k(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    """Top-k most frequent values; ties broken by value ascending so the
+    result set is deterministic (pandas value_counts tie order is not)."""
+    return (frequency(df, col)
+            .orderBy(F.desc("count"), F.asc("value"))
+            .limit(k))
+
+
+def bottom_k(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    return (frequency(df, col)
+            .orderBy(F.asc("count"), F.asc("value"))
+            .limit(k))
+
+
+def rare_values(df: DataFrame, col: str, threshold_pct: float = 0.1) -> DataFrame:
+    """Values whose share of rows is below ``threshold_pct`` (home.py:193-209)."""
+    return frequency(df, col).filter(F.col("pct") < threshold_pct)
+
+
+# ---------------------------------------------------------------------------
+# A10 — sign histogram (home.py:211-227)
+# ---------------------------------------------------------------------------
+
+def sign_histogram(df: DataFrame, col: str) -> DataFrame:
+    """Counts/% of positive, zero, negative (non-null) values — one agg."""
+    c = F.col(col)
+    cnt = lambda pred: F.coalesce(F.sum(pred.cast("long")), F.lit(0))  # noqa: E731
+    one = df.agg(
+        F.count(F.lit(1)).alias("__total"),
+        cnt(c > 0).alias("positive"),
+        cnt(c == 0).alias("zero"),
+        cnt(c < 0).alias("negative"),
+    )
+    return one.select(
+        "positive", "zero", "negative",
+        F.round(F.col("positive") * 100.0 / F.col("__total"), 2).alias("positive_pct"),
+        F.round(F.col("zero") * 100.0 / F.col("__total"), 2).alias("zero_pct"),
+        F.round(F.col("negative") * 100.0 / F.col("__total"), 2).alias("negative_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — pattern profile (home.py:229-251)
+# ---------------------------------------------------------------------------
+
+def pattern_mask(col: Column | str) -> Column:
+    """Letters (incl. Turkish) → 'A', digits → '9'; other chars kept."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c.cast("string"), f"[{LETTERS_TR}]", "A"), "[0-9]", "9"
+    )
+
+
+def pattern_profile(df: DataFrame, col: str) -> DataFrame:
+    """Frequency table of the masked pattern of a column's values."""
+    masked = df.select(pattern_mask(col).alias(col))
+    return frequency(masked, col).withColumnRenamed("value", "pattern")
+
+
+# ---------------------------------------------------------------------------
+# A2/R14 — duplicate rows; A12 — per-column duplicate values
+# (home.py:100-110, 253-263)
+# ---------------------------------------------------------------------------
+
+def duplicate_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Row combinations occurring more than once, with their multiplicity.
+
+    ``groupBy`` over the value columns (hash-partial aggregate) rather than
+    a window over all columns — the window variant re-emits every row and
+    shuffles full rows; this shuffles only group keys + counts.
+    """
+    subset = _data_cols(df, subset)
+    return (df.groupBy(*subset)
+            .agg(F.count(F.lit(1)).alias("duplicate_count"))
+            .filter(F.col("duplicate_count") > 1))
+
+
+def duplicate_row_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Total count of surplus duplicate rows (reference counts rows beyond
+    the first occurrence, home.py:100-110 ``dataset.duplicated()``)."""
+    dups = duplicate_rows(df, subset)
+    return dups.agg(
+        F.coalesce(F.sum(F.col("duplicate_count") - 1), F.lit(0)).alias("duplicate_rows")
+    )
+
+
+def drop_duplicate_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Reference's duplicate drop (home.py:109)."""
+    return df.dropDuplicates(subset=_data_cols(df, subset))
+
+
+def duplicate_values(df: DataFrame, col: str) -> DataFrame:
+    """Values occurring more than once in a column (home.py:253-263)."""
+    return (df.groupBy(F.col(col).alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .filter(F.col("count") > 1))
+
+
+# ---------------------------------------------------------------------------
+# P8/R13 — null-majority "useless" rows (home.py:94-97)
+# ---------------------------------------------------------------------------
+
+def null_majority_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Rows where more than half of the cells are NULL."""
+    cols = _data_cols(df, cols)
+    null_count = sum(F.col(c).isNull().cast("int") for c in cols)
+    return df.filter(null_count > F.lit(len(cols)) / 2)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 — wide per-column profile (pandas-profiling equivalent)
+# ---------------------------------------------------------------------------
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    exact_distinct: bool = False) -> DataFrame:
+    """One row per column: type, counts, distinct, numeric moments.
+
+    Single aggregate pass.  ``distinct`` uses HyperLogLog
+    (``approx_count_distinct``) by default — multiple exact COUNT DISTINCTs
+    in one pass force an Expand operator that multiplies the scanned rows by
+    the column count, which is exactly the wrong trade at 100 TB.
+    """
+    cols = _data_cols(df, cols)
+    types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
+    num = set(numeric_columns(df))
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(f"__nulls_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__distinct_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__distinct_{c}"))
+        if c in num:
+            aggs += [
+                F.avg(F.col(c)).alias(f"__mean_{c}"),
+                F.stddev_samp(F.col(c)).alias(f"__std_{c}"),
+                F.min(F.col(c)).cast("double").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"__max_{c}"),
+                F.skewness(F.col(c)).alias(f"__skew_{c}"),
+                F.kurtosis(F.col(c)).alias(f"__kurt_{c}"),
+                F.coalesce(F.sum((F.col(c) == 0).cast("long")), F.lit(0)).alias(f"__zeros_{c}"),
+                F.coalesce(F.sum((F.col(c) < 0).cast("long")), F.lit(0)).alias(f"__neg_{c}"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"__mean_{c}"),
+                F.lit(None).cast("double").alias(f"__std_{c}"),
+                F.lit(None).cast("double").alias(f"__min_{c}"),
+                F.lit(None).cast("double").alias(f"__max_{c}"),
+                F.lit(None).cast("double").alias(f"__skew_{c}"),
+                F.lit(None).cast("double").alias(f"__kurt_{c}"),
+                F.lit(None).cast("long").alias(f"__zeros_{c}"),
+                F.lit(None).cast("long").alias(f"__neg_{c}"),
+            ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(types[c].simpleString()).alias("dtype"),
+            F.col("__total").alias("total_records"),
+            F.col(f"__nulls_{c}").alias("null_records"),
+            F.col(f"__distinct_{c}").cast("long").alias("distinct_values"),
+            F.col(f"__mean_{c}").alias("mean"),
+            F.col(f"__std_{c}").alias("std"),
+            F.col(f"__min_{c}").alias("min"),
+            F.col(f"__max_{c}").alias("max"),
+            F.col(f"__skew_{c}").alias("skewness"),
+            F.col(f"__kurt_{c}").alias("kurtosis"),
+            F.col(f"__zeros_{c}").alias("zero_count"),
+            F.col(f"__neg_{c}").alias("negative_count"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
+    """Equi-width histogram via width_bucket-style binning — two jobs
+    (min/max scalar, then one groupBy), no driver-side data."""
+    mm = df.agg(F.min(F.col(col)).cast("double").alias("lo"),
+                F.max(F.col(col)).cast("double").alias("hi"))
+    binned = (
+        df.select(F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / bins)),
+                    F.lit(bins - 1),
+                )
+            ).cast("int").alias("bucket"),
+            "lo", "hi",
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / bins
+    return (binned.groupBy("bucket", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .select(
+                "bucket",
+                (F.col("lo") + F.col("bucket") * width).alias("bin_start"),
+                (F.col("lo") + (F.col("bucket") + 1) * width).alias("bin_end"),
+                "count",
+            )
+            .orderBy("bucket"))
+
+
+def correlations(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE aggregate
+    (pandas-profiling's correlation matrix, §2.10).  n² corr states but
+    still a single scan; fine up to ~50 numeric columns."""
+    cols = cols or numeric_columns(df)
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.corr(F.col(a), F.col(b)).alias(f"__corr_{a}__{b}"))
+    if not aggs:
+        raise ValueError("need at least two numeric columns")
+    one = df.agg(*aggs)
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            structs.append(F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                F.col(f"__corr_{a}__{b}").alias("pearson"),
+            ))
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

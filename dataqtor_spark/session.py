@@ -1,0 +1,144 @@
+"""SparkSession factory and ingestion.
+
+The reference loads exactly one mutable pandas table per uploaded file and
+caches it across reruns (/root/reference/home.py:55-62).  Our equivalent is:
+read → freeze schema → materialize an explicit ``__row_id`` → (optionally)
+persist.  All downstream operators are pure ``DataFrame -> DataFrame``
+transforms; "in-place mutation" of the reference becomes lineage.
+
+Scale notes (100 TB target):
+- AQE is on: runtime coalescing, skew-join splitting, dynamic broadcast.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here but
+  on a real cluster should be ~2-3x total executor cores; AQE coalesces down.
+- Ingestion never infers schema twice: parquet carries schema; CSV inference
+  is a one-time sampling pass, after which the StructType is frozen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+ROW_ID = "__row_id"
+
+
+def get_spark(app_name: str = "dataqtor_spark", master: str | None = None) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism.  Session timezone is
+    pinned to UTC so timestamp values are engine-independent (the DuckDB
+    oracle returns naive/UTC datetimes).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long ns
+        # and convert to micros at ingestion (Spark timestamps are micros)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the standard test tables from a scale-factor directory."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            out[n] = spark.read.parquet(p)
+    return out
+
+
+def with_row_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
+    """Materialize an explicit ``__row_id`` long column.
+
+    The reference's operators depend on stable pandas row labels
+    (/root/reference/home.py:1373-1399,1406-1468).  Spark rows have no
+    identity, so we add one:
+
+    - ``order_by`` given → ``row_number()`` over that ordering: fully
+      reproducible across runs/clusters.  This is a global sort; at 100 TB
+      prefer a natural key already in the data, or ids minted at ingestion.
+    - ``order_by`` None → ``monotonically_increasing_id()``: no shuffle, no
+      sort; stable for a given materialized snapshot (same file layout ⇒
+      same ids), which is exactly the reference's "one cached upload"
+      contract.  Not reproducible across repartitionings — document the
+      trade, don't pay a 100 TB sort for ids nobody asked to be dense.
+    """
+    if ROW_ID in df.columns:
+        return df
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(ROW_ID, F.row_number().over(w).cast("long") - F.lit(1))
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+def ingest(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    row_id_order: list[str] | None = None,
+    persist: bool = False,
+    **options,
+) -> DataFrame:
+    """Read a dataset and materialize row identity.
+
+    Mirrors the reference's upload step (excel-then-csv fallback at
+    /root/reference/home.py:55-62) with Spark-native sources.  ``fmt`` is
+    inferred from the extension when omitted.  ``xlsx`` goes through a
+    driver-side pandas→Arrow hop (core Spark has no xlsx reader) and is only
+    sensible for small files — everything at scale should be parquet/csv.
+    """
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        fmt = {"xlsx": "excel", "xls": "excel", "pq": "parquet"}.get(ext, ext or "parquet")
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "csv":
+        df = spark.read.options(header=True, inferSchema=True, **options).csv(path)
+    elif fmt == "json":
+        df = spark.read.options(**options).json(path)
+    elif fmt == "excel":
+        import pandas as pd  # driver-side; small files only
+
+        df = spark.createDataFrame(pd.read_excel(path, **options))
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    df = with_row_id(df, order_by=row_id_order)
+    if persist:
+        df = df.persist()
+    return df
+
+
+def write_dataset(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
+    """Sink mirror of the reference's xlsx download (downloader.py:6-21).
+
+    Parquet/CSV are the distributed paths; ``excel`` collects to the driver
+    (only valid for small, final results — the reference's whole-table
+    download model).
+    """
+    out = df.drop(ROW_ID) if ROW_ID in df.columns else df
+    if fmt == "excel":
+        out.toPandas().to_excel(path, index=False)
+        return
+    out.write.mode(mode).options(**options).format(fmt).save(path)

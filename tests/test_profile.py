@@ -1,0 +1,105 @@
+import pyspark.sql.functions as F
+import pytest
+
+from dataqtor_spark.operators import profile as P
+
+
+def test_null_profile_shapes(tables):
+    df = tables["customer"]
+    res = P.null_profile(df).toPandas().set_index("column")
+    n = df.count()
+    assert set(res.index) == set(df.columns)
+    assert (res["total_records"] == n).all()
+    assert (res["null_records"] + res["filled_records"] == n).all()
+    assert res["null_pct"].between(0, 100).all()
+
+
+def test_null_profile_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, None)], "x int, y string"
+    )
+    res = {r["column"]: r for r in P.null_profile(df).collect()}
+    assert res["x"]["null_records"] == 1
+    assert res["y"]["null_records"] == 2
+    assert res["y"]["filled_records"] == 1
+
+
+def test_describe_matches_pandas(tables):
+    df = tables["lineitem"]
+    res = P.describe_numeric(df, ["l_quantity"]).collect()[0]
+    pdf = df.select("l_quantity").toPandas()["l_quantity"]
+    assert res["count"] == pdf.count()
+    assert res["mean"] == pytest.approx(pdf.mean())
+    assert res["std"] == pytest.approx(pdf.std())
+    assert res["min"] == pdf.min()
+    assert res["max"] == pdf.max()
+    assert res["median"] == pytest.approx(pdf.quantile(0.5))
+
+
+def test_frequency_and_topk(tables):
+    df = tables["customer"]
+    freq = P.frequency(df, "c_mktsegment").toPandas()
+    assert freq["count"].sum() == df.count()
+    assert freq["pct"].sum() == pytest.approx(100.0, abs=0.01)
+    top = P.top_k(df, "c_mktsegment", 2).toPandas()
+    assert len(top) == 2
+    assert top["count"].iloc[0] == freq["count"].max()
+
+
+def test_sign_histogram(spark):
+    df = spark.createDataFrame([(1.0,), (-2.0,), (0.0,), (3.0,), (None,)], "v double")
+    r = P.sign_histogram(df, "v").collect()[0]
+    assert (r["positive"], r["zero"], r["negative"]) == (2, 1, 1)
+
+
+def test_pattern_profile(spark):
+    df = spark.createDataFrame([("Ab1",), ("Şğü9",), ("x-2",)], "s string")
+    pats = {r["pattern"] for r in P.pattern_profile(df, "s").collect()}
+    assert pats == {"AA9", "AAA9", "A-9"}
+
+
+def test_string_stats_deterministic_ties(spark):
+    df = spark.createDataFrame([("bb",), ("aa",), ("cccc",)], "s string")
+    r = P.string_stats(df, "s").collect()[0]
+    assert r["min_length"] == 2 and r["max_length"] == 4
+    assert r["shortest_value"] == "aa"  # tie broken lexicographically
+    assert r["longest_value"] == "cccc"
+    assert r["alpha_min"] == "aa" and r["alpha_max"] == "cccc"
+
+
+def test_duplicate_rows(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b"), (1, "a")], "x int, y string")
+    assert P.duplicate_row_count(df).collect()[0]["duplicate_rows"] == 2
+    assert P.drop_duplicate_rows(df).count() == 2
+    dups = P.duplicate_rows(df).collect()
+    assert len(dups) == 1 and dups[0]["duplicate_count"] == 3
+
+
+def test_null_majority_rows(spark):
+    df = spark.createDataFrame(
+        [(None, None, 1), (None, 2, 3), (1, 2, 3)], "a int, b int, c int"
+    )
+    assert P.null_majority_rows(df).count() == 1
+
+
+def test_profile_columns(tables):
+    df = tables["customer"]
+    res = P.profile_columns(df, exact_distinct=True).toPandas().set_index("column")
+    assert res.loc["c_custkey", "distinct_values"] == df.count()
+    assert res.loc["c_mktsegment", "mean"] != res.loc["c_mktsegment", "mean"] or \
+        res.loc["c_mktsegment", "mean"] is None  # NaN for nominal
+    assert res.loc["c_acctbal", "negative_count"] >= 0
+
+
+def test_histogram(tables):
+    df = tables["customer"]
+    h = P.histogram(df, "c_acctbal", bins=5).toPandas()
+    assert h["count"].sum() == df.filter(F.col("c_acctbal").isNotNull()).count()
+    assert len(h) <= 5
+
+
+def test_correlations(tables):
+    df = tables["lineitem"]
+    c = P.correlations(df, ["l_quantity", "l_extendedprice", "l_discount"]).toPandas()
+    assert len(c) == 3
+    assert c["pearson"].abs().max() <= 1.0 + 1e-9
