@@ -19,7 +19,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataqtor_spark.functions import checksums as CK
+from dataqtor_spark.functions import email as EM
+from dataqtor_spark.functions import phone as PH
 from dataqtor_spark.operators import profile as P
+from dataqtor_spark.operators import rules as R
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -291,3 +295,320 @@ FROM lineitem""",
 )
 def a01_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.table_summary(_t(spark, sf_dir, "lineitem"))
+
+
+# ===========================================================================
+# Rules (SURVEY §2.9) — oracle-checked via derived dirty columns: the same
+# deterministic derivation expression is written in BOTH dialects, so the
+# DuckDB differential exercises the full rule expression trees.
+# ===========================================================================
+
+# --- R1 — custom numeric rule: violations of l_quantity BETWEEN 10 AND 40 --
+
+@register(
+    "r01_numeric_rule_violations",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 10 AND l_quantity <= 40)""",
+)
+def r01_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rule = R.rule_compare("l_quantity", "between", low=10, high=40)
+    return rule.violations(li).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# --- R2 — custom date rule on orders ---------------------------------------
+
+@register(
+    "r02_date_rule_violations",
+    """SELECT o_orderstatus, count(*)::BIGINT AS n_violations
+FROM orders
+WHERE o_orderdate IS NOT NULL AND NOT (o_orderdate >= TIMESTAMP '1995-06-01')
+GROUP BY o_orderstatus""",
+)
+def r02_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    o = _t(spark, sf_dir, "orders")
+    rule = R.rule_compare("o_orderdate", ">=", datetime.datetime(1995, 6, 1))
+    return (rule.violations(o).groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_violations")))
+
+
+# --- R3–R7 fused into one DQ summary over customer (evaluate_rules + A14) --
+
+def _summary_oracle_row(rule: str, column: str, table: str, null_pred: str, viol_pred: str) -> str:
+    return f"""SELECT '{rule}' AS rule, '{column}' AS "column",
+  count(*)::BIGINT AS total_records,
+  sum(CASE WHEN {null_pred} THEN 1 ELSE 0 END)::BIGINT AS null_records,
+  sum(CASE WHEN {viol_pred} THEN 1 ELSE 0 END)::BIGINT AS out_of_format_records,
+  (count(*) - sum(CASE WHEN {null_pred} THEN 1 ELSE 0 END) - sum(CASE WHEN {viol_pred} THEN 1 ELSE 0 END))::BIGINT AS proper_format_records,
+  round((count(*) - sum(CASE WHEN {null_pred} THEN 1 ELSE 0 END) - sum(CASE WHEN {viol_pred} THEN 1 ELSE 0 END)) * 100.0 / count(*), 2) AS dq_score
+FROM {table}"""
+
+
+_SPECIALS_SQL = " OR ".join(
+    "contains(c_name, '" + ch.replace("'", "''") + "')" for ch in R.SPECIAL_CHARS
+)
+
+@register(
+    "r03_dq_summary_customer",
+    "\nUNION ALL\n".join([
+        _summary_oracle_row(
+            "acctbal_range", "c_acctbal", "customer",
+            "c_acctbal IS NULL",
+            "c_acctbal IS NOT NULL AND NOT (c_acctbal >= 0 AND c_acctbal <= 9000)"),
+        _summary_oracle_row(
+            "name_len18", "c_name", "customer",
+            "c_name IS NULL",
+            "c_name IS NOT NULL AND NOT (length(c_name) = 18)"),
+        _summary_oracle_row(
+            "name_no_specials", "c_name", "customer",
+            "c_name IS NULL",
+            f"c_name IS NOT NULL AND ({_SPECIALS_SQL})"),
+        _summary_oracle_row(
+            "segment_no_digits", "c_mktsegment", "customer",
+            "c_mktsegment IS NULL",
+            "c_mktsegment IS NOT NULL AND regexp_matches(c_mktsegment, '[0-9]')"),
+        _summary_oracle_row(
+            "segment_forbidden", "c_mktsegment", "customer",
+            "c_mktsegment IS NULL",
+            "c_mktsegment IS NOT NULL AND c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')"),
+    ]),
+)
+def r03_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    rules = [
+        R.rule_compare("c_acctbal", "between", low=0, high=9000, name="acctbal_range"),
+        R.rule_length("c_name", "==", 18, name="name_len18"),
+        R.rule_no_special_chars("c_name", name="name_no_specials"),
+        R.rule_no_digits("c_mktsegment", name="segment_no_digits"),
+        R.rule_forbidden_values("c_mktsegment", ["MACHINERY", "AUTOMOBILE"],
+                                name="segment_forbidden"),
+    ]
+    return R.evaluate_rules(cu, rules)
+
+
+# --- R11 — domain membership on nation -------------------------------------
+
+_NATION_DOMAIN = ["FRANCE", "GERMANY", "ROMANIA", "RUSSIA", "UNITED KINGDOM",
+                  "CHINA", "INDIA", "JAPAN", "INDONESIA", "VIETNAM"]
+
+@register(
+    "r11_domain_rule_nation",
+    "SELECT n_name FROM nation WHERE n_name IS NOT NULL AND n_name NOT IN ("
+    + ", ".join(f"'{v}'" for v in _NATION_DOMAIN) + ")",
+)
+def r11_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = _t(spark, sf_dir, "nation")
+    return R.rule_domain("n_name", allowed=_NATION_DOMAIN).violations(na).select("n_name")
+
+
+# --- R9 — TCID checksum on a derived column (half valid by construction) ---
+
+def _tcid_derived_spark():
+    base = (F.col("c_custkey") % 900000000 + 100000000).cast("string")
+    d = [F.substring(base, i, 1).try_cast("int") for i in range(1, 10)]
+    odd = d[0] + d[2] + d[4] + d[6] + d[8]
+    even = d[1] + d[3] + d[5] + d[7]
+    d10 = F.pmod(7 * odd - even, F.lit(10))
+    d11 = F.pmod(sum(d, F.lit(0)) + d10, F.lit(10))
+    d11c = F.pmod(d11 + 5 * F.pmod(F.col("c_custkey"), F.lit(2)), F.lit(10))
+    return F.concat(base, d10.cast("string"), d11c.cast("string"))
+
+
+_TCID_BASE_SQL = "CAST(c_custkey % 900000000 + 100000000 AS VARCHAR)"
+_TCID_D = [f"CAST(substring({_TCID_BASE_SQL}, {i}, 1) AS INT)" for i in range(1, 10)]
+_TCID_ODD = " + ".join([_TCID_D[0], _TCID_D[2], _TCID_D[4], _TCID_D[6], _TCID_D[8]])
+_TCID_EVEN = " + ".join([_TCID_D[1], _TCID_D[3], _TCID_D[5], _TCID_D[7]])
+_TCID_D10 = f"(((7 * ({_TCID_ODD}) - ({_TCID_EVEN})) % 10 + 10) % 10)"
+_TCID_D11 = f"((({' + '.join(_TCID_D)}) + {_TCID_D10}) % 10)"
+_TCID_D11C = f"(({_TCID_D11} + 5 * (c_custkey % 2)) % 10)"
+_TCID_EXPR_SQL = (f"({_TCID_BASE_SQL} || CAST({_TCID_D10} AS VARCHAR) || "
+                  f"CAST({_TCID_D11C} AS VARCHAR))")
+
+@register(
+    "r09_tcid_checksum",
+    f"""SELECT
+  sum(CASE WHEN {CK.tcid_sql('tcid')} THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+  sum(CASE WHEN NOT {CK.tcid_sql('tcid')} THEN 1 ELSE 0 END)::BIGINT AS n_invalid
+FROM (SELECT {_TCID_EXPR_SQL} AS tcid FROM customer)""",
+)
+def r09_tcid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").select(_tcid_derived_spark().alias("tcid"))
+    ok = CK.is_valid_tcid("tcid")
+    return cu.agg(
+        F.coalesce(F.sum(ok.cast("long")), F.lit(0)).alias("n_valid"),
+        F.coalesce(F.sum((~ok).cast("long")), F.lit(0)).alias("n_invalid"),
+    )
+
+
+# --- R10 — tax-number checksum on a derived column -------------------------
+
+def _taxnum_derived_spark():
+    base = (F.col("c_custkey") % 900000000 + 100000000).cast("string")
+    d = [F.substring(base, i, 1).try_cast("int") for i in range(1, 10)]
+    total = F.lit(0)
+    for x in range(9):
+        t1 = F.pmod(d[x] + (9 - x), F.lit(10))
+        t2 = F.pmod(t1 * (2 ** (9 - x)), F.lit(9))
+        t2 = F.when((t1 != 0) & (t2 == 0), F.lit(9)).otherwise(t2)
+        total = total + t2
+    check = F.pmod(F.lit(10) - F.pmod(total, F.lit(10)), F.lit(10))
+    checkc = F.pmod(check + 3 * F.pmod(F.col("c_custkey"), F.lit(2)), F.lit(10))
+    return F.concat(base, checkc.cast("string"))
+
+
+def _taxnum_derived_sql() -> str:
+    d = [f"CAST(substring({_TCID_BASE_SQL}, {i}, 1) AS INT)" for i in range(1, 10)]
+    terms = []
+    for x in range(9):
+        t1 = f"(({d[x]} + {9 - x}) % 10)"
+        t2 = f"(({t1} * {2 ** (9 - x)}) % 9)"
+        terms.append(f"(CASE WHEN {t1} <> 0 AND {t2} = 0 THEN 9 ELSE {t2} END)")
+    check = f"((10 - (({' + '.join(terms)}) % 10)) % 10)"
+    checkc = f"(({check} + 3 * (c_custkey % 2)) % 10)"
+    return f"({_TCID_BASE_SQL} || CAST({checkc} AS VARCHAR))"
+
+
+@register(
+    "r10_taxnum_checksum",
+    f"""SELECT
+  sum(CASE WHEN {CK.taxnum_sql('taxid')} THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+  sum(CASE WHEN NOT {CK.taxnum_sql('taxid')} THEN 1 ELSE 0 END)::BIGINT AS n_invalid
+FROM (SELECT {_taxnum_derived_sql()} AS taxid FROM customer)""",
+)
+def r10_taxnum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").select(_taxnum_derived_spark().alias("taxid"))
+    ok = CK.is_valid_taxnum("taxid")
+    return cu.agg(
+        F.coalesce(F.sum(ok.cast("long")), F.lit(0)).alias("n_valid"),
+        F.coalesce(F.sum((~ok).cast("long")), F.lit(0)).alias("n_invalid"),
+    )
+
+
+# --- R8 — e-mail rule on derived dirty addresses ---------------------------
+
+def _email_derived_spark():
+    local = F.concat(F.lit("user"), F.col("c_custkey").cast("string"))
+    m = F.pmod(F.col("c_custkey"), F.lit(8))
+    return (F.when(m == 0, F.concat(local, F.lit("@example.com")))
+            .when(m == 1, F.concat(F.upper(local), F.lit("@example.com")))
+            .when(m == 2, F.concat(local, F.lit("@example.cm")))
+            .when(m == 3, F.concat(F.lit("yok@"), local, F.lit(".com")))
+            .when(m == 4, F.concat(local, F.lit("@@example.com")))
+            .when(m == 5, F.concat(local, F.lit("@hotmil.com")))
+            .when(m == 6, F.concat(local, F.lit("@.example.com")))
+            .otherwise(F.lit("a@b.c")))
+
+
+_EMAIL_DERIVED_SQL = """CASE c_custkey % 8
+  WHEN 0 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+  WHEN 1 THEN upper('user' || CAST(c_custkey AS VARCHAR)) || '@example.com'
+  WHEN 2 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.cm'
+  WHEN 3 THEN 'yok@user' || CAST(c_custkey AS VARCHAR) || '.com'
+  WHEN 4 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@@example.com'
+  WHEN 5 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@hotmil.com'
+  WHEN 6 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@.example.com'
+  ELSE 'a@b.c' END"""
+
+@register(
+    "r08_email_rule",
+    f"""SELECT
+  sum(CASE WHEN {EM.email_violation_sql('email')} THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+  sum(CASE WHEN NOT {EM.email_violation_sql('email')} THEN 1 ELSE 0 END)::BIGINT AS n_ok
+FROM (SELECT {_EMAIL_DERIVED_SQL} AS email FROM customer)""",
+)
+def r08_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").select(_email_derived_spark().alias("email"))
+    bad = EM.email_violation("email")
+    return cu.agg(
+        F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias("n_violations"),
+        F.coalesce(F.sum((~bad).cast("long")), F.lit(0)).alias("n_ok"),
+    )
+
+
+# --- R12 — TR phone rule + mask classification on derived numbers ----------
+
+def _phone_derived_spark():
+    m9 = F.lpad((F.col("o_orderkey") % 1000000000).cast("string"), 9, "0")
+    full = F.concat(F.lit("5"), m9)  # 10-digit mobile starting with 5
+    g1, g2, g3, g4 = (F.substring(full, 1, 3), F.substring(full, 4, 3),
+                      F.substring(full, 7, 2), F.substring(full, 9, 2))
+    m = F.pmod(F.col("o_orderkey"), F.lit(8))
+    sp = F.lit(" ")
+    return (F.when(m == 0, full)
+            .when(m == 1, F.concat(F.lit("0"), full))
+            .when(m == 2, F.concat(F.lit("90"), full))
+            .when(m == 3, F.concat(F.lit("+90 "), g1, sp, g2, sp, g3, sp, g4))
+            .when(m == 4, F.concat(F.lit("(0"), g1, F.lit(") "), g2, sp, g3, sp, g4))
+            .when(m == 5, F.concat(g1, sp, g2, sp, g3, sp, g4))
+            .when(m == 6, F.concat(F.lit("ABC"), F.substring(full, 1, 7)))
+            .otherwise(F.substring(full, 1, 8)))
+
+
+_PHONE_FULL_SQL = "('5' || lpad(CAST(o_orderkey % 1000000000 AS VARCHAR), 9, '0'))"
+_PHONE_G = [f"substring({_PHONE_FULL_SQL}, 1, 3)", f"substring({_PHONE_FULL_SQL}, 4, 3)",
+            f"substring({_PHONE_FULL_SQL}, 7, 2)", f"substring({_PHONE_FULL_SQL}, 9, 2)"]
+_PHONE_DERIVED_SQL = f"""CASE o_orderkey % 8
+  WHEN 0 THEN {_PHONE_FULL_SQL}
+  WHEN 1 THEN '0' || {_PHONE_FULL_SQL}
+  WHEN 2 THEN '90' || {_PHONE_FULL_SQL}
+  WHEN 3 THEN '+90 ' || {_PHONE_G[0]} || ' ' || {_PHONE_G[1]} || ' ' || {_PHONE_G[2]} || ' ' || {_PHONE_G[3]}
+  WHEN 4 THEN '(0' || {_PHONE_G[0]} || ') ' || {_PHONE_G[1]} || ' ' || {_PHONE_G[2]} || ' ' || {_PHONE_G[3]}
+  WHEN 5 THEN {_PHONE_G[0]} || ' ' || {_PHONE_G[1]} || ' ' || {_PHONE_G[2]} || ' ' || {_PHONE_G[3]}
+  WHEN 6 THEN 'ABC' || substring({_PHONE_FULL_SQL}, 1, 7)
+  ELSE substring({_PHONE_FULL_SQL}, 1, 8) END"""
+
+@register(
+    "r12_phone_rule_classes",
+    f"""SELECT {PH.phone_format_class_sql('phone')} AS format_class,
+  count(*)::BIGINT AS count,
+  sum(CASE WHEN {PH.phone_violation_sql('phone')} THEN 1 ELSE 0 END)::BIGINT AS n_violations
+FROM (SELECT {_PHONE_DERIVED_SQL} AS phone FROM orders)
+GROUP BY 1""",
+)
+def r12_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(_phone_derived_spark().alias("phone"))
+    return (o.groupBy(PH.phone_format_class("phone").alias("format_class"))
+            .agg(F.count(F.lit(1)).alias("count"),
+                 F.coalesce(F.sum(PH.phone_violation("phone").cast("long")), F.lit(0))
+                 .alias("n_violations")))
+
+
+# --- U1/U3 — violation union + clean partition on lineitem -----------------
+
+_U_RULES_SQL_VIOL = ("(l_quantity IS NOT NULL AND NOT (l_quantity >= 10 AND l_quantity <= 40)) "
+                     "OR (l_discount IS NOT NULL AND NOT (l_discount < 0.08))")
+
+@register(
+    "u01_violations_union",
+    f"""SELECT count(*)::BIGINT AS n_violating_rows FROM (
+  SELECT DISTINCT l_orderkey * 10 + l_linenumber
+  FROM lineitem WHERE {_U_RULES_SQL_VIOL}
+)""",
+)
+def u01_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__key", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    rules = [
+        R.rule_compare("l_quantity", "between", low=10, high=40),
+        R.rule_compare("l_discount", "<", 0.08),
+    ]
+    return (R.violations_union(li, rules, "__key")
+            .agg(F.count(F.lit(1)).alias("n_violating_rows")))
+
+
+@register(
+    "u03_clean_rows",
+    f"""SELECT count(*)::BIGINT AS n_clean_rows FROM lineitem
+WHERE NOT ({_U_RULES_SQL_VIOL})
+  AND l_quantity IS NOT NULL AND l_discount IS NOT NULL""",
+)
+def u03_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        R.rule_compare("l_quantity", "between", low=10, high=40),
+        R.rule_compare("l_discount", "<", 0.08),
+    ]
+    return R.clean_rows(li, rules).agg(F.count(F.lit(1)).alias("n_clean_rows"))

@@ -1,0 +1,238 @@
+"""Rule fidelity tests.
+
+The checksum/phone/email tests compare the Spark column expressions against
+plain-Python implementations of the published algorithms (the same semantics
+the reference implements — see dataqtor_spark.functions docstrings for
+file:line cites), over corpora that hit every violation class.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataqtor_spark.functions.checksums import is_valid_taxnum, is_valid_tcid
+from dataqtor_spark.functions.email import email_violation
+from dataqtor_spark.functions.phone import phone_format_class, phone_violation
+from dataqtor_spark.operators import rules as R
+
+
+# --- plain-Python oracles ---------------------------------------------------
+
+def py_tcid(v) -> bool:
+    v = str(v)
+    if len(v) != 11 or not v.isdigit() or v[0] == "0":
+        return False
+    d = [int(x) for x in v]
+    if sum(d[:10]) % 10 != d[10]:
+        return False
+    return ((7 * (d[0] + d[2] + d[4] + d[6] + d[8]) - (d[1] + d[3] + d[5] + d[7])) % 10) == d[9]
+
+
+def py_taxnum(v) -> bool:
+    v = str(v)
+    if len(v) == 11:
+        return py_tcid(v)
+    if len(v) != 10 or not v.isdigit():
+        return False
+    total = 0
+    for x in range(9):
+        t1 = (int(v[x]) + (9 - x)) % 10
+        t2 = (t1 * (2 ** (9 - x))) % 9
+        if t1 != 0 and t2 == 0:
+            t2 = 9
+        total += t2
+    check = 0 if total % 10 == 0 else 10 - (total % 10)
+    return int(v[9]) == check
+
+
+def make_valid_tcid(seed: int) -> str:
+    d = [(seed // (10 ** i)) % 10 for i in range(9)][::-1]
+    if d[0] == 0:
+        d[0] = 1
+    d10 = (7 * (d[0] + d[2] + d[4] + d[6] + d[8]) - (d[1] + d[3] + d[5] + d[7])) % 10
+    d11 = (sum(d) + d10) % 10
+    return "".join(map(str, d + [d10, d11]))
+
+
+TCID_CORPUS = (
+    [make_valid_tcid(100000000 + i * 7919) for i in range(25)]
+    + ["10000000146", "12345678901", "00000000000", "1234567890", "123456789012",
+       "abcdefghijk", "1234567890a", "", "99999999999"]
+    + [make_valid_tcid(100000000 + i * 7919)[:-1] + str((int(make_valid_tcid(100000000 + i * 7919)[-1]) + 5) % 10)
+       for i in range(5)]  # corrupt last digit
+)
+
+
+def make_valid_taxnum(seed: int) -> str:
+    d = [(seed // (10 ** i)) % 10 for i in range(9)][::-1]
+    total = 0
+    for x in range(9):
+        t1 = (d[x] + (9 - x)) % 10
+        t2 = (t1 * (2 ** (9 - x))) % 9
+        if t1 != 0 and t2 == 0:
+            t2 = 9
+        total += t2
+    check = 0 if total % 10 == 0 else 10 - (total % 10)
+    return "".join(map(str, d + [check]))
+
+
+TAX_CORPUS = (
+    [make_valid_taxnum(100000000 + i * 104729) for i in range(25)]
+    + [make_valid_tcid(100000000 + i * 7919) for i in range(5)]  # 11-digit fallthrough
+    + ["0123456789", "123456789", "12345678901a", "", "9999999999"]
+)
+
+
+def test_tcid_matches_python_oracle(spark):
+    df = spark.createDataFrame([(v,) for v in TCID_CORPUS], "v string")
+    got = {r["v"]: r["ok"] for r in df.select("v", is_valid_tcid("v").alias("ok")).collect()}
+    for v in TCID_CORPUS:
+        assert got[v] == py_tcid(v), f"TCID mismatch for {v!r}"
+
+
+def test_taxnum_matches_python_oracle(spark):
+    df = spark.createDataFrame([(v,) for v in TAX_CORPUS], "v string")
+    got = {r["v"]: r["ok"] for r in df.select("v", is_valid_taxnum("v").alias("ok")).collect()}
+    for v in TAX_CORPUS:
+        assert got[v] == py_taxnum(v), f"taxnum mismatch for {v!r}"
+
+
+# --- e-mail -----------------------------------------------------------------
+
+EMAIL_CASES = [
+    ("user.name@example.com", False),  # '.' is not in the forbidden set (home.py:477-505)
+    ("username@example.com", False),
+    ("a@b.c", True),        # too short (<=6)? len 5 → f2; also endswith .c → v3
+    ("user@example.com", False),
+    ("USER@example.com", True),        # uppercase
+    ("kullanıcı@example.com", True),   # Turkish char
+    ("user@@example.com", True),       # two @
+    ("user@.example.com", True),       # @.
+    ("yok@example.com", True),         # dummy prefix
+    ("user@hotmil.com", True),         # typo domain
+    ("user@example.cm", True),         # bad ending
+    ("user example@example.com", True),  # space (forbidden char)
+    ("userexample.com", True),         # no @
+    ("user@examplecom", True),         # no dot
+    (None, False),
+]
+
+
+def test_email_violation_cases(spark):
+    df = spark.createDataFrame([(v,) for v, _ in EMAIL_CASES], "v string")
+    got = {r["v"]: r["bad"] for r in df.select("v", email_violation("v").alias("bad")).collect()}
+    for v, expect_bad in EMAIL_CASES:
+        assert got[v] == expect_bad, f"email {v!r}: expected violation={expect_bad}"
+
+
+# --- phone ------------------------------------------------------------------
+
+PHONE_CASES = [
+    ("5329876012", "ok", False),            # clean 10-digit mobile (no dummy substring)
+    ("05321234567", "d111", True),          # 11, leading 0, no space
+    ("905321234567", "d112", True),         # 12, starts 90
+    ("0532 123 45 67", "d1013", True),      # 13: starts 0, s[4]' ', s[8]' '
+    ("(0532) 123 45 67", "d116", True),     # 16: (0...) ...
+    ("+90 532 123 45 67", "d317", True),    # 17
+    ("532 123 45 67", "d913", True),        # 13: s[3],7,10 spaces
+    ("0321234567", "bad_ten_digit", True),  # 10 digits starting 0
+    ("532-123-4567", "overlong", True),     # 12 w/ dashes: d? check masks → none → overlong... s[3]=='-' not startswith 0 → d311? len==12 not 11. d? none match → overlong
+    ("123 45", "invalid", True),            # dummy + short → dummy first? reference order: y10, dum, invalid → len!=10 so not y10; contains '12345'? '123 45' has no '12345' substring; short → invalid
+    ("5551234555 55 55", "dummy", True),    # contains '555 55 55'? '555 55 55' not in it... adjust below
+    ("555 55 55", "invalid", True),         # len 9 <10 → but dummy check first: contains '555 55 55' → dummy
+    ("ABC1234567", "invalid", True),        # letters
+    ("53212345", "invalid", True),          # too short
+    (None, "ok", False),
+]
+
+
+def test_phone_violation_and_class(spark):
+    rows = [(v,) for v, _, _ in PHONE_CASES]
+    df = spark.createDataFrame(rows, "v string")
+    got = {
+        r["v"]: (r["cls"], r["bad"])
+        for r in df.select(
+            "v",
+            phone_format_class("v").alias("cls"),
+            phone_violation("v").alias("bad"),
+        ).collect()
+    }
+    for v, _, expect_bad in PHONE_CASES:
+        assert got[v][1] == expect_bad, f"phone {v!r}: expected violation={expect_bad}, got {got[v]}"
+    # classification spot checks (reference union order)
+    assert got["05321234567"][0] == "d111"
+    assert got["905321234567"][0] == "d112"
+    assert got["+90 532 123 45 67"][0] == "d317"
+    assert got["(0532) 123 45 67"][0] == "d116"
+    assert got["5329876012"][0] == "ok"
+    assert got["555 55 55"][0] == "dummy"
+    assert got["0321234567"][0] == "bad_ten_digit"
+
+
+# --- rule algebra -----------------------------------------------------------
+
+def test_rule_compare_excludes_nulls(spark):
+    df = spark.createDataFrame([(1,), (5,), (None,), (10,)], "x int")
+    r = R.rule_compare("x", "between", low=2, high=9)
+    viol = [row["x"] for row in r.violations(df).collect()]
+    assert sorted(viol) == [1, 10]
+
+
+def test_rule_no_special_chars_whitelist(spark):
+    df = spark.createDataFrame([("a#b",), ("a#b!",), ("ab",), ("a!b",)], "s string")
+    plain = R.rule_no_special_chars("s")
+    assert plain.violations(df).count() == 3
+    # whitelist '#': any value containing '#' is excused entirely (reference
+    # exclusive semantics, home.py:439-445) — even "a#b!" with another special
+    wl = R.rule_no_special_chars("s", allowed=["#"])
+    viol = [row["s"] for row in wl.violations(df).collect()]
+    assert viol == ["a!b"]
+
+
+def test_evaluate_rules_fused_summary(spark):
+    df = spark.createDataFrame(
+        [(1, "ok"), (50, "bad!"), (None, None), (7, "meh")],
+        "x int, s string",
+    )
+    rules = [
+        R.rule_compare("x", "<", 10, name="x_small"),
+        R.rule_no_special_chars("s", name="s_clean"),
+    ]
+    summary = {r["rule"]: r for r in R.evaluate_rules(df, rules).collect()}
+    xs = summary["x_small"]
+    assert (xs["total_records"], xs["null_records"], xs["out_of_format_records"]) == (4, 1, 1)
+    assert xs["proper_format_records"] == 2
+    assert xs["dq_score"] == 50.0
+    sc = summary["s_clean"]
+    assert (sc["null_records"], sc["out_of_format_records"], sc["proper_format_records"]) == (1, 1, 2)
+
+
+def test_violations_union_and_clean_partition(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a!"), (2, 50, "b"), (3, 5, "c"), (4, None, "d"), (5, 7, None)],
+        "id int, x int, s string",
+    )
+    rules = [R.rule_compare("x", "<", 10), R.rule_no_special_chars("s")]
+    viol = R.violations_union(df, rules, "id")
+    clean = R.clean_rows(df, rules)
+    viol_ids = {r["id"] for r in viol.collect()}
+    clean_ids = {r["id"] for r in clean.collect()}
+    assert viol_ids == {1, 2}
+    assert clean_ids == {3}          # 4,5 have nulls → neither violation nor clean
+    assert not (viol_ids & clean_ids)
+
+
+def test_rule_domain_city(spark):
+    df = spark.createDataFrame(
+        [("İstanbul",), ("Ankara",), ("istanbul",), ("Berlin",), (None,)], "city string"
+    )
+    r = R.rule_domain("city")
+    viol = {row["city"] for row in r.violations(df).collect()}
+    assert viol == {"istanbul", "Berlin"}
+
+
+def test_overall_score(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x int")
+    rules = [R.rule_compare("x", "<", 3, name="a"), R.rule_compare("x", "<", 5, name="b")]
+    s = R.evaluate_rules(df, rules)
+    overall = R.overall_score(s).collect()[0]["overall_dq_score"]
+    assert overall == pytest.approx((50.0 + 100.0) / 2)
