@@ -1,0 +1,129 @@
+"""Enrichment operators (SURVEY.md §2.8 F10–F13, §2.3 J1/J2).
+
+The reference's per-row dict lookups (/root/reference/home.py:1803,1889,
+1921-1927) become broadcast left joins against parquet dimension tables
+(built by tools/build_dims.py from the reference's literal data).  The dims
+are tiny (81 cities, ~12.7k names) so Catalyst always broadcasts — an
+explicit ``broadcast()`` hint makes that a guarantee, not a heuristic, and
+the join never shuffles the fact table at any scale.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DIMS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "dims", "data")
+
+
+def city_dim(spark: SparkSession) -> DataFrame:
+    """(city, latitude, longitude) — 81 rows."""
+    return spark.read.parquet(os.path.join(DIMS_DIR, "city.parquet"))
+
+
+def name_gender_dim(spark: SparkSession) -> DataFrame:
+    """(first_name, gender['E'|'K'|'U']) — 12,744 rows."""
+    return spark.read.parquet(os.path.join(DIMS_DIR, "name_gender.parquet"))
+
+
+# --- J2/F12 — gender from first name (home.py:1921-1927) -------------------
+
+def enrich_gender(df: DataFrame, name_col: str, spark: SparkSession | None = None,
+                  dim: DataFrame | None = None) -> DataFrame:
+    """New column ``Gender_<col>``: first space-delimited token mapped
+    through the name→gender dim; NULL on miss (``Series.map`` semantics —
+    differs from the lat/lon passthrough, per the reference)."""
+    dim = dim if dim is not None else name_gender_dim(spark or df.sparkSession)
+    first = F.split(F.col(name_col), " ", 2).getItem(0)
+    out_col = f"Gender_{name_col}"
+    dim2 = dim.select(F.col("first_name").alias("__fn"),
+                      F.col("gender").alias(out_col))
+    return (df.withColumn("__fn", first)
+            .join(F.broadcast(dim2), on="__fn", how="left")
+            .drop("__fn"))
+
+
+# --- J1/F13 — latitude/longitude from city (home.py:1719-1891) -------------
+
+def enrich_latlon(df: DataFrame, city_col: str, spark: SparkSession | None = None,
+                  dim: DataFrame | None = None, miss: str = "null") -> DataFrame:
+    """New columns ``Latitude_<col>`` / ``Longitude_<col>``.
+
+    ``miss='null'`` (default): typed DOUBLE columns, NULL on miss.
+    ``miss='passthrough'``: the reference's exact semantics — the original
+    (string) value flows through on miss (home.py:1803-1804), which forces
+    the output columns to STRING.  Kept for parity; the typed default is
+    what a schema-ful engine should do.
+    """
+    dim = dim if dim is not None else city_dim(spark or df.sparkSession)
+    lat_col, lon_col = f"Latitude_{city_col}", f"Longitude_{city_col}"
+    dim2 = dim.select(F.col("city").alias("__city"),
+                      F.col("latitude").alias("__lat"),
+                      F.col("longitude").alias("__lon"))
+    joined = (df.withColumn("__city", F.col(city_col))
+              .join(F.broadcast(dim2), on="__city", how="left")
+              .drop("__city"))
+    if miss == "passthrough":
+        joined = (joined
+                  .withColumn(lat_col, F.coalesce(F.col("__lat").cast("string"),
+                                                  F.col(city_col).cast("string")))
+                  .withColumn(lon_col, F.coalesce(F.col("__lon").cast("string"),
+                                                  F.col(city_col).cast("string"))))
+    else:
+        joined = (joined.withColumn(lat_col, F.col("__lat"))
+                  .withColumn(lon_col, F.col("__lon")))
+    return joined.drop("__lat", "__lon")
+
+
+# --- F10 — age / anniversary from ddMMyyyy strings (home.py:1893-1919) -----
+
+def enrich_age(df: DataFrame, col: str, as_of: datetime.date | None = None,
+               out_prefix: str = "Age_") -> DataFrame:
+    """Parse ``ddMMyyyy`` strictly; dates in the future get 100 years
+    subtracted (the reference's 2-digit-pivot repair, home.py:1898-1900);
+    age = whole calendar years elapsed.
+
+    Fidelity note: the reference computes years as
+    ``floor(timedelta / mean_year_length)`` (numpy ``<m8[Y]``); we compute
+    true calendar age — same value except within a day or two of a
+    birthday around leap boundaries.  ``as_of`` pins "now" for
+    reproducibility (defaults to current_date).
+    """
+    now = F.lit(as_of) if as_of is not None else F.current_date()
+    d = F.try_to_timestamp(F.col(col).cast("string"), F.lit("ddMMyyyy")).cast("date")
+    d = F.when(d >= now, F.add_months(d, -1200)).otherwise(d)
+    # explicit calendar-age formula (no months_between end-of-month edge):
+    # years diff, minus 1 if the birthday hasn't occurred yet this year
+    not_yet = (
+        (F.month(d) > F.month(now))
+        | ((F.month(d) == F.month(now)) & (F.dayofmonth(d) > F.dayofmonth(now)))
+    ).cast("int")
+    age = (F.year(now) - F.year(d) - not_yet).cast("int")
+    return df.withColumn(f"{out_prefix}{col}", age)
+
+
+# --- F11 — date parts (home.py:1929-1962) ----------------------------------
+
+def enrich_date_parts(df: DataFrame, col: str,
+                      parts: list[str] | None = None) -> DataFrame:
+    """Add Day/Weekday/Month/Year/Quarter/WeekofYear columns.
+
+    Weekday is the English day name (the reference's weekday_dict,
+    home.py:1936-1945); WeekofYear is ISO week (pandas ``weekofyear``)."""
+    c = F.col(col)
+    all_parts = {
+        "Day": F.dayofmonth(c),
+        "Weekday": F.date_format(c, "EEEE"),
+        "Month": F.month(c),
+        "Year": F.year(c),
+        "Quarter": F.quarter(c),
+        "WeekofYear": F.weekofyear(c),
+    }
+    out = df
+    for name in (parts or list(all_parts)):
+        out = out.withColumn(f"{name}_{col}", all_parts[name])
+    return out

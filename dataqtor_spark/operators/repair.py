@@ -1,0 +1,214 @@
+"""Repair operators (SURVEY.md §2.8 F1–F9/F14, §2.2 P1/P2, §2.6 O1) and the
+lineage-based repair session.
+
+The reference mutates its single cached pandas table in place
+(/root/reference/home.py:109,1386,1396,1422,1495,1596); here every repair is
+a pure ``DataFrame -> DataFrame`` transform and :class:`RepairSession` holds
+the current lineage head — "before vs after" scoring is just two lineage
+points (SURVEY §3 engine mapping).  All transforms are Catalyst expressions:
+a chain of N repairs is still ONE projection after optimization (collapsed
+by Catalyst), not N passes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataqtor_spark.session import ROW_ID
+
+# the 9 metacharacters the reference escapes when given as the whole input
+# (home.py:1651-1690) — note it escapes ONLY exact single-char inputs;
+# longer inputs are treated as regex verbatim.  We mirror that contract.
+_ESCAPED_SINGLE = {"(", "?", "|", "[", "+", ")", "*", "^", "$"}
+
+
+def _escape_find(pat: str) -> str:
+    if pat in _ESCAPED_SINGLE:
+        return "\\" + pat
+    return pat
+
+
+# --- F1/F2 — case transforms (home.py:1590-1617) ---------------------------
+
+def title_case(df: DataFrame, col: str) -> DataFrame:
+    """F1 — ``initcap`` (word = whitespace-delimited).
+
+    Fidelity note (SURVEY §7): pandas ``str.title`` re-capitalizes after ANY
+    non-letter (``o'neil`` → ``O'Neil``); ``initcap`` only after whitespace,
+    and Turkish dotted-İ casing follows the JVM locale.  Documented
+    deviation — the declarative form keeps the transform in codegen.
+    """
+    return df.withColumn(col, F.initcap(F.col(col)))
+
+
+def lower_case(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.lower(F.col(col)))
+
+
+def upper_case(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.upper(F.col(col)))
+
+
+# --- F3 — collapse multi-spaces (home.py:1619-1628) ------------------------
+
+def collapse_spaces(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.regexp_replace(F.col(col), " +", " "))
+
+
+# --- F4 — strip characters (home.py:1630-1639) -----------------------------
+
+def strip_chars(df: DataFrame, col: str, chars: str | None = None) -> DataFrame:
+    """pandas ``str.strip(chars)`` — remove any of the char set from both
+    ends; None strips whitespace.  Spark ``btrim`` has identical semantics."""
+    c = F.col(col)
+    out = F.trim(c) if chars is None else F.btrim(c, F.lit(chars))
+    return df.withColumn(col, out)
+
+
+# --- F5 — find/replace with match count (home.py:1641-1696) ----------------
+
+def replace_count(df: DataFrame, col: str, find: str) -> DataFrame:
+    """A17 — total regex match count before replacing (home.py:1693)."""
+    pat = _escape_find(find)
+    return df.agg(
+        F.coalesce(F.sum(F.regexp_count(F.col(col), F.lit(pat))), F.lit(0))
+        .alias("n_matches")
+    )
+
+
+def find_replace(df: DataFrame, col: str, find: str, replace: str) -> DataFrame:
+    """Regex find/replace; ``replace='none'`` removes the match (reference
+    UI contract, home.py:1671-1672)."""
+    pat = _escape_find(find)
+    rep = "" if replace == "none" else replace
+    return df.withColumn(col, F.regexp_replace(F.col(col), pat, rep))
+
+
+# --- F6 — leading-char strip (phone corrector, home.py:1698-1708) ----------
+
+def strip_leading_char(df: DataFrame, col: str, ch: str) -> DataFrame:
+    c = F.col(col).cast("string")
+    return df.withColumn(
+        col, F.when(c.startswith(ch), F.substring(c, 2, 2147483646)).otherwise(c)
+    )
+
+
+# --- F7 — cell update by row id (home.py:1401-1470) ------------------------
+
+def update_cell(df: DataFrame, row_id: int, col: str, value: Any,
+                id_col: str = ROW_ID) -> DataFrame:
+    return df.withColumn(
+        col,
+        F.when(F.col(id_col) == row_id, F.lit(value)).otherwise(F.col(col)),
+    )
+
+
+# --- F8 — value remap / fill-null / delete-matching (home.py:1472-1582) ----
+
+def remap_value(df: DataFrame, col: str, old: Any, new: Any) -> DataFrame:
+    c = F.col(col)
+    return df.withColumn(col, F.when(c == F.lit(old), F.lit(new)).otherwise(c))
+
+
+def value_to_null(df: DataFrame, col: str, old: Any) -> DataFrame:
+    return df.withColumn(col, F.nullif(F.col(col), F.lit(old)))
+
+
+def fill_nulls(df: DataFrame, col: str, value: Any) -> DataFrame:
+    return df.withColumn(col, F.coalesce(F.col(col), F.lit(value)))
+
+
+def delete_matching_rows(df: DataFrame, col: str, value: Any) -> DataFrame:
+    c = F.col(col)
+    return df.filter((c != F.lit(value)) | c.isNull())
+
+
+# --- F9 / P2 / P1 — row drop, column drop, projection ----------------------
+
+def drop_rows(df: DataFrame, row_ids: list[int], id_col: str = ROW_ID) -> DataFrame:
+    return df.filter(~F.col(id_col).isin(row_ids))
+
+
+def drop_column(df: DataFrame, col: str) -> DataFrame:
+    return df.drop(col)
+
+
+def project(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P1 — keep + reorder columns (home.py:2030-2034)."""
+    return df.select(*cols)
+
+
+# --- F14 — cast ------------------------------------------------------------
+
+def cast_column(df: DataFrame, col: str, dtype: str) -> DataFrame:
+    """Spark keeps NULL as NULL through casts — the reference's
+    ``astype(str).replace('nan', NaN)`` repair idiom is unnecessary here."""
+    return df.withColumn(col, F.col(col).try_cast(dtype))
+
+
+# --- O1 — multi-column sort (home.py:1966-1978) ----------------------------
+
+def sort_rows(df: DataFrame, cols: list[str], ascending: list[bool] | None = None) -> DataFrame:
+    ascending = ascending or [True] * len(cols)
+    order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(cols, ascending)]
+    return df.orderBy(*order)
+
+
+# --- search predicates (P3–P6, home.py:1198-1377) --------------------------
+
+def search(df: DataFrame, col: str, op: str, value: Any = None,
+           low: Any = None, high: Any = None) -> DataFrame:
+    """The corrector's search engine: typed comparison / equality / null /
+    between filters."""
+    c = F.col(col)
+    if op == "==":
+        return df.filter(c == F.lit(value))
+    if op == ">=":
+        return df.filter(c >= F.lit(value))
+    if op == "<":
+        return df.filter(c < F.lit(value))
+    if op == "between":
+        return df.filter(c.between(F.lit(low), F.lit(high)))
+    if op == "isnull":
+        return df.filter(c.isNull())
+    if op == "row_id":
+        return df.filter(F.col(ROW_ID) == F.lit(value))
+    raise ValueError(f"unsupported op: {op}")
+
+
+# --- lineage session -------------------------------------------------------
+
+class RepairSession:
+    """Replaces the reference's in-place mutation with lineage.
+
+    ``apply`` chains a transform onto the head; ``snapshot`` tags the current
+    head (e.g. "before"/"after" for A15 scoring); ``checkpoint`` persists the
+    head to break long lineages after expensive repair chains (the Spark
+    equivalent of ``@st.cache`` on the mutated table, home.py:55).
+    """
+
+    def __init__(self, df: DataFrame):
+        self._head = df
+        self._snapshots: dict[str, DataFrame] = {}
+
+    @property
+    def df(self) -> DataFrame:
+        return self._head
+
+    def apply(self, fn, *args, **kwargs) -> "RepairSession":
+        self._head = fn(self._head, *args, **kwargs)
+        return self
+
+    def snapshot(self, name: str) -> DataFrame:
+        self._snapshots[name] = self._head
+        return self._head
+
+    def get_snapshot(self, name: str) -> DataFrame:
+        return self._snapshots[name]
+
+    def checkpoint(self) -> "RepairSession":
+        self._head = self._head.persist()
+        return self

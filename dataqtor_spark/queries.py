@@ -612,3 +612,228 @@ def u03_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.rule_compare("l_discount", "<", 0.08),
     ]
     return R.clean_rows(li, rules).agg(F.count(F.lit(1)).alias("n_clean_rows"))
+
+
+# ===========================================================================
+# Repair & enrichment (SURVEY §2.8) — oracle-checked
+# ===========================================================================
+
+from dataqtor_spark.operators import enrich as EN  # noqa: E402
+from dataqtor_spark.operators import repair as RP  # noqa: E402
+
+_DIMS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "dims", "data")
+
+
+# --- F2/F3/F4 — case, space-collapse, strip in one repaired projection -----
+
+@register(
+    "f02_string_repairs_part",
+    """SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       regexp_replace(p_type, ' +', ' ', 'g') AS type_onespace,
+       trim(p_type, 'SD') AS type_stripped
+FROM part""",
+)
+def f02_string_repairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = _t(spark, sf_dir, "part")
+    out = RP.lower_case(pt.withColumn("name_lower", F.col("p_name")), "name_lower")
+    out = RP.upper_case(out.withColumn("brand_upper", F.col("p_brand")), "brand_upper")
+    out = RP.collapse_spaces(out.withColumn("type_onespace", F.col("p_type")), "type_onespace")
+    out = RP.strip_chars(out.withColumn("type_stripped", F.col("p_type")), "type_stripped", "SD")
+    return out.select("p_partkey", "name_lower", "brand_upper", "type_onespace", "type_stripped")
+
+
+# --- F5/A17 — find-replace + match count -----------------------------------
+
+@register(
+    "f05_replace_count",
+    """SELECT coalesce(sum(len(regexp_extract_all(p_type, 'ANODIZED'))), 0)::BIGINT AS n_matches
+FROM part""",
+)
+def f05_replace_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RP.replace_count(_t(spark, sf_dir, "part"), "p_type", "ANODIZED")
+
+
+@register(
+    "f05_find_replace",
+    """SELECT regexp_replace(p_type, 'ANODIZED', 'COATED', 'g') AS p_type,
+       count(*)::BIGINT AS count
+FROM part GROUP BY 1""",
+)
+def f05_find_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = RP.find_replace(_t(spark, sf_dir, "part"), "p_type", "ANODIZED", "COATED")
+    return pt.groupBy("p_type").agg(F.count(F.lit(1)).alias("count"))
+
+
+# --- F6 — leading-char strip on derived phones -----------------------------
+
+@register(
+    "f06_strip_leading_zero",
+    f"""SELECT CASE WHEN starts_with(phone, '0') THEN substring(phone, 2) ELSE phone END AS phone,
+       count(*)::BIGINT AS count
+FROM (SELECT {_PHONE_DERIVED_SQL} AS phone FROM orders) GROUP BY 1""",
+)
+def f06_strip_leading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(_phone_derived_spark().alias("phone"))
+    return (RP.strip_leading_char(o, "phone", "0")
+            .groupBy("phone").agg(F.count(F.lit(1)).alias("count")))
+
+
+# --- F7/F8/F9 — cell update, value remap, row drop (natural-key row ids) ---
+
+@register(
+    "f07_cell_update",
+    """SELECT c_custkey,
+       CASE WHEN c_custkey = 42 THEN 'EDITED' ELSE c_mktsegment END AS c_mktsegment
+FROM customer WHERE c_custkey BETWEEN 40 AND 45""",
+)
+def f07_cell_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    out = RP.update_cell(cu, 42, "c_mktsegment", "EDITED", id_col="c_custkey")
+    return (out.filter(F.col("c_custkey").between(40, 45))
+            .select("c_custkey", "c_mktsegment"))
+
+
+@register(
+    "f08_value_remap",
+    """SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'CONSTRUCTION' ELSE c_mktsegment END AS c_mktsegment,
+       count(*)::BIGINT AS count
+FROM customer GROUP BY 1""",
+)
+def f08_value_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = RP.remap_value(_t(spark, sf_dir, "customer"), "c_mktsegment",
+                        "BUILDING", "CONSTRUCTION")
+    return cu.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("count"))
+
+
+@register(
+    "f09_delete_matching",
+    """SELECT count(*)::BIGINT AS n_rows FROM customer
+WHERE c_mktsegment <> 'MACHINERY' OR c_mktsegment IS NULL""",
+)
+def f09_delete_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = RP.delete_matching_rows(_t(spark, sf_dir, "customer"), "c_mktsegment", "MACHINERY")
+    return cu.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --- O1 — multi-column sort + deterministic top-k --------------------------
+
+@register(
+    "o01_sort_topk",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 20""",
+)
+def o01_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (RP.sort_rows(li, ["l_extendedprice", "l_orderkey", "l_linenumber"],
+                         [False, True, True])
+            .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+            .limit(20))
+
+
+# --- J2/F12 — gender enrichment via broadcast dim join ---------------------
+
+_NAME_POOL = ["Ahmet", "Ayşe", "Mehmet", "Zeynep", "Mustafa", "Elif", "Xqzw"]
+_NAME_POOL_SQL = "[" + ", ".join(f"'{n}'" for n in _NAME_POOL) + "]"
+
+@register(
+    "j02_gender_enrich",
+    f"""SELECT g.gender AS gender, count(*)::BIGINT AS count
+FROM (SELECT {_NAME_POOL_SQL}[CAST(c_custkey % 7 AS INT) + 1] || ' Yılmaz' AS name
+      FROM customer) t
+LEFT JOIN read_parquet('{_DIMS}/name_gender.parquet') g
+  ON split_part(t.name, ' ', 1) = g.first_name
+GROUP BY 1""",
+)
+def j02_gender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    name = F.concat(
+        F.element_at(F.array(*[F.lit(n) for n in _NAME_POOL]),
+                     F.pmod(F.col("c_custkey"), F.lit(7)).cast("int") + 1),
+        F.lit(" Yılmaz"),
+    )
+    df = cu.select(name.alias("name"))
+    out = EN.enrich_gender(df, "name", spark)
+    return (out.groupBy(F.col("Gender_name").alias("gender"))
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
+# --- J1/F13 — lat/lon enrichment via broadcast dim join --------------------
+
+_CITY_POOL = ["Ankara", "İzmir", "Bursa", "Trabzon", "Gaziantep", "Atlantis"]
+_CITY_POOL_SQL = "[" + ", ".join(f"'{c}'" for c in _CITY_POOL) + "]"
+
+@register(
+    "j01_latlon_enrich",
+    f"""SELECT t.city AS city, count(*)::BIGINT AS count,
+       round(avg(d.latitude), 4) AS avg_lat,
+       round(avg(d.longitude), 4) AS avg_lon
+FROM (SELECT {_CITY_POOL_SQL}[CAST(c_custkey % 6 AS INT) + 1] AS city
+      FROM customer) t
+LEFT JOIN read_parquet('{_DIMS}/city.parquet') d ON t.city = d.city
+GROUP BY 1""",
+)
+def j01_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    city = F.element_at(F.array(*[F.lit(c) for c in _CITY_POOL]),
+                        F.pmod(F.col("c_custkey"), F.lit(6)).cast("int") + 1)
+    df = cu.select(city.alias("city"))
+    out = EN.enrich_latlon(df, "city", spark)
+    return (out.groupBy("city")
+            .agg(F.count(F.lit(1)).alias("count"),
+                 F.round(F.avg("Latitude_city"), 4).alias("avg_lat"),
+                 F.round(F.avg("Longitude_city"), 4).alias("avg_lon")))
+
+
+# --- F10 — age enrichment with future-date pivot ---------------------------
+
+@register(
+    "f10_age_enrich",
+    """SELECT age, count(*)::BIGINT AS count FROM (
+  SELECT (CASE WHEN d >= DATE '2026-01-15' THEN d - INTERVAL 100 YEAR ELSE d END) AS dd,
+         year(DATE '2026-01-15') - year(dd)
+           - CASE WHEN (month(dd), day(dd)) > (1, 15) THEN 1 ELSE 0 END AS age
+  FROM (
+    SELECT CASE WHEN o_orderkey % 2 = 0
+                THEN CAST(o_orderdate + INTERVAL 40 YEAR AS DATE)
+                ELSE CAST(o_orderdate AS DATE) END AS d
+    FROM orders)
+) GROUP BY 1""",
+)
+def f10_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.when(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0,
+               F.add_months(F.col("o_orderdate"), 480)
+               ).otherwise(F.col("o_orderdate")).cast("date")
+    df = o.select(F.date_format(d, "ddMMyyyy").alias("bd"))
+    out = EN.enrich_age(df, "bd", as_of=datetime.date(2026, 1, 15))
+    return (out.groupBy(F.col("Age_bd").alias("age"))
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
+# --- F11 — date parts ------------------------------------------------------
+
+@register(
+    "f11_date_parts",
+    """SELECT year(o_orderdate)::INT AS year, quarter(o_orderdate)::INT AS quarter,
+       month(o_orderdate)::INT AS month, day(o_orderdate)::INT AS day,
+       dayname(o_orderdate) AS weekday, weekofyear(o_orderdate)::INT AS week,
+       count(*)::BIGINT AS count
+FROM orders GROUP BY 1, 2, 3, 4, 5, 6""",
+)
+def f11_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = EN.enrich_date_parts(o, "o_orderdate")
+    return (out.groupBy(
+        F.col("Year_o_orderdate").alias("year"),
+        F.col("Quarter_o_orderdate").alias("quarter"),
+        F.col("Month_o_orderdate").alias("month"),
+        F.col("Day_o_orderdate").alias("day"),
+        F.col("Weekday_o_orderdate").alias("weekday"),
+        F.col("WeekofYear_o_orderdate").alias("week"),
+    ).agg(F.count(F.lit(1)).alias("count")))
