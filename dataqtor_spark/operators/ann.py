@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (north-star extension):
+brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the scale path.
+
+Scale design: brute force is a broadcast of the (small) query set against
+the (huge) corpus — a map-side nested loop, no shuffle of the corpus, then
+a per-query top-k aggregate.  The LSH variant cuts the per-query candidate
+set to matching buckets: signatures are computed in one projection from a
+deterministic seeded hyperplane set, bucketing is a groupBy, and exact
+cosine re-ranks only within buckets (multi-probe over Hamming-1 neighbors
+trades recall vs cost).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold — deterministic summation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 10,
+                     query_id_col: str | None = None) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    ``queries`` is broadcast — corpus rows never shuffle; ranking is a
+    window per query id over the (n_queries × n_corpus) scored pairs.
+    Deterministic: scores rounded to 6 dp BEFORE ranking, ties broken by
+    neighbor id — reproducible across partitionings and vs a SQL oracle.
+    Self-matches (same id) are excluded.
+    """
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    c = c.withColumn("__cn", l2_norm(F.col("__cv")))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("__qv"))
+    q = q.withColumn("__qn", l2_norm(F.col("__qv")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("__cv"), F.col("__qv"))
+                                  / (F.col("__cn") * F.col("__qn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (pure Python LCG so
+    the plan is reproducible without numpy state)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u = (state >> 11) / float(1 << 53)         # [0,1)
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v = (state >> 11) / float(1 << 53)
+            # Box-Muller
+            row.append(math.sqrt(-2.0 * math.log(u + 1e-12)) * math.cos(2 * math.pi * v))
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bit i = sign(v · plane_i); packed into a long (n_planes ≤ 62)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(_as_double(vec_col), F.array(*[F.lit(x) for x in p]))
+        sig = sig + F.when(d > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             k: int = 10, n_planes: int = 12, dim: int | None = None,
+             query_id_col: str | None = None, multi_probe: bool = True) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to LSH-bucket
+    candidates.  ``multi_probe`` also probes the ``n_planes`` Hamming-1
+    buckets of each query signature (recall ↑, candidates ×(1+n_planes)).
+    Output schema matches :func:`brute_force_topk` (rank may have < k rows
+    when a bucket runs dry — that's the approximation showing)."""
+    query_id_col = query_id_col or id_col
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("__cv"))
+         .withColumn("__cn", l2_norm(F.col("__cv")))
+         .withColumn("__bucket", lsh_signature(F.col("__cv"), planes)))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .withColumn("__qsig", lsh_signature(F.col("__qv"), planes)))
+    if multi_probe:
+        probes = F.array(F.col("__qsig"),
+                         *[F.col("__qsig").bitwiseXOR(F.lit(2 ** i).cast("long"))
+                           for i in range(n_planes)])
+        q = q.withColumn("__bucket", F.explode(probes))
+    else:
+        q = q.withColumn("__bucket", F.col("__qsig"))
+    scored = (c.join(F.broadcast(q), "__bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("__cv"), F.col("__qv"))
+                                  / (F.col("__cn") * F.col("__qn")), 6))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -1,0 +1,275 @@
+"""Deduplication operator family for training-data pipelines (north-star
+extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup.
+
+Scale design (the point of each strategy):
+- exact:    one hash-groupBy; shuffles only (hash, id) pairs, never text.
+- minhash:  shingle→signature→band→bucket-join.  Candidate generation is a
+            groupBy on (band, band-hash) — no pairwise comparison ever
+            touches non-colliding documents, so cost tracks true-duplicate
+            density, not n².
+- simhash:  64-bit signature per doc; banding on 16-bit chunks (any doc
+            within Hamming distance 3 shares ≥1 of 4 chunks — pigeonhole),
+            then exact Hamming verify via xor+bit_count.
+- ngram-jaccard: inverted-index self-join on shared shingles — the sparse
+            dot-product trick; cost ∝ Σ_shingle df(shingle)², controlled by
+            dropping ultra-common shingles (stop-shingle cut).
+- embedding near-dup: cosine over a blocking key (or LSH buckets from
+            operators/ann.py) instead of the full cross join.
+
+Everything below is DataFrame-native: hashes via xxhash64 (seeded per hash
+function), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def content_hash(cols: list[str]) -> Column:
+    """Deterministic row-content key: md5 of null-tagged concatenation."""
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
+def exact_duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """(content_hash, cluster_size, members) for groups of identical rows."""
+    return (df.select(F.col(id_col), content_hash(cols).alias("chash"))
+            .groupBy("chash")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.sort_array(F.collect_list(id_col)).alias("members"))
+            .filter(F.col("cluster_size") > 1))
+
+
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the minimum-id row of each content group.  min-by over a
+    groupBy — one shuffle of (hash, id), then a semi-join to recover rows."""
+    keep = (df.select(F.col(id_col), content_hash(cols).alias("chash"))
+            .groupBy("chash").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as an array<string> (lowercased)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        )
+    )
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.explode(word_shingles(text_col, n)).alias("__sh")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<long>): sig[i] = min over shingles of xxhash64(shingle, i).
+
+    One explode + one groupBy with ``num_hashes`` min-aggregates — partial
+    aggregation makes the shuffle carry only (id, 64 longs) per doc.
+    """
+    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = ex.groupBy("__id").agg(*aggs)
+    return sig.select(F.col("__id").alias(id_col),
+                      F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_candidates(sig: DataFrame, id_col: str,
+                       num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """LSH banding: docs colliding in ≥1 band become candidate pairs
+    (id_a < id_b).  rows-per-doc = bands; join is a groupBy on band hash."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("sig")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ])).alias("bhash"),
+        ))
+    exploded = (sig.select(F.col(id_col).alias("__id"),
+                           F.explode(F.array(*band_structs)).alias("b"))
+                .select("__id", "b.band", "b.bhash"))
+    return (exploded.groupBy("band", "bhash")
+            .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+            )).alias("p"))
+            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .distinct())
+
+
+def minhash_similarity(sig: DataFrame, candidates: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (candidates.join(a, "id_a").join(b, "id_b")
+            .withColumn(
+                "est_jaccard",
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                                lambda z: z))
+                / F.size("sig_a"))
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.7, num_hashes: int = 64,
+                        bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """End-to-end MinHash near-dup pairs above an estimated-Jaccard threshold."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = sig.persist()  # reused by banding and verification
+    cand = minhash_candidates(sig, id_col, num_hashes, bands)
+    return (minhash_similarity(sig, cand, id_col)
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of Σ±1 across
+    token hashes.  One explode + one groupBy with 64 conditional sums."""
+    c = F.col(text_col).cast("string")
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.explode(F.split(F.trim(F.lower(c)), r"\s+")).alias("__t"))
+            .withColumn("__h", F.xxhash64("__t")))
+    aggs = []
+    for i in range(64):
+        bit = F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
+    sums = toks.groupBy("__id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2 ** i) if i < 63
+                   else F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` via 16-bit-chunk
+    banding (pigeonhole: ≤3 differing bits → ≥1 of 4 chunks identical),
+    then exact verify with xor + bit_count."""
+    chunks = []
+    for b in range(4):
+        chunks.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * 16)
+            .bitwiseAND(F.lit(0xFFFF)).alias("bhash"),
+        ))
+    exploded = (sig.select(F.col(id_col).alias("__id"), F.col("simhash"),
+                           F.explode(F.array(*chunks)).alias("c"))
+                .select("__id", "simhash", "c.band", "c.bhash"))
+    pairs = (exploded.alias("l")
+             .join(exploded.alias("r"),
+                   (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bhash") == F.col("r.bhash"))
+                   & (F.col("l.__id") < F.col("r.__id")))
+             .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
+                     F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+             .distinct())
+    return (pairs.withColumn("hamming",
+                             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted index)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams via inverted-index
+    self-join.  ``max_doc_freq`` drops shingles shared by more than that
+    many docs (stop-shingle cut) — at scale this bounds the quadratic
+    blowup on ultra-common shingles; pairs sharing ONLY dropped shingles
+    can be missed (documented recall trade)."""
+    ex = _exploded_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        from pyspark.sql.window import Window
+        dfreq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+        ex = (ex.join(F.broadcast(dfreq.filter(F.col("__df") <= max_doc_freq)
+                                  .select("__sh")), "__sh"))
+    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (ex.alias("l").join(ex.alias("r"),
+                                (F.col("l.__sh") == F.col("r.__sh"))
+                                & (F.col("l.__id") < F.col("r.__id")))
+             .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, x: acc + x * x))
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95,
+                             block_col: str | None = None) -> DataFrame:
+    """Pairs with cosine ≥ threshold.  ``block_col`` restricts comparisons
+    to equal blocking keys (cluster id / LSH bucket from operators/ann);
+    without it this is the exact O(n²) path — only for modest n or as the
+    verification stage after LSH candidate generation."""
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    ).withColumn("__n", _norm(F.col("__v")))
+    cond = F.col("l.__id") < F.col("r.__id")
+    if block_col:
+        cond = cond & (F.col("l.__blk") == F.col("r.__blk"))
+    pairs = v.alias("l").join(v.alias("r"), cond)
+    return (pairs.withColumn(
+                "cosine",
+                F.round(_dot(F.col("l.__v"), F.col("r.__v"))
+                        / (F.col("l.__n") * F.col("r.__n")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("l.__id").alias("id_a"),
+                    F.col("r.__id").alias("id_b"), "cosine"))

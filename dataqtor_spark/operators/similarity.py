@@ -1,0 +1,104 @@
+"""String-similarity self-match (SURVEY.md §2.4 A13).
+
+The reference calls ``string_grouper.match_strings(col, min_similarity=.52)``
+(/root/reference/home.py:265-270): TF-IDF vectors over character 3-grams
+(after stripping ``[,-./]`` and whitespace), cosine similarity, self-join,
+keep non-identical pairs, sort desc, head(50).
+
+Two implementations:
+
+- ``exact``: the sparse-dot-product trick — an inverted-index self-join on
+  shared n-grams.  Per-string TF-IDF weights and L2 norms are computed with
+  two aggregates (sklearn's smooth-idf formula, matching string_grouper's
+  vectorizer); the pairwise cosine is one join + groupBy on n-gram.  Cost is
+  Σ_gram df(gram)² — fine for dedup-scale columns; at 100 TB cap df with a
+  stop-gram cut or switch to the LSH variant.
+- ``lsh``: MinHash over the same n-gram sets via MLlib's ``MinHashLSH``
+  (Jaccard, not cosine — a candidate generator whose output should be
+  re-ranked by the exact scorer; recall < 1 by design, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CLEAN_RE = r"[,\-./]|\s"
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the cleaned string (string_grouper's
+    default preprocessing: remove ``[,-./]`` and whitespace)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    cleaned = F.regexp_replace(c, CLEAN_RE, "")
+    k = F.length(cleaned) - (n - 1)
+    return F.when(k <= 0, F.array(cleaned)).otherwise(
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.substring(cleaned, i, n))  # type: ignore[arg-type]
+    )
+
+
+def tfidf_vectors(df: DataFrame, col: str, n: int = 3) -> DataFrame:
+    """(value, gram, weight) with L2-normalized smooth-idf TF-IDF weights
+    over the DISTINCT values of ``col`` (string_grouper vectorizes the
+    unique corpus).  idf = ln((1+N)/(1+df)) + 1."""
+    vals = df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull()).distinct()
+    n_docs = vals.count()
+    grams = (vals.select("value", F.explode(char_ngrams("value", n)).alias("gram"))
+             .groupBy("value", "gram").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = grams.groupBy("gram").agg(F.countDistinct("value").alias("df"))
+    idf = dfreq.select(
+        "gram",
+        (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0).alias("idf"))
+    w = (grams.join(F.broadcast(idf), "gram")
+         .withColumn("w", F.col("tf") * F.col("idf")))
+    norms = w.groupBy("value").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    return (w.join(norms, "value")
+            .select("value", "gram", (F.col("w") / F.col("norm")).alias("weight")))
+
+
+def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
+                    n: int = 3, top_n: int | None = 50) -> DataFrame:
+    """A13 exact mode: (left_side, right_side, similarity) for non-identical
+    value pairs with TF-IDF cosine ≥ threshold, ordered desc (ties by the
+    pair, deterministic), limited to ``top_n`` like the reference."""
+    vec = tfidf_vectors(df, col, n)
+    pairs = (vec.alias("l").join(vec.alias("r"),
+                                 (F.col("l.gram") == F.col("r.gram"))
+                                 & (F.col("l.value") < F.col("r.value")))
+             .groupBy(F.col("l.value").alias("left_side"),
+                      F.col("r.value").alias("right_side"))
+             .agg(F.round(F.sum(F.col("l.weight") * F.col("r.weight")), 6)
+                  .alias("similarity"))
+             .filter(F.col("similarity") >= min_similarity))
+    out = pairs.orderBy(F.desc("similarity"), F.asc("left_side"), F.asc("right_side"))
+    return out.limit(top_n) if top_n else out
+
+
+def similar_strings_lsh(df: DataFrame, col: str, jaccard_threshold: float = 0.5,
+                        n: int = 3, num_hash_tables: int = 8) -> DataFrame:
+    """A13 scale mode: MinHashLSH candidate pairs on n-gram sets (Jaccard
+    distance ≤ 1-threshold).  Feed through :func:`similar_strings`-style
+    re-ranking when cosine parity matters."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    vals = (df.select(F.col(col).alias("value"))
+            .filter(F.col("value").isNotNull()).distinct()
+            .withColumn("grams", char_ngrams("value", n)))
+    cv = CountVectorizer(inputCol="grams", outputCol="features", binary=True)
+    model = cv.fit(vals)
+    feats = model.transform(vals)
+    # MinHashLSH requires ≥1 non-zero entry; cleaned-empty strings vectorize
+    # to all-zeros — drop them (they have no n-grams to match on anyway)
+    from pyspark.ml.functions import vector_to_array
+    feats = feats.filter(
+        F.aggregate(vector_to_array("features"), F.lit(0.0), lambda a, x: a + x) > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    lmodel = lsh.fit(feats)
+    pairs = lmodel.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold,
+                                        distCol="jaccard_dist")
+    return (pairs.filter(F.col("datasetA.value") < F.col("datasetB.value"))
+            .select(F.col("datasetA.value").alias("left_side"),
+                    F.col("datasetB.value").alias("right_side"),
+                    F.round(1.0 - F.col("jaccard_dist"), 6).alias("est_jaccard")))

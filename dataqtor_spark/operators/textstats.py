@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extensions, BASELINE.json §6): token counting, quality scoring, language
+identification, document fingerprinting.
+
+All pure column expressions — at 100 TB these run inside whole-stage
+codegen with zero Python involvement, and every operator is a single
+projection (no shuffle at all until an aggregate is asked for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace + a BPE-ish regex variant
+# ---------------------------------------------------------------------------
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (empty/blank string → 0)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def subword_token_count(col: Column | str) -> Column:
+    """BPE-ish upper bound: word-piece runs (letter runs, digit runs, single
+    punctuation) — ``regexp_count`` over one alternation, codegen-friendly."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (df.withColumn("n_tokens", token_count(text_col))
+            .withColumn("n_subword_tokens", subword_token_count(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length/punctuation/stopword ratios
+# ---------------------------------------------------------------------------
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"]
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic per-document quality signals (all ratios in [0,1])."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
+    n_punct = F.regexp_count(c, F.lit(r"[.,!?;:]"))
+    n_digit = F.regexp_count(c, F.lit(r"[0-9]"))
+    n_upper = F.regexp_count(c, F.lit(r"[A-Z]"))
+    stop_pat = r"(?i)\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    n_stop = F.regexp_count(c, F.lit(stop_pat))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "avg_token_len": n_chars.cast("double") / safe_tok,
+        "punct_ratio": n_punct.cast("double") / safe_chars,
+        "digit_ratio": n_digit.cast("double") / safe_chars,
+        "upper_ratio": n_upper.cast("double") / safe_chars,
+        "stopword_ratio": n_stop.cast("double") / safe_tok,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic quality in [0,1]: rewards sane length and stopword
+    presence, penalizes punctuation/digit noise.  Deterministic arithmetic
+    (documented formula, SQL-twin-able)."""
+    f = quality_features(col)
+    length_ok = F.least(f["n_tokens"].cast("double") / 20.0, F.lit(1.0))
+    stop_ok = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    noise = F.least(f["punct_ratio"] * 5.0 + f["digit_ratio"] * 2.0, F.lit(1.0))
+    return F.round(0.5 * length_ok + 0.5 * stop_ok - 0.25 * noise, 4)
+
+
+def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, expr in quality_features(text_col).items():
+        out = out.withColumn(name, F.round(expr, 4) if name.endswith(("ratio", "len")) else expr)
+    return out.withColumn("quality_score", quality_score(text_col))
+
+
+# ---------------------------------------------------------------------------
+# language identification — stopword-vote n-gram heuristic
+# ---------------------------------------------------------------------------
+
+# distinctive function words per language; counted as ' word ' literals so
+# Java and RE2 regex engines agree exactly
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with", "that"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est", "dans"],
+    "es": ["el", "los", "las", "es", "en", "que"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def lang_votes(col: Column | str) -> dict[str, Column]:
+    c = F.concat(F.lit(" "), F.lower((F.col(col) if isinstance(col, str) else col)), F.lit(" "))
+    votes = {}
+    for lang, words in LANG_MARKERS.items():
+        v = F.lit(0)
+        for w in words:
+            v = v + F.regexp_count(c, F.lit(rf"\s{w}\s"))
+        votes[lang] = v
+    return votes
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax of stopword votes; ties resolved in LANG_ORDER; no votes at
+    all → 'und' (undetermined)."""
+    votes = lang_votes(col)
+    best = F.greatest(*[votes[l] for l in LANG_ORDER])
+    expr = F.when(best == 0, F.lit("und"))
+    for l in LANG_ORDER:
+        expr = expr.when(votes[l] == best, F.lit(l))
+    return expr.otherwise(F.lit("und"))
+
+
+def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", lang_id(text_col))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — key-collision fingerprint (sorted unique tokens)
+# ---------------------------------------------------------------------------
+
+def fingerprint(col: Column | str) -> Column:
+    """OpenRefine-style fingerprint: lowercase → whitespace-split → distinct
+    → sort → join → md5.  Word-order/duplication-insensitive near-dup key;
+    fingerprint equality clusters in one groupBy (no pairwise join)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    toks = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+")))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def fingerprint_clusters(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Clusters of documents sharing a fingerprint (size > 1)."""
+    return (df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.sort_array(F.collect_list(id_col)).alias("members"))
+            .filter(F.col("cluster_size") > 1))

@@ -837,3 +837,265 @@ def f11_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Weekday_o_orderdate").alias("weekday"),
         F.col("WeekofYear_o_orderdate").alias("week"),
     ).agg(F.count(F.lit(1)).alias("count")))
+
+
+# ===========================================================================
+# Training-data pipeline operators (north-star): text analysis, dedup
+# families, similarity search — oracle-checked where SQL-expressible,
+# rows-only for hash-seeded sketches (minhash/simhash/LSH).
+# ===========================================================================
+
+from dataqtor_spark.operators import ann as ANN  # noqa: E402
+from dataqtor_spark.operators import dedup as DD  # noqa: E402
+from dataqtor_spark.operators import similarity as SIM  # noqa: E402
+from dataqtor_spark.operators import textstats as TX  # noqa: E402
+
+
+# --- t01 — token counting --------------------------------------------------
+
+@register(
+    "t01_token_counts",
+    """SELECT lang,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS total_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_subword_tokens,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY lang""",
+)
+def t01_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TX.add_token_counts(_t(spark, sf_dir, "documents"))
+    return (docs.groupBy("lang")
+            .agg(F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_subword_tokens").alias("total_subword_tokens"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+# --- t02 — quality features + score per document ---------------------------
+
+_QF_SQL = """SELECT doc_id,
+  length(text)::INT AS n_chars,
+  (CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::INT AS n_tokens,
+  round(length(text) * 1.0 / greatest((CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1), 4) AS avg_token_len,
+  round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+  round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1), 4) AS digit_ratio,
+  round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / greatest(length(text), 1), 4) AS upper_ratio,
+  round(len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b')) * 1.0
+        / greatest((CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1), 4) AS stopword_ratio
+FROM documents"""
+
+@register("t02_quality_features", _QF_SQL)
+def t02_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TX.add_quality(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "avg_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
+        "stopword_ratio",
+    )
+
+
+# --- t03 — language-ID confusion matrix ------------------------------------
+
+def _langid_sql(expr: str) -> str:
+    padded = f"(' ' || lower({expr}) || ' ')"
+    votes = {}
+    for lang, words in TX.LANG_MARKERS.items():
+        votes[lang] = " + ".join(
+            f"len(regexp_extract_all({padded}, '\\s{w}\\s'))" for w in words)
+    best = "greatest(" + ", ".join(f"({votes[l]})" for l in TX.LANG_ORDER) + ")"
+    whens = "".join(
+        f" WHEN ({votes[l]}) = {best} THEN '{l}'" for l in TX.LANG_ORDER)
+    return f"CASE WHEN {best} = 0 THEN 'und'{whens} ELSE 'und' END"
+
+
+@register(
+    "t03_langid_confusion",
+    f"""SELECT lang, {_langid_sql('text')} AS lang_pred, count(*)::BIGINT AS count
+FROM documents GROUP BY 1, 2""",
+)
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TX.add_lang_id(_t(spark, sf_dir, "documents"))
+    return (docs.groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
+# --- t04 — fingerprint near-dup clusters -----------------------------------
+
+@register(
+    "t04_fingerprint_clusters",
+    """SELECT fp, count(*)::BIGINT AS cluster_size,
+       min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+FROM (SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(
+            regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+      FROM documents)
+GROUP BY fp HAVING count(*) > 1""",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .filter(F.col("cluster_size") > 1))
+
+
+# --- d01 — exact dedup on a derived content key ----------------------------
+
+@register(
+    "d01_exact_dedup",
+    """SELECT count(*)::BIGINT AS n_kept FROM (
+  SELECT min(doc_id) FROM documents GROUP BY md5(substring(text, 1, 60))
+)""",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "prefix", F.substring(F.col("text"), 1, 60))
+    kept = DD.dedup_exact(docs, ["prefix"], "doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --- d02 — exact n-gram Jaccard pairs (inverted index, both dialects) ------
+
+@register(
+    "d02_ngram_jaccard_pairs",
+    """WITH ex AS (
+  SELECT DISTINCT doc_id AS id, sh FROM (
+    SELECT doc_id,
+           array_to_string(words[i:i+4], ' ') AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+          FROM documents),
+         UNNEST(generate_series(1, len(words) - 4)) AS t(i)
+  )
+), sizes AS (
+  SELECT id, count(*) AS n FROM ex GROUP BY id
+), inter AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_common
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.id < r.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.id
+JOIN sizes sb ON inter.id_b = sb.id
+WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2""",
+)
+def d02_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
+
+
+# --- d03/d04 — MinHash and SimHash (hash-seeded sketches: rows-only) -------
+
+@register("d03_minhash_pairs")
+def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.35,
+                                  num_hashes=64, bands=16, shingle_n=5)
+
+
+@register("d04_simhash_pairs")
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = DD.simhash(docs, "doc_id", "text")
+    return DD.simhash_near_pairs(sig, "doc_id", max_hamming=8)
+
+
+# --- d05 — embedding-cosine near-dup (label-blocked) -----------------------
+
+@register(
+    "d05_embedding_near_dup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""",
+)
+def d05_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup_pairs(emb, "vec_id", "embedding",
+                                       threshold=0.4, block_col="label")
+
+
+# --- ann01 — brute-force cosine top-k --------------------------------------
+
+@register(
+    "ann01_brute_topk",
+    """SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5""",
+)
+def ann01_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ANN.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann02_lsh_topk")
+def ann02_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ANN.lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- a13 — string-similarity self-match (TF-IDF 3-gram cosine) -------------
+
+_A13_SQL = """WITH vals AS (
+  SELECT DISTINCT p_name AS value FROM part WHERE p_name IS NOT NULL
+), n_docs AS (SELECT count(*) AS n FROM vals),
+cleaned AS (
+  SELECT value, regexp_replace(value, '[,\\-./]|\\s', '', 'g') AS cv FROM vals
+),
+grams AS (
+  SELECT value, substring(cv, i, 3) AS gram, count(*) AS tf
+  FROM cleaned, UNNEST(generate_series(1, greatest(length(cv) - 2, 1))) AS t(i)
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT gram, ln((1.0 + (SELECT n FROM n_docs)) / (1.0 + count(DISTINCT value))) + 1.0 AS idf
+  FROM grams GROUP BY gram
+),
+w AS (
+  SELECT g.value, g.gram, g.tf * i.idf AS w
+  FROM grams g JOIN idf i ON g.gram = i.gram
+),
+norms AS (
+  SELECT value, sqrt(sum(w * w)) AS nrm FROM w GROUP BY value
+),
+vec AS (
+  SELECT w.value, w.gram, w.w / n.nrm AS weight
+  FROM w JOIN norms n ON w.value = n.value
+)
+SELECT left_side, right_side, similarity FROM (
+  SELECT l.value AS left_side, r.value AS right_side,
+         round(sum(l.weight * r.weight), 4) AS similarity
+  FROM vec l JOIN vec r ON l.gram = r.gram AND l.value < r.value
+  GROUP BY 1, 2
+) WHERE similarity >= 0.52
+ORDER BY similarity DESC, left_side ASC, right_side ASC LIMIT 50"""
+
+@register("a13_similar_strings", _A13_SQL)
+def a13_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = _t(spark, sf_dir, "part")
+    out = SIM.similar_strings(pt, "p_name", min_similarity=0.52, top_n=50)
+    return out.withColumn("similarity", F.round(F.col("similarity"), 4))
+
+
+@register("a13_similar_strings_lsh")
+def a13_similar_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = _t(spark, sf_dir, "part")
+    return SIM.similar_strings_lsh(pt, "p_name", jaccard_threshold=0.4)

@@ -1,0 +1,227 @@
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataqtor_spark.operators import ann as A
+from dataqtor_spark.operators import dedup as D
+from dataqtor_spark.operators import similarity as S
+from dataqtor_spark.operators import textstats as T
+
+
+# --- textstats --------------------------------------------------------------
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("one",), (None,)], "text string")
+    out = {r["text"]: r["n_tokens"] for r in T.add_token_counts(df).collect()}
+    assert out["a b  c"] == 3
+    assert out[""] == 0
+    assert out["  "] == 0
+    assert out["one"] == 1
+    assert out[None] is None
+
+
+def test_subword_tokens(spark):
+    df = spark.createDataFrame([("hello, world42!",)], "text string")
+    r = T.add_token_counts(df).collect()[0]
+    # hello | , | world | 42 | !
+    assert r["n_subword_tokens"] == 5
+
+
+def test_quality_score_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and it is a fine day for all of us"
+    bad = "!!! ??? ;;; 12345 67890 :::"
+    df = spark.createDataFrame([(good,), (bad,)], "text string")
+    out = {r["text"]: r["quality_score"] for r in T.add_quality(df).collect()}
+    assert out[good] > out[bad]
+    assert 0 <= out[good] <= 1
+
+
+def test_lang_id(spark):
+    cases = [
+        ("the cat and the dog is with that man", "en"),
+        ("der hund und die katze ist nicht da", "de"),
+        ("le chien et la maison est dans les bois", "fr"),
+        ("el perro y los gatos es que en la casa", "es"),
+        ("zzz qqq www", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    out = {r["text"]: r["lang_pred"] for r in T.add_lang_id(df).collect()}
+    for t, expect in cases:
+        assert out[t] == expect, f"{t!r}: got {out[t]}, want {expect}"
+
+
+def test_fingerprint_clusters(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick  brown fox"), (2, "fox brown THE quick"),
+         (3, "quick brown fox the"), (4, "something else entirely")],
+        "doc_id long, text string",
+    )
+    clusters = T.fingerprint_clusters(df).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["cluster_size"] == 3
+    assert clusters[0]["members"] == [1, 2, 3]
+
+
+# --- dedup ------------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa", 1.0), (2, "aaa", 1.0), (3, "bbb", 2.0), (4, "aaa", None), (5, "aaa", None)],
+        "id long, s string, v double",
+    )
+    groups = D.exact_duplicate_groups(df, ["s", "v"], "id").collect()
+    members = sorted(tuple(g["members"]) for g in groups)
+    assert members == [(1, 2), (4, 5)]  # null-tagged: (aaa,NULL) is its own group
+    kept = sorted(r["id"] for r in D.dedup_exact(df, ["s", "v"], "id").collect())
+    assert kept == [1, 3, 4]
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different content about spark query engines and columnar formats"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),     # exact dup of 1
+    (5, "unrelated short text"),
+]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in D.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs  # near-dup caught
+    assert all(3 not in p and 5 not in p for p in pairs)
+
+
+def test_simhash_near_pairs(spark):
+    # hamming≤3 is a long-document regime: use ~400-token docs where a
+    # single-token edit flips only a few signature bits
+    base = " ".join(f"w{i}tok" for i in range(400))
+    edited = base.replace("w200tok", "zzzz")
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, base), (4, "entirely different short text")],
+        "doc_id long, text string",
+    )
+    sig = D.simhash(df, "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert vals[1] == vals[3]  # identical text → identical signature
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_pairs(sig, "doc_id", max_hamming=3).collect()}
+    assert pairs.get((1, 3)) == 0
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 3  # one-token edit
+    assert all(4 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert pairs[(1, 4)] == 1.0
+    # doc1 vs doc2: 14 words → 12 distinct 3-grams each, 11 shared (only the
+    # trigram containing the changed last word differs), union 13
+    assert pairs[(1, 2)] == pytest.approx(11 / 13, abs=1e-6)
+    assert (3, 5) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "x"),
+        (2, [0.999, 0.01, 0.0], "x"),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0], "x"),
+        (4, [1.0, 0.0, 0.0], "y"),      # same as 1 but different block
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, blk string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.embedding_near_dup_pairs(df, "id", "vec", threshold=0.99).collect()}
+    assert pairs == {(1, 2), (1, 4), (2, 4)}
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               D.embedding_near_dup_pairs(df, "id", "vec", threshold=0.99,
+                                          block_col="blk").collect()}
+    assert blocked == {(1, 2)}
+
+
+# --- ANN --------------------------------------------------------------------
+
+def test_brute_force_topk_exact(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = A.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        cos = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_topk_finds_strong_neighbors(spark, tables):
+    emb = tables["embeddings"]
+    # queries = scaled copies of corpus vectors: cosine to the twin is 1.0
+    # and scaling preserves every hyperplane sign, so the twin lands in the
+    # SAME bucket — the LSH mechanism must recover it at rank 1
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select((F.col("vec_id") + 10000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * 2.0).alias("embedding")))
+    approx = A.lsh_topk(emb, queries, "vec_id", "embedding", k=3, n_planes=8)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx.collect() if r["rank"] == 1}
+    for q in range(10):
+        assert top1[q + 10000] == q, f"query {q + 10000}: twin not at rank 1 ({top1})"
+
+
+def test_lsh_topk_beats_random_candidates(spark, tables):
+    # on weak-structure data LSH recall tracks the candidate fraction; just
+    # assert the approximate result is well-formed and nonempty per query
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = A.lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=5).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+# --- A13 similarity ---------------------------------------------------------
+
+NAMES = ["Mehmet Yılmaz", "Mehmet Yilmaz", "Ayşe Demir", "Ayse Demir",
+         "John Smith", "Jon Smith", "Zeynep Arslan", "Totally Different"]
+
+
+def test_similar_strings_exact(spark):
+    df = spark.createDataFrame([(n,) for n in NAMES], "name string")
+    pairs = {(r["left_side"], r["right_side"]): r["similarity"]
+             for r in S.similar_strings(df, "name", min_similarity=0.4).collect()}
+    assert ("Mehmet Yilmaz", "Mehmet Yılmaz") in pairs
+    assert ("Ayse Demir", "Ayşe Demir") in pairs  # ~0.45: one-char edit on 9 grams
+    assert ("John Smith", "Jon Smith") in pairs
+    assert all("Totally Different" not in p for p in pairs)
+    assert all(0 < s <= 1.0 + 1e-9 for s in pairs.values())
+
+
+def test_similar_strings_tfidf_matches_sklearn_formula(spark):
+    # hand-check one pair: cosine of L2-normalized smooth-idf tf-idf vectors
+    vals = ["abcd", "abce", "xyzw"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {(r["left_side"], r["right_side"]): r["similarity"]
+           for r in S.similar_strings(df, "s", min_similarity=0.0, top_n=None).collect()}
+    # grams: abcd→{abc,bcd}, abce→{abc,bce}, xyzw→{xyz,yzw}; N=3
+    idf_shared = math.log(4 / 3) + 1   # df=2 (abc)
+    idf_unique = math.log(4 / 2) + 1   # df=1
+    num = idf_shared * idf_shared
+    den = math.sqrt(idf_shared**2 + idf_unique**2) ** 2
+    assert got[("abcd", "abce")] == pytest.approx(num / den, abs=1e-6)
+    assert ("abcd", "xyzw") not in got or got[("abcd", "xyzw")] == 0.0
+
+
+def test_similar_strings_lsh_candidates(spark):
+    df = spark.createDataFrame([(n,) for n in NAMES], "name string")
+    pairs = {(r["left_side"], r["right_side"])
+             for r in S.similar_strings_lsh(df, "name", jaccard_threshold=0.3).collect()}
+    assert ("Mehmet Yilmaz", "Mehmet Yılmaz") in pairs
