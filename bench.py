@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Headline set: the operator families that dominate real workloads —
+fused profiling, fused rule evaluation (email/phone expression trees),
+violation union, dedup (exact jaccard + minhash), ANN top-k, windowed
+aggregation, and the TF-IDF similarity self-join.  Each query runs to
+completion (count/collect of the final small result) after a warmup that
+absorbs session + JIT startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a03_null_profile_customer",
+    "a05_describe_lineitem",
+    "a11_pattern_profile_cname",
+    "r03_dq_summary_customer",
+    "r08_email_rule",
+    "r12_phone_rule_classes",
+    "u01_violations_union",
+    "o01_sort_topk",
+    "f11_date_parts",
+    "j02_gender_enrich",
+    "t02_quality_features",
+    "t04_fingerprint_clusters",
+    "d02_ngram_jaccard_pairs",
+    "d03_minhash_pairs",
+    "ann01_brute_topk",
+    "a13_similar_strings",
+    "s01_window_agg_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from dataqtor_spark.queries import QUERIES
+    from dataqtor_spark.session import get_spark
+
+    spark = get_spark("dataqtor-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup at the smallest SF: compiles every query's codegen (Janino
+    # cache is keyed on generated source, which is data-independent) so the
+    # timed runs measure steady-state execution, not one-time JIT
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        QUERIES[name](spark, warm_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

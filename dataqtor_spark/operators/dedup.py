@@ -75,8 +75,11 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return (df.select(F.col(id_col).alias("__id"),
-                      F.explode(word_shingles(text_col, n)).alias("__sh")))
+    from dataqtor_spark.session import parallelize
+
+    return (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", F.explode(word_shingles("__txt", n)).alias("__sh")))
 
 
 # ---------------------------------------------------------------------------
@@ -157,9 +160,11 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sign of Σ±1 across
     token hashes.  One explode + one groupBy with 64 conditional sums."""
+    from dataqtor_spark.session import parallelize
+
     c = F.col(text_col).cast("string")
-    toks = (df.select(F.col(id_col).alias("__id"),
-                      F.explode(F.split(F.trim(F.lower(c)), r"\s+")).alias("__t"))
+    toks = (parallelize(df.select(F.col(id_col).alias("__id"), c.alias("__txt")))
+            .select("__id", F.explode(F.split(F.trim(F.lower(F.col("__txt"))), r"\s+")).alias("__t"))
             .withColumn("__h", F.xxhash64("__t")))
     aggs = []
     for i in range(64):

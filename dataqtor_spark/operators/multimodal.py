@@ -1,0 +1,166 @@
+"""Multimodal column plumbing (north-star extension): image/audio/video as
+opaque ``binary`` columns with typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (clearly marked below) — but everything Spark-side is
+real and tested: the schema contract, Arrow-batched ``mapInPandas``
+signatures, per-batch iteration shape, frame-explosion layout, and the
+pure-expression metadata path (size / sha256 / magic-byte sniffing, which
+needs no codec at all).
+
+Swap ``_FAKE_DECODE = True`` paths for PIL/ffmpeg calls on a cluster with
+codecs installed; nothing else changes — the operator boundaries are the
+``mapInPandas`` functions and their output schemas.
+
+Scale notes: payloads never shuffle — metadata extraction is a projection;
+decode is ``mapInPandas`` (Arrow batches, no per-row Python overhead);
+frame sampling emits rows from within the batch iterator so one task
+handles explode without a join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FAKE_DECODE = True  # no codecs in this container — deterministic stub
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),       # image | audio | video
+    T.StructField("payload", T.BinaryType()),
+])
+
+# magic-byte prefixes → sniffed container format (pure expression, no codec)
+MAGIC_PREFIXES = {
+    "FFD8FF": "jpeg",
+    "89504E47": "png",
+    "47494638": "gif",
+    "52494646": "riff",      # wav/avi/webp share RIFF
+    "494433": "mp3",
+    "664C6143": "flac",
+    "1A45DFA3": "matroska",  # mkv/webm
+    "00000018": "mp4",
+    "00000020": "mp4",
+}
+
+
+def sniff_format(payload: Column | str) -> Column:
+    """Container format from magic bytes — a CASE over hex prefixes."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    h = F.upper(F.hex(F.substring(c, 1, 4)))
+    expr = None
+    for prefix, fmt in MAGIC_PREFIXES.items():
+        cond = h.startswith(prefix)
+        expr = F.when(cond, F.lit(fmt)) if expr is None else expr.when(cond, F.lit(fmt))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Pure-expression metadata: byte size, sha256 content id, sniffed
+    format.  No Python, no decode — safe at any scale."""
+    c = F.col(payload_col)
+    return (df.withColumn("byte_size", F.octet_length(c))
+            .withColumn("content_sha256", F.sha2(c, 256))
+            .withColumn("format", sniff_format(c)))
+
+
+# ---------------------------------------------------------------------------
+# decode / feature-extract (mapInPandas, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, mode string, feature array<float>"
+)
+
+
+def _fake_image_props(payload: bytes) -> tuple[int, int, str, list[float]]:
+    """DETERMINISTIC FAKE DECODE — replace with PIL.Image.open on a real
+    cluster.  Properties derive from a content digest so tests are stable."""
+    dig = hashlib.sha256(payload or b"").digest()
+    width = 64 + dig[0] * 4
+    height = 64 + dig[1] * 4
+    mode = ["RGB", "RGBA", "L"][dig[2] % 3]
+    feat = [b / 255.0 for b in dig[:16]]
+    return width, height, mode, feat
+
+
+def decode_image_features(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "media_id") -> DataFrame:
+    """Arrow-batched decode + feature extraction.
+
+    Real plumbing: batch iterator in, per-batch DataFrame out, declared
+    output schema.  Only ``_fake_image_props`` is a stub.
+    """
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not _FAKE_DECODE:
+                    raise NotImplementedError("real codec path needs PIL/ffmpeg")
+                w, h, mode, feat = _fake_image_props(bytes(payload) if payload is not None else b"")
+                rows.append((mid, w, h, mode, feat))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height",
+                                              "mode", "feature"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
+                  payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Resize stub: passes payloads through with the declared target shape
+    (real impl decodes → resamples → re-encodes inside the same iterator)."""
+    tw, th = target
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not _FAKE_DECODE:
+                raise NotImplementedError("real codec path needs PIL")
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "width": tw, "height": th,
+                "payload": pdf[payload_col],
+            })
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_index int, ts_ms long, frame binary"
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
+                        payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Frame sampling: one input row → N frame rows, emitted inside the
+    batch iterator (no join/explode shuffle).  Frame count/bytes are a
+    deterministic fake of ffmpeg keyframe extraction."""
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "ts_ms": [], "frame": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                dig = hashlib.sha256(data).digest()
+                n = 1 + dig[3] % max_frames
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(dig + i.to_bytes(4, "big"))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        sample, schema=FRAMES_SCHEMA)

@@ -42,7 +42,10 @@ def tfidf_vectors(df: DataFrame, col: str, n: int = 3) -> DataFrame:
     """(value, gram, weight) with L2-normalized smooth-idf TF-IDF weights
     over the DISTINCT values of ``col`` (string_grouper vectorizes the
     unique corpus).  idf = ln((1+N)/(1+df)) + 1."""
-    vals = df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull()).distinct()
+    from dataqtor_spark.session import parallelize
+
+    vals = parallelize(
+        df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull()).distinct())
     n_docs = vals.count()
     grams = (vals.select("value", F.explode(char_ngrams("value", n)).alias("gram"))
              .groupBy("value", "gram").agg(F.count(F.lit(1)).alias("tf")))

@@ -569,10 +569,20 @@ FROM (SELECT {_PHONE_DERIVED_SQL} AS phone FROM orders)
 GROUP BY 1""",
 )
 def r12_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(_phone_derived_spark().alias("phone"))
-    return (o.groupBy(PH.phone_format_class("phone").alias("format_class"))
+    from dataqtor_spark.session import parallelize
+
+    # derive → exchange → classify: the repartition BETWEEN the projection
+    # and the mask CASE stops CollapseProject from inlining the derivation
+    # expression into all ~600 mask predicates (and parallelizes the
+    # single-row-group scan)
+    o = parallelize(_t(spark, sf_dir, "orders").select(_phone_derived_spark().alias("phone")))
+    # violation ⟺ class != 'ok' (every mask implies overlong; residual
+    # families are violations by definition) — one giant expression per row
+    # instead of two
+    cls = o.select(PH.phone_format_class("phone").alias("format_class"))
+    return (cls.groupBy("format_class")
             .agg(F.count(F.lit(1)).alias("count"),
-                 F.coalesce(F.sum(PH.phone_violation("phone").cast("long")), F.lit(0))
+                 F.coalesce(F.sum((F.col("format_class") != "ok").cast("long")), F.lit(0))
                  .alias("n_violations")))
 
 
@@ -935,7 +945,9 @@ FROM (SELECT doc_id,
 GROUP BY fp HAVING count(*) > 1""",
 )
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from dataqtor_spark.session import parallelize
+
+    docs = parallelize(_t(spark, sf_dir, "documents"))
     return (docs.select("doc_id", TX.fingerprint("text").alias("fp"))
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("cluster_size"),
@@ -1099,3 +1111,75 @@ def a13_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a13_similar_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = _t(spark, sf_dir, "part")
     return SIM.similar_strings_lsh(pt, "p_name", jaccard_threshold=0.4)
+
+
+# ===========================================================================
+# Streaming-equivalent windowed aggregations + multimodal plumbing
+# ===========================================================================
+
+from dataqtor_spark.operators import multimodal as MM  # noqa: E402
+from dataqtor_spark.streaming import profiler as SP  # noqa: E402
+
+
+@register(
+    "s01_window_agg_events",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3""",
+)
+def s01_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.windowed_event_agg(_t(spark, sf_dir, "events"), window="1 hour")
+
+
+@register(
+    "s02_windowed_rule_scores",
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+       'value_small' AS rule,
+       count(*)::BIGINT AS total_records,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_records,
+       sum(CASE WHEN value IS NOT NULL AND NOT (value < 200.0) THEN 1 ELSE 0 END)::BIGINT AS out_of_format_records,
+       round((count(*) - sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+              - sum(CASE WHEN value IS NOT NULL AND NOT (value < 200.0) THEN 1 ELSE 0 END)) * 100.0
+             / count(*), 2) AS dq_score
+FROM events GROUP BY 1, 2""",
+)
+def s02_windowed_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    rules = [R.rule_compare("value", "<", 200.0, name="value_small")]
+    return SP.windowed_rule_scores(ev, "ts", rules, window="6 hours")
+
+
+@register(
+    "m01_media_metadata",
+    """SELECT doc_id AS media_id,
+       octet_length(encode(text))::INT AS byte_size,
+       sha256(text) AS content_sha256
+FROM documents""",
+)
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    out = MM.attach_media_metadata(docs)
+    return out.select("media_id", F.col("byte_size").cast("int").alias("byte_size"),
+                      "content_sha256")
+
+
+@register("m02_image_decode_features")
+def m02_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return MM.decode_image_features(docs)
+
+
+@register("m03_video_frame_sampling")
+def m03_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").limit(200).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return MM.sample_video_frames(docs)

@@ -69,6 +69,20 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return out
 
 
+def parallelize(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.
+
+    The driver testdata ships one row group per file, so file scans are
+    single-task; CPU-heavy projections (mask tables, shingling, hashing)
+    must redistribute first or they serialize on one core.  On real
+    multi-file/multi-row-group inputs this is usually a no-op decision —
+    call it only in front of expression-dense stages where one shuffle of
+    the (narrow) input buys full-width compute.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def with_row_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     """Materialize an explicit ``__row_id`` long column.
 

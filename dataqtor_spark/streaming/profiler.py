@@ -1,0 +1,108 @@
+"""Streaming profiler (north-star extension, SURVEY §7 step 7).
+
+The reference is batch-only; this extends the DQ profile to Structured
+Streaming: per-window null/violation counts with watermarked event time, so
+a quality dashboard over a 100 TB/day stream is the same fused aggregate
+the batch profiler runs, emitted incrementally.
+
+Design: the batch and streaming paths share ONE aggregation builder —
+``windowed_null_profile`` works on either a static or a streaming
+DataFrame (Spark's unified API); only source/sink wiring differs.  State
+is bounded by the watermark: closed windows are evicted, so state size is
+(windows in flight × columns), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataqtor_spark.operators.rules import Rule
+
+
+def windowed_event_agg(df: DataFrame, ts_col: str = "ts",
+                       window: str = "1 hour",
+                       group_col: str | None = "event_type") -> DataFrame:
+    """Tumbling-window counts + exact sums (decimal-accumulated).  Works on
+    static and streaming frames alike."""
+    keys = [F.window(F.col(ts_col), window).alias("w")]
+    if group_col:
+        keys.append(F.col(group_col))
+    out = (df.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                .alias("total_value")))
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *([F.col(group_col)] if group_col else []),
+        "n_events", "total_value",
+    )
+
+
+def windowed_null_profile(df: DataFrame, ts_col: str, cols: list[str],
+                          window: str = "1 hour") -> DataFrame:
+    """Per-window fused null profile — the streaming form of A3."""
+    aggs = [F.count(F.lit(1)).alias("total_records")]
+    for c in cols:
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+                    .alias(f"nulls_{c}"))
+    out = df.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(*aggs)
+    return out.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "total_records",
+                      *[F.col(f"nulls_{c}") for c in cols])
+
+
+def windowed_rule_scores(df: DataFrame, ts_col: str, rules: list[Rule],
+                         window: str = "1 hour") -> DataFrame:
+    """Per-window DQ scores (A14 as a streaming aggregate)."""
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, r in enumerate(rules):
+        aggs.append(F.coalesce(F.sum(F.col(r.column).isNull().cast("long")), F.lit(0))
+                    .alias(f"__nulls_{i}"))
+        aggs.append(F.coalesce(F.sum(r.violation.cast("long")), F.lit(0))
+                    .alias(f"__viol_{i}"))
+    one = df.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(*aggs)
+    structs = []
+    for i, r in enumerate(rules):
+        total, nulls, viol = F.col("__total"), F.col(f"__nulls_{i}"), F.col(f"__viol_{i}")
+        proper = total - nulls - viol
+        structs.append(F.struct(
+            F.lit(r.name).alias("rule"),
+            total.alias("total_records"), nulls.alias("null_records"),
+            viol.alias("out_of_format_records"),
+            F.when(total > 0, F.round(proper * 100.0 / total, 2))
+            .otherwise(F.lit(0.0)).alias("dq_score"),
+        ))
+    return (one.select(F.col("w.start").alias("window_start"),
+                       F.col("w.end").alias("window_end"),
+                       F.explode(F.array(*structs)).alias("s"))
+            .select("window_start", "window_end", "s.*"))
+
+
+def stream_events(spark, path: str, watermark: str = "10 minutes") -> DataFrame:
+    """readStream over the events parquet directory (ns timestamps handled
+    like the batch path), watermarked for bounded state."""
+    import glob
+    import os
+
+    static = spark.read.parquet(path)
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.dirname(path) if path.endswith(".parquet")
+                       and not os.path.isdir(path) else path))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withWatermark("ts", watermark)
+
+
+def run_stream_to_memory(result: DataFrame, query_name: str,
+                         spark=None) -> DataFrame:
+    """Execute a streaming aggregation with an availableNow trigger into a
+    memory sink and return the materialized table (test/dev harness)."""
+    q = (result.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    session = spark or result.sparkSession
+    return session.table(query_name)

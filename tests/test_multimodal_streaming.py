@@ -1,0 +1,101 @@
+import pyspark.sql.functions as F
+
+from dataqtor_spark.operators import multimodal as MM
+from dataqtor_spark.streaming import profiler as SP
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _media_df(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def test_media_metadata_expressions(spark):
+    df = MM.attach_media_metadata(_media_df(spark))
+    rows = df.limit(5).collect()
+    for r in rows:
+        assert r["byte_size"] > 0
+        assert len(r["content_sha256"]) == 64
+        assert r["format"] == "unknown"  # text payloads have no magic bytes
+    # magic sniffing: synthesize a JPEG/PNG prefix
+    jpg = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0rest"))],
+                                "media_id long, payload binary")
+    assert MM.attach_media_metadata(jpg).collect()[0]["format"] == "jpeg"
+    png = spark.createDataFrame([(2, bytearray(b"\x89PNG\r\n"))],
+                                "media_id long, payload binary")
+    assert MM.attach_media_metadata(png).collect()[0]["format"] == "png"
+
+
+def test_decode_image_features_plumbing(spark):
+    df = _media_df(spark).limit(20)
+    out = MM.decode_image_features(df)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 64 <= r["width"] <= 64 + 255 * 4
+        assert r["mode"] in ("RGB", "RGBA", "L")
+        assert len(r["feature"]) == 16
+        assert all(0 <= x <= 1 for x in r["feature"])
+    # deterministic: same payload → same features
+    again = MM.decode_image_features(df).collect()
+    assert {r["media_id"]: r["width"] for r in rows} == \
+        {r["media_id"]: r["width"] for r in again}
+
+
+def test_resize_and_frame_sampling(spark):
+    df = _media_df(spark).limit(10)
+    resized = MM.resize_images(df, target=(128, 128)).collect()
+    assert all(r["width"] == 128 and r["height"] == 128 for r in resized)
+    frames = MM.sample_video_frames(df, every_ms=500, max_frames=4)
+    rows = frames.collect()
+    assert len(rows) >= 10  # ≥1 frame per input
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, fr in by_id.items():
+        idx = sorted(f["frame_index"] for f in fr)
+        assert idx == list(range(len(idx)))
+        assert all(f["ts_ms"] == f["frame_index"] * 500 for f in fr)
+        assert len(fr) <= 4
+
+
+def test_windowed_agg_batch(spark, tables):
+    ev = tables["events"]
+    out = SP.windowed_event_agg(ev, window="1 hour").collect()
+    assert sum(r["n_events"] for r in out) == ev.count()
+    for r in out:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
+def test_streaming_equals_batch(spark, tables, tmp_path):
+    # write events as a multi-file stream source, run the SAME aggregation
+    # through Structured Streaming, compare with the batch result
+    ev = tables["events"]
+    src = str(tmp_path / "events_stream")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    batch = {(r["window_start"], r["window_end"], r["event_type"]):
+             (r["n_events"], r["total_value"])
+             for r in SP.windowed_event_agg(spark.read.parquet(src)).collect()}
+
+    stream = SP.stream_events(spark, src, watermark="1 minute")
+    result = SP.windowed_event_agg(stream)
+    table = SP.run_stream_to_memory(result, "stream_agg_test", spark)
+    streamed = {(r["window_start"], r["window_end"], r["event_type"]):
+                (r["n_events"], r["total_value"]) for r in table.collect()}
+    assert streamed == batch
+
+
+def test_windowed_rule_scores(spark, tables):
+    from dataqtor_spark.operators import rules as R
+
+    ev = tables["events"]
+    rules = [R.rule_compare("value", "<", 200.0, name="value_small")]
+    out = SP.windowed_rule_scores(ev, "ts", rules, window="6 hours").collect()
+    assert all(0 <= r["dq_score"] <= 100 for r in out)
+    assert sum(r["total_records"] for r in out) == ev.count()
