@@ -434,3 +434,56 @@ def correlations(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.col(f"__corr_{a}__{b}").alias("pearson"),
             ))
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def _fractional_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Join a fractional (average) rank column onto ``df``.
+
+    Spearman needs average ranks for ties.  A naive
+    ``rank().over(Window.orderBy(col))`` forces ALL rows through one
+    partition — a non-starter at scale.  Ranks are a function of the
+    *value*, so compute them on the distinct-value table (groupBy →
+    cumulative count over the much smaller distinct set) and join them
+    back.  Distinct sets for typical profiled columns are tiny →
+    broadcast; worst case (near-unique doubles) the single-partition stage
+    is bounded by O(distinct), not O(rows).
+    """
+    from pyspark.sql import Window
+
+    vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(F.col(col)).rowsBetween(Window.unboundedPreceding, -1)
+    ranks = vc.select(
+        F.col(col),
+        (F.coalesce(F.sum("__n").over(w), F.lit(0))
+         + (F.col("__n") + 1) / 2.0).alias(out),
+    )
+    return df.join(F.broadcast(ranks), col)
+
+
+def spearman_correlations(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Pairwise Spearman rank correlations (pandas-profiling §2.10).
+
+    Rank-transform each column with average-rank tie handling, then Pearson
+    over the ranks — exact Spearman, same construction an oracle expresses
+    in ANSI SQL (``rank() + (count(*) OVER (PARTITION BY v) - 1)/2.0``).
+    """
+    cols = cols or numeric_columns(df)
+    if len(cols) < 2:
+        raise ValueError("need at least two numeric columns")
+    ranked = df.select(*cols)
+    for c in cols:
+        ranked = _fractional_ranks(ranked, c, f"__rk_{c}")
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.corr(F.col(f"__rk_{a}"), F.col(f"__rk_{b}"))
+                        .alias(f"__sp_{a}__{b}"))
+    one = ranked.agg(*aggs)
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            structs.append(F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                F.round(F.col(f"__sp_{a}__{b}"), 4).alias("spearman"),
+            ))
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

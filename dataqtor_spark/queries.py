@@ -351,34 +351,32 @@ _SPECIALS_SQL = " OR ".join(
     "contains(c_name, '" + ch.replace("'", "''") + "')" for ch in R.SPECIAL_CHARS
 )
 
-@register(
-    "r03_dq_summary_customer",
-    "\nUNION ALL\n".join([
-        _summary_oracle_row(
-            "acctbal_range", "c_acctbal", "customer",
-            "c_acctbal IS NULL",
-            "c_acctbal IS NOT NULL AND NOT (c_acctbal >= 0 AND c_acctbal <= 9000)"),
-        _summary_oracle_row(
-            "name_len18", "c_name", "customer",
-            "c_name IS NULL",
-            "c_name IS NOT NULL AND NOT (length(c_name) = 18)"),
-        _summary_oracle_row(
-            "name_no_specials", "c_name", "customer",
-            "c_name IS NULL",
-            f"c_name IS NOT NULL AND ({_SPECIALS_SQL})"),
-        _summary_oracle_row(
-            "segment_no_digits", "c_mktsegment", "customer",
-            "c_mktsegment IS NULL",
-            "c_mktsegment IS NOT NULL AND regexp_matches(c_mktsegment, '[0-9]')"),
-        _summary_oracle_row(
-            "segment_forbidden", "c_mktsegment", "customer",
-            "c_mktsegment IS NULL",
-            "c_mktsegment IS NOT NULL AND c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')"),
-    ]),
-)
-def r03_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = _t(spark, sf_dir, "customer")
-    rules = [
+_R03_ORACLE = "\nUNION ALL\n".join([
+    _summary_oracle_row(
+        "acctbal_range", "c_acctbal", "customer",
+        "c_acctbal IS NULL",
+        "c_acctbal IS NOT NULL AND NOT (c_acctbal >= 0 AND c_acctbal <= 9000)"),
+    _summary_oracle_row(
+        "name_len18", "c_name", "customer",
+        "c_name IS NULL",
+        "c_name IS NOT NULL AND NOT (length(c_name) = 18)"),
+    _summary_oracle_row(
+        "name_no_specials", "c_name", "customer",
+        "c_name IS NULL",
+        f"c_name IS NOT NULL AND ({_SPECIALS_SQL})"),
+    _summary_oracle_row(
+        "segment_no_digits", "c_mktsegment", "customer",
+        "c_mktsegment IS NULL",
+        "c_mktsegment IS NOT NULL AND regexp_matches(c_mktsegment, '[0-9]')"),
+    _summary_oracle_row(
+        "segment_forbidden", "c_mktsegment", "customer",
+        "c_mktsegment IS NULL",
+        "c_mktsegment IS NOT NULL AND c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')"),
+])
+
+
+def _r03_rules() -> list:
+    return [
         R.rule_compare("c_acctbal", "between", low=0, high=9000, name="acctbal_range"),
         R.rule_length("c_name", "==", 18, name="name_len18"),
         R.rule_no_special_chars("c_name", name="name_no_specials"),
@@ -386,7 +384,20 @@ def r03_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.rule_forbidden_values("c_mktsegment", ["MACHINERY", "AUTOMOBILE"],
                                 name="segment_forbidden"),
     ]
-    return R.evaluate_rules(cu, rules)
+
+
+@register("r03_dq_summary_customer", _R03_ORACLE)
+def r03_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.evaluate_rules(_t(spark, sf_dir, "customer"), _r03_rules())
+
+
+@register(
+    "a16_overall_dq_score",
+    f"SELECT round(avg(dq_score), 2) AS overall_dq_score FROM ({_R03_ORACLE})",
+)
+def a16_overall_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — mean of per-rule DQ scores (home.py:1993-1994)."""
+    return R.overall_score(R.evaluate_rules(_t(spark, sf_dir, "customer"), _r03_rules()))
 
 
 # --- R11 — domain membership on nation -------------------------------------
@@ -1183,3 +1194,160 @@ def m03_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
     return MM.sample_video_frames(docs)
+
+
+# ===========================================================================
+# Search engine (P3–P6), null-majority rows (P8/R13), title case (F1),
+# histogram + correlations (§2.10)
+# ===========================================================================
+
+
+@register(
+    "p03_typed_search_orders",
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_totalprice BETWEEN 100000 AND 200000
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderstatus = 'O'""",
+)
+def p03_typed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 — the corrector's typed search chain (home.py:1209-1364):
+    numeric between + date >= + string equality, all pushed to the scan."""
+    import datetime
+
+    o = _t(spark, sf_dir, "orders")
+    out = RP.search(o, "o_totalprice", "between", low=100000, high=200000)
+    out = RP.search(out, "o_orderdate", ">=", datetime.datetime(1996, 1, 1))
+    out = RP.search(out, "o_orderstatus", "==", "O")
+    return out.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "p05_null_search_customer",
+    """SELECT c_nationkey, count(*)::BIGINT AS n_null_segment
+FROM customer WHERE c_mktsegment = 'MACHINERY'
+GROUP BY c_nationkey""",
+)
+def p05_null_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — isnull search (home.py:1366-1369) over a derived nullable column
+    (testdata has no physical nulls; nullif injects them deterministically)."""
+    cu = _t(spark, sf_dir, "customer").withColumn(
+        "seg", F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(None))
+                .otherwise(F.col("c_mktsegment")))
+    return (RP.search(cu, "seg", "isnull")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_null_segment")))
+
+
+@register(
+    "p06_row_id_lookup",
+    """SELECT __row_id, c_custkey, c_name
+FROM (SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY c_custkey) - 1 AS __row_id
+      FROM customer)
+WHERE __row_id = 42""",
+)
+def p06_row_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — row-identity search (home.py:1373-1377) on the materialized
+    ``__row_id`` (session.with_row_id, reproducible row_number order)."""
+    from dataqtor_spark.session import with_row_id
+
+    cu = with_row_id(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+                     order_by=["c_custkey"])
+    return RP.search(cu, "__row_id", "row_id", 42).select("__row_id", "c_custkey", "c_name")
+
+
+@register(
+    "p08_null_majority_rows",
+    """SELECT count(*)::BIGINT AS n_useless_rows
+FROM customer
+WHERE ((CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+     + (CASE WHEN c_acctbal < 1000 THEN 1 ELSE 0 END)
+     + (CASE WHEN c_nationkey = 3 THEN 1 ELSE 0 END)) > 2.5""",
+)
+def p08_null_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/R13 — "useless rows": over half the cells null (home.py:94-97),
+    on a 5-column view with 3 deterministically derived nullable cells."""
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(None))
+         .otherwise(F.col("c_mktsegment")).alias("seg_n"),
+        F.when(F.col("c_acctbal") < 1000, F.lit(None))
+         .otherwise(F.col("c_acctbal")).alias("bal_n"),
+        F.when(F.col("c_nationkey") == 3, F.lit(None))
+         .otherwise(F.col("c_nationkey")).alias("nat_n"))
+    return P.null_majority_rows(cu).agg(F.count(F.lit(1)).alias("n_useless_rows"))
+
+
+@register(
+    "f01_title_case_part",
+    """SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '),
+                                      x -> upper(x[1]) || lower(x[2:])), ' ')
+       AS name_title
+FROM part""",
+)
+def f01_title_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — initcap (home.py:1590-1597; apostrophe deviation documented in
+    repair.title_case)."""
+    pt = _t(spark, sf_dir, "part").withColumn("name_title", F.col("p_name"))
+    return RP.title_case(pt, "name_title").select("p_partkey", "name_title")
+
+
+@register(
+    "pr01_histogram_price",
+    """WITH mm AS (SELECT min(l_extendedprice)::DOUBLE AS lo,
+                          max(l_extendedprice)::DOUBLE AS hi FROM lineitem),
+b AS (SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket,
+             lo, hi
+      FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
+SELECT bucket,
+       round(lo + bucket * ((hi - lo) / 10), 4) AS bin_start,
+       round(lo + (bucket + 1) * ((hi - lo) / 10), 4) AS bin_end,
+       count(*)::BIGINT AS count
+FROM b GROUP BY 1, 2, 3""",
+)
+def pr01_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — equi-width histogram, 2 jobs, no driver-side data."""
+    h = P.histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", bins=10)
+    return h.select("bucket", F.round("bin_start", 4).alias("bin_start"),
+                    F.round("bin_end", 4).alias("bin_end"), "count")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+@register(
+    "pr02_pearson_correlations",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(corr({a}, {b}), 4) AS pearson FROM lineitem"""
+        for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ),
+)
+def pr02_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — full Pearson correlation matrix in ONE aggregate pass."""
+    out = P.correlations(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+    return out.select("col_a", "col_b", F.round("pearson", 4).alias("pearson"))
+
+
+_SPEAR_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+def _spearman_rank_sql(c: str) -> str:
+    return (f"rank() OVER (ORDER BY {c}) "
+            f"+ (count(*) OVER (PARTITION BY {c}) - 1) / 2.0")
+
+@register(
+    "pr03_spearman_correlations",
+    "WITH r AS (SELECT "
+    + ", ".join(f"{_spearman_rank_sql(c)} AS rk_{c}" for c in _SPEAR_COLS)
+    + " FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(corr(rk_{a}, rk_{b}), 4) AS spearman FROM r"""
+        for i, a in enumerate(_SPEAR_COLS) for b in _SPEAR_COLS[i + 1:]
+    ),
+)
+def pr03_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — exact Spearman via distinct-value fractional ranks (no
+    full-table single-partition sort; see profile._fractional_ranks)."""
+    return P.spearman_correlations(_t(spark, sf_dir, "lineitem"), _SPEAR_COLS)

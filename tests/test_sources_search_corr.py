@@ -1,0 +1,91 @@
+"""Sources/sinks (S1–S3), search engine (P3–P6), Spearman/histogram (§2.10)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataqtor_spark import session as S
+from dataqtor_spark.operators import profile as P
+from dataqtor_spark.operators import repair as RP
+
+
+# --- S1–S3: ingest with row identity, write, roundtrip ---------------------
+
+def test_csv_roundtrip(spark, tables, tmp_path):
+    src = tables["nation"]
+    path = str(tmp_path / "nation_csv")
+    S.write_dataset(src, path, fmt="csv", header=True)
+    back = S.ingest(spark, path, fmt="csv", row_id_order=["n_nationkey"])
+    assert back.count() == src.count()
+    assert S.ROW_ID in back.columns
+    ids = [r[0] for r in back.select(S.ROW_ID).orderBy(S.ROW_ID).collect()]
+    assert ids == list(range(src.count()))
+
+
+def test_parquet_roundtrip(spark, tables, tmp_path):
+    src = tables["region"]
+    path = str(tmp_path / "region_pq")
+    S.write_dataset(src, path, fmt="parquet")
+    back = S.ingest(spark, path)
+    assert sorted(r["r_name"] for r in back.select("r_name").collect()) == \
+           sorted(r["r_name"] for r in src.select("r_name").collect())
+
+
+def test_excel_roundtrip_or_gated(spark, tables, tmp_path):
+    # xlsx is a driver-side pandas hop; openpyxl may be absent — gate, don't fail
+    path = str(tmp_path / "t.xlsx")
+    try:
+        S.write_dataset(tables["region"].limit(3), path, fmt="excel")
+        back = S.ingest(spark, path, fmt="excel")
+    except ImportError:
+        pytest.skip("no xlsx engine in this environment")
+    assert back.count() == 3
+
+
+# --- P3–P6: search engine --------------------------------------------------
+
+def test_search_ops(spark):
+    df = spark.createDataFrame(
+        [(0, 5.0, "a"), (1, 15.0, "b"), (2, None, None)],
+        "__row_id long, v double, s string")
+    assert RP.search(df, "v", ">=", 10.0).count() == 1
+    assert RP.search(df, "v", "<", 10.0).count() == 1
+    assert RP.search(df, "v", "between", low=0, high=20).count() == 2
+    assert RP.search(df, "s", "==", "a").count() == 1
+    assert RP.search(df, "s", "isnull").count() == 1
+    assert RP.search(df, "__row_id", "row_id", 2).count() == 1
+
+
+def test_null_majority_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None, None, None), (2, "x", None, "y"), (3, "x", "y", "z")],
+        "id int, a string, b string, c string")
+    # >2 of 4 cells null → only row 1 (3 nulls)
+    rows = P.null_majority_rows(df).collect()
+    assert [r["id"] for r in rows] == [1]
+
+
+# --- §2.10: spearman + histogram -------------------------------------------
+
+def test_spearman_matches_pandas(tables):
+    cols = ["l_quantity", "l_discount"]
+    got = P.spearman_correlations(tables["lineitem"], cols).collect()[0]
+    pdf = tables["lineitem"].select(*cols).toPandas()
+    want = pdf.corr(method="spearman").iloc[0, 1]
+    assert got["spearman"] == pytest.approx(want, abs=1e-4)
+
+
+def test_spearman_monotone_is_one(spark):
+    df = spark.createDataFrame([(i, i * i) for i in range(50)], "x int, y long")
+    got = P.spearman_correlations(df, ["x", "y"]).collect()[0]
+    assert got["spearman"] == pytest.approx(1.0)
+
+
+def test_histogram_total_and_edges(tables):
+    df = tables["lineitem"]
+    h = P.histogram(df, "l_extendedprice", bins=10).collect()
+    assert sum(r["count"] for r in h) == df.filter(F.col("l_extendedprice").isNotNull()).count()
+    assert len(h) <= 10
+    lo = df.agg(F.min("l_extendedprice")).first()[0]
+    hi = df.agg(F.max("l_extendedprice")).first()[0]
+    assert h[0]["bin_start"] == pytest.approx(lo)
+    assert h[-1]["bin_end"] == pytest.approx(hi)
