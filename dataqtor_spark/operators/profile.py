@@ -487,3 +487,53 @@ def spearman_correlations(df: DataFrame, cols: list[str] | None = None) -> DataF
                 F.round(F.col(f"__sp_{a}__{b}"), 4).alias("spearman"),
             ))
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association between two categorical columns
+    (pandas-profiling §2.10 'cramers' correlation).
+
+    One groupBy shuffle builds the r×c contingency table; margins, χ², and
+    V are then window/agg ops over that *tiny* table (≤ r·c cells however
+    large the input), so the heavy path is a single map-side-combinable
+    aggregation regardless of data scale.
+    """
+    from pyspark.sql import Window
+
+    ct = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+          .groupBy(col_a, col_b)
+          .agg(F.count(F.lit(1)).cast("double").alias("o")))
+    m = ct.select(
+        "o",
+        F.sum("o").over(Window.partitionBy(col_a)).alias("rt"),
+        F.sum("o").over(Window.partitionBy(col_b)).alias("ctot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+        F.col(col_a).alias("a"), F.col(col_b).alias("b"),
+    )
+    e = F.col("rt") * F.col("ctot") / F.col("n")
+    chi = m.agg(
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+        F.max("n").alias("n"),
+        F.count_distinct(F.col("a")).alias("r"),
+        F.count_distinct(F.col("b")).alias("c"),
+    )
+    return chi.select(
+        F.lit(col_a).alias("col_a"), F.lit(col_b).alias("col_b"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - F.lit(1)))), 4)
+        .alias("cramers_v"))
+
+
+def moment_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Population skewness and excess kurtosis per column, one aggregate
+    pass (pandas-profiling §2.10; Spark's built-ins use the population
+    definitions, documented so the oracle can match via raw moments)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.skewness(F.col(c)).alias(f"__sk_{c}"),
+                 F.kurtosis(F.col(c)).alias(f"__ku_{c}")]
+    one = df.agg(*aggs)
+    structs = [F.struct(F.lit(c).alias("column"),
+                        F.round(F.col(f"__sk_{c}"), 4).alias("skewness"),
+                        F.round(F.col(f"__ku_{c}"), 4).alias("kurtosis"))
+               for c in cols]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

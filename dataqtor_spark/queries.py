@@ -1351,3 +1351,67 @@ def pr03_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — exact Spearman via distinct-value fractional ranks (no
     full-table single-partition sort; see profile._fractional_ranks)."""
     return P.spearman_correlations(_t(spark, sf_dir, "lineitem"), _SPEAR_COLS)
+
+
+@register(
+    "pr04_cramers_v",
+    """WITH ct AS (SELECT c_mktsegment AS a, c_nationkey AS b, count(*)::DOUBLE AS o
+               FROM customer GROUP BY 1, 2),
+m AS (SELECT o,
+             sum(o) OVER (PARTITION BY a) AS rt,
+             sum(o) OVER (PARTITION BY b) AS ctot,
+             sum(o) OVER () AS n, a, b
+      FROM ct),
+chi AS (SELECT sum(pow(o - rt * ctot / n, 2) / (rt * ctot / n)) AS chi2,
+               max(n) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c
+        FROM m)
+SELECT 'c_mktsegment' AS col_a, 'c_nationkey' AS col_b,
+       round(sqrt(chi2 / (n * (least(r, c) - 1))), 4) AS cramers_v
+FROM chi""",
+)
+def pr04_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — Cramér's V categorical association."""
+    return P.cramers_v(_t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey")
+
+
+_MOMENT_COLS = ["l_quantity", "l_discount"]
+
+def _moment_oracle(c: str) -> str:
+    return f"""SELECT '{c}' AS "column",
+       round((m3 / n) / pow(m2 / n, 1.5), 4) AS skewness,
+       round((m4 / n) / pow(m2 / n, 2) - 3, 4) AS kurtosis
+FROM (SELECT sum(pow({c} - m, 2)) AS m2, sum(pow({c} - m, 3)) AS m3,
+             sum(pow({c} - m, 4)) AS m4, count({c}) AS n
+      FROM lineitem, (SELECT avg({c}) AS m FROM lineitem))"""
+
+@register(
+    "pr05_moment_stats",
+    "\nUNION ALL\n".join(_moment_oracle(c) for c in _MOMENT_COLS),
+)
+def pr05_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — population skewness + excess kurtosis, one aggregate."""
+    return P.moment_stats(_t(spark, sf_dir, "lineitem"), _MOMENT_COLS)
+
+
+@register(
+    "s03_sessionize_events",
+    """WITH x AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+y AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*)::BIGINT AS n_events
+FROM y GROUP BY user_id, sid""",
+)
+def s03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified batch/streaming sessionization via F.session_window; the
+    oracle is the classic gaps-and-islands construction."""
+    return SP.sessionize(_t(spark, sf_dir, "events"), "ts", "user_id", "30 minutes")

@@ -106,3 +106,41 @@ def run_stream_to_memory(result: DataFrame, query_name: str,
     q.awaitTermination()
     session = spark or result.sparkSession
     return session.table(query_name)
+
+
+def sessionize(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
+               gap: str = "30 minutes") -> DataFrame:
+    """Session windows: merge a key's events whose gaps are < ``gap``.
+
+    ``F.session_window`` is the unified batch/streaming form — in streaming
+    it is stateful with watermark-bounded session state; in batch Catalyst
+    plans it as one shuffle on the key.  Session end = last event + gap
+    (half-open), so two events exactly ``gap`` apart start separate
+    sessions.
+    """
+    return (df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                       F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(key_col),
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
+def stream_dedup(df: DataFrame, keys: list[str],
+                 watermark_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes it — the Spark-native form of a streaming dedup whose
+    state does NOT grow with stream length (vs ``dropDuplicates`` on a
+    stream, which retains all keys forever).  On a static frame it degrades
+    to plain ``dropDuplicates`` for batch/stream parity.
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    meta = df.schema[watermark_col].metadata
+    if "spark.watermarkDelayMs" not in meta:
+        df = df.withWatermark(watermark_col, watermark)
+    return df.dropDuplicatesWithinWatermark(keys)

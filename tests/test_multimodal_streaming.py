@@ -99,3 +99,34 @@ def test_windowed_rule_scores(spark, tables):
     out = SP.windowed_rule_scores(ev, "ts", rules, window="6 hours").collect()
     assert all(0 <= r["dq_score"] <= 100 for r in out)
     assert sum(r["total_records"] for r in out) == ev.count()
+
+
+def test_sessionize_batch(spark, tables):
+    out = SP.sessionize(tables["events"], "ts", "user_id", "30 minutes").collect()
+    ev_count = tables["events"].count()
+    assert sum(r["n_events"] for r in out) == ev_count
+    # session invariant: end - start >= gap (single-event session == gap)
+    for r in out:
+        assert (r["session_end"] - r["session_start"]).total_seconds() >= 1800
+
+
+def test_stream_dedup_bounded_state(spark, tables, tmp_path):
+    # duplicate every event, write as a multi-file stream source, dedup on
+    # event_id within the watermark; must equal the exact distinct count
+    ev = tables["events"].limit(2000)
+    dup = ev.unionByName(ev)
+    src = str(tmp_path / "events_dup")
+    dup.repartition(4).write.mode("overwrite").parquet(src)
+
+    n_distinct = ev.select("event_id").distinct().count()
+
+    stream = SP.stream_events(spark, src, watermark="10 minutes")
+    deduped = SP.stream_dedup(stream, ["event_id"], "ts", "10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("dedup_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("dedup_test").count()
+    assert got == n_distinct
+
+    # batch parity path
+    assert SP.stream_dedup(dup, ["event_id"]).count() == n_distinct
