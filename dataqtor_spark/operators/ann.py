@@ -136,3 +136,83 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization
+# ---------------------------------------------------------------------------
+
+def _nearest_centroid_ids(vec: Column, centers: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids, as a pure column expression.
+
+    Centers are a tiny driver-side list (k × dim literals), so assignment
+    stays inside whole-stage codegen — no MLlib Vector conversion or UDF in
+    the per-row hot path.  Ties break on centroid id via array_sort's
+    struct ordering.
+    """
+    entries = []
+    for j, c in enumerate(centers):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+        entries.append(F.struct(F.round(d, 9).alias("dist"),
+                                F.lit(j).alias("cid")))
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
+
+
+def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int = 16,
+                        seed: int = 42, sample_fraction: float | None = None) -> list[list[float]]:
+    """Train the coarse quantizer (MLlib KMeans, seeded → deterministic).
+
+    At 100 TB train on a sample (``sample_fraction``) — centroid quality
+    converges long before the full corpus is seen; the expensive full pass
+    is only the *assignment*, which is the declarative expression above."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(_as_double(F.col(vec_col)).alias("__v"))
+    if sample_fraction:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = train.withColumn("features", array_to_vector("__v"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             k: int = 10, n_clusters: int = 16, n_probe: int = 3,
+             seed: int = 42, query_id_col: str | None = None,
+             centers: list[list[float]] | None = None) -> DataFrame:
+    """IVF approximate top-k: exact cosine re-rank restricted to the
+    ``n_probe`` nearest coarse clusters of each query.
+
+    Scale path: the corpus is partitioned (and at rest: bucketed/
+    partitioned-by) on its cluster id, so a probe touches ~n_probe/k of the
+    data; queries explode to (query × probe) and broadcast-join the corpus
+    on cluster id — the corpus never shuffles.  Output schema matches
+    :func:`brute_force_topk`; fewer than k rows per query happens when the
+    probed clusters run dry (the approximation showing).
+    """
+    query_id_col = query_id_col or id_col
+    if centers is None:
+        centers = train_ivf_centroids(corpus, vec_col, n_clusters, seed)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("__cv"))
+         .withColumn("__cn", l2_norm(F.col("__cv")))
+         .withColumn("__cluster",
+                     _nearest_centroid_ids(F.col("__cv"), centers, 1)[0]))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .withColumn("__cluster",
+                     F.explode(_nearest_centroid_ids(F.col("__qv"), centers, n_probe))))
+    scored = (c.join(F.broadcast(q), "__cluster")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("__cv"), F.col("__qv"))
+                                  / (F.col("__cn") * F.col("__qn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

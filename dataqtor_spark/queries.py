@@ -1415,3 +1415,14 @@ def s03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified batch/streaming sessionization via F.session_window; the
     oracle is the classic gaps-and-islands construction."""
     return SP.sessionize(_t(spark, sf_dir, "events"), "ts", "user_id", "30 minutes")
+
+
+@register("ann03_ivf_topk")
+def ann03_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN — the partition-pruned scale path (rows-only
+    check: approximate by construction; recall asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ANN.ivf_topk(emb, queries, "vec_id", "embedding",
+                       k=5, n_clusters=8, n_probe=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))

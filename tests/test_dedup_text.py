@@ -225,3 +225,22 @@ def test_similar_strings_lsh_candidates(spark):
     pairs = {(r["left_side"], r["right_side"])
              for r in S.similar_strings_lsh(df, "name", jaccard_threshold=0.3).collect()}
     assert ("Mehmet Yilmaz", "Mehmet Yılmaz") in pairs
+
+
+def test_ivf_recall_vs_brute(tables):
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = ANN.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ANN.ivf_topk(emb, queries, "vec_id", "embedding",
+                          k=5, n_clusters=8, n_probe=3)
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+    # probing ALL clusters must recover the exact result
+    full = ANN.ivf_topk(emb, queries, "vec_id", "embedding",
+                        k=5, n_clusters=8, n_probe=8)
+    got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert got_full == want
