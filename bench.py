@@ -36,8 +36,13 @@ HEADLINE = [
     "d02_ngram_jaccard_pairs",
     "d03_minhash_pairs",
     "ann01_brute_topk",
+    "ann03_ivf_topk",
     "a13_similar_strings",
     "s01_window_agg_events",
+    "s03_sessionize_events",
+    "a00_full_profile_lineitem",
+    "pr02_pearson_correlations",
+    "p03_typed_search_orders",
 ]
 
 

@@ -1426,3 +1426,54 @@ def ann03_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ANN.ivf_topk(emb, queries, "vec_id", "embedding",
                        k=5, n_clusters=8, n_probe=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- a00 — the fused §2.10 profile report as one query ---------------------
+
+_PROF_NUM = ["l_quantity", "l_extendedprice"]
+_PROF_STR = ["l_returnflag", "l_linestatus"]
+
+def _prof_num_oracle(c: str) -> str:
+    return f"""SELECT '{c}' AS "column", 'double' AS dtype,
+       count(*)::BIGINT AS total_records,
+       (count(*) - count({c}))::BIGINT AS null_records,
+       count(DISTINCT {c})::BIGINT AS distinct_values,
+       round(avg({c}), 4) AS mean, round(stddev_samp({c}), 4) AS std,
+       round(min({c})::DOUBLE, 4) AS min, round(max({c})::DOUBLE, 4) AS max,
+       (SELECT round((sum(pow({c} - m, 3)) / count({c}))
+                     / pow(sum(pow({c} - m, 2)) / count({c}), 1.5), 4)
+        FROM lineitem, (SELECT avg({c}) AS m FROM lineitem)) AS skewness,
+       (SELECT round((sum(pow({c} - m, 4)) / count({c}))
+                     / pow(sum(pow({c} - m, 2)) / count({c}), 2) - 3, 4)
+        FROM lineitem, (SELECT avg({c}) AS m FROM lineitem)) AS kurtosis,
+       sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_count,
+       sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END)::BIGINT AS negative_count
+FROM lineitem"""
+
+def _prof_str_oracle(c: str) -> str:
+    return f"""SELECT '{c}' AS "column", 'string' AS dtype,
+       count(*)::BIGINT AS total_records,
+       (count(*) - count({c}))::BIGINT AS null_records,
+       count(DISTINCT {c})::BIGINT AS distinct_values,
+       CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+       CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS max,
+       CAST(NULL AS DOUBLE) AS skewness, CAST(NULL AS DOUBLE) AS kurtosis,
+       CAST(NULL AS BIGINT) AS zero_count, CAST(NULL AS BIGINT) AS negative_count
+FROM lineitem"""
+
+@register(
+    "a00_full_profile_lineitem",
+    "\nUNION ALL\n".join([_prof_num_oracle(c) for c in _PROF_NUM]
+                         + [_prof_str_oracle(c) for c in _PROF_STR]),
+)
+def a00_full_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the pandas-profiling-equivalent per-column report, ONE
+    aggregate pass (exact-distinct mode here for the oracle; the default
+    uses HyperLogLog — see profile_columns docstring)."""
+    out = P.profile_columns(_t(spark, sf_dir, "lineitem"),
+                            _PROF_NUM + _PROF_STR, exact_distinct=True)
+    return out.select(
+        "column", "dtype", "total_records", "null_records", "distinct_values",
+        *[F.round(F.col(c), 4).alias(c)
+          for c in ["mean", "std", "min", "max", "skewness", "kurtosis"]],
+        "zero_count", "negative_count")
