@@ -56,23 +56,28 @@ def main() -> None:
     spark = get_spark("dataqtor-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup at the smallest SF: compiles every query's codegen (Janino
-    # cache is keyed on generated source, which is data-independent) so the
-    # timed runs measure steady-state execution, not one-time JIT
+    # per-query warmup at the smallest SF immediately before timing: the
+    # warm run compiles the query's codegen (Janino cache is keyed on
+    # generated source, which is data-independent), and warming right
+    # before the timed run keeps those entries from being evicted by other
+    # queries' compilation (the cache holds 100 classes) — so each timing
+    # is that query's steady state, not one-time JIT
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
-        QUERIES[name](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        fn(spark, warm_dir).count()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # isolate queries: drop persisted intermediates (e.g. minhash
+        # signatures) so later timings don't pay earlier queries' cache
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -26,6 +26,8 @@ as the reference writes them (``s[4:6] == ") "`` → ``{4: ") "}``).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -139,8 +141,9 @@ SEPARATOR_CHARS = ["/", "-", " ", ")", "("]
 
 def _mask_expr(c: Column, length: int, pos: dict[int, str],
                prefix: str | None, suffix: str | None,
-               not_contains: list[str], contains: list[str]) -> Column:
-    cond = F.length(c) == length
+               not_contains: list[str], contains: list[str],
+               check_length: bool = True) -> Column:
+    cond = (F.length(c) == length) if check_length else F.lit(True)
     if prefix is not None:
         cond = cond & c.startswith(prefix)
     if suffix is not None:
@@ -188,22 +191,70 @@ def phone_violation(col: Column | str) -> Column:
 
 
 def phone_format_class(col: Column | str) -> Column:
+    """Memoized for string column names: building the ~600-predicate tree
+    costs ~2 s of driver-side py4j traffic, and the expression is a pure
+    function of the column name — build once per process."""
+    if isinstance(col, str):
+        return _phone_format_class_cached(col)
+    return _phone_format_class(col)
+
+
+@functools.lru_cache(maxsize=32)
+def _phone_format_class_cached(col: str) -> Column:
+    return _phone_format_class(col)
+
+
+def _phone_format_class(col: Column | str) -> Column:
     """Fixable-format classification: the first matching mask name in the
     reference's union order, else 'dummy'/'bad_ten_digit'/'invalid'/
-    'overlong' for the residual families, else 'ok'."""
+    'overlong' for the residual families, else 'ok'.
+
+    Physical shape: the ~95 masks are grouped by value length and nested
+    under one outer length dispatch, so a row evaluates ~|masks of its
+    length| predicates instead of all ~95 (each of which re-checked the
+    length in the flat form).  Masks of different lengths are mutually
+    exclusive, so nesting preserves the reference's first-match union
+    order exactly.
+    """
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    expr = None
-    for name, length, pos, pre, suf, notc, cont in PHONE_MASKS:
-        cond = _mask_expr(c, length, pos, pre, suf, notc, cont)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    flags = phone_flags(c)
-    expr = (expr
-            .when(flags["bad_ten_digit"], F.lit("bad_ten_digit"))
-            .when(flags["dummy_sequence"], F.lit("dummy"))
-            .when(flags["invalid"], F.lit("invalid"))
-            .when(flags["overlong"], F.lit("overlong"))
-            .otherwise(F.lit("ok")))
-    return expr
+    ln = F.length(c)
+    dummy = _contains_any(c, DUMMY_PHONE_PATTERNS)
+    letters = c.rlike("[A-Za-z]")
+
+    by_len: dict[int, list] = {}
+    for m in PHONE_MASKS:
+        by_len.setdefault(m[1], []).append(m)
+
+    def residual(length: int) -> Column:
+        # reached only when no mask of this (>10) length matched:
+        # dummy → invalid (letters; length ≥ 11 so len<10 is false) → overlong
+        return (F.when(dummy, F.lit("dummy"))
+                .when(letters, F.lit("invalid"))
+                .otherwise(F.lit("overlong")))
+
+    outer = None
+    for length in sorted(by_len):
+        inner = None
+        for name, _, pos, pre, suf, notc, cont in by_len[length]:
+            cond = _mask_expr(c, length, pos, pre, suf, notc, cont,
+                              check_length=False)
+            inner = (F.when(cond, F.lit(name)) if inner is None
+                     else inner.when(cond, F.lit(name)))
+        inner = inner.otherwise(residual(length))
+        outer = (F.when(ln == length, inner) if outer is None
+                 else outer.when(ln == length, inner))
+
+    ten = (F.when(c.startswith("0") | _contains_any(c, SEPARATOR_CHARS),
+                  F.lit("bad_ten_digit"))
+           .when(dummy, F.lit("dummy"))
+           .when(letters, F.lit("invalid"))
+           .otherwise(F.lit("ok")))
+    # lengths with no mask and ≠ 10: the residual-family chain on ln
+    generic = (F.when(F.coalesce(dummy, F.lit(False)), F.lit("dummy"))
+               .when((ln < 10) | letters, F.lit("invalid"))
+               .when(ln > 10, F.lit("overlong"))
+               .otherwise(F.lit("ok")))
+    return outer.when(ln == 10, ten).otherwise(generic)
 
 
 # --- SQL twin (DuckDB) -----------------------------------------------------

@@ -176,7 +176,7 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int = 16,
     if sample_fraction:
         train = train.sample(fraction=sample_fraction, seed=seed)
     train = train.withColumn("features", array_to_vector("__v"))
-    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10, tol=1e-3).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 

@@ -120,8 +120,12 @@ def test_stream_dedup_bounded_state(spark, tables, tmp_path):
 
     n_distinct = ev.select("event_id").distinct().count()
 
-    stream = SP.stream_events(spark, src, watermark="10 minutes")
-    deduped = SP.stream_dedup(stream, ["event_id"], "ts", "10 minutes")
+    # the files are randomly partitioned, so each micro-batch spans the
+    # whole 30-day range — a short watermark would mark later batches
+    # "late" and drop them (correct streaming semantics, wrong test).  A
+    # watermark beyond the replayed span makes the run deterministic.
+    stream = SP.stream_events(spark, src, watermark="90 days")
+    deduped = SP.stream_dedup(stream, ["event_id"], "ts", "90 days")
     q = (deduped.writeStream.format("memory").queryName("dedup_test")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
