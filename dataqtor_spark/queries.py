@@ -1477,3 +1477,60 @@ def a00_full_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col(c), 4).alias(c)
           for c in ["mean", "std", "min", "max", "skewness", "kurtosis"]],
         "zero_count", "negative_count")
+
+
+# --- w01 — the reference's core loop: measure → repair → re-measure --------
+
+_W01_RULES_SQL = {
+    "name_no_specials": ("c_name", "c_name IS NULL",
+                         f"c_name IS NOT NULL AND ({_SPECIALS_SQL.replace('c_name', 'c_name')})"),
+    "segment_forbidden": ("c_mktsegment", "c_mktsegment IS NULL",
+                          "c_mktsegment IS NOT NULL AND c_mktsegment IN ('MACHINERY', 'AUTOMOBILE')"),
+}
+
+def _w01_summary_sql(table_expr: str, phase: str) -> str:
+    rows = []
+    for rule, (col, nullp, violp) in _W01_RULES_SQL.items():
+        rows.append(f"""SELECT '{phase}' AS phase, '{rule}' AS rule, '{col}' AS "column",
+  count(*)::BIGINT AS total_records,
+  sum(CASE WHEN {nullp} THEN 1 ELSE 0 END)::BIGINT AS null_records,
+  sum(CASE WHEN {violp} THEN 1 ELSE 0 END)::BIGINT AS out_of_format_records,
+  (count(*) - sum(CASE WHEN {nullp} THEN 1 ELSE 0 END) - sum(CASE WHEN {violp} THEN 1 ELSE 0 END))::BIGINT AS proper_format_records,
+  round((count(*) - sum(CASE WHEN {nullp} THEN 1 ELSE 0 END) - sum(CASE WHEN {violp} THEN 1 ELSE 0 END)) * 100.0 / count(*), 2) AS dq_score
+FROM ({table_expr})""")
+    return "\nUNION ALL\n".join(rows)
+
+
+_W01_REPAIRED_SQL = """SELECT
+  regexp_replace(trim(c_name, '#'), ' +', ' ', 'g') AS c_name,
+  CASE WHEN c_mktsegment = 'MACHINERY' THEN 'HEAVY EQUIPMENT'
+       ELSE c_mktsegment END AS c_mktsegment
+FROM customer"""
+
+@register(
+    "w01_before_after_scores",
+    _w01_summary_sql("SELECT c_name, c_mktsegment FROM customer", "before")
+    + "\nUNION ALL\n"
+    + _w01_summary_sql(_W01_REPAIRED_SQL, "after"),
+)
+def w01_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E2→E3→E2 lifecycle (SURVEY §3): score, repair via
+    the lineage-based RepairSession (no in-place mutation — before/after
+    are two lineage points), score again.  The union of the two summary
+    tables is the reference's before/after report (A15)."""
+    rules = [
+        R.rule_no_special_chars("c_name", name="name_no_specials"),
+        R.rule_forbidden_values("c_mktsegment", ["MACHINERY", "AUTOMOBILE"],
+                                name="segment_forbidden"),
+    ]
+    sess = RP.RepairSession(_t(spark, sf_dir, "customer"))
+    before = sess.snapshot("before")
+    (sess.apply(RP.strip_chars, "c_name", "#")
+         .apply(RP.collapse_spaces, "c_name")
+         .apply(RP.remap_value, "c_mktsegment", "MACHINERY", "HEAVY EQUIPMENT"))
+    after = sess.snapshot("after")
+    b = R.evaluate_rules(before, rules).withColumn("phase", F.lit("before"))
+    a = R.evaluate_rules(after, rules).withColumn("phase", F.lit("after"))
+    cols = ["phase", "rule", "column", "total_records", "null_records",
+            "out_of_format_records", "proper_format_records", "dq_score"]
+    return b.select(*cols).unionByName(a.select(*cols))

@@ -1,0 +1,115 @@
+"""Property-based tests (SURVEY §5.3): rule-algebra invariants, checksum
+equivalence against an independent reimplementation, dedup idempotence,
+and skew-helper equivalence.  Examples are generated in batches (one Spark
+job per hypothesis example keeps runtime bounded)."""
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from dataqtor_spark.operators import profile as P
+from dataqtor_spark.operators import rules as R
+from dataqtor_spark.operators import skew as SK
+from dataqtor_spark.functions import checksums as CK
+from dataqtor_spark.functions import phone as PH
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+# --- rule algebra: violations ⊎ clean ⊎ nulls = all ------------------------
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                               width=32)),
+                min_size=1, max_size=60))
+def test_partition_invariant(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v double")
+    rules = [R.rule_compare("v", "between", low=-10.0, high=10.0)]
+    n_viol = R.violations_union(df, rules, "id").count()
+    n_clean = R.clean_rows(df, rules).count()
+    n_null = df.filter(F.col("v").isNull()).count()
+    assert n_viol + n_clean + n_null == len(vals)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+                min_size=1, max_size=60))
+def test_scores_bounded(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    summary = R.evaluate_rules(df, [R.rule_compare("v", ">=", 0)])
+    row = summary.collect()[0]
+    assert 0.0 <= row["dq_score"] <= 100.0
+    assert (row["null_records"] + row["out_of_format_records"]
+            + row["proper_format_records"]) == row["total_records"]
+
+
+# --- dedup idempotence ------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 5), st.text("ab", max_size=3)),
+                min_size=1, max_size=40))
+def test_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k long, s string")
+    once = df.dropDuplicates(["k", "s"])
+    assert once.count() == once.dropDuplicates(["k", "s"]).count()
+    assert once.count() == len(set(rows))
+
+
+# --- R9 checksum vs independent python reimplementation ---------------------
+
+def _tcid_valid_py(s: str) -> bool:
+    if len(s) != 11 or not s.isdigit() or s[0] == "0":
+        return False
+    d = [int(ch) for ch in s]
+    d10 = (7 * (d[0] + d[2] + d[4] + d[6] + d[8]) - (d[1] + d[3] + d[5] + d[7])) % 10
+    d11 = sum(d[:10]) % 10
+    return d[9] == d10 and d[10] == d11
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(
+    st.text("0123456789", min_size=11, max_size=11),
+    st.text("0123456789abc ", min_size=0, max_size=13),
+), min_size=1, max_size=60))
+def test_tcid_expression_matches_python(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, s string")
+    got = {r["id"]: r["ok"] for r in
+           df.select("id", F.coalesce(CK.is_valid_tcid("s"), F.lit(False))
+                     .alias("ok")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == _tcid_valid_py(v), v
+
+
+# --- phone: class == 'ok' ⟺ not violation ----------------------------------
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text("0123456789 -/()+ab", min_size=0, max_size=20),
+                min_size=1, max_size=60))
+def test_phone_class_consistent_with_violation(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, s string")
+    rows = df.select(
+        "id", PH.phone_format_class("s").alias("cls"),
+        F.coalesce(PH.phone_violation("s"), F.lit(False)).alias("viol")).collect()
+    for r in rows:
+        assert (r["cls"] == "ok") == (not r["viol"]), (vals[r["id"]], r["cls"])
+
+
+# --- skew helpers ≡ direct aggregation --------------------------------------
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                min_size=1, max_size=80))
+def test_salted_aggs_match_direct(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v long")
+    direct_set = {r["k"]: sorted(r["vs"]) for r in
+                  df.groupBy("k").agg(F.collect_set("v").alias("vs")).collect()}
+    salted_set = {r["k"]: list(r["values"]) for r in
+                  SK.salted_collect_set(df, "k", "v", n_salt=4).collect()}
+    assert direct_set == salted_set
+    direct_n = {r["k"]: r["n"] for r in
+                df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    salted_n = {r["k"]: r["n_distinct"] for r in
+                SK.salted_count_distinct(df, "k", "v", n_salt=4).collect()}
+    assert direct_n == salted_n
