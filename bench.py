@@ -43,6 +43,8 @@ HEADLINE = [
     "a00_full_profile_lineitem",
     "pr02_pearson_correlations",
     "p03_typed_search_orders",
+    "t05_training_pipeline",
+    "x01_json_extract_props",
 ]
 
 

@@ -1534,3 +1534,72 @@ def w01_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["phase", "rule", "column", "total_records", "null_records",
             "out_of_format_records", "proper_format_records", "dq_score"]
     return b.select(*cols).unionByName(a.select(*cols))
+
+
+# --- x01 — semi-structured props extraction (schema-on-read) ---------------
+
+@register(
+    "x01_json_extract_props",
+    """SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(json_extract(props, '$.k') AS INT))::BIGINT AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INT))::INT AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT))::INT AS max_k
+FROM events GROUP BY 1""",
+)
+def x01_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a JSON string column: get_json_object stays in
+    codegen (no Python), and only the extracted path is materialized."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+# --- t05 — composite training-data pipeline --------------------------------
+
+_T05_NTOK = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
+             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
+_T05_DIGR = ("round(len(regexp_extract_all(text, '[0-9]')) * 1.0 "
+             "/ greatest(length(text), 1), 4)")
+
+@register(
+    "t05_training_pipeline",
+    f"""WITH flt AS (
+  SELECT doc_id, text FROM documents
+  WHERE {_T05_NTOK} >= 5 AND {_T05_DIGR} < 0.2
+), lng AS (
+  SELECT doc_id, text, {{LANGID}} AS lang_pred FROM flt
+  WHERE {{LANGID}} <> 'und'
+), fp AS (
+  SELECT doc_id, lang_pred,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+  FROM lng
+), keep AS (
+  SELECT lang_pred FROM (
+    SELECT lang_pred, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1
+)
+SELECT lang_pred, count(*)::BIGINT AS n_docs FROM keep GROUP BY 1""".replace(
+        "{LANGID}", _langid_sql("text")),
+)
+def t05_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data pipeline in one lineage: quality filter →
+    language filter → fingerprint dedup (keep lowest id) → per-language
+    counts.  Every stage is the already-tested operator; the composition
+    is pure DataFrame flow — one scan, one fp shuffle, one count shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = TX.add_quality(_t(spark, sf_dir, "documents"))
+    flt = docs.filter((F.col("n_tokens") >= 5) & (F.col("digit_ratio") < 0.2))
+    lng = TX.add_lang_id(flt).filter(F.col("lang_pred") != "und")
+    fp = lng.select("doc_id", "lang_pred", TX.fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keep = (fp.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return keep.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
