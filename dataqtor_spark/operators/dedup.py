@@ -75,11 +75,17 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle-hash) — shingles are xxhash64'd at the source so every
+    downstream shuffle/join moves 8-byte longs instead of shingle strings
+    (collision probability ~2⁻⁶⁴ per shingle pair: irrelevant next to the
+    approximation the thresholds already accept)."""
     from dataqtor_spark.session import parallelize
 
     return (parallelize(df.select(F.col(id_col).alias("__id"),
                                   F.col(text_col).alias("__txt")))
-            .select("__id", F.explode(word_shingles("__txt", n)).alias("__sh")))
+            .select("__id",
+                    F.explode(F.transform(word_shingles("__txt", n),
+                                          lambda s: F.xxhash64(s))).alias("__sh")))
 
 
 # ---------------------------------------------------------------------------
@@ -94,14 +100,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     aggregation makes the shuffle carry only (id, 64 longs) per doc.
     """
     ex = _exploded_shingles(df, id_col, text_col, shingle_n)
-    # hash family over ONE base hash per shingle: the string is xxhash64'd
-    # once, then each h_i re-mixes the resulting LONG with seed i.  Hashing
-    # 8 bytes instead of the whole shingle num_hashes times cuts the
-    # explode-stage hashing cost by ~the average shingle length, with
-    # identical LSH statistics (and no ANSI long-overflow risk).
-    base = F.xxhash64(F.col("__sh"))
-    ex = ex.select("__id", base.alias("__h"))
-    aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}")
+    # hash family over the base shingle hash: each h_i re-mixes the 8-byte
+    # long (already computed at the explode) with seed i — hashing 8 bytes
+    # num_hashes times instead of the whole shingle string, identical LSH
+    # statistics (and no ANSI long-overflow risk).
+    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = ex.groupBy("__id").agg(*aggs)
     return sig.select(F.col("__id").alias(id_col),

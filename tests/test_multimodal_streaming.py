@@ -134,3 +134,33 @@ def test_stream_dedup_bounded_state(spark, tables, tmp_path):
 
     # batch parity path
     assert SP.stream_dedup(dup, ["event_id"]).count() == n_distinct
+
+
+def test_custom_stateful_running_stats(spark, tables, tmp_path):
+    from dataqtor_spark.streaming import stateful as ST
+
+    ev = tables["events"].limit(1000)
+    src = str(tmp_path / "events_state")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    batch = {r["user_id"]: (r["n"], r["s"]) for r in
+             spark.read.parquet(src).groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("value").alias("s")).collect()}
+
+    stream = SP.stream_events(spark, src, watermark="90 days")
+    out = ST.running_event_stats(stream, "user_id", "value")
+    q = (out.writeStream.format("memory").queryName("state_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # latest emission per key == final running state
+    rows = spark.table("state_test").collect()
+    latest = {}
+    for r in rows:
+        prev = latest.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert set(latest) == set(batch)
+    for k, (n, s) in batch.items():
+        assert latest[k][0] == n
+        assert abs(latest[k][1] - (s or 0.0)) < 1e-6
