@@ -156,3 +156,29 @@ def write_dataset(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "o
         out.toPandas().to_excel(path, index=False)
         return
     out.write.mode(mode).options(**options).format(fmt).save(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    Bucketing is the at-rest answer to repeated large-to-large joins: two
+    tables bucketed on the same key with the same bucket count join with
+    ZERO shuffle (SortMergeJoin reads co-located buckets directly).  At
+    100 TB, paying one write-time shuffle to remove the join-time shuffle
+    from every downstream query is the single biggest join optimization
+    available.  Requires a metastore table (bucket metadata lives in the
+    catalog, not the parquet files).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def co_located_join(spark: SparkSession, left_table: str, right_table: str,
+                    on: list[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed catalog tables; with matching bucketing the
+    physical plan contains no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -89,3 +89,29 @@ def test_histogram_total_and_edges(tables):
     hi = df.agg(F.max("l_extendedprice")).first()[0]
     assert h[0]["bin_start"] == pytest.approx(lo)
     assert h[-1]["bin_end"] == pytest.approx(hi)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tables):
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    lt, rt = f"cust_b_{suffix}", f"ord_b_{suffix}"
+    try:
+        S.write_bucketed(tables["customer"], lt, ["c_custkey"], n_buckets=8)
+        S.write_bucketed(
+            tables["orders"].withColumnRenamed("o_custkey", "c_custkey"),
+            rt, ["c_custkey"], n_buckets=8)
+        joined = S.co_located_join(spark, lt, rt, ["c_custkey"])
+        # disable broadcast so the bucketed SMJ path is what gets planned
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(64 * 1024 * 1024))
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        assert n == tables["orders"].count()  # every order has a customer
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
