@@ -537,3 +537,19 @@ def moment_stats(df: DataFrame, cols: list[str]) -> DataFrame:
                         F.round(F.col(f"__ku_{c}"), 4).alias("kurtosis"))
                for c in cols]
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def null_pattern_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """pandas-profiling's missing-value *matrix*, aggregated: one row per
+    observed null-combination pattern with its frequency (pattern = the
+    subset of columns that are null).  One groupBy on a computed bitmask
+    string — O(distinct patterns) result rows, ≤ 2^cols but in practice a
+    handful; the scan reads only the profiled columns."""
+    cols = _data_cols(df, cols)
+    mask = F.concat(*[F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+                      for c in cols])
+    n_nulls = sum((F.col(c).isNull().cast("int") for c in cols), F.lit(0))
+    return (df.select(mask.alias("null_pattern"), n_nulls.alias("__n"))
+            .groupBy("null_pattern")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.max("__n").alias("n_null_columns")))

@@ -1603,3 +1603,29 @@ def t05_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (fp.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1))
     return keep.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "pr06_null_pattern_profile",
+    """SELECT (CASE WHEN c_mktsegment = 'MACHINERY' THEN '1' ELSE '0' END ||
+        CASE WHEN c_acctbal < 1000 THEN '1' ELSE '0' END ||
+        CASE WHEN c_nationkey = 3 THEN '1' ELSE '0' END) AS null_pattern,
+       count(*)::BIGINT AS n_rows,
+       ((CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+        + (CASE WHEN c_acctbal < 1000 THEN 1 ELSE 0 END)
+        + (CASE WHEN c_nationkey = 3 THEN 1 ELSE 0 END))::INT AS n_null_columns
+FROM customer GROUP BY 1, 3""",
+)
+def pr06_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — missing-value matrix over derived nullable columns (testdata
+    has no physical nulls; same derivation as p08)."""
+    cu = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(None))
+         .otherwise(F.col("c_mktsegment")).alias("seg_n"),
+        F.when(F.col("c_acctbal") < 1000, F.lit(None))
+         .otherwise(F.col("c_acctbal")).alias("bal_n"),
+        F.when(F.col("c_nationkey") == 3, F.lit(None))
+         .otherwise(F.col("c_nationkey")).alias("nat_n"))
+    out = P.null_pattern_profile(cu, ["seg_n", "bal_n", "nat_n"])
+    return out.select("null_pattern", "n_rows",
+                      F.col("n_null_columns").cast("int").alias("n_null_columns"))

@@ -113,6 +113,7 @@ def ingest(
     fmt: str | None = None,
     row_id_order: list[str] | None = None,
     persist: bool = False,
+    schema: str | None = None,
     **options,
 ) -> DataFrame:
     """Read a dataset and materialize row identity.
@@ -122,6 +123,10 @@ def ingest(
     inferred from the extension when omitted.  ``xlsx`` goes through a
     driver-side pandas→Arrow hop (core Spark has no xlsx reader) and is only
     sensible for small files — everything at scale should be parquet/csv.
+
+    ``schema`` (DDL string) skips inference and enables PERMISSIVE
+    malformed-row capture for csv/json (pass ``mode`` +
+    ``columnNameOfCorruptRecord`` in options).
     """
     if fmt is None:
         ext = os.path.splitext(path)[1].lower().lstrip(".")
@@ -129,7 +134,9 @@ def ingest(
     if fmt == "parquet":
         df = spark.read.parquet(path)
     elif fmt == "csv":
-        df = spark.read.options(header=True, inferSchema=True, **options).csv(path)
+        r = spark.read.options(header=True, **options)
+        r = r.schema(schema) if schema else r.option("inferSchema", True)
+        df = r.csv(path)
     elif fmt == "json":
         df = spark.read.options(**options).json(path)
     elif fmt == "excel":
@@ -144,18 +151,24 @@ def ingest(
     return df
 
 
-def write_dataset(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
+def write_dataset(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite",
+                  partition_by: list[str] | None = None, **options) -> None:
     """Sink mirror of the reference's xlsx download (downloader.py:6-21).
 
     Parquet/CSV are the distributed paths; ``excel`` collects to the driver
     (only valid for small, final results — the reference's whole-table
-    download model).
+    download model).  ``partition_by`` lays the data out hive-partitioned —
+    at 100 TB a filter on the partition column prunes directories before a
+    single row group is opened (PartitionFilters in the scan plan).
     """
     out = df.drop(ROW_ID) if ROW_ID in df.columns else df
     if fmt == "excel":
         out.toPandas().to_excel(path, index=False)
         return
-    out.write.mode(mode).options(**options).format(fmt).save(path)
+    w = out.write.mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],

@@ -115,3 +115,29 @@ def test_bucketed_join_has_no_shuffle(spark, tables):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_partitioned_write_prunes(spark, tables, tmp_path):
+    path = str(tmp_path / "orders_part")
+    S.write_dataset(tables["orders"].withColumn("status", F.col("o_orderstatus")),
+                    path, partition_by=["status"])
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("status") == "F").select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "status" in plan.split("PartitionFilters")[1][:120]
+    want = tables["orders"].filter(F.col("o_orderstatus") == "F").count()
+    assert q.count() == want
+
+
+def test_permissive_csv_ingestion(spark, tmp_path):
+    # malformed rows land in _corrupt_record instead of failing the read
+    p = tmp_path / "messy.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    df = S.ingest(spark, str(p), fmt="csv",
+                  schema="id INT, qty INT, _corrupt_record STRING",
+                  mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+    rows = df.orderBy("id").collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]["_corrupt_record"] == "2,notanumber"
