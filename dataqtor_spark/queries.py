@@ -1629,3 +1629,29 @@ def pr06_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = P.null_pattern_profile(cu, ["seg_n", "bal_n", "nat_n"])
     return out.select("null_pattern", "n_rows",
                       F.col("n_null_columns").cast("int").alias("n_null_columns"))
+
+
+@register(
+    "s04_score_drift",
+    """WITH s AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+         'value_small' AS rule,
+         round((count(*) - sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                - sum(CASE WHEN value IS NOT NULL AND NOT (value < 200.0)
+                      THEN 1 ELSE 0 END)) * 100.0 / count(*), 2) AS dq_score
+  FROM events GROUP BY 1
+)
+SELECT window_start, rule, dq_score,
+       round(dq_score - lag(dq_score) OVER (PARTITION BY rule
+                                            ORDER BY window_start), 2)
+       AS score_drift
+FROM s""",
+)
+def s04_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ-score drift between consecutive daily windows — the quality
+    monitoring primitive over a stream or a backfill."""
+    ev = _t(spark, sf_dir, "events")
+    rules = [R.rule_compare("value", "<", 200.0, name="value_small")]
+    scores = SP.windowed_rule_scores(ev, "ts", rules, window="1 day")
+    return (SP.score_drift(scores)
+            .select("window_start", "rule", "dq_score", "score_drift"))

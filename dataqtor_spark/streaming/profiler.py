@@ -144,3 +144,17 @@ def stream_dedup(df: DataFrame, keys: list[str],
     if "spark.watermarkDelayMs" not in meta:
         df = df.withWatermark(watermark_col, watermark)
     return df.dropDuplicatesWithinWatermark(keys)
+
+
+def score_drift(scores: DataFrame, order_col: str = "window_start") -> DataFrame:
+    """Window-over-window DQ-score drift: each window's score minus the
+    previous window's, per rule.  Runs on the OUTPUT of
+    ``windowed_rule_scores`` — a tiny aggregated table (windows × rules
+    rows), so the unpartitioned-by-time window here costs nothing at any
+    input scale."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("rule").orderBy(order_col)
+    return scores.withColumn(
+        "score_drift",
+        F.round(F.col("dq_score") - F.lag("dq_score").over(w), 2))
