@@ -94,19 +94,27 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def email_flags_sql(expr: str) -> dict[str, str]:
+    """DuckDB twin of :func:`email_flags` — one boolean per sub-rule,
+    same keys."""
+    contains = lambda n: f"contains({expr}, {_sql_quote(n)})"  # noqa: E731
+    return {
+        "f1_forbidden_chars": " OR ".join(contains(n) for n in FORBIDDEN_CHARS),
+        "f2_too_short": f"length({expr}) <= 6",
+        "f3_missing_at_or_dot": f"(NOT contains({expr}, '@') OR NOT contains({expr}, '.'))",
+        "f4_multiple_at": f"(length({expr}) - length(replace({expr}, '@', ''))) > 1",
+        "f5_dummy_prefix": " OR ".join(f"starts_with({expr}, {_sql_quote(p)})"
+                                       for p in DUMMY_PREFIXES),
+        "f6_malformed_at": " OR ".join(contains(n) for n in MALFORMED_AT),
+        "v1_turkish_chars": " OR ".join(contains(n) for n in TURKISH_CHARS),
+        "v2_uppercase": f"regexp_matches({expr}, '[A-Z]')",
+        "v3_bad_ending": " OR ".join(f"ends_with({expr}, {_sql_quote(e)})"
+                                     for e in BAD_ENDINGS),
+        "v4_typo_domain": " OR ".join(contains(n) for n in TYPO_DOMAINS),
+    }
+
+
 def email_violation_sql(expr: str) -> str:
     """DuckDB boolean with identical semantics to :func:`email_violation`."""
-    contains = lambda n: f"contains({expr}, {_sql_quote(n)})"  # noqa: E731
-    parts = [
-        " OR ".join(contains(n) for n in FORBIDDEN_CHARS),
-        f"length({expr}) <= 6",
-        f"(NOT contains({expr}, '@') OR NOT contains({expr}, '.'))",
-        f"(length({expr}) - length(replace({expr}, '@', ''))) > 1",
-        " OR ".join(f"starts_with({expr}, {_sql_quote(p)})" for p in DUMMY_PREFIXES),
-        " OR ".join(contains(n) for n in MALFORMED_AT),
-        " OR ".join(contains(n) for n in TURKISH_CHARS),
-        f"regexp_matches({expr}, '[A-Z]')",
-        " OR ".join(f"ends_with({expr}, {_sql_quote(e)})" for e in BAD_ENDINGS),
-        " OR ".join(contains(n) for n in TYPO_DOMAINS),
-    ]
-    return "(" + " OR ".join(f"({p})" for p in parts) + ")"
+    return ("(" + " OR ".join(f"({p})" for p in email_flags_sql(expr).values())
+            + ")")

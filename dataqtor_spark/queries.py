@@ -1655,3 +1655,26 @@ def s04_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = SP.windowed_rule_scores(ev, "ts", rules, window="1 day")
     return (SP.score_drift(scores)
             .select("window_start", "rule", "dq_score", "score_drift"))
+
+
+@register(
+    "r08b_email_subrule_counts",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS subrule,
+       sum(CASE WHEN ({sql}) THEN 1 ELSE 0 END)::BIGINT AS n_violations
+FROM (SELECT {{EMAIL}} AS email FROM customer)""".replace("{EMAIL}", _EMAIL_DERIVED_SQL)
+        for name, sql in EM.email_flags_sql("email").items()
+    ),
+)
+def r08b_email_subrules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 per-sub-rule violation counts — free by-products of the fused
+    projection (the reference re-scans the column once per sub-family,
+    home.py:477-558; here all 10 booleans come from one pass)."""
+    cu = _t(spark, sf_dir, "customer").select(_email_derived_spark().alias("email"))
+    flags = EM.email_flags("email")
+    aggs = [F.coalesce(F.sum(v.cast("long")), F.lit(0)).alias(k)
+            for k, v in flags.items()]
+    one = cu.agg(*aggs)
+    structs = [F.struct(F.lit(k).alias("subrule"),
+                        F.col(k).alias("n_violations")) for k in flags]
+    return (one.select(F.explode(F.array(*structs)).alias("s")).select("s.*"))
