@@ -65,7 +65,11 @@ def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
     """A13 exact mode: (left_side, right_side, similarity) for non-identical
     value pairs with TF-IDF cosine ≥ threshold, ordered desc (ties by the
     pair, deterministic), limited to ``top_n`` like the reference."""
-    vec = tfidf_vectors(df, col, n)
+    # persist: both sides of the self-join read the SAME vector table;
+    # without it the whole tokenize→tf→idf→norm pipeline is planned and
+    # executed twice (the plan showed ~31 exchanges, half of them the
+    # duplicated subtree)
+    vec = tfidf_vectors(df, col, n).persist()
     pairs = (vec.alias("l").join(vec.alias("r"),
                                  (F.col("l.gram") == F.col("r.gram"))
                                  & (F.col("l.value") < F.col("r.value")))
