@@ -1678,3 +1678,22 @@ def r08b_email_subrules(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs = [F.struct(F.lit(k).alias("subrule"),
                         F.col(k).alias("n_violations")) for k in flags]
     return (one.select(F.explode(F.array(*structs)).alias("s")).select("s.*"))
+
+
+@register(
+    "m02b_decode_dims",
+    """SELECT doc_id AS media_id,
+       (64 + CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT) * 4)::INT AS width,
+       (64 + CAST(concat('0x', substr(sha256(text), 3, 2)) AS INT) * 4)::INT AS height,
+       (CASE CAST(concat('0x', substr(sha256(text), 5, 2)) AS INT) % 3
+             WHEN 0 THEN 'RGB' WHEN 1 THEN 'RGBA' ELSE 'L' END) AS mode
+FROM documents""",
+)
+def m02b_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic-fake decode's dimensional output, oracle-checked:
+    proves the mapInPandas batch plumbing produces exactly the declared
+    per-row transform (the float feature vector stays rows-only in m02)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return MM.decode_image_features(docs).select("media_id", "width", "height", "mode")
