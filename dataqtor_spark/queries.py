@@ -1697,3 +1697,74 @@ def m02b_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
     return MM.decode_image_features(docs).select("media_id", "width", "height", "mode")
+
+
+# --- j05 — as-of join (time-series enrichment) -----------------------------
+
+from dataqtor_spark.operators import asof as AJ  # noqa: E402
+
+
+@register(
+    "j05_asof_join_events",
+    """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+r AS (SELECT user_id, ts, max(value) AS value FROM events
+      WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts, r.value AS value_right
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def j05_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each view event enriched with the user's latest prior purchase value
+    — union + carry-forward window (one shuffle per side), oracled against
+    DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    return AJ.asof_join(left, right, "user_id", "ts", ["value"])
+
+
+@register(
+    "s05_event_rollup",
+    """SELECT coalesce(strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       GROUPING(time_bucket(INTERVAL '1 day', ts), event_type)::INT AS grouping_level,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP(time_bucket(INTERVAL '1 day', ts), event_type)""",
+)
+def s05_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: (day, type) cells, per-day
+    subtotals, and the grand total in ONE pass — Catalyst's Expand feeds a
+    single shuffle instead of three separate aggregations."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value")
+    return (ev.rollup("day", "event_type")
+            .agg(F.grouping_id().cast("int").alias("grouping_level"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("total_value"))
+            .select(F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+                    F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    "grouping_level", "n_events", "total_value"))
+
+
+_CATALOG_TABLES = ["region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings"]
+
+@register(
+    "a01b_catalog_summary",
+    "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*)::BIGINT AS n_rows FROM {t}"
+        for t in _CATALOG_TABLES),
+)
+def a01b_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog sweep: one row per table.  Parquet row counts come from
+    footer metadata (count-star pushdown) — no data pages are read."""
+    out = None
+    for t in _CATALOG_TABLES:
+        one = (_t(spark, sf_dir, t)
+               .agg(F.count(F.lit(1)).alias("n_rows"))
+               .select(F.lit(t).alias("table_name"), "n_rows"))
+        out = one if out is None else out.unionByName(one)
+    return out

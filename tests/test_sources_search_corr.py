@@ -141,3 +141,20 @@ def test_permissive_csv_ingestion(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 2 and len(bad) == 1
     assert bad[0]["_corrupt_record"] == "2,notanumber"
+
+
+def test_asof_join_semantics(spark):
+    from dataqtor_spark.operators import asof as AJ
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 1, 5), (4, 2, 15)],
+        "event_id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 999.0)],
+        "k long, ts long, v double")
+    got = {r["event_id"]: r["v_right"] for r in
+           AJ.asof_join(left, right, "k", "ts", ["v"]).collect()}
+    assert got[1] == 100.0   # equal ts matches (<= semantics)
+    assert got[2] == 150.0   # latest prior
+    assert got[3] is None    # nothing at or before ts=5
+    assert got[4] is None    # right ts=99 is in the future
