@@ -1768,3 +1768,43 @@ def a01b_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.lit(t).alias("table_name"), "n_rows"))
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- j06 — range join: events → containing session -------------------------
+
+from dataqtor_spark.operators import rangejoin as RJ  # noqa: E402
+
+
+@register(
+    "j06_range_join_sessions",
+    """WITH x AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+y AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x),
+sessions AS (SELECT user_id, min(ts) AS session_start,
+                    max(ts) + INTERVAL '30 minutes' AS session_end
+             FROM y GROUP BY user_id, sid)
+SELECT s.user_id, count(*)::BIGINT AS n_assigned
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts < s.session_end
+GROUP BY 1""",
+)
+def j06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every event to its containing session interval via the
+    bucketized range join (equi-join on (key, hour-bucket) + exact
+    containment filter — no inequality join in the plan), then count per
+    user.  Oracle uses a plain BETWEEN join."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = SP.sessionize(ev, "ts", "user_id", "30 minutes").select(
+        "user_id", "session_start", "session_end")
+    assigned = RJ.range_join(ev.select("user_id", "ts"), sessions,
+                             "user_id", "ts", "session_start", "session_end",
+                             bucket="1 hour")
+    return assigned.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_assigned"))

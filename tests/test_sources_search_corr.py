@@ -158,3 +158,22 @@ def test_asof_join_semantics(spark):
     assert got[2] == 150.0   # latest prior
     assert got[3] is None    # nothing at or before ts=5
     assert got[4] is None    # right ts=99 is in the future
+
+
+def test_range_join_boundaries(spark):
+    from datetime import datetime as dt
+
+    from dataqtor_spark.operators import rangejoin as RJ
+
+    points = spark.createDataFrame(
+        [(1, 1, dt(2024, 1, 1, 10, 0)), (2, 1, dt(2024, 1, 1, 11, 0)),
+         (3, 1, dt(2024, 1, 1, 12, 0)), (4, 2, dt(2024, 1, 1, 10, 30))],
+        "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 12, 0), "a"),
+         (2, dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 10, 30), "b")],
+        "k long, s timestamp, e timestamp, label string")
+    got = {(r["pid"], r["label"]) for r in
+           RJ.range_join(points, iv, "k", "ts", "s", "e").collect()}
+    # start inclusive, end exclusive; key-scoped
+    assert got == {(1, "a"), (2, "a")}
