@@ -1808,3 +1808,78 @@ def j06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "user_id", "ts", "session_start", "session_end",
                              bucket="1 hour")
     return assigned.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_assigned"))
+
+
+# --- r15 — z-score outlier rule (stats pass + filter pass) -----------------
+
+@register(
+    "r15_zscore_outliers",
+    """WITH s AS (SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd
+           FROM orders)
+SELECT o_orderstatus, count(*)::BIGINT AS n_outliers
+FROM orders, s
+WHERE abs(o_totalprice - m) > 1.5 * sd
+GROUP BY 1""",
+)
+def r15_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier rule: |x−μ| > kσ.  Two jobs — a scalar stats
+    aggregate broadcast into the filter pass; no per-row Python, the
+    filter is an ordinary pushable predicate once μ/σ are literals."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(F.avg("o_totalprice").alias("m"),
+                  F.stddev_samp("o_totalprice").alias("sd"))
+    return (o.crossJoin(F.broadcast(stats))
+            .filter(F.abs(F.col("o_totalprice") - F.col("m")) > 1.5 * F.col("sd"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_outliers")))
+
+
+# --- o05 — per-group top-k -------------------------------------------------
+
+@register(
+    "o05_topk_per_group",
+    """SELECT o_orderstatus, o_orderkey, o_totalprice, rank
+FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders)
+WHERE rank <= 3""",
+)
+def o05_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via a ranked window — one shuffle on the group key,
+    per-partition sort (contrast o01's global TakeOrderedAndProject)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_orderstatus", "o_orderkey", "o_totalprice",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+# --- a18 — pivot (crosstab) ------------------------------------------------
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+@register(
+    "a18_pivot_status_priority",
+    "SELECT o_orderpriority, "
+    + ", ".join(
+        f"sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END)::BIGINT AS status_{s}"
+        for s in _PIVOT_STATUSES)
+    + " FROM orders GROUP BY 1",
+)
+def a18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via pivot with an EXPLICIT value list — without it Spark
+    runs an extra distinct job to discover pivot values; with it the plan
+    is a single conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    out = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", _PIVOT_STATUSES)
+           .agg(F.coalesce(F.count(F.lit(1)), F.lit(0))))
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}")
+          for s in _PIVOT_STATUSES])
