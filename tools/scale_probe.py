@@ -1,0 +1,107 @@
+"""Scale probe: replicate the sf0.1 tables k× in-memory (union of
+re-projected copies with shifted keys) and measure headline-query
+throughput at 1× and k×.  Near-linear wall-clock growth = the plan has no
+super-linear term (quadratic join, driver collect, single-partition sort)
+hiding at small scale.
+
+Usage: python tools/scale_probe.py [k] [sf_dir]
+Writes SCALE_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+PROBES = {
+    # name -> (table, builder(df) -> DataFrame)
+    "fused_null_profile": ("customer", lambda df, P, R: P.null_profile(df)),
+    "fused_rules": ("customer", lambda df, P, R: R.evaluate_rules(df, [
+        R.rule_compare("c_acctbal", "between", low=0, high=9000, name="bal"),
+        R.rule_no_special_chars("c_name", name="spec"),
+        R.rule_no_digits("c_mktsegment", name="dig"),
+    ])),
+    "describe": ("lineitem", lambda df, P, R: P.describe_numeric(
+        df, ["l_quantity", "l_extendedprice", "l_discount"])),
+    "frequency_topk": ("orders", lambda df, P, R: P.top_k(df, "o_orderpriority")),
+    "histogram": ("lineitem", lambda df, P, R: P.histogram(df, "l_extendedprice")),
+}
+
+
+def replicate(df, k: int, key_cols: list[str]):
+    """k copies with shifted integer keys (keeps groupBy cardinality
+    realistic instead of k-plicating every key)."""
+    copies = []
+    for i in range(k):
+        c = df
+        for col in key_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * 10_000_000))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from dataqtor_spark.operators import profile as P
+    from dataqtor_spark.operators import rules as R
+    from dataqtor_spark.queries import _t
+    from dataqtor_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    key_cols = {"customer": ["c_custkey"], "lineitem": ["l_orderkey"],
+                "orders": ["o_orderkey"]}
+
+    lines = ["# SCALE_PROBE — wall-clock vs data volume",
+             "",
+             f"sf0.1 tables replicated {k}× in-memory (shifted keys).  A plan",
+             "with no super-linear term should grow ≲ k× in wall-clock on the",
+             "same 32-thread local session.",
+             "",
+             "| probe | rows 1× | t 1× (s) | rows " + f"{k}× | t {k}× (s) | growth |",
+             "|---|---|---|---|---|---|"]
+    for name, (table, builder) in PROBES.items():
+        base = _t(spark, sf_dir, table)
+        big = replicate(base, k, key_cols[table]).persist()
+        n_big = big.count()  # materialize outside the timer
+        n_base = base.count()
+
+        builder(base, P, R).count()  # warm codegen
+        t0 = time.perf_counter()
+        builder(base, P, R).count()
+        t1 = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        builder(big, P, R).count()
+        tk = time.perf_counter() - t0
+        big.unpersist()
+        growth = tk / t1 if t1 > 0 else float("inf")
+        lines.append(f"| {name} | {n_base:,} | {t1:.2f} | {n_big:,} | "
+                     f"{tk:.2f} | {growth:.1f}× |")
+        print(lines[-1], file=sys.stderr)
+
+    lines += ["",
+              f"Linear reference: {k}.0×.  Values well under {k}× mean fixed",
+              "per-query overhead (job scheduling, plan build) still dominates",
+              "at this size; values well over would flag a super-linear plan.",
+              ""]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "SCALE_PROBE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
