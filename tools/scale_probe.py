@@ -30,6 +30,12 @@ PROBES = {
         df, ["l_quantity", "l_extendedprice", "l_discount"])),
     "frequency_topk": ("orders", lambda df, P, R: P.top_k(df, "o_orderpriority")),
     "histogram": ("lineitem", lambda df, P, R: P.histogram(df, "l_extendedprice")),
+    "sessionize": ("events", lambda df, P, R: __import__(
+        "dataqtor_spark.streaming.profiler", fromlist=["sessionize"])
+        .sessionize(df, "ts", "user_id", "30 minutes")),
+    "minhash_signatures": ("documents", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.dedup", fromlist=["minhash_signatures"])
+        .minhash_signatures(df, "doc_id", "text", num_hashes=64, shingle_n=5)),
 }
 
 
@@ -61,7 +67,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     key_cols = {"customer": ["c_custkey"], "lineitem": ["l_orderkey"],
-                "orders": ["o_orderkey"]}
+                "orders": ["o_orderkey"], "events": ["event_id", "user_id"],
+                "documents": ["doc_id"]}
 
     lines = ["# SCALE_PROBE — wall-clock vs data volume",
              "",
