@@ -45,6 +45,9 @@ HEADLINE = [
     "p03_typed_search_orders",
     "t05_training_pipeline",
     "x01_json_extract_props",
+    "j05_asof_join_events",
+    "j06_range_join_sessions",
+    "s05_event_rollup",
 ]
 
 

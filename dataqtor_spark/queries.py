@@ -1883,3 +1883,26 @@ def a18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}")
           for s in _PIVOT_STATUSES])
+
+
+@register(
+    "a19_levenshtein_pairs",
+    """SELECT count(*)::BIGINT AS n_close_pairs,
+       coalesce(sum(levenshtein(a.p_name, b.p_name)), 0)::BIGINT AS total_distance
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12""",
+)
+def a19_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching, blocked on brand so the pair space is
+    |brand-group|² not |table|² (the blocking-key pattern every fuzzy
+    matcher at scale needs; the similarity LSH variants are the unblocked
+    path)."""
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = pt.alias("a"), pt.alias("b")
+    pairs = (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+             .filter(F.col("dist") <= 12))
+    return pairs.agg(F.count(F.lit(1)).alias("n_close_pairs"),
+                     F.coalesce(F.sum("dist"), F.lit(0)).alias("total_distance"))
