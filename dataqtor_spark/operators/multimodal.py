@@ -164,3 +164,35 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         sample, schema=FRAMES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, duration_ms long, sample_rate int, n_channels int, rms float"
+)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "media_id") -> DataFrame:
+    """Audio decode + feature extraction — same Arrow-batched contract as
+    :func:`decode_image_features`; the codec call is the deterministic
+    fake (swap for soundfile/librosa on a cluster with codecs)."""
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not _FAKE_DECODE:
+                    raise NotImplementedError("real codec path needs soundfile/ffmpeg")
+                data = bytes(payload) if payload is not None else b""
+                dig = hashlib.sha256(data).digest()
+                duration = 500 + int.from_bytes(dig[4:6], "big")  # 0.5–66 s
+                rate = [8000, 16000, 22050, 44100, 48000][dig[6] % 5]
+                channels = 1 + dig[7] % 2
+                rms = dig[8] / 255.0
+                rows.append((mid, duration, rate, channels, rms))
+            yield pd.DataFrame(rows, columns=["media_id", "duration_ms",
+                                              "sample_rate", "n_channels", "rms"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        extract, schema=AUDIO_FEATURES_SCHEMA)

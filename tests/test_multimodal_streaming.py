@@ -164,3 +164,17 @@ def test_custom_stateful_running_stats(spark, tables, tmp_path):
     for k, (n, s) in batch.items():
         assert latest[k][0] == n
         assert abs(latest[k][1] - (s or 0.0)) < 1e-6
+
+
+def test_audio_features_plumbing(spark):
+    df = _media_df(spark).limit(15)
+    rows = MM.extract_audio_features(df).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert 500 <= r["duration_ms"] <= 500 + 65535
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+        assert r["n_channels"] in (1, 2)
+        assert 0.0 <= r["rms"] <= 1.0
+    again = MM.extract_audio_features(df).collect()
+    assert {r["media_id"]: r["duration_ms"] for r in rows} == \
+        {r["media_id"]: r["duration_ms"] for r in again}

@@ -103,3 +103,14 @@ def test_correlations(tables):
     c = P.correlations(df, ["l_quantity", "l_extendedprice", "l_discount"]).toPandas()
     assert len(c) == 3
     assert c["pearson"].abs().max() <= 1.0 + 1e-9
+
+
+def test_approx_describe_close_to_exact(tables):
+    li = tables["lineitem"]
+    exact = P.describe_numeric(li, ["l_extendedprice"]).collect()[0]
+    approx = P.describe_numeric_approx(li, ["l_extendedprice"]).collect()[0]
+    assert approx["count"] == exact["count"]
+    assert abs(approx["mean"] - exact["mean"]) / exact["mean"] < 0.01
+    for q in ("q25", "median", "q75"):
+        if q in exact.asDict() and exact[q] is not None:
+            assert abs(approx[q] - exact[q]) / exact[q] < 0.05

@@ -236,3 +236,28 @@ def test_overall_score(spark):
     s = R.evaluate_rules(df, rules)
     overall = R.overall_score(s).collect()[0]["overall_dq_score"]
     assert overall == pytest.approx((50.0 + 100.0) / 2)
+
+
+def test_many_rules_single_scan(spark, tables):
+    # 50 rules must still plan as ONE scan + ONE aggregate — the rule-
+    # fusion contract (SURVEY §4 rewrite 1)
+    import io, contextlib
+
+    from dataqtor_spark.operators import rules as R
+
+    li = tables["lineitem"]
+    rules = []
+    for i in range(25):
+        rules.append(R.rule_compare("l_quantity", "<", float(i + 1), name=f"q{i}"))
+        rules.append(R.rule_compare("l_discount", ">=", i / 100.0, name=f"d{i}"))
+    out = R.evaluate_rules(li, rules)
+    assert out.count() == 50
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # formatted explain lists each node twice (tree + detail); count the
+    # detail headers
+    import re
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
