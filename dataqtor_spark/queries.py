@@ -1595,7 +1595,11 @@ def t05_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure DataFrame flow — one scan, one fp shuffle, one count shuffle."""
     from pyspark.sql.window import Window
 
-    docs = TX.add_quality(_t(spark, sf_dir, "documents"))
+    from dataqtor_spark.session import parallelize
+
+    # documents.parquet is a single row group — without an exchange the
+    # regex-heavy quality+langid stages run in one task
+    docs = TX.add_quality(parallelize(_t(spark, sf_dir, "documents")))
     flt = docs.filter((F.col("n_tokens") >= 5) & (F.col("digit_ratio") < 0.2))
     lng = TX.add_lang_id(flt).filter(F.col("lang_pred") != "und")
     fp = lng.select("doc_id", "lang_pred", TX.fingerprint("text").alias("fp"))
