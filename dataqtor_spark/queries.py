@@ -1910,3 +1910,34 @@ def a19_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("dist") <= 12))
     return pairs.agg(F.count(F.lit(1)).alias("n_close_pairs"),
                      F.coalesce(F.sum("dist"), F.lit(0)).alias("total_distance"))
+
+
+# --- p01/p02/f14/r06 — the remaining §2 items as oracle-checked queries ----
+
+@register(
+    "p01_project_reorder_drop",
+    """SELECT o_orderpriority, o_orderkey, CAST(o_custkey AS VARCHAR) AS custkey_str
+FROM orders""",
+)
+def p01_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection/reorder + P2 drop + F14 cast-to-string in one lineage
+    (the corrector's column-management surface, home.py:1383-1389,2030-2034)."""
+    o = _t(spark, sf_dir, "orders")
+    o = RP.cast_column(o.withColumn("custkey_str", F.col("o_custkey")),
+                       "custkey_str", "string")
+    o = RP.drop_column(o, "o_totalprice")
+    return RP.project(o, ["o_orderpriority", "o_orderkey", "custkey_str"])
+
+
+@register(
+    "r06_no_spaces_rule",
+    """SELECT p_brand, count(*)::BIGINT AS n_violations
+FROM part
+WHERE p_name IS NOT NULL AND contains(p_name, ' ')
+GROUP BY 1""",
+)
+def r06_no_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 — no-spaces rule violations per brand (home.py:455-457)."""
+    pt = _t(spark, sf_dir, "part")
+    return (R.rule_no_spaces("p_name").violations(pt)
+            .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_violations")))
