@@ -145,3 +145,57 @@ def fingerprint_clusters(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.sort_array(F.collect_list(id_col)).alias("members"))
             .filter(F.col("cluster_size") > 1))
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-data staple: token-bounded windows + overlap)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", max_tokens: int = 64,
+                    overlap: int = 8) -> DataFrame:
+    """Split each document into whitespace-token windows of ``max_tokens``
+    with ``overlap`` tokens of context between consecutive chunks.
+
+    Pure expressions: tokenize once, generate window starts with
+    ``sequence``, slice + rejoin, posexplode — one Generate, no shuffle,
+    no Python.  Output: (id, chunk_index, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(tokens)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(tokens, s, max_tokens))
+    out = (df.select(F.col(id_col),
+                     F.posexplode(chunks).alias("chunk_index", "__toks"))
+           .select(id_col, "chunk_index",
+                   F.concat_ws(" ", F.col("__toks")).alias("chunk_text"),
+                   F.size("__toks").alias("n_chunk_tokens"))
+           # empty/whitespace-only docs tokenize to [""] — drop those chunks
+           .filter(F.length("chunk_text") > 0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (mask structured identifiers before training)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    # pattern → replacement; RE2/Java-compatible (no lookaround)
+    r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}": "<EMAIL>",
+    r"\+?[0-9][0-9 ()\-]{7,}[0-9]": "<PHONE>",
+    r"[0-9]+": "<NUM>",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Chained ``regexp_replace`` masking — order matters (emails/phones
+    before bare numbers so their digits aren't pre-masked).  Stays in
+    codegen; patterns avoid lookaround so Java and RE2 agree."""
+    c = F.col(text_col)
+    for pat, rep in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, rep)
+    return df.withColumn(out_col or text_col, c)

@@ -1941,3 +1941,40 @@ def r06_no_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = _t(spark, sf_dir, "part")
     return (R.rule_no_spaces("p_name").violations(pt)
             .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_violations")))
+
+
+@register(
+    "t06_chunk_documents",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1) + 1, 56),
+                                   s -> array_to_string(toks[s:s+63], ' ')))
+               AS chunk_text,
+             generate_subscripts(list_transform(range(1, greatest(len(toks), 1) + 1, 56),
+                                                s -> s), 1) - 1 AS chunk_index
+      FROM t)
+SELECT doc_id, chunk_index::INT AS chunk_index, chunk_text,
+       len(regexp_split_to_array(chunk_text, '\\s+'))::INT AS n_chunk_tokens
+FROM c WHERE length(chunk_text) > 0""",
+)
+def t06_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-windowed chunking (64-token windows, 8-token overlap)."""
+    out = TX.chunk_documents(_t(spark, sf_dir, "documents"),
+                             max_tokens=64, overlap=8)
+    return out.select("doc_id", F.col("chunk_index").cast("int").alias("chunk_index"),
+                      "chunk_text", F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"))
+
+
+@register(
+    "t07_pii_scrub",
+    """SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9 ()\\-]{7,}[0-9]', '<PHONE>', 'g'),
+         '[0-9]+', '<NUM>', 'g') AS text
+FROM documents""",
+)
+def t07_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking before training (emails, phone-shaped runs, numbers)."""
+    return TX.scrub_pii(_t(spark, sf_dir, "documents")).select("doc_id", "text")

@@ -244,3 +244,38 @@ def test_ivf_recall_vs_brute(tables):
                         k=5, n_clusters=8, n_probe=8)
     got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert got_full == want
+
+
+def test_chunking_overlap_semantics(spark):
+    from dataqtor_spark.operators import textstats as TX
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                               "doc_id long, text string")
+    rows = TX.chunk_documents(df, max_tokens=40, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at tokens 0, 30, 60, 90 → 4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    assert len(c1) == 4
+    assert c1[0]["n_chunk_tokens"] == 40
+    assert c1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert c1[1]["chunk_text"].split()[0] == "w30"   # step = 30
+    # consecutive chunks share `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-10:] == c1[1]["chunk_text"].split()[:10]
+    assert c1[3]["n_chunk_tokens"] == 10             # tail chunk
+    assert by_doc[2][0]["chunk_text"] == "short doc"
+    # empty doc → one empty-token chunk filtered out entirely
+    assert 3 not in by_doc or all(r["chunk_text"] for r in by_doc[3])
+
+
+def test_pii_scrub(spark):
+    from dataqtor_spark.operators import textstats as TX
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@ex-co.org or call +90 555 123 45 67 room 12")],
+        "doc_id long, text string")
+    got = TX.scrub_pii(df).collect()[0]["text"]
+    assert "<EMAIL>" in got and "<PHONE>" in got and "<NUM>" in got
+    assert "jo.doe" not in got and "555" not in got
