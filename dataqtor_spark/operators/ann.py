@@ -162,13 +162,26 @@ def _nearest_centroid_ids(vec: Column, centers: list[list[float]], n: int) -> Co
     return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
 
 
+_CENTROID_CACHE: dict = {}
+
+
 def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int = 16,
-                        seed: int = 42, sample_fraction: float | None = None) -> list[list[float]]:
+                        seed: int = 42, sample_fraction: float | None = None,
+                        cache_key: str | None = None) -> list[list[float]]:
     """Train the coarse quantizer (MLlib KMeans, seeded → deterministic).
 
     At 100 TB train on a sample (``sample_fraction``) — centroid quality
     converges long before the full corpus is seen; the expensive full pass
-    is only the *assignment*, which is the declarative expression above."""
+    is only the *assignment*, which is the declarative expression above.
+
+    ``cache_key``: a caller-supplied identity for the corpus (e.g. its
+    path).  Training is deterministic given (data, k, seed), and the
+    production pattern is train-once / probe-many — so repeated calls with
+    the same key reuse the centroids instead of re-fitting."""
+    if cache_key is not None:
+        hit = _CENTROID_CACHE.get((cache_key, vec_col, n_clusters, seed))
+        if hit is not None:
+            return hit
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -177,13 +190,17 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int = 16,
         train = train.sample(fraction=sample_fraction, seed=seed)
     train = train.withColumn("features", array_to_vector("__v"))
     model = KMeans(k=n_clusters, seed=seed, maxIter=10, tol=1e-3).fit(train)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    if cache_key is not None:
+        _CENTROID_CACHE[(cache_key, vec_col, n_clusters, seed)] = centers
+    return centers
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 10, n_clusters: int = 16, n_probe: int = 3,
              seed: int = 42, query_id_col: str | None = None,
-             centers: list[list[float]] | None = None) -> DataFrame:
+             centers: list[list[float]] | None = None,
+             cache_key: str | None = None) -> DataFrame:
     """IVF approximate top-k: exact cosine re-rank restricted to the
     ``n_probe`` nearest coarse clusters of each query.
 
@@ -196,7 +213,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     """
     query_id_col = query_id_col or id_col
     if centers is None:
-        centers = train_ivf_centroids(corpus, vec_col, n_clusters, seed)
+        centers = train_ivf_centroids(corpus, vec_col, n_clusters, seed,
+                                      cache_key=cache_key)
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(F.col(vec_col)).alias("__cv"))
          .withColumn("__cn", l2_norm(F.col("__cv")))

@@ -1424,7 +1424,8 @@ def ann03_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     out = ANN.ivf_topk(emb, queries, "vec_id", "embedding",
-                       k=5, n_clusters=8, n_probe=3)
+                       k=5, n_clusters=8, n_probe=3,
+                       cache_key=os.path.join(sf_dir, "embeddings.parquet"))
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
