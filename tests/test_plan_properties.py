@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the scale-relevant plan shapes
+ARCHITECTURE.md claims, asserted so refactors can't silently lose them."""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from dataqtor_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _detail(plan, node):
+    return len(re.findall(rf"^\(\d+\) {node}", plan, re.M))
+
+
+def test_search_filters_pushed_to_scan(spark):
+    plan = _plan(spark, "p03_typed_search_orders")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(o_totalprice" in pushed
+    assert "EqualTo(o_orderstatus,O)" in pushed
+    # column pruning: the scan reads only the 4 referenced columns
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert schema.count(":") == 4, schema
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "j01_latlon_enrich")
+    assert _detail(plan, "BroadcastHashJoin") >= 1
+    assert _detail(plan, "SortMergeJoin") == 0
+
+
+def test_topk_never_global_sorts(spark):
+    plan = _plan(spark, "o01_sort_topk")
+    assert _detail(plan, "TakeOrderedAndProject") == 1
+    assert _detail(plan, "Sort") == 0  # no standalone global sort
+
+
+def test_fused_profile_single_scan(spark):
+    plan = _plan(spark, "a00_full_profile_lineitem")
+    assert _detail(plan, "Scan parquet") == 1
+
+
+def test_range_join_is_hash_join(spark):
+    plan = _plan(spark, "j06_range_join_sessions")
+    assert "NestedLoop" not in plan
+
+
+def test_pivot_no_value_discovery_job(spark):
+    # explicit pivot values → single aggregation, no extra distinct scan
+    plan = _plan(spark, "a18_pivot_status_priority")
+    assert _detail(plan, "Scan parquet") == 1
