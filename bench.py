@@ -75,10 +75,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, warm_dir).count()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):  # best-of-2: damps machine-load noise (~±15%)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         # isolate queries: drop persisted intermediates (e.g. minhash
         # signatures) so later timings don't pay earlier queries' cache
