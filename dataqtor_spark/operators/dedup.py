@@ -288,3 +288,43 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("cosine") >= threshold)
             .select(F.col("l.__id").alias("id_a"),
                     F.col("r.__id").alias("id_b"), "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup pairs → clusters
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """(id, component) for every node in ``pairs`` — component = min node
+    id reachable (the dedup-cluster builder: pairs from any near-dup
+    detector in, survivor groups out).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbours' labels — one join + one groupBy per
+    round, converging in graph-diameter rounds (near-dup graphs are
+    shallow: mostly tiny cliques).  ``localCheckpoint`` truncates the
+    lineage each round so plans don't grow with iterations.  Driver sees
+    only the single `changed` counter per round — no row data.
+    """
+    e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+         .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                   F.col(id_a).alias("dst")))
+         .distinct().localCheckpoint())
+    labels = (e.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        nb = (e.join(labels, e["dst"] == labels["id"])
+              .groupBy("src").agg(F.min("label").alias("nb_min")))
+        new = (labels.join(nb, labels["id"] == nb["src"], "left")
+               .select(labels["id"],
+                       F.least(labels["label"],
+                               F.coalesce(F.col("nb_min"), labels["label"]))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -984,9 +984,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- d02 — exact n-gram Jaccard pairs (inverted index, both dialects) ------
 
-@register(
-    "d02_ngram_jaccard_pairs",
-    """WITH ex AS (
+_D02_PAIRS_SQL = """WITH ex AS (
   SELECT DISTINCT doc_id AS id, sh FROM (
     SELECT doc_id,
            array_to_string(words[i:i+4], ' ') AS sh
@@ -1006,8 +1004,10 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON inter.id_a = sa.id
 JOIN sizes sb ON inter.id_b = sb.id
-WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2""",
-)
+WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2"""
+
+
+@register("d02_ngram_jaccard_pairs", _D02_PAIRS_SQL)
 def d02_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
@@ -1979,3 +1979,33 @@ FROM documents""",
 def t07_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking before training (emails, phone-shaped runs, numbers)."""
     return TX.scrub_pii(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+
+
+@register(
+    "d06_dedup_clusters",
+    f"""WITH RECURSIVE pairs AS ({_D02_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+cc(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+),
+comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
+SELECT component, count(*)::BIGINT AS cluster_size,
+       min(id)::BIGINT AS survivor_id
+FROM comp GROUP BY 1""",
+)
+def d06_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → survivor per cluster (the
+    missing last stage of every dedup pipeline).  Oracle builds the same
+    components with a recursive transitive-closure CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
+    comp = DD.connected_components(pairs)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.min("id").alias("survivor_id")))

@@ -279,3 +279,17 @@ def test_pii_scrub(spark):
     got = TX.scrub_pii(df).collect()[0]["text"]
     assert "<EMAIL>" in got and "<PHONE>" in got and "<NUM>" in got
     assert "jo.doe" not in got and "555" not in got
+
+
+def test_connected_components_chain_and_cliques(spark):
+    # chain 1-2-3-4-5 (diameter 4), clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in D.connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[i] for i in (10, 11, 12)} == {10}
+    assert {comp[i] for i in (20, 21)} == {20}
