@@ -2009,3 +2009,29 @@ def d06_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.min("id").alias("survivor_id")))
+
+
+def _langid_tokens_sql(expr: str) -> str:
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    votes = {}
+    for lang in TX.LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+        votes[lang] = f"len(list_filter({toks}, t -> t IN ({words})))"
+    best = "greatest(" + ", ".join(f"({votes[l]})" for l in TX.LANG_ORDER) + ")"
+    whens = "".join(f" WHEN ({votes[l]}) = {best} THEN '{l}'" for l in TX.LANG_ORDER)
+    return f"CASE WHEN {best} = 0 THEN 'und'{whens} ELSE 'und' END"
+
+
+@register(
+    "t03b_langid_tokens",
+    f"""SELECT lang, {_langid_tokens_sql('text')} AS lang_pred, count(*)::BIGINT AS count
+FROM documents GROUP BY 1, 2""",
+)
+def t03b_langid_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-vote language ID (single tokenize + array filters — the scale
+    form of t03's regex voting)."""
+    from dataqtor_spark.session import parallelize
+
+    docs = TX.add_lang_id_tokens(parallelize(_t(spark, sf_dir, "documents")))
+    return (docs.groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("count")))
