@@ -229,3 +229,44 @@ def lang_id_tokens(col: Column | str) -> Column:
 
 def add_lang_id_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", lang_id_tokens(text_col))
+
+
+# ---------------------------------------------------------------------------
+# training-set assembly: deterministic shuffle, sharding, binned sampling
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash — same arithmetic is expressible in ANSI SQL,
+# so shuffle/shard assignments are reproducible across engines and runs.
+_MIX = 2654435761
+
+
+def shuffle_key(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic pseudo-random sort key from a numeric id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod((c + F.lit(seed)) * F.lit(_MIX), F.lit(1 << 32))
+
+def assign_shards(df: DataFrame, id_col: str, n_shards: int,
+                  seed: int = 0) -> DataFrame:
+    """Shard assignment for training-data writers: shard = mixed id mod n.
+    Uniform, deterministic, reproducible — the write side then just
+    ``partitionBy("shard")``; no global sort, no shuffle beyond the write."""
+    return df.withColumn("shard",
+                         F.pmod(shuffle_key(id_col, seed), F.lit(n_shards))
+                         .cast("int"))
+
+
+def sample_by_bin(df: DataFrame, bin_col: Column, rates: dict[str, int],
+                  id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic per-bin subsampling: keep a row iff
+    ``mixed(id) mod 100 < rates[bin]`` (rates in percent).  The
+    quality-weighted curriculum pattern — higher-quality bins keep more —
+    with exact reproducibility and a pure-SQL twin."""
+    r = F.lit(None).cast("int")
+    expr = None
+    for b, pct in rates.items():
+        cond = bin_col == b
+        expr = F.when(cond, F.lit(pct)) if expr is None else expr.when(cond, F.lit(pct))
+    rate = expr.otherwise(F.lit(0))
+    return df.withColumn("__rate", rate).filter(
+        F.pmod(shuffle_key(id_col, seed), F.lit(100)) < F.col("__rate")
+    ).drop("__rate")

@@ -2035,3 +2035,83 @@ def t03b_langid_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TX.add_lang_id_tokens(parallelize(_t(spark, sf_dir, "documents")))
     return (docs.groupBy("lang", "lang_pred")
             .agg(F.count(F.lit(1)).alias("count")))
+
+
+# --- t08/t09/d07 — training-set assembly -----------------------------------
+
+_MIX_SQL = "((({id} + {seed}) * 2654435761) % 4294967296 + 4294967296) % 4294967296"
+
+@register(
+    "t08_shard_assignment",
+    f"""SELECT shard, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+FROM (SELECT doc_id,
+             CAST({_MIX_SQL.format(id='doc_id', seed=0)} % 16 AS INT) AS shard
+      FROM documents)
+GROUP BY 1""",
+)
+def t08_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data writers (uniform
+    mixed-id mod n; write side partitionBy(shard), no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.assign_shards(docs, "doc_id", n_shards=16)
+    return (out.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
+@register(
+    "t09_quality_binned_sample",
+    f"""WITH q AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 400 THEN 'long'
+              WHEN length(text) >= 150 THEN 'medium'
+              ELSE 'short' END AS bin
+  FROM documents
+)
+SELECT bin, count(*)::BIGINT AS n_kept
+FROM q
+WHERE ({_MIX_SQL.format(id='doc_id', seed=7)}) % 100 <
+      (CASE bin WHEN 'long' THEN 80 WHEN 'medium' THEN 40 ELSE 10 END)
+GROUP BY 1""",
+)
+def t09_binned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted curriculum sampling: per-bin keep rates applied via
+    a deterministic mixed-id threshold (reproducible across engines/runs)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "bin", F.when(F.length("text") >= 400, F.lit("long"))
+                .when(F.length("text") >= 150, F.lit("medium"))
+                .otherwise(F.lit("short")))
+    kept = TX.sample_by_bin(docs, F.col("bin"),
+                            {"long": 80, "medium": 40, "short": 10},
+                            id_col="doc_id", seed=7)
+    return kept.groupBy("bin").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "d07_incremental_dedup",
+    """WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+  FROM documents
+),
+old AS (SELECT fp FROM fp WHERE doc_id < 250),
+new AS (SELECT doc_id, fp FROM fp WHERE doc_id >= 250)
+SELECT count(*)::BIGINT AS n_new,
+       sum(CASE WHEN old.fp IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel
+FROM new LEFT JOIN (SELECT DISTINCT fp FROM old) old USING (fp)""",
+)
+def d07_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: new batch anti-joined against the historical
+    corpus's fingerprints (the steady-state form of crawl dedup — history
+    is a fingerprint table, not the full corpus; broadcast when small,
+    bucketed on fp when not)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.fingerprint("text").alias("fp"))
+    old = docs.filter(F.col("doc_id") < 250).select("fp").distinct()
+    new = docs.filter(F.col("doc_id") >= 250)
+    novel = new.join(old, "fp", "left_anti")
+    return (new.agg(F.count(F.lit(1)).alias("n_new"))
+            .crossJoin(novel.agg(F.count(F.lit(1)).alias("n_novel"))))
