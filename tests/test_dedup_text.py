@@ -293,3 +293,27 @@ def test_connected_components_chain_and_cliques(spark):
     assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
     assert {comp[i] for i in (10, 11, 12)} == {10}
     assert {comp[i] for i in (20, 21)} == {20}
+
+
+def test_shard_assignment_uniform_and_stable(spark, tables):
+    from dataqtor_spark.operators import textstats as TX
+
+    docs = tables["documents"]
+    n = docs.count()
+    out = TX.assign_shards(docs, "doc_id", n_shards=8)
+    counts = {r["shard"]: r["n"] for r in
+              out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(range(8))
+    # rough uniformity: every shard within ±50% of the mean
+    mean = n / 8
+    assert all(0.5 * mean <= c <= 1.5 * mean for c in counts.values()), counts
+    # deterministic: same assignment on recompute
+    again = {r["shard"]: r["n"] for r in
+             TX.assign_shards(docs, "doc_id", n_shards=8)
+             .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+    # different seed → different permutation (almost surely)
+    other = {r["shard"]: r["n"] for r in
+             TX.assign_shards(docs, "doc_id", n_shards=8, seed=99)
+             .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(other) == set(range(8))
