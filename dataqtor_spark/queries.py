@@ -1568,6 +1568,17 @@ _T05_NTOK = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
 _T05_DIGR = ("round(len(regexp_extract_all(text, '[0-9]')) * 1.0 "
              "/ greatest(length(text), 1), 4)")
 
+def _langid_tokens_sql(expr: str) -> str:
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    votes = {}
+    for lang in TX.LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+        votes[lang] = f"len(list_filter({toks}, t -> t IN ({words})))"
+    best = "greatest(" + ", ".join(f"({votes[l]})" for l in TX.LANG_ORDER) + ")"
+    whens = "".join(f" WHEN ({votes[l]}) = {best} THEN '{l}'" for l in TX.LANG_ORDER)
+    return f"CASE WHEN {best} = 0 THEN 'und'{whens} ELSE 'und' END"
+
+
 @register(
     "t05_training_pipeline",
     f"""WITH flt AS (
@@ -1587,7 +1598,7 @@ _T05_DIGR = ("round(len(regexp_extract_all(text, '[0-9]')) * 1.0 "
     FROM fp) WHERE rn = 1
 )
 SELECT lang_pred, count(*)::BIGINT AS n_docs FROM keep GROUP BY 1""".replace(
-        "{LANGID}", _langid_sql("text")),
+        "{LANGID}", _langid_tokens_sql("text")),
 )
 def t05_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-training-data pipeline in one lineage: quality filter →
@@ -1602,7 +1613,7 @@ def t05_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex-heavy quality+langid stages run in one task
     docs = TX.add_quality(parallelize(_t(spark, sf_dir, "documents")))
     flt = docs.filter((F.col("n_tokens") >= 5) & (F.col("digit_ratio") < 0.2))
-    lng = TX.add_lang_id(flt).filter(F.col("lang_pred") != "und")
+    lng = TX.add_lang_id_tokens(flt).filter(F.col("lang_pred") != "und")
     fp = lng.select("doc_id", "lang_pred", TX.fingerprint("text").alias("fp"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     keep = (fp.withColumn("rn", F.row_number().over(w))
@@ -2009,17 +2020,6 @@ def d06_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.min("id").alias("survivor_id")))
-
-
-def _langid_tokens_sql(expr: str) -> str:
-    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
-    votes = {}
-    for lang in TX.LANG_ORDER:
-        words = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
-        votes[lang] = f"len(list_filter({toks}, t -> t IN ({words})))"
-    best = "greatest(" + ", ".join(f"({votes[l]})" for l in TX.LANG_ORDER) + ")"
-    whens = "".join(f" WHEN ({votes[l]}) = {best} THEN '{l}'" for l in TX.LANG_ORDER)
-    return f"CASE WHEN {best} = 0 THEN 'und'{whens} ELSE 'und' END"
 
 
 @register(
