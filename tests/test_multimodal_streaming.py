@@ -178,3 +178,28 @@ def test_audio_features_plumbing(spark):
     again = MM.extract_audio_features(df).collect()
     assert {r["media_id"]: r["duration_ms"] for r in rows} == \
         {r["media_id"]: r["duration_ms"] for r in again}
+
+
+def test_windowed_null_profile_batch_and_stream(spark, tables, tmp_path):
+    ev = tables["events"].withColumn(
+        "value", F.when(F.col("event_id") % 5 == 0, None)
+                  .otherwise(F.col("value")))
+    out = SP.windowed_null_profile(ev, "ts", ["value", "user_id"],
+                                   window="1 day").collect()
+    assert sum(r["total_records"] for r in out) == ev.count()
+    assert sum(r["nulls_value"] for r in out) == \
+        ev.filter(F.col("value").isNull()).count()
+    assert all(r["nulls_user_id"] == 0 for r in out)
+
+    # same aggregation through readStream
+    src = str(tmp_path / "events_np")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = SP.stream_events(spark, src, watermark="90 days")
+    res = SP.windowed_null_profile(stream, "ts", ["value"], window="1 day")
+    table = SP.run_stream_to_memory(res, "np_test", spark)
+    streamed = {(r["window_start"]): (r["total_records"], r["nulls_value"])
+                for r in table.collect()}
+    batch = {(r["window_start"]): (r["total_records"], r["nulls_value"])
+             for r in SP.windowed_null_profile(
+                 spark.read.parquet(src), "ts", ["value"], window="1 day").collect()}
+    assert streamed == batch
