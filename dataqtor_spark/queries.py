@@ -2115,3 +2115,22 @@ def d07_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel = new.join(old, "fp", "left_anti")
     return (new.agg(F.count(F.lit(1)).alias("n_new"))
             .crossJoin(novel.agg(F.count(F.lit(1)).alias("n_novel"))))
+
+
+@register(
+    "s06_windowed_null_profile",
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+       count(*)::BIGINT AS total_records,
+       sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS nulls_value,
+       0::BIGINT AS nulls_user_id
+FROM events GROUP BY 1, 2""",
+)
+def s06_windowed_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship null profile (A3) as a windowed/streaming aggregate,
+    over a derived nullable column (testdata has no physical nulls)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_id") % 5 == 0, F.lit(None))
+                  .otherwise(F.col("value")))
+    return SP.windowed_null_profile(ev, "ts", ["value", "user_id"],
+                                    window="1 day")
