@@ -12,6 +12,7 @@ the semantics (and then always Arrow-batched, never row-at-a-time).
 """
 
 from dataqtor_spark.session import get_spark, ingest, with_row_id
+from dataqtor_spark.workbench import Workbench
 
-__all__ = ["get_spark", "ingest", "with_row_id"]
+__all__ = ["get_spark", "ingest", "with_row_id", "Workbench"]
 __version__ = "0.1.0"

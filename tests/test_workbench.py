@@ -1,0 +1,44 @@
+"""End-to-end workbench lifecycle: the reference's upload → profile →
+detect → correct → re-detect → report → download loop."""
+
+import pyspark.sql.functions as F
+
+from dataqtor_spark import Workbench
+from dataqtor_spark.operators import rules as R
+
+
+def test_full_lifecycle(spark, tables, tmp_path):
+    src_path = str(tmp_path / "cust_src")
+    tables["customer"].write.mode("overwrite").parquet(src_path)
+
+    wb = Workbench.load(spark, src_path, row_id_order=["c_custkey"])
+    n0 = wb.df.count()
+
+    prof = wb.profile(["c_acctbal", "c_mktsegment"]).collect()
+    assert {r["column"] for r in prof} == {"c_acctbal", "c_mktsegment"}
+
+    rules = [R.rule_forbidden_values("c_mktsegment", ["MACHINERY"], name="seg")]
+    before = wb.detect(rules).collect()[0]
+    assert before["out_of_format_records"] > 0
+
+    wb.remap_value("c_mktsegment", "MACHINERY", "HEAVY EQUIPMENT")
+    after = wb.detect(rules).collect()[0]
+    assert after["out_of_format_records"] == 0
+    assert after["dq_score"] > before["dq_score"]
+
+    rep = wb.report().collect()
+    assert {r["measurement"] for r in rep} == {0, 1}
+    by_m = {r["measurement"]: r["overall_dq_score"] for r in rep}
+    assert by_m[1] >= by_m[0]
+
+    # search + cell edit by row id
+    hit = wb.search("__row_id", "row_id", 7).collect()
+    assert len(hit) == 1
+    wb.update_cell(7, "c_name", "EDITED")
+    assert wb.search("c_name", "==", "EDITED").count() == 1
+
+    out_path = str(tmp_path / "cust_out")
+    wb.save(out_path)
+    back = spark.read.parquet(out_path)
+    assert back.count() == n0
+    assert "__row_id" not in back.columns  # stripped on download
