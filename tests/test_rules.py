@@ -261,3 +261,37 @@ def test_many_rules_single_scan(spark, tables):
     import re
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+
+
+def test_builtin_rule_wrappers(spark):
+    from dataqtor_spark.operators import rules as R
+
+    df = spark.createDataFrame(
+        [(1, "ok@mail.com", "5329876012", "10000000146", "1234567895"),
+         (2, "BAD@@", "abc", "10000000147", "1234567890"),
+         (3, None, None, None, None)],
+        "id long, email string, phone string, tcid string, taxid string")
+    # each wrapper returns a Rule whose violations() excludes nulls
+    assert R.rule_email("email").violations(df).count() == 1
+    assert R.rule_phone_tr("phone").violations(df).count() == 1
+    tc = R.rule_tcid("tcid").violations(df)
+    assert {r["id"] for r in tc.select("id").collect()} <= {1, 2}
+    tx = R.rule_taxnum("taxid").violations(df)
+    assert {r["id"] for r in tx.select("id").collect()} <= {1, 2}
+
+    # violation_flags: one boolean column per rule in one projection
+    flags = R.violation_flags(df, [R.rule_email("email"),
+                                   R.rule_phone_tr("phone")])
+    row = {r["id"]: r for r in flags.collect()}
+    viol_cols = [c for c in flags.columns if c.startswith("__viol")]
+    assert len(viol_cols) == 2
+    assert any(row[2][c] for c in viol_cols)
+    assert not any(row[1][c] is True and "email" in c for c in viol_cols)
+
+
+def test_fill_nulls(spark):
+    from dataqtor_spark.operators import repair as RP
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "id long, s string")
+    out = RP.fill_nulls(df, "s", "missing")
+    assert {r["s"] for r in out.collect()} == {"missing", "x"}
