@@ -203,3 +203,32 @@ def test_windowed_null_profile_batch_and_stream(spark, tables, tmp_path):
              for r in SP.windowed_null_profile(
                  spark.read.parquet(src), "ts", ["value"], window="1 day").collect()}
     assert streamed == batch
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tables, tmp_path):
+    # file sink + checkpoint: restarting over a grown source must process
+    # only the new files (exactly-once), never re-emitting the old batch
+    ev = tables["events"].limit(1000)
+    first, second = (ev.filter(F.col("event_id") % 2 == 0),
+                     ev.filter(F.col("event_id") % 2 == 1))
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    first.repartition(2).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = SP.stream_events(spark, src, watermark="90 days")
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    second.repartition(2).write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()                      # nothing re-emitted
+    assert out.select("event_id").distinct().count() == ev.count()
