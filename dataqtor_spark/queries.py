@@ -2134,3 +2134,24 @@ def s06_windowed_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(F.col("value")))
     return SP.windowed_null_profile(ev, "ts", ["value", "user_id"],
                                     window="1 day")
+
+
+@register(
+    "ann04_label_centroids",
+    """SELECT label, i::INT AS dim_index,
+       round(avg(v), 6) AS mean_value,
+       count(*)::BIGINT AS n_vectors
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE label IS NOT NULL)
+GROUP BY 1, 2""",
+)
+def ann04_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes): posexplode →
+    groupBy(label, dim) — the shuffle carries partial (sum, count) pairs
+    per (label, dim), i.e. O(labels × dim), not row data."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    return (emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim_index"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_value"),
+                 F.count(F.lit(1)).alias("n_vectors")))
