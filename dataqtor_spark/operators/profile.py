@@ -553,3 +553,37 @@ def null_pattern_profile(df: DataFrame, cols: list[str] | None = None) -> DataFr
             .groupBy("null_pattern")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.max("__n").alias("n_null_columns")))
+
+
+def psi_drift(df: DataFrame, col: str, period_col: str, bins: int = 10,
+              smoothing: float = 0.5) -> DataFrame:
+    """Population Stability Index between the two values of a boolean
+    period column (dataset-shift detection between snapshots/batches).
+
+    One pass for global min/max, one binned groupBy over (bucket, period)
+    — O(bins) result rows; PSI = Σ (pa−pb)·ln(pa/pb) over smoothed bin
+    shares, computed on the tiny binned table.
+    """
+    mm = df.agg(F.min(F.col(col)).cast("double").alias("lo"),
+                F.max(F.col(col)).cast("double").alias("hi"))
+    binned = (df.select(F.col(col).cast("double").alias("v"), F.col(period_col).alias("p"))
+              .filter(F.col("v").isNotNull())
+              .crossJoin(F.broadcast(mm))
+              .select(
+                  F.when(F.col("hi") == F.col("lo"), F.lit(0))
+                  .otherwise(F.least(
+                      F.floor((F.col("v") - F.col("lo"))
+                              / ((F.col("hi") - F.col("lo")) / bins)),
+                      F.lit(bins - 1))).cast("int").alias("bucket"),
+                  "p"))
+    counts = (binned.groupBy("bucket")
+              .agg(F.sum(F.when(F.col("p"), 1).otherwise(0)).alias("na"),
+                   F.sum(F.when(~F.col("p"), 1).otherwise(0)).alias("nb")))
+    tot = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    sm = F.lit(smoothing)
+    out = (counts.crossJoin(F.broadcast(tot))
+           .select("bucket",
+                   ((F.col("na") + sm) / (F.col("ta") + sm * bins)).alias("pa"),
+                   ((F.col("nb") + sm) / (F.col("tb") + sm * bins)).alias("pb")))
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return out.agg(F.round(F.sum(term), 6).alias("psi"))

@@ -2155,3 +2155,28 @@ def ann04_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim_index"))
             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_value"),
                  F.count(F.lit(1)).alias("n_vectors")))
+
+
+@register(
+    "pr07_psi_drift",
+    """WITH mm AS (SELECT min(o_totalprice)::DOUBLE AS lo,
+                          max(o_totalprice)::DOUBLE AS hi FROM orders),
+b AS (SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket,
+             (o_orderdate < TIMESTAMP '1996-01-01') AS p
+      FROM orders, mm WHERE o_totalprice IS NOT NULL),
+c AS (SELECT bucket,
+             sum(CASE WHEN p THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS nb
+      FROM b GROUP BY 1),
+t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c),
+s AS (SELECT (na + 0.5) / (ta + 0.5 * 10) AS pa,
+             (nb + 0.5) / (tb + 0.5 * 10) AS pb
+      FROM c, t)
+SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi FROM s""",
+)
+def pr07_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (PSI) of order value between the pre/post-1996
+    periods — the dataset-shift gate for incoming training batches."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__period", F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    return P.psi_drift(o, "o_totalprice", "__period", bins=10)
