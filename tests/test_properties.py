@@ -12,7 +12,10 @@ from dataqtor_spark.operators import skew as SK
 from dataqtor_spark.functions import checksums as CK
 from dataqtor_spark.functions import phone as PH
 
-_SETTINGS = dict(max_examples=8, deadline=None)
+import os
+
+_SETTINGS = dict(max_examples=int(os.environ.get("HYP_EXAMPLES", "8")),
+                 deadline=None)
 
 
 # --- rule algebra: violations ⊎ clean ⊎ nulls = all ------------------------
