@@ -119,3 +119,23 @@ def test_enrich_date_parts(spark):
     assert r["Weekday_ts"] == "Thursday"
     assert r["Quarter_ts"] == 3
     assert r["WeekofYear_ts"] == 33
+
+
+def test_age_ansi_safe_on_garbage(spark):
+    import datetime
+
+    from dataqtor_spark.operators import enrich as EN
+
+    # ANSI mode (Spark 4 default) throws on strict parses — the age
+    # enrichment must stay null-on-garbage (try_to_timestamp), including
+    # calendar-invalid dates like Feb 31
+    df = spark.createDataFrame(
+        [("15061990",), ("garbage",), ("31022020",), ("",), (None,)],
+        "bd string")
+    out = {r["bd"]: r["Age_bd"] for r in
+           EN.enrich_age(df, "bd", as_of=datetime.date(2026, 8, 13)).collect()}
+    assert out["15061990"] == 36
+    assert out["garbage"] is None
+    assert out["31022020"] is None  # no Feb 31
+    assert out[""] is None
+    assert out[None] is None
