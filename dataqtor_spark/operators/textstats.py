@@ -270,3 +270,25 @@ def sample_by_bin(df: DataFrame, bin_col: Column, rates: dict[str, int],
     return df.withColumn("__rate", rate).filter(
         F.pmod(shuffle_key(id_col, seed), F.lit(100)) < F.col("__rate")
     ).drop("__rate")
+
+
+def pack_sequences(chunks: DataFrame, token_budget: int = 512,
+                   shard_col: str = "shard", order_col: str = "doc_id",
+                   tokens_col: str = "n_chunk_tokens") -> DataFrame:
+    """Greedy sequence packing: within each shard, chunks (in a
+    deterministic order) are packed into consecutive bins of at most
+    ``token_budget`` tokens — bin = floor(exclusive-prefix-sum / budget).
+
+    The window partitions by shard, so packing parallelism = shard count
+    and no shard's data leaves its partition.  Greedy-by-prefix-sum can
+    split a chunk's bin boundary mid-budget (a chunk never splits, a bin
+    may exceed budget by < one chunk) — the standard streaming-packing
+    trade, documented rather than hidden.
+    """
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(shard_col).orderBy(order_col, "chunk_index")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+    return chunks.withColumn("bin",
+                             F.floor(prefix / token_budget).cast("int"))

@@ -2180,3 +2180,42 @@ def pr07_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").withColumn(
         "__period", F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     return P.psi_drift(o, "o_totalprice", "__period", bins=10)
+
+
+@register(
+    "t10_sequence_packing",
+    f"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1) + 1, 56),
+                                   s -> array_to_string(toks[s:s+63], ' ')))
+               AS chunk_text,
+             generate_subscripts(list_transform(range(1, greatest(len(toks), 1) + 1, 56),
+                                                s -> s), 1) - 1 AS chunk_index
+      FROM t),
+ck AS (SELECT doc_id, chunk_index,
+              len(regexp_split_to_array(chunk_text, '\\s+')) AS n_chunk_tokens,
+              CAST({_MIX_SQL.format(id='doc_id', seed=0)} % 8 AS INT) AS shard
+       FROM c WHERE length(chunk_text) > 0),
+p AS (SELECT shard,
+             CAST(floor(coalesce(sum(n_chunk_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id, chunk_index
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+                  AS INT) AS bin,
+             n_chunk_tokens
+      FROM ck)
+SELECT shard, bin, count(*)::BIGINT AS n_chunks,
+       sum(n_chunk_tokens)::BIGINT AS n_tokens
+FROM p GROUP BY 1, 2""",
+)
+def t10_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → shard → greedy 512-token sequence packing (the last step
+    before a training-data writer); per-shard windows keep packing
+    embarrassingly parallel across shards."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(docs, max_tokens=64, overlap=8)
+    sharded = TX.assign_shards(chunks, "doc_id", n_shards=8)
+    packed = TX.pack_sequences(sharded, token_budget=512)
+    return (packed.groupBy("shard", "bin")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_chunk_tokens").alias("n_tokens")))

@@ -317,3 +317,21 @@ def test_shard_assignment_uniform_and_stable(spark, tables):
              TX.assign_shards(docs, "doc_id", n_shards=8, seed=99)
              .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(other) == set(range(8))
+
+
+def test_sequence_packing_budget(spark):
+    from dataqtor_spark.operators import textstats as TX
+
+    text = " ".join(f"w{i}" for i in range(1000))
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    chunks = TX.assign_shards(
+        TX.chunk_documents(df, max_tokens=100, overlap=0), "doc_id", 1)
+    packed = TX.pack_sequences(chunks, token_budget=300)
+    bins = {}
+    for r in packed.collect():
+        bins.setdefault(r["bin"], 0)
+        bins[r["bin"]] += r["n_chunk_tokens"]
+    # each bin ≤ budget + one chunk (greedy boundary), bins contiguous
+    assert set(bins) == set(range(len(bins)))
+    assert all(v <= 300 + 100 for v in bins.values())
+    assert sum(bins.values()) == 2000

@@ -177,3 +177,11 @@ def test_range_join_boundaries(spark):
            RJ.range_join(points, iv, "k", "ts", "s", "e").collect()}
     # start inclusive, end exclusive; key-scoped
     assert got == {(1, "a"), (2, "a")}
+
+
+def test_jsonl_ingest_roundtrip(spark, tables, tmp_path):
+    src = str(tmp_path / "nation_jsonl")
+    tables["nation"].write.mode("overwrite").json(src)
+    back = S.ingest(spark, src, fmt="json", row_id_order=["n_nationkey"])
+    assert back.count() == tables["nation"].count()
+    assert S.ROW_ID in back.columns
