@@ -232,3 +232,32 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tables, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == ev.count()                      # nothing re-emitted
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_training_pipeline(spark, tables, tmp_path):
+    # the t05 pipeline as a stream: stateless quality+langid stages, then
+    # watermark-bounded fingerprint dedup — batch and stream must agree
+    from dataqtor_spark.operators import textstats as TX
+
+    docs = tables["documents"].withColumn(
+        "ts", F.timestamp_seconds(1700000000 + F.col("doc_id") * 60))
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    def pipeline(df):
+        q = TX.add_quality(df).filter(F.col("n_tokens") >= 5)
+        lng = TX.add_lang_id_tokens(q).filter(F.col("lang_pred") != "und")
+        fp = lng.select("doc_id", "ts", TX.fingerprint("text").alias("fp"))
+        return SP.stream_dedup(fp, ["fp"], "ts", "365 days")
+
+    batch_n = pipeline(spark.read.parquet(src)).count()
+
+    static = spark.read.parquet(src)
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "365 days"))
+    q = (pipeline(stream).writeStream.format("memory")
+         .queryName("train_pipe").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("train_pipe").count() == batch_n
