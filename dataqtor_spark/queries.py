@@ -39,12 +39,11 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # nanos→micros: parquet TIMESTAMP(NANOS) arrives as long (see
-        # session.get_spark); truncation matches DuckDB's µs comparisons
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # session.read_table handles the events nanos→micros fixup and works in
+    # any caller session (it sets the nanosAsLong conf at read time)
+    from dataqtor_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,26 @@ def get_spark(app_name: str = "dataqtor_spark", master: str | None = None) -> Sp
     return builder.getOrCreate()
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table, normalizing types regardless of session config.
+
+    ``events.parquet`` carries parquet TIMESTAMP(NANOS), which Spark cannot
+    read natively (PARQUET_TYPE_ILLEGAL) — so we flip the runtime conf to
+    read it as a long of nanos and convert to a proper micros timestamp.
+    Setting the conf here (not only at session build) makes the loader work
+    in ANY caller-provided SparkSession, including the driver's.  Truncation
+    to micros matches DuckDB's µs timestamp comparisons.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     """Load the standard test tables from a scale-factor directory."""
     names = names or [
@@ -65,7 +85,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for n in names:
         p = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(p):
-            out[n] = spark.read.parquet(p)
+            out[n] = read_table(spark, sf_dir, n)
     return out
 
 
