@@ -155,12 +155,22 @@ def minhash_similarity(sig: DataFrame, candidates: DataFrame, id_col: str) -> Da
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.7, num_hashes: int = 64,
                         bands: int = 16, shingle_n: int = 3) -> DataFrame:
-    """End-to-end MinHash near-dup pairs above an estimated-Jaccard threshold."""
+    """End-to-end MinHash near-dup pairs above an estimated-Jaccard threshold.
+
+    The signature table is persisted (reused by banding and verification),
+    the small pair result is materialized via ``localCheckpoint``, and the
+    signatures are unpersisted before returning — repeated calls in a
+    long-lived session do not accumulate storage.
+    """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     sig = sig.persist()  # reused by banding and verification
-    cand = minhash_candidates(sig, id_col, num_hashes, bands)
-    return (minhash_similarity(sig, cand, id_col)
-            .filter(F.col("est_jaccard") >= threshold))
+    try:
+        cand = minhash_candidates(sig, id_col, num_hashes, bands)
+        return (minhash_similarity(sig, cand, id_col)
+                .filter(F.col("est_jaccard") >= threshold)
+                .localCheckpoint())
+    finally:
+        sig.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -295,17 +305,23 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
     """(id, component) for every node in ``pairs`` — component = min node
     id reachable (the dedup-cluster builder: pairs from any near-dup
     detector in, survivor groups out).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own and its neighbours' labels — one join + one groupBy per
-    round, converging in graph-diameter rounds (near-dup graphs are
-    shallow: mostly tiny cliques).  ``localCheckpoint`` truncates the
-    lineage each round so plans don't grow with iterations.  Driver sees
-    only the single `changed` counter per round — no row data.
+    Each round combines min-label propagation (every node takes the min of
+    its own and its neighbours' labels — one join + one groupBy) with a
+    pointer-jumping step (label ← label(label), a self-join), so label
+    distance doubles per round and convergence is O(log diameter) rounds
+    rather than O(diameter) — a 2^30-diameter path converges within the
+    default ``max_iter``.  ``localCheckpoint`` truncates the lineage each
+    round so plans don't grow with iterations.  Driver sees only the single
+    `changed` counter per round — no row data.
+
+    Raises ``RuntimeError`` if labels have not stabilized after
+    ``max_iter`` rounds (silent wrong clusters are worse than a loud
+    failure for survivor selection downstream).
     """
     e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
          .unionByName(pairs.select(F.col(id_b).alias("src"),
@@ -316,15 +332,27 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     for _ in range(max_iter):
         nb = (e.join(labels, e["dst"] == labels["id"])
               .groupBy("src").agg(F.min("label").alias("nb_min")))
-        new = (labels.join(nb, labels["id"] == nb["src"], "left")
-               .select(labels["id"],
-                       F.least(labels["label"],
-                               F.coalesce(F.col("nb_min"), labels["label"]))
+        prop = (labels.join(nb, labels["id"] == nb["src"], "left")
+                .select(labels["id"],
+                        F.least(labels["label"],
+                                F.coalesce(F.col("nb_min"), labels["label"]))
+                        .alias("label")))
+        # pointer jump: follow the label one hop (label is itself a node id,
+        # so label(label) is ≤ label and reachable) — doubles propagation
+        # distance per round
+        parent = prop.select(F.col("id").alias("label"),
+                             F.col("label").alias("__grand"))
+        new = (prop.join(parent, "label", "left")
+               .select(F.col("id"),
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("__grand"), F.col("label")))
                        .alias("label"))
                .localCheckpoint())
         changed = (new.alias("n").join(labels.alias("o"), "id")
                    .filter(F.col("n.label") != F.col("o.label")).count())
         labels = new
         if changed == 0:
-            break
-    return labels.select(F.col("id"), F.col("label").alias("component"))
+            return labels.select(F.col("id"), F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components: labels not stable after {max_iter} rounds; "
+        "graph is deeper than expected — raise max_iter")

@@ -444,20 +444,28 @@ def _fractional_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
     partition — a non-starter at scale.  Ranks are a function of the
     *value*, so compute them on the distinct-value table (groupBy →
     cumulative count over the much smaller distinct set) and join them
-    back.  Distinct sets for typical profiled columns are tiny →
-    broadcast; worst case (near-unique doubles) the single-partition stage
-    is bounded by O(distinct), not O(rows).
+    back; the single-partition stage is bounded by O(distinct), not
+    O(rows).  No explicit broadcast hint: AQE promotes the join to
+    broadcast at runtime when the rank table is actually small, and falls
+    back to a shuffle join for near-unique doubles where a forced
+    broadcast would OOM the driver.
+
+    NULLs rank as NULL (left join; they are excluded from the rank
+    ordering), so ``F.corr`` over the ranks skips null-bearing rows
+    per-pair — pandas' pairwise behaviour — instead of dropping the row
+    from every pair.
     """
     from pyspark.sql import Window
 
-    vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
+    vc = (df.filter(F.col(col).isNotNull())
+          .groupBy(col).agg(F.count(F.lit(1)).alias("__n")))
     w = Window.orderBy(F.col(col)).rowsBetween(Window.unboundedPreceding, -1)
     ranks = vc.select(
         F.col(col),
         (F.coalesce(F.sum("__n").over(w), F.lit(0))
          + (F.col("__n") + 1) / 2.0).alias(out),
     )
-    return df.join(F.broadcast(ranks), col)
+    return df.join(ranks, col, "left")
 
 
 def spearman_correlations(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

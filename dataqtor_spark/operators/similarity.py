@@ -68,18 +68,23 @@ def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
     # persist: both sides of the self-join read the SAME vector table;
     # without it the whole tokenize→tf→idf→norm pipeline is planned and
     # executed twice (the plan showed ~31 exchanges, half of them the
-    # duplicated subtree)
+    # duplicated subtree).  The small ranked result is materialized via
+    # localCheckpoint so the vectors can be unpersisted before returning —
+    # no storage leak across repeated calls.
     vec = tfidf_vectors(df, col, n).persist()
-    pairs = (vec.alias("l").join(vec.alias("r"),
-                                 (F.col("l.gram") == F.col("r.gram"))
-                                 & (F.col("l.value") < F.col("r.value")))
-             .groupBy(F.col("l.value").alias("left_side"),
-                      F.col("r.value").alias("right_side"))
-             .agg(F.round(F.sum(F.col("l.weight") * F.col("r.weight")), 6)
-                  .alias("similarity"))
-             .filter(F.col("similarity") >= min_similarity))
-    out = pairs.orderBy(F.desc("similarity"), F.asc("left_side"), F.asc("right_side"))
-    return out.limit(top_n) if top_n else out
+    try:
+        pairs = (vec.alias("l").join(vec.alias("r"),
+                                     (F.col("l.gram") == F.col("r.gram"))
+                                     & (F.col("l.value") < F.col("r.value")))
+                 .groupBy(F.col("l.value").alias("left_side"),
+                          F.col("r.value").alias("right_side"))
+                 .agg(F.round(F.sum(F.col("l.weight") * F.col("r.weight")), 6)
+                      .alias("similarity"))
+                 .filter(F.col("similarity") >= min_similarity))
+        out = pairs.orderBy(F.desc("similarity"), F.asc("left_side"), F.asc("right_side"))
+        return (out.limit(top_n) if top_n else out).localCheckpoint()
+    finally:
+        vec.unpersist()
 
 
 def similar_strings_lsh(df: DataFrame, col: str, jaccard_threshold: float = 0.5,
