@@ -174,6 +174,110 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# portable (cross-engine) hash family
+#
+# xxhash64 is Spark-internal, so the sketches above can only be verified
+# rows-only.  This family derives every hash from md5 — bit-identical in
+# Spark, DuckDB, and Python's hashlib — so MinHash/SimHash built on it can
+# be differentially tested against an ANSI-SQL oracle while keeping the
+# exact same LSH statistics and distributed plan shape.
+# ---------------------------------------------------------------------------
+
+PORTABLE_P = 1_000_000_007  # modulus for the universal hash family
+
+
+def portable_hash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for h_i(v) = (a_i·v + b_i) mod P,
+    derived from md5 so any engine (or the oracle generator) can recompute
+    them."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:15], 16) % (PORTABLE_P - 1) + 1
+        b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:15], 16) % PORTABLE_P
+        out.append((a, b))
+    return out
+
+
+def portable_string_hash(col: Column) -> Column:
+    """String → int in [0, P): first 15 hex chars of md5 parsed base-16.
+    15 nibbles = 60 bits, always within a signed 64-bit long; the SQL
+    oracle reproduces the parse with per-nibble strpos arithmetic."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % PORTABLE_P
+
+
+def minhash_signatures_portable(df: DataFrame, id_col: str, text_col: str,
+                                num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<long>) like :func:`minhash_signatures`, but with the
+    portable md5 family: sig[i] = min over shingles of (a_i·v + b_i) mod P
+    where v = portable_string_hash(shingle).  Same plan shape (explode →
+    partial-agg groupBy shuffling only (id, 64 longs))."""
+    from dataqtor_spark.session import parallelize
+
+    # hash inside the array transform so only (id, long) rows are exploded —
+    # shingle strings never become rows
+    ex = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                F.col(text_col).alias("__txt")))
+          .select("__id", F.explode(F.transform(word_shingles("__txt", shingle_n),
+                                                portable_string_hash)).alias("__v")))
+    consts = portable_hash_constants(num_hashes)
+    aggs = [F.min((F.lit(a) * F.col("__v") + F.lit(b)) % PORTABLE_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)]
+    sig = ex.groupBy("__id").agg(*aggs)
+    return sig.select(F.col("__id").alias(id_col),
+                      F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_dedup_pairs_portable(df: DataFrame, id_col: str, text_col: str,
+                                 threshold: float = 0.7, num_hashes: int = 64,
+                                 bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """:func:`minhash_dedup_pairs` on the portable family — identical
+    banding/verification, differentially testable against SQL."""
+    sig = minhash_signatures_portable(df, id_col, text_col, num_hashes, shingle_n)
+    sig = sig.persist()
+    try:
+        cand = minhash_candidates(sig, id_col, num_hashes, bands)
+        return (minhash_similarity(sig, cand, id_col)
+                .filter(F.col("est_jaccard") >= threshold)
+                .localCheckpoint())
+    finally:
+        sig.unpersist()
+
+
+def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash with md5-nibble bits (cross-engine verifiable).
+
+    Bit b of a token's hash = bit (b mod 4) of hex nibble (b div 4) of
+    md5(token) — one md5 per token, 64 bits extracted with substring
+    arithmetic that ANSI SQL replicates exactly.  Same ±1 sign-sum
+    aggregation as :func:`simhash`.
+    """
+    from dataqtor_spark.session import parallelize
+
+    c = F.col(text_col).cast("string")
+    toks = (parallelize(df.select(F.col(id_col).alias("__id"), c.alias("__txt")))
+            .select("__id",
+                    F.explode(F.split(F.trim(F.lower(F.col("__txt"))), r"\s+")).alias("__t"))
+            .withColumn("__h", F.md5("__t")))
+    aggs = []
+    for b in range(64):
+        j, k = b // 4 + 1, b % 4  # 1-based hex char, bit within nibble
+        bit = F.expr(
+            f"((instr('0123456789abcdef', substr(__h, {j}, 1)) - 1) div {2 ** k}) % 2")
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
+    sums = toks.groupBy("__id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for chunk in range(4):
+        cexpr = F.lit(0).cast("long")
+        for i in range(16):
+            cexpr = cexpr + F.when(F.col(f"b{chunk * 16 + i}") > 0,
+                                   F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(cexpr, chunk * 16))
+    return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

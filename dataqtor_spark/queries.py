@@ -1012,19 +1012,103 @@ def d02_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
 
 
-# --- d03/d04 — MinHash and SimHash (hash-seeded sketches: rows-only) -------
+# --- d03/d04 — MinHash and SimHash (portable md5 hash family) --------------
+# The sketches use dedup's portable family (every hash derived from md5,
+# which is bit-identical in Spark and DuckDB), so the full pipeline —
+# shingle → signature → band → candidate → verify — is differentially
+# checked against an ANSI-SQL oracle, not just rows-only.  The xxhash64
+# family remains the scale path (covered by tests/test_dedup_text.py).
 
-@register("d03_minhash_pairs")
+_MH_HASHES, _MH_BANDS, _MH_SHINGLE, _MH_THRESHOLD = 64, 16, 5, 0.35
+
+
+def _nibble_value_sql(hex_col: str) -> str:
+    """SQL for int(substr(md5_hex, 1, 15), 16) via per-nibble arithmetic."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({hex_col}, {j}, 1)) - 1) * {16 ** (15 - j)}"
+        for j in range(1, 16)) + ")"
+
+
+def _minhash_oracle_sql() -> str:
+    from dataqtor_spark.operators.dedup import PORTABLE_P, portable_hash_constants
+
+    n, nh, bands, thr = _MH_SHINGLE, _MH_HASHES, _MH_BANDS, _MH_THRESHOLD
+    rpb = nh // bands
+    consts = portable_hash_constants(nh)
+    hmins = ",\n       ".join(
+        f"min(({a} * v + {b}) % {PORTABLE_P}) AS h{i}" for i, (a, b) in enumerate(consts))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + " AS key FROM sig" for b in range(bands))
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(nh))
+    return f"""WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s.sh AS sh
+  FROM words, unnest(CASE WHEN len(ws) < {n} THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(generate_series(1, len(ws) - {n - 1}),
+                           i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' ')) END) AS s(sh)),
+hv AS (
+  SELECT doc_id, {_nibble_value_sql("h16")} % {PORTABLE_P} AS v
+  FROM (SELECT doc_id, md5(sh) AS h16 FROM sh)),
+sig AS (
+  SELECT doc_id, {hmins}
+  FROM hv GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT c.id_a, c.id_b, ({eq}) / {nh}.0 AS est_jaccard
+  FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b)
+WHERE est_jaccard >= {thr}"""
+
+
+@register("d03_minhash_pairs", _minhash_oracle_sql())
 def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.35,
-                                  num_hashes=64, bands=16, shingle_n=5)
+    return DD.minhash_dedup_pairs_portable(
+        docs, "doc_id", "text", threshold=_MH_THRESHOLD,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
 
 
-@register("d04_simhash_pairs")
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    bitsums = ",\n       ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64))
+    chunk_exprs = ",\n       ".join(
+        "(" + " + ".join(f"(CASE WHEN b{c * 16 + i} > 0 THEN {2 ** i} ELSE 0 END)"
+                         for i in range(16)) + f")::BIGINT AS c{c}"
+        for c in range(4))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c} AS band, c{c} AS key FROM sig" for c in range(4))
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    return f"""WITH toks AS (
+  SELECT doc_id, md5(t.t) AS h
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents) d,
+       unnest(d.ws) AS t(t)),
+bits AS (
+  SELECT doc_id, {bitsums}
+  FROM toks GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, {chunk_exprs}
+  FROM bits),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b, ({ham}) AS hamming
+  FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b)
+WHERE hamming <= {max_hamming}"""
+
+
+@register("d04_simhash_pairs", _simhash_oracle_sql(max_hamming=8))
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sig = DD.simhash(docs, "doc_id", "text")
+    sig = DD.simhash_portable(docs, "doc_id", "text")
     return DD.simhash_near_pairs(sig, "doc_id", max_hamming=8)
 
 
