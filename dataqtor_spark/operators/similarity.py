@@ -87,6 +87,42 @@ def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
         vec.unpersist()
 
 
+def similar_strings_lsh_portable(df: DataFrame, col: str,
+                                 threshold: float = 0.4, num_hashes: int = 32,
+                                 bands: int = 16, n: int = 3) -> DataFrame:
+    """A13 scale mode on dedup's portable md5 hash family: MinHash+banding
+    over distinct char n-gram sets of the distinct values, estimated
+    Jaccard ≥ threshold.  Unlike the MLlib ``MinHashLSH`` variant (whose
+    hash seeds are Spark-internal), every hash here derives from md5, so
+    the whole candidate pipeline is differentially checkable against an
+    ANSI-SQL oracle.  Returns (left_side, right_side, est_jaccard)."""
+    from dataqtor_spark.operators import dedup as DD
+    from dataqtor_spark.session import parallelize
+
+    grams = (parallelize(df.select(F.col(col).alias("value"))
+                         .filter(F.col("value").isNotNull()).distinct())
+             .select("value",
+                     F.explode(F.transform(
+                         F.array_distinct(char_ngrams("value", n)),
+                         DD.portable_string_hash)).alias("__v")))
+    consts = DD.portable_hash_constants(num_hashes)
+    aggs = [F.min((F.lit(a) * F.col("__v") + F.lit(b)) % DD.PORTABLE_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)]
+    sig = (grams.groupBy("value").agg(*aggs)
+           .select(F.col("value").alias("__id"),
+                   F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+           .persist())
+    try:
+        cand = DD.minhash_candidates(sig, "__id", num_hashes, bands)
+        return (DD.minhash_similarity(sig, cand, "__id")
+                .filter(F.col("est_jaccard") >= threshold)
+                .select(F.col("id_a").alias("left_side"),
+                        F.col("id_b").alias("right_side"), "est_jaccard")
+                .localCheckpoint())
+    finally:
+        sig.unpersist()
+
+
 def similar_strings_lsh(df: DataFrame, col: str, jaccard_threshold: float = 0.5,
                         n: int = 3, num_hash_tables: int = 8) -> DataFrame:
     """A13 scale mode: MinHashLSH candidate pairs on n-gram sets (Jaccard

@@ -1150,11 +1150,48 @@ def ann01_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann02_lsh_topk")
+# The hyperplane set is deterministic driver-side Python (LCG + Box-Muller
+# in ann._hyperplanes), so the oracle embeds the exact same float literals
+# and reproduces signature bits, multi-probe buckets, and the re-rank in
+# SQL — the full LSH pipeline is differentially checked, not rows-only.
+_ANN02_PLANES, _ANN02_DIM = 6, 64  # testdata embeddings are 64-dim
+
+
+def _ann02_oracle_sql(k: int = 5) -> str:
+    from dataqtor_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(_ANN02_DIM, _ANN02_PLANES)
+    sig_bits = "\n     + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    probe_list = ", ".join(["qsig"] + [f"xor(qsig, {2 ** i})" for i in range(_ANN02_PLANES)])
+    return f"""WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v, {sig_bits} AS bucket
+  FROM c),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qsig FROM sig WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, qv, u.b AS bucket FROM q, unnest([{probe_list}]) AS u(b)),
+scored AS (
+  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
+         round(list_cosine_similarity(s.v, p.qv), 6) AS cosine
+  FROM probes p JOIN sig s ON s.bucket = p.bucket AND s.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
+@register("ann02_lsh_topk", _ann02_oracle_sql(k=5))
 def ann02_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = ANN.lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=6)
+    out = ANN.lsh_topk(emb, queries, "vec_id", "embedding", k=5,
+                       n_planes=_ANN02_PLANES, dim=_ANN02_DIM)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1201,10 +1238,54 @@ def a13_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("similarity", F.round(F.col("similarity"), 4))
 
 
-@register("a13_similar_strings_lsh")
+_A13L_HASHES, _A13L_BANDS, _A13L_THRESHOLD = 32, 16, 0.4
+
+
+def _a13_lsh_oracle_sql() -> str:
+    from dataqtor_spark.operators.dedup import PORTABLE_P, portable_hash_constants
+
+    nh, bands, thr = _A13L_HASHES, _A13L_BANDS, _A13L_THRESHOLD
+    rpb = nh // bands
+    consts = portable_hash_constants(nh)
+    hmins = ",\n       ".join(
+        f"min(({a} * v + {b}) % {PORTABLE_P}) AS h{i}" for i, (a, b) in enumerate(consts))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT value, {b} AS band, "
+        + " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + " AS key FROM sig" for b in range(bands))
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(nh))
+    return f"""WITH vals AS (
+  SELECT DISTINCT p_name AS value FROM part WHERE p_name IS NOT NULL),
+cleaned AS (
+  SELECT value, regexp_replace(value, '[,\\-./]|\\s', '', 'g') AS cv FROM vals),
+grams AS (
+  SELECT DISTINCT value, substring(cv, i, 3) AS gram
+  FROM cleaned, UNNEST(generate_series(1, greatest(length(cv) - 2, 1))) AS t(i)),
+hv AS (
+  SELECT value, {_nibble_value_sql("h16")} % {PORTABLE_P} AS v
+  FROM (SELECT value, md5(gram) AS h16 FROM grams)),
+sig AS (
+  SELECT value, {hmins}
+  FROM hv GROUP BY value),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.value AS left_side, r.value AS right_side
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.value < r.value)
+SELECT left_side, right_side, est_jaccard FROM (
+  SELECT c.left_side, c.right_side, ({eq}) / {nh}.0 AS est_jaccard
+  FROM cand c JOIN sig a ON a.value = c.left_side JOIN sig b ON b.value = c.right_side)
+WHERE est_jaccard >= {thr}"""
+
+
+@register("a13_similar_strings_lsh", _a13_lsh_oracle_sql())
 def a13_similar_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 scale mode on the portable md5 MinHash family (the MLlib
+    MinHashLSH variant remains in similarity.similar_strings_lsh, covered
+    by tests; its Spark-internal seeds cannot be oracle-replicated)."""
     pt = _t(spark, sf_dir, "part")
-    return SIM.similar_strings_lsh(pt, "p_name", jaccard_threshold=0.4)
+    return SIM.similar_strings_lsh_portable(
+        pt, "p_name", threshold=_A13L_THRESHOLD,
+        num_hashes=_A13L_HASHES, bands=_A13L_BANDS)
 
 
 # ===========================================================================
@@ -1263,20 +1344,55 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "content_sha256")
 
 
-@register("m02_image_decode_features")
+# The fake decode derives every property from sha256(payload) (multimodal
+# module docstring), and DuckDB's sha256 is bit-identical — so the
+# mapInPandas plumbing is differentially checked end-to-end: batch
+# iteration, schema contract, and (for m03) the in-iterator row explosion.
+# The float feature vector stays out of the registered m02 output (arrays
+# hash poorly across engines); tests/test_multimodal_streaming.py covers it.
+
+
+def _sha_byte_sql(hex_col: str, k: int) -> str:
+    """SQL for byte k (0-based) of a lowercase hex digest string."""
+    return (f"((strpos('0123456789abcdef', substr({hex_col}, {2 * k + 1}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({hex_col}, {2 * k + 2}, 1)) - 1))")
+
+
+_M02_SQL = f"""SELECT media_id, width, height,
+       CASE WHEN m = 0 THEN 'RGB' WHEN m = 1 THEN 'RGBA' ELSE 'L' END AS mode
+FROM (
+  SELECT doc_id AS media_id,
+         (64 + {_sha_byte_sql("h", 0)} * 4)::INT AS width,
+         (64 + {_sha_byte_sql("h", 1)} * 4)::INT AS height,
+         {_sha_byte_sql("h", 2)} % 3 AS m
+  FROM (SELECT doc_id, sha256(text) AS h FROM documents))"""
+
+
+@register("m02_image_decode_features", _M02_SQL)
 def m02_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return MM.decode_image_features(docs)
+    return MM.decode_image_features(docs).drop("feature")
 
 
-@register("m03_video_frame_sampling")
+_M03_SQL = f"""SELECT media_id, (i - 1)::INT AS frame_index,
+       ((i - 1) * 1000)::BIGINT AS ts_ms,
+       h || printf('%08x', i - 1) AS frame_hex
+FROM (
+  SELECT doc_id AS media_id, h, 1 + ({_sha_byte_sql("h", 3)} % 8) AS nf
+  FROM (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 200)),
+  unnest(generate_series(1, nf)) AS t(i)"""
+
+
+@register("m03_video_frame_sampling", _M03_SQL)
 def m03_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").limit(200).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return MM.sample_video_frames(docs)
+    return (MM.sample_video_frames(docs)
+            .withColumn("frame_hex", F.lower(F.hex("frame")))
+            .drop("frame"))
 
 
 # ===========================================================================
