@@ -165,6 +165,110 @@ def _nearest_centroid_ids(vec: Column, centers: list[list[float]], n: int) -> Co
 _CENTROID_CACHE: dict = {}
 
 
+# ---------------------------------------------------------------------------
+# portable deterministic IVF (oracle-checkable k-means)
+# ---------------------------------------------------------------------------
+
+def _sql_nearest_cids(vec_sql: str, centers: list[tuple[int, list[float]]],
+                      n: int) -> str:
+    """Spark-SQL expression string: array of the ``n`` nearest centroid ids.
+
+    Same semantics as :func:`_nearest_centroid_ids` (squared L2 rounded to
+    9 dp, ties by centroid id) but built as ONE expression string — a single
+    py4j round-trip instead of k × dim ``F.lit`` calls, which for 16 × 64
+    literals costs real driver time per invocation.
+    """
+    entries = []
+    for cid, c in centers:
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        d = (f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> (x - y) * (x - y)), "
+             f"cast(0.0 as double), (a, x) -> a + x)")
+        entries.append(f"struct(round({d}, 9) AS dist, {cid} AS cid)")
+    ranked = f"array_sort(array({','.join(entries)}))"
+    return f"transform(slice({ranked}, 1, {n}), s -> s.cid)"
+
+
+def train_ivf_centroids_portable(corpus: DataFrame, id_col: str, vec_col: str,
+                                 n_clusters: int = 16, n_iter: int = 2,
+                                 cache_key: str | None = None
+                                 ) -> list[tuple[int, list[float]]]:
+    """Deterministic, engine-portable coarse quantizer: Lloyd's k-means with
+
+    - seeds = the ``n_clusters`` vectors minimal by ``md5(id)`` (a seeded
+      pseudo-random draw both Spark and ANSI SQL reproduce exactly),
+    - exactly ``n_iter`` assignment/recenter rounds,
+    - centroids rounded to 6 dp each round (absorbs summation-order float
+      drift across engines/partitionings),
+    - assignment ties broken by centroid id on distance rounded to 9 dp.
+
+    Returns ``[(cid, center_vector), ...]`` in cid order; a cid vanishes if
+    its cluster empties (both engines drop it identically).  At 100 TB:
+    train on a sample exactly like the MLlib path — every round is one
+    map-side expression + a (cluster, dim)-grouped avg (k × dim rows out),
+    so cost is n_iter full scans; the collected state is k × dim floats.
+    """
+    if cache_key is not None:
+        hit = _CENTROID_CACHE.get(("portable", cache_key, vec_col, n_clusters, n_iter))
+        if hit is not None:
+            return hit
+    base = corpus.select(F.col(id_col).alias("__id"),
+                         _as_double(F.col(vec_col)).alias("__v"))
+    seeds = (base
+             .withColumn("__ord", F.md5(F.encode(F.col("__id").cast("string"), "UTF-8")))
+             .orderBy("__ord", "__id").limit(n_clusters).collect())
+    centers = [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)]
+    dim = len(centers[0][1])
+    vecs = base.select("__v")
+    for _ in range(n_iter):
+        assigned = vecs.withColumn(
+            "__c", F.expr(_sql_nearest_cids("__v", centers, 1))[0])
+        rows = (assigned.select("__c", F.posexplode("__v"))
+                .groupBy("__c", "pos").agg(F.round(F.avg("col"), 6).alias("m"))
+                .collect())
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["__c"], {})[r["pos"]] = r["m"]
+        centers = [(cid, [d[i] for i in range(dim)])
+                   for cid, d in sorted(by_cid.items())]
+    if cache_key is not None:
+        _CENTROID_CACHE[("portable", cache_key, vec_col, n_clusters, n_iter)] = centers
+    return centers
+
+
+def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
+                      vec_col: str, k: int = 10, n_clusters: int = 16,
+                      n_probe: int = 3, n_iter: int = 2,
+                      query_id_col: str | None = None,
+                      cache_key: str | None = None) -> DataFrame:
+    """IVF top-k on the portable deterministic quantizer — same probe/
+    re-rank plan as :func:`ivf_topk` (corpus never shuffles; queries explode
+    to (query × probe) and broadcast-join on cluster id), but every stage is
+    reproducible in ANSI SQL, so the whole pipeline is differentially
+    checkable.  The MLlib-trained :func:`ivf_topk` remains the scale path
+    when a stronger quantizer matters more than checkability."""
+    query_id_col = query_id_col or id_col
+    centers = train_ivf_centroids_portable(
+        corpus, id_col, vec_col, n_clusters, n_iter, cache_key=cache_key)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("__cv"))
+         .withColumn("__cn", l2_norm(F.col("__cv")))
+         .withColumn("__cluster", F.expr(_sql_nearest_cids("__cv", centers, 1))[0]))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .withColumn("__cluster",
+                     F.explode(F.expr(_sql_nearest_cids("__qv", centers, n_probe)))))
+    scored = (c.join(F.broadcast(q), "__cluster")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("__cv"), F.col("__qv"))
+                                  / (F.col("__cn") * F.col("__qn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int = 16,
                         seed: int = 42, sample_fraction: float | None = None,
                         cache_key: str | None = None) -> list[list[float]]:

@@ -1616,10 +1616,72 @@ def s03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.sessionize(_t(spark, sf_dir, "events"), "ts", "user_id", "30 minutes")
 
 
-@register("ann03_ivf_topk")
+# Every stage of the portable IVF is deterministic and ANSI-expressible —
+# md5-ordered seed draw, 2 unrolled Lloyd rounds (centroids rounded to 6 dp,
+# assignment on squared L2 rounded to 9 dp with cid tie-break), probe, and
+# cosine re-rank — so the oracle replays the entire k-means, not just the
+# final ranking.  The MLlib-quantizer ivf_topk stays as the tested scale
+# path (its float internals aren't SQL-replicable).
+_ANN03_K, _ANN03_PROBE, _ANN03_CLUSTERS, _ANN03_ITER, _ANN03_DIM = 5, 3, 8, 2, 64
+
+
+def _ann03_oracle_sql() -> str:
+    nc, npr, k, dim = _ANN03_CLUSTERS, _ANN03_PROBE, _ANN03_K, _ANN03_DIM
+
+    def assign_cte(src: str, cents: str, rn_cap: int, id_out: str, v_out: str) -> str:
+        return f"""(
+  SELECT {id_out}, {v_out}, cid FROM (
+    SELECT x.vec_id AS {id_out}, x.v AS {v_out}, s.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY round(pow(list_distance(x.v, s.v), 2), 9), s.cid) AS rn
+    FROM {src} x, {cents} s) WHERE rn <= {rn_cap})"""
+
+    def recenter_cte(assigned: str) -> str:
+        return f"""(
+  SELECT cid, list(val ORDER BY i) AS v FROM (
+    SELECT a.cid, t.i, round(avg(a.v[t.i]), 6) AS val
+    FROM {assigned} a, unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY a.cid, t.i) GROUP BY cid)"""
+
+    return f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v
+  FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {nc}),
+a1 AS {assign_cte("c", "seeds", 1, "vec_id", "v")},
+cent1 AS {recenter_cte("a1")},
+a2 AS {assign_cte("c", "cent1", 1, "vec_id", "v")},
+cent2 AS {recenter_cte("a2")},
+af AS {assign_cte("c", "cent2", 1, "vec_id", "v")},
+qp AS {assign_cte("(SELECT * FROM c WHERE vec_id < 8)", "cent2", npr, "query_id", "qv")},
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+  FROM qp q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
+@register("ann03_ivf_topk", _ann03_oracle_sql())
 def ann03_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN — the partition-pruned scale path (rows-only
-    check: approximate by construction; recall asserted in tests)."""
+    """IVF coarse-quantized ANN, portable deterministic quantizer — the
+    partition-pruned scale path with a fully SQL-replayed oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ANN.ivf_topk_portable(
+        emb, queries, "vec_id", "embedding",
+        k=_ANN03_K, n_clusters=_ANN03_CLUSTERS, n_probe=_ANN03_PROBE,
+        n_iter=_ANN03_ITER,
+        cache_key=os.path.join(sf_dir, "embeddings.parquet"))
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann03b_ivf_mllib_topk")
+def ann03b_ivf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-KMeans IVF (rows-only: Spark-internal quantizer float paths;
+    recall asserted in tests/test_ann.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     out = ANN.ivf_topk(emb, queries, "vec_id", "embedding",

@@ -246,6 +246,26 @@ def test_ivf_recall_vs_brute(tables):
     assert got_full == want
 
 
+def test_ivf_portable_recall_and_determinism(tables):
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = ANN.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ANN.ivf_topk_portable(emb, queries, "vec_id", "embedding",
+                                   k=5, n_clusters=8, n_probe=3)
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(want & got) / len(want) >= 0.6
+    # full probe recovers exact; repeated run is bit-identical (determinism)
+    full = ANN.ivf_topk_portable(emb, queries, "vec_id", "embedding",
+                                 k=5, n_clusters=8, n_probe=8)
+    assert {(r["query_id"], r["neighbor_id"]) for r in full.collect()} == want
+    again = ANN.ivf_topk_portable(emb, queries, "vec_id", "embedding",
+                                  k=5, n_clusters=8, n_probe=3)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, approx.collect()))
+
+
 def test_chunking_overlap_semantics(spark):
     from dataqtor_spark.operators import textstats as TX
 
