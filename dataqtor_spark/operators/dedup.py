@@ -23,8 +23,17 @@ function), no Python in the hot path.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Column trees here are large (64-hash families, 64-bit nibble extraction)
+# and deterministic given their parameters; building them costs real
+# driver-side py4j time per call (~1.5 s for the 64-agg minhash family).
+# They only reference fixed internal aliases (__sh, __v, __h, sig), so the
+# immutable Column objects are safely reusable across invocations —
+# memoized exactly like functions/phone.py's format-class expression.
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -100,33 +109,32 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     aggregation makes the shuffle carry only (id, 64 longs) per doc.
     """
     ex = _exploded_shingles(df, id_col, text_col, shingle_n)
+    sig = ex.groupBy("__id").agg(*_xxhash_family_aggs(num_hashes))
+    return sig.select(F.col("__id").alias(id_col),
+                      _h_array(num_hashes).alias("sig"))
+
+
+@functools.lru_cache(maxsize=8)
+def _xxhash_family_aggs(num_hashes: int) -> tuple[Column, ...]:
     # hash family over the base shingle hash: each h_i re-mixes the 8-byte
     # long (already computed at the explode) with seed i — hashing 8 bytes
     # num_hashes times instead of the whole shingle string, identical LSH
     # statistics (and no ANSI long-overflow risk).
-    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
-    sig = ex.groupBy("__id").agg(*aggs)
-    return sig.select(F.col("__id").alias(id_col),
-                      F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    return tuple(F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
+                 for i in range(num_hashes))
+
+
+@functools.lru_cache(maxsize=8)
+def _h_array(num_hashes: int) -> Column:
+    return F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
 
 
 def minhash_candidates(sig: DataFrame, id_col: str,
                        num_hashes: int = 64, bands: int = 16) -> DataFrame:
     """LSH banding: docs colliding in ≥1 band become candidate pairs
     (id_a < id_b).  rows-per-doc = bands; join is a groupBy on band hash."""
-    rows_per_band = num_hashes // bands
-    band_structs = []
-    for b in range(bands):
-        band_structs.append(F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("sig")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)
-            ])).alias("bhash"),
-        ))
     exploded = (sig.select(F.col(id_col).alias("__id"),
-                           F.explode(F.array(*band_structs)).alias("b"))
+                           F.explode(_band_struct_array(num_hashes, bands)).alias("b"))
                 .select("__id", "b.band", "b.bhash"))
     return (exploded.groupBy("band", "bhash")
             .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
@@ -139,11 +147,39 @@ def minhash_candidates(sig: DataFrame, id_col: str,
             .distinct())
 
 
-def minhash_similarity(sig: DataFrame, candidates: DataFrame, id_col: str) -> DataFrame:
-    """Estimated Jaccard = fraction of agreeing signature positions."""
+@functools.lru_cache(maxsize=8)
+def _band_struct_array(num_hashes: int, bands: int) -> Column:
+    rows_per_band = num_hashes // bands
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("sig")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ])).alias("bhash"))
+        for b in range(bands)])
+
+
+def minhash_similarity(sig: DataFrame, candidates: DataFrame, id_col: str,
+                       broadcast_candidates: bool = True) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions.
+
+    With ``broadcast_candidates`` (default) the LSH-pruned pair set is
+    broadcast and the signature table is probed map-side twice — no shuffle
+    of the (much larger) signatures.  Candidate volume tracks true-duplicate
+    density, not corpus size, so this holds even at large scale; pass False
+    for pathologically dup-heavy corpora where the pair set itself is huge
+    (AQE then picks the strategy from runtime sizes).
+    """
     a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    return (candidates.join(a, "id_a").join(b, "id_b")
+    if broadcast_candidates:
+        # hint the first probe; the (candidates ⋈ a) output is no bigger, so
+        # AQE promotes the second join to broadcast from its runtime size
+        joined = F.broadcast(candidates).join(a, "id_a").join(b, "id_b")
+    else:
+        joined = candidates.join(a, "id_a").join(b, "id_b")
+    return (joined
             .withColumn(
                 "est_jaccard",
                 F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -221,12 +257,16 @@ def minhash_signatures_portable(df: DataFrame, id_col: str, text_col: str,
                                 F.col(text_col).alias("__txt")))
           .select("__id", F.explode(F.transform(word_shingles("__txt", shingle_n),
                                                 portable_string_hash)).alias("__v")))
-    consts = portable_hash_constants(num_hashes)
-    aggs = [F.min((F.lit(a) * F.col("__v") + F.lit(b)) % PORTABLE_P).alias(f"h{i}")
-            for i, (a, b) in enumerate(consts)]
-    sig = ex.groupBy("__id").agg(*aggs)
+    sig = ex.groupBy("__id").agg(*_portable_family_aggs(num_hashes))
     return sig.select(F.col("__id").alias(id_col),
-                      F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+                      _h_array(num_hashes).alias("sig"))
+
+
+@functools.lru_cache(maxsize=8)
+def _portable_family_aggs(num_hashes: int) -> tuple[Column, ...]:
+    return tuple(
+        F.min((F.lit(a) * F.col("__v") + F.lit(b)) % PORTABLE_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(portable_hash_constants(num_hashes)))
 
 
 def minhash_dedup_pairs_portable(df: DataFrame, id_col: str, text_col: str,
@@ -260,13 +300,24 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .select("__id",
                     F.explode(F.split(F.trim(F.lower(F.col("__txt"))), r"\s+")).alias("__t"))
             .withColumn("__h", F.md5("__t")))
+    sums = toks.groupBy("__id").agg(*_simhash_portable_aggs())
+    return sums.select(F.col("__id").alias(id_col),
+                       _simhash_pack_expr().alias("simhash"))
+
+
+@functools.lru_cache(maxsize=1)
+def _simhash_portable_aggs() -> tuple[Column, ...]:
     aggs = []
     for b in range(64):
         j, k = b // 4 + 1, b % 4  # 1-based hex char, bit within nibble
         bit = F.expr(
             f"((instr('0123456789abcdef', substr(__h, {j}, 1)) - 1) div {2 ** k}) % 2")
         aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
-    sums = toks.groupBy("__id").agg(*aggs)
+    return tuple(aggs)
+
+
+@functools.lru_cache(maxsize=1)
+def _simhash_pack_expr() -> Column:
     sig = F.lit(0).cast("long")
     for chunk in range(4):
         cexpr = F.lit(0).cast("long")
@@ -274,7 +325,7 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             cexpr = cexpr + F.when(F.col(f"b{chunk * 16 + i}") > 0,
                                    F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(F.shiftleft(cexpr, chunk * 16))
-    return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+    return sig
 
 
 # ---------------------------------------------------------------------------
@@ -290,17 +341,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = (parallelize(df.select(F.col(id_col).alias("__id"), c.alias("__txt")))
             .select("__id", F.explode(F.split(F.trim(F.lower(F.col("__txt"))), r"\s+")).alias("__t"))
             .withColumn("__h", F.xxhash64("__t")))
+    sums = toks.groupBy("__id").agg(*_simhash_xxhash_aggs())
+    return sums.select(F.col("__id").alias(id_col),
+                       _simhash_xxhash_pack_expr().alias("simhash"))
+
+
+@functools.lru_cache(maxsize=1)
+def _simhash_xxhash_aggs() -> tuple[Column, ...]:
     aggs = []
     for i in range(64):
         bit = F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
         aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
-    sums = toks.groupBy("__id").agg(*aggs)
+    return tuple(aggs)
+
+
+@functools.lru_cache(maxsize=1)
+def _simhash_xxhash_pack_expr() -> Column:
     sig = F.lit(0).cast("long")
     for i in range(64):
         sig = sig.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2 ** i) if i < 63
                    else F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long")))
-    return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+    return sig
 
 
 def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:

@@ -105,12 +105,9 @@ def similar_strings_lsh_portable(df: DataFrame, col: str,
                      F.explode(F.transform(
                          F.array_distinct(char_ngrams("value", n)),
                          DD.portable_string_hash)).alias("__v")))
-    consts = DD.portable_hash_constants(num_hashes)
-    aggs = [F.min((F.lit(a) * F.col("__v") + F.lit(b)) % DD.PORTABLE_P).alias(f"h{i}")
-            for i, (a, b) in enumerate(consts)]
-    sig = (grams.groupBy("value").agg(*aggs)
+    sig = (grams.groupBy("value").agg(*DD._portable_family_aggs(num_hashes))
            .select(F.col("value").alias("__id"),
-                   F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+                   DD._h_array(num_hashes).alias("sig"))
            .persist())
     try:
         cand = DD.minhash_candidates(sig, "__id", num_hashes, bands)
