@@ -292,3 +292,103 @@ def pack_sequences(chunks: DataFrame, token_budget: int = 512,
     prefix = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
     return chunks.withColumn("bin",
                              F.floor(prefix / token_budget).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: vocabulary, unigram-LM scoring, decontamination
+# ---------------------------------------------------------------------------
+
+def _tokens_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token): lowercase whitespace tokens, blanks dropped.  One
+    explode; the string never travels further than the first aggregate."""
+    from dataqtor_spark.session import parallelize
+
+    c = F.col(text_col).cast("string")
+    return (parallelize(df.select(F.col(id_col).alias("__id"), c.alias("__txt")))
+            .select("__id",
+                    F.explode(F.split(F.trim(F.lower(F.col("__txt"))), r"\s+"))
+                    .alias("token"))
+            .filter(F.col("token") != ""))
+
+
+def vocab(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+          top_k: int | None = None) -> DataFrame:
+    """Corpus vocabulary: (token, count[, rank]).  One explode + one
+    hash-groupBy — partial aggregation absorbs token skew (every mapper
+    pre-counts 'the' locally before the shuffle), so the shuffle carries
+    at most |local vocab| rows per partition regardless of corpus size.
+
+    With ``top_k``, ranks by (count desc, token asc) — a deterministic
+    total order — and keeps the top slice; the rank window runs on the
+    already-aggregated vocab table, not the corpus.
+    """
+    counts = (_tokens_exploded(df, id_col, text_col)
+              .groupBy("token").agg(F.count(F.lit(1)).alias("count")))
+    if top_k is None:
+        return counts
+    from pyspark.sql.window import Window
+
+    # limit first: orderBy+limit compiles to TakeOrderedAndProject (a
+    # distributed per-partition top-k + driver merge), so the full vocab is
+    # never sorted on one partition; the rank window then runs over k rows.
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean negative log
+    unigram probability under the corpus's own unigram LM,
+    ``nll = avg(-ln(count(t) / total_tokens))`` over the doc's tokens.
+
+    High nll = rare-token-heavy (gibberish, codes, OCR noise); low nll =
+    stop-word soup.  Two shuffles total: the vocab aggregate, then the
+    token→vocab equi-join re-grouped by doc.  The scalar total rides a
+    broadcast crossJoin; the token join is hash-partitioned on token, so
+    LM size is unbounded (no broadcast of the vocabulary).
+
+    Returns (id, n_tokens, nll) with nll rounded to 6 dp; empty/blank
+    documents are absent (no tokens).
+    """
+    toks = _tokens_exploded(df, id_col, text_col)
+    lm = vocab(df, text_col, id_col)
+    total = lm.agg(F.sum("count").alias("__total"))
+    return (toks.join(lm, "token")
+            .crossJoin(F.broadcast(total))
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(-F.log(F.col("count") / F.col("__total"))), 6)
+                 .alias("nll"))
+            .withColumnRenamed("__id", id_col))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``shingle_n``-gram with a held-out benchmark set (the standard
+    train-set hygiene check before an eval release).
+
+    Both sides shingle into the portable md5 hash space (8-byte join keys —
+    shingle text never shuffles; family collision odds are irrelevant next
+    to the n-gram heuristic itself).  The benchmark side is distinct-ed and
+    broadcast — benchmarks are small by nature; the corpus never shuffles.
+    Returns every corpus row's (id, shared_shingles, contaminated).
+    """
+    from dataqtor_spark.operators.dedup import portable_string_hash, word_shingles
+
+    def grams(df: DataFrame) -> DataFrame:
+        c = F.col(text_col).cast("string")
+        return (df.select(F.col(id_col).alias("__id"), c.alias("__txt"))
+                .select("__id",
+                        F.explode(F.transform(word_shingles("__txt", shingle_n),
+                                              portable_string_hash)).alias("__g")))
+
+    bench = grams(benchmark).select("__g").distinct()
+    hits = (grams(corpus).join(F.broadcast(bench), "__g")
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("shared_shingles")))
+    return (corpus.select(F.col(id_col).alias("__id"))
+            .join(hits, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce(F.col("shared_shingles"), F.lit(0)).alias("shared_shingles"))
+            .withColumn("contaminated", F.col("shared_shingles") > 0))

@@ -2480,3 +2480,85 @@ def t10_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("shard", "bin")
             .agg(F.count(F.lit(1)).alias("n_chunks"),
                  F.sum("n_chunk_tokens").alias("n_tokens")))
+
+
+# Shared tokenization for the corpus-statistics family (t11/t12): lowercase
+# whitespace tokens, blanks dropped — textstats._tokens_exploded's twin.
+_TOKS_CTE = """toks AS (
+  SELECT doc_id, u.t AS token
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+  WHERE u.t <> '')"""
+
+_T11_TOPK = 100
+
+_T11_SQL = f"""WITH {_TOKS_CTE},
+counts AS (SELECT token, count(*)::BIGINT AS count FROM toks GROUP BY token)
+SELECT token, count, rank FROM (
+  SELECT token, count,
+         row_number() OVER (ORDER BY count DESC, token ASC) AS rank
+  FROM counts) WHERE rank <= {_T11_TOPK}"""
+
+
+@register("t11_vocab_topk", _T11_SQL)
+def t11_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode → skew-absorbing partial-agg
+    groupBy → distributed TakeOrdered top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.vocab(docs, "text", "doc_id", top_k=_T11_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_T12_SQL = f"""WITH {_TOKS_CTE},
+lm AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM lm)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(-ln(cnt / total)), 6) AS nll
+FROM toks JOIN lm USING (token), tot
+GROUP BY doc_id"""
+
+
+@register("t12_unigram_logprob", _T12_SQL)
+def t12_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy scoring under the corpus's own unigram LM."""
+    return TX.unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# Decontamination: benchmark = doc_id ≡ 0 (mod 20) (stand-in for an external
+# eval set), corpus = the rest; any shared word 5-gram flags the doc.
+_T13_N = 5
+
+
+def _t13_oracle_sql() -> str:
+    from dataqtor_spark.operators.dedup import PORTABLE_P
+
+    n = _T13_N
+    shingles = f"""(
+  SELECT DISTINCT doc_id, s.sh AS sh
+  FROM words, unnest(CASE WHEN len(ws) < {n} THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(generate_series(1, len(ws) - {n - 1}),
+                           i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' ')) END) AS s(sh))"""
+    return f"""WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+sh AS {shingles},
+hv AS (
+  SELECT doc_id, {_nibble_value_sql("h16")} % {PORTABLE_P} AS g
+  FROM (SELECT doc_id, md5(sh) AS h16 FROM sh)),
+bench AS (SELECT DISTINCT g FROM hv WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT hv.doc_id, count(*)::BIGINT AS shared_shingles
+  FROM hv JOIN bench USING (g) WHERE hv.doc_id % 20 <> 0
+  GROUP BY hv.doc_id)
+SELECT d.doc_id, coalesce(h.shared_shingles, 0)::BIGINT AS shared_shingles,
+       coalesce(h.shared_shingles, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
+@register("t13_decontaminate", _t13_oracle_sql())
+def t13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set hygiene: flag corpus docs sharing any word 5-gram with the
+    held-out benchmark slice (broadcast benchmark shingle set)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return TX.decontaminate(corpus, bench, "doc_id", "text", shingle_n=_T13_N)

@@ -355,3 +355,43 @@ def test_sequence_packing_budget(spark):
     assert set(bins) == set(range(len(bins)))
     assert all(v <= 300 + 100 for v in bins.values())
     assert sum(bins.values()) == 2000
+
+
+def test_vocab_and_unigram_logprob(spark):
+    import math
+
+    from dataqtor_spark.operators import textstats as TX
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog"), (3, "  "), (4, "THE the")],
+        "doc_id long, text string")
+    v = {r["token"]: r["count"] for r in TX.vocab(df, "text", "doc_id").collect()}
+    assert v == {"the": 4, "cat": 1, "sat": 1, "dog": 1}
+    top = TX.vocab(df, "text", "doc_id", top_k=2).collect()
+    assert [(r["token"], r["rank"]) for r in
+            sorted(top, key=lambda r: r["rank"])] == [("the", 1), ("cat", 2)]
+
+    nll = {r["doc_id"]: r for r in TX.unigram_logprob(df, "doc_id", "text").collect()}
+    assert 3 not in nll  # blank doc has no tokens
+    total = 7
+    want2 = -(math.log(4 / total) + math.log(1 / total)) / 2
+    assert abs(nll[2]["nll"] - round(want2, 6)) < 1e-9
+    assert nll[4]["n_tokens"] == 2 and abs(nll[4]["nll"] - round(-math.log(4 / total), 6)) < 1e-9
+
+
+def test_decontaminate_flags_overlap(spark):
+    from dataqtor_spark.operators import textstats as TX
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # contains bench 5-gram
+         (2, "one two three four five six"),
+         (3, "alpha beta gamma X delta epsilon")],     # broken 5-gram: clean
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           TX.decontaminate(corpus, bench, "doc_id", "text", shingle_n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["shared_shingles"] == 1
+    assert not out[2]["contaminated"] and out[2]["shared_shingles"] == 0
+    assert not out[3]["contaminated"]
+    assert set(out) == {1, 2, 3}  # every corpus row present
