@@ -522,3 +522,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     raise RuntimeError(
         f"connected_components: labels not stable after {max_iter} rounds; "
         "graph is deeper than expected — raise max_iter")
+
+
+def select_survivors(components: DataFrame, scores: DataFrame,
+                     id_col: str = "doc_id",
+                     score_col: str = "quality_score") -> DataFrame:
+    """Quality-aware survivor selection — the keep/drop decision that turns
+    near-dup clusters into an actual dedup: within each component keep the
+    row maximizing (score, then lowest id).
+
+    ``components`` is :func:`connected_components` output (id, component);
+    ``scores`` carries (id_col, score_col).  One id-join plus a window
+    partitioned by component — cluster sizes are bounded by duplicate
+    density, so no partition-skew risk at scale.  Returns every clustered
+    row as (id, component, score, survivor_id, keep).
+    """
+    from pyspark.sql.window import Window
+
+    joined = (components.withColumnRenamed("id", id_col)
+              .join(scores.select(id_col, score_col), id_col))
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col))
+    ranked = joined.withColumn("__rn", F.row_number().over(w))
+    surv = (ranked.filter(F.col("__rn") == 1)
+            .select("component", F.col(id_col).alias("survivor_id")))
+    return (ranked.drop("__rn").join(F.broadcast(surv), "component")
+            .withColumn("keep", F.col(id_col) == F.col("survivor_id"))
+            .select(id_col, "component", score_col, "survivor_id", "keep"))

@@ -2283,6 +2283,56 @@ def d06_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("id").alias("survivor_id")))
 
 
+# d08: the keep/drop decision — survivor = highest quality score (ties →
+# lowest id) per near-dup component.  The SQL twin of textstats.
+# quality_score mirrors the Spark operation order literal-for-literal so
+# per-row double arithmetic is bit-identical.
+_QSCORE_SQL = """round(
+  0.5 * least((CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) * 1.0 / 20.0, 1.0)
++ 0.5 * least(len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b')) * 1.0
+        / greatest((CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1) * 4.0, 1.0)
+- 0.25 * least(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1) * 5.0
+             + len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1) * 2.0, 1.0),
+  4)"""
+
+
+@register(
+    "d08_quality_survivors",
+    f"""WITH RECURSIVE pairs AS ({_D02_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+cc(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+),
+comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+q AS (SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM documents),
+ranked AS (
+  SELECT comp.id AS doc_id, comp.component, q.quality_score,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY q.quality_score DESC, comp.id ASC) AS rn
+  FROM comp JOIN q ON q.doc_id = comp.id),
+svr AS (SELECT component, doc_id AS survivor_id FROM ranked WHERE rn = 1)
+SELECT r.doc_id, r.component, r.quality_score, v.survivor_id,
+       (r.doc_id = v.survivor_id) AS keep
+FROM ranked r JOIN svr v USING (component)""",
+)
+def d08_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters → quality-aware keep/drop: survivor maximizes
+    (quality_score, then lowest id) within each component."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
+    comp = DD.connected_components(pairs)
+    scores = docs.select("doc_id", TX.quality_score("text").alias("quality_score"))
+    return DD.select_survivors(comp, scores, "doc_id", "quality_score")
+
+
 @register(
     "t03b_langid_tokens",
     f"""SELECT lang, {_langid_tokens_sql('text')} AS lang_pred, count(*)::BIGINT AS count

@@ -395,3 +395,20 @@ def test_decontaminate_flags_overlap(spark):
     assert not out[2]["contaminated"] and out[2]["shared_shingles"] == 0
     assert not out[3]["contaminated"]
     assert set(out) == {1, 2, 3}  # every corpus row present
+
+
+def test_select_survivors_quality_argmax(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, component long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.5)],
+        "doc_id long, quality_score double")
+    out = {r["doc_id"]: r for r in
+           D.select_survivors(comp, scores).collect()}
+    # component 1: 2 and 3 tie on score -> lowest id (2) wins
+    assert out[2]["keep"] and out[2]["survivor_id"] == 2
+    assert not out[3]["keep"] and out[3]["survivor_id"] == 2
+    assert not out[1]["keep"]
+    # component 7: tie -> 7 wins
+    assert out[7]["keep"] and not out[8]["keep"]
+    assert len(out) == 5
