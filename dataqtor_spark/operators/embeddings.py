@@ -1,0 +1,66 @@
+"""Embedding-column utilities for training-data pipelines (north-star
+extensions): L2 normalization, symmetric int8 quantization, per-dimension
+health statistics.
+
+All pure column expressions / single aggregates over the exploded
+(id, dim, value) view — no UDFs, no driver-side vectors; at scale these are
+one projection (normalize/quantize) or one shuffle of (dim, partials)
+(dim_stats, partial-aggregated map-side so the shuffle is k × dims rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def l2_normalize(df: DataFrame, vec_col: str, out_col: str = "normalized",
+                 eps: float = 1e-12) -> DataFrame:
+    """Unit-normalize an embedding column (zero vectors stay zero via the
+    ``eps`` guard).  Sequential-fold norm — deterministic summation."""
+    v = _dbl(F.col(vec_col))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0).cast("double"),
+                              lambda a, x: a + x * x))
+    safe = F.greatest(norm, F.lit(eps))
+    return df.withColumn(out_col, F.transform(v, lambda x: x / safe))
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str,
+                  eps: float = 1e-12) -> DataFrame:
+    """Symmetric per-vector int8 quantization, exploded to
+    (id, scale, dim, q): scale = max|v| / 127, q = round(v / scale).
+
+    The storage-shrink step before shipping embeddings to an ANN index —
+    4 bytes → 1 byte per dimension at ≤0.4 % max relative error.  Exploded
+    output keeps every value a scalar (engine-portable, columnar-friendly);
+    re-pack with collect_list over (id, dim) when an array form is needed.
+    """
+    v = _dbl(F.col(vec_col))
+    # guard AFTER the 9dp round — round(eps, 9) would collapse to 0 and
+    # reintroduce the zero-vector division it exists to prevent
+    scale = F.greatest(F.round(F.array_max(F.transform(v, F.abs)) / 127.0, 9),
+                       F.lit(eps))
+    return (df.select(F.col(id_col), v.alias("__v"),
+                      scale.alias("scale"))
+            .select(id_col, "scale", F.posexplode("__v").alias("dim", "__x"))
+            .select(id_col, "scale", "dim",
+                    F.round(F.col("__x") / F.col("scale"))
+                    .cast("int").alias("q")))
+
+
+def dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension (dim, mean, std, min, max, n_zero) — the embedding
+    health check (dead dimensions, scale drift, clipped values).  One
+    posexplode + one groupBy on dim: partial aggregation means the shuffle
+    carries partitions × dims rows, independent of corpus size."""
+    ex = (df.select(F.posexplode(_dbl(F.col(vec_col))).alias("dim", "x")))
+    return (ex.groupBy("dim")
+            .agg(F.round(F.avg("x"), 6).alias("mean"),
+                 F.round(F.stddev_samp("x"), 6).alias("std"),
+                 F.round(F.min("x"), 6).alias("min"),
+                 F.round(F.max("x"), 6).alias("max"),
+                 F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0)).alias("n_zero")))

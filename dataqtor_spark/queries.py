@@ -867,6 +867,7 @@ def f11_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from dataqtor_spark.operators import ann as ANN  # noqa: E402
 from dataqtor_spark.operators import dedup as DD  # noqa: E402
+from dataqtor_spark.operators import embeddings as EB  # noqa: E402
 from dataqtor_spark.operators import similarity as SIM  # noqa: E402
 from dataqtor_spark.operators import textstats as TX  # noqa: E402
 
@@ -2466,6 +2467,40 @@ def ann04_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim_index"))
             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_value"),
                  F.count(F.lit(1)).alias("n_vectors")))
+
+
+_E01_SQL = """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         greatest(round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9), 1e-12) AS scale
+  FROM c)
+SELECT vec_id, scale, (t.i - 1)::INT AS dim, round(v[t.i] / scale)::INT AS q
+FROM s, unnest(generate_series(1, 64)) AS t(i)"""
+
+
+@register("e01_quantize_int8", _E01_SQL)
+def e01_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|v|/127), the
+    4×-compression step before shipping vectors to an ANN index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return EB.quantize_int8(emb, "vec_id", "embedding")
+
+
+_E02_SQL = """WITH c AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+SELECT (t.i - 1)::INT AS dim,
+       round(avg(v[t.i]), 6) AS mean,
+       round(stddev_samp(v[t.i]), 6) AS std,
+       round(min(v[t.i]), 6) AS "min",
+       round(max(v[t.i]), 6) AS "max",
+       sum(CASE WHEN v[t.i] = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+FROM c, unnest(generate_series(1, 64)) AS t(i)
+GROUP BY 1"""
+
+
+@register("e02_embedding_dim_stats", _E02_SQL)
+def e02_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (dead dims, scale drift)."""
+    return EB.dim_stats(_t(spark, sf_dir, "embeddings"), "embedding")
 
 
 @register(

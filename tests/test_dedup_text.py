@@ -412,3 +412,40 @@ def test_select_survivors_quality_argmax(spark):
     # component 7: tie -> 7 wins
     assert out[7]["keep"] and not out[8]["keep"]
     assert len(out) == 5
+
+
+def test_embedding_quantize_and_normalize(spark):
+    from dataqtor_spark.operators import embeddings as EB
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    q = {(r["vec_id"], r["dim"]): r for r in
+         EB.quantize_int8(df, "vec_id", "embedding").collect()}
+    # scale = round(1/127, 9) = 0.007874016, so -0.5/scale = -63.49998 -> -63
+    assert q[(1, 0)]["q"] == 127 and q[(1, 1)]["q"] == -63
+    assert q[(1, 2)]["q"] == 32 and q[(1, 3)]["q"] == 0
+    assert all(q[(2, d)]["q"] == 0 for d in range(4))  # zero vector stays zero
+    # max relative reconstruction error <= 0.5 * scale
+    for (vid, d), r in q.items():
+        if vid == 1:
+            orig = [1.0, -0.5, 0.25, 0.0][d]
+            assert abs(r["q"] * r["scale"] - orig) <= 0.5 * r["scale"] + 1e-12
+
+    norm = EB.l2_normalize(df, "embedding").collect()
+    by_id = {r["vec_id"]: r["normalized"] for r in norm}
+    n1 = sum(x * x for x in by_id[1]) ** 0.5
+    assert abs(n1 - 1.0) < 1e-12
+    assert by_id[2] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_embedding_dim_stats(spark):
+    from dataqtor_spark.operators import embeddings as EB
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, [2.0, 5.0])],
+        "vec_id long, embedding array<double>")
+    st = {r["dim"]: r for r in EB.dim_stats(df, "embedding").collect()}
+    assert st[0]["mean"] == 2.0 and st[0]["min"] == 1.0 and st[0]["max"] == 3.0
+    assert st[0]["n_zero"] == 0 and st[1]["n_zero"] == 2
+    assert st[0]["std"] == 1.0
