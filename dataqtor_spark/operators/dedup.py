@@ -407,24 +407,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     can be missed (documented recall trade)."""
     ex = _exploded_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
-        from pyspark.sql.window import Window
         dfreq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
         ex = (ex.join(F.broadcast(dfreq.filter(F.col("__df") <= max_doc_freq)
                                   .select("__sh")), "__sh"))
-    sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    inter = (ex.alias("l").join(ex.alias("r"),
-                                (F.col("l.__sh") == F.col("r.__sh"))
-                                & (F.col("l.__id") < F.col("r.__id")))
-             .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common")
-                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    # the inverted index feeds three consumers (both self-join sides and the
+    # per-doc sizes); persist it once instead of re-shingling the corpus,
+    # then materialize the (small) pair result and release the storage
+    ex = ex.persist()
+    try:
+        sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        inter = (ex.alias("l").join(ex.alias("r"),
+                                    (F.col("l.__sh") == F.col("r.__sh"))
+                                    & (F.col("l.__id") < F.col("r.__id")))
+                 .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+                 .agg(F.count(F.lit(1)).alias("n_common")))
+        sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+        sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+        return (inter.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard",
+                            F.round(F.col("n_common")
+                                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+                .localCheckpoint())
+    finally:
+        ex.unpersist()
 
 
 # ---------------------------------------------------------------------------
