@@ -352,7 +352,8 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     documents are absent (no tokens).
     """
     toks = _tokens_exploded(df, id_col, text_col)
-    lm = vocab(df, text_col, id_col)
+    # LM from the same exploded frame — one tokenization pass, not two
+    lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
     total = lm.agg(F.sum("count").alias("__total"))
     return (toks.join(lm, "token")
             .crossJoin(F.broadcast(total))

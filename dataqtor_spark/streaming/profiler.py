@@ -158,3 +158,35 @@ def score_drift(scores: DataFrame, order_col: str = "window_start") -> DataFrame
     return scores.withColumn(
         "score_drift",
         F.round(F.col("dq_score") - F.lag("dq_score").over(w), 2))
+
+
+def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         shingle_n: int = 5) -> DataFrame:
+    """Streaming form of :func:`textstats.decontaminate`: flag documents of
+    an incoming stream that share any word ``shingle_n``-gram with a static
+    benchmark set.
+
+    Stateless by construction — the benchmark collapses to ONE row holding
+    its distinct shingle-hash set (cached static side), the stream
+    cross-joins that broadcast row, and the per-document count is a local
+    ``array_intersect`` — no aggregation, no watermark, no state store.
+    Works identically on a static ``docs`` frame (unified API); equivalence
+    with the batch operator is pinned in tests.
+    """
+    from dataqtor_spark.operators.dedup import portable_string_hash, word_shingles
+
+    bench_sh = (benchmark
+                .select(F.explode(F.transform(
+                    word_shingles(F.col(text_col).cast("string"), shingle_n),
+                    portable_string_hash)).alias("__g"))
+                .distinct()
+                .agg(F.collect_set("__g").alias("__bench"))
+                .cache())
+    doc_sh = F.transform(word_shingles(F.col(text_col).cast("string"), shingle_n),
+                         portable_string_hash)
+    return (docs.crossJoin(F.broadcast(bench_sh))
+            .select(F.col(id_col),
+                    F.size(F.array_intersect(doc_sh, F.col("__bench")))
+                    .alias("shared_shingles"))
+            .withColumn("contaminated", F.col("shared_shingles") > 0))

@@ -261,3 +261,32 @@ def test_streaming_training_pipeline(spark, tables, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.table("train_pipe").count() == batch_n
+
+
+def test_stream_decontaminate_equals_batch(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators import textstats as TX
+
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    batch = {r["doc_id"]: (r["shared_shingles"], r["contaminated"])
+             for r in TX.decontaminate(corpus, bench, "doc_id", "text", 5).collect()}
+    # static-frame run of the streaming operator: identical semantics
+    static = {r["doc_id"]: (r["shared_shingles"], r["contaminated"])
+              for r in SP.stream_decontaminate(corpus, bench, "doc_id", "text", 5).collect()}
+    assert static == batch
+
+    # genuine readStream run (stateless: no watermark needed, append mode)
+    src = str(tmp_path / "docs_stream")
+    corpus.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(corpus.schema).parquet(src))
+    flagged = SP.stream_decontaminate(stream, bench, "doc_id", "text", 5)
+    q = (flagged.writeStream.format("memory").queryName("decontam_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {r["doc_id"]: (r["shared_shingles"], r["contaminated"])
+                for r in spark.sql("SELECT * FROM decontam_test").collect()}
+    assert streamed == batch
