@@ -338,3 +338,68 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF at rest: the index IS the partition layout
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(corpus: DataFrame, path: str, id_col: str, vec_col: str,
+                    n_clusters: int = 16, n_iter: int = 2) -> None:
+    """Persist an IVF index as a data-lake layout: the corpus written
+    ``partitionBy(cluster id)`` plus a tiny centroid table.
+
+    At 100 TB this is the entire point of IVF — the "index" is nothing but
+    directory structure, so a probe is partition pruning: the scan touches
+    ~n_probe/n_clusters of the files and no other structure exists to
+    maintain.  Train once (portable deterministic k-means), assign with one
+    codegen'd expression, one write-time shuffle on cluster id.
+    """
+    centers = train_ivf_centroids_portable(corpus, id_col, vec_col,
+                                           n_clusters, n_iter, cache_key=path)
+    assigned = corpus.withColumn(
+        "__cluster", F.expr(_sql_nearest_cids(f"transform({vec_col}, x -> cast(x as double))",
+                                              centers, 1))[0])
+    (assigned.repartition("__cluster")
+     .write.mode("overwrite").partitionBy("__cluster").parquet(f"{path}/corpus"))
+    spark = corpus.sparkSession
+    rows = [(cid, i, x) for cid, vec in centers for i, x in enumerate(vec)]
+    (spark.createDataFrame(rows, "cid int, dim int, val double")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def ivf_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 10, n_probe: int = 3,
+                     query_id_col: str | None = None) -> DataFrame:
+    """Top-k against a :func:`write_ivf_index` layout.  The probed cluster
+    ids become an ``isin`` filter on the partition column, so the scan
+    reads only the probed directories (PartitionFilters in the plan —
+    asserted in tests); re-ranking is the same broadcast-query cosine as
+    :func:`ivf_topk`."""
+    query_id_col = query_id_col or id_col
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in crows:
+        by_cid.setdefault(r["cid"], {})[r["dim"]] = r["val"]
+    centers = [(cid, [d[i] for i in range(len(d))])
+               for cid, d in sorted(by_cid.items())]
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .withColumn("__cluster",
+                     F.explode(F.expr(_sql_nearest_cids("__qv", centers, n_probe)))))
+    probed = [r["__cluster"] for r in q.select("__cluster").distinct().collect()]
+    c = (spark.read.parquet(f"{path}/corpus")
+         .filter(F.col("__cluster").isin(probed))
+         .select("__cluster", F.col(id_col).alias("neighbor_id"),
+                 _as_double(F.col(vec_col)).alias("__cv"))
+         .withColumn("__cn", l2_norm(F.col("__cv"))))
+    scored = (c.join(F.broadcast(q), "__cluster")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine",
+                          F.round(dot(F.col("__cv"), F.col("__qv"))
+                                  / (F.col("__cn") * F.col("__qn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -449,3 +449,25 @@ def test_embedding_dim_stats(spark):
     assert st[0]["mean"] == 2.0 and st[0]["min"] == 1.0 and st[0]["max"] == 3.0
     assert st[0]["n_zero"] == 0 and st[1]["n_zero"] == 2
     assert st[0]["std"] == 1.0
+
+
+def test_ivf_at_rest_prunes_partitions(spark, tables, tmp_path):
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivf_index")
+    ANN.write_ivf_index(emb, path, "vec_id", "embedding", n_clusters=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    at_rest = ANN.ivf_topk_at_rest(spark, path, queries, "vec_id", "embedding",
+                                   k=5, n_probe=3)
+    live = ANN.ivf_topk_portable(emb, queries, "vec_id", "embedding",
+                                 k=5, n_clusters=8, n_probe=3, n_iter=2)
+    assert sorted(map(tuple, at_rest.collect())) == sorted(map(tuple, live.collect()))
+
+    # the probe scan must carry partition filters on the cluster directory
+    # column — i.e. the read is pruned, not a full-index scan
+    probed = ANN.ivf_topk_at_rest(spark, path, queries, "vec_id", "embedding",
+                                  k=5, n_probe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters", 1)[1][:400]
