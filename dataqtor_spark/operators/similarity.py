@@ -46,13 +46,16 @@ def tfidf_vectors(df: DataFrame, col: str, n: int = 3) -> DataFrame:
 
     vals = parallelize(
         df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull()).distinct())
-    n_docs = vals.count()
+    # N rides a broadcast scalar instead of a driver-side count() — one job
+    # fewer per invocation, and the idf stage stays fully lazy
+    n_docs = vals.agg(F.count(F.lit(1)).alias("__n"))
     grams = (vals.select("value", F.explode(char_ngrams("value", n)).alias("gram"))
              .groupBy("value", "gram").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = grams.groupBy("gram").agg(F.countDistinct("value").alias("df"))
-    idf = dfreq.select(
-        "gram",
-        (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0).alias("idf"))
+    idf = (dfreq.crossJoin(F.broadcast(n_docs))
+           .select("gram",
+                   (F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df")))
+                    + 1.0).alias("idf")))
     w = (grams.join(F.broadcast(idf), "gram")
          .withColumn("w", F.col("tf") * F.col("idf")))
     norms = w.groupBy("value").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
