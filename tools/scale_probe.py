@@ -36,6 +36,16 @@ PROBES = {
     "minhash_signatures": ("documents", lambda df, P, R: __import__(
         "dataqtor_spark.operators.dedup", fromlist=["minhash_signatures"])
         .minhash_signatures(df, "doc_id", "text", num_hashes=64, shingle_n=5)),
+    "vocab_topk": ("documents", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.textstats", fromlist=["vocab"])
+        .vocab(df, "text", "doc_id", top_k=100)),
+    "unigram_logprob": ("documents", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.textstats", fromlist=["unigram_logprob"])
+        .unigram_logprob(df, "doc_id", "text")),
+    "quantize_int8": ("embeddings", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.embeddings", fromlist=["quantize_int8"])
+        .quantize_int8(df, "vec_id", "embedding")
+        .groupBy("dim").count()),
 }
 
 
@@ -68,7 +78,7 @@ def main() -> None:
 
     key_cols = {"customer": ["c_custkey"], "lineitem": ["l_orderkey"],
                 "orders": ["o_orderkey"], "events": ["event_id", "user_id"],
-                "documents": ["doc_id"]}
+                "documents": ["doc_id"], "embeddings": ["vec_id"]}
 
     lines = ["# SCALE_PROBE — wall-clock vs data volume",
              "",
