@@ -595,3 +595,38 @@ def psi_drift(df: DataFrame, col: str, period_col: str, bins: int = 10,
                    ((F.col("nb") + sm) / (F.col("tb") + sm * bins)).alias("pb")))
     term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
     return out.agg(F.round(F.sum(term), 6).alias("psi"))
+
+
+def outlier_iqr(df: DataFrame, col: str, k: float = 1.5,
+                approx: bool = False) -> DataFrame:
+    """Tukey-fence outlier summary for one numeric column: quartiles, the
+    k·IQR fences, and how many non-null values fall outside them.
+
+    One aggregate pass computes q1/q3 (plus the row stream re-checked in the
+    same pass via conditional counts is impossible — fences depend on the
+    quantiles — so this is inherently two passes: quantiles, then count).
+    ``approx=True`` swaps exact ``percentile`` (full value collection per
+    group — fine up to ~10⁸ rows per executor) for ``percentile_approx``,
+    the 100 TB path: a fixed-size QuantileSummaries sketch per partition,
+    merged map-side, error ≤ 1/accuracy relative rank.  Exact mode matches
+    DuckDB's ``quantile_cont`` linear interpolation bit-for-bit on the
+    driver gate.
+    """
+    pfn = (lambda c, p: F.percentile_approx(c, p, 10_000)) if approx \
+        else (lambda c, p: F.percentile(c, p))
+    q = df.agg(pfn(F.col(col), F.lit(0.25)).alias("q1"),
+               pfn(F.col(col), F.lit(0.75)).alias("q3"))
+    q = q.select("q1", "q3",
+                 (F.col("q1") - k * (F.col("q3") - F.col("q1"))).alias("lo"),
+                 (F.col("q3") + k * (F.col("q3") - F.col("q1"))).alias("hi"))
+    counted = (df.crossJoin(F.broadcast(q))
+               .agg(F.first("q1").alias("q1"), F.first("q3").alias("q3"),
+                    F.first("lo").alias("lo"), F.first("hi").alias("hi"),
+                    F.sum(((F.col(col) < F.col("lo"))
+                           | (F.col(col) > F.col("hi"))).cast("long"))
+                    .alias("n_outliers")))
+    return counted.select(
+        F.lit(col).alias("column"),
+        F.round("q1", 4).alias("q1"), F.round("q3", 4).alias("q3"),
+        F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
+        F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"))

@@ -364,6 +364,229 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .withColumnRenamed("__id", id_col))
 
 
+def _clean_tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens with blanks dropped — an array expression
+    (no explode, no shuffle); the per-doc repetition stats below stay inside
+    whole-stage codegen."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    return F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document repetition statistics — the Gopher-style repetition
+    filters (Rae et al. 2021 §A1.1) adapted to unstructured text:
+
+    - ``dup_unigram_frac``      1 − |distinct tokens| / |tokens|
+    - ``repeat_adjacent_frac``  fraction of adjacent token pairs that are equal
+    - ``top_2gram_frac``        occurrences of the most frequent word bigram
+                                / total bigrams
+
+    The unigram/adjacent stats are pure array expressions over the tokenized
+    row (zero shuffle).  The bigram mode needs a per-(doc, bigram) count —
+    one posexplode + one groupBy; the exploded value is ``xxhash64(bigram)``
+    so the shuffle carries (id, 8-byte) pairs, never bigram strings (count
+    equality is hash-collision-tolerant the same way the dedup family is).
+    Docs with <2 tokens have no bigrams → ``top_2gram_frac`` 0.
+    """
+    from dataqtor_spark.session import parallelize
+
+    base = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  _clean_tokens(text_col).alias("__tk")))
+            .withColumn("__n", F.size("__tk")))
+    sig = base.select(
+        "__id", "__n", "__tk",
+        F.when(F.col("__n") > 0,
+               F.lit(1.0) - F.size(F.array_distinct("__tk")) / F.col("__n"))
+        .otherwise(F.lit(0.0)).alias("dup_unigram_frac"),
+        F.when(F.col("__n") > 1,
+               F.size(F.filter(
+                   F.sequence(F.lit(1), F.col("__n") - 1),
+                   lambda i: F.element_at(F.col("__tk"), i)
+                   == F.element_at(F.col("__tk"), i + 1)))
+               / (F.col("__n") - 1))
+        .otherwise(F.lit(0.0)).alias("repeat_adjacent_frac"),
+    )
+    grams = (base.filter(F.col("__n") >= 2)
+             .select("__id",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.col("__n") - 1),
+                         lambda i: F.xxhash64(F.concat_ws(
+                             " ", F.element_at(F.col("__tk"), i),
+                             F.element_at(F.col("__tk"), i + 1))))).alias("__g")))
+    topg = (grams.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("__id")
+            .agg((F.max("__c") / F.sum("__c")).alias("top_2gram_frac")))
+    return (sig.join(topg, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("__n").cast("long").alias("n_tokens"),
+                    F.round(F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)), 6)
+                    .alias("top_2gram_frac"),
+                    F.round("dup_unigram_frac", 6).alias("dup_unigram_frac"),
+                    F.round("repeat_adjacent_frac", 6).alias("repeat_adjacent_frac")))
+
+
+GOPHER_DEFAULTS = {
+    "min_tokens": 30,
+    "max_tokens": 50_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "min_distinct_stopwords": 1,
+    "max_dup_unigram_frac": 0.8,
+    "max_top_2gram_frac": 0.20,
+    "max_repeat_adjacent_frac": 0.10,
+}
+
+
+def gopher_filter(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", **overrides) -> DataFrame:
+    """Gopher-style document quality gate: per-doc boolean flags plus the
+    combined ``keep`` decision.  Thresholds default to :data:`GOPHER_DEFAULTS`
+    (adapted from Rae et al. 2021 Table A1 to whitespace-token text).
+
+    Flags: ``word_count_ok`` (token count in bounds), ``avg_len_ok`` (mean
+    token length in bounds), ``stopword_ok`` (≥N distinct stopwords),
+    ``repetition_ok`` (all :func:`repetition_signals` under their caps).
+    One groupBy total (inherited from the bigram stat); everything else is
+    array arithmetic in the scan projection.
+    """
+    p = {**GOPHER_DEFAULTS, **overrides}
+    toks = _clean_tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    feats = df.select(
+        F.col(id_col),
+        F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+        .alias("__n_stop"),
+        (F.aggregate(toks, F.lit(0).cast("long"),
+                     lambda acc, t: acc + F.length(t))
+         / F.greatest(F.size(toks), F.lit(1))).alias("__avg_len"),
+    )
+    sig = repetition_signals(df, id_col, text_col)
+    out = sig.join(feats, id_col)
+    word_count_ok = F.col("n_tokens").between(p["min_tokens"], p["max_tokens"])
+    avg_len_ok = F.col("__avg_len").between(p["min_avg_token_len"],
+                                            p["max_avg_token_len"])
+    stopword_ok = F.col("__n_stop") >= p["min_distinct_stopwords"]
+    repetition_ok = (
+        (F.col("dup_unigram_frac") <= p["max_dup_unigram_frac"])
+        & (F.col("top_2gram_frac") <= p["max_top_2gram_frac"])
+        & (F.col("repeat_adjacent_frac") <= p["max_repeat_adjacent_frac"]))
+    return out.select(
+        id_col, "n_tokens",
+        word_count_ok.alias("word_count_ok"),
+        avg_len_ok.alias("avg_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        repetition_ok.alias("repetition_ok"),
+        (word_count_ok & avg_len_ok & stopword_ok & repetition_ok).alias("keep"),
+    )
+
+
+def repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", span_tokens: int = 8,
+                   min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-span detection — the exact-substring dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), windowed instead of suffix-array'd: every
+    ``span_tokens``-token window is hashed, and windows whose text occurs in
+    ``min_docs``+ distinct documents are flagged as shared.
+
+    Returns per-doc ``(id, n_windows, n_shared_windows, shared_frac)`` —
+    the fraction of a document covered by cross-document boilerplate.
+
+    Scale shape: one posexplode of xxhash64'd windows (8-byte rows, window
+    text never shuffles), one groupBy(hash) for the document-frequency
+    table, one hash-join back + per-doc count.  Cost is linear in corpus
+    tokens; the df(hash) table is bounded by total windows, and AQE
+    broadcasts it when the shared set is small.
+    """
+    from dataqtor_spark.session import parallelize
+
+    base = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  _clean_tokens(text_col).alias("__tk")))
+            .withColumn("__n", F.size("__tk")))
+    wins_expr = F.when(
+        F.col("__n") >= span_tokens,
+        F.transform(F.sequence(F.lit(1), F.col("__n") - (span_tokens - 1)),
+                    lambda s: F.xxhash64(F.concat_ws(
+                        " ", F.slice(F.col("__tk"), s, span_tokens)))))
+    ex = base.select("__id", F.explode(wins_expr).alias("__h"))
+    shared = (ex.groupBy("__h")
+              .agg(F.count_distinct("__id").alias("__nd"))
+              .filter(F.col("__nd") >= min_docs)
+              .select("__h"))
+    per = (ex.join(shared, "__h")
+           .groupBy("__id").agg(F.count(F.lit(1)).alias("__shared")))
+    tot = base.select("__id",
+                      F.when(F.col("__n") >= span_tokens,
+                             F.col("__n") - (span_tokens - 1))
+                      .otherwise(F.lit(0)).alias("n_windows"))
+    return (tot.join(per, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("n_windows").cast("long").alias("n_windows"),
+                    F.coalesce(F.col("__shared"), F.lit(0)).cast("long")
+                    .alias("n_shared_windows"),
+                    F.round(F.coalesce(F.col("__shared"), F.lit(0))
+                            / F.greatest(F.col("n_windows"), F.lit(1)), 6)
+                    .alias("shared_frac")))
+
+
+def source_mix(df: DataFrame, source_col: str = "source",
+               text_col: str = "text",
+               targets: dict[str, float] | None = None) -> DataFrame:
+    """Per-source corpus composition and mixture-reweighting factors — the
+    data-mixing step of a training pipeline: measure each source's token
+    share, then compute the sampling multiplier that would hit a target mix.
+
+    ``targets`` maps source → target share (must cover every source it names;
+    unnamed sources get target 0); ``None`` means uniform across observed
+    sources.  ``weight = target_share / actual_token_share``.
+
+    One groupBy over (source) — partial aggregation reduces each partition
+    to |sources| rows, so the shuffle is tiny no matter the corpus size; the
+    grand total rides a broadcast scalar.
+    """
+    agg = (df.groupBy(F.col(source_col).alias("source"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(token_count(text_col)).alias("n_tokens")))
+    tot = agg.agg(F.sum("n_tokens").alias("__tt"),
+                  F.count(F.lit(1)).alias("__ns"))
+    out = agg.crossJoin(F.broadcast(tot))
+    if targets is None:
+        target = F.lit(1.0) / F.col("__ns")
+    else:
+        expr = None
+        for s, t in targets.items():
+            cond = F.col("source") == s
+            expr = F.when(cond, F.lit(float(t))) if expr is None \
+                else expr.when(cond, F.lit(float(t)))
+        target = expr.otherwise(F.lit(0.0))
+    share = F.col("n_tokens") / F.col("__tt")
+    return out.select(
+        "source", "n_docs", "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 6).alias("weight"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, quota: int,
+                      id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic per-stratum quota sampling: keep the first ``quota``
+    rows of each stratum under the :func:`shuffle_key` pseudo-random order
+    (ties broken by id — fully reproducible across runs and engines).
+
+    The window partitions by stratum, so parallelism = stratum count and
+    each stratum sorts only its own rows.  For very large or very skewed
+    strata prefer rate-based :func:`sample_by_bin` (no per-stratum sort);
+    quota sampling is for the per-domain-cap pattern where an exact count
+    matters more than a rate.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        shuffle_key(id_col, seed), F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= quota).drop("__rn"))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", shingle_n: int = 5) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word

@@ -2647,3 +2647,191 @@ def t13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     return TX.decontaminate(corpus, bench, "doc_id", "text", shingle_n=_T13_N)
+
+
+# ---------------------------------------------------------------------------
+# t14/t15 — Gopher-style repetition signals + quality gate
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks
+)"""
+
+_SIG_CTES = _TOKS_CTE + """, sig AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN 1.0 - len(list_distinct(tk)) * 1.0 / n
+              ELSE 0.0 END AS dupu,
+         CASE WHEN n > 1 THEN
+              len(list_filter(generate_series(1, n - 1), i -> tk[i] = tk[i + 1]))
+              * 1.0 / (n - 1)
+              ELSE 0.0 END AS adj
+  FROM base
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, n - 1),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM base WHERE n >= 2
+), gc AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), topg AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS top2 FROM gc GROUP BY 1
+), signals AS (
+  SELECT s.doc_id, s.n,
+         round(coalesce(t.top2, 0), 6) AS top_2gram_frac,
+         round(s.dupu, 6) AS dup_unigram_frac,
+         round(s.adj, 6) AS repeat_adjacent_frac
+  FROM sig s LEFT JOIN topg t USING (doc_id)
+)"""
+
+_T14_SQL = "WITH " + _SIG_CTES + """
+SELECT doc_id, n::BIGINT AS n_tokens, top_2gram_frac, dup_unigram_frac,
+       repeat_adjacent_frac
+FROM signals"""
+
+
+@register("t14_repetition_signals", _T14_SQL)
+def t14_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition stats (dup unigrams, adjacent
+    repeats, top-bigram share)."""
+    return TX.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def _t15_oracle_sql() -> str:
+    p = TX.GOPHER_DEFAULTS
+    stop = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+    return "WITH " + _SIG_CTES + f""", feats AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(tk), [{stop}])) AS nstop,
+         CASE WHEN n > 0
+              THEN list_sum(list_transform(tk, t -> length(t))) * 1.0 / n
+              ELSE 0.0 END AS avglen
+  FROM base
+), flags AS (
+  SELECT s.doc_id, s.n,
+         s.n BETWEEN {p["min_tokens"]} AND {p["max_tokens"]} AS word_count_ok,
+         f.avglen BETWEEN {p["min_avg_token_len"]} AND {p["max_avg_token_len"]} AS avg_len_ok,
+         f.nstop >= {p["min_distinct_stopwords"]} AS stopword_ok,
+         (s.dup_unigram_frac <= {p["max_dup_unigram_frac"]}
+          AND s.top_2gram_frac <= {p["max_top_2gram_frac"]}
+          AND s.repeat_adjacent_frac <= {p["max_repeat_adjacent_frac"]}) AS repetition_ok
+  FROM signals s JOIN feats f USING (doc_id)
+)
+SELECT doc_id, n::BIGINT AS n_tokens, word_count_ok, avg_len_ok, stopword_ok,
+       repetition_ok,
+       (word_count_ok AND avg_len_ok AND stopword_ok AND repetition_ok) AS keep
+FROM flags"""
+
+
+@register("t15_gopher_flags", _t15_oracle_sql())
+def t15_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate: per-doc flags + keep decision."""
+    return TX.gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# t16 — cross-document repeated spans (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+_T16_SPAN = 8
+
+_T16_SQL = f"""WITH {_TOKS_CTE},
+wins AS (
+  SELECT doc_id, array_to_string(list_slice(tk, i, i + {_T16_SPAN - 1}), ' ') AS sp
+  FROM base, unnest(generate_series(1, n - {_T16_SPAN - 1})) AS t(i)
+  WHERE n >= {_T16_SPAN}
+),
+shared AS (
+  SELECT sp FROM wins GROUP BY sp HAVING count(DISTINCT doc_id) >= 2
+),
+per AS (
+  SELECT doc_id, count(*) AS ns FROM wins JOIN shared USING (sp) GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id,
+         CASE WHEN n >= {_T16_SPAN} THEN n - {_T16_SPAN - 1} ELSE 0 END AS nw
+  FROM base
+)
+SELECT t.doc_id, t.nw::BIGINT AS n_windows,
+       coalesce(p.ns, 0)::BIGINT AS n_shared_windows,
+       round(coalesce(p.ns, 0) * 1.0 / greatest(t.nw, 1), 6) AS shared_frac
+FROM tot t LEFT JOIN per p USING (doc_id)"""
+
+
+@register("t16_repeated_spans", _T16_SQL)
+def t16_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 8-token windows whose text recurs in another
+    document (Lee et al. 2022 substring-dedup signal, windowed)."""
+    return TX.repeated_spans(_t(spark, sf_dir, "documents"),
+                             span_tokens=_T16_SPAN, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# t17/t18 — source mixing + per-source quota sampling
+# ---------------------------------------------------------------------------
+
+_T17_SQL = """WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_tokens) AS tt, count(*) AS ns FROM agg)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / tt, 6) AS token_share,
+       round((1.0 / ns) / (n_tokens * 1.0 / tt), 6) AS weight
+FROM agg, tot"""
+
+
+@register("t17_source_mix", _T17_SQL)
+def t17_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares + uniform-target mixture reweighting."""
+    return TX.source_mix(_t(spark, sf_dir, "documents"))
+
+
+_T18_QUOTA = 10
+
+_T18_SQL = f"""SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents) WHERE rn <= {_T18_QUOTA}"""
+
+
+@register("t18_stratified_sample", _T18_SQL)
+def t18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota sample (hash-ordered row_number)."""
+    return (TX.stratified_sample(_t(spark, sf_dir, "documents"),
+                                 "source", _T18_QUOTA)
+            .select("doc_id", "source"))
+
+
+# ---------------------------------------------------------------------------
+# pr08 — Tukey-fence (IQR) outlier summary
+# ---------------------------------------------------------------------------
+
+_PR08_SQL = """WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+), b AS (
+  SELECT q1, q3, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q
+)
+SELECT 'l_extendedprice' AS "column",
+       round(q1, 4) AS q1, round(q3, 4) AS q3,
+       round(lo, 4) AS lo, round(hi, 4) AS hi,
+       (SELECT coalesce(sum(CASE WHEN l_extendedprice < b.lo
+                                   OR l_extendedprice > b.hi
+                                 THEN 1 ELSE 0 END), 0)
+        FROM lineitem)::BIGINT AS n_outliers
+FROM b"""
+
+
+@register("pr08_outlier_iqr", _PR08_SQL)
+def pr08_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier summary over lineitem prices (exact quartiles;
+    percentile_approx is the documented 100 TB path)."""
+    return P.outlier_iqr(_t(spark, sf_dir, "lineitem"), "l_extendedprice")

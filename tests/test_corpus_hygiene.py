@@ -1,0 +1,118 @@
+"""Edge-case tests for the corpus-hygiene operators (repetition signals,
+Gopher gate, repeated spans, source mixing, stratified sampling, IQR
+outliers).  Happy paths are covered by the DuckDB oracle gate
+(t14–t18, pr08); these pin the degenerate inputs the oracle data lacks."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataqtor_spark.operators import profile as P
+from dataqtor_spark.operators import textstats as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_degenerate(spark):
+    df = _docs(spark, [
+        (1, "word word word word"),          # fully repeated
+        (2, "a b c d"),                      # all distinct
+        (3, "single"),                       # one token: no bigrams
+        (4, "   "),                          # blank: no tokens
+    ])
+    out = {r["doc_id"]: r for r in T.repetition_signals(df).collect()}
+    assert out[1]["dup_unigram_frac"] == 0.75
+    assert out[1]["repeat_adjacent_frac"] == 1.0
+    assert out[1]["top_2gram_frac"] == 1.0
+    assert out[2]["dup_unigram_frac"] == 0.0
+    assert out[2]["repeat_adjacent_frac"] == 0.0
+    # 3 distinct bigrams out of 3 total
+    assert abs(out[2]["top_2gram_frac"] - 1 / 3) < 1e-6
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_2gram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["dup_unigram_frac"] == 0.0
+
+
+def test_gopher_filter_flags(spark):
+    # 42 distinct tokens incl. stopwords: passes every gate
+    long_ok = "the a " + " ".join(f"word{i}" for i in range(40))
+    df = _docs(spark, [
+        (1, long_ok),
+        (2, "too short"),                               # word_count fails
+        (3, " ".join(["spam"] * 60)),                   # repetition fails
+        (4, " ".join(f"w{i}" for i in range(40))),      # no stopwords
+    ])
+    out = {r["doc_id"]: r for r in T.gopher_filter(df).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["word_count_ok"] and not out[2]["keep"]
+    assert not out[3]["repetition_ok"] and not out[3]["keep"]
+    assert not out[4]["stopword_ok"] and not out[4]["keep"]
+
+
+def test_repeated_spans_detects_boilerplate(spark):
+    boiler = "this exact boilerplate license header appears in many files"
+    df = _docs(spark, [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "completely different content with no shared windows at all ok"),
+        (4, "tiny"),                                     # shorter than span
+    ])
+    out = {r["doc_id"]: r for r in
+           T.repeated_spans(df, span_tokens=8, min_docs=2).collect()}
+    assert out[1]["n_shared_windows"] > 0
+    assert out[2]["n_shared_windows"] > 0
+    assert out[3]["n_shared_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["shared_frac"] == 0.0
+    # doc 1: 13 tokens -> 6 windows; the 9-token boilerplate yields 2 shared
+    assert out[1]["n_windows"] == 6
+    assert out[1]["n_shared_windows"] == 2
+
+
+def test_source_mix_targets_and_uniform(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "e f", "s1"), (3, "g h i j k l", "s2")],
+        "doc_id long, text string, source string")
+    uni = {r["source"]: r for r in T.source_mix(df).collect()}
+    assert uni["s1"]["n_tokens"] == 6 and uni["s2"]["n_tokens"] == 6
+    assert uni["s1"]["token_share"] == 0.5
+    assert uni["s1"]["weight"] == 1.0  # uniform target over 2 sources
+    tgt = {r["source"]: r for r in
+           T.source_mix(df, targets={"s1": 0.75, "s2": 0.25}).collect()}
+    assert tgt["s1"]["weight"] == 1.5
+    assert tgt["s2"]["weight"] == 0.5
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [(i, f"text {i}", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = T.stratified_sample(df, "source", quota=4)
+    counts = {r["source"]: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    assert counts == {"s0": 4, "s1": 4, "s2": 4}
+    # deterministic: same ids across invocations
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  T.stratified_sample(df, "source", quota=4).collect())
+    assert ids1 == ids2
+    # quota above stratum size keeps everything
+    assert T.stratified_sample(df, "source", quota=100).count() == 30
+
+
+def test_outlier_iqr_exact_and_approx(spark):
+    vals = [(float(v),) for v in list(range(1, 101)) + [1000.0, -1000.0]]
+    df = spark.createDataFrame(vals, "x double")
+    r = P.outlier_iqr(df, "x").collect()[0]
+    # q1/q3 of 1..100 plus two extremes; the two extremes are the outliers
+    assert r["n_outliers"] == 2
+    assert r["lo"] < 1 and r["hi"] > 100
+    ra = P.outlier_iqr(df, "x", approx=True).collect()[0]
+    assert ra["n_outliers"] == 2
+
+
+def test_outlier_iqr_nulls_ignored(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,), (3.0,), (100.0,)],
+                               "x double")
+    r = P.outlier_iqr(df, "x").collect()[0]
+    assert r["n_outliers"] == 1
