@@ -630,3 +630,28 @@ def outlier_iqr(df: DataFrame, col: str, k: float = 1.5,
         F.round("q1", 4).alias("q1"), F.round("q3", 4).alias("q3"),
         F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
         F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"))
+
+
+def distinct_profile(df: DataFrame, cols: list[str],
+                     approx: bool = False, rsd: float = 0.05) -> DataFrame:
+    """Per-column cardinality profile: (column, n_distinct, n_nulls) in ONE
+    aggregate pass over all requested columns.
+
+    ``approx=True`` is the 100 TB path: ``approx_count_distinct`` keeps one
+    fixed-size HyperLogLog++ sketch per column per partition (merged
+    map-side), so memory is O(cols × sketch) instead of the exact mode's
+    per-column distinct hash tables; ``rsd`` is the target relative standard
+    error.  Exact mode is what the driver's DuckDB gate replays.
+    """
+    cnt = (lambda c: F.approx_count_distinct(c, rsd)) if approx \
+        else (lambda c: F.count_distinct(F.col(c)))
+    aggs = []
+    for c in cols:
+        aggs.append(cnt(c).alias(f"__d_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"))
+    one = df.agg(*aggs)
+    structs = [F.struct(F.lit(c).alias("column"),
+                        F.col(f"__d_{c}").alias("n_distinct"),
+                        F.coalesce(F.col(f"__n_{c}"), F.lit(0)).alias("n_nulls"))
+               for c in cols]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -2835,3 +2835,43 @@ def pr08_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier summary over lineitem prices (exact quartiles;
     percentile_approx is the documented 100 TB path)."""
     return P.outlier_iqr(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# s07 — interval (funnel) join; pr09 — cardinality profile
+# ---------------------------------------------------------------------------
+
+_S07_SQL = """SELECT l.user_id,
+       l.event_id AS left_event_id, r.event_id AS right_event_id,
+       l.ts AS left_ts, r.ts AS right_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'signup' AND r.event_type = 'purchase'"""
+
+
+@register("s07_interval_join_events", _S07_SQL)
+def s07_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase attribution pairs within 1 hour (the unified
+    batch/stream interval join on its batch side)."""
+    from dataqtor_spark.streaming import profiler as SP
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    return SP.stream_interval_join(left, right, "user_id", "ts", within="1 hour")
+
+
+_PR09_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+_PR09_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(DISTINCT {c})::BIGINT AS n_distinct,
+       (count(*) - count({c}))::BIGINT AS n_nulls FROM orders"""
+    for c in _PR09_COLS)
+
+
+@register("pr09_distinct_profile", _PR09_SQL)
+def pr09_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column cardinality profile over orders (approx HLL++ form
+    is the scale path, pinned by tests to ±3·rsd)."""
+    return P.distinct_profile(_t(spark, sf_dir, "orders"), _PR09_COLS)

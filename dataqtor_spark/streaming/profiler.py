@@ -190,3 +190,72 @@ def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
                     F.size(F.array_intersect(doc_sh, F.col("__bench")))
                     .alias("shared_shingles"))
             .withColumn("contaminated", F.col("shared_shingles") > 0))
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, key_col: str,
+                         ts_col: str = "ts", within: str = "30 minutes",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Event-to-event interval join (the funnel/attribution primitive): pair
+    each left event with same-key right events whose timestamp falls in
+    ``(left.ts, left.ts + within]``.
+
+    Unified batch/stream: on static frames this is a plain range-condition
+    join (Catalyst plans the equi-key part as the shuffle key and the time
+    range as a post-join filter, so it never goes quadratic across keys).
+    On streams, both sides get watermarks and the time-bound condition is
+    exactly what Spark's stream-stream join needs to evict state — a side's
+    buffered rows are dropped once the watermark passes ``ts + within``, so
+    state is O(rate × (watermark + interval)), independent of stream length.
+
+    Output columns: ``key_col``, then every non-key/ts column of each side
+    prefixed ``left_``/``right_``, plus ``left_ts``/``right_ts``.
+    """
+    def _wm(df: DataFrame) -> DataFrame:
+        if df.isStreaming and "spark.watermarkDelayMs" not in df.schema[ts_col].metadata:
+            return df.withWatermark(ts_col, watermark)
+        return df
+
+    def _prefix(df: DataFrame, p: str) -> DataFrame:
+        key = F.col(key_col) if p == "left_" else F.col(key_col).alias("__rk")
+        return df.select(key, F.col(ts_col).alias(f"{p}ts"),
+                         *[F.col(c).alias(f"{p}{c}") for c in df.columns
+                           if c not in (key_col, ts_col)])
+
+    l = _prefix(_wm(left), "left_")
+    r = _prefix(_wm(right), "right_")
+    cond = ((F.col(key_col) == F.col("__rk"))
+            & (F.col("right_ts") > F.col("left_ts"))
+            & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")))
+    return l.join(r, cond).drop("__rk")
+
+
+def incremental_dedup_sink(stream: DataFrame, keys: list[str], path: str,
+                           checkpoint: str):
+    """``foreachBatch`` upsert-by-key: each micro-batch is deduped within
+    itself, anti-joined against the keys already in the parquet sink, and
+    only genuinely new rows are appended — exactly-once-by-key across
+    restarts (the checkpoint replays a failed batch; the anti-join makes the
+    replay a no-op).
+
+    This is the plain-parquet rendition of the pattern; on a real lakehouse
+    the batch body becomes one ``MERGE INTO`` (Delta/Iceberg) and the
+    read-sink-keys step disappears.  Cost note: the anti-join reads only the
+    key columns of the sink (column-pruned parquet scan), but is still
+    O(sink) per batch — compact or partition the sink by a key prefix when
+    the history grows.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    def _upsert(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
+        fresh = batch.dropDuplicates(keys)
+        if os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in os.listdir(path)):
+            seen = batch.sparkSession.read.parquet(path).select(*keys)
+            fresh = fresh.join(seen, keys, "left_anti")
+        fresh.write.mode("append").parquet(path)
+
+    return (stream.writeStream.foreachBatch(_upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -290,3 +290,64 @@ def test_stream_decontaminate_equals_batch(spark, tables, tmp_path):
     streamed = {r["doc_id"]: (r["shared_shingles"], r["contaminated"])
                 for r in spark.sql("SELECT * FROM decontam_test").collect()}
     assert streamed == batch
+
+
+def test_interval_join_batch_equals_stream(spark, tables, tmp_path):
+    ev = tables["events"]
+    left = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    batch = {(r["user_id"], r["left_event_id"], r["right_event_id"])
+             for r in SP.stream_interval_join(left, right, "user_id",
+                                              within="1 hour").collect()}
+
+    src = str(tmp_path / "iv_events")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    # watermark longer than the replayed span: file replay is unordered, so
+    # a short watermark would drop whole batches as late (see gotchas)
+    s = SP.stream_events(spark, src, watermark="90 days")
+    sl = s.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    sr = s.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    joined = SP.stream_interval_join(sl, sr, "user_id", within="1 hour",
+                                     watermark="90 days")
+    q = (joined.writeStream.format("memory").queryName("iv_join_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r["user_id"], r["left_event_id"], r["right_event_id"])
+                for r in spark.table("iv_join_test").collect()}
+    assert streamed == batch
+    assert len(batch) > 0
+
+
+def test_incremental_dedup_sink_exactly_once_by_key(spark, tables, tmp_path):
+    ev = tables["events"].limit(200)
+    # duplicate every row; replay as multiple files
+    src = str(tmp_path / "dup_events")
+    ev.unionAll(ev).repartition(6).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "dedup_sink")
+    ck = str(tmp_path / "dedup_ck")
+
+    stream = SP.stream_events(spark, src, watermark="90 days")
+    q = SP.incremental_dedup_sink(stream, ["event_id"], sink, ck)
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    assert got.count() == got.select("event_id").distinct().count() == ev.count()
+
+    # re-running over the same source appends nothing new (upsert semantics)
+    stream2 = SP.stream_events(spark, src, watermark="90 days")
+    q2 = SP.incremental_dedup_sink(stream2, ["event_id"], sink,
+                                   str(tmp_path / "dedup_ck2"))
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == ev.count()
+
+
+def test_distinct_profile_approx_within_tolerance(spark, tables):
+    from dataqtor_spark.operators import profile as P
+
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    exact = {r["column"]: r["n_distinct"]
+             for r in P.distinct_profile(tables["orders"], cols).collect()}
+    approx = {r["column"]: r["n_distinct"]
+              for r in P.distinct_profile(tables["orders"], cols,
+                                          approx=True, rsd=0.05).collect()}
+    for c in cols:
+        assert abs(approx[c] - exact[c]) <= max(3, 0.15 * exact[c])
