@@ -509,13 +509,22 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
         F.transform(F.sequence(F.lit(1), F.col("__n") - (span_tokens - 1)),
                     lambda s: F.xxhash64(F.concat_ws(
                         " ", F.slice(F.col("__tk"), s, span_tokens)))))
+    from pyspark.sql.window import Window
+
     ex = base.select("__id", F.explode(wins_expr).alias("__h"))
-    shared = (ex.groupBy("__h")
-              .agg(F.count_distinct("__id").alias("__nd"))
-              .filter(F.col("__nd") >= min_docs)
-              .select("__h"))
-    per = (ex.join(shared, "__h")
-           .groupBy("__id").agg(F.count(F.lit(1)).alias("__shared")))
+    # one analytic pass over the hash partitioning marks shared windows
+    # in place — the exploded frame is computed ONCE and never self-joined
+    # (the naive shared-hash-table ⋈ windows join re-ran the whole explode
+    # for each consumer).  "≥2 distinct docs" for the default min_docs=2 is
+    # just min(id) ≠ max(id): two agg buffers, no per-group distinct table.
+    wh = Window.partitionBy("__h")
+    if min_docs == 2:
+        multi = F.min("__id").over(wh) != F.max("__id").over(wh)
+    else:
+        multi = F.size(F.collect_set("__id").over(wh)) >= min_docs
+    per = (ex.withColumn("__multi", multi)
+           .groupBy("__id")
+           .agg(F.sum(F.col("__multi").cast("long")).alias("__shared")))
     tot = base.select("__id",
                       F.when(F.col("__n") >= span_tokens,
                              F.col("__n") - (span_tokens - 1))

@@ -46,6 +46,22 @@ PROBES = {
         "dataqtor_spark.operators.embeddings", fromlist=["quantize_int8"])
         .quantize_int8(df, "vec_id", "embedding")
         .groupBy("dim").count()),
+    "repetition_signals": ("documents", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.textstats", fromlist=["repetition_signals"])
+        .repetition_signals(df, "doc_id", "text")
+        .groupBy().agg(F.sum("n_tokens"))),
+    "repeated_spans": ("documents", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.textstats", fromlist=["repeated_spans"])
+        .repeated_spans(df, "doc_id", "text")
+        .groupBy().agg(F.sum("n_shared_windows"))),
+    "interval_join": ("events", lambda df, P, R: __import__(
+        "dataqtor_spark.streaming.profiler", fromlist=["stream_interval_join"])
+        .stream_interval_join(
+            df.filter(F.col("event_type") == "signup")
+              .select("user_id", "ts", "event_id"),
+            df.filter(F.col("event_type") == "purchase")
+              .select("user_id", "ts", "event_id"),
+            "user_id", within="1 hour")),
 }
 
 
