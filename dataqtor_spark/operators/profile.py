@@ -655,3 +655,36 @@ def distinct_profile(df: DataFrame, cols: list[str],
                         F.coalesce(F.col(f"__n_{c}"), F.lit(0)).alias("n_nulls"))
                for c in cols]
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def equi_depth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: (bucket, n_rows, lo, hi).
+
+    Built from the distinct-value table, not a global row sort: per-value
+    counts (one groupBy), a cumulative count over the ordered distinct set,
+    then ``bucket = floor(preceding_rows × buckets / total)``.  All rows of
+    one value land in one bucket (deterministic tie semantics, replayable in
+    ANSI SQL with no interpolation — unlike quantile-boundary schemes whose
+    float boundaries can differ across engines in the last ulp).
+
+    The single-partition window is over DISTINCT values — O(distinct), the
+    same bound as the Spearman rank table; for near-unique doubles at
+    extreme scale, swap in ``percentile_approx`` boundaries and accept
+    sketch error (documented trade).
+    """
+    from pyspark.sql.window import Window
+
+    vc = (df.filter(F.col(col).isNotNull())
+          .groupBy(F.col(col).alias("__v"))
+          .agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vc.select(
+        "__v", "__c",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__cb"),
+        F.sum("__c").over(Window.partitionBy()).alias("__tot"))
+    return (cum.withColumn("bucket",
+                           F.floor(F.col("__cb") * buckets / F.col("__tot"))
+                           .cast("long"))
+            .groupBy("bucket")
+            .agg(F.sum("__c").alias("n_rows"),
+                 F.min("__v").alias("lo"), F.max("__v").alias("hi")))

@@ -270,3 +270,46 @@ def violation_flags(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for r in rules:
         out = out.withColumn(f"__viol_{r.name}", r.violation)
     return out
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, child_key: str,
+               parent_key: str, relation: str | None = None) -> DataFrame:
+    """Referential-integrity check: one summary row
+    ``(relation, n_child, n_orphans, orphan_pct)`` counting child rows whose
+    key has no match in the parent (NULL child keys are orphans too — an FK
+    that is null references nothing).
+
+    Shape at scale: a left-anti join on the key — shuffle-partitioned on
+    both sides, or broadcast when the parent's distinct key set is small
+    (AQE decides from runtime sizes).  The parent side is pre-projected to
+    its distinct keys so only 8-byte keys ever move.
+    """
+    rel = relation or f"{child_key}->{parent_key}"
+    pk = (parent.select(F.col(parent_key).alias(child_key)).distinct()
+          .withColumn("__hit", F.lit(1)))
+    flagged = child.select(child_key).join(pk, child_key, "left")
+    return flagged.agg(
+        F.lit(rel).alias("relation"),
+        F.count(F.lit(1)).alias("n_child"),
+        F.coalesce(F.sum(F.col("__hit").isNull().cast("long")), F.lit(0))
+        .alias("n_orphans"),
+    ).withColumn(
+        "orphan_pct",
+        F.when(F.col("n_child") > 0,
+               F.round(F.col("n_orphans") * 100.0 / F.col("n_child"), 2))
+        .otherwise(F.lit(0.0)))
+
+
+def cross_table_violations(left: DataFrame, right: DataFrame,
+                           on: list[str] | str, violation,
+                           how: str = "inner") -> DataFrame:
+    """Cross-table consistency rule: join the two tables on their key and
+    keep rows where ``violation`` (a boolean Column over the joined frame)
+    holds — e.g. a lineitem shipped before its order was placed.
+
+    The join is the only shuffle; everything else is the same fused
+    predicate evaluation as the single-table rules.  Null predicate results
+    count as non-violations (three-valued logic, consistent with Rule).
+    """
+    joined = left.join(right, on, how)
+    return joined.filter(F.coalesce(violation, F.lit(False)))

@@ -2875,3 +2875,78 @@ def pr09_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-column cardinality profile over orders (approx HLL++ form
     is the scale path, pinned by tests to ±3·rsd)."""
     return P.distinct_profile(_t(spark, sf_dir, "orders"), _PR09_COLS)
+
+
+# ---------------------------------------------------------------------------
+# r14/r15 — referential integrity + cross-table consistency; pr10 — equi-depth
+# ---------------------------------------------------------------------------
+
+_R14_RELS = [("orders", "o_custkey", "customer", "c_custkey"),
+             ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+             ("lineitem", "l_partkey", "part", "p_partkey")]
+
+_R14_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{ck}->{pk}' AS relation,
+       count(*)::BIGINT AS n_child,
+       coalesce(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_orphans,
+       CASE WHEN count(*) > 0 THEN round(
+         coalesce(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0) * 100.0
+         / count(*), 2) ELSE 0.0 END AS orphan_pct
+FROM {c} LEFT JOIN (SELECT DISTINCT {pk} FROM {p}) p ON {c}.{ck} = p.{pk}"""
+    for c, ck, p, pk in _R14_RELS)
+
+
+@register("r14_fk_orphans", _R14_SQL)
+def r14_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity summary across the star schema's FK edges."""
+    outs = []
+    for c, ck, p, pk in _R14_RELS:
+        outs.append(R.fk_orphans(_t(spark, sf_dir, c), _t(spark, sf_dir, p),
+                                 ck, pk, relation=f"{ck}->{pk}"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+_R15_SQL = """SELECT o.o_orderpriority, count(*)::BIGINT AS n_violations
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+GROUP BY o.o_orderpriority"""
+
+
+@register("r15_ship_before_order", _R15_SQL)
+def r15_ship_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency rule: lineitems shipped before their order's
+    date, broken down by order priority."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                            "o_orderpriority")
+    bad = R.cross_table_violations(
+        li, od.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey",
+        F.col("l_shipdate") < F.col("o_orderdate"))
+    return bad.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_violations"))
+
+
+_PR10_SQL = """WITH vc AS (
+  SELECT l_extendedprice AS v, count(*) AS c FROM lineitem
+  WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         sum(c) OVER () AS tot
+  FROM vc
+)
+SELECT (cb * 10 // tot)::BIGINT AS bucket, sum(c)::BIGINT AS n_rows,
+       min(v) AS lo, max(v) AS hi
+FROM cum GROUP BY 1"""
+
+
+@register("pr10_equi_depth_histogram", _PR10_SQL)
+def pr10_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency histogram over lineitem prices (distinct-value
+    cumulative counts — no float boundary interpolation)."""
+    return P.equi_depth_histogram(_t(spark, sf_dir, "lineitem"),
+                                  "l_extendedprice", buckets=10)

@@ -295,3 +295,49 @@ def test_fill_nulls(spark):
     df = spark.createDataFrame([(1, None), (2, "x")], "id long, s string")
     out = RP.fill_nulls(df, "s", "missing")
     assert {r["s"] for r in out.collect()} == {"missing", "x"}
+
+
+def test_fk_orphans_counts_nulls_and_missing(spark):
+    from dataqtor_spark.operators import rules as R
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (99,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,), (3,)], "pk int")
+    r = R.fk_orphans(child, parent, "fk", "pk").collect()[0]
+    # 99 (missing) + NULL both orphans; duplicate parent keys don't inflate
+    assert r["n_child"] == 5
+    assert r["n_orphans"] == 2
+    assert r["orphan_pct"] == 40.0
+
+
+def test_cross_table_violations_null_is_not_violation(spark):
+    import pyspark.sql.functions as F
+
+    from dataqtor_spark.operators import rules as R
+
+    left = spark.createDataFrame([(1, 5), (2, None), (3, 1)],
+                                 "k int, lv int")
+    right = spark.createDataFrame([(1, 3), (2, 3), (3, 3)], "k int, rv int")
+    out = R.cross_table_violations(left, right, "k",
+                                   F.col("lv") > F.col("rv")).collect()
+    assert [r["k"] for r in out] == [1]  # NULL comparison -> kept out
+
+
+def test_equi_depth_histogram_balanced_and_tied(spark):
+    from dataqtor_spark.operators import profile as P
+
+    # 100 distinct values -> 10 buckets of exactly 10
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = {r["bucket"]: r for r in
+           P.equi_depth_histogram(df, "x", 10).collect()}
+    assert sorted(out) == list(range(10))
+    assert all(out[b]["n_rows"] == 10 for b in out)
+    assert out[0]["lo"] == 0.0 and out[9]["hi"] == 99.0
+    # massive tie: one value holding >1 bucket's worth stays in ONE bucket
+    df2 = spark.createDataFrame([(1.0,)] * 50 + [(2.0,)] * 5 + [(3.0,)] * 5,
+                                "x double")
+    out2 = P.equi_depth_histogram(df2, "x", 10).collect()
+    total = sum(r["n_rows"] for r in out2)
+    assert total == 60
+    tied = [r for r in out2 if r["lo"] == 1.0]
+    assert len(tied) == 1 and tied[0]["n_rows"] == 50
