@@ -688,3 +688,36 @@ def equi_depth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFram
             .groupBy("bucket")
             .agg(F.sum("__c").alias("n_rows"),
                  F.min("__v").alias("lo"), F.max("__v").alias("hi")))
+
+
+def ks_drift(df: DataFrame, col: str, group_col: str,
+             group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``col``
+    distributions of two groups: ``max |ECDF_a(v) − ECDF_b(v)|`` — the
+    distribution-drift check that PSI (pr07) approximates with bins, done
+    exactly.
+
+    Built like the rank/histogram family: per-distinct-value counts for
+    both groups in one groupBy, cumulative sums over the ordered distinct
+    set (O(distinct) single-partition window — same documented bound as the
+    Spearman ranks), then one max.  No sort of row data, no driver loop.
+    """
+    from pyspark.sql.window import Window
+
+    v = (df.filter(F.col(group_col).isin([group_a, group_b])
+                   & F.col(col).isNotNull())
+         .select(F.col(col).alias("__v"),
+                 (F.col(group_col) == group_a).cast("long").alias("__a"),
+                 (F.col(group_col) == group_b).cast("long").alias("__b")))
+    vc = v.groupBy("__v").agg(F.sum("__a").alias("__ca"),
+                              F.sum("__b").alias("__cb"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = vc.select(
+        (F.sum("__ca").over(w) / F.sum("__ca").over(tot)).alias("__fa"),
+        (F.sum("__cb").over(w) / F.sum("__cb").over(tot)).alias("__fb"),
+        F.sum("__ca").over(tot).alias("__na"),
+        F.sum("__cb").over(tot).alias("__nb"))
+    return cum.agg(
+        F.first("__na").alias("n_a"), F.first("__nb").alias("n_b"),
+        F.round(F.max(F.abs(F.col("__fa") - F.col("__fb"))), 6).alias("ks"))

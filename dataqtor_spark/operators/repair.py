@@ -181,6 +181,34 @@ def search(df: DataFrame, col: str, op: str, value: Any = None,
 
 # --- lineage session -------------------------------------------------------
 
+def impute_by_group(df: DataFrame, col: str, keys: list[str],
+                    strategy: str = "mean") -> DataFrame:
+    """Group-aware null imputation: fill NULLs in ``col`` with the group's
+    ``mean`` (DECIMAL-accumulated, order-independent) or ``median`` (exact
+    interpolated percentile) over the non-null rows of the same ``keys``
+    group — the statistical upgrade of the reference's constant
+    ``fill_nulls``.
+
+    One groupBy over the keys builds the (small) per-group statistic table;
+    it joins back broadcast-or-shuffled by AQE.  Groups that are entirely
+    NULL have no statistic and keep their NULLs (documented; chain a
+    constant ``fill_nulls`` for a global fallback).
+    """
+    from pyspark.sql import functions as F
+
+    if strategy == "mean":
+        stat = (F.sum(F.col(col).cast("decimal(18,2)")) / F.count(F.col(col))
+                ).cast("double")
+    elif strategy == "median":
+        stat = F.percentile(F.col(col), F.lit(0.5))
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+    per = df.groupBy(*keys).agg(stat.alias("__fill"))
+    return (df.join(per, keys, "left")
+            .withColumn(col, F.coalesce(F.col(col), F.col("__fill")))
+            .drop("__fill"))
+
+
 class RepairSession:
     """Replaces the reference's in-place mutation with lineage.
 

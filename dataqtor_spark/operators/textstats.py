@@ -625,3 +625,33 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str = "doc_id
             .select(F.col("__id").alias(id_col),
                     F.coalesce(F.col("shared_shingles"), F.lit(0)).alias("shared_shingles"))
             .withColumn("contaminated", F.col("shared_shingles") > 0))
+
+
+def top_terms_tfidf(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` tokens by smooth-idf
+    TF-IDF (``tf · (ln((1+N)/(1+df)) + 1)``, the same family as the A13
+    string vectorizer).  Returns (id, token, score, rank) with a fully
+    deterministic order (rounded score desc, token asc).
+
+    Shape: one explode + (doc, token) groupBy for tf; df and the corpus
+    size N are aggregates OF that tf table (no second tokenization pass);
+    N rides a broadcast scalar; the top-k window partitions by document, so
+    parallelism = documents and no global sort exists anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (_tokens_exploded(df, id_col, text_col)
+          .groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    nd = tf.agg(F.count_distinct("__id").alias("__n"))
+    scored = (tf.join(dfreq, "token").crossJoin(F.broadcast(nd))
+              .select("__id", "token",
+                      F.round(F.col("tf")
+                              * (F.log((1 + F.col("__n"))
+                                       / (1 + F.col("__df"))) + 1), 6)
+                      .alias("score")))
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__id").alias(id_col), "token", "score", "rank"))

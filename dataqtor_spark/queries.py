@@ -2950,3 +2950,121 @@ def pr10_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative counts — no float boundary interpolation)."""
     return P.equi_depth_histogram(_t(spark, sf_dir, "lineitem"),
                                   "l_extendedprice", buckets=10)
+
+
+# ---------------------------------------------------------------------------
+# t19 — keyword extraction; pr11 — KS drift; s08 — rolling stats; f12 — impute
+# ---------------------------------------------------------------------------
+
+_T19_SQL = """WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT token, count(*) AS dfc FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), scored AS (
+  SELECT doc_id, token,
+         round(tf * (ln((1.0 + n) / (1.0 + dfc)) + 1), 6) AS score
+  FROM tf JOIN dfq USING (token) CROSS JOIN nd
+)
+SELECT doc_id, token, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+  FROM scored) WHERE rank <= 3"""
+
+
+@register("t19_top_terms", _T19_SQL)
+def t19_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords."""
+    return TX.top_terms_tfidf(_t(spark, sf_dir, "documents"), k=3)
+
+
+_PR11_SQL = """WITH v AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b
+  FROM events
+  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+), vc AS (
+  SELECT v, sum(a) AS ca, sum(b) AS cb FROM v GROUP BY v
+), cum AS (
+  SELECT sum(ca) OVER (ORDER BY v) * 1.0 / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY v) * 1.0 / sum(cb) OVER () AS fb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM vc
+)
+SELECT first(na)::BIGINT AS n_a, first(nb)::BIGINT AS n_b,
+       round(max(abs(fa - fb)), 6) AS ks
+FROM cum"""
+
+
+@register("pr11_ks_drift", _PR11_SQL)
+def pr11_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between click and error value
+    distributions."""
+    return P.ks_drift(_t(spark, sf_dir, "events"), "value", "event_type",
+                      "click", "error")
+
+
+_S08_SQL = """SELECT user_id, event_id, ts,
+       count(*) OVER w AS n_trailing,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+
+@register("s08_rolling_user_stats", _S08_SQL)
+def s08_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h per-user event count + exact value sum, per event."""
+    from dataqtor_spark.streaming import profiler as SP
+
+    return SP.rolling_user_stats(_t(spark, sf_dir, "events"),
+                                 "user_id", "ts", "value", 3600)
+
+
+_F12_SQL = """WITH nulled AS (
+  SELECT l_returnflag,
+         CASE WHEN l_tax > 0.05 THEN NULL ELSE l_discount END AS l_discount
+  FROM lineitem
+), per AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) / count(l_discount)
+              AS DOUBLE) AS fill
+  FROM nulled GROUP BY l_returnflag
+), imputed AS (
+  SELECT n.l_returnflag,
+         coalesce(n.l_discount, p.fill) AS l_discount,
+         CASE WHEN n.l_discount IS NULL THEN 1 ELSE 0 END AS was_null
+  FROM nulled n LEFT JOIN per p USING (l_returnflag)
+)
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       sum(was_null)::BIGINT AS n_imputed,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) / count(l_discount)
+                  AS DOUBLE), 6) AS mean_after
+FROM imputed GROUP BY l_returnflag"""
+
+
+@register("f12_group_impute", _F12_SQL)
+def f12_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation demo: deterministically null l_discount where
+    l_tax > 0.05, impute by per-returnflag mean, report the repair."""
+    from dataqtor_spark.operators import repair as RP2
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(F.col("l_tax") > 0.05, F.lit(None).cast("double"))
+        .otherwise(F.col("l_discount")).alias("l_discount"))
+    marked = li.withColumn("was_null", F.col("l_discount").isNull().cast("long"))
+    fixed = RP2.impute_by_group(marked, "l_discount", ["l_returnflag"], "mean")
+    return (fixed.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("was_null").alias("n_imputed"),
+                 F.round((F.sum(F.col("l_discount").cast("decimal(28,10)"))
+                          / F.count("l_discount")).cast("double"), 6)
+                 .alias("mean_after")))

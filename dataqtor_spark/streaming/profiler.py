@@ -259,3 +259,28 @@ def incremental_dedup_sink(stream: DataFrame, keys: list[str], path: str,
     return (stream.writeStream.foreachBatch(_upsert)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def rolling_user_stats(df: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts", value_col: str = "value",
+                       window_seconds: int = 3600) -> DataFrame:
+    """Per-event trailing-window stats: for every event, the count and
+    exact value sum of the same key's events in the preceding
+    ``window_seconds`` (inclusive of the current row) — the feature-store
+    staple (velocity/monetary features) as one RANGE window.
+
+    The window partitions by key and ranges over ``unix_micros`` (full
+    timestamp precision — casting to seconds would quantize the window
+    edge), so parallelism = keys and each key's state is its own trailing
+    buffer.  Value sums accumulate in DECIMAL for order-independence.
+    """
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.unix_micros(F.col(ts_col)))
+         .rangeBetween(-window_seconds * 1_000_000, 0))
+    return df.select(
+        key_col, "event_id", ts_col,
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).over(w)
+        .cast("double").alias("sum_trailing"))

@@ -116,3 +116,71 @@ def test_outlier_iqr_nulls_ignored(spark):
                                "x double")
     r = P.outlier_iqr(df, "x").collect()[0]
     assert r["n_outliers"] == 1
+
+
+def test_top_terms_tfidf_prefers_rare_tokens(spark):
+    df = _docs(spark, [(i, f"common common rare{i}") for i in range(1, 6)])
+    from dataqtor_spark.operators.textstats import top_terms_tfidf
+    out = {(r["doc_id"], r["rank"]): r["token"]
+           for r in top_terms_tfidf(df, k=2).collect()}
+    # smooth idf: rare (1·(ln(6/2)+1) ≈ 2.099) beats common (2·(ln(6/6)+1) = 2)
+    assert out[(1, 1)] == "rare1"
+    assert out[(2, 1)] == "rare2"
+    assert out[(1, 2)] == "common"
+
+
+def test_ks_drift_bounds(spark):
+    from dataqtor_spark.operators.profile import ks_drift
+
+    rows = ([(float(i), "a") for i in range(50)]
+            + [(float(i), "b") for i in range(50)])
+    same = spark.createDataFrame(rows, "v double, g string")
+    r = ks_drift(same, "v", "g", "a", "b").collect()[0]
+    assert r["ks"] == 0.0 and r["n_a"] == r["n_b"] == 50
+
+    rows2 = ([(float(i), "a") for i in range(50)]
+             + [(float(i + 100), "b") for i in range(50)])
+    disjoint = spark.createDataFrame(rows2, "v double, g string")
+    assert ks_drift(disjoint, "v", "g", "a", "b").collect()[0]["ks"] == 1.0
+
+
+def test_rolling_user_stats_window_edges(spark):
+    import datetime
+
+    from dataqtor_spark.streaming.profiler import rolling_user_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, 10.0),
+        (2, 1, t0 + datetime.timedelta(seconds=3600), 20.0),   # exactly 1h: in
+        (3, 1, t0 + datetime.timedelta(seconds=7201), 30.0),   # 2h+1s: alone
+        (4, 2, t0, 40.0),                                      # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["event_id"]: r for r in
+           rolling_user_stats(df, "user_id", "ts", "value", 3600).collect()}
+    assert out[1]["n_trailing"] == 1 and out[1]["sum_trailing"] == 10.0
+    assert out[2]["n_trailing"] == 2 and out[2]["sum_trailing"] == 30.0
+    assert out[3]["n_trailing"] == 1
+    assert out[4]["n_trailing"] == 1
+
+
+def test_impute_by_group_mean_median_and_all_null_group(spark):
+    from dataqtor_spark.operators.repair import impute_by_group
+
+    df = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 3.0), ("g1", None),
+         ("g2", 5.0), ("g2", None),
+         ("g3", None)],
+        "g string, x double")
+    mean = {(r["g"], i): r["x"] for i, r in
+            enumerate(impute_by_group(df, "x", ["g"], "mean")
+                      .orderBy("g", "x").collect())}
+    vals = [v for (g, _), v in mean.items() if g == "g1"]
+    assert sorted(vals) == [1.0, 2.0, 3.0]          # null -> mean(1,3)
+    assert any(v == 5.0 for (g, _), v in mean.items() if g == "g2")
+    assert all(v is None for (g, _), v in mean.items() if g == "g3")
+
+    med = impute_by_group(df, "x", ["g"], "median").filter("g = 'g1'")
+    assert sorted(r["x"] for r in med.collect()) == [1.0, 2.0, 3.0]
