@@ -116,3 +116,73 @@ def test_salted_aggs_match_direct(spark, rows):
     salted_n = {r["k"]: r["n_distinct"] for r in
                 SK.salted_count_distinct(df, "k", "v", n_salt=4).collect()}
     assert direct_n == salted_n
+
+
+# --- round-2 operators ------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=1, max_size=80),
+       st.integers(min_value=1, max_value=8))
+def test_equi_depth_partitions_all_rows(spark, vals, buckets):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = P.equi_depth_histogram(df, "v", buckets).collect()
+    assert sum(r["n_rows"] for r in out) == len(vals)
+    # buckets are ordered and non-overlapping: each bucket's hi <= next lo
+    rows = sorted(out, key=lambda r: r["bucket"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                          st.floats(min_value=-100, max_value=100,
+                                    allow_nan=False)),
+                min_size=2, max_size=60).filter(
+                    lambda rs: len({g for g, _ in rs}) == 2))
+def test_ks_bounded_and_symmetric(spark, rows):
+    df = spark.createDataFrame(rows, "g string, v double")
+    ab = P.ks_drift(df, "v", "g", "a", "b").collect()[0]
+    ba = P.ks_drift(df, "v", "g", "b", "a").collect()[0]
+    assert 0.0 <= ab["ks"] <= 1.0
+    assert ab["ks"] == ba["ks"]
+    assert (ab["n_a"], ab["n_b"]) == (ba["n_b"], ba["n_a"])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.one_of(st.none(),
+                                    st.floats(min_value=-100, max_value=100,
+                                              allow_nan=False))),
+                min_size=1, max_size=50))
+def test_impute_preserves_non_nulls_and_count(spark, rows):
+    from dataqtor_spark.operators.repair import impute_by_group
+
+    df = spark.createDataFrame(rows, "g long, x double")
+    out = impute_by_group(df, "x", ["g"], "mean")
+    assert out.count() == len(rows)
+    # non-null values are untouched
+    before = sorted(v for _, v in rows if v is not None)
+    after_nonnull = sorted(
+        r["x"] for r in out.collect() if r["x"] is not None)
+    for v in before:
+        assert any(abs(v - w) < 1e-9 for w in after_nonnull)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 1000), st.sampled_from(["s0", "s1", "s2"])),
+                min_size=1, max_size=60).map(
+                    lambda rs: list({i: s for i, s in rs}.items())),
+       st.integers(min_value=1, max_value=10))
+def test_stratified_sample_never_exceeds_quota(spark, rows, quota):
+    from dataqtor_spark.operators.textstats import stratified_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", quota)
+    counts = {r["source"]: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    orig = {}
+    for _, s in rows:
+        orig[s] = orig.get(s, 0) + 1
+    for s, n in counts.items():
+        assert n == min(quota, orig[s])
