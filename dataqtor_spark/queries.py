@@ -3068,3 +3068,32 @@ def f12_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round((F.sum(F.col("l_discount").cast("decimal(28,10)"))
                           / F.count("l_discount")).cast("double"), 6)
                  .alias("mean_after")))
+
+
+# ---------------------------------------------------------------------------
+# s09 — windowed volume anomalies
+# ---------------------------------------------------------------------------
+
+_S09_SQL = """WITH wc AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT window_start, event_type, n_events,
+         avg(n_events) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n_events) OVER (PARTITION BY event_type) AS sd
+  FROM wc
+)
+SELECT window_start, event_type, n_events,
+       round(CASE WHEN sd > 0 THEN (n_events - mu) / sd ELSE 0.0 END, 4) AS z,
+       abs(round(CASE WHEN sd > 0 THEN (n_events - mu) / sd ELSE 0.0 END, 4))
+         > 2.0 AS is_anomaly
+FROM stats"""
+
+
+@register("s09_window_anomalies", _S09_SQL)
+def s09_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(hour, event_type) volume z-scores with |z|>2 anomaly flags."""
+    from dataqtor_spark.streaming import profiler as SP
+
+    return SP.window_count_anomalies(_t(spark, sf_dir, "events"))

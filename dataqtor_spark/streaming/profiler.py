@@ -284,3 +284,34 @@ def rolling_user_stats(df: DataFrame, key_col: str = "user_id",
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         F.sum(F.col(value_col).cast("decimal(18,2)")).over(w)
         .cast("double").alias("sum_trailing"))
+
+
+def window_count_anomalies(df: DataFrame, ts_col: str = "ts",
+                           group_col: str = "event_type",
+                           window: str = "1 hour",
+                           z_threshold: float = 2.0) -> DataFrame:
+    """Volume-anomaly detection on the windowed count series: per group,
+    z-score each window's event count against the group's own mean/stddev
+    and flag |z| > threshold — the "did a source go quiet / start flooding"
+    monitor on top of the same windowed aggregate the DQ dashboard runs.
+
+    All statistics run on the already-aggregated (windows × groups) table,
+    so the analytic window costs O(windows) per group however large the
+    input.  Batch-oriented (the z-score needs the full series); in
+    streaming, run it inside ``foreachBatch`` over the accumulating sink.
+    """
+    from pyspark.sql.window import Window
+
+    wc = windowed_event_agg(df, ts_col, window, group_col)
+    w = Window.partitionBy(group_col)
+    stats = wc.select(
+        "window_start", group_col, "n_events",
+        F.avg("n_events").over(w).alias("__mu"),
+        F.stddev_samp("n_events").over(w).alias("__sd"))
+    z = F.when(F.col("__sd") > 0,
+               (F.col("n_events") - F.col("__mu")) / F.col("__sd"))\
+         .otherwise(F.lit(0.0))
+    return stats.select(
+        "window_start", group_col, "n_events",
+        F.round(z, 4).alias("z"),
+        (F.abs(F.round(z, 4)) > z_threshold).alias("is_anomaly"))
