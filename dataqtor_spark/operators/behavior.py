@@ -1,0 +1,113 @@
+"""Behavioral analytics over event streams: funnels, cohort retention,
+transition matrices.
+
+The reference has no event-analytics surface (it profiles static tables);
+these are the standard product-analytics operators a DQ/analytics engine
+runs over the same `events` fact table, built shuffle-minimal:
+
+- every operator aggregates to a per-user (or per-distinct-value) table
+  FIRST, so the heavy input shuffles once on `user_id` and everything
+  downstream is small;
+- funnel stage joins are per-user aggregates joined on the user key — at
+  100 TB these are sort-merge joins on an already-clustered key, and the
+  stage tables only shrink as the funnel deepens;
+- no `Window.orderBy` over row data — per-user ordering happens inside a
+  `user_id`-partitioned window (parallel across users), and global stats
+  only ever run on aggregate tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel(df: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel conversion: how many users completed step 1, then
+    step 2 *after* their step 1, then step 3 after that, ...
+
+    Per-step semantics: a user counts for step k+1 if they have an event of
+    that type strictly after their earliest qualifying time for step k
+    (classic "first-touch" funnel).  Each stage is
+
+        events(step_k+1) ⋈ stage_k(user, t_k)  →  groupBy(user) min(ts)
+
+    so stage tables are one row per surviving user and strictly shrink.
+    Returns (step_idx, step, n_users, pct_of_first) ordered by step_idx.
+    """
+    stage = (df.filter(F.col(type_col) == steps[0])
+             .groupBy(F.col(user_col).alias("__u"))
+             .agg(F.min(ts_col).alias("__t")))
+    counts = [stage.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(0).alias("step_idx"), F.lit(steps[0]).alias("step"), "n")]
+    for i, s in enumerate(steps[1:], start=1):
+        ev = df.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"))
+        stage = (ev.join(stage, "__u")
+                 .filter(F.col("__ts") > F.col("__t"))
+                 .groupBy("__u").agg(F.min("__ts").alias("__t")))
+        counts.append(stage.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "n"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.partitionBy()
+    return (out.withColumn(
+        "pct_of_first",
+        F.round(F.col("n") * 100.0 / F.max(F.when(F.col("step_idx") == 0,
+                                                  F.col("n"))).over(w), 4))
+        .select("step_idx", "step", F.col("n").cast("long").alias("n_users"),
+                "pct_of_first"))
+
+
+def cohort_retention(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week; for
+    each cohort × week-offset, how many distinct users were active.
+
+    The only full shuffle is the per-user first-event aggregate; the
+    activity join is (events ⋈ first_seen) on the user key, then a
+    distinct over (cohort_day, offset, user) — all downstream tables are
+    bounded by users × weeks.  Offsets are day-difference based
+    (``days_between div 7``), so cohort boundaries don't depend on
+    engine-specific week-start conventions.
+    """
+    first = (df.groupBy(F.col(user_col).alias("__u"))
+             .agg(F.min(ts_col).alias("__first")))
+    joined = df.select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"))\
+               .join(first, "__u")
+    return (joined
+            .select(F.date_trunc("week", F.col("__first")).alias("cohort_week"),
+                    (F.datediff(F.to_date("__ts"), F.to_date("__first")) / 7)
+                    .cast("long").alias("week_offset"),
+                    F.col("__u"))
+            .distinct()
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def event_transitions(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Per-user adjacent-event transition matrix (first-order Markov
+    counts): for each (event_type → next event_type), the transition count
+    and its share of all transitions out of the source type.
+
+    ``lead`` runs inside a ``user_id``-partitioned window — parallel
+    across users, no global sort.  The tie-break column makes same-
+    timestamp ordering deterministic (and oracle-reproducible).  The share
+    window runs on the k×k transition table, not row data.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(tiebreak_col))
+    nxt = (df.select(F.col(user_col), F.col(type_col).alias("src"),
+                     F.lead(type_col).over(w).alias("dst"))
+           .filter(F.col("dst").isNotNull()))
+    counts = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    src_tot = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(src_tot), 6).alias("share"))

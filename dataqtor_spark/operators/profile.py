@@ -721,3 +721,142 @@ def ks_drift(df: DataFrame, col: str, group_col: str,
     return cum.agg(
         F.first("__na").alias("n_a"), F.first("__nb").alias("n_b"),
         F.round(F.max(F.abs(F.col("__fa") - F.col("__fb"))), 6).alias("ks"))
+
+
+def functional_dependency(df: DataFrame, deps: list[tuple[str, str]]) -> DataFrame:
+    """Approximate-FD discovery: for each (determinant → dependent) pair,
+    how close the data comes to satisfying the functional dependency.
+
+    Per pair: group by (determinant, dependent) to get co-occurrence
+    counts, then per determinant count the distinct dependent values and
+    the majority-value row count.  ``fd_strength_pct`` is the g3-style
+    measure from the FD-discovery literature (TANE): the share of rows
+    kept after repairing each group to its majority value — 100.0 means
+    the FD holds exactly.
+
+    Both aggregation levels are map-side combinable; the shuffle is
+    bounded by distinct (determinant, dependent) pairs and the per-pair
+    result is one row, so testing many dependencies stays cheap.
+    """
+    outs = []
+    for lhs, rhs in deps:
+        pairs = (df.filter(F.col(lhs).isNotNull())
+                 .groupBy(lhs, rhs)
+                 .agg(F.count(F.lit(1)).alias("__n")))
+        per_lhs = (pairs.groupBy(lhs)
+                   .agg(F.sum("__n").alias("__rows"),
+                        F.max("__n").alias("__maj"),
+                        F.count(F.lit(1)).alias("__nvals")))
+        outs.append(per_lhs.agg(
+            F.lit(lhs).alias("determinant"),
+            F.lit(rhs).alias("dependent"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("__nvals") > 1).cast("long")).cast("long")
+            .alias("violating_groups"),
+            F.round(F.sum("__maj") * 100.0 / F.sum("__rows"), 4)
+            .alias("fd_strength_pct")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def uniqueness_profile(df: DataFrame, cols: list[str],
+                       pairs: list[tuple[str, str]] | None = None) -> DataFrame:
+    """Candidate-key discovery: per column (and optional column pair),
+    exact distinct count, null count, and whether it uniquely keys the
+    table (distinct == rows and no nulls).
+
+    Pair candidates are evaluated on a ``concat_ws`` composite with a
+    unit-separator delimiter (both engines skip NULL args in concat_ws, so
+    the composite is engine-portable).  All counts come from ONE aggregate
+    pass over the table; Catalyst expands the distinct aggregates into a
+    single multi-distinct plan rather than N scans.
+    """
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__rows")]
+    names: list[tuple[str, str]] = []
+    for c in cols:
+        aggs += [F.countDistinct(c).alias(f"__d_{c}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"__z_{c}")]
+        names.append((c, c))
+    for a, b in (pairs or []):
+        comp = F.concat_ws("\x1f", F.col(a).cast("string"),
+                           F.col(b).cast("string"))
+        aggs += [F.countDistinct(comp).alias(f"__d_{a}+{b}"),
+                 F.sum((F.col(a).isNull() & F.col(b).isNull()).cast("long"))
+                 .alias(f"__z_{a}+{b}")]
+        names.append((f"{a}+{b}", f"{a}+{b}"))
+    one = df.agg(*aggs)
+    structs = [F.struct(
+        F.lit(key).alias("column_set"),
+        F.col(f"__d_{key}").cast("long").alias("n_distinct"),
+        F.col(f"__z_{key}").cast("long").alias("n_nulls"),
+        ((F.col(f"__d_{key}") == F.col("__rows"))
+         & (F.col(f"__z_{key}") == 0)).alias("is_unique_key"),
+        F.round(F.col(f"__d_{key}") * 100.0 / F.col("__rows"), 4)
+        .alias("distinct_pct")) for key, _ in names]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the classic
+    fabricated-numbers screen for financial/metric columns.
+
+    Only rows with |value| ≥ 1 participate, and the digit is taken from
+    the *integer part* via an exact bigint→string path (float→string
+    formatting differs between engines; integer casting doesn't, so the
+    same rows produce the same digit in any SQL engine).  One groupBy on a
+    9-value key; expected share is log10(1 + 1/d).
+    """
+    from pyspark.sql.window import Window
+
+    v = F.abs(F.col(col))
+    digit = F.substring(F.floor(v).cast("long").cast("string"), 1, 1).cast("int")
+    counts = (df.filter(F.col(col).isNotNull() & (v >= 1))
+              .groupBy(digit.alias("digit"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy()
+    exp_pct = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        "digit", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("observed"),
+        F.round(exp_pct, 6).alias("expected"),
+        F.round(F.abs(F.col("n") / F.sum("n").over(tot) - exp_pct), 6)
+        .alias("abs_dev"))
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Join/partition-key skew diagnosis: per-key count distribution
+    summarized as max, top-1 share, and the Gini coefficient of the
+    counts — the "will this key skew my shuffle" pre-flight check.
+
+    The row data shuffles once (map-side-combinable groupBy on the key);
+    Gini needs the counts *ranked*, which is a single-partition window —
+    but over the per-key table, so the documented bound is O(distinct
+    keys), same as the rank/histogram family.  Gini uses the exact
+    integer identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending
+    counts, so everything stays in bigint until the final division.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (df.filter(F.col(key).isNotNull())
+              .groupBy(key).agg(F.count(F.lit(1)).alias("__n")))
+    w = Window.orderBy(F.col("__n"), F.col(key))
+    ranked = counts.select(F.col("__n"),
+                           F.row_number().over(w).cast("long").alias("__i"))
+    tot = Window.partitionBy()
+    return ranked.agg(
+        F.lit(key).alias("key"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__n").cast("long").alias("max_per_key"),
+        F.round(F.sum("__n") / F.count(F.lit(1)), 4).alias("avg_per_key"),
+        F.round(F.max("__n") / F.sum("__n"), 6).alias("top1_share"),
+        F.round(2.0 * F.sum((F.col("__i").cast("decimal(19,0)")
+                             * F.col("__n").cast("decimal(19,0)"))
+                            .cast("decimal(38,0)")).cast("double")
+                / (F.count(F.lit(1)).cast("decimal(19,0)")
+                   * F.sum("__n").cast("decimal(19,0)")).cast("double")
+                - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)), 6)
+        .alias("gini"))

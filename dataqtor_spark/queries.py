@@ -3097,3 +3097,182 @@ def s09_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataqtor_spark.streaming import profiler as SP
 
     return SP.window_count_anomalies(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# fd01 / pr12-14 — dependency, key, Benford, and skew profiling
+# ---------------------------------------------------------------------------
+
+_FD_DEPS = [("o_custkey", "o_orderstatus"), ("o_orderkey", "o_orderpriority")]
+
+_FD01_SQL = "\nUNION ALL\n".join(f"""(
+WITH p AS (
+  SELECT {lhs} AS l, {rhs} AS r, count(*)::BIGINT AS n
+  FROM orders WHERE {lhs} IS NOT NULL GROUP BY 1, 2
+), g AS (
+  SELECT l, sum(n) AS rws, max(n) AS maj, count(*) AS nvals FROM p GROUP BY l
+)
+SELECT '{lhs}' AS determinant, '{rhs}' AS dependent,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN nvals > 1 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+       round(sum(maj) * 100.0 / sum(rws), 4) AS fd_strength_pct
+FROM g)""" for lhs, rhs in _FD_DEPS)
+
+
+@register("fd01_functional_deps_orders", _FD01_SQL)
+def fd01_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3-style approximate-FD strength for two candidate dependencies."""
+    return P.functional_dependency(_t(spark, sf_dir, "orders"), _FD_DEPS)
+
+
+_PR13_SQL = """WITH one AS (
+  SELECT count(*) AS rws,
+         count(DISTINCT o_orderkey) AS d1,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS z1,
+         count(DISTINCT o_custkey) AS d2,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS z2,
+         count(DISTINCT o_orderstatus) AS d3,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS z3,
+         count(DISTINCT concat_ws(chr(31), CAST(o_custkey AS VARCHAR),
+                                  CAST(o_orderdate AS VARCHAR))) AS d4,
+         sum(CASE WHEN o_custkey IS NULL AND o_orderdate IS NULL
+             THEN 1 ELSE 0 END) AS z4
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_set, d1::BIGINT AS n_distinct, z1::BIGINT AS n_nulls,
+       (d1 = rws AND z1 = 0) AS is_unique_key,
+       round(d1 * 100.0 / rws, 4) AS distinct_pct FROM one
+UNION ALL SELECT 'o_custkey', d2::BIGINT, z2::BIGINT, (d2 = rws AND z2 = 0),
+       round(d2 * 100.0 / rws, 4) FROM one
+UNION ALL SELECT 'o_orderstatus', d3::BIGINT, z3::BIGINT, (d3 = rws AND z3 = 0),
+       round(d3 * 100.0 / rws, 4) FROM one
+UNION ALL SELECT 'o_custkey+o_orderdate', d4::BIGINT, z4::BIGINT,
+       (d4 = rws AND z4 = 0), round(d4 * 100.0 / rws, 4) FROM one"""
+
+
+@register("pr13_uniqueness_profile", _PR13_SQL)
+def pr13_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over orders columns and one composite."""
+    return P.uniqueness_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        pairs=[("o_custkey", "o_orderdate")])
+
+
+_PR12_SQL = """WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice)) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*)::BIGINT AS n
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) >= 1
+  GROUP BY 1
+)
+SELECT digit, n,
+       round(n / (sum(n) OVER ()), 6) AS observed,
+       round(log10(1 + 1.0 / digit), 6) AS expected,
+       round(abs(n / (sum(n) OVER ()) - log10(1 + 1.0 / digit)), 6) AS abs_dev
+FROM c"""
+
+
+@register("pr12_benford_extendedprice", _PR12_SQL)
+def pr12_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on lineitem extended price."""
+    return P.benford_profile(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+_PR14_SQL = """WITH c AS (
+  SELECT user_id AS k, count(*)::BIGINT AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT n, row_number() OVER (ORDER BY n, k) AS i FROM c
+)
+SELECT 'user_id' AS key, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+       max(n)::BIGINT AS max_per_key,
+       round(sum(n) / count(*), 4) AS avg_per_key,
+       round(max(n) / sum(n), 6) AS top1_share,
+       round(2.0 * sum(i * n) / (count(*) * sum(n))
+             - (count(*) + 1) / count(*), 6) AS gini
+FROM r"""
+
+
+@register("pr14_key_skew_user", _PR14_SQL)
+def pr14_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew pre-flight on events.user_id."""
+    return P.key_skew_profile(_t(spark, sf_dir, "events"), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# b01-b03 — behavioral analytics over events
+# ---------------------------------------------------------------------------
+
+_B01_SQL = """WITH s0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+  WHERE e.event_type = 'click' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+), c AS (
+  SELECT 0 AS step_idx, 'view' AS step, count(*)::BIGINT AS n FROM s0
+  UNION ALL SELECT 1, 'click', count(*)::BIGINT FROM s1
+  UNION ALL SELECT 2, 'purchase', count(*)::BIGINT FROM s2
+)
+SELECT step_idx, step, n AS n_users,
+       round(n * 100.0 / max(CASE WHEN step_idx = 0 THEN n END) OVER (), 4)
+         AS pct_of_first
+FROM c"""
+
+
+@register("b01_funnel_events", _B01_SQL)
+def b01_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel view → click → purchase."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.funnel(_t(spark, sf_dir, "events"),
+                    ["view", "click", "purchase"])
+
+
+_B02_SQL = """WITH f AS (
+  SELECT user_id AS u, min(ts) AS first_ts FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT date_trunc('week', f.first_ts) AS cohort_week,
+         (date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) // 7)
+           ::BIGINT AS week_offset,
+         e.user_id
+  FROM events e JOIN f ON e.user_id = f.u
+)
+SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+FROM a GROUP BY 1, 2"""
+
+
+@register("b02_cohort_retention", _B02_SQL)
+def b02_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort × week-offset distinct active users."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_B03_SQL = """WITH nx AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), c AS (
+  SELECT src, dst, count(*)::BIGINT AS n FROM nx
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n, round(n / (sum(n) OVER (PARTITION BY src)), 6) AS share
+FROM c"""
+
+
+@register("b03_event_transitions", _B03_SQL)
+def b03_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/shares between event types."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.event_transitions(_t(spark, sf_dir, "events"))

@@ -1,0 +1,100 @@
+"""Tests for behavioral analytics and the round-2 profiling additions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqtor_spark.operators import behavior as B
+from dataqtor_spark.operators import profile as P
+
+
+def test_funnel_monotone_and_bounded(tables):
+    out = B.funnel(tables["events"], ["view", "click", "purchase"]).collect()
+    rows = sorted(out, key=lambda r: r.step_idx)
+    assert [r.step for r in rows] == ["view", "click", "purchase"]
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)  # stages only shrink
+    assert rows[0].pct_of_first == 100.0
+    assert all(0 <= r.pct_of_first <= 100 for r in rows)
+
+
+def test_funnel_order_matters(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "b"), (1, 2, "a"),     # b before a: no a->b conversion
+         (2, 1, "a"), (2, 2, "b")],    # a then b: converts
+        "user_id long, event_id long, event_type string",
+    ).withColumn("ts", F.timestamp_micros(F.col("event_id") * 1_000_000))
+    out = {r.step: r.n_users for r in B.funnel(df, ["a", "b"]).collect()}
+    assert out == {"a": 2, "b": 1}
+
+
+def test_cohort_retention_offsets(tables):
+    out = B.cohort_retention(tables["events"])
+    rows = out.collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    # offset-0 users == all users whose first event is in that cohort week
+    total_users = tables["events"].select("user_id").distinct().count()
+    offset0 = sum(r.n_users for r in rows if r.week_offset == 0)
+    assert offset0 == total_users
+
+
+def test_event_transitions_shares(tables):
+    out = B.event_transitions(tables["events"])
+    shares = (out.groupBy("src").agg(F.round(F.sum("share"), 4).alias("s"))
+              .collect())
+    for r in shares:
+        assert abs(r.s - 1.0) < 1e-3
+    n_total = out.agg(F.sum("n")).collect()[0][0]
+    n_events = tables["events"].count()
+    n_users = tables["events"].select("user_id").distinct().count()
+    assert n_total == n_events - n_users  # each user loses exactly one lead
+
+
+def test_functional_dependency_exact_and_approx(tables):
+    out = {(r.determinant, r.dependent): r for r in P.functional_dependency(
+        tables["orders"],
+        [("o_orderkey", "o_orderstatus"), ("o_orderstatus", "o_orderpriority")],
+    ).collect()}
+    key_fd = out[("o_orderkey", "o_orderstatus")]
+    assert key_fd.violating_groups == 0          # key determines everything
+    assert key_fd.fd_strength_pct == 100.0
+    weak = out[("o_orderstatus", "o_orderpriority")]
+    assert weak.violating_groups > 0
+    assert weak.fd_strength_pct < 100.0
+
+
+def test_uniqueness_profile_flags(tables):
+    out = {r.column_set: r for r in P.uniqueness_profile(
+        tables["orders"], ["o_orderkey", "o_orderstatus"],
+        pairs=[("o_orderkey", "o_custkey")]).collect()}
+    assert out["o_orderkey"].is_unique_key
+    assert out["o_orderkey"].distinct_pct == 100.0
+    assert not out["o_orderstatus"].is_unique_key
+    assert out["o_orderkey+o_custkey"].is_unique_key  # superkey of a key
+
+
+def test_benford_profile(tables):
+    rows = P.benford_profile(tables["lineitem"], "l_extendedprice").collect()
+    digits = sorted(r.digit for r in rows)
+    assert digits == list(range(1, 10)) or set(digits) <= set(range(1, 10))
+    assert abs(sum(r.observed for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.expected - __import__("math").log10(1 + 1 / r.digit)) < 1e-5
+
+
+def test_key_skew_profile(tables):
+    r = P.key_skew_profile(tables["events"], "user_id").collect()[0]
+    assert r.n_rows == tables["events"].filter(F.col("user_id").isNotNull()).count()
+    assert 0 <= r.gini < 1
+    assert 0 < r.top1_share <= 1
+    assert r.max_per_key * r.n_keys >= r.n_rows
+
+
+def test_key_skew_uniform_vs_skewed(spark):
+    uniform = spark.range(100).select((F.col("id") % 10).alias("k"))
+    skewed = spark.createDataFrame(
+        [(0,)] * 91 + [(i,) for i in range(1, 10)], "k long")
+    gu = P.key_skew_profile(uniform, "k").collect()[0].gini
+    gs = P.key_skew_profile(skewed, "k").collect()[0].gini
+    assert gu < 0.01          # perfectly uniform
+    assert gs > 0.7           # one dominant key
+    assert P.key_skew_profile(skewed, "k").collect()[0].top1_share == 0.91
