@@ -3276,3 +3276,135 @@ def b03_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataqtor_spark.operators import behavior as B
 
     return B.event_transitions(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# h01/h03/h05 — TPC-H classics over the star schema (the "is it actually an
+# analytics engine" parity check; plans: h01 = single map-side-combinable
+# agg, h03/h05 = broadcast-pruned dim joins feeding one fact shuffle)
+# ---------------------------------------------------------------------------
+
+_H01_SQL = """SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4)
+    AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+             AS DOUBLE), 4) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                      AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) / count(*) AS DOUBLE), 4)
+    AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) / count(*)
+             AS DOUBLE), 4) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) / count(*) AS DOUBLE), 4)
+    AS avg_disc,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+@register("h01_pricing_summary", _H01_SQL)
+def h01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: one scan, one partial-aggregated groupBy on a 6-value key;
+    DECIMAL accumulation keeps the double sums order-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    dec = lambda c: F.sum(c.cast("decimal(28,10)"))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(dec(F.col("l_quantity")).cast("double"), 4).alias("sum_qty"),
+        F.round(dec(F.col("l_extendedprice")).cast("double"), 4)
+        .alias("sum_base_price"),
+        F.round(dec(disc).cast("double"), 4).alias("sum_disc_price"),
+        F.round(dec(charge).cast("double"), 4).alias("sum_charge"),
+        F.round((dec(F.col("l_quantity")) / n).cast("double"), 4).alias("avg_qty"),
+        F.round((dec(F.col("l_extendedprice")) / n).cast("double"), 4)
+        .alias("avg_price"),
+        F.round((dec(F.col("l_discount")) / n).cast("double"), 4).alias("avg_disc"),
+        n.cast("long").alias("count_order"))
+
+
+_H03_SQL = """SELECT l_orderkey,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+             AS DOUBLE), 4) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10"""
+
+
+@register("h03_shipping_priority", _H03_SQL)
+def h03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (o_orderpriority standing in for o_shippriority): the
+    segment-filtered customer side broadcasts, orders⋈lineitem is the only
+    fact shuffle, and the top-10 is TakeOrderedAndProject — no global sort."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (orders.join(F.broadcast(cust),
+                        orders["o_custkey"] == cust["c_custkey"])
+            .join(li, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+_H05_SQL = """SELECT n_name,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+             AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name"""
+
+
+@register("h05_local_supplier_volume", _H05_SQL)
+def h05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: region→nation→supplier dim chain broadcasts (it's tiny
+    after the region filter), so the fact side shuffles only for
+    orders⋈lineitem and the final 25-key aggregate is map-side combined."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name")
+    supplier = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (li.join(F.broadcast(supplier),
+                    li["l_suppkey"] == supplier["s_suppkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, (orders["o_custkey"] == cust["c_custkey"])
+                  & (cust["c_nationkey"] == supplier["s_nationkey"]))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+                 .alias("revenue")))

@@ -61,3 +61,39 @@ def test_pivot_no_value_discovery_job(spark):
     # explicit pivot values → single aggregation, no extra distinct scan
     plan = _plan(spark, "a18_pivot_status_priority")
     assert _detail(plan, "Scan parquet") == 1
+
+
+def test_h01_single_scan_partial_agg(spark):
+    plan = _plan(spark, "h01_pricing_summary")
+    assert _detail(plan, "Scan parquet") == 1
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert _detail(plan, "HashAggregate") >= 2  # partial + final
+
+
+def test_h03_topk_and_broadcast(spark):
+    plan = _plan(spark, "h03_shipping_priority")
+    assert _detail(plan, "TakeOrderedAndProject") >= 1
+    assert _detail(plan, "BroadcastHashJoin") >= 1
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_h05_dims_broadcast_filters_pushed(spark):
+    plan = _plan(spark, "h05_local_supplier_volume")
+    assert _detail(plan, "BroadcastHashJoin") >= 3
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert _detail(plan, "CartesianProduct") == 0
+
+
+def test_funnel_no_global_sort(spark):
+    plan = _plan(spark, "b01_funnel_events")
+    # stage joins are per-user aggregates; any Sort present belongs to a
+    # SortMergeJoin (two sides each), never a row-data global sort
+    assert _detail(plan, "Sort") <= _detail(plan, "SortMergeJoin") * 2
+
+
+def test_transitions_window_is_user_partitioned(spark):
+    plan = _plan(spark, "b03_event_transitions")
+    assert _detail(plan, "Window") >= 1
+    # the lead window must be partitioned (parallel), not a global orderBy
+    assert re.search(r"partitionBy.*user_id|hashpartitioning\(user_id", plan)
