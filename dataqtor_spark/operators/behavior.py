@@ -111,3 +111,30 @@ def event_transitions(df: DataFrame, user_col: str = "user_id",
     return counts.select(
         "src", "dst", F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(src_tot), 6).alias("share"))
+
+
+def interarrival_stats(df: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", type_col: str = "event_type",
+                       tiebreak_col: str = "event_id") -> DataFrame:
+    """Per-event-type inter-arrival statistics: for each event, the gap to
+    the same user's previous event (any type); stats grouped by the
+    arriving event's type — the "how bursty is each signal" profile.
+
+    The lag window is ``user_id``-partitioned (parallel, no global sort);
+    gaps are integer microseconds end-to-end — DECIMAL-accumulated mean
+    and exact interpolated percentile — with one division to seconds at
+    the very end, so results are bit-portable across engines.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(tiebreak_col))
+    g = (F.unix_micros(F.col(ts_col))
+         - F.unix_micros(F.lag(ts_col).over(w)))
+    gaps = (df.select(F.col(type_col).alias("etype"), g.alias("__g"))
+            .filter(F.col("__g").isNotNull()))
+    n = F.count(F.lit(1))
+    return gaps.groupBy("etype").agg(
+        n.cast("long").alias("n_gaps"),
+        F.round((F.sum(F.col("__g").cast("decimal(28,0)")) / n)
+                .cast("double") / 1e6, 4).alias("avg_gap_s"),
+        F.round(F.expr("percentile(__g, 0.5)") / 1e6, 4).alias("p50_gap_s"),
+        F.round(F.max("__g") / F.lit(1e6), 4).alias("max_gap_s"))

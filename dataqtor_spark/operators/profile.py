@@ -860,3 +860,36 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
                    * F.sum("__n").cast("decimal(19,0)")).cast("double")
                 - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)), 6)
         .alias("gini"))
+
+
+def mad_outliers(df: DataFrame, col: str, z: float = 3.5) -> DataFrame:
+    """Robust outlier summary via the median absolute deviation (the
+    Iglewicz–Hoaglin modified z-score): |0.6745·(x − median)| > z·MAD.
+
+    Unlike the IQR/z-score screens, MAD survives up to 50% contamination.
+    Three aggregate passes (median → MAD → counts), each a full-width
+    partial aggregate; the two scalar stages ride broadcast joins so no
+    row data ever moves for them.  The outlier test is written
+    multiplication-only (``|x−med|·0.6745 > z·MAD``) so per-row float
+    behaviour is engine-portable.  Exact ``percentile`` here; at 100 TB
+    swap to ``percentile_approx`` (same plan shape, sketch state).
+    """
+    x = F.col(col)
+    med = (df.filter(x.isNotNull())
+           .agg(F.expr(f"percentile({col}, 0.5)").alias("__med")))
+    dev = (df.filter(x.isNotNull()).crossJoin(F.broadcast(med))
+           .select(x.alias("__x"), F.col("__med"),
+                   F.abs(x - F.col("__med")).alias("__ad")))
+    mad = dev.groupBy("__med").agg(
+        F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    scored = dev.select("__x").crossJoin(F.broadcast(mad))
+    out = (F.abs(F.col("__x") - F.col("__med")) * 0.6745
+           > F.lit(z) * F.col("__mad"))
+    return scored.agg(
+        F.lit(col).alias("column"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.first("__med"), 4).alias("median"),
+        F.round(F.first("__mad"), 4).alias("mad"),
+        F.sum(out.cast("long")).cast("long").alias("n_outliers"),
+        F.round(F.sum(out.cast("long")) * 100.0 / F.count(F.lit(1)), 4)
+        .alias("outlier_pct"))

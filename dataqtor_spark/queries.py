@@ -3408,3 +3408,121 @@ def h05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
                  .alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# x02 — VARIANT semi-structured path; pr15 — MAD outliers; ts01 — gaps;
+# er01 — entity resolution composition
+# ---------------------------------------------------------------------------
+
+_X02_SQL = """WITH k AS (
+  SELECT CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+)
+SELECT (k // 10)::INT AS bucket, count(*)::BIGINT AS n,
+       min(k)::INT AS min_k, max(k)::INT AS max_k, sum(k)::BIGINT AS sum_k
+FROM k GROUP BY 1"""
+
+
+@register("x02_variant_props_histogram", _X02_SQL)
+def x02_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT path: ``parse_json`` once into a binary variant
+    column, then typed ``try_variant_get`` extraction — the
+    parse-once/extract-many shape that beats repeated string JSON parsing
+    when several paths are read (x01 is the single-path string twin)."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    return (ev.select(k.alias("k"))
+            .groupBy(F.floor(F.col("k") / 10).cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                 F.sum("k").cast("long").alias("sum_k")))
+
+
+_PR15_SQL = """WITH m AS (
+  SELECT quantile_cont(c_acctbal, 0.5) AS med FROM customer
+  WHERE c_acctbal IS NOT NULL
+), d AS (
+  SELECT c_acctbal AS x, med, abs(c_acctbal - med) AS ad
+  FROM customer, m WHERE c_acctbal IS NOT NULL
+), mm AS (
+  SELECT any_value(med) AS med, quantile_cont(ad, 0.5) AS mad FROM d
+)
+SELECT 'c_acctbal' AS "column", count(*)::BIGINT AS n,
+       round(any_value(mm.med), 4) AS median,
+       round(any_value(mm.mad), 4) AS mad,
+       sum(CASE WHEN abs(d.x - mm.med) * 0.6745 > 3.5 * mm.mad
+           THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(sum(CASE WHEN abs(d.x - mm.med) * 0.6745 > 3.5 * mm.mad
+                 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS outlier_pct
+FROM d, mm"""
+
+
+@register("pr15_mad_outliers_acctbal", _PR15_SQL)
+def pr15_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified-z-score (MAD) outlier screen on customer account balance."""
+    return P.mad_outliers(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+_TS01_SQL = """WITH g AS (
+  SELECT event_type AS etype,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT etype, count(*)::BIGINT AS n_gaps,
+       round(CAST(sum(CAST(gap AS DECIMAL(28,0))) / count(*) AS DOUBLE)
+             / 1000000.0, 4) AS avg_gap_s,
+       round(quantile_cont(gap, 0.5) / 1000000.0, 4) AS p50_gap_s,
+       round(max(gap) / 1000000.0, 4) AS max_gap_s
+FROM g WHERE gap IS NOT NULL GROUP BY 1"""
+
+
+@register("ts01_interarrival_stats", _TS01_SQL)
+def ts01_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival gap statistics over the event stream."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.interarrival_stats(_t(spark, sf_dir, "events"))
+
+
+_ER01_SQL = """WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), cc(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+), comp AS (
+  SELECT id, min(label) AS component FROM cc GROUP BY id
+)
+SELECT component::BIGINT AS component, count(*)::BIGINT AS cluster_size,
+       min(id)::BIGINT AS survivor_id
+FROM comp GROUP BY 1"""
+
+
+@register("er01_entity_resolution", _ER01_SQL)
+def er01_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocking (nation) → pairwise edit
+    distance ≤ 1 → connected components → survivor per entity cluster.
+    The blocked pair space is Σ|block|², not |table|²; components use the
+    O(log diameter) pointer-jumping propagation from dedup."""
+    from dataqtor_spark.operators import dedup as DD
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey",
+                                             "c_name")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                    & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+             .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+             .select(F.col("a.c_custkey").alias("id_a"),
+                     F.col("b.c_custkey").alias("id_b")))
+    comp = DD.connected_components(pairs)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.min("id").alias("survivor_id")))

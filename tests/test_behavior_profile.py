@@ -98,3 +98,32 @@ def test_key_skew_uniform_vs_skewed(spark):
     assert gu < 0.01          # perfectly uniform
     assert gs > 0.7           # one dominant key
     assert P.key_skew_profile(skewed, "k").collect()[0].top1_share == 0.91
+
+
+def test_mad_outliers_robust(spark):
+    # 97 inliers + 3 wild points: MAD flags exactly the wild ones
+    data = [(float(i % 10),) for i in range(97)] + [(1e6,), (-1e6,), (5e5,)]
+    df = spark.createDataFrame(data, "x double")
+    r = P.mad_outliers(df, "x").collect()[0]
+    assert r.n == 100 and r.n_outliers == 3
+    assert r.median == pytest.approx(4.0, abs=1.0)
+
+
+def test_interarrival_stats(tables):
+    rows = B.interarrival_stats(tables["events"]).collect()
+    assert {r.etype for r in rows} <= {"view", "click", "purchase",
+                                       "signup", "error"}
+    for r in rows:
+        assert r.avg_gap_s > 0 and r.p50_gap_s > 0
+        assert r.max_gap_s >= r.p50_gap_s
+
+
+def test_variant_extraction_matches_string_path(tables):
+    from pyspark.sql import functions as FF
+    ev = tables["events"]
+    a = (ev.select(FF.get_json_object("props", "$.k").cast("int").alias("k"))
+         .agg(FF.sum("k")).collect()[0][0])
+    b = (ev.withColumn("v", FF.parse_json("props"))
+         .select(FF.try_variant_get("v", "$.k", "int").alias("k"))
+         .agg(FF.sum("k")).collect()[0][0])
+    assert a == b
