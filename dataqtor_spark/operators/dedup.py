@@ -478,7 +478,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50,
+                         work_dir: str | None = None) -> DataFrame:
     """(id, component) for every node in ``pairs`` — component = min node
     id reachable (the dedup-cluster builder: pairs from any near-dup
     detector in, survivor groups out).
@@ -487,22 +488,43 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     its own and its neighbours' labels — one join + one groupBy) with a
     pointer-jumping step (label ← label(label), a self-join), so label
     distance doubles per round and convergence is O(log diameter) rounds
-    rather than O(diameter) — a 2^30-diameter path converges within the
-    default ``max_iter``.  ``localCheckpoint`` truncates the lineage each
-    round so plans don't grow with iterations.  Driver sees only the single
-    `changed` counter per round — no row data.
+    rather than O(diameter).
+
+    Iteration state is spilled to parquet each round (``work_dir``,
+    default a fresh temp dir) rather than checkpointed in memory:
+    measured on Spark 4, chains of >~15 localCheckpoint/checkpoint'd
+    AQE plans re-expand and round time grows geometrically, while a
+    storage round-trip holds every round at constant cost — and at
+    cluster scale, stable storage is the standard iteration barrier
+    (GraphX/GraphFrames checkpoint the same way).  Intermediate rounds
+    are deleted as soon as superseded; the final labels stay on disk
+    because the returned DataFrame reads from them lazily.
+
+    Convergence is detected join-free: labels only ever decrease, so the
+    exact (DECIMAL) sum of labels is stationary iff no label changed —
+    one scalar aggregate per round instead of a join + count.
 
     Raises ``RuntimeError`` if labels have not stabilized after
     ``max_iter`` rounds (silent wrong clusters are worse than a loud
     failure for survivor selection downstream).
     """
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    d = work_dir or tempfile.mkdtemp(prefix="dataqtor_cc_")
     e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
          .unionByName(pairs.select(F.col(id_b).alias("src"),
                                    F.col(id_a).alias("dst")))
-         .distinct().localCheckpoint())
-    labels = (e.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
-    for _ in range(max_iter):
+         .distinct())
+    e.write.mode("overwrite").parquet(f"{d}/edges")
+    e = spark.read.parquet(f"{d}/edges")
+    (e.select(F.col("src").alias("id")).distinct()
+     .withColumn("label", F.col("id"))
+     .write.mode("overwrite").parquet(f"{d}/labels_0"))
+    labels = spark.read.parquet(f"{d}/labels_0")
+    prev_sum = None
+    for it in range(max_iter):
         nb = (e.join(labels, e["dst"] == labels["id"])
               .groupBy("src").agg(F.min("label").alias("nb_min")))
         prop = (labels.join(nb, labels["id"] == nb["src"], "left")
@@ -519,13 +541,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                .select(F.col("id"),
                        F.least(F.col("label"),
                                F.coalesce(F.col("__grand"), F.col("label")))
-                       .alias("label"))
-               .localCheckpoint())
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new
-        if changed == 0:
+                       .alias("label")))
+        new.write.mode("overwrite").parquet(f"{d}/labels_{it + 1}")
+        labels = spark.read.parquet(f"{d}/labels_{it + 1}")
+        shutil.rmtree(f"{d}/labels_{it}", ignore_errors=True)
+        s = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if s == prev_sum:
             return labels.select(F.col("id"), F.col("label").alias("component"))
+        prev_sum = s
     raise RuntimeError(
         f"connected_components: labels not stable after {max_iter} rounds; "
         "graph is deeper than expected — raise max_iter")
@@ -556,3 +580,59 @@ def select_survivors(components: DataFrame, scores: DataFrame,
     return (ranked.drop("__rn").join(F.broadcast(surv), "component")
             .withColumn("keep", F.col(id_col) == F.col("survivor_id"))
             .select(id_col, "component", score_col, "survivor_id", "keep"))
+
+
+# ---------------------------------------------------------------------------
+# edit-distance-1 pairs via deletion neighborhoods (SymSpell-style)
+# ---------------------------------------------------------------------------
+
+def edit_distance_pairs(df: DataFrame, id_col: str, col: str,
+                        block_col: str | None = None) -> DataFrame:
+    """All pairs with Levenshtein distance ≤ 1, without a quadratic join.
+
+    Two strings within edit distance 1 always share a *deletion variant*
+    (the string itself, or the string with one character removed): a
+    substitution at position i makes both i-deletions equal; an
+    insertion makes the shorter string equal to one deletion of the
+    longer.  So candidate generation is an equi-join on the exploded
+    deletion neighborhood — |s|+1 keys per row instead of comparing
+    every row pair in a block — followed by an exact Levenshtein verify.
+    This is the SymSpell construction, the standard way to make
+    edit-distance matching linear-ish at scale; a blocked quadratic
+    join (a19) dies once blocks reach ~10⁴ rows.
+
+    ``block_col`` (optional) is folded into the variant key, restricting
+    matches to equal block values without changing the plan shape.
+    """
+    s = F.col("__s")
+    variants = F.array_union(
+        F.array(s),
+        F.expr("transform(sequence(1, length(__s)), i -> "
+               "concat(substring(__s, 1, i - 1), "
+               "substring(__s, i + 1, length(__s))))"))
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(col).cast("string").alias("__s"),
+                     *([F.col(block_col).cast("string").alias("__blk")]
+                       if block_col else []))
+    key = (F.concat_ws("\x1f", F.col("__blk"), F.col("__v"))
+           if block_col else F.col("__v"))
+    exploded = (base.filter(s.isNotNull())
+                .select("__id", "__s",
+                        *(["__blk"] if block_col else []),
+                        F.explode(variants).alias("__v"))
+                .select("__id", "__s", key.alias("__k")))
+    cand = (exploded.groupBy("__k")
+            .agg(F.sort_array(F.collect_list(F.struct("__id", "__s")))
+                 .alias("rows"))
+            .filter(F.size("rows") > 1)
+            .select(F.explode(F.expr(
+                "flatten(transform(rows, (x, i) -> "
+                "transform(slice(rows, i + 2, size(rows)), y -> "
+                "struct(x.__id as id_a, x.__s as s_a, "
+                "y.__id as id_b, y.__s as s_b))))")).alias("p"))
+            .select("p.*").filter(F.col("id_a") != F.col("id_b"))
+            .distinct())
+    return (cand.filter(F.levenshtein(F.col("s_a"), F.col("s_b")) <= 1)
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"))
+            .distinct())

@@ -3508,20 +3508,18 @@ FROM comp GROUP BY 1"""
 
 @register("er01_entity_resolution", _ER01_SQL)
 def er01_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end entity resolution: blocking (nation) → pairwise edit
-    distance ≤ 1 → connected components → survivor per entity cluster.
-    The blocked pair space is Σ|block|², not |table|²; components use the
-    O(log diameter) pointer-jumping propagation from dedup."""
+    """End-to-end entity resolution: SymSpell deletion-neighborhood
+    candidate generation (equi-join, never a quadratic block join) →
+    exact edit-distance ≤ 1 verify → connected components → survivor per
+    entity cluster.  The oracle expresses the same pair semantics as a
+    blocked quadratic join — tractable for SQL at sf0.01, while the Spark
+    path stays linear-ish in rows at any scale."""
     from dataqtor_spark.operators import dedup as DD
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey",
                                              "c_name")
-    a, b = c.alias("a"), c.alias("b")
-    pairs = (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-                    & (F.col("a.c_custkey") < F.col("b.c_custkey")))
-             .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
-             .select(F.col("a.c_custkey").alias("id_a"),
-                     F.col("b.c_custkey").alias("id_b")))
+    pairs = DD.edit_distance_pairs(c, "c_custkey", "c_name",
+                                   block_col="c_nationkey")
     comp = DD.connected_components(pairs)
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("cluster_size"),

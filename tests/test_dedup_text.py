@@ -471,3 +471,47 @@ def test_ivf_at_rest_prunes_partitions(spark, tables, tmp_path):
                                   k=5, n_probe=2)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_edit_distance_pairs_matches_quadratic(spark, tables):
+    from pyspark.sql import functions as F
+    from dataqtor_spark.operators import dedup as DD
+
+    c = tables["customer"].select("c_custkey", "c_nationkey", "c_name")
+    a, b = c.alias("a"), c.alias("b")
+    quad = (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                   & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+            .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+            .select(F.col("a.c_custkey").alias("id_a"),
+                    F.col("b.c_custkey").alias("id_b")))
+    sym = DD.edit_distance_pairs(c, "c_custkey", "c_name",
+                                 block_col="c_nationkey")
+    assert ({(r.id_a, r.id_b) for r in quad.collect()}
+            == {(r.id_a, r.id_b) for r in sym.collect()})
+
+
+def test_edit_distance_pairs_insertions(spark):
+    from dataqtor_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abcd"),   # insertion: dist 1
+         (3, "axc"),                # substitution vs abc: dist 1
+         (4, "zzz")],               # unrelated
+        "id long, s string")
+    got = {(r.id_a, r.id_b)
+           for r in DD.edit_distance_pairs(df, "id", "s").collect()}
+    assert got == {(1, 2), (1, 3)}
+
+
+def test_connected_components_deep_chain(spark):
+    from pyspark.sql import functions as F
+    from dataqtor_spark.operators import dedup as DD
+
+    # a 5000-node path: diameter far beyond any per-round propagation;
+    # pointer jumping must converge in O(log n) spill rounds
+    e = spark.range(4999).select(F.col("id").alias("id_a"),
+                                 (F.col("id") + 1).alias("id_b"))
+    comp = DD.connected_components(e)
+    rows = comp.agg(F.countDistinct("component").alias("c"),
+                    F.count(F.lit(1)).alias("n")).collect()[0]
+    assert rows.c == 1 and rows.n == 5000
