@@ -3524,3 +3524,242 @@ def er01_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.min("id").alias("survivor_id")))
+
+
+# ---------------------------------------------------------------------------
+# h04/h06/h10/h13/h14/h18/h22 — the rest of the TPC-H join-shape gallery,
+# adapted to the reduced star schema (no commitdate/shipmode/address cols).
+# Each exercises a distinct physical-plan shape the engine must get right
+# at scale: semi-join, fused scan-agg, top-k after a 3-way join, outer-join
+# distribution, broadcast conditional agg, having-subquery, anti-join with
+# a scalar subquery.
+# ---------------------------------------------------------------------------
+
+_H04_SQL = """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority"""
+
+
+@register("h04_priority_check", _H04_SQL)
+def h04_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (late-ship EXISTS adapted to the reduced schema): the
+    EXISTS becomes a LEFT SEMI join with the correlated l_shipdate >
+    o_orderdate predicate folded into the join condition — lineitem is
+    never materialized into the output, and the quarter filter prunes the
+    orders side before the shuffle."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (orders.join(
+                li, (orders["o_orderkey"] == li["l_orderkey"])
+                & (li["l_shipdate"] > orders["o_orderdate"]), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+_H06_SQL = """SELECT
+  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))
+             AS DOUBLE), 4) AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+
+@register("h06_forecast_revenue", _H06_SQL)
+def h06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the whole query is one scan with every predicate pushed
+    to parquet and a single partial-aggregated global sum — the plan is a
+    pure WholeStageCodegen span over the scan, no shuffle but the final
+    1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return li.agg(
+        F.round(F.sum(rev.cast("decimal(28,10)")).cast("double"), 4)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+_H10_SQL = """SELECT c_custkey, c_name,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+             AS DOUBLE), 4) AS revenue,
+  c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""
+
+
+@register("h10_returned_items", _H10_SQL)
+def h10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer.  The quarter filter
+    shrinks orders before the fact-fact shuffle, the 25-row nation dim
+    broadcasts, and the top-20 is TakeOrderedAndProject (no global sort
+    of the aggregate)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nation),
+                  cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+_H13_SQL = """WITH co AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM co GROUP BY c_count"""
+
+
+@register("h13_customer_distribution", _H13_SQL)
+def h13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (priority filter standing in for the comment pattern):
+    LEFT OUTER join so zero-order customers survive with count 0, then a
+    second tiny groupBy over per-customer counts.  count(o_orderkey)
+    (not count(*)) is what makes the no-match rows count as 0."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW").select("o_custkey", "o_orderkey")
+    per_cust = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+_H14_SQL = """SELECT
+  round(CAST(100.0 * sum(CAST(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END
+                   AS DECIMAL(28,10)))
+        / sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+        AS DOUBLE), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'"""
+
+
+@register("h14_promo_revenue", _H14_SQL)
+def h14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo share of one month's revenue.  part broadcasts
+    (projected to 2 columns), so the month-filtered lineitem scan never
+    shuffles; the conditional sum is one map-side-combined aggregate."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .agg(F.round(
+                (F.lit(100.0) * F.sum(promo.cast("decimal(28,10)"))
+                 / F.sum(disc.cast("decimal(28,10)"))).cast("double"), 4)
+                .alias("promo_revenue_pct")))
+
+
+_H18_SQL = """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4)
+    AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100"""
+
+
+@register("h18_large_orders", _H18_SQL)
+def h18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders.  The HAVING subquery is computed
+    once as a lineitem aggregate and semi-joined back (big-key list, so a
+    shuffled semi-join, not a broadcast IN); at scale AQE picks the
+    strategy from the aggregate's actual size."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .filter(F.col("__q") > 200).select("l_orderkey"))
+    orders = _t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "__ok"),
+        F.col("o_orderkey") == F.col("__ok"), "left_semi")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)"))
+                         .cast("double"), 4).alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+_H22_SQL = """WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey, avg_bal
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name"""
+
+
+@register("h22_dormant_customers", _H22_SQL)
+def h22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (nation standing in for the phone prefix): above-average
+    balance customers with no recent orders.  The scalar subquery is a
+    1-row aggregate broadcast via crossJoin (never a collect), the NOT
+    EXISTS is a LEFT ANTI join against date-pruned orders, and nation
+    broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("__avg_bal")))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+            .join(recent, cust["c_custkey"] == recent["o_custkey"],
+                  "left_anti")
+            .join(F.broadcast(nation),
+                  cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))

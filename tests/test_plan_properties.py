@@ -97,3 +97,51 @@ def test_transitions_window_is_user_partitioned(spark):
     assert _detail(plan, "Window") >= 1
     # the lead window must be partitioned (parallel), not a global orderBy
     assert re.search(r"partitionBy.*user_id|hashpartitioning\(user_id", plan)
+
+
+def test_h04_semi_join_no_lineitem_output(spark):
+    plan = _plan(spark, "h04_priority_check")
+    assert "LeftSemi" in plan
+    # quarter filter pushed to the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_h06_pure_scan_agg(spark):
+    plan = _plan(spark, "h06_forecast_revenue")
+    assert _detail(plan, "Scan parquet") == 1
+    assert _detail(plan, "SortMergeJoin") == 0
+    assert _detail(plan, "BroadcastHashJoin") == 0
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+
+
+def test_h10_topk_and_nation_broadcast(spark):
+    plan = _plan(spark, "h10_returned_items")
+    assert _detail(plan, "TakeOrderedAndProject") >= 1
+    assert _detail(plan, "BroadcastHashJoin") >= 1
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_h13_left_outer_preserves_zero_customers(spark):
+    plan = _plan(spark, "h13_customer_distribution")
+    assert "LeftOuter" in plan
+    # the priority filter must not reach the customer side
+    assert "IsNotNull(c_custkey)" not in plan
+
+
+def test_h14_part_broadcast_pruned(spark):
+    plan = _plan(spark, "h14_promo_revenue")
+    assert _detail(plan, "BroadcastHashJoin") >= 1
+    # part scan reads only the 2 projected columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "p_partkey" in line:
+            schema = line.split("ReadSchema: ", 1)[1]
+            assert schema.count(":") == 2, schema
+
+
+def test_h22_anti_join_and_scalar_broadcast(spark):
+    plan = _plan(spark, "h22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert _detail(plan, "CartesianProduct") == 0  # scalar is broadcast
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # recency pushed
