@@ -636,3 +636,51 @@ def edit_distance_pairs(df: DataFrame, id_col: str, col: str,
             .select(F.least("id_a", "id_b").alias("id_a"),
                     F.greatest("id_a", "id_b").alias("id_b"))
             .distinct())
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup): cluster embeddings, drop near-identical
+# neighbours within each cluster
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.9, n_clusters: int = 8,
+                   n_iter: int = 2, cache_key: str | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): coarse-cluster the
+    embedding space, then inside each cluster drop every item that has a
+    lower-id neighbour with cosine ≥ ``threshold``.
+
+    Returns per-item ``(id, cluster, keep)`` — ``keep`` picks the minimal
+    id of every ε-similar group, deterministically.
+
+    Scale shape: the quantizer is the engine's portable deterministic
+    Lloyd k-means (``ann.train_ivf_centroids_portable`` — train on a
+    sample at 100 TB); assignment is a pure column expression, so the
+    corpus never shuffles for it.  The pairwise stage is quadratic only
+    *within* a cluster — the SemDeDup design point: pick ``n_clusters``
+    ~ n/10⁴ so each cluster's pair block fits one task, and the self-join
+    is an equi-join on cluster id that AQE splits on skewed (hot) clusters.
+    """
+    from dataqtor_spark.operators import ann as ANN
+
+    centers = ANN.train_ivf_centroids_portable(
+        df, id_col, vec_col, n_clusters, n_iter, cache_key=cache_key)
+    c = (df.select(F.col(id_col).alias("__id"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("__v"))
+         .withColumn("__nrm", _norm(F.col("__v")))
+         .withColumn("__cluster",
+                     F.expr(ANN._sql_nearest_cids("__v", centers, 1))[0]))
+    a, b = c.alias("a"), c.alias("b")
+    removed = (a.join(b, (F.col("a.__cluster") == F.col("b.__cluster"))
+                      & (F.col("a.__id") < F.col("b.__id")))
+               .withColumn("__cos",
+                           F.round(_dot(F.col("a.__v"), F.col("b.__v"))
+                                   / (F.col("a.__nrm") * F.col("b.__nrm")), 6))
+               .filter(F.col("__cos") >= threshold)
+               .select(F.col("b.__id").alias("__rm")).distinct())
+    return (c.join(removed, c["__id"] == removed["__rm"], "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("__cluster").alias("cluster"),
+                    F.col("__rm").isNull().alias("keep")))

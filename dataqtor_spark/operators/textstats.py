@@ -655,3 +655,67 @@ def top_terms_tfidf(df: DataFrame, id_col: str = "doc_id",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(F.col("__id").alias(id_col), "token", "score", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet): drop chunks shared across documents and
+# rebuild the cleaned text
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 10,
+                    max_df: int = 1) -> DataFrame:
+    """CCNet-style paragraph dedup (Wenzek et al. 2020), adapted to
+    unstructured text: documents are split into non-overlapping
+    ``chunk_tokens``-token chunks (the "paragraphs"), each chunk is hashed,
+    chunks whose hash appears in more than ``max_df`` distinct documents
+    are dropped corpus-wide, and the surviving chunks are re-joined in
+    order into ``clean_text``.
+
+    Returns ``(id, n_chunks, n_dropped, clean_text)``.
+
+    Scale shape: one explode of (id, chunk_no, md5) rows — chunk *text*
+    stays out of the shuffle except for the surviving chunks that are
+    re-aggregated; the df(hash) table is a map-side-combinable groupBy.
+    The in-order rebuild is sort_array over per-doc collected
+    (chunk_no, chunk) structs — bounded by document length, never a global
+    sort.  md5 (not xxhash64) keeps the hash replayable in the ANSI-SQL
+    oracle; swap for xxhash64 when differential checkability is not needed.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("__id"),
+                     _clean_tokens(text_col).alias("__tk"))
+    nchunks = F.ceil(F.size("__tk") / chunk_tokens).cast("int")
+    # guard: sequence(0, -1) would count DOWN; token-less docs get no
+    # chunk rows (and so drop from the output, like a filter would)
+    chunk_arr = F.when(
+        F.size("__tk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("__tk"), i * chunk_tokens + 1,
+                             chunk_tokens)))).otherwise(
+        F.array().cast("array<string>"))
+    chunks = (base.select(
+        "__id",
+        F.posexplode(chunk_arr).alias("__cno", "__chunk"))
+        .withColumn("__h", F.md5(F.col("__chunk"))))
+    wh = Window.partitionBy("__h")
+    if max_df == 1:
+        shared = F.min("__id").over(wh) != F.max("__id").over(wh)
+    else:
+        shared = F.size(F.collect_set("__id").over(wh)) > max_df
+    marked = chunks.withColumn("__shared", shared)
+    return (marked.groupBy("__id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum(F.col("__shared").cast("long")).alias("n_dropped"),
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(F.when(
+                             ~F.col("__shared"),
+                             F.struct(F.col("__cno"), F.col("__chunk"))))),
+                         lambda s: s["__chunk"]),
+                     " ").alias("clean_text"))
+            .select(F.col("__id").alias(id_col), "n_chunks", "n_dropped",
+                    "clean_text"))

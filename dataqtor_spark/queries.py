@@ -3763,3 +3763,98 @@ def h22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+# ---------------------------------------------------------------------------
+# d09 — SemDeDup semantic dedup; t20 — CCNet paragraph dedup
+# ---------------------------------------------------------------------------
+
+_D09_THRESHOLD, _D09_CLUSTERS, _D09_ITER, _D09_DIM = 0.9, 8, 2, 64
+
+
+def _d09_oracle_sql() -> str:
+    nc, dim, tau = _D09_CLUSTERS, _D09_DIM, _D09_THRESHOLD
+
+    def assign_cte(src: str, cents: str) -> str:
+        return f"""(
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, s.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY round(pow(list_distance(x.v, s.v), 2), 9), s.cid) AS rn
+    FROM {src} x, {cents} s) WHERE rn = 1)"""
+
+    def recenter_cte(assigned: str) -> str:
+        return f"""(
+  SELECT cid, list(val ORDER BY i) AS v FROM (
+    SELECT a.cid, t.i, round(avg(a.v[t.i]), 6) AS val
+    FROM {assigned} a, unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY a.cid, t.i) GROUP BY cid)"""
+
+    return f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v
+  FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {nc}),
+a1 AS {assign_cte("c", "seeds")},
+cent1 AS {recenter_cte("a1")},
+a2 AS {assign_cte("c", "cent1")},
+cent2 AS {recenter_cte("a2")},
+af AS {assign_cte("c", "cent2")},
+rm AS (
+  SELECT DISTINCT b.vec_id AS id
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {tau})
+SELECT a.vec_id, a.cid::INT AS cluster, (rm.id IS NULL) AS keep
+FROM af a LEFT JOIN rm ON a.vec_id = rm.id"""
+
+
+@register("d09_semantic_dedup", _d09_oracle_sql())
+def d09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: portable-k-means clustering of the embedding space, then
+    within-cluster cosine pruning — keep the min-id member of every
+    ε-similar group.  The oracle replays the full 2-round Lloyd training
+    in SQL, so clustering AND pruning are differentially checked."""
+    from dataqtor_spark.operators import dedup as DD
+
+    return DD.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=_D09_THRESHOLD, n_clusters=_D09_CLUSTERS,
+        n_iter=_D09_ITER,
+        cache_key=os.path.join(sf_dir, "embeddings.parquet"))
+
+
+_T20_CHUNK = 10
+
+_T20_SQL = f"""WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, t.i AS cno,
+         array_to_string(list_slice(tk, t.i * {_T20_CHUNK} + 1,
+                                    (t.i + 1) * {_T20_CHUNK}), ' ') AS chunk
+  FROM base,
+       unnest(generate_series(0,
+         CAST(ceil(len(tk) / {_T20_CHUNK}.0) AS INT) - 1)) AS t(i)
+  WHERE len(tk) > 0
+),
+h AS (SELECT doc_id, cno, chunk, md5(chunk) AS hh FROM ch),
+sh AS (SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) > 1),
+m AS (SELECT h.doc_id, h.cno, h.chunk, (sh.hh IS NOT NULL) AS shared
+      FROM h LEFT JOIN sh ON h.hh = sh.hh)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN shared THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT shared THEN chunk END,
+                           ' ' ORDER BY cno), '') AS clean_text
+FROM m GROUP BY doc_id"""
+
+
+@register("t20_paragraph_dedup", _T20_SQL)
+def t20_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level dedup over fixed 10-token chunks: drop
+    corpus-shared chunks, rebuild the cleaned text in order."""
+    from dataqtor_spark.operators import textstats as TX2
+
+    return TX2.paragraph_dedup(_t(spark, sf_dir, "documents"),
+                               chunk_tokens=_T20_CHUNK, max_df=1)

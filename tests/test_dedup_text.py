@@ -515,3 +515,44 @@ def test_connected_components_deep_chain(spark):
     rows = comp.agg(F.countDistinct("component").alias("c"),
                     F.count(F.lit(1)).alias("n")).collect()[0]
     assert rows.c == 1 and rows.n == 5000
+
+
+def test_semantic_dedup_keeps_min_id_of_similar_group(spark):
+    from dataqtor_spark.operators import dedup as DD
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0, 0.0]),   # ~identical to 1
+            (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+            (4, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = {r.id: r.keep
+           for r in DD.semantic_dedup(df, "id", "vec", threshold=0.95,
+                                      n_clusters=2).collect()}
+    assert out[1] is True and out[2] is False
+    assert out[3] is True and out[4] is True
+
+
+def test_paragraph_dedup_drops_cross_doc_chunks(spark):
+    from dataqtor_spark.operators import textstats as TX
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [(1, boiler + " " + " ".join(f"u{i}" for i in range(10))),
+            (2, boiler + " " + " ".join(f"v{i}" for i in range(10))),
+            (3, " ".join(f"w{i}" for i in range(10)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.paragraph_dedup(
+        df, chunk_tokens=10).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_dropped == 1
+    assert out[1].clean_text == " ".join(f"u{i}" for i in range(10))
+    assert out[2].n_dropped == 1
+    assert out[3].n_dropped == 0 and out[3].clean_text == rows[2][1]
+
+
+def test_paragraph_dedup_all_shared_gives_empty_text(spark):
+    from dataqtor_spark.operators import textstats as TX
+
+    t = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.paragraph_dedup(
+        df, chunk_tokens=10).collect()}
+    assert out[1].clean_text == "" and out[1].n_dropped == 1
