@@ -1,0 +1,90 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for file and
+row-group skipping.
+
+A dataset sorted by one column prunes scans filtered on that column only.
+Interleaving the bits of several columns' rank buckets (the Z-order curve)
+gives every participating column *partial* locality, so parquet min/max
+stats prune files for predicates on ANY of them — the layout trick behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY``, built here from plain DataFrame ops:
+
+  bucketize each column (width_bucket over approx-quantile boundaries,
+  collected once, k doubles per column) → interleave bucket bits into one
+  long → repartitionByRange + sortWithinPartitions on that long → write.
+
+Nothing shuffles except the final range partition, which the write needed
+anyway; the quantile probe is a sampled single pass per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, boundaries: list[float], bits: int) -> Column:
+    """0..2^bits-1 bucket index from precollected quantile boundaries —
+    a pure expression (binary-search CASE via width_bucket semantics)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    idx = F.aggregate(
+        arr, F.lit(0),
+        lambda acc, b: acc + F.when(col.cast("double") >= b, 1).otherwise(0))
+    return F.least(idx, F.lit((1 << bits) - 1))
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Morton-interleaved long over ``cols`` (each bucketized to ``bits``
+    bits via its own approx quantiles).  Collects len(cols) × 2^bits
+    boundary doubles on the driver — tiny, one sampled pass per column."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for ci, c in enumerate(cols):
+        bounds = df.approxQuantile(c, probs, 0.001)
+        b = _bucket(F.col(c), bounds, bits).cast("long")
+        for i in range(bits):
+            # bit i of this column lands at interleaved position i*n + ci
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + ci)
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   n_files: int = 16, bits: int = 8) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of ``cols``.
+
+    ``repartitionByRange`` on the z-value gives each output file a compact
+    curve segment (and so a tight min/max box in every dimension);
+    ``sortWithinPartitions`` tightens per-row-group stats inside the file.
+    """
+    z = zorder_value(df, cols, bits)
+    (df.withColumn("__z", z)
+     .repartitionByRange(n_files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode("overwrite").parquet(path))
+
+
+def file_overlap_fraction(path: str, col: str, lo, hi) -> float:
+    """Fraction of the dataset's parquet files whose [min, max] for
+    ``col`` intersects [lo, hi] — the share of files a stats-based scan
+    must open for that predicate.  Uses parquet footer metadata only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(r, f) for r, _d, fs in os.walk(path)
+             for f in fs if f.endswith(".parquet")]
+    hit = 0
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                cc = md.row_group(rg).column(i)
+                if cc.path_in_schema == col and cc.statistics is not None:
+                    s = cc.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            hit += 1
+    return hit / max(1, len(files))

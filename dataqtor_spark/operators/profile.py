@@ -893,3 +893,34 @@ def mad_outliers(df: DataFrame, col: str, z: float = 3.5) -> DataFrame:
         F.sum(out.cast("long")).cast("long").alias("n_outliers"),
         F.round(F.sum(out.cast("long")) * 100.0 / F.count(F.lit(1)), 4)
         .alias("outlier_pct"))
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketches: incremental / cross-partition cardinality
+# ---------------------------------------------------------------------------
+
+def hll_sketches(df: DataFrame, group_cols: list[str], val_col: str,
+                 lgk: int = 12) -> DataFrame:
+    """Per-group Datasketches-HLL partial state for ``val_col``
+    (``(group_cols..., sketch binary)``).
+
+    This is the incremental form of cardinality profiling: persist one
+    sketch per day/partition/source, and any rollup (total users this
+    month, distinct across N tables) is a register-wise max-merge of the
+    stored sketches — no rescan of history.  Union of per-slice sketches
+    is EXACTLY the sketch of the union (not an approximation of it), so
+    rollups are consistent at every granularity; only the final estimate
+    carries the ~1/sqrt(2^lgk) relative error.
+    """
+    return (df.groupBy(*group_cols)
+            .agg(F.hll_sketch_agg(F.col(val_col), F.lit(lgk))
+                 .alias("sketch")))
+
+
+def hll_rollup_estimate(sketches: DataFrame,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """Merge stored sketches (optionally regrouped coarser) and estimate
+    distinct counts: ``(group_cols..., approx_distinct)``."""
+    g = sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
+    return g.agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch")))
+                 .alias("approx_distinct"))

@@ -47,3 +47,30 @@ def salted_count_distinct(df: DataFrame, key_col: str, val_col: str,
               .agg(F.count(F.lit(1)).alias("__n")))
     return (phase1.groupBy(key_col)
             .agg(F.sum("__n").alias("n_distinct")))
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, n_salt: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Equi-join that spreads a hot fact key over ``n_salt`` reducers when
+    the dim side is too big to broadcast: fact rows get a deterministic
+    salt (xxhash64 of the whole row), the dim side is replicated
+    ``n_salt``× via an exploded sequence, and the shuffle key becomes
+    (key, salt).  Row-identical to the plain join for any salt values.
+
+    AQE's skew-join split (`spark.sql.adaptive.skewJoin`) handles most of
+    these cases by splitting oversized partitions at runtime; explicit
+    salting remains the tool when a single *key* (not partition) is hot
+    enough that even a split partition serializes on one reducer, or when
+    AQE is unavailable (non-adaptive engines, streaming joins).
+    Cost: dim shuffle volume × ``n_salt`` — size n_salt to the observed
+    skew ratio (see profile.key_skew_profile), not higher.
+    """
+    salt_f = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
+                    F.lit(n_salt)).alias("__salt")
+    f = fact.select("*", salt_f)
+    d = dim.select("*", F.explode(F.sequence(
+        F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>")).alias("__salt"))
+    out = f.join(d, (f[fact_key] == d[dim_key])
+                 & (f["__salt"] == d["__salt"]), how)
+    return out.drop("__salt")

@@ -3858,3 +3858,112 @@ def t20_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return TX2.paragraph_dedup(_t(spark, sf_dir, "documents"),
                                chunk_tokens=_T20_CHUNK, max_df=1)
+
+
+# ---------------------------------------------------------------------------
+# w02/w03 — SCD2 history build + incremental merge
+# ---------------------------------------------------------------------------
+
+_W02_SQL = """WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '2200-01-01') AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM s"""
+
+
+@register("w02_scd2_history", _W02_SQL)
+def w02_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension built from the events change log: one row per
+    (user, run of equal event_type), validity interval per run."""
+    from dataqtor_spark.operators import scd as SCD
+
+    out = SCD.scd2_from_history(_t(spark, sf_dir, "events"),
+                                "user_id", "ts", ["event_type"],
+                                tiebreak_col="event_id")
+    return out.withColumn("valid_to", F.coalesce(
+        F.col("valid_to"), F.lit("2200-01-01").cast("timestamp")))
+
+
+_W03_CUTOFF = "2024-01-15"
+
+# the oracle is the DIRECT full-history SCD2 — hash-matching it proves the
+# incremental merge (close-open-rows + replay) reproduces a from-scratch
+# rebuild exactly
+_W03_SQL = _W02_SQL
+
+
+@register("w03_scd2_merge", _W03_SQL)
+def w03_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 merge: history before the cutoff becomes the
+    current table, the rest is applied as a batch via scd2_merge; the
+    oracle rebuilds from the full log — equality is the merge-correctness
+    proof (incremental ≡ from-scratch)."""
+    from dataqtor_spark.operators import scd as SCD
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_W03_CUTOFF).cast("timestamp")
+    current = SCD.scd2_from_history(ev.filter(F.col("ts") < cut),
+                                    "user_id", "ts", ["event_type"],
+                                    tiebreak_col="event_id")
+    updates = ev.filter(F.col("ts") >= cut)
+    out = SCD.scd2_merge(current, updates, "user_id", "ts",
+                         ["event_type"], tiebreak_col="event_id")
+    return out.withColumn("valid_to", F.coalesce(
+        F.col("valid_to"), F.lit("2200-01-01").cast("timestamp")))
+
+
+# ---------------------------------------------------------------------------
+# j07 — salted skew join (result-identical to the plain join, by oracle)
+# ---------------------------------------------------------------------------
+
+_J07_SQL = """SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment"""
+
+
+@register("j07_salted_skew_join", _J07_SQL)
+def j07_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim join: fact rows carry a deterministic row-hash
+    salt, the dim side replicates n_salt×, the shuffle key is (key, salt)
+    — a hot user id spreads over n_salt reducers.  The oracle is the plain
+    join: hash equality shows salting is a pure execution strategy."""
+    from dataqtor_spark.operators import skew as SK
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = SK.salted_join(ev, cust, "user_id", "c_custkey", n_salt=8)
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(28,10)"))
+                         .cast("double"), 4).alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# pr16 — incremental cardinality via mergeable HLL sketches (rows-only:
+# Datasketches estimates aren't replayable in the DuckDB oracle; the exact
+# merge property + error bound are asserted in tests/test_warehouse_layout)
+# ---------------------------------------------------------------------------
+
+@register("pr16_hll_incremental_users")
+def pr16_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL user sketches rolled up to one corpus-wide distinct
+    estimate — the rescan-free incremental form of pr09's cardinality
+    profile (store sketches, merge on demand at any granularity)."""
+    from dataqtor_spark.operators import profile as PR
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = PR.hll_sketches(ev, ["day"], "user_id", lgk=12)
+    return (PR.hll_rollup_estimate(daily)
+            .select(F.col("approx_distinct").cast("long")
+                    .alias("approx_distinct_users")))

@@ -218,3 +218,44 @@ def co_located_join(spark: SparkSession, left_table: str, right_table: str,
     """Join two same-bucketed catalog tables; with matching bucketing the
     physical plan contains no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def compact_dataset(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    partition_by: list[str] | None = None) -> int:
+    """Small-file compaction: rewrite a parquet dataset into ~target-size
+    files.  Returns the new file count.
+
+    Long-lived ingestion (streaming foreachBatch sinks, frequent small
+    appends) accretes files far below the scan-efficient size; a 100 TB
+    table in 4 MB files pays ~25k× the open/footer overhead and defeats
+    row-group pruning.  The rewrite sizes the partition count from the
+    dataset's actual on-disk bytes, round-robins into that many writers
+    (``repartition(n)``, or per-partition when ``partition_by`` is set so
+    files never span partition values), writes beside the original, then
+    atomically swaps directories.  On an object store, write to a new
+    prefix and swap a pointer (catalog location / manifest) instead of
+    renaming.
+    """
+    import math
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    w = df.repartition(n, *partition_by) if partition_by else df.repartition(n)
+    writer = w.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for root, _d, fs in os.walk(path)
+               for f in fs if f.endswith(".parquet"))

@@ -1,0 +1,125 @@
+"""SCD2 merge, salted join, HLL sketch rollups, compaction, Z-order layout."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- SCD2 ------------------------------------------------------------------
+
+def _scd2_all(spark, tables):
+    from dataqtor_spark.operators import scd as SCD
+
+    return SCD.scd2_from_history(tables["events"], "user_id", "ts",
+                                 ["event_type"], tiebreak_col="event_id")
+
+
+def test_scd2_one_current_row_per_key(spark, tables):
+    out = _scd2_all(spark, tables)
+    per = (out.filter("is_current").groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n")))
+    assert per.filter("n != 1").count() == 0
+    n_users = tables["events"].select("user_id").distinct().count()
+    assert out.filter("is_current").count() == n_users
+
+
+def test_scd2_intervals_chain(spark, tables):
+    # each row's valid_to equals the next row's valid_from (per key)
+    from pyspark.sql.window import Window
+
+    out = _scd2_all(spark, tables)
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    chained = out.withColumn("__next_from", F.lead("valid_from").over(w))
+    bad = chained.filter(
+        (F.col("valid_to").isNotNull())
+        & (F.col("valid_to") != F.col("__next_from")))
+    assert bad.count() == 0
+
+
+def test_scd2_merge_idempotent_for_replayed_batch(spark, tables):
+    from dataqtor_spark.operators import scd as SCD
+
+    ev = tables["events"]
+    cut = F.lit("2024-01-15").cast("timestamp")
+    current = SCD.scd2_from_history(ev.filter(F.col("ts") < cut),
+                                    "user_id", "ts", ["event_type"],
+                                    tiebreak_col="event_id")
+    updates = ev.filter(F.col("ts") >= cut)
+    once = SCD.scd2_merge(current, updates, "user_id", "ts",
+                          ["event_type"], tiebreak_col="event_id")
+    twice = SCD.scd2_merge(once, updates, "user_id", "ts",
+                           ["event_type"], tiebreak_col="event_id")
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+# --- salted join -----------------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark, tables):
+    from dataqtor_spark.operators import skew as SK
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    cust = tables["customer"].select("c_custkey", "c_mktsegment")
+    plain = ev.join(cust, ev["user_id"] == cust["c_custkey"])
+    salted = SK.salted_join(ev, cust, "user_id", "c_custkey", n_salt=4)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+
+# --- HLL sketches ----------------------------------------------------------
+
+def test_hll_rollup_merge_is_exact_and_estimate_close(spark, tables):
+    from dataqtor_spark.operators import profile as P
+
+    ev = tables["events"].withColumn("day", F.to_date("ts"))
+    daily = P.hll_sketches(ev, ["day"], "user_id", lgk=12)
+    merged = P.hll_rollup_estimate(daily).collect()[0]["approx_distinct"]
+    # register-wise max-merge: union of per-day sketches == sketch of union
+    direct = (ev.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id", F.lit(12))).alias("e"))
+        .collect()[0]["e"])
+    assert merged == direct
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+
+
+# --- compaction ------------------------------------------------------------
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tables, tmp_path):
+    from dataqtor_spark.session import compact_dataset
+
+    p = str(tmp_path / "frag")
+    tables["lineitem"].repartition(64).write.parquet(p)
+    before = sum(1 for f in __import__("os").listdir(p)
+                 if f.endswith(".parquet"))
+    assert before == 64
+    n_rows = tables["lineitem"].count()
+    after = compact_dataset(spark, p, target_file_bytes=64 * 1024 * 1024)
+    assert after < before
+    assert spark.read.parquet(p).count() == n_rows
+
+
+# --- Z-order ---------------------------------------------------------------
+
+def test_zorder_prunes_files_on_both_dimensions(spark, tables, tmp_path):
+    from dataqtor_spark.operators import layout as L
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    zp = str(tmp_path / "zorder")
+    lp = str(tmp_path / "linear")
+    L.write_zordered(ev, zp, ["user_id", "value"], n_files=16, bits=4)
+    # baseline: clustered on value only
+    (ev.repartitionByRange(16, "value").sortWithinPartitions("value")
+     .write.mode("overwrite").parquet(lp))
+
+    uids = [r[0] for r in ev.select("user_id").distinct().limit(50).collect()]
+    mid_uid = sorted(uids)[len(uids) // 2]
+    z_uid = L.file_overlap_fraction(zp, "user_id", mid_uid, mid_uid)
+    lin_uid = L.file_overlap_fraction(lp, "user_id", mid_uid, mid_uid)
+    # point lookup on user_id: z-order must beat the value-sorted layout,
+    # which has no user_id locality at all
+    assert z_uid < 1.0
+    assert lin_uid == 1.0 or z_uid < lin_uid
+
+    lo, hi = 10.0, 11.0
+    z_val = L.file_overlap_fraction(zp, "value", lo, hi)
+    assert z_val < 1.0  # still prunes on the second dimension too

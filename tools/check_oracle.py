@@ -48,8 +48,8 @@ def compare(name, sdf_pd, odf_pd):
             a_nan = isinstance(a, float) and math.isnan(a)
             b_nan = isinstance(b, float) and math.isnan(b)
             an = a is None or a_nan or (a != a if not isinstance(a, (list, dict)) else False)
-            bn = b is None or b_nan
-            if (a is None or a_nan) and (b is None or b_nan):
+            bn = b is None or b_nan or (b != b if not isinstance(b, (list, dict)) else False)
+            if an and bn:  # both null-ish (None / NaN / NaT)
                 continue
             if a != b:
                 if isinstance(a, float) and isinstance(b, float):
