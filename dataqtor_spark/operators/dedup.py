@@ -105,23 +105,45 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """(id, sig array<long>): sig[i] = min over shingles of xxhash64(shingle, i).
 
-    One explode + one groupBy with ``num_hashes`` min-aggregates — partial
-    aggregation makes the shuffle carry only (id, 64 longs) per doc.
+    Map-only: the shingle-hash array is built once per row (its own select
+    — CollapseProject won't inline a non-cheap alias referenced 64×, so
+    it is computed once), and each sig[i] is an ``array_min`` over an
+    in-row ``transform`` re-mixing the 8-byte base hash with seed i.  No
+    explode, no groupBy: signature building carries ZERO shuffle — the
+    only shuffle in the whole MinHash pipeline is the band groupBy.  (The
+    previous form exploded ~n_shingles rows/doc and shuffled (id, 64
+    longs) through a 64-agg groupBy; same statistics, one fewer exchange,
+    measured ~2× faster at sf0.1.)
     """
-    ex = _exploded_shingles(df, id_col, text_col, shingle_n)
-    sig = ex.groupBy("__id").agg(*_xxhash_family_aggs(num_hashes))
-    return sig.select(F.col("__id").alias(id_col),
-                      _h_array(num_hashes).alias("sig"))
+    from dataqtor_spark.session import parallelize
+
+    base = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", F.transform(word_shingles("__txt", shingle_n),
+                                        lambda s: F.xxhash64(s)).alias("__vs")))
+    return base.select(F.col("__id").alias(id_col),
+                       _xx_min_sig(num_hashes).alias("sig"))
 
 
 @functools.lru_cache(maxsize=8)
-def _xxhash_family_aggs(num_hashes: int) -> tuple[Column, ...]:
-    # hash family over the base shingle hash: each h_i re-mixes the 8-byte
-    # long (already computed at the explode) with seed i — hashing 8 bytes
-    # num_hashes times instead of the whole shingle string, identical LSH
-    # statistics (and no ANSI long-overflow risk).
-    return tuple(F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
-                 for i in range(num_hashes))
+def _xx_min_sig(num_hashes: int) -> Column:
+    """xxhash64-family min-signature array over the fixed ``__vs`` base-hash
+    array column (memoized: 64 lambda subtrees cost real py4j time)."""
+    def mk(i):
+        return lambda v: F.xxhash64(v, F.lit(i))
+
+    return F.array(*[F.array_min(F.transform(F.col("__vs"), mk(i)))
+                     for i in range(num_hashes)])
+
+
+@functools.lru_cache(maxsize=8)
+def _portable_min_sig(num_hashes: int) -> Column:
+    """md5-family min-signature array over the fixed ``__vs`` column."""
+    def mk(a, b):
+        return lambda v: (F.lit(a) * v + F.lit(b)) % PORTABLE_P
+
+    return F.array(*[F.array_min(F.transform(F.col("__vs"), mk(a, b)))
+                     for a, b in portable_hash_constants(num_hashes)])
 
 
 @functools.lru_cache(maxsize=8)
@@ -133,10 +155,10 @@ def minhash_candidates(sig: DataFrame, id_col: str,
                        num_hashes: int = 64, bands: int = 16) -> DataFrame:
     """LSH banding: docs colliding in ≥1 band become candidate pairs
     (id_a < id_b).  rows-per-doc = bands; join is a groupBy on band hash."""
-    exploded = (sig.select(F.col(id_col).alias("__id"),
-                           F.explode(_band_struct_array(num_hashes, bands)).alias("b"))
-                .select("__id", "b.band", "b.bhash"))
-    return (exploded.groupBy("band", "bhash")
+    exploded = sig.select(F.col(id_col).alias("__id"),
+                          F.explode(_band_hash_array(num_hashes, bands))
+                          .alias("__bh"))
+    return (exploded.groupBy("__bh")
             .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
             .filter(F.size("ids") > 1)
             .select(F.explode(F.expr(
@@ -148,15 +170,14 @@ def minhash_candidates(sig: DataFrame, id_col: str,
 
 
 @functools.lru_cache(maxsize=8)
-def _band_struct_array(num_hashes: int, bands: int) -> Column:
+def _band_hash_array(num_hashes: int, bands: int) -> Column:
+    # one 64-bit key per band: xxhash64 straight over the band's signature
+    # longs (no string concat / casts), with the band index as the first
+    # argument so equal slices in different band positions never collide
     rows_per_band = num_hashes // bands
     return F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("sig")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)
-            ])).alias("bhash"))
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r]
+                               for r in range(rows_per_band)])
         for b in range(bands)])
 
 
@@ -247,26 +268,17 @@ def minhash_signatures_portable(df: DataFrame, id_col: str, text_col: str,
                                 num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """(id, sig array<long>) like :func:`minhash_signatures`, but with the
     portable md5 family: sig[i] = min over shingles of (a_i·v + b_i) mod P
-    where v = portable_string_hash(shingle).  Same plan shape (explode →
-    partial-agg groupBy shuffling only (id, 64 longs))."""
+    where v = portable_string_hash(shingle).  Same map-only shape — the
+    md5-derived base hashes are one per-row array, each family member an
+    in-row ``array_min``; no explode, no shuffle."""
     from dataqtor_spark.session import parallelize
 
-    # hash inside the array transform so only (id, long) rows are exploded —
-    # shingle strings never become rows
-    ex = (parallelize(df.select(F.col(id_col).alias("__id"),
-                                F.col(text_col).alias("__txt")))
-          .select("__id", F.explode(F.transform(word_shingles("__txt", shingle_n),
-                                                portable_string_hash)).alias("__v")))
-    sig = ex.groupBy("__id").agg(*_portable_family_aggs(num_hashes))
-    return sig.select(F.col("__id").alias(id_col),
-                      _h_array(num_hashes).alias("sig"))
-
-
-@functools.lru_cache(maxsize=8)
-def _portable_family_aggs(num_hashes: int) -> tuple[Column, ...]:
-    return tuple(
-        F.min((F.lit(a) * F.col("__v") + F.lit(b)) % PORTABLE_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(portable_hash_constants(num_hashes)))
+    base = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", F.transform(word_shingles("__txt", shingle_n),
+                                        portable_string_hash).alias("__vs")))
+    return base.select(F.col("__id").alias(id_col),
+                       _portable_min_sig(num_hashes).alias("sig"))
 
 
 def minhash_dedup_pairs_portable(df: DataFrame, id_col: str, text_col: str,
@@ -410,16 +422,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         dfreq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
         ex = (ex.join(F.broadcast(dfreq.filter(F.col("__df") <= max_doc_freq)
                                   .select("__sh")), "__sh"))
-    # the inverted index feeds three consumers (both self-join sides and the
-    # per-doc sizes); persist it once instead of re-shingling the corpus,
-    # then materialize the (small) pair result and release the storage
+    # the inverted index feeds two consumers (posting-list pair expansion
+    # and the per-doc sizes); persist it once instead of re-shingling the
+    # corpus, then materialize the (small) pair result and release storage
     ex = ex.persist()
     try:
         sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-        inter = (ex.alias("l").join(ex.alias("r"),
-                                    (F.col("l.__sh") == F.col("r.__sh"))
-                                    & (F.col("l.__id") < F.col("r.__id")))
-                 .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        # posting-list form of the sparse dot product: ONE exchange of the
+        # exploded (id, hash) rows builds per-shingle doc lists, pairs are
+        # expanded in-row, and only pair rows shuffle again — the self-join
+        # form exchanged the full inverted index twice and then joined.
+        # Per-shingle blowup is |df|²/2, bounded by the stop-shingle cut.
+        inter = (ex.groupBy("__sh")
+                 .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+                 .filter(F.size("ids") > 1)
+                 .select(F.explode(F.expr(
+                     "flatten(transform(ids, (x, i) -> "
+                     "transform(slice(ids, i + 2, size(ids)), "
+                     "y -> struct(x as a, y as b))))")).alias("p"))
+                 .groupBy(F.col("p.a").alias("id_a"),
+                          F.col("p.b").alias("id_b"))
                  .agg(F.count(F.lit(1)).alias("n_common")))
         sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
         sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))

@@ -102,15 +102,15 @@ def similar_strings_lsh_portable(df: DataFrame, col: str,
     from dataqtor_spark.operators import dedup as DD
     from dataqtor_spark.session import parallelize
 
-    grams = (parallelize(df.select(F.col(col).alias("value"))
-                         .filter(F.col("value").isNotNull()).distinct())
-             .select("value",
-                     F.explode(F.transform(
-                         F.array_distinct(char_ngrams("value", n)),
-                         DD.portable_string_hash)).alias("__v")))
-    sig = (grams.groupBy("value").agg(*DD._portable_family_aggs(num_hashes))
-           .select(F.col("value").alias("__id"),
-                   DD._h_array(num_hashes).alias("sig"))
+    base = (parallelize(df.select(F.col(col).alias("value"))
+                        .filter(F.col("value").isNotNull()).distinct())
+            .select("value",
+                    F.transform(F.array_distinct(char_ngrams("value", n)),
+                                DD.portable_string_hash).alias("__vs")))
+    # map-only signatures (array_min family over the in-row gram hashes):
+    # the distinct() above is the only shuffle this side of the banding
+    sig = (base.select(F.col("value").alias("__id"),
+                       DD._portable_min_sig(num_hashes).alias("sig"))
            .persist())
     try:
         cand = DD.minhash_candidates(sig, "__id", num_hashes, bands)
