@@ -138,3 +138,59 @@ def interarrival_stats(df: DataFrame, user_col: str = "user_id",
                 .cast("double") / 1e6, 4).alias("avg_gap_s"),
         F.round(F.expr("percentile(__g, 0.5)") / 1e6, 4).alias("p50_gap_s"),
         F.round(F.max("__g") / F.lit(1e6), 4).alias("max_gap_s"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-transition graph (iterative algorithm family)
+# ---------------------------------------------------------------------------
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight: str | None = None, damping: float = 0.85,
+             n_iter: int = 10) -> DataFrame:
+    """Weighted PageRank with a fixed iteration count: ``(node, rank)``.
+
+    The normalized transition matrix is built once (one groupBy) and
+    persisted; each round is a broadcast join of the current rank vector
+    (|nodes| rows) against the matrix plus a per-dst aggregate — the
+    matrix itself never moves after the initial shuffle.  Per-round ranks
+    are rounded to 12 dp so summation order (partitioning) can't leak
+    into the result — the same determinism device as the portable
+    k-means, which is what lets a SQL oracle replay the iterations
+    exactly.  Dangling mass is NOT redistributed (documented variant;
+    transition graphs from b03 have no dangling nodes).
+
+    At scale: matrix rows = observed (src, dst) pairs (≤ k² for k
+    distinct event types), rank vector = k rows — both tiny relative to
+    the events table that produced them; with a billion-node graph you'd
+    swap the broadcast for a shuffled join and parquet-spill rounds like
+    ``dedup.connected_components``.
+    """
+    w_col = F.col(weight) if weight else F.lit(1.0)
+    m = (edges.groupBy(src, dst).agg(F.sum(w_col).alias("__w")))
+    tot = m.groupBy(src).agg(F.sum("__w").alias("__wout"))
+    mat = (m.join(tot, src)
+           .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
+                   (F.col("__w") / F.col("__wout")).alias("__share"))
+           .persist())
+    try:
+        nodes = (mat.select(F.col("__src").alias("node"))
+                 .unionByName(mat.select(F.col("__dst").alias("node")))
+                 .distinct().persist())
+        n = nodes.count()
+        base, link = (1.0 - damping) / n, damping
+        rank = nodes.withColumn("r", F.round(F.lit(1.0 / n), 12))
+        for _ in range(n_iter):
+            contrib = (mat.join(F.broadcast(rank),
+                                mat["__src"] == rank["node"])
+                       .groupBy("__dst")
+                       .agg(F.sum(F.col("__share") * F.col("r"))
+                            .alias("__c")))
+            rank = (nodes.join(contrib, nodes["node"] == contrib["__dst"],
+                               "left")
+                    .select("node",
+                            F.round(F.lit(base) + F.lit(link)
+                                    * F.coalesce(F.col("__c"), F.lit(0.0)),
+                                    12).alias("r")))
+        return rank.select("node", F.round("r", 6).alias("rank"))
+    finally:
+        mat.unpersist()

@@ -3967,3 +3967,181 @@ def pr16_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (PR.hll_rollup_estimate(daily)
             .select(F.col("approx_distinct").cast("long")
                     .alias("approx_distinct_users")))
+
+
+# ---------------------------------------------------------------------------
+# g01 — PageRank over the event-transition graph (iterative algorithm;
+# the oracle replays all 10 rounds as unrolled CTEs)
+# ---------------------------------------------------------------------------
+
+_G01_DAMPING, _G01_ITER = 0.85, 10
+
+
+def _g01_oracle_sql() -> str:
+    # embed the exact Python-computed doubles (1.0-0.85 != 0.15 in IEEE)
+    link = repr(_G01_DAMPING)
+    base_num = repr(1.0 - _G01_DAMPING)
+    parts = [f"""WITH nx AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, count(*) * 1.0 AS w FROM nx
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+m AS (SELECT e.src, e.dst, e.w / t.wout AS share
+      FROM e JOIN tot t USING (src)),
+n AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM m UNION SELECT dst FROM m)),
+nn AS (SELECT count(*) AS cnt FROM n),
+r0 AS (SELECT node, round(1.0 / cnt, 12) AS r FROM n CROSS JOIN nn)"""]
+    for i in range(1, _G01_ITER + 1):
+        parts.append(f""",
+c{i} AS (SELECT m.dst, sum(m.share * p.r) AS c
+  FROM m JOIN r{i - 1} p ON p.node = m.src GROUP BY m.dst),
+r{i} AS (SELECT n.node,
+  round({base_num} / cnt + {link} * coalesce(c{i}.c, 0.0), 12) AS r
+  FROM n CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = n.node)""")
+    parts.append(f"""
+SELECT node, round(r, 6) AS rank FROM r{_G01_ITER}""")
+    return "".join(parts)
+
+
+@register("g01_pagerank_transitions", _g01_oracle_sql())
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the first-order event-transition graph: which event
+    types are the behavioral sinks.  Fixed 10 rounds, 12-dp per-round
+    rounding — the oracle replays every iteration in SQL."""
+    from pyspark.sql.window import Window
+
+    from dataqtor_spark.operators import behavior as B
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("event_type").alias("src"),
+                       F.lead("event_type").over(w).alias("dst"))
+             .filter(F.col("dst").isNotNull())
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return B.pagerank(edges, "src", "dst", weight="n",
+                      damping=_G01_DAMPING, n_iter=_G01_ITER)
+
+
+# ---------------------------------------------------------------------------
+# h11/h15/h16 — remaining TPC-H shapes expressible on the reduced schema
+# ---------------------------------------------------------------------------
+
+_H11_SQL = """WITH tot AS (
+  SELECT sum(s_acctbal) AS t FROM supplier
+)
+SELECT n_name, round(sum(s_acctbal), 2) AS nation_value
+FROM supplier JOIN nation ON s_nationkey = n_nationkey, tot
+GROUP BY n_name, tot.t
+HAVING sum(s_acctbal) > 0.05 * tot.t"""
+
+
+@register("h11_nation_concentration", _H11_SQL)
+def h11_nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (nation value standing in for partsupp stock value):
+    group-HAVING against a broadcast scalar — the total is a 1-row
+    aggregate crossJoined in, never a collect, and the HAVING prunes
+    after one map-side-combined aggregate."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    tot = sup.agg(F.sum("s_acctbal").alias("__t"))
+    return (sup.join(F.broadcast(nation),
+                     sup["s_nationkey"] == nation["n_nationkey"])
+            .crossJoin(F.broadcast(tot))
+            .groupBy("n_name", "__t")
+            .agg(F.round(F.sum("s_acctbal"), 2).alias("nation_value"),
+                 F.sum("s_acctbal").alias("__v"))
+            .filter(F.col("__v") > 0.05 * F.col("__t"))
+            .select("n_name", "nation_value"))
+
+
+_H15_SQL = """WITH rev AS (
+  SELECT l_suppkey,
+         round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+
+
+@register("h15_top_supplier", _H15_SQL)
+def h15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the max-revenue supplier of a quarter.  Revenue is one
+    DECIMAL-accumulated aggregate; the max is a 1-row broadcast scalar
+    (handles ties, unlike a LIMIT 1), and supplier broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("__mx"))
+            .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+_H16_SQL = """SELECT p_brand, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'BRAND#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p_brand, p_size"""
+
+
+@register("h16_supplier_diversity", _H16_SQL)
+def h16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (lineitem standing in for partsupp): distinct suppliers
+    per part class.  The brand/size filters push into the broadcast part
+    dim; count-distinct expands to a two-phase aggregate (distinct
+    pre-shuffle, then count) — no collect_set blowup on hot classes."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "BRAND#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# j05b — as-of join with a match-age tolerance (pandas merge_asof semantics)
+# ---------------------------------------------------------------------------
+
+_J05B_SQL = """WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), r AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN date_diff('microsecond', r.ts, l.ts) <= 3600000000::BIGINT
+            THEN r.value END AS value_right
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+@register("j05b_asof_tolerance", _J05B_SQL)
+def j05b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join bounded to matches ≤1 hour old: the matched right ts is
+    carried by the same window (no extra join), stale values revert to
+    NULL — the merge_asof tolerance semantics at shuffle-once cost."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    return AJ.asof_join(left, right, "user_id", "ts", ["value"],
+                        tolerance_seconds=3600)

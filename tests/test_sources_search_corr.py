@@ -185,3 +185,23 @@ def test_jsonl_ingest_roundtrip(spark, tables, tmp_path):
     back = S.ingest(spark, src, fmt="json", row_id_order=["n_nationkey"])
     assert back.count() == tables["nation"].count()
     assert S.ROW_ID in back.columns
+
+
+def test_asof_join_tolerance(spark):
+    from dataqtor_spark.operators import asof as AJ
+
+    left = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 30), (3, 1, 100)],
+        "event_id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0)], "k long, ts long, v double")
+    got = {r["event_id"]: r["v_right"] for r in
+           AJ.asof_join(left, right, "k", "ts", ["v"],
+                        tolerance_seconds=25).collect()}
+    assert got[1] == 100.0       # age 0
+    assert got[2] == 100.0       # age 20 <= 25
+    assert got[3] is None        # age 90 > 25: stale match nulled
+    # no extra columns leak
+    cols = AJ.asof_join(left, right, "k", "ts", ["v"],
+                        tolerance_seconds=25).columns
+    assert cols == ["event_id", "k", "ts", "v_right"]
