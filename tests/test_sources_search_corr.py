@@ -205,3 +205,25 @@ def test_asof_join_tolerance(spark):
     cols = AJ.asof_join(left, right, "k", "ts", ["v"],
                         tolerance_seconds=25).columns
     assert cols == ["event_id", "k", "ts", "v_right"]
+
+
+def test_synthetic_datasource_partitioned_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.sources import register_sources
+
+    register_sources(spark)
+    df = (spark.read.format("dataqtor_synth")
+          .option("rows", 10000).option("partitions", 8)
+          .option("users", 100).load())
+    assert df.count() == 10000
+    assert df.rdd.getNumPartitions() == 8
+    # generation is a pure function of the row index: re-read == first read
+    a = df.agg(F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h")).collect()[0]["h"]
+    df2 = (spark.read.format("dataqtor_synth")
+           .option("rows", 10000).option("partitions", 3)
+           .option("users", 100).load())
+    b = df2.agg(F.sum(F.xxhash64(*df2.columns).cast("decimal(38,0)")).alias("h")).collect()[0]["h"]
+    assert a == b  # content independent of the partition split
+    assert df.filter(F.col("user_id") >= 100).count() == 0
+    assert df.select("event_id").distinct().count() == 10000
