@@ -86,3 +86,22 @@ def scd2_merge(current: DataFrame, updates: DataFrame, key: str,
     recomputed = scd2_from_history(replay, key, ts_col, attr_cols,
                                    tiebreak_col)
     return closed.unionByName(recomputed)
+
+
+def point_in_time_join(facts: DataFrame, scd2: DataFrame, key: str,
+                       fact_ts: str, attr_cols: list[str],
+                       suffix: str = "_at") -> DataFrame:
+    """Feature-store point-in-time join: each fact row gets the dimension
+    attributes that were valid AT its timestamp — never a later version
+    (no feature leakage into training data), never an earlier one.
+
+    SCD2 validity intervals partition each key's timeline, so the version
+    valid at ``fact_ts`` is exactly the as-of match on ``valid_from`` —
+    one union + carry-forward window (``operators.asof``), not an
+    interval range-join.  Facts before a key's first version get NULLs.
+    """
+    from dataqtor_spark.operators.asof import asof_join
+
+    dim = scd2.select(F.col(key), F.col("valid_from").alias(fact_ts),
+                      *attr_cols)
+    return asof_join(facts, dim, key, fact_ts, attr_cols, suffix=suffix)

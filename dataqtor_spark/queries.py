@@ -4145,3 +4145,108 @@ def j05b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
     return AJ.asof_join(left, right, "user_id", "ts", ["value"],
                         tolerance_seconds=3600)
+
+
+# ---------------------------------------------------------------------------
+# pr17 — exact per-group percentiles; f13 — winsorize repair
+# ---------------------------------------------------------------------------
+
+_PR17_SQL = """SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type"""
+
+
+@register("pr17_group_percentiles", _PR17_SQL)
+def pr17_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (Spark `percentile` ≡
+    SQL quantile_cont).  Exact mode is the oracle-checkable path; the
+    100 TB path swaps in approx_percentile's mergeable KLL-style sketch
+    with identical plan shape."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile(F.col("value"), F.lit(q)), 4)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.5, 0.9, 0.99)]))
+
+
+_F13_SQL = """WITH cuts AS (
+  SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+         quantile_cont(c_acctbal, 0.95) AS hi
+  FROM customer
+)
+SELECT count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN c_acctbal < lo OR c_acctbal > hi THEN 1 ELSE 0 END)::BIGINT
+    AS n_clipped,
+  round(CAST(sum(CAST(least(greatest(c_acctbal, lo), hi) AS DECIMAL(28,10)))
+             AS DOUBLE), 4) AS clipped_sum
+FROM customer, cuts"""
+
+
+@register("f13_winsorize_acctbal", _F13_SQL)
+def f13_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize account balances at p05/p95 and summarize the repair —
+    one exact-percentile aggregate broadcast over one scan."""
+    from dataqtor_spark.operators import repair as RP2
+
+    w = RP2.winsorize(_t(spark, sf_dir, "customer"), "c_acctbal",
+                      0.05, 0.95)
+    return w.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal__clipped").cast("long")).alias("n_clipped"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(28,10)"))
+                .cast("double"), 4).alias("clipped_sum"))
+
+
+# ---------------------------------------------------------------------------
+# pit01 — point-in-time join: facts see only the dim version valid at
+# their timestamp (leakage-free feature joins)
+# ---------------------------------------------------------------------------
+
+_PIT01_SQL = """WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value / 20) AS INT) AS tier,
+         lag(CAST(floor(value / 20) AS INT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, tier, ts, event_id FROM ch
+  WHERE prev IS NULL OR prev <> tier
+), runs AS (
+  SELECT user_id, tier, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM s
+), v AS (
+  SELECT e.event_id, r.tier
+  FROM events e LEFT JOIN runs r
+    ON e.user_id = r.user_id
+   AND e.ts >= r.valid_from
+   AND (r.valid_to IS NULL OR e.ts < r.valid_to)
+  WHERE e.event_type = 'view'
+)
+SELECT coalesce(tier, -1)::INT AS tier_at, count(*)::BIGINT AS n_views
+FROM v GROUP BY 1"""
+
+
+@register("pit01_point_in_time_join", _PIT01_SQL)
+def pit01_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views enriched with the purchase-tier each user was in AT view
+    time: SCD2 of purchase tiers + as-of on valid_from (one shuffle per
+    side; the oracle is the explicit interval join — the hash match shows
+    the as-of carry-forward is the interval lookup)."""
+    from dataqtor_spark.operators import scd as SCD
+
+    ev = _t(spark, sf_dir, "events")
+    tiers = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id",
+                     F.floor(F.col("value") / 20).cast("int").alias("tier")))
+    dim = SCD.scd2_from_history(tiers, "user_id", "ts", ["tier"],
+                                tiebreak_col="event_id")
+    facts = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    pit = SCD.point_in_time_join(facts, dim, "user_id", "ts", ["tier"])
+    return (pit.groupBy(F.coalesce(F.col("tier_at"), F.lit(-1)).cast("int")
+                        .alias("tier_at"))
+            .agg(F.count(F.lit(1)).alias("n_views")))
