@@ -76,13 +76,24 @@ def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
     # no storage leak across repeated calls.
     vec = tfidf_vectors(df, col, n).persist()
     try:
-        pairs = (vec.alias("l").join(vec.alias("r"),
-                                     (F.col("l.gram") == F.col("r.gram"))
-                                     & (F.col("l.value") < F.col("r.value")))
-                 .groupBy(F.col("l.value").alias("left_side"),
-                          F.col("r.value").alias("right_side"))
-                 .agg(F.round(F.sum(F.col("l.weight") * F.col("r.weight")), 6)
-                      .alias("similarity"))
+        # posting-list sparse dot product: ONE exchange of the vector
+        # table builds per-gram postings (sorted by value, so pairs come
+        # out ordered), partial products expand in-row, and only pair
+        # rows shuffle to the final sum — the aliased self-join form
+        # exchanged the vectors twice.  Per-gram blowup is df²/2, same as
+        # the join, capped by a stop-gram cut at corpus scale.
+        pairs = (vec.groupBy("gram")
+                 .agg(F.sort_array(F.collect_list(F.struct("value", "weight")))
+                      .alias("ps"))
+                 .filter(F.size("ps") > 1)
+                 .select(F.explode(F.expr(
+                     "flatten(transform(ps, (x, i) -> "
+                     "transform(slice(ps, i + 2, size(ps)), y -> struct("
+                     "x.value as left_side, y.value as right_side, "
+                     "x.weight * y.weight as p))))")).alias("p"))
+                 .select("p.*")
+                 .groupBy("left_side", "right_side")
+                 .agg(F.round(F.sum("p"), 6).alias("similarity"))
                  .filter(F.col("similarity") >= min_similarity))
         out = pairs.orderBy(F.desc("similarity"), F.asc("left_side"), F.asc("right_side"))
         return (out.limit(top_n) if top_n else out).localCheckpoint()

@@ -218,7 +218,12 @@ def lang_votes_tokens(col: Column | str) -> dict[str, Column]:
 
 
 def lang_id_tokens(col: Column | str) -> Column:
-    """Token-vote argmax — the scale form of :func:`lang_id`."""
+    """Token-vote argmax — the scale form of :func:`lang_id`.
+
+    Stays a when-chain on purpose: codegen subexpression elimination
+    already evaluates each vote once, and an A/B at sf0.1 measured the
+    "gather votes into an array + array_position(array_max)" rewrite ~35%
+    SLOWER than this form."""
     votes = lang_votes_tokens(col)
     best = F.greatest(*[votes[l] for l in LANG_ORDER])
     expr = F.when(best == 0, F.lit("und"))
