@@ -315,3 +315,55 @@ def window_count_anomalies(df: DataFrame, ts_col: str = "ts",
         "window_start", group_col, "n_events",
         F.round(z, 4).alias("z"),
         (F.abs(F.round(z, 4)) > z_threshold).alias("is_anomaly"))
+
+
+def scd2_sink(stream: DataFrame, key: str, ts_col: str,
+              attr_cols: list[str], path: str, checkpoint: str,
+              tiebreak_col: str | None = None):
+    """``foreachBatch`` SCD2 maintenance: every micro-batch of change rows
+    is merged into the parquet-backed dimension with
+    ``scd.scd2_merge`` — open rows close, continuations collapse, closed
+    history passes through.  Because the merge discards updates older than
+    each key's open row, a replayed batch (checkpoint recovery,
+    at-least-once source) is a no-op: the dimension converges to exactly
+    the from-scratch rebuild (the property w03's oracle proves in batch).
+
+    Plain-parquet rendition: the batch body rewrites the dim beside the
+    live copy and swaps directories (a lakehouse MERGE INTO would replace
+    the swap).  Rewrite cost is O(dim) per batch — acceptable for
+    dimension tables (small next to facts); partition the dim by a key
+    prefix and rewrite only touched partitions when it isn't.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    import os
+    import shutil
+
+    from dataqtor_spark.operators.scd import SCD_COLS, scd2_from_history, scd2_merge
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        tb = [tiebreak_col] if tiebreak_col else []
+        changes = batch.select(key, *attr_cols, ts_col, *tb)
+        if os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in os.listdir(path)):
+            current = spark.read.parquet(path)
+            merged = scd2_merge(current, changes, key, ts_col, attr_cols,
+                                tiebreak_col)
+        else:
+            merged = scd2_from_history(changes, key, ts_col, attr_cols,
+                                       tiebreak_col)
+        tmp = path.rstrip("/") + ".__scd2_tmp"
+        merged.select(key, *attr_cols, *SCD_COLS).write.mode(
+            "overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            old = path.rstrip("/") + ".__scd2_old"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
+
+    return (stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

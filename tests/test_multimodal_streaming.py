@@ -351,3 +351,41 @@ def test_distinct_profile_approx_within_tolerance(spark, tables):
                                           approx=True, rsd=0.05).collect()}
     for c in cols:
         assert abs(approx[c] - exact[c]) <= max(3, 0.15 * exact[c])
+
+
+def test_scd2_sink_converges_to_batch_rebuild(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators import scd as SCD
+
+    ev = tables["events"].select("user_id", "event_type", "ts", "event_id")
+    cuts = ["2024-01-08", "2024-01-20"]
+    periods = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    sink = str(tmp_path / "scd2_dim")
+    for i, p in enumerate(periods):
+        src = str(tmp_path / f"changes_{i}")
+        p.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = SP.scd2_sink(stream, "user_id", "ts", ["event_type"], sink,
+                         str(tmp_path / f"ck_{i}"), tiebreak_col="event_id")
+        q.awaitTermination()
+
+    want = SCD.scd2_from_history(ev, "user_id", "ts", ["event_type"],
+                                 tiebreak_col="event_id")
+    got = spark.read.parquet(sink)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # replaying an already-applied period is a no-op (at-least-once safety)
+    src1 = str(tmp_path / "changes_1")
+    stream = spark.readStream.schema(ev.schema).parquet(src1)
+    q = SP.scd2_sink(stream, "user_id", "ts", ["event_type"], sink,
+                     str(tmp_path / "ck_replay"), tiebreak_col="event_id")
+    q.awaitTermination()
+    again = spark.read.parquet(sink)
+    assert again.count() == want.count()
+    assert again.exceptAll(want).count() == 0
