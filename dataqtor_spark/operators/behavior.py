@@ -168,29 +168,29 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     w_col = F.col(weight) if weight else F.lit(1.0)
     m = (edges.groupBy(src, dst).agg(F.sum(w_col).alias("__w")))
     tot = m.groupBy(src).agg(F.sum("__w").alias("__wout"))
+    # localCheckpoint (eager), not persist: no action runs inside the loop,
+    # so a cache would never fill — and without lineage truncation the
+    # returned plan would embed the matrix-build subtree once per round
     mat = (m.join(tot, src)
            .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
                    (F.col("__w") / F.col("__wout")).alias("__share"))
-           .persist())
-    try:
-        nodes = (mat.select(F.col("__src").alias("node"))
-                 .unionByName(mat.select(F.col("__dst").alias("node")))
-                 .distinct().persist())
-        n = nodes.count()
-        base, link = (1.0 - damping) / n, damping
-        rank = nodes.withColumn("r", F.round(F.lit(1.0 / n), 12))
-        for _ in range(n_iter):
-            contrib = (mat.join(F.broadcast(rank),
-                                mat["__src"] == rank["node"])
-                       .groupBy("__dst")
-                       .agg(F.sum(F.col("__share") * F.col("r"))
-                            .alias("__c")))
-            rank = (nodes.join(contrib, nodes["node"] == contrib["__dst"],
-                               "left")
-                    .select("node",
-                            F.round(F.lit(base) + F.lit(link)
-                                    * F.coalesce(F.col("__c"), F.lit(0.0)),
-                                    12).alias("r")))
-        return rank.select("node", F.round("r", 6).alias("rank"))
-    finally:
-        mat.unpersist()
+           .localCheckpoint())
+    nodes = (mat.select(F.col("__src").alias("node"))
+             .unionByName(mat.select(F.col("__dst").alias("node")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    base, link = (1.0 - damping) / n, damping
+    rank = nodes.withColumn("r", F.round(F.lit(1.0 / n), 12))
+    for _ in range(n_iter):
+        contrib = (mat.join(F.broadcast(rank),
+                            mat["__src"] == rank["node"])
+                   .groupBy("__dst")
+                   .agg(F.sum(F.col("__share") * F.col("r"))
+                        .alias("__c")))
+        rank = (nodes.join(contrib, nodes["node"] == contrib["__dst"],
+                           "left")
+                .select("node",
+                        F.round(F.lit(base) + F.lit(link)
+                                * F.coalesce(F.col("__c"), F.lit(0.0)),
+                                12).alias("r")))
+    return rank.select("node", F.round("r", 6).alias("rank"))

@@ -688,12 +688,16 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
 
     centers = ANN.train_ivf_centroids_portable(
         df, id_col, vec_col, n_clusters, n_iter, cache_key=cache_key)
+    # lazy localCheckpoint: the assigned table feeds three consumers (both
+    # self-join sides + the final keep-join); without lineage truncation
+    # the k×dim centroid-assignment expression would re-evaluate per use
     c = (df.select(F.col(id_col).alias("__id"),
                    F.transform(F.col(vec_col),
                                lambda x: x.cast("double")).alias("__v"))
          .withColumn("__nrm", _norm(F.col("__v")))
          .withColumn("__cluster",
-                     F.expr(ANN._sql_nearest_cids("__v", centers, 1))[0]))
+                     F.expr(ANN._sql_nearest_cids("__v", centers, 1))[0])
+         .localCheckpoint(eager=False))
     a, b = c.alias("a"), c.alias("b")
     removed = (a.join(b, (F.col("a.__cluster") == F.col("b.__cluster"))
                       & (F.col("a.__id") < F.col("b.__id")))

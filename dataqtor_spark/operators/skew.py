@@ -66,6 +66,10 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     Cost: dim shuffle volume × ``n_salt`` — size n_salt to the observed
     skew ratio (see profile.key_skew_profile), not higher.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # a right/full join would surface each unmatched dim row n_salt
+        # times (one per replica) — the construction is one-directional
+        raise ValueError(f"salted_join supports fact-side joins only, got {how!r}")
     salt_f = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
                     F.lit(n_salt)).alias("__salt")
     f = fact.select("*", salt_f)
