@@ -924,3 +924,35 @@ def hll_rollup_estimate(sketches: DataFrame,
     g = sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
     return g.agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch")))
                  .alias("approx_distinct"))
+
+
+def entropy_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Shannon entropies H(A), H(B) and mutual information I(A;B) of two
+    categorical columns (nats) — the association measure that, unlike
+    Cramér's V, directly reads as "bits of A predictable from B".
+
+    One groupBy builds the r×c joint table; marginals and totals are tiny
+    re-aggregations of it (never a rescan), and every probability term is
+    a broadcast join back onto the joint — so the heavy path is a single
+    map-side-combinable count like cramers_v."""
+    j = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+         .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+         .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    tot = j.agg(F.sum("n").alias("t"))
+    pa = j.groupBy("a").agg(F.sum("n").alias("na"))
+    pb = j.groupBy("b").agg(F.sum("n").alias("nb"))
+    full = (j.join(F.broadcast(pa), "a").join(F.broadcast(pb), "b")
+            .crossJoin(F.broadcast(tot)))
+    pxy = F.col("n") / F.col("t")
+    mi_term = pxy * F.log(pxy / ((F.col("na") / F.col("t"))
+                                 * (F.col("nb") / F.col("t"))))
+    ha_term = (F.col("na") / F.col("t")) * F.log(F.col("na") / F.col("t"))
+    hb_term = (F.col("nb") / F.col("t")) * F.log(F.col("nb") / F.col("t"))
+    # marginal terms summed over the joint table are weighted by n/na
+    # (resp. n/nb) so each marginal value contributes exactly once
+    return full.agg(
+        F.round(-F.sum(ha_term * F.col("n") / F.col("na")), 6)
+        .alias("entropy_a"),
+        F.round(-F.sum(hb_term * F.col("n") / F.col("nb")), 6)
+        .alias("entropy_b"),
+        F.round(F.sum(mi_term), 6).alias("mutual_information"))

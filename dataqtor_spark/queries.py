@@ -4250,3 +4250,96 @@ def pit01_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pit.groupBy(F.coalesce(F.col("tier_at"), F.lit(-1)).cast("int")
                         .alias("tier_at"))
             .agg(F.count(F.lit(1)).alias("n_views")))
+
+
+# ---------------------------------------------------------------------------
+# pr18 — column entropy + mutual information
+# ---------------------------------------------------------------------------
+
+_PR18_SQL = """WITH j AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) * 1.0 AS n
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+), t AS (SELECT sum(n) AS t FROM j),
+pa AS (SELECT a, sum(n) AS na FROM j GROUP BY a),
+pb AS (SELECT b, sum(n) AS nb FROM j GROUP BY b),
+f AS (SELECT j.*, pa.na, pb.nb, t.t
+      FROM j JOIN pa USING (a) JOIN pb USING (b) CROSS JOIN t)
+SELECT
+  round(-sum((na / t) * ln(na / t) * n / na), 6) AS entropy_a,
+  round(-sum((nb / t) * ln(nb / t) * n / nb), 6) AS entropy_b,
+  round(sum((n / t) * ln((n / t) / ((na / t) * (nb / t)))), 6)
+    AS mutual_information
+FROM f"""
+
+
+@register("pr18_entropy_mi_orders", _PR18_SQL)
+def pr18_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy of order status/priority and their mutual information —
+    one joint-count shuffle, marginals re-aggregated from the r×c table."""
+    return P.entropy_mi(_t(spark, sf_dir, "orders"),
+                        "o_orderstatus", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# er02 — golden records: attribute-level survivorship per entity cluster
+# ---------------------------------------------------------------------------
+
+_ER02_SQL = """WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), cc(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+), comp AS (
+  SELECT id, min(label) AS component FROM cc GROUP BY id
+), members AS (
+  SELECT comp.component, c.*
+  FROM comp JOIN customer c ON c.c_custkey = comp.id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY c_acctbal DESC, c_name DESC) AS rn
+  FROM members
+)
+SELECT m.component::BIGINT AS component,
+       count(*)::BIGINT AS n_members,
+       min(m.c_custkey)::BIGINT AS survivor_id,
+       max(CASE WHEN r.rn = 1 THEN r.c_name END) AS best_name,
+       round(sum(m.c_acctbal), 2) AS total_acctbal
+FROM members m JOIN ranked r ON r.component = m.component
+  AND r.c_custkey = m.c_custkey
+GROUP BY 1"""
+
+
+@register("er02_golden_records", _ER02_SQL)
+def er02_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-level survivorship: one golden record per entity cluster
+    — canonical id = min member id, best_name = the richest member's name
+    (deterministic (acctbal, name) arg-max via a per-component window),
+    balances summed.  Same SymSpell→components pipeline as er01."""
+    from pyspark.sql.window import Window
+
+    from dataqtor_spark.operators import dedup as DD
+
+    c = _t(spark, sf_dir, "customer")
+    pairs = DD.edit_distance_pairs(
+        c.select("c_custkey", "c_nationkey", "c_name"),
+        "c_custkey", "c_name", block_col="c_nationkey")
+    comp = DD.connected_components(pairs)
+    members = comp.join(c, comp["id"] == c["c_custkey"])
+    w = Window.partitionBy("component").orderBy(
+        F.desc("c_acctbal"), F.desc("c_name"))
+    ranked = members.withColumn("__rn", F.row_number().over(w))
+    return (ranked.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("c_custkey").alias("survivor_id"),
+                 F.max(F.when(F.col("__rn") == 1, F.col("c_name")))
+                 .alias("best_name"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_acctbal")))
