@@ -368,6 +368,38 @@ def write_ivf_index(corpus: DataFrame, path: str, id_col: str, vec_col: str,
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
 
 
+def load_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Read the centroid sidecar of a :func:`write_ivf_index` layout."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in crows:
+        by_cid.setdefault(r["cid"], {})[r["dim"]] = r["val"]
+    return [(cid, [d[i] for i in range(len(d))])
+            for cid, d in sorted(by_cid.items())]
+
+
+def append_to_ivf_index(new_rows: DataFrame, path: str, id_col: str,
+                        vec_col: str) -> None:
+    """Incremental index maintenance: assign NEW vectors with the stored
+    centroids (no retrain) and append them into the partitioned layout —
+    only the touched cluster directories gain files, existing data never
+    rewrites, and the next probe sees the additions through the same
+    partition pruning.
+
+    The quantizer ages as the distribution drifts (new vectors pile into
+    few clusters, recall decays); monitor cluster-size skew
+    (``profile.key_skew_profile`` over ``__cluster``) and rebuild with
+    :func:`write_ivf_index` when it degrades — the standard
+    IVF-maintenance trade, made explicit."""
+    centers = load_ivf_centroids(new_rows.sparkSession, path)
+    assigned = new_rows.withColumn(
+        "__cluster",
+        F.expr(_sql_nearest_cids(
+            f"transform({vec_col}, x -> cast(x as double))", centers, 1))[0])
+    (assigned.repartition("__cluster")
+     .write.mode("append").partitionBy("__cluster").parquet(f"{path}/corpus"))
+
+
 def ivf_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
                      vec_col: str, k: int = 10, n_probe: int = 3,
                      query_id_col: str | None = None) -> DataFrame:
@@ -377,12 +409,7 @@ def ivf_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
     asserted in tests); re-ranking is the same broadcast-query cosine as
     :func:`ivf_topk`."""
     query_id_col = query_id_col or id_col
-    crows = spark.read.parquet(f"{path}/centroids").collect()
-    by_cid: dict[int, dict[int, float]] = {}
-    for r in crows:
-        by_cid.setdefault(r["cid"], {})[r["dim"]] = r["val"]
-    centers = [(cid, [d[i] for i in range(len(d))])
-               for cid, d in sorted(by_cid.items())]
+    centers = load_ivf_centroids(spark, path)
     q = (queries.select(F.col(query_id_col).alias("query_id"),
                         _as_double(F.col(vec_col)).alias("__qv"))
          .withColumn("__qn", l2_norm(F.col("__qv")))

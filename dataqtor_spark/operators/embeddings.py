@@ -64,3 +64,27 @@ def dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
                  F.round(F.min("x"), 6).alias("min"),
                  F.round(F.max("x"), 6).alias("max"),
                  F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0)).alias("n_zero")))
+
+
+def hash_embedding(col, dims: int = 8):
+    """Deterministic pseudo-embedding of a string: dim i =
+    scaled md5-derived value of ``text:i`` in [-1, 1).
+
+    NOT a semantic model — a reproducible stand-in with the exact shape,
+    scale, and distribution of a real embedding column, so the whole
+    downstream pipeline (chunk → embed → index → top-k) is testable AND
+    differentially checkable against an ANSI-SQL oracle (md5 replays
+    anywhere).  In production this one column expression is replaced by a
+    model-serving pandas UDF; nothing else in the pipeline changes.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators.dedup import PORTABLE_P, portable_string_hash
+
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    vals = [
+        (portable_string_hash(F.concat(c, F.lit(f":{i}"))).cast("double")
+         / F.lit(float(PORTABLE_P))) * 2.0 - 1.0
+        for i in range(dims)]
+    return F.array(*vals)

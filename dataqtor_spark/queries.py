@@ -4343,3 +4343,75 @@ def er02_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.when(F.col("__rn") == 1, F.col("c_name")))
                  .alias("best_name"),
                  F.round(F.sum("c_acctbal"), 2).alias("total_acctbal")))
+
+
+# ---------------------------------------------------------------------------
+# t22 — end-to-end semantic search: chunk → (deterministic) embed →
+# brute-force cosine top-k.  The md5-derived embedding makes the WHOLE
+# retrieval pipeline SQL-replayable; production swaps that one expression
+# for a model UDF.
+# ---------------------------------------------------------------------------
+
+_T22_DIMS, _T22_CHUNK, _T22_K = 8, 32, 10
+_T22_QUERY = "table scan fast join"
+
+
+def _t22_vec_sql(text_expr: str) -> str:
+    from dataqtor_spark.operators.dedup import PORTABLE_P
+
+    dims = ", ".join(
+        f"(({_nibble_value_sql(f'md5({text_expr} || ' + chr(39) + f':{i}' + chr(39) + ')')} "
+        f"% {PORTABLE_P}) / {PORTABLE_P}.0) * 2.0 - 1.0"
+        for i in range(_T22_DIMS))
+    return f"[{dims}]"
+
+
+def _t22_oracle_sql() -> str:
+    q = _T22_QUERY
+    return f"""WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+), ch AS (
+  SELECT doc_id, CAST((s.s - 1) // {_T22_CHUNK} AS INT) AS chunk_index,
+         array_to_string(list_slice(tk, s.s, s.s + {_T22_CHUNK - 1}), ' ') AS chunk
+  FROM base,
+       unnest(generate_series(1, greatest(len(tk), 1), {_T22_CHUNK})) AS s(s)
+  WHERE length(array_to_string(list_slice(tk, s.s, s.s + {_T22_CHUNK - 1}), ' ')) > 0
+), emb AS (
+  SELECT doc_id, chunk_index, {_t22_vec_sql("chunk")} AS v FROM ch
+), qv AS (
+  SELECT {_t22_vec_sql(chr(39) + q + chr(39))} AS v
+)
+SELECT doc_id, chunk_index, cosine, rank FROM (
+  SELECT e.doc_id, e.chunk_index,
+         round(list_cosine_similarity(e.v, qv.v), 6) AS cosine,
+         row_number() OVER (ORDER BY round(list_cosine_similarity(e.v, qv.v), 6) DESC,
+                            e.doc_id, e.chunk_index) AS rank
+  FROM emb e CROSS JOIN qv)
+WHERE rank <= {_T22_K}"""
+
+
+@register("t22_semantic_search", _t22_oracle_sql())
+def t22_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus, embed every chunk (deterministic hash embedding
+    — the model-UDF stand-in), brute-force cosine top-10 for one query.
+    One Generate for chunking, map-only embedding, one TakeOrdered."""
+    from dataqtor_spark.operators import ann as ANN
+    from dataqtor_spark.operators import embeddings as EB
+
+    chunks = TX.chunk_documents(_t(spark, sf_dir, "documents"),
+                                max_tokens=_T22_CHUNK, overlap=0)
+    emb = chunks.select("doc_id", "chunk_index",
+                        EB.hash_embedding("chunk_text", _T22_DIMS)
+                        .alias("v"))
+    qv = EB.hash_embedding(F.lit(_T22_QUERY), _T22_DIMS)
+    scored = emb.select(
+        "doc_id", "chunk_index",
+        F.round(ANN.dot(F.col("v"), qv)
+                / (ANN.l2_norm(F.col("v")) * ANN.l2_norm(qv)), 6)
+        .alias("cosine"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"),
+                       F.asc("chunk_index"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _T22_K))

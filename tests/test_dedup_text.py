@@ -556,3 +556,36 @@ def test_paragraph_dedup_all_shared_gives_empty_text(spark):
     out = {r.doc_id: r for r in TX.paragraph_dedup(
         df, chunk_tokens=10).collect()}
     assert out[1].clean_text == "" and out[1].n_dropped == 1
+
+
+def test_ivf_append_visible_to_probe_without_rebuild(spark, tables, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivf")
+    ANN.write_ivf_index(emb, path, "vec_id", "embedding", n_clusters=4)
+    files_before = {os.path.join(r, f) for r, _d, fs in
+                    os.walk(f"{path}/corpus") for f in fs
+                    if f.endswith(".parquet")}
+
+    # append clones of the first 3 vectors under new ids
+    new = (emb.limit(3)
+           .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   "embedding", "label"))
+    ANN.append_to_ivf_index(new, path, "vec_id", "embedding")
+
+    files_after = {os.path.join(r, f) for r, _d, fs in
+                   os.walk(f"{path}/corpus") for f in fs
+                   if f.endswith(".parquet")}
+    assert files_before < files_after          # strictly additive
+    # a clone is its original's exact neighbor: probe must surface it
+    q = emb.limit(3)
+    got = ANN.ivf_topk_at_rest(spark, path, q, "vec_id", "embedding",
+                               k=3, n_probe=2)
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in got.filter("rank = 1").collect()}
+    for qid, nid in top1.items():
+        assert nid == qid + 1_000_000
