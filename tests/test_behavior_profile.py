@@ -127,3 +127,40 @@ def test_variant_extraction_matches_string_path(tables):
          .select(FF.try_variant_get("v", "$.k", "int").alias("k"))
          .agg(FF.sum("k")).collect()[0][0])
     assert a == b
+
+
+def test_entropy_mi_identities(spark):
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators import profile as P
+
+    # X uniform over 4 values; Y == X  =>  H(X)=H(Y)=I(X;Y)=ln 4
+    df = spark.range(4000).select(
+        (F.col("id") % 4).cast("string").alias("x"))
+    df = df.withColumn("y", F.col("x"))
+    r = P.entropy_mi(df, "x", "y").collect()[0]
+    import math
+    assert abs(r["entropy_a"] - math.log(4)) < 1e-6
+    assert abs(r["mutual_information"] - math.log(4)) < 1e-6
+
+    # independent: id%4 and (id//4)%3 are exactly independent on 0..4799
+    ind = spark.range(4800).select(
+        (F.col("id") % 4).cast("string").alias("x"),
+        ((F.col("id") / 4).cast("long") % 3).cast("string").alias("y"))
+    r2 = P.entropy_mi(ind, "x", "y").collect()[0]
+    assert abs(r2["mutual_information"]) < 1e-9
+
+
+def test_pagerank_mass_and_uniform_cycle(spark):
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators import behavior as B
+
+    # 4-cycle: symmetric, every node same rank 0.25; total mass 1
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    got = B.pagerank(edges, n_iter=15).collect()
+    assert len(got) == 4
+    for r in got:
+        assert abs(r["rank"] - 0.25) < 1e-6
+    assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-5
