@@ -88,3 +88,42 @@ def file_overlap_fraction(path: str, col: str, lo, hi) -> float:
         if fmin is None or (fmax >= lo and fmin <= hi):
             hit += 1
     return hit / max(1, len(files))
+
+
+def read_pruned(spark, path: str, col: str, lo, hi) -> "DataFrame":
+    """Scan only the parquet files whose [min, max] for ``col`` intersects
+    [lo, hi] — manual file skipping for data that is CLUSTERED (e.g.
+    Z-ordered) but not directory-partitioned on ``col``.
+
+    The footer sweep is driver-side and O(files) — cheap next to reading
+    the data, and exactly what a lakehouse manifest (Delta/Iceberg file
+    stats) does natively; this is the plain-parquet rendition.  The
+    returned frame still carries the row-level filter, so row-group
+    pruning and predicate pushdown apply inside the selected files.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    keep = []
+    for r, _d, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(r, f)
+            md = pq.ParquetFile(fp).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for i in range(md.num_columns):
+                    cc = md.row_group(rg).column(i)
+                    if cc.path_in_schema == col and cc.statistics is not None:
+                        s = cc.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is None or (fmax >= lo and fmin <= hi):
+                keep.append(fp)
+    if not keep:
+        return (spark.read.parquet(path)
+                .filter(F.col(col).between(lo, hi)).limit(0))
+    return (spark.read.parquet(*keep)
+            .filter(F.col(col).between(lo, hi)))

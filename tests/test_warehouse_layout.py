@@ -123,3 +123,19 @@ def test_zorder_prunes_files_on_both_dimensions(spark, tables, tmp_path):
     lo, hi = 10.0, 11.0
     z_val = L.file_overlap_fraction(zp, "value", lo, hi)
     assert z_val < 1.0  # still prunes on the second dimension too
+
+
+def test_read_pruned_equals_full_filter(spark, tables, tmp_path):
+    from dataqtor_spark.operators import layout as L
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    zp = str(tmp_path / "zorder2")
+    L.write_zordered(ev, zp, ["user_id", "value"], n_files=16, bits=4)
+    lo, hi = 200.0, 400.0
+    want = spark.read.parquet(zp).filter(
+        F.col("value").between(lo, hi))
+    got = L.read_pruned(spark, zp, "value", lo, hi)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # and it actually skipped files
+    assert len(got.inputFiles()) < len(want.inputFiles())
