@@ -259,3 +259,15 @@ def compact_dataset(spark: SparkSession, path: str,
     shutil.rmtree(old)
     return sum(1 for root, _d, fs in os.walk(path)
                for f in fs if f.endswith(".parquet"))
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    names: list[str] | None = None) -> list[str]:
+    """Create temp views for the standard tables so users can work in
+    pure ``spark.sql`` (the DuckDB oracle queries in this repo then run
+    near-verbatim against Spark too).  Returns the registered names."""
+    out = []
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+        out.append(name)
+    return out

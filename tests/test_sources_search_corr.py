@@ -227,3 +227,16 @@ def test_synthetic_datasource_partitioned_and_deterministic(spark):
     assert a == b  # content independent of the partition split
     assert df.filter(F.col("user_id") >= 100).count() == 0
     assert df.select("event_id").distinct().count() == 10000
+
+
+def test_register_tables_enables_pure_sql(spark):
+    from dataqtor_spark.session import register_tables
+
+    names = register_tables(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "events" in names
+    got = spark.sql("""
+        SELECT l_returnflag, count(*) AS n FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""").collect()
+    assert len(got) == 3 and all(r["n"] > 0 for r in got)
+    # events view carries the ns->us timestamp fixup
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
