@@ -4415,3 +4415,84 @@ def t22_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.asc("chunk_index"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= _T22_K))
+
+
+# ---------------------------------------------------------------------------
+# h19 — disjunctive-predicate revenue (TPC-H Q19 shape); b05 — top event
+# trigrams (path analysis one step past b03's bigrams)
+# ---------------------------------------------------------------------------
+
+_H19_SQL = """SELECT
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+             AS DOUBLE), 4) AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'BRAND#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'BRAND#2' AND p_size BETWEEN 11 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'BRAND#3' AND p_size BETWEEN 26 AND 50
+       AND l_quantity BETWEEN 20 AND 35)"""
+
+
+@register("h19_banded_revenue", _H19_SQL)
+def h19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive bands across the join.
+    The part-side conjuncts are derivable per branch, so the broadcast dim
+    carries its own disjunctive filter and only band-eligible parts
+    replicate; the residual mixed predicate evaluates post-join in
+    codegen."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    band = (
+        ((F.col("p_brand") == "BRAND#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "BRAND#2") & F.col("p_size").between(11, 25)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "BRAND#3") & F.col("p_size").between(26, 50)
+           & F.col("l_quantity").between(20, 35)))
+    part_f = part.filter(
+        ((F.col("p_brand") == "BRAND#1") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "BRAND#2") & F.col("p_size").between(11, 25))
+        | ((F.col("p_brand") == "BRAND#3") & F.col("p_size").between(26, 50)))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (li.join(F.broadcast(part_f),
+                    li["l_partkey"] == part_f["p_partkey"])
+            .filter(band)
+            .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+_B05_SQL = """WITH tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, n, rank FROM (
+  SELECT e1, e2, e3, count(*)::BIGINT AS n,
+         row_number() OVER (ORDER BY count(*) DESC, e1, e2, e3) AS rank
+  FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
+WHERE rank <= 10"""
+
+
+@register("b05_top_trigrams", _B05_SQL)
+def b05_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step behavioral paths: two leads over the per-user time
+    window, one count shuffle, TakeOrdered top-k."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(F.col("event_type").alias("e1"),
+                    F.lead("event_type", 1).over(w).alias("e2"),
+                    F.lead("event_type", 2).over(w).alias("e3"))
+    counts = (tri.filter(F.col("e3").isNotNull())
+              .groupBy("e1", "e2", "e3")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w2 = Window.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return (counts.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= 10))
