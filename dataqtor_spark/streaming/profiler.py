@@ -367,3 +367,78 @@ def scd2_sink(stream: DataFrame, key: str, ts_col: str,
     return (stream.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def stream_near_dup_sink(stream: DataFrame, id_col: str, text_col: str,
+                         path: str, checkpoint: str,
+                         threshold: float = 0.7, num_hashes: int = 64,
+                         bands: int = 16, shingle_n: int = 3):
+    """Streaming near-duplicate ingestion: every micro-batch is MinHash'd
+    (the map-only signature — zero shuffle per batch), LSH-banded against
+    the signatures accumulated from ALL previous batches, and split:
+
+    - ``<path>/dups``: (id, dup_of, est_jaccard) — batch docs whose
+      estimated Jaccard vs an already-ingested doc ≥ ``threshold``
+      (within-batch near-dups resolve to the min-id member too);
+    - ``<path>/sigs`` + ``<path>/bands``: the signature/band index, grown
+      by the batch's non-duplicate survivors only.
+
+    Replay-safe: ids already in the index are dropped first, so
+    checkpoint recovery cannot double-ingest.  Per-batch cost is
+    O(batch × sig) map-side + a band equi-join against the stored band
+    table — history is never re-shingled; at scale partition
+    ``<path>/bands`` by band-hash prefix so the join prunes.
+    """
+    import os
+
+    from dataqtor_spark.operators import dedup as DD
+
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        have_index = os.path.isdir(f"{path}/sigs")
+        b = batch.dropDuplicates([id_col])
+        if have_index:
+            # everything ever ingested: survivors AND flagged dups
+            seen = spark.read.parquet(f"{path}/sigs").select(id_col)
+            if os.path.isdir(f"{path}/dups"):
+                seen = seen.unionByName(
+                    spark.read.parquet(f"{path}/dups").select(id_col))
+            b = b.join(seen, id_col, "left_anti")
+        sig = DD.minhash_signatures_portable(
+            b, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
+        bnd = sig.select(
+            F.col(id_col),
+            F.explode(DD._band_hash_array(num_hashes, bands)).alias("bhash"))
+        # cross-batch candidates: batch bands × stored bands
+        cand = None
+        if have_index:
+            old = spark.read.parquet(f"{path}/bands")
+            cand = (bnd.join(old.withColumnRenamed(id_col, "__old"), "bhash")
+                    .select(F.col(id_col).alias("id_a"),
+                            F.col("__old").alias("id_b")).distinct())
+        # within-batch candidates
+        wb = (DD.minhash_candidates(sig, id_col, num_hashes, bands)
+              .select(F.greatest("id_a", "id_b").alias("id_a"),
+                      F.least("id_a", "id_b").alias("id_b")))
+        cand = wb if cand is None else cand.unionByName(wb).distinct()
+        old_sigs = (spark.read.parquet(f"{path}/sigs") if have_index
+                    else sig.limit(0))
+        all_sigs = sig.unionByName(old_sigs)
+        dups = (DD.minhash_similarity(all_sigs, cand, id_col)
+                .filter(F.col("est_jaccard") >= threshold)
+                .groupBy("id_a")
+                .agg(F.min("id_b").alias("dup_of"),
+                     F.max("est_jaccard").alias("est_jaccard"))
+                .withColumnRenamed("id_a", id_col)
+                .localCheckpoint())
+        dups.write.mode("append").parquet(f"{path}/dups")
+        survivors = sig.join(dups.select(id_col), id_col, "left_anti")
+        survivors.write.mode("append").parquet(f"{path}/sigs")
+        (survivors.select(
+            F.col(id_col),
+            F.explode(DD._band_hash_array(num_hashes, bands)).alias("bhash"))
+         .write.mode("append").parquet(f"{path}/bands"))
+
+    return (stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -389,3 +389,40 @@ def test_scd2_sink_converges_to_batch_rebuild(spark, tables, tmp_path):
     again = spark.read.parquet(sink)
     assert again.count() == want.count()
     assert again.exceptAll(want).count() == 0
+
+
+def test_stream_near_dup_sink_cross_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"   # ~1 token off
+    other = " ".join(f"zzz{i}" for i in range(40))
+    third = " ".join(f"qqq{i}" for i in range(40))
+    b1 = spark.createDataFrame([(1, base), (2, other)],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, near), (4, third)],
+                               "doc_id long, text string")
+    idx = str(tmp_path / "nd_index")
+    for i, b in enumerate([b1, b2]):
+        src = str(tmp_path / f"nd_src_{i}")
+        b.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = SP.stream_near_dup_sink(stream, "doc_id", "text", idx,
+                                    str(tmp_path / f"nd_ck_{i}"))
+        q.awaitTermination()
+
+    dups = {r["doc_id"]: r["dup_of"]
+            for r in spark.read.parquet(f"{idx}/dups").collect()}
+    assert dups == {3: 1}                      # cross-batch near-dup caught
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{idx}/sigs").collect()}
+    assert kept == {1, 2, 4}
+
+    # replaying batch 2 ingests nothing new (ids already indexed)
+    src = str(tmp_path / "nd_src_1")
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = SP.stream_near_dup_sink(stream, "doc_id", "text", idx,
+                                str(tmp_path / "nd_ck_replay"))
+    q.awaitTermination()
+    assert spark.read.parquet(f"{idx}/dups").count() == 1
+    assert {r["doc_id"] for r in
+            spark.read.parquet(f"{idx}/sigs").collect()} == {1, 2, 4}
