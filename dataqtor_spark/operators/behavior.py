@@ -127,8 +127,11 @@ def interarrival_stats(df: DataFrame, user_col: str = "user_id",
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
                                              F.col(tiebreak_col))
-    g = (F.unix_micros(F.col(ts_col))
-         - F.unix_micros(F.lag(ts_col).over(w)))
+    # cast("timestamp") accepts both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (parquet naive timestamps read as NTZ); the session tz is UTC so the
+    # cast is value-preserving and unix_micros stays exact.
+    ts = F.col(ts_col).cast("timestamp")
+    g = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
     gaps = (df.select(F.col(type_col).alias("etype"), g.alias("__g"))
             .filter(F.col("__g").isNotNull()))
     n = F.count(F.lit(1))

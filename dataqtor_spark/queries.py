@@ -4496,3 +4496,392 @@ def b05_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
     return (counts.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= 10))
+
+
+# ---------------------------------------------------------------------------
+# h02/h07/h08/h09/h12/h17/h20/h21 — the remaining TPC-H shapes, completing
+# the 22-query suite.  The driver schema has no partsupp / l_shipmode /
+# commit-receipt dates, so (precedent: h03 substitutes o_orderpriority)
+# these keep each query's canonical PLAN SHAPE while standing in columns:
+# lineitem rows act as the supplier×part "offer" table, p_retailprice×0.1
+# stands in for ps_supplycost, l_returnflag for l_shipmode, and
+# "l_shipdate > o_orderdate + N days" for receipt-after-commit lateness.
+# ---------------------------------------------------------------------------
+
+_H02_SQL = """WITH px AS (
+  SELECT p_partkey FROM part WHERE p_size = 15
+), mo AS (
+  SELECT l_partkey, min(l_extendedprice) AS min_price
+  FROM lineitem JOIN px ON l_partkey = p_partkey GROUP BY 1
+)
+SELECT DISTINCT s_acctbal, n_name, s_name, lineitem.l_partkey AS p_partkey,
+       l_extendedprice AS price
+FROM lineitem
+JOIN mo ON lineitem.l_partkey = mo.l_partkey AND l_extendedprice = min_price
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100"""
+
+
+@register("h02_min_cost_supplier", _H02_SQL)
+def h02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem = the supplier×part offer table): per-part
+    MIN over the filtered offers, joined back on equality to keep every
+    supplier attaining the minimum.  The part filter and the per-part min
+    table both broadcast; the offer scan is touched twice but shuffles
+    only on the tiny group key (partkey), and min-equality on *stored*
+    doubles is bit-exact across engines."""
+    part_f = _t(spark, sf_dir, "part").filter(
+        F.col("p_size") == 15).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    offers = li.join(F.broadcast(part_f),
+                     li["l_partkey"] == part_f["p_partkey"]).drop("p_partkey")
+    mo = offers.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (offers.join(F.broadcast(mo.withColumnRenamed("l_partkey", "mk")),
+                        (offers["l_partkey"] == F.col("mk"))
+                        & (offers["l_extendedprice"] == F.col("min_price")))
+            .join(F.broadcast(supp), offers["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+            .select("s_acctbal", "n_name", "s_name",
+                    F.col("l_partkey").alias("p_partkey"),
+                    F.col("l_extendedprice").alias("price"))
+            .distinct()
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+_H07_SQL = """SELECT supp_nation, cust_nation, l_year,
+  round(CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year"""
+
+
+@register("h07_volume_shipping", _H07_SQL)
+def h07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: both nation maps broadcast onto supplier/customer (which
+    then broadcast onto the facts after their nation filters — each side
+    shrinks to 1/25th), so the only real shuffle is lineitem⋈orders; the
+    cross-pair predicate is applied post-join as in the spec."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pick = nat.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(pick), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(pick), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .select("supp_nation", "cust_nation",
+                    F.year("l_shipdate").alias("l_year"), vol.alias("volume"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum(F.col("volume").cast("decimal(28,10)"))
+                         .cast("double"), 4).alias("revenue")))
+
+
+_H08_SQL = """SELECT o_year,
+  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                      THEN CAST(volume AS DECIMAL(28,10))
+                      ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+        / CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1.0 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) GROUP BY o_year"""
+
+
+@register("h08_market_share", _H08_SQL)
+def h08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: every dimension (type-filtered part, region-filtered
+    customer, nation-tagged supplier) broadcasts, lineitem⋈orders is the
+    one fact shuffle, and market share is a conditional/total DECIMAL sum
+    pair divided once at the end."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_nat = (nat.join(F.broadcast(reg),
+                         nat["n_regionkey"] == reg["r_regionkey"])
+                .select("n_nationkey"))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(cust_nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat.select("n_nationkey",
+                                         F.col("n_name").alias("supp_nation"))),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "supp_nation"))
+    part_f = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(28,10)")
+    dec0 = F.lit(0).cast("decimal(28,10)")
+    return (li.join(F.broadcast(part_f), li["l_partkey"] == part_f["p_partkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .select(F.year("o_orderdate").alias("o_year"),
+                    vol.alias("volume"), "supp_nation")
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("volume")).otherwise(dec0)).cast("double")
+                / F.sum("volume").cast("double"), 6).alias("mkt_share")))
+
+
+_H09_SQL = """SELECT nation, o_year,
+  round(CAST(sum(CAST(amount AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1.0 - l_discount)
+           - p_retailprice * 0.1 * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) GROUP BY nation, o_year"""
+
+
+@register("h09_product_type_profit", _H09_SQL)
+def h09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (ps_supplycost stood in by 10% of p_retailprice): the
+    name-filtered part prunes the fact early via broadcast, supplier+nation
+    broadcast too, orders⋈lineitem is the one shuffle, then a 25×years-key
+    aggregate."""
+    part_f = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey",
+                                             F.col("n_name").alias("nation"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity"))
+    return (li.join(F.broadcast(part_f), li["l_partkey"] == part_f["p_partkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+            .select("nation", F.year("o_orderdate").alias("o_year"),
+                    amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum(F.col("amount").cast("decimal(28,10)"))
+                         .cast("double"), 4).alias("sum_profit")))
+
+
+_H12_SQL = """SELECT l_returnflag AS ship_class,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag"""
+
+
+@register("h12_shipmode_priority", _H12_SQL)
+def h12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (l_returnflag stands in for l_shipmode; "shipped ≥60 days
+    after order" for receipt-after-commit): one fact join with the date
+    filters pushed to the lineitem scan, then a 3-key conditional count."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .filter(F.col("l_shipdate")
+                    >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+            .groupBy(F.col("l_returnflag").alias("ship_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+_H17_SQL = """WITH pa AS (
+  SELECT l_partkey AS ak,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON ak = l_partkey
+WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+  AND 5.0 * l_quantity * cnt < sum_qty"""
+
+
+@register("h17_small_quantity_revenue", _H17_SQL)
+def h17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (p_type='SMALL' stands in for the container filter): the
+    per-part average-quantity subquery becomes a broadcast per-part
+    aggregate re-joined to the fact.  The threshold "qty < 0.2·avg" is
+    algebraically cleared of division (5·qty·cnt < Σqty, all positive) so
+    the DECIMAL-exact sum makes the cut bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    pa = (li.groupBy(F.col("l_partkey").alias("ak"))
+          .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+               .cast("double").alias("sum_qty"),
+               F.count(F.lit(1)).cast("long").alias("cnt")))
+    return (li.join(F.broadcast(part_f), li["l_partkey"] == part_f["p_partkey"])
+            .join(F.broadcast(pa), F.col("ak") == li["l_partkey"])
+            .filter(F.lit(5.0) * F.col("l_quantity") * F.col("cnt")
+                    < F.col("sum_qty"))
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                         .cast("double") / F.lit(7.0), 4).alias("avg_yearly")))
+
+
+_H20_SQL = """WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey AS tk, sum(qty) AS total_qty FROM shipped GROUP BY 1
+)
+SELECT DISTINCT s_name, n_name
+FROM shipped
+JOIN tot ON tk = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE CAST(qty AS DOUBLE) > 0.3 * CAST(total_qty AS DOUBLE)
+ORDER BY s_name"""
+
+
+@register("h20_part_promotion", _H20_SQL)
+def h20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp/availqty: "supplier shipped >30% of the
+    part's year volume" stands in for "stock exceeds half the year's
+    shipments"): name-filtered part broadcasts into one (supp, part)
+    aggregate, the per-part total is a second tiny aggregate of THAT
+    result (no second fact scan), and the qualifying pairs semi-join
+    supplier."""
+    part_f = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    shipped = (li.join(F.broadcast(part_f),
+                       li["l_partkey"] == part_f["p_partkey"])
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                    .alias("qty")))
+    tot = shipped.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("total_qty"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                                "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (shipped.join(F.broadcast(tot), F.col("tk") == F.col("l_partkey"))
+            .filter(F.col("qty").cast("double")
+                    > F.lit(0.3) * F.col("total_qty").cast("double"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+            .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+            .select("s_name", "n_name").distinct())
+
+
+_H21_SQL = """WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  GROUP BY 1, 2
+), allsup AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM allsup a
+              WHERE a.l_orderkey = l1.l_orderkey
+                AND a.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name"""
+
+
+@register("h21_waiting_suppliers", _H21_SQL)
+def h21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 ("shipped >90 days after order" stands in for
+    receipt-after-commit): the EXISTS becomes a left-semi and the NOT
+    EXISTS a left-anti on the deduped (order, supplier) sets — both
+    shuffle on l_orderkey, which AQE co-plans with the late-set build;
+    supplier broadcasts for the final name count."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_shipdate")
+    late = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+            .select("l_orderkey", "l_suppkey").distinct())
+    allsup = li.select("l_orderkey", "l_suppkey").distinct()
+    a = allsup.select(F.col("l_orderkey").alias("ok_a"),
+                      F.col("l_suppkey").alias("sk_a"))
+    has_other = late.join(
+        a, (late["l_orderkey"] == F.col("ok_a"))
+        & (late["l_suppkey"] != F.col("sk_a")), "left_semi")
+    l2 = late.select(F.col("l_orderkey").alias("ok_b"),
+                     F.col("l_suppkey").alias("sk_b"))
+    sole_late = has_other.join(
+        l2, (has_other["l_orderkey"] == F.col("ok_b"))
+        & (has_other["l_suppkey"] != F.col("sk_b")), "left_anti")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (sole_late.join(F.broadcast(supp),
+                           F.col("l_suppkey") == supp["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait")))

@@ -55,19 +55,33 @@ def get_spark(app_name: str = "dataqtor_spark", master: str | None = None) -> Sp
     return builder.getOrCreate()
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz is UTC, so the
+    cast is value-preserving).  Parquet naive timestamps (isAdjustedToUTC =
+    false) read as NTZ under Spark's inferTimestampNTZ default; downstream
+    streaming watermarks and ``unix_micros`` require TIMESTAMP, and the
+    DuckDB oracle compares naive-UTC values either way."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table, normalizing types regardless of session config.
 
-    ``events.parquet`` carries parquet TIMESTAMP(NANOS), which Spark cannot
-    read natively (PARQUET_TYPE_ILLEGAL) — so we flip the runtime conf to
-    read it as a long of nanos and convert to a proper micros timestamp.
-    Setting the conf here (not only at session build) makes the loader work
-    in ANY caller-provided SparkSession, including the driver's.  Truncation
-    to micros matches DuckDB's µs timestamp comparisons.
+    Driver-generated testdata has varied across rounds: ``events.parquet``
+    has carried parquet TIMESTAMP(NANOS) (unreadable natively →
+    PARQUET_TYPE_ILLEGAL, so we flip the runtime conf to read longs of
+    nanos and convert), and naive TIMESTAMP(MICROS) (reads as
+    TIMESTAMP_NTZ).  Both normalize to a micros TIMESTAMP here, matching
+    DuckDB's µs timestamp comparisons.  Setting confs here (not only at
+    session build) makes the loader work in ANY caller-provided
+    SparkSession, including the driver's.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
+        return _normalize_timestamps(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # timestamps are compared against DuckDB's naive-UTC values; pin the
     # session TZ so a caller session built in another zone hashes identically
@@ -75,7 +89,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -277,7 +277,7 @@ def rolling_user_stats(df: DataFrame, key_col: str = "user_id",
     from pyspark.sql.window import Window
 
     w = (Window.partitionBy(key_col)
-         .orderBy(F.unix_micros(F.col(ts_col)))
+         .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
          .rangeBetween(-window_seconds * 1_000_000, 0))
     return df.select(
         key_col, "event_id", ts_col,
