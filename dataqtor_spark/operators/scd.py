@@ -105,3 +105,61 @@ def point_in_time_join(facts: DataFrame, scd2: DataFrame, key: str,
     dim = scd2.select(F.col(key), F.col("valid_from").alias(fact_ts),
                       *attr_cols)
     return asof_join(facts, dim, key, fact_ts, attr_cols, suffix=suffix)
+
+
+# ---------------------------------------------------------------------------
+# CDC primitives: snapshot diff and changelog compaction
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Keyed diff of two table versions: one row per key whose state
+    changed, tagged ``added`` / ``removed`` / ``changed`` with both sides'
+    compared values (old_*/new_*, NULL on the missing side).
+
+    The reference has no versioning (one in-place-mutated frame,
+    home.py:55-62); this is the engine-level replacement: a single
+    full-outer join on the key — both sides shuffle once on the key (or
+    zero times if both are bucketed on it) — with null-safe value
+    comparison (``<=>``) so NULL→value and value→NULL count as changes.
+    Unchanged keys are dropped before anything else touches the row, so
+    the output is proportional to the delta, not the table.
+    """
+    o = old.select([F.col(k) for k in key_cols]
+                   + [F.col(c).alias(f"old_{c}") for c in compare_cols]
+                   + [F.lit(1).alias("__in_old")])
+    n = new.select([F.col(k) for k in key_cols]
+                   + [F.col(c).alias(f"new_{c}") for c in compare_cols]
+                   + [F.lit(1).alias("__in_new")])
+    j = o.join(n, key_cols, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (F.when(F.col("__in_old").isNull(), F.lit("added"))
+              .when(F.col("__in_new").isNull(), F.lit("removed"))
+              .when(differs, F.lit("changed")))
+    return (j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(*key_cols, "change_type",
+                    *[f"old_{c}" for c in compare_cols],
+                    *[f"new_{c}" for c in compare_cols]))
+
+
+def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
+                   tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Changelog compaction: the latest row per key by (ts, tiebreaks) —
+    the materialize-a-snapshot half of CDC ingestion (Debezium-style logs,
+    upsert streams).
+
+    One ``row_number`` window partitioned by the key: parallelism = keys,
+    no global sort, and at 100 TB the shuffle carries only (key, ts,
+    payload) once — strictly cheaper than groupBy(max)+self-join, and
+    AQE's skew split handles hot keys.  Tiebreaks must make the order
+    total (an id column) or "latest" is nondeterministic under replay.
+    """
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

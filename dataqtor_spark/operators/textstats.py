@@ -724,3 +724,78 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                      " ").alias("clean_text"))
             .select(F.col("__id").alias(id_col), "n_chunks", "n_dropped",
                     "clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval and vocabulary-coverage (OOV) profiling
+# ---------------------------------------------------------------------------
+
+def bm25_search(df: DataFrame, terms: list[str], id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+                top_k: int = 20) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a bag-of-terms query
+    (Robertson/Sparck Jones; the classic lexical retrieval baseline).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Plan shape: ONE tokenize/explode feeds both the per-doc length
+    aggregate and the term-filtered tf aggregate (the filter prunes the
+    exploded stream to |terms| tokens before any shuffle); df-per-term and
+    the corpus scalars (N, avgdl) broadcast.  Nothing here is
+    corpus-bounded — no vocabulary broadcast, no driver state — so the
+    same plan runs at 100 TB.  Per-(doc,term) contributions are rounded
+    to 8 dp and summed in DECIMAL so the final score is independent of
+    addend order (bit-identical across engines and partitionings); ties
+    break on id.  Returns the top ``top_k`` (id, score) via
+    TakeOrderedAndProject.
+    """
+    toks = _tokens_exploded(df, id_col, text_col)
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_dl"))
+    tf = (toks.filter(F.col("token").isin(list(terms)))
+          .groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    return (tf.join(F.broadcast(dfreq), "token")
+            .join(dl, "__id")
+            .crossJoin(F.broadcast(corpus))
+            .groupBy("__id")
+            .agg(F.sum(F.round(contrib, 8).cast("decimal(28,8)"))
+                 .cast("double").alias("score"))
+            .select(F.col("__id").alias(id_col), F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col)).limit(top_k))
+
+
+def oov_rate(df: DataFrame, vocab_size: int, id_col: str = "doc_id",
+             text_col: str = "text",
+             group_col: str = "source") -> DataFrame:
+    """Vocabulary-coverage profile: build the corpus's top-``vocab_size``
+    vocabulary (count desc, token asc — total order), then measure each
+    group's out-of-vocabulary token rate.  The tokenizer-fit diagnostic
+    for training pipelines: a source whose OOV rate spikes is feeding the
+    model byte-soup.
+
+    One tokenize pass feeds both the vocab aggregate and the per-group
+    rate; the vocabulary (bounded by ``vocab_size``) broadcasts into a
+    left join whose miss-flag is averaged per group — no second scan of
+    the text.
+    """
+    toks = (_tokens_exploded(df, id_col, text_col)
+            .join(df.select(F.col(id_col).alias("__id"),
+                            F.col(group_col).alias("__grp")), "__id"))
+    voc = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), F.asc("token")).limit(vocab_size)
+           .select("token", F.lit(1).alias("__in_vocab")))
+    return (toks.join(F.broadcast(voc), "token", "left")
+            .groupBy(F.col("__grp").alias(group_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))

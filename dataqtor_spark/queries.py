@@ -4885,3 +4885,200 @@ def h21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("l_suppkey") == supp["s_suppkey"])
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).cast("long").alias("numwait")))
+
+
+# ---------------------------------------------------------------------------
+# cdc01/cdc02 — CDC primitives (snapshot diff, changelog compaction);
+# x03 — unpivot/melt; cube01 — CUBE grouping sets; t23 — BM25 retrieval;
+# t24 — vocabulary-coverage (OOV) profile
+# ---------------------------------------------------------------------------
+
+_CDC01_SQL = """WITH newv AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 499 = 0
+), o AS (
+  SELECT o_orderkey, o_totalprice AS old_o_totalprice,
+         o_orderstatus AS old_o_orderstatus, 1 AS in_old FROM orders
+), n AS (
+  SELECT o_orderkey, o_totalprice AS new_o_totalprice,
+         o_orderstatus AS new_o_orderstatus, 1 AS in_new FROM newv
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
+            WHEN old_o_totalprice IS DISTINCT FROM new_o_totalprice
+              OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+            THEN 'changed' END AS change_type,
+       old_o_totalprice, old_o_orderstatus,
+       new_o_totalprice, new_o_orderstatus
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE (in_old IS NULL OR in_new IS NULL
+       OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+       OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus)"""
+
+
+@register("cdc01_snapshot_diff", _CDC01_SQL)
+def cdc01_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (added/removed/changed) between orders and a
+    deterministically perturbed v2 (drops keys ≡0 mod 97, bumps totalprice
+    on ≡0 mod 101, appends shifted copies of ≡0 mod 499)."""
+    from dataqtor_spark.operators import scd as S
+
+    orders = _t(spark, sf_dir, "orders")
+    keep = orders.filter(F.col("o_orderkey") % 97 != 0)
+    bumped = keep.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 101 == 0,
+               F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice")))
+    added = orders.filter(F.col("o_orderkey") % 499 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+    newv = bumped.select("o_orderkey", "o_orderstatus", "o_totalprice") \
+        .unionByName(added.select("o_orderkey", "o_orderstatus",
+                                  "o_totalprice"))
+    return S.snapshot_diff(orders, newv, ["o_orderkey"],
+                           ["o_totalprice", "o_orderstatus"])
+
+
+_CDC02_SQL = """SELECT user_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1"""
+
+
+@register("cdc02_latest_per_key", _CDC02_SQL)
+def cdc02_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: latest event per user — one per-key
+    row_number window, no global sort."""
+    from dataqtor_spark.operators import scd as S
+
+    ev = _t(spark, sf_dir, "events")
+    return S.latest_per_key(ev, ["user_id"], "ts",
+                            tiebreak_cols=["event_id"]) \
+        .select("user_id", "ts", "event_type", "value")
+
+
+_X03_SQL = """SELECT 'l_quantity' AS measure, count(l_quantity)::BIGINT AS n,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4) AS total,
+  min(l_quantity) AS min_v, max(l_quantity) AS max_v FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4),
+  min(l_extendedprice), max(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(l_discount)::BIGINT,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE), 4),
+  min(l_discount), max(l_discount) FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(l_tax)::BIGINT,
+  round(CAST(sum(CAST(l_tax AS DECIMAL(28,10))) AS DOUBLE), 4),
+  min(l_tax), max(l_tax) FROM lineitem"""
+
+
+@register("x03_unpivot_measures", _X03_SQL)
+def x03_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the lineitem measures, then one
+    aggregate over the long form.  The unpivot is a generate-side
+    projection (no shuffle); the 4-key aggregate partial-combines."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot([], measures, "measure", "value")
+    return long.groupBy("measure").agg(
+        F.count("value").cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)"))
+                .cast("double"), 4).alias("total"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"))
+
+
+_CUBE01_SQL = """SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+  count(*)::BIGINT AS n,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4)
+    AS total_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+
+@register("cube01_returnflag_status", _CUBE01_SQL)
+def cube01_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus): all four
+    granularities in one pass (Spark expands the cube before the shuffle;
+    partial aggregation still applies per grouping set)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                .cast("double"), 4).alias("total_price"))
+
+
+_BM25_TERMS = ["spark", "agg", "join"]
+
+_T23_SQL = """WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), dl AS (
+  SELECT id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), corpus AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl FROM dl
+), tf AS (
+  SELECT id, token, count(*)::BIGINT AS tf FROM toks
+  WHERE token IN ('spark', 'agg', 'join') GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT id,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))),
+               8) AS c
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (id) CROSS JOIN corpus
+)
+SELECT id AS doc_id,
+       round(CAST(sum(CAST(c AS DECIMAL(28,8))) AS DOUBLE), 4) AS score
+FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15"""
+
+
+@register("t23_bm25_search", _T23_SQL)
+def t23_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a 3-term query over documents."""
+    from dataqtor_spark.operators import textstats as T
+
+    return T.bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS,
+                         top_k=15)
+
+
+_T24_SQL = """WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), voc AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM toks GROUP BY 1
+    ORDER BY n DESC, token LIMIT 30)
+)
+SELECT source, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN voc v ON t.token = v.token
+GROUP BY source"""
+
+
+@register("t24_oov_rate", _T24_SQL)
+def t24_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-30
+    vocabulary."""
+    from dataqtor_spark.operators import textstats as T
+
+    return T.oov_rate(_t(spark, sf_dir, "documents"), vocab_size=30)

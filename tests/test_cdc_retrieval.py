@@ -1,0 +1,102 @@
+"""CDC primitives (snapshot diff, changelog compaction), BM25 retrieval,
+OOV profiling, unpivot and CUBE invariants."""
+
+from pyspark.sql import functions as F
+
+from dataqtor_spark.operators import scd as S
+from dataqtor_spark.operators import textstats as T
+
+
+def test_snapshot_diff_classifies_and_is_null_safe(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k int, price double, status string")
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),          # unchanged -> absent from output
+         (2, 21.0, "b"),          # changed (value)
+         (3, 30.0, "c"),          # changed (NULL -> value, null-safe)
+         (5, 50.0, "e")],         # added; 4 removed
+        "k int, price double, status string")
+    got = {r["k"]: r for r in S.snapshot_diff(
+        old, new, ["k"], ["price", "status"]).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2]["change_type"] == "changed"
+    assert got[3]["change_type"] == "changed"
+    assert got[4]["change_type"] == "removed" and got[4]["new_price"] is None
+    assert got[5]["change_type"] == "added" and got[5]["old_price"] is None
+
+
+def test_snapshot_diff_empty_delta(spark):
+    old = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    assert S.snapshot_diff(old, old, ["k"], ["v"]).count() == 0
+
+
+def test_latest_per_key_tiebreak(spark):
+    rows = [(1, 100, 1, "x"), (1, 100, 2, "y"),  # same ts: id 2 wins
+            (1, 90, 3, "z"), (2, 50, 4, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, id int, v string")
+    got = {r["k"]: r for r in S.latest_per_key(
+        df, ["k"], "ts", tiebreak_cols=["id"]).collect()}
+    assert got[1]["v"] == "y" and got[2]["v"] == "w"
+    assert "__rn" not in S.latest_per_key(df, ["k"], "ts", ["id"]).columns
+
+
+def test_bm25_ranks_term_heavy_docs_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark join"),
+         (2, "spark join"),
+         (3, "table row value"),
+         (4, "join")],
+        "doc_id int, text string")
+    got = T.bm25_search(docs, ["spark"], top_k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1            # highest tf on the query term
+    assert 3 not in ids           # no query term -> no score row
+    assert all(r["score"] > 0 for r in got)
+    assert got[0]["score"] > got[-1]["score"]
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # 'the' in every doc, 'rare' in one: the rare-term doc must outrank
+    # a doc matching only the ubiquitous term
+    docs = spark.createDataFrame(
+        [(1, "the rare"), (2, "the"), (3, "the"), (4, "the")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in T.bm25_search(docs, ["the", "rare"], top_k=10).collect()}
+    assert got[1] > got[2]
+
+
+def test_oov_rate_bounds_and_known_value(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "s1"), (2, "a zz", "s2")],
+        "doc_id int, text string, source string")
+    # vocab_size=2 -> vocab {a, b} (count desc, token asc); zz is OOV
+    got = {r["source"]: r for r in T.oov_rate(
+        docs, vocab_size=2, group_col="source").collect()}
+    assert got["s1"]["n_oov"] == 0 and got["s1"]["oov_rate"] == 0.0
+    assert got["s2"]["n_tokens"] == 2 and got["s2"]["n_oov"] == 1
+    assert abs(got["s2"]["oov_rate"] - 0.5) < 1e-9
+
+
+def test_cube_totals_consistent(tables):
+    li = tables["lineitem"]
+    cube = (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").alias("g_rf"),
+                 F.grouping("l_linestatus").alias("g_ls"),
+                 F.count(F.lit(1)).alias("n")))
+    rows = cube.collect()
+    grand = [r for r in rows if r["g_rf"] == 1 and r["g_ls"] == 1]
+    assert len(grand) == 1 and grand[0]["n"] == li.count()
+    # each grouping set partitions the rows: per-set sums equal the total
+    for g_rf, g_ls in [(0, 0), (0, 1), (1, 0)]:
+        s = sum(r["n"] for r in rows
+                if r["g_rf"] == g_rf and r["g_ls"] == g_ls)
+        assert s == grand[0]["n"]
+
+
+def test_unpivot_long_form_shape(tables):
+    li = tables["lineitem"]
+    long = li.unpivot([], ["l_quantity", "l_tax"], "measure", "value")
+    assert long.columns == ["measure", "value"]
+    assert long.count() == 2 * li.count()
