@@ -48,6 +48,11 @@ HEADLINE = [
     "j05_asof_join_events",
     "j06_range_join_sessions",
     "s05_event_rollup",
+    "h01_pricing_summary",
+    "h07_volume_shipping",
+    "h21_waiting_suppliers",
+    "t23_bm25_search",
+    "cdc01_snapshot_diff",
 ]
 
 

@@ -197,3 +197,73 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                 * F.coalesce(F.col("__c"), F.lit(0.0)),
                                 12).alias("r")))
     return rank.select("node", F.round("r", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence and per-key time-series resample + ffill
+# ---------------------------------------------------------------------------
+
+def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
+                     top_k: int = 20) -> DataFrame:
+    """Top co-occurring item pairs across baskets (market-basket support
+    counts): (item_a, item_b, n_baskets) with item_a < item_b.
+
+    Same posting-list shape as the n-gram dedup joins: ONE shuffle groups
+    items per basket, pairs expand in-row from the sorted distinct item
+    array (no self-join — a self-join would exchange the full item×basket
+    relation twice), and only (pair, 1) rows shuffle into the count.
+    Per-basket blowup is |basket|²/2 — bound wide baskets upstream if the
+    domain allows them (retail baskets are short; a pathological basket
+    is itself a data-quality finding).
+    """
+    pairs = (df.select(F.col(basket_col).alias("__b"),
+                       F.col(item_col).alias("__i"))
+             .filter(F.col("__i").isNotNull())
+             .groupBy("__b")
+             .agg(F.sort_array(F.collect_set("__i")).alias("items"))
+             .filter(F.size("items") > 1)
+             .select(F.explode(F.expr(
+                 "flatten(transform(items, (x, i) -> "
+                 "transform(slice(items, i + 2, size(items)), "
+                 "y -> struct(x as a, y as b))))")).alias("p")))
+    return (pairs.groupBy(F.col("p.a").alias("item_a"),
+                          F.col("p.b").alias("item_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+            .orderBy(F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b"))
+            .limit(top_k))
+
+
+def resample_ffill(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                   tiebreak_col: str) -> DataFrame:
+    """Daily resample with forward fill: one row per (key, day) over the
+    data's full date span, carrying each key's last observed value into
+    days with no events — the gap-free series every feature/training
+    pipeline wants from an irregular event log.
+
+    Three cheap stages: (1) last value per (key, day) via a per-key-day
+    row_number (deterministic through the tiebreak); (2) the day grid =
+    global [min,max] span crossed with the distinct keys — generated with
+    ``sequence``/explode, never collected on the driver; (3) a per-key
+    ordered window ``last(value, ignorenulls=True)`` fills forward.
+    Parallelism = keys throughout; days-before-first-observation stay
+    NULL (nothing to carry).
+    """
+    from pyspark.sql.window import Window
+
+    day = F.to_date(F.col(ts_col))
+    daily = (df.withColumn("day", day)
+             .withColumn("__rn", F.row_number().over(
+                 Window.partitionBy(key_col, "day")
+                 .orderBy(F.col(ts_col).desc(), F.col(tiebreak_col).desc())))
+             .filter(F.col("__rn") == 1)
+             .select(key_col, "day", F.col(value_col).alias("__v")))
+    span = df.agg(F.to_date(F.min(ts_col)).alias("d0"),
+                  F.to_date(F.max(ts_col)).alias("d1"))
+    grid = (df.select(key_col).distinct()
+            .crossJoin(F.broadcast(span))
+            .select(key_col, F.explode(F.sequence("d0", "d1")).alias("day")))
+    w2 = (Window.partitionBy(key_col).orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(daily, [key_col, "day"], "left")
+            .withColumn("value", F.last("__v", ignorenulls=True).over(w2))
+            .select(key_col, "day", "value"))

@@ -956,3 +956,55 @@ def entropy_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(-F.sum(hb_term * F.col("n") / F.col("nb")), 6)
         .alias("entropy_b"),
         F.round(F.sum(mi_term), 6).alias("mutual_information"))
+
+
+# ---------------------------------------------------------------------------
+# sequence-gap detection (islands & gaps) and NTILE decile profiling
+# ---------------------------------------------------------------------------
+
+def sequence_gaps(df: DataFrame, key_col: str) -> DataFrame:
+    """Missing ranges in an integer key sequence: (gap_start, gap_end,
+    gap_size) for every hole between consecutive present keys — the
+    "did ingestion drop a batch?" completeness check.
+
+    Dedup first (the shuffle carries only distinct keys), then one lag
+    window over the key order.  The window here is global — fine up to
+    ~billions of *distinct* keys; beyond that, bucket by ``key div B``,
+    detect gaps inside each bucket with a bucket-partitioned window, and
+    compare adjacent buckets' (min, max) — same answers, no single-task
+    sort.  This helper keeps the simple form and documents the split.
+    """
+    from pyspark.sql.window import Window
+
+    k = df.select(F.col(key_col).cast("long").alias("k")) \
+        .filter(F.col("k").isNotNull()).distinct()
+    w = Window.orderBy("k")
+    d = k.withColumn("pk", F.lag("k").over(w))
+    return (d.filter(F.col("k") - F.col("pk") > 1)
+            .select((F.col("pk") + 1).alias("gap_start"),
+                    (F.col("k") - 1).alias("gap_end"),
+                    (F.col("k") - F.col("pk") - 1).alias("gap_size")))
+
+
+def decile_profile(df: DataFrame, value_col: str, group_col: str,
+                   tiebreak_col: str, n_tiles: int = 10) -> DataFrame:
+    """Per-group NTILE profile: split each group's rows into ``n_tiles``
+    equal-count tiles by value (ties broken totally by ``tiebreak_col``
+    so tile membership is deterministic) and aggregate each tile.
+
+    One per-group window (parallelism = groups) + one partial-aggregated
+    groupBy; the value sum accumulates in DECIMAL so tile totals are
+    partition-order-independent.
+    """
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(value_col).asc(), F.col(tiebreak_col).asc()))
+    return (df.filter(F.col(value_col).isNotNull())
+            .withColumn("tile", F.ntile(n_tiles).over(w))
+            .groupBy(group_col, "tile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(value_col).alias("min_v"),
+                 F.max(value_col).alias("max_v"),
+                 F.round(F.sum(F.col(value_col).cast("decimal(28,10)"))
+                         .cast("double"), 4).alias("total")))

@@ -4857,10 +4857,12 @@ GROUP BY s_name"""
 @register("h21_waiting_suppliers", _H21_SQL)
 def h21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 ("shipped >90 days after order" stands in for
-    receipt-after-commit): the EXISTS becomes a left-semi and the NOT
-    EXISTS a left-anti on the deduped (order, supplier) sets — both
-    shuffle on l_orderkey, which AQE co-plans with the late-set build;
-    supplier broadcasts for the final name count."""
+    receipt-after-commit): instead of translating the EXISTS pair into a
+    semi+anti join (two sort-merge passes over the deduped pair sets),
+    both predicates collapse into per-order counts — "another supplier
+    exists" ⇔ n_supp > 1, "no other late supplier" ⇔ n_late = 1 for the
+    late row itself — so the plan is two small key aggregates whose
+    qualifying-order intersection broadcasts back onto the late set."""
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
@@ -4869,20 +4871,18 @@ def h21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("l_shipdate")
                     > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
             .select("l_orderkey", "l_suppkey").distinct())
-    allsup = li.select("l_orderkey", "l_suppkey").distinct()
-    a = allsup.select(F.col("l_orderkey").alias("ok_a"),
-                      F.col("l_suppkey").alias("sk_a"))
-    has_other = late.join(
-        a, (late["l_orderkey"] == F.col("ok_a"))
-        & (late["l_suppkey"] != F.col("sk_a")), "left_semi")
-    l2 = late.select(F.col("l_orderkey").alias("ok_b"),
-                     F.col("l_suppkey").alias("sk_b"))
-    sole_late = has_other.join(
-        l2, (has_other["l_orderkey"] == F.col("ok_b"))
-        & (has_other["l_suppkey"] != F.col("sk_b")), "left_anti")
+    n_supp = (li.select("l_orderkey", "l_suppkey").distinct()
+              .groupBy("l_orderkey")
+              .agg(F.count(F.lit(1)).alias("n_supp")))
+    n_late = late.groupBy(F.col("l_orderkey").alias("ok_l")).agg(
+        F.count(F.lit(1)).alias("n_late"))
+    qual = (n_supp.filter(F.col("n_supp") > 1)
+            .join(n_late.filter(F.col("n_late") == 1),
+                  F.col("l_orderkey") == F.col("ok_l"))
+            .select("l_orderkey"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (sole_late.join(F.broadcast(supp),
-                           F.col("l_suppkey") == supp["s_suppkey"])
+    return (late.join(F.broadcast(qual), "l_orderkey", "left_semi")
+            .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).cast("long").alias("numwait")))
 
