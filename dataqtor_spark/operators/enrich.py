@@ -127,3 +127,35 @@ def enrich_date_parts(df: DataFrame, col: str,
     for name in (parts or list(all_parts)):
         out = out.withColumn(f"{name}_{col}", all_parts[name])
     return out
+
+
+def nearest_city(spark: SparkSession, top_k: int = 1) -> DataFrame:
+    """For each city in the S4 lat/lon dimension (81 rows,
+    /root/reference/home.py:1720-1887), its ``top_k`` nearest other
+    cities by haversine great-circle distance (km, R=6371).
+
+    The dimension is tiny, so the 81×81 pairing is a broadcast
+    nested-loop cross join evaluated entirely inside codegen (trig on
+    columns, no UDF); ranking is a per-city window.  The same expression
+    scales to data×dim geo-tagging joins where the dim side broadcasts.
+    """
+    from pyspark.sql.window import Window
+
+    dim = city_dim(spark)
+    a = dim.select(F.col("city").alias("city_a"),
+                   F.radians("latitude").alias("la"),
+                   F.radians("longitude").alias("lo"))
+    b = dim.select(F.col("city").alias("city_b"),
+                   F.radians("latitude").alias("lb"),
+                   F.radians("longitude").alias("lob"))
+    h = (F.pow(F.sin((F.col("lb") - F.col("la")) / 2), 2)
+         + F.cos("la") * F.cos("lb")
+         * F.pow(F.sin((F.col("lob") - F.col("lo")) / 2), 2))
+    dist = F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 3)
+    pairs = (a.crossJoin(F.broadcast(b))
+             .filter(F.col("city_a") != F.col("city_b"))
+             .select("city_a", "city_b", dist.alias("dist_km")))
+    w = Window.partitionBy("city_a").orderBy(F.asc("dist_km"),
+                                             F.asc("city_b"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k))

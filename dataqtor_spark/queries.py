@@ -5082,3 +5082,127 @@ def t24_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataqtor_spark.operators import textstats as T
 
     return T.oov_rate(_t(spark, sf_dir, "documents"), vocab_size=30)
+
+
+# ---------------------------------------------------------------------------
+# gap01 — sequence-gap detection; pctl01 — NTILE decile profile;
+# mb01 — market-basket co-occurrence; ts02 — resample + forward fill;
+# geo01 — haversine nearest city over the S4 lat/lon dimension
+# ---------------------------------------------------------------------------
+
+_GAP01_SQL = """WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderkey % 97 <> 0
+), d AS (
+  SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k
+)
+SELECT pk + 1 AS gap_start, k - 1 AS gap_end, (k - pk - 1)::BIGINT AS gap_size
+FROM d WHERE k - pk > 1"""
+
+
+@register("gap01_orderkey_gaps", _GAP01_SQL)
+def gap01_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands-and-gaps completeness check on the order key sequence,
+    run over a deterministically thinned key set (every 97th key dropped,
+    simulating lost batches) so the gap report is non-trivial."""
+    return P.sequence_gaps(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0),
+        "o_orderkey")
+
+
+_PCTL01_SQL = """SELECT c_mktsegment, tile, count(*)::BIGINT AS n,
+  min(c_acctbal) AS min_v, max(c_acctbal) AS max_v,
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 4) AS total
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS tile
+  FROM customer WHERE c_acctbal IS NOT NULL
+) GROUP BY c_mktsegment, tile"""
+
+
+@register("pctl01_acctbal_deciles", _PCTL01_SQL)
+def pctl01_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment account-balance deciles (deterministic NTILE via the
+    custkey tiebreak)."""
+    return P.decile_profile(_t(spark, sf_dir, "customer"), "c_acctbal",
+                            "c_mktsegment", "c_custkey", n_tiles=10)
+
+
+_MB01_SQL = """WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_partkey IS NOT NULL
+), pairs AS (
+  SELECT a.b, a.i AS item_a, c.i AS item_b
+  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+)
+SELECT item_a, item_b, count(*)::BIGINT AS n_baskets
+FROM pairs GROUP BY 1, 2
+ORDER BY n_baskets DESC, item_a, item_b LIMIT 20"""
+
+
+@register("mb01_copurchase_pairs", _MB01_SQL)
+def mb01_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs (market-basket support): posting-list
+    pair expansion per order, no self-join."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.copurchase_pairs(_t(spark, sf_dir, "lineitem"),
+                              "l_orderkey", "l_partkey", top_k=20)
+
+
+_TS02_SQL = """WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value AS __v
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                             ORDER BY ts DESC, event_id DESC) = 1
+), span AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+), grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN span
+)
+SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+       last_value(__v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+                                          ROWS UNBOUNDED PRECEDING) AS value
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day"""
+
+
+@register("ts02_resample_ffill", _TS02_SQL)
+def ts02_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily series per user with forward-filled values."""
+    from dataqtor_spark.operators import behavior as B
+
+    out = B.resample_ffill(_t(spark, sf_dir, "events"), "user_id", "ts",
+                           "value", "event_id")
+    # DATE columns surface as datetime.date in Spark's toPandas but as
+    # midnight Timestamps from DuckDB; compare in the common timestamp type
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+_GEO01_SQL = f"""WITH c AS (
+  SELECT city, radians(latitude) AS la, radians(longitude) AS lo
+  FROM read_parquet('{_DIMS}/city.parquet')
+), pairs AS (
+  SELECT a.city AS city_a, b.city AS city_b,
+         round(2 * 6371.0 * asin(sqrt(
+           pow(sin((b.la - a.la) / 2), 2)
+           + cos(a.la) * cos(b.la) * pow(sin((b.lo - a.lo) / 2), 2))), 3)
+           AS dist_km
+  FROM c a JOIN c b ON a.city <> b.city
+)
+SELECT city_a, city_b, dist_km, rank FROM (
+  SELECT city_a, city_b, dist_km,
+         row_number() OVER (PARTITION BY city_a
+                            ORDER BY dist_km, city_b) AS rank
+  FROM pairs)
+WHERE rank <= 1"""
+
+
+@register("geo01_nearest_city", _GEO01_SQL)
+def geo01_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor per city by haversine distance over the S4
+    lat/lon dimension (pure column trig, broadcast cross join)."""
+    from dataqtor_spark.operators import enrich as E
+
+    return E.nearest_city(spark, top_k=1)

