@@ -313,3 +313,67 @@ def cross_table_violations(left: DataFrame, right: DataFrame,
     """
     joined = left.join(right, on, how)
     return joined.filter(F.coalesce(violation, F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Rules v2: conditional (cross-column), composite-key uniqueness,
+# freshness, and per-group completeness — the expectation-suite staples
+# beyond the reference's single-column surface
+# ---------------------------------------------------------------------------
+
+def rule_conditional(name: str, when: Column, then: Column,
+                     column: str = "") -> Rule:
+    """Cross-column implication rule: a row violates when ``when`` holds
+    but ``then`` does not ("if status is F then totalprice > 0").  NULLs
+    in either predicate are excluded (three-valued logic: NULL → not a
+    violation), matching the engine's null-tracked-separately contract.
+    Pure column expressions — participates in single-pass rule fusion
+    like every R1–R12 rule."""
+    return Rule(name, column, _null_safe(when) & _null_safe(~then))
+
+
+def unique_key_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Composite-key uniqueness check: key tuples appearing more than
+    once, with their multiplicity — the "is (a, b) actually a key?"
+    expectation.  One partial-aggregated groupBy on the candidate key;
+    rows with any NULL key part are excluded (SQL keys are non-null).
+    At scale this is the cheapest possible formulation: the shuffle
+    carries pre-combined (key, partial_count) pairs, never raw rows."""
+    nn = None
+    for k in key_cols:
+        c = F.col(k).isNotNull()
+        nn = c if nn is None else (nn & c)
+    return (df.filter(nn).groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_rows") > 1))
+
+
+def freshness_check(df: DataFrame, ts_col: str, group_col: str,
+                    as_of, max_lag_hours: float) -> DataFrame:
+    """Per-group data freshness: each group's latest timestamp, its lag
+    behind ``as_of`` (a fixed reference time — never wall clock, so runs
+    are reproducible), and whether the lag breaches ``max_lag_hours``.
+    One map-side-combinable max per group; the whole check reads one
+    column of the fact."""
+    lag_h = (F.unix_micros(F.lit(as_of).cast("timestamp"))
+             - F.unix_micros(F.max(F.col(ts_col).cast("timestamp")))) \
+        / F.lit(3600.0 * 1e6)
+    return (df.groupBy(group_col)
+            .agg(F.max(F.col(ts_col).cast("timestamp")).alias("latest_ts"),
+                 F.round(lag_h, 4).alias("lag_hours"))
+            .withColumn("is_stale", F.col("lag_hours") > F.lit(max_lag_hours)))
+
+
+def group_completeness(df: DataFrame, value_col: str,
+                       group_col: str) -> DataFrame:
+    """Per-group null-rate profile of one column: the flagship null
+    profile (A3, home.py:146-152) sliced by a grouping dimension, which
+    is how completeness regressions actually surface ("source X started
+    sending NULL emails").  Single conditional aggregate, one shuffle on
+    the (small) group key."""
+    n = F.count(F.lit(1))
+    nulls = F.sum(F.col(value_col).isNull().cast("int"))
+    return (df.groupBy(group_col)
+            .agg(n.cast("long").alias("total_records"),
+                 nulls.cast("long").alias("null_records"),
+                 F.round(nulls * 100.0 / n, 2).alias("null_pct")))

@@ -5206,3 +5206,76 @@ def geo01_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataqtor_spark.operators import enrich as E
 
     return E.nearest_city(spark, top_k=1)
+
+
+# ---------------------------------------------------------------------------
+# r16–r19 — rules v2: conditional cross-column rule, composite-key
+# uniqueness, freshness, per-group completeness
+# ---------------------------------------------------------------------------
+
+_R16_SQL = """SELECT o_orderstatus,
+  count(*)::BIGINT AS n_violations
+FROM orders
+WHERE COALESCE(o_orderpriority = '1-URGENT', FALSE)
+  AND COALESCE(NOT (o_totalprice >= 50000.0), FALSE)
+GROUP BY o_orderstatus"""
+
+
+@register("r16_conditional_rule", _R16_SQL)
+def r16_conditional_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column implication: urgent orders must be worth ≥ 50k;
+    violations counted by status."""
+    orders = _t(spark, sf_dir, "orders")
+    r = R.rule_conditional(
+        "urgent_value", F.col("o_orderpriority") == "1-URGENT",
+        F.col("o_totalprice") >= 50000.0)
+    return (r.violations(orders).groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations")))
+
+
+_R17_SQL = """SELECT l_orderkey, l_linenumber, count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) > 1"""
+
+
+@register("r17_unique_key_rule", _R17_SQL)
+def r17_unique_key_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key uniqueness expectation on (orderkey, linenumber)."""
+    return R.unique_key_violations(_t(spark, sf_dir, "lineitem"),
+                                   ["l_orderkey", "l_linenumber"])
+
+
+_R18_SQL = """SELECT event_type,
+  max(CAST(ts AS TIMESTAMP)) AS latest_ts,
+  round((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+         - epoch_us(max(CAST(ts AS TIMESTAMP)))) / 3600000000.0, 4)
+    AS lag_hours,
+  round((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+         - epoch_us(max(CAST(ts AS TIMESTAMP)))) / 3600000000.0, 4) > 36.0
+    AS is_stale
+FROM events GROUP BY event_type"""
+
+
+@register("r18_freshness_check", _R18_SQL)
+def r18_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness against a fixed as-of time (36 h SLA)."""
+    import datetime as _dt
+
+    return R.freshness_check(_t(spark, sf_dir, "events"), "ts",
+                             "event_type",
+                             _dt.datetime(2024, 2, 1), 36.0)
+
+
+_R19_SQL = """SELECT c_mktsegment, count(*)::BIGINT AS total_records,
+  sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_records,
+  round(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) * 100.0
+        / count(*), 2) AS null_pct
+FROM customer GROUP BY c_mktsegment"""
+
+
+@register("r19_group_completeness", _R19_SQL)
+def r19_group_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rate of acctbal sliced by market segment."""
+    return R.group_completeness(_t(spark, sf_dir, "customer"),
+                                "c_acctbal", "c_mktsegment")

@@ -100,3 +100,52 @@ def test_unpivot_long_form_shape(tables):
     long = li.unpivot([], ["l_quantity", "l_tax"], "measure", "value")
     assert long.columns == ["measure", "value"]
     assert long.count() == 2 * li.count()
+
+
+def test_rule_conditional_null_semantics(spark):
+    from dataqtor_spark.operators import rules as R
+
+    df = spark.createDataFrame(
+        [("F", 10.0), ("F", 100.0), ("O", 1.0), (None, 5.0), ("F", None)],
+        "status string, price double")
+    r = R.rule_conditional("c", F.col("status") == "F",
+                           F.col("price") >= 50.0)
+    got = r.violations(df).collect()
+    # only the (F, 10.0) row: NULL condition or NULL consequent is not
+    # a violation (nulls are tracked separately)
+    assert len(got) == 1 and got[0]["price"] == 10.0
+
+
+def test_unique_key_violations(spark):
+    from dataqtor_spark.operators import rules as R
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (2, 1), (None, 1)], "a int, b int")
+    got = R.unique_key_violations(df, ["a", "b"]).collect()
+    assert len(got) == 1
+    assert got[0]["a"] == 1 and got[0]["b"] == 1 and got[0]["n_rows"] == 2
+
+
+def test_freshness_check_flags_stale_groups(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import rules as R
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 31, 12)), ("a", dt.datetime(2024, 1, 1)),
+         ("b", dt.datetime(2024, 1, 20))],
+        "g string, ts timestamp")
+    got = {r["g"]: r for r in R.freshness_check(
+        df, "ts", "g", dt.datetime(2024, 2, 1), 24.0).collect()}
+    assert not got["a"]["is_stale"] and got["a"]["lag_hours"] == 12.0
+    assert got["b"]["is_stale"]
+
+
+def test_group_completeness(spark):
+    from dataqtor_spark.operators import rules as R
+
+    df = spark.createDataFrame(
+        [("x", 1.0), ("x", None), ("y", 2.0)], "g string, v double")
+    got = {r["g"]: r for r in R.group_completeness(df, "v", "g").collect()}
+    assert got["x"]["null_records"] == 1 and got["x"]["null_pct"] == 50.0
+    assert got["y"]["null_records"] == 0
