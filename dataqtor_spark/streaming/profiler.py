@@ -442,3 +442,44 @@ def stream_near_dup_sink(stream: DataFrame, id_col: str, text_col: str,
     return (stream.writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def latest_per_key_sink(stream: DataFrame, key_cols: list[str], ts_col: str,
+                        tiebreak_cols: list[str], path: str,
+                        checkpoint: str):
+    """``foreachBatch`` CDC materialization: maintain the latest-row-per-key
+    snapshot of an upsert changelog stream (the streaming twin of
+    ``scd.latest_per_key``).
+
+    Each micro-batch compacts itself, merges with the current snapshot,
+    and re-compacts — so after any prefix of batches the sink equals the
+    batch operator run over the same prefix, and a checkpoint-replayed
+    batch is idempotent (merging the same rows again changes nothing:
+    max-by-(ts, tiebreaks) is a semilattice).  Writes to a temp dir then
+    swaps, so readers never see a half-written snapshot.  On a lakehouse
+    this batch body is ``MERGE INTO ... WHEN MATCHED AND newer``;
+    snapshot cost per batch is O(snapshot) — partition the snapshot by a
+    key prefix once it outgrows one rewrite.
+    """
+    from dataqtor_spark.operators.scd import latest_per_key
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch.sparkSession
+        fresh = latest_per_key(batch, key_cols, ts_col, tiebreak_cols)
+        if os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in os.listdir(path)):
+            cur = spark.read.parquet(path).select(*fresh.columns)
+            fresh = latest_per_key(cur.unionByName(fresh), key_cols,
+                                   ts_col, tiebreak_cols)
+        tmp = path.rstrip("/") + ".__tmp"
+        fresh.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return (stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

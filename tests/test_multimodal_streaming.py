@@ -426,3 +426,34 @@ def test_stream_near_dup_sink_cross_batch(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/dups").count() == 1
     assert {r["doc_id"] for r in
             spark.read.parquet(f"{idx}/sigs").collect()} == {1, 2, 4}
+
+
+def test_latest_per_key_sink_matches_batch_compaction(spark, tables, tmp_path):
+    from dataqtor_spark.operators import scd as SCD
+
+    ev = tables["events"].limit(500)
+    src = str(tmp_path / "cdc_src")
+    ev.repartition(5).write.mode("overwrite").parquet(src)  # 5 micro-batches
+    sink = str(tmp_path / "cdc_snapshot")
+    ck = str(tmp_path / "cdc_ck")
+
+    stream = SP.stream_events(spark, src, watermark="90 days")
+    q = SP.latest_per_key_sink(stream, ["user_id"], "ts", ["event_id"],
+                               sink, ck)
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    want = SCD.latest_per_key(ev, ["user_id"], "ts", ["event_id"])
+    assert got.count() == want.count()
+    g = {r["user_id"]: (r["ts"], r["event_id"]) for r in got.collect()}
+    w = {r["user_id"]: (r["ts"], r["event_id"]) for r in want.collect()}
+    assert g == w
+
+    # replay over the same source: the merge is idempotent (max-by is a
+    # semilattice), so the snapshot is unchanged
+    stream2 = SP.stream_events(spark, src, watermark="90 days")
+    q2 = SP.latest_per_key_sink(stream2, ["user_id"], "ts", ["event_id"],
+                                sink, str(tmp_path / "cdc_ck2"))
+    q2.awaitTermination()
+    g2 = {r["user_id"]: (r["ts"], r["event_id"])
+          for r in spark.read.parquet(sink).collect()}
+    assert g2 == w
