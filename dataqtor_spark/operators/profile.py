@@ -1008,3 +1008,68 @@ def decile_profile(df: DataFrame, value_col: str, group_col: str,
                  F.max(value_col).alias("max_v"),
                  F.round(F.sum(F.col(value_col).cast("decimal(28,10)"))
                          .cast("double"), 4).alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# constraint suggestion (deequ-style): profile → proposed expectations
+# ---------------------------------------------------------------------------
+
+def suggest_constraints(df: DataFrame, cols: list[str] | None = None,
+                        completeness_floor: float = 0.95) -> DataFrame:
+    """Auto-suggest data-quality constraints from one profiling pass:
+    (column, constraint, param, support) rows proposing
+
+    - ``not_null``    — column has zero NULLs;
+    - ``complete_ge`` — fill rate ≥ ``completeness_floor`` (param = the
+      observed rate to re-assert);
+    - ``unique``      — distinct count equals non-null count;
+    - ``min_ge`` / ``max_le`` — numeric observed bounds to re-assert;
+    - ``isin``        — low-cardinality (≤ 10) column's value domain size.
+
+    The profile-to-rules loop closed: feed the output back as
+    ``rules.rule_compare`` / ``rule_domain`` / uniqueness checks on the
+    next batch and drift becomes a rule violation.  Everything computes
+    in ONE wide aggregate (count + nulls + count_distinct + min/max per
+    column — a single scan regardless of column count); suggestions are
+    unioned from the one result row, so the operator costs the same as
+    the flagship null profile.  Numeric bounds are emitted as exact
+    stored values (no float arithmetic), so re-checking them on the same
+    data can never fail spuriously.
+    """
+    cols = _data_cols(df, cols)
+    numeric = {f.name for f in df.schema.fields
+               if f.name in cols and f.dataType.typeName() in
+               ("byte", "short", "integer", "long", "float", "double",
+                "decimal")}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .alias(f"__nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+        ]
+        if c in numeric:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    one = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        n, nulls, nd = F.col("__n"), F.col(f"__nulls_{c}"), F.col(f"__nd_{c}")
+        filled = n - nulls
+        rate = F.round(filled / n, 4)
+        mk = lambda kind, param, cond: F.when(cond, F.struct(
+            F.lit(c).alias("column"), F.lit(kind).alias("constraint"),
+            param.cast("double").alias("param"), rate.alias("support")))
+        structs += [
+            mk("not_null", F.lit(0.0), nulls == 0),
+            mk("complete_ge", rate,
+               (nulls > 0) & (rate >= F.lit(completeness_floor))),
+            mk("unique", F.lit(0.0), (filled > 0) & (nd == filled)),
+            mk("isin", nd.cast("double"), (nd > 0) & (nd <= 10)),
+        ]
+        if c in numeric:
+            structs += [
+                mk("min_ge", F.col(f"__min_{c}"), filled > 0),
+                mk("max_le", F.col(f"__max_{c}"), filled > 0),
+            ]
+    return (one.select(F.explode(F.array(*structs)).alias("s"))
+            .filter(F.col("s").isNotNull()).select("s.*"))

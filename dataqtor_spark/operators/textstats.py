@@ -750,26 +750,35 @@ def bm25_search(df: DataFrame, terms: list[str], id_col: str = "doc_id",
     break on id.  Returns the top ``top_k`` (id, score) via
     TakeOrderedAndProject.
     """
-    toks = _tokens_exploded(df, id_col, text_col)
-    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("dl").alias("total_dl"))
-    tf = (toks.filter(F.col("token").isin(list(terms)))
-          .groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
-    contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
-    return (tf.join(F.broadcast(dfreq), "token")
-            .join(dl, "__id")
-            .crossJoin(F.broadcast(corpus))
-            .groupBy("__id")
-            .agg(F.sum(F.round(contrib, 8).cast("decimal(28,8)"))
-                 .cast("double").alias("score"))
-            .select(F.col("__id").alias(id_col), F.round("score", 4).alias("score"))
-            .orderBy(F.desc("score"), F.asc(id_col)).limit(top_k))
+    # the exploded token stream feeds three consumers (doc lengths, corpus
+    # scalars, term frequencies); without persist each one re-tokenizes
+    # the corpus (4 Generates in the physical plan) — cache it once, and
+    # localCheckpoint the (tiny) top-k so storage is released eagerly
+    toks = _tokens_exploded(df, id_col, text_col).persist()
+    try:
+        dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("dl"))
+        corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("dl").alias("total_dl"))
+        tf = (toks.filter(F.col("token").isin(list(terms)))
+              .groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf")))
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+        contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
+            F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        return (tf.join(F.broadcast(dfreq), "token")
+                .join(dl, "__id")
+                .crossJoin(F.broadcast(corpus))
+                .groupBy("__id")
+                .agg(F.sum(F.round(contrib, 8).cast("decimal(28,8)"))
+                     .cast("double").alias("score"))
+                .select(F.col("__id").alias(id_col),
+                        F.round("score", 4).alias("score"))
+                .orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+                .localCheckpoint())
+    finally:
+        toks.unpersist()
 
 
 def oov_rate(df: DataFrame, vocab_size: int, id_col: str = "doc_id",
@@ -799,3 +808,31 @@ def oov_rate(df: DataFrame, vocab_size: int, id_col: str = "doc_id",
                  .cast("long").alias("n_oov"))
             .withColumn("oov_rate",
                         F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
+
+
+def bpe_merge_candidates(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         top_k: int = 20) -> DataFrame:
+    """Top adjacent-token pair counts over the corpus — the statistic a
+    BPE/WordPiece trainer computes each merge round (most frequent
+    adjacent pair → new vocabulary symbol).
+
+    Pure array expressions build the pair list per document inside
+    codegen (tokenize once, ``transform`` over a slice — no posexplode,
+    no per-token shuffle); only (pair, 1) rows reach the partial-
+    aggregated count, so token skew collapses map-side.  The top-k is
+    TakeOrderedAndProject with a total (count desc, pair asc) order.
+    """
+    from dataqtor_spark.session import parallelize
+
+    toks = _clean_tokens(text_col)
+    pairs = (parallelize(df.select(toks.alias("toks")))
+             .filter(F.size("toks") > 1)
+             .select(F.explode(F.expr(
+                 "transform(slice(toks, 1, size(toks) - 1), "
+                 "(x, i) -> struct(x AS a, toks[i + 1] AS b))")).alias("p")))
+    return (pairs.groupBy(F.col("p.a").alias("tok_a"),
+                          F.col("p.b").alias("tok_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("tok_a"), F.asc("tok_b"))
+            .limit(top_k))

@@ -5279,3 +5279,71 @@ def r19_group_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-rate of acctbal sliced by market segment."""
     return R.group_completeness(_t(spark, sf_dir, "customer"),
                                 "c_acctbal", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# sg01 — constraint suggestion (profile → proposed expectation suite)
+# ---------------------------------------------------------------------------
+
+_SG01_COLS = [("c_custkey", True), ("c_name", False), ("c_nationkey", True),
+              ("c_acctbal", True), ("c_mktsegment", False)]
+
+
+def _sg01_oracle() -> str:
+    stats = ["count(*) AS n"]
+    for c, isnum in _SG01_COLS:
+        stats.append(f"count({c}) AS f_{c}")
+        stats.append(f"count(DISTINCT {c}) AS nd_{c}")
+        if isnum:
+            stats.append(f"min({c}) AS min_{c}")
+            stats.append(f"max({c}) AS max_{c}")
+    parts = []
+    for c, isnum in _SG01_COLS:
+        sup = f"round(f_{c} / n, 4)"
+        row = (f"SELECT '{c}' AS \"column\", '{{k}}' AS \"constraint\", "
+               f"{{p}} AS param, {sup} AS support FROM s WHERE {{w}}")
+        parts += [
+            row.format(k="not_null", p="0.0", w=f"n - f_{c} = 0"),
+            row.format(k="complete_ge", p=sup,
+                       w=f"n - f_{c} > 0 AND {sup} >= 0.95"),
+            row.format(k="unique", p="0.0", w=f"f_{c} > 0 AND nd_{c} = f_{c}"),
+            row.format(k="isin", p=f"CAST(nd_{c} AS DOUBLE)",
+                       w=f"nd_{c} > 0 AND nd_{c} <= 10"),
+        ]
+        if isnum:
+            parts.append(row.format(k="min_ge", p=f"CAST(min_{c} AS DOUBLE)",
+                                    w=f"f_{c} > 0"))
+            parts.append(row.format(k="max_le", p=f"CAST(max_{c} AS DOUBLE)",
+                                    w=f"f_{c} > 0"))
+    return ("WITH s AS (SELECT " + ", ".join(stats) + " FROM customer)\n"
+            + "\nUNION ALL\n".join(parts))
+
+
+@register("sg01_suggest_constraints", _sg01_oracle())
+def sg01_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suggestion over customer: one wide profile
+    aggregate proposing not-null/completeness/uniqueness/domain/bounds
+    expectations, ready to re-assert as rules on the next batch."""
+    return P.suggest_constraints(
+        _t(spark, sf_dir, "customer"), [c for c, _ in _SG01_COLS])
+
+
+_BPE01_SQL = """WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+), p AS (
+  SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS pr
+  FROM t WHERE len(l) > 1
+)
+SELECT pr[1] AS tok_a, pr[2] AS tok_b, count(*)::BIGINT AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, tok_a, tok_b LIMIT 20"""
+
+
+@register("bpe01_merge_candidates", _BPE01_SQL)
+def bpe01_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token pairs (the BPE merge-round statistic)."""
+    from dataqtor_spark.operators import textstats as T
+
+    return T.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_k=20)

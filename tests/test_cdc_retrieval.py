@@ -149,3 +149,35 @@ def test_group_completeness(spark):
     got = {r["g"]: r for r in R.group_completeness(df, "v", "g").collect()}
     assert got["x"]["null_records"] == 1 and got["x"]["null_pct"] == 50.0
     assert got["y"]["null_records"] == 0
+
+
+def test_suggest_constraints_proposals(spark):
+    from dataqtor_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.5), (3, "a", None), (4, "c", 2.0)],
+        "id long, cat string, v double")
+    got = {(r["column"], r["constraint"]): r
+           for r in P.suggest_constraints(df).collect()}
+    assert ("id", "not_null") in got and ("id", "unique") in got
+    assert got[("id", "min_ge")]["param"] == 1.0
+    assert got[("id", "max_le")]["param"] == 4.0
+    assert ("cat", "isin") in got and got[("cat", "isin")]["param"] == 3.0
+    assert ("v", "not_null") not in got          # has a NULL
+    assert ("v", "complete_ge") not in got       # 75% < default floor
+    assert got[("v", "min_ge")]["param"] == 2.0
+    # support column is the fill rate
+    assert got[("v", "max_le")]["support"] == 0.75
+
+
+def test_bpe_merge_candidates_counts(spark):
+    from dataqtor_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id int, text string")
+    got = {(r["tok_a"], r["tok_b"]): r["n"]
+           for r in T.bpe_merge_candidates(docs).collect()}
+    # "a b" appears twice in doc1 (positions 0,2) + once in doc2
+    assert got[("a", "b")] == 3
+    assert got[("b", "a")] == 1
+    assert ("x", "x") not in got  # single-token docs contribute nothing

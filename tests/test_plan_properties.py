@@ -145,3 +145,53 @@ def test_h22_anti_join_and_scalar_broadcast(spark):
     assert "LeftAnti" in plan
     assert _detail(plan, "CartesianProduct") == 0  # scalar is broadcast
     assert "GreaterThanOrEqual(o_orderdate" in plan  # recency pushed
+
+
+def test_h07_single_fact_shuffle_all_dims_broadcast(spark):
+    # Q7: nation/supplier/customer all broadcast; lineitem⋈orders is the
+    # only shuffled join, so the plan carries at most 3 exchanges
+    # (join + aggregate sides) and no SortMergeJoin
+    plan = _plan(spark, "h07_volume_shipping")
+    assert _detail(plan, "BroadcastHashJoin") >= 3
+    assert _detail(plan, "SortMergeJoin") <= 1
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_h09_part_filter_prunes_fact_via_broadcast(spark):
+    plan = _plan(spark, "h09_product_type_profit")
+    assert _detail(plan, "BroadcastHashJoin") >= 3
+    # the LIKE filter must reach the part scan, not evaluate post-join
+    assert "StringContains(p_name,red)" in plan or "p_name" in \
+        plan.split("PushedFilters: [", 1)[1]
+
+
+def test_h17_threshold_join_broadcasts_aggregate(spark):
+    plan = _plan(spark, "h17_small_quantity_revenue")
+    assert _detail(plan, "BroadcastHashJoin") >= 2
+    assert _detail(plan, "SortMergeJoin") == 0
+
+
+def test_h21_no_pair_set_sort_merge(spark):
+    # the count-collapse rewrite keeps the qualifying-order set broadcast;
+    # no sort-merge join of the deduped pair sets
+    plan = _plan(spark, "h21_waiting_suppliers")
+    assert _detail(plan, "BroadcastHashJoin") >= 2
+    assert _detail(plan, "SortMergeJoin") <= 1
+
+
+def test_cube_expands_before_single_shuffle(spark):
+    plan = _plan(spark, "cube01_returnflag_status")
+    assert _detail(plan, "Expand") == 1
+    assert _detail(plan, "Exchange") == 1
+
+
+def test_bm25_tokenizes_once_and_releases_cache(spark):
+    # the exploded token stream is persisted so the three consumers share
+    # ONE tokenize pass, then released once the (tiny) top-k materializes
+    df = QUERIES["t23_bm25_search"](spark, SF)
+    assert len(df.take(5)) == 5  # already materialized via localCheckpoint
+    # the only cached RDD left is the 15-row checkpoint, never the token
+    # explode (which would be corpus-sized)
+    big = [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+           if r.isCached() and r.memSize() > 1 << 20]
+    assert not big, "corpus-sized cache must be unpersisted"
