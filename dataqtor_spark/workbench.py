@@ -97,6 +97,33 @@ class Workbench:
         self._sess.checkpoint()
         return self
 
+    # --- expectation-suite shortcuts (rules v2 + suggestion) ---------------
+
+    def suggest_constraints(self, cols: list[str] | None = None) -> DataFrame:
+        """Profile → proposed expectations (deequ-style); feed back into
+        detect() as rules on the next batch."""
+        from dataqtor_spark.operators import profile as P
+
+        return P.suggest_constraints(self.df, cols)
+
+    def unique_key(self, key_cols: list[str]) -> DataFrame:
+        """Composite-key uniqueness violations."""
+        return R.unique_key_violations(self.df, key_cols)
+
+    def completeness_by(self, value_col: str, group_col: str) -> DataFrame:
+        """Per-group null-rate slice of one column."""
+        return R.group_completeness(self.df, value_col, group_col)
+
+    def diff_against(self, other: "Workbench | DataFrame",
+                     key_cols: list[str],
+                     compare_cols: list[str]) -> DataFrame:
+        """Keyed snapshot diff vs another table version (added / removed /
+        changed, null-safe)."""
+        from dataqtor_spark.operators import scd as SCD
+
+        o = other.df if isinstance(other, Workbench) else other
+        return SCD.snapshot_diff(o, self.df, key_cols, compare_cols)
+
     # --- download ----------------------------------------------------------
 
     def save(self, path: str, fmt: str = "parquet", **kw) -> None:

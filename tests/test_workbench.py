@@ -42,3 +42,25 @@ def test_full_lifecycle(spark, tables, tmp_path):
     back = spark.read.parquet(out_path)
     assert back.count() == n0
     assert "__row_id" not in back.columns  # stripped on download
+
+
+def test_workbench_expectation_shortcuts(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from dataqtor_spark.workbench import Workbench
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", None), (2, "b", 3.0)],
+        "id long, cat string, v double")
+    wb = Workbench(df)
+    sug = {(r["column"], r["constraint"])
+           for r in wb.suggest_constraints().collect()}
+    assert ("cat", "isin") in sug and ("id", "not_null") in sug
+    dup = wb.unique_key(["id"]).collect()
+    assert len(dup) == 1 and dup[0]["n_rows"] == 2
+    comp = {r["cat"]: r["null_pct"]
+            for r in wb.completeness_by("v", "cat").collect()}
+    assert comp["b"] == 50.0
+    v2 = Workbench(df.withColumn("v", F.coalesce("v", F.lit(0.0))))
+    d = v2.diff_against(wb, ["id", "cat", "v"], ["v"])
+    assert d.count() >= 1  # the null-fill shows up as add+remove on the key
