@@ -62,6 +62,18 @@ PROBES = {
             df.filter(F.col("event_type") == "purchase")
               .select("user_id", "ts", "event_id"),
             "user_id", within="1 hour")),
+    "bm25_search": ("documents", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.textstats", fromlist=["bm25_search"])
+        .bm25_search(df, ["spark", "agg", "join"], top_k=15)),
+    "copurchase_pairs": ("lineitem", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.behavior", fromlist=["copurchase_pairs"])
+        .copurchase_pairs(df, "l_orderkey", "l_partkey", top_k=20)),
+    "latest_per_key": ("events", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.scd", fromlist=["latest_per_key"])
+        .latest_per_key(df, ["user_id"], "ts", ["event_id"])
+        .groupBy().count()),
+    "suggest_constraints": ("customer", lambda df, P, R:
+        P.suggest_constraints(df)),
 }
 
 
