@@ -1073,3 +1073,72 @@ def suggest_constraints(df: DataFrame, cols: list[str] | None = None,
             ]
     return (one.select(F.explode(F.array(*structs)).alias("s"))
             .filter(F.col("s").isNotNull()).select("s.*"))
+
+
+def correlation_ratio(df: DataFrame, numeric_col: str,
+                      cat_col: str) -> DataFrame:
+    """Correlation ratio η² (categorical → numeric effect size):
+    between-group sum of squares over total sum of squares of
+    ``numeric_col`` across ``cat_col`` groups.
+
+    One per-group aggregate (count + DECIMAL-exact sum/sum-of-squares per
+    category) and one reduce of that tiny table — the numeric column is
+    scanned once.  Using Σx² − (Σx)²/n keeps everything in exact DECIMAL
+    until the final division, so the statistic hash-matches across
+    engines despite being a ratio of floats.
+    """
+    d = lambda c: c.cast("decimal(28,6)")
+    g = (df.filter(F.col(numeric_col).isNotNull()
+                   & F.col(cat_col).isNotNull())
+         .groupBy(cat_col)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(d(F.col(numeric_col))).alias("s"),
+              F.sum(F.round(F.col(numeric_col).cast("double")
+                            * F.col(numeric_col), 6).cast("decimal(28,6)"))
+              .alias("ss")))
+    # per-group between-group terms go to double (deterministic: one
+    # division of exact inputs), are rounded, and re-sum in DECIMAL —
+    # group-order independence without cross-engine decimal-width rules
+    bg_term = F.round(F.pow(F.col("s").cast("double"), 2) / F.col("n"), 6)
+    tot = g.agg(F.sum("n").alias("N"),
+                F.sum("s").cast("double").alias("S"),
+                F.sum("ss").cast("double").alias("SS"),
+                F.sum(bg_term.cast("decimal(28,6)")).cast("double")
+                .alias("BG"))
+    cm = F.pow(F.col("S"), 2) / F.col("N")
+    return tot.select(
+        F.col("N").cast("long").alias("n_rows"),
+        F.round((F.col("BG") - cm) / (F.col("SS") - cm), 6)
+        .alias("eta_squared"))
+
+
+def chi_squared_stat(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson χ² independence statistic for two categorical columns
+    (statistic + degrees of freedom; the p-value lookup is a driver-side
+    table, deliberately left out to stay engine-exact).
+
+    One contingency aggregate over (a, b); marginals derive from that
+    k×m table with window sums, so the fact is scanned once and nothing
+    larger than the contingency table shuffles.  Expected counts are
+    exact rationals (row·col/N in DECIMAL); each cell's (O−E)²/E term is
+    rounded to 8 dp and summed in DECIMAL for order-independence.
+    """
+    from pyspark.sql.window import Window
+
+    ct = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+          .groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o")))
+    row = F.sum("o").over(Window.partitionBy(col_a))
+    col = F.sum("o").over(Window.partitionBy(col_b))
+    n = F.sum("o").over(Window.partitionBy())
+    # expected counts in double from exact integer marginals — one
+    # multiply + divide, bit-identical across engines
+    cells = ct.select(
+        col_a, col_b, "o",
+        (row.cast("double") * col / n).alias("e"))
+    term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                   / F.col("e"), 8)
+    return (cells.agg(
+        F.round(F.sum(term.cast("decimal(28,8)")).cast("double"), 4)
+        .alias("chi2"),
+        ((F.count_distinct(F.col(col_a)) - 1)
+         * (F.count_distinct(F.col(col_b)) - 1)).cast("long").alias("dof")))

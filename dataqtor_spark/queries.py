@@ -5410,3 +5410,82 @@ assert not _missing, f"showcase references unknown queries: {_missing}"
 QUERIES = {**{n: QUERIES[n] for n in _SHOWCASE_ORDER},
            **{n: f for n, f in QUERIES.items() if n not in _SHOWCASE_ORDER}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# pr19 — correlation ratio η²; pr20 — χ² independence; s10 — windowed top-k
+# ---------------------------------------------------------------------------
+
+_PR19_SQL = """WITH g AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n,
+         sum(CAST(c_acctbal AS DECIMAL(28,6))) AS s,
+         sum(CAST(round(CAST(c_acctbal AS DOUBLE) * c_acctbal, 6)
+                  AS DECIMAL(28,6))) AS ss
+  FROM customer
+  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+  GROUP BY 1
+), t AS (
+  SELECT sum(n) AS N,
+         CAST(sum(s) AS DOUBLE) AS S,
+         CAST(sum(ss) AS DOUBLE) AS SS,
+         CAST(sum(CAST(round(pow(CAST(s AS DOUBLE), 2) / n, 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS BG
+  FROM g
+)
+SELECT CAST(N AS BIGINT) AS n_rows,
+       round((BG - pow(S, 2) / N) / (SS - pow(S, 2) / N), 6) AS eta_squared
+FROM t"""
+
+
+@register("pr19_eta_squared_acctbal", _PR19_SQL)
+def pr19_eta_squared_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation ratio of acctbal across market segments."""
+    return P.correlation_ratio(_t(spark, sf_dir, "customer"),
+                               "c_acctbal", "c_mktsegment")
+
+
+_PR20_SQL = """WITH ct AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*)::BIGINT AS o
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+), cells AS (
+  SELECT a, b, o,
+         CAST(sum(o) OVER (PARTITION BY a) AS DOUBLE)
+           * sum(o) OVER (PARTITION BY b) / sum(o) OVER () AS e
+  FROM ct
+)
+SELECT round(CAST(sum(CAST(round((o - e) * (o - e) / e, 8)
+                          AS DECIMAL(28,8))) AS DOUBLE), 4) AS chi2,
+       ((SELECT count(DISTINCT a) FROM ct) - 1)::BIGINT
+         * ((SELECT count(DISTINCT b) FROM ct) - 1)::BIGINT AS dof
+FROM cells"""
+
+
+@register("pr20_chi2_status_priority", _PR20_SQL)
+def pr20_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence statistic for order status × priority."""
+    return P.chi_squared_stat(_t(spark, sf_dir, "orders"),
+                              "o_orderstatus", "o_orderpriority")
+
+
+_S10_SQL = """WITH w AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, rank FROM (
+  SELECT window_start, event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type) AS rank
+  FROM w)
+WHERE rank <= 3"""
+
+
+@register("s10_windowed_topk", _S10_SQL)
+def s10_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: top-3 per 6-hour tumbling window."""
+    from dataqtor_spark.streaming import profiler as SP
+
+    return SP.windowed_topk(_t(spark, sf_dir, "events"),
+                            window="6 hours", k=3)

@@ -483,3 +483,24 @@ def latest_per_key_sink(stream: DataFrame, key_cols: list[str], ts_col: str,
     return (stream.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def windowed_topk(df: DataFrame, ts_col: str = "ts",
+                  group_col: str = "event_type", window: str = "6 hours",
+                  k: int = 3) -> DataFrame:
+    """Top-k groups per tumbling window (trending items): one windowed
+    count aggregate, then a rank window over the already-tiny
+    (windows × groups) table with a total (count desc, group asc) order.
+    Unified batch/streaming shape — in streaming the rank pass runs on
+    the complete-mode aggregate (or per micro-batch via foreachBatch)."""
+    from pyspark.sql.window import Window
+
+    counts = (df.groupBy(F.window(F.col(ts_col), window).alias("w"),
+                         F.col(group_col))
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .select(F.col("w.start").alias("window_start"),
+                      group_col, "n"))
+    rw = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc(group_col))
+    return (counts.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k))

@@ -81,3 +81,35 @@ def test_nearest_city_symmetric_sanity(spark):
     a, r = next(iter(by_city.items()))
     b = r["city_b"]
     assert by_city[b]["dist_km"] <= r["dist_km"] or True  # sanity only
+
+
+def test_eta_squared_known_values(spark):
+    # perfect separation -> eta^2 = 1; identical groups -> eta^2 = 0
+    sep = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)], "g string, v double")
+    r = P.correlation_ratio(sep, "v", "g").collect()[0]
+    assert r["eta_squared"] == 1.0 and r["n_rows"] == 4
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)], "g string, v double")
+    assert P.correlation_ratio(same, "v", "g").collect()[0]["eta_squared"] == 0.0
+
+
+def test_chi_squared_independence_zero(spark):
+    # perfectly independent contingency -> chi2 = 0
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = P.chi_squared_stat(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1
+
+
+def test_windowed_topk_rank_bounds(tables):
+    from dataqtor_spark.streaming import profiler as SP
+
+    got = SP.windowed_topk(tables["events"], window="6 hours", k=3).collect()
+    assert got and all(1 <= r["rank"] <= 3 for r in got)
+    per_w = {}
+    for r in got:
+        per_w.setdefault(r["window_start"], []).append(r)
+    for rows in per_w.values():
+        ns = [r["n"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ns == sorted(ns, reverse=True)  # rank follows count
