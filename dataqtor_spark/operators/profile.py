@@ -1142,3 +1142,50 @@ def chi_squared_stat(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .alias("chi2"),
         ((F.count_distinct(F.col(col_a)) - 1)
          * (F.count_distinct(F.col(col_b)) - 1)).cast("long").alias("dof")))
+
+
+def trimmed_mean(df: DataFrame, col: str, lo: float = 0.05,
+                 hi: float = 0.95) -> DataFrame:
+    """Trimmed mean: average of values inside the [lo, hi] exact-quantile
+    band — the robust location estimate that survives fat tails.  Two
+    passes by necessity (quantile cut points, then the filtered DECIMAL
+    mean); the cut points broadcast, the filter pushes to the scan, and
+    the mean is DECIMAL-exact so the result is partition-order-free.  At
+    100 TB swap the exact percentile for ``percentile_approx`` (same
+    plan, sketch state)."""
+    cuts = df.agg(
+        F.expr(f"percentile({col}, {lo})").alias("__lo"),
+        F.expr(f"percentile({col}, {hi})").alias("__hi"))
+    n = F.count(F.lit(1))
+    return (df.join(F.broadcast(cuts))
+            .filter(F.col(col).between(F.col("__lo"), F.col("__hi")))
+            .agg(n.cast("long").alias("n_kept"),
+                 F.round((F.sum(F.col(col).cast("decimal(28,10)")) / n)
+                         .cast("double"), 6).alias("trimmed_mean")))
+
+
+def column_modes(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Most frequent value per column (ties → smallest value), with its
+    count and share: (column, mode_value, n, share).  One count aggregate
+    per column over a union of (column, value) pairs — a single shuffle
+    keyed by (column, value), then a per-column arg-max via one ordered
+    struct max (no window, no second shuffle)."""
+    pairs = None
+    for c in cols:
+        p = (df.select(F.lit(c).alias("column"),
+                       F.col(c).cast("string").alias("value"))
+             .filter(F.col("value").isNotNull()))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("column").agg(F.sum("n").alias("__tot"))
+    # arg-max with total order in ONE struct min: (-n asc ≡ n desc, then
+    # value asc breaks count ties) — no window, no second shuffle of counts
+    best = counts.groupBy("column").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"),
+                       F.col("value").alias("v"))).alias("m"))
+    return (best.select("column", F.col("m.v").alias("mode_value"),
+                        (-F.col("m.neg_n")).cast("long").alias("n"))
+            .join(F.broadcast(totals), "column")
+            .withColumn("share", F.round(F.col("n") / F.col("__tot"), 6))
+            .drop("__tot"))

@@ -5489,3 +5489,47 @@ def s10_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return SP.windowed_topk(_t(spark, sf_dir, "events"),
                             window="6 hours", k=3)
+
+
+_O07_SQL = """WITH cuts AS (
+  SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+         quantile_cont(c_acctbal, 0.95) AS hi
+  FROM customer
+)
+SELECT count(*)::BIGINT AS n_kept,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) / count(*)
+                  AS DOUBLE), 6) AS trimmed_mean
+FROM customer, cuts WHERE c_acctbal BETWEEN lo AND hi"""
+
+
+@register("o07_trimmed_mean_acctbal", _O07_SQL)
+def o07_trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5–95% trimmed mean of customer account balance."""
+    return P.trimmed_mean(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+_A20_COLS = ["c_name", "c_nationkey", "c_mktsegment"]
+
+_A20_SQL = ("WITH pairs AS (\n"
+            + "\n  UNION ALL\n".join(
+                f"""  SELECT '{c}' AS "column", CAST({c} AS VARCHAR) AS value
+  FROM customer WHERE {c} IS NOT NULL""" for c in _A20_COLS)
+            + """
+), counts AS (
+  SELECT "column", value, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2
+), tot AS (
+  SELECT "column", sum(n) AS t FROM counts GROUP BY 1
+), best AS (
+  SELECT "column", value AS mode_value, n,
+         row_number() OVER (PARTITION BY "column"
+                            ORDER BY n DESC, value) AS rk
+  FROM counts
+)
+SELECT b."column", mode_value, n, round(n / t, 6) AS share
+FROM best b JOIN tot USING ("column") WHERE rk = 1""")
+
+
+@register("a20_column_modes", _A20_SQL)
+def a20_column_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column mode (most frequent value, smallest-value tiebreak)."""
+    return P.column_modes(_t(spark, sf_dir, "customer"), _A20_COLS)

@@ -113,3 +113,21 @@ def test_windowed_topk_rank_bounds(tables):
     for rows in per_w.values():
         ns = [r["n"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert ns == sorted(ns, reverse=True)  # rank follows count
+
+
+def test_trimmed_mean_robust_to_outlier(spark):
+    rows = [(float(i),) for i in range(1, 20)] + [(10_000.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    r = P.trimmed_mean(df, "v", 0.05, 0.95).collect()[0]
+    assert r["trimmed_mean"] < 20  # the 10k outlier is cut
+    plain = df.agg(F.avg("v")).collect()[0][0]
+    assert plain > 500
+
+
+def test_column_modes_tiebreak_smallest(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], "x string")
+    r = P.column_modes(df, ["x"]).collect()[0]
+    # a and b both occur twice: smallest value wins
+    assert r["mode_value"] == "a" and r["n"] == 2
+    assert abs(r["share"] - 0.4) < 1e-9
