@@ -88,3 +88,68 @@ def hash_embedding(col, dims: int = 8):
          / F.lit(float(PORTABLE_P))) * 2.0 - 1.0
         for i in range(dims)]
     return F.array(*vals)
+
+
+def pca_top_component(df: DataFrame, id_col: str, vec_col: str,
+                      n_iter: int = 50) -> tuple[DataFrame, dict]:
+    """Top principal component of an embedding column via distributed
+    covariance + driver-side power iteration.  Returns
+    ``(projections, info)``: a (id, pc1) DataFrame of centered
+    projections, and a dict with the component ``loadings``, its
+    ``eigenvalue`` and ``explained_variance_ratio``.
+
+    Scale shape: the d×d scatter matrix is accumulated per Arrow batch
+    inside ``mapInPandas`` (one numpy ``X.T @ X`` per batch — the
+    legitimately-Python path, since a d² outer-product explode would
+    shuffle d²·rows cells), emitting ONE flattened partial matrix plus
+    mean/count partials per batch; a single tiny aggregate sums them.
+    Only O(partitions · d²) floats cross the wire — independent of row
+    count — and the driver never sees row data, just the d×d matrix
+    (d = 64 → 32 KB).  Power iteration (fixed ``n_iter`` rounds from a
+    deterministic all-ones start, sign-canonicalized so the first
+    nonzero loading is positive) runs on that tiny matrix; the
+    projection is a pure column expression.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(df.select(vec_col).first()[0])
+
+    def _partials(batches):
+        for pdf in batches:
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame({
+                "n": [float(len(X))],
+                "s": [X.sum(axis=0).tolist()],
+                "ss": [(X.T @ X).ravel().tolist()],
+            })
+
+    schema = "n double, s array<double>, ss array<double>"
+    parts = df.select(vec_col).mapInPandas(_partials, schema).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(n_iter):
+        v = cov @ v
+        v = v / np.linalg.norm(v)
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    eig = float(v @ cov @ v)
+    info = {"loadings": v.tolist(), "eigenvalue": eig,
+            "explained_variance_ratio": eig / float(np.trace(cov))}
+
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    load_arr = F.array(*[F.lit(float(x)) for x in v])
+    centered = F.zip_with(_dbl(F.col(vec_col)), mean_arr,
+                          lambda x, m: x - m)
+    proj = F.aggregate(F.zip_with(centered, load_arr, lambda x, w: x * w),
+                       F.lit(0.0).cast("double"), lambda a, x: a + x)
+    return (df.select(F.col(id_col), F.round(proj, 6).alias("pc1")), info)

@@ -5533,3 +5533,16 @@ FROM best b JOIN tot USING ("column") WHERE rk = 1""")
 def a20_column_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column mode (most frequent value, smallest-value tiebreak)."""
     return P.column_modes(_t(spark, sf_dir, "customer"), _A20_COLS)
+
+
+@register("e03_pca_projection")  # rows-only: eigensolver has no SQL oracle
+def e03_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embeddings table
+    (mapInPandas scatter-matrix partials + driver power iteration;
+    unit-tested for variance-capture and determinism instead of a
+    DuckDB oracle)."""
+    from dataqtor_spark.operators import embeddings as E
+
+    proj, _info = E.pca_top_component(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_iter=50)
+    return proj

@@ -131,3 +131,28 @@ def test_column_modes_tiebreak_smallest(spark):
     # a and b both occur twice: smallest value wins
     assert r["mode_value"] == "a" and r["n"] == 2
     assert abs(r["share"] - 0.4) < 1e-9
+
+
+def test_pca_captures_dominant_direction(spark):
+    import numpy as np
+
+    from dataqtor_spark.operators import embeddings as E
+
+    # anisotropic cloud: variance 100x larger along a known direction
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(300, 8))
+    base[:, 3] *= 10.0
+    rows = [(i, base[i].tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj, info = E.pca_top_component(df, "vec_id", "embedding", n_iter=60)
+    load = info["loadings"]
+    assert abs(load[3]) > 0.95           # dominant axis found
+    assert info["explained_variance_ratio"] > 0.8
+    # projection variance equals the eigenvalue (Rayleigh quotient)
+    vals = [r["pc1"] for r in proj.collect()]
+    assert len(vals) == 300
+    var = float(np.var(vals))
+    assert abs(var - info["eigenvalue"]) / info["eigenvalue"] < 0.01
+    # deterministic across runs
+    _, info2 = E.pca_top_component(df, "vec_id", "embedding", n_iter=60)
+    assert np.allclose(info2["loadings"], load, atol=1e-9)
