@@ -267,3 +267,30 @@ def resample_ffill(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     return (grid.join(daily, [key_col, "day"], "left")
             .withColumn("value", F.last("__v", ignorenulls=True).over(w2))
             .select(key_col, "day", "value"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected graph given as an edge list
+    (deduped, canonicalized a < b internally): the clustering/community
+    signal of the co-occurrence graphs this engine builds (co-purchase,
+    transition, near-dup).
+
+    Standard two-join formulation on the ordered edge set: wedges
+    (a<b<c from edges (a,b),(b,c)) ⋈ closing edge (a,c).  Ordering each
+    edge by its smaller endpoint means every triangle is counted exactly
+    once and the join fan-out is bounded by high-degree nodes' ordered
+    degree — the same trick GraphX/Pregel implementations use.  Both
+    joins shuffle only 2-column keys; no adjacency list materializes.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    wedges = e1.join(e2, F.col("y") == F.col("y2")).select("x", "y", "z")
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = wedges.join(e3, (F.col("x") == F.col("x3"))
+                      & (F.col("z") == F.col("z3")))
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

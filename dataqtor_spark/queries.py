@@ -5546,3 +5546,35 @@ def e03_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj, _info = E.pca_top_component(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_iter=50)
     return proj
+
+
+_G02_SQL = """WITH e AS (
+  SELECT DISTINCT least(l_partkey, p2) AS a, greatest(l_partkey, p2) AS b
+  FROM (
+    SELECT x.l_partkey, y.l_partkey AS p2
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  )
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+@register("g02_triangle_count", _G02_SQL)
+def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (parts co-occurring in an
+    order are connected)."""
+    from dataqtor_spark.operators import behavior as B
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (li.select("l_orderkey", "l_partkey").distinct().alias("x")
+             .join(li.select(F.col("l_orderkey").alias("ok"),
+                             F.col("l_partkey").alias("p2")).distinct(),
+                   (F.col("l_orderkey") == F.col("ok"))
+                   & (F.col("l_partkey") < F.col("p2")))
+             .select(F.col("l_partkey").alias("src"),
+                     F.col("p2").alias("dst")))
+    return B.triangle_count(pairs)

@@ -156,3 +156,15 @@ def test_pca_captures_dominant_direction(spark):
     # deterministic across runs
     _, info2 = E.pca_top_component(df, "vec_id", "embedding", n_iter=60)
     assert np.allclose(info2["loadings"], load, atol=1e-9)
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; edges given in mixed orientation + duplicates
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 3), (5, 6)]  # plus a disconnected edge
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = B.triangle_count(df).collect()[0]["n_triangles"]
+    assert got == 4
+    # triangle-free graph
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    assert B.triangle_count(path).collect()[0]["n_triangles"] == 0
