@@ -294,3 +294,68 @@ def triangle_count(edges: DataFrame, src: str = "src",
     tri = wedges.join(e3, (F.col("x") == F.col("x3"))
                       & (F.col("z") == F.col("z3")))
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def rfm_segments(df: DataFrame, as_of, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 event_filter=None, type_col: str = "event_type",
+                 n_tiles: int = 5) -> DataFrame:
+    """RFM segmentation: per user, recency (days since last event as of a
+    FIXED reference time — reproducible runs), frequency (event count)
+    and monetary (DECIMAL-exact value sum), each scored into ``n_tiles``
+    quantile tiles (5 = best: most recent / most frequent / highest
+    spend), plus the concatenated segment label.
+
+    One per-user aggregate (the only full shuffle), then three NTILE
+    windows over the users table — each made a total order with the user
+    id tiebreak, so tile membership is deterministic and engine-portable.
+    """
+    base = df if event_filter is None else df.filter(
+        F.col(type_col) == event_filter)
+    per_user = (base.groupBy(F.col(user_col).alias("user_id"))
+                .agg(F.datediff(F.lit(as_of).cast("date"),
+                                F.to_date(F.max(ts_col)))
+                     .cast("int").alias("recency_days"),
+                     F.count(F.lit(1)).cast("long").alias("frequency"),
+                     F.sum(F.col(value_col).cast("decimal(18,2)"))
+                     .alias("__m")))
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("__m").asc(), F.col("user_id"))
+    return (per_user
+            .withColumn("r_score", F.ntile(n_tiles).over(r_w))
+            .withColumn("f_score", F.ntile(n_tiles).over(f_w))
+            .withColumn("m_score", F.ntile(n_tiles).over(m_w))
+            .withColumn("monetary",
+                        F.round(F.col("__m").cast("double"), 2))
+            .withColumn("segment", F.concat_ws("", "r_score", "f_score",
+                                               "m_score"))
+            .select("user_id", "recency_days", "frequency", "monetary",
+                    "r_score", "f_score", "m_score", "segment"))
+
+
+def pareto_concentration(df: DataFrame, key_col: str, revenue: "F.Column",
+                         threshold: float = 0.8) -> DataFrame:
+    """Pareto/ABC concentration: how many keys carry ``threshold`` of
+    total revenue (the 80/20 diagnosis), plus the top-key share.
+
+    One keyed aggregate (DECIMAL-exact), then windows over the aggregated
+    key table only: a cumulative sum in (revenue desc, key) total order
+    and the scalar total.  The fact table shuffles once; the window runs
+    on |keys| rows.  The share ratio is a single double division of two
+    exact decimals, so the cut is engine-deterministic.
+    """
+    per_key = (df.groupBy(F.col(key_col).alias("k"))
+               .agg(F.sum(revenue.cast("decimal(28,10)")).alias("rev")))
+    w_cum = (Window.orderBy(F.col("rev").desc(), F.col("k"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy()
+    scored = per_key.select(
+        "k", "rev",
+        (F.sum("rev").over(w_cum).cast("double")
+         / F.sum("rev").over(w_all).cast("double")).alias("cum_share"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("cum_share") <= threshold, 1).otherwise(0))
+        .cast("long").alias(f"n_keys_within_threshold"),
+        F.round(F.min("cum_share"), 6).alias("top_key_share"))

@@ -5578,3 +5578,68 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("l_partkey").alias("src"),
                      F.col("p2").alias("dst")))
     return B.triangle_count(pairs)
+
+
+# ---------------------------------------------------------------------------
+# b06 — RFM segmentation; pareto01 — revenue concentration (80/20)
+# ---------------------------------------------------------------------------
+
+_B06_SQL = """WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-01')::INT
+           AS recency_days,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(value AS DECIMAL(18,2))) AS m
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency,
+       round(CAST(m AS DOUBLE), 2) AS monetary,
+       ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+       ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+       ntile(5) OVER (ORDER BY m ASC, user_id) AS m_score,
+       concat(ntile(5) OVER (ORDER BY recency_days DESC, user_id),
+              ntile(5) OVER (ORDER BY frequency ASC, user_id),
+              ntile(5) OVER (ORDER BY m ASC, user_id)) AS segment
+FROM per_user"""
+
+
+@register("b06_rfm_segments", _B06_SQL)
+def b06_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of purchase events as of 2024-02-01."""
+    import datetime as _dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    return B.rfm_segments(_t(spark, sf_dir, "events"),
+                          _dt.date(2024, 2, 1), event_filter="purchase")
+
+
+_PARETO01_SQL = """WITH per_key AS (
+  SELECT l_partkey AS k,
+         sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(28,10))) AS rev
+  FROM lineitem GROUP BY 1
+), scored AS (
+  SELECT k, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, k
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(sum(rev) OVER () AS DOUBLE) AS cum_share
+  FROM per_key
+)
+SELECT count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN cum_share <= 0.8 THEN 1 ELSE 0 END)::BIGINT
+         AS n_keys_within_threshold,
+       round(min(cum_share), 6) AS top_key_share
+FROM scored"""
+
+
+@register("pareto01_revenue_concentration", _PARETO01_SQL)
+def pareto01_revenue_concentration(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """80/20 diagnosis: parts carrying 80% of discounted revenue."""
+    from dataqtor_spark.operators import behavior as B
+
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return B.pareto_concentration(_t(spark, sf_dir, "lineitem"),
+                                  "l_partkey", rev, threshold=0.8)

@@ -168,3 +168,35 @@ def test_triangle_count_known_graph(spark):
     # triangle-free graph
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
     assert B.triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_rfm_scores_order(spark):
+    import datetime as dt
+
+    rows = []
+    # user 1: recent, frequent, big spender; user 2: stale, rare, small
+    for i in range(10):
+        rows.append((1, dt.datetime(2024, 1, 28, i), "purchase", 100.0, i))
+    rows.append((2, dt.datetime(2024, 1, 2), "purchase", 1.0, 99))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+              "value double, event_id long")
+    got = {r["user_id"]: r for r in B.rfm_segments(
+        df, dt.date(2024, 2, 1), event_filter="purchase").collect()}
+    assert got[1]["r_score"] > got[2]["r_score"]
+    assert got[1]["f_score"] > got[2]["f_score"]
+    assert got[1]["m_score"] > got[2]["m_score"]
+    assert got[1]["monetary"] == 1000.0
+    assert got[1]["segment"] == "%d%d%d" % (got[1]["r_score"],
+                                            got[1]["f_score"],
+                                            got[1]["m_score"])
+
+
+def test_pareto_concentration_known(spark):
+    # revenues 80, 10, 5, 5: top key alone is exactly 80%
+    df = spark.createDataFrame(
+        [(1, 80.0), (2, 10.0), (3, 5.0), (4, 5.0)], "k int, v double")
+    r = B.pareto_concentration(df, "k", F.col("v"), 0.8).collect()[0]
+    assert r["n_keys"] == 4
+    assert r["n_keys_within_threshold"] == 1  # cum_share hits 0.8 at key 1
+    assert abs(r["top_key_share"] - 0.8) < 1e-9
