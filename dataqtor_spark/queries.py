@@ -5643,3 +5643,130 @@ def pareto01_revenue_concentration(spark: SparkSession,
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return B.pareto_concentration(_t(spark, sf_dir, "lineitem"),
                                   "l_partkey", rev, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# rr01 — hierarchical rollup with ratio-to-parent; cep01 — time-bound
+# sequence pattern matching (CEP)
+# ---------------------------------------------------------------------------
+
+_RR01_SQL = """WITH base AS (
+  SELECT r_name, n_name,
+         sum(CAST(o_totalprice AS DECIMAL(28,10))) AS rev,
+         count(*)::BIGINT AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS INT) AS g_r,
+       CAST(GROUPING(n_name) AS INT) AS g_n,
+       n_orders,
+       round(CAST(rev AS DOUBLE), 4) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(CASE WHEN GROUPING(n_name) = 1
+                              AND GROUPING(r_name) = GROUPING(r_name)
+                             THEN NULL ELSE NULL END) OVER () AS DOUBLE),
+             6) AS _placeholder
+FROM base"""
+
+
+# the window form above is awkward in portable SQL; express ratio-to-parent
+# via self-joins on the rollup result instead (deterministic, no engine-
+# specific grouping-window interplay)
+_RR01_SQL = """WITH base AS (
+  SELECT r_name, n_name,
+         CAST(GROUPING(r_name) AS INT) AS g_r,
+         CAST(GROUPING(n_name) AS INT) AS g_n,
+         sum(CAST(o_totalprice AS DECIMAL(28,10))) AS rev,
+         count(*)::BIGINT AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+SELECT b.r_name, b.n_name, b.g_r, b.g_n, b.n_orders,
+       round(CAST(b.rev AS DOUBLE), 4) AS revenue,
+       round(CAST(b.rev AS DOUBLE) / CAST(p.rev AS DOUBLE), 6)
+         AS share_of_parent
+FROM base b
+LEFT JOIN base p
+  ON (b.g_n = 0 AND b.g_r = 0 AND p.g_n = 1 AND p.g_r = 0
+      AND p.r_name = b.r_name)
+  OR (b.g_n = 1 AND b.g_r = 0 AND p.g_n = 1 AND p.g_r = 1)"""
+
+
+@register("rr01_region_nation_rollup", _RR01_SQL)
+def rr01_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue rollup (region → nation → grand total) with
+    each row's share of its parent level: one ROLLUP pass over the fact
+    (dims broadcast), then a self-join of the tiny rollup table to
+    attach parent totals — no second fact scan."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name",
+                                             "n_regionkey")
+    reg = _t(spark, sf_dir, "region")
+    base = (orders
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+            .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+            .rollup("r_name", "n_name")
+            .agg(F.grouping("r_name").cast("int").alias("g_r"),
+                 F.grouping("n_name").cast("int").alias("g_n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+                 .alias("rev"),
+                 F.count(F.lit(1)).cast("long").alias("n_orders")))
+    p = base.select(F.col("r_name").alias("p_r"), F.col("g_r").alias("p_gr"),
+                    F.col("g_n").alias("p_gn"), F.col("rev").alias("p_rev"))
+    nation_parent = ((F.col("g_n") == 0) & (F.col("g_r") == 0)
+                     & (F.col("p_gn") == 1) & (F.col("p_gr") == 0)
+                     & (F.col("p_r") == F.col("r_name")))
+    region_parent = ((F.col("g_n") == 1) & (F.col("g_r") == 0)
+                     & (F.col("p_gn") == 1) & (F.col("p_gr") == 1))
+    return (base.join(F.broadcast(p), nation_parent | region_parent, "left")
+            .select("r_name", "n_name", "g_r", "g_n", "n_orders",
+                    F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+                    F.round(F.col("rev").cast("double")
+                            / F.col("p_rev").cast("double"), 6)
+                    .alias("share_of_parent")))
+
+
+_CEP01_SQL = """WITH seq AS (
+  SELECT user_id, event_type AS e1, ts AS t1,
+         lead(event_type, 1) OVER w AS e2, lead(ts, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS e3, lead(ts, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*)::BIGINT AS n_matches
+FROM seq
+WHERE e1 = 'view' AND e2 = 'click' AND e3 = 'purchase'
+  AND t3 <= t1 + INTERVAL 12 HOUR
+GROUP BY user_id"""
+
+
+@register("cep01_sequence_match", _CEP01_SQL)
+def cep01_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern: strictly-consecutive view→click→purchase within 12
+    hours, counted per user.  Two leads inside the per-user window
+    (parallel across users) — the pattern predicate is a pure row filter
+    after the window, so no joins and one shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", F.col("event_type").alias("e1"), F.col("ts").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"))
+    return (seq.filter((F.col("e1") == "view") & (F.col("e2") == "click")
+                       & (F.col("e3") == "purchase")
+                       & (F.col("t3")
+                          <= F.col("t1") + F.expr("INTERVAL 12 HOUR")))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches")))
