@@ -5650,32 +5650,8 @@ def pareto01_revenue_concentration(spark: SparkSession,
 # sequence pattern matching (CEP)
 # ---------------------------------------------------------------------------
 
-_RR01_SQL = """WITH base AS (
-  SELECT r_name, n_name,
-         sum(CAST(o_totalprice AS DECIMAL(28,10))) AS rev,
-         count(*)::BIGINT AS n_orders
-  FROM orders
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation ON c_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  GROUP BY ROLLUP (r_name, n_name)
-)
-SELECT r_name, n_name,
-       CAST(GROUPING(r_name) AS INT) AS g_r,
-       CAST(GROUPING(n_name) AS INT) AS g_n,
-       n_orders,
-       round(CAST(rev AS DOUBLE), 4) AS revenue,
-       round(CAST(rev AS DOUBLE)
-             / CAST(sum(CASE WHEN GROUPING(n_name) = 1
-                              AND GROUPING(r_name) = GROUPING(r_name)
-                             THEN NULL ELSE NULL END) OVER () AS DOUBLE),
-             6) AS _placeholder
-FROM base"""
-
-
-# the window form above is awkward in portable SQL; express ratio-to-parent
-# via self-joins on the rollup result instead (deterministic, no engine-
-# specific grouping-window interplay)
+# ratio-to-parent via self-joins on the rollup result (deterministic, no
+# engine-specific grouping-window interplay)
 _RR01_SQL = """WITH base AS (
   SELECT r_name, n_name,
          CAST(GROUPING(r_name) AS INT) AS g_r,
