@@ -457,3 +457,54 @@ def test_latest_per_key_sink_matches_batch_compaction(spark, tables, tmp_path):
     g2 = {r["user_id"]: (r["ts"], r["event_id"])
           for r in spark.read.parquet(sink).collect()}
     assert g2 == w
+
+
+def test_streaming_cep_equals_batch(spark, tables, tmp_path):
+    from pyspark.sql.window import Window
+
+    from dataqtor_spark.streaming import stateful as ST
+
+    ev = tables["events"]
+    pattern = ["view", "click", "purchase"]
+    within_min = 12 * 60
+
+    # batch answer: lead-chain form
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", F.col("event_type").alias("e1"), F.col("ts").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("t3"))
+    batch = {r["user_id"]: r["n"] for r in
+             seq.filter((F.col("e1") == "view") & (F.col("e2") == "click")
+                        & (F.col("e3") == "purchase")
+                        & (F.col("t3") <= F.col("t1")
+                           + F.expr("INTERVAL 12 HOUR")))
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    # stream the same events as 3 time-ordered micro-batches
+    src = str(tmp_path / "cep_src")
+    cuts = ["2024-01-08", "2024-01-20"]
+    periods = [ev.filter(F.col("ts") < cuts[0]),
+               ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+               ev.filter(F.col("ts") >= cuts[1])]
+    import os
+    import time
+
+    os.makedirs(src)
+    for i, p in enumerate(periods):
+        p.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = SP.stream_events(spark, src, watermark="90 days")
+    out = ST.streaming_sequence_match(stream, pattern, within_min)
+    q = (out.writeStream.format("memory").queryName("cep_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("cep_test").collect()
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = max(latest.get(r["user_id"], 0),
+                                   r["n_matches"])
+    streamed = {u: n for u, n in latest.items() if n > 0}
+    assert streamed == batch
