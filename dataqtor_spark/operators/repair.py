@@ -265,3 +265,44 @@ def winsorize(df: DataFrame, col: str, lower_q: float = 0.05,
                               | (F.col(col) > F.col("__hi"))))
             .withColumn(col, clipped)
             .drop("__lo", "__hi"))
+
+
+def render_report_markdown(report_df) -> str:
+    """Render the before/after DQ report (``Workbench.report()`` output)
+    as self-contained markdown — the engine-level stand-in for the
+    reference's Streamlit gauge + bar charts (gaugeChart.py:19-110,
+    home.py:1152-1191): per-measurement overall score with a text gauge,
+    and the per-rule table.
+
+    Driver-side by design: the report table is measurements × rules rows
+    (tiny); the heavy work already happened in the fused rule
+    evaluation.  Deterministic output — same report, same string.
+    """
+    rows = report_df.collect()
+    by_m: dict = {}
+    for r in rows:
+        by_m.setdefault(r["measurement"], []).append(r)
+    lines = ["# Data-quality report", ""]
+    for m in sorted(by_m):
+        rs = by_m[m]
+        overall = rs[0]["overall_dq_score"]
+        filled = int(round(overall / 5))
+        gauge = "█" * filled + "░" * (20 - filled)
+        lines += [f"## Measurement {m} — overall {overall:.2f}/100",
+                  "", f"`{gauge}` {overall:.2f}", "",
+                  "| rule | total | nulls | violations | score |",
+                  "|---|---|---|---|---|"]
+        for r in sorted(rs, key=lambda r: r["rule"]):
+            lines.append(
+                f"| {r['rule']} | {r['total_records']} | "
+                f"{r['null_records']} | {r['out_of_format_records']} | "
+                f"{r['dq_score']:.2f} |")
+        lines.append("")
+    if len(by_m) >= 2:
+        first, last = min(by_m), max(by_m)
+        d = (by_m[last][0]["overall_dq_score"]
+             - by_m[first][0]["overall_dq_score"])
+        lines.append(f"**Overall change: {d:+.2f} points** "
+                     f"(measurement {first} → {last})")
+        lines.append("")
+    return "\n".join(lines)

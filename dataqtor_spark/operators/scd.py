@@ -112,7 +112,7 @@ def point_in_time_join(facts: DataFrame, scd2: DataFrame, key: str,
 # ---------------------------------------------------------------------------
 
 def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
-                  compare_cols: list[str]) -> DataFrame:
+                  compare_cols: list[str] | None = None) -> DataFrame:
     """Keyed diff of two table versions: one row per key whose state
     changed, tagged ``added`` / ``removed`` / ``changed`` with both sides'
     compared values (old_*/new_*, NULL on the missing side).
@@ -124,7 +124,15 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     comparison (``<=>``) so NULL→value and value→NULL count as changes.
     Unchanged keys are dropped before anything else touches the row, so
     the output is proportional to the delta, not the table.
+
+    ``compare_cols=None`` handles schema evolution: the diff compares the
+    columns COMMON to both versions (added/removed columns can't make a
+    row "changed" — they'd flag every row; surface them via
+    ``schema_changes`` instead).
     """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns
+                        if c in set(new.columns) and c not in key_cols]
     o = old.select([F.col(k) for k in key_cols]
                    + [F.col(c).alias(f"old_{c}") for c in compare_cols]
                    + [F.lit(1).alias("__in_old")])
@@ -163,3 +171,23 @@ def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def schema_changes(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Column-level schema diff between two table versions:
+    [{column, change, old_type, new_type}] for added / removed /
+    retyped columns.  Metadata-only (no job runs)."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            out.append({"column": c, "change": "removed",
+                        "old_type": o[c], "new_type": None})
+        elif c not in o:
+            out.append({"column": c, "change": "added",
+                        "old_type": None, "new_type": n[c]})
+        elif o[c] != n[c]:
+            out.append({"column": c, "change": "retyped",
+                        "old_type": o[c], "new_type": n[c]})
+    return out

@@ -64,3 +64,34 @@ def test_workbench_expectation_shortcuts(spark, tmp_path):
     v2 = Workbench(df.withColumn("v", F.coalesce("v", F.lit(0.0))))
     d = v2.diff_against(wb, ["id", "cat", "v"], ["v"])
     assert d.count() >= 1  # the null-fill shows up as add+remove on the key
+
+
+def test_render_report_markdown(spark):
+    from dataqtor_spark.operators import repair as RP
+    from dataqtor_spark.operators import rules as R
+    from dataqtor_spark.workbench import Workbench
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "xy"), (3, None)], "id long, name string")
+    wb = Workbench(df)
+    wb.detect([R.rule_no_spaces("name")])
+    wb.collapse_spaces("name").find_replace("name", " ", "")
+    wb.detect([R.rule_no_spaces("name")])
+    md = RP.render_report_markdown(wb.report())
+    assert "# Data-quality report" in md and "Measurement 0" in md
+    assert "Overall change: " in md and "name_no_spaces" in md
+    # after repair the score improved, so the change is positive
+    assert "Overall change: +" in md
+
+
+def test_snapshot_diff_common_cols_and_schema_changes(spark):
+    from dataqtor_spark.operators import scd as SCD
+
+    old = spark.createDataFrame([(1, 1.0, "x")], "k int, v double, gone string")
+    new = spark.createDataFrame([(1, 2.0, 5)], "k int, v double, added int")
+    # compare_cols=None -> only common non-key column v is compared
+    d = SCD.snapshot_diff(old, new, ["k"]).collect()
+    assert len(d) == 1 and d[0]["change_type"] == "changed"
+    ch = SCD.schema_changes(old, new)
+    assert {(c["column"], c["change"]) for c in ch} == {
+        ("gone", "removed"), ("added", "added")}
