@@ -504,3 +504,57 @@ def windowed_topk(df: DataFrame, ts_col: str = "ts",
         F.desc("n"), F.asc(group_col))
     return (counts.withColumn("rank", F.row_number().over(rw))
             .filter(F.col("rank") <= k))
+
+
+def additive_agg_sink(stream: DataFrame, group_cols: list[str], path: str,
+                      checkpoint: str, value_col: str = "value"):
+    """``foreachBatch`` incremental aggregate maintenance: keep a
+    (group → count, DECIMAL sum) snapshot additively updated per
+    micro-batch — the materialized-view pattern for dashboards over an
+    append-only stream.
+
+    Additive merges are NOT naturally idempotent (a checkpoint-replayed
+    batch would double-count), so exactly-once comes from an **epoch
+    ledger**: each applied batch's epoch id is recorded next to the
+    snapshot, and a batch whose epoch is already in the ledger is
+    skipped.  This is the third exactly-once construction in this module
+    — anti-join upsert (new-keys-only), semilattice merge (naturally
+    idempotent), and now ledgered addition (for merges that aren't) —
+    which together cover every sink algebra a DQ pipeline needs.
+    Snapshot rewrite is temp-dir-and-swap like the CDC sink.
+    """
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch.sparkSession
+        ledger = path.rstrip("/") + ".__epochs"
+        applied = set()
+        if os.path.isdir(ledger) and any(
+                f.endswith(".parquet") for f in os.listdir(ledger)):
+            applied = {r["epoch"] for r in
+                       spark.read.parquet(ledger).collect()}
+        if epoch_id in applied:
+            return  # replayed batch: already folded into the snapshot
+        part = (batch.groupBy(*group_cols)
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum(F.col(value_col).cast("decimal(18,2)"))
+                     .alias("s")))
+        if os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in os.listdir(path)):
+            cur = spark.read.parquet(path)
+            part = (cur.unionByName(part)
+                    .groupBy(*group_cols)
+                    .agg(F.sum("n").cast("long").alias("n"),
+                         F.sum("s").cast("decimal(18,2)").alias("s")))
+        tmp = path.rstrip("/") + ".__tmp"
+        part.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        spark.createDataFrame([(int(epoch_id),)], "epoch long") \
+            .write.mode("append").parquet(ledger)
+
+    return (stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

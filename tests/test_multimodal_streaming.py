@@ -508,3 +508,35 @@ def test_streaming_cep_equals_batch(spark, tables, tmp_path):
                                    r["n_matches"])
     streamed = {u: n for u, n in latest.items() if n > 0}
     assert streamed == batch
+
+
+def test_additive_agg_sink_exactly_once(spark, tables, tmp_path):
+    ev = tables["events"].limit(800)
+    src = str(tmp_path / "agg_src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "agg_snapshot")
+
+    want = {r["event_type"]: (r["n"], float(r["s"])) for r in
+            ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+            .collect()}
+
+    stream = SP.stream_events(spark, src, watermark="90 days")
+    q = SP.additive_agg_sink(stream, ["event_type"], sink,
+                             str(tmp_path / "agg_ck"))
+    q.awaitTermination()
+    got = {r["event_type"]: (r["n"], float(r["s"])) for r in
+           spark.read.parquet(sink).collect()}
+    assert got == want
+
+    # a NEW run over the same source uses a fresh checkpoint, so epochs
+    # restart at 0: the ledger must refuse the replayed epoch ids and the
+    # snapshot must not double-count
+    stream2 = SP.stream_events(spark, src, watermark="90 days")
+    q2 = SP.additive_agg_sink(stream2, ["event_type"], sink,
+                              str(tmp_path / "agg_ck2"))
+    q2.awaitTermination()
+    got2 = {r["event_type"]: (r["n"], float(r["s"])) for r in
+            spark.read.parquet(sink).collect()}
+    assert got2 == want
