@@ -186,3 +186,51 @@ def test_stratified_sample_never_exceeds_quota(spark, rows, quota):
         orig[s] = orig.get(s, 0) + 1
     for s, n in counts.items():
         assert n == min(quota, orig[s])
+
+
+def test_property_snapshot_diff_classification(spark):
+    """For random perturbations, snapshot_diff classifies exactly the
+    perturbed keys (delta-proportional output, property form)."""
+    import random
+
+    rnd = random.Random(11)
+    for _ in range(3):
+        n = 60
+        old_rows = [(i, float(rnd.randint(0, 5)),
+                     rnd.choice("abc")) for i in range(n)]
+        removed = set(rnd.sample(range(n), 7))
+        changed = set(rnd.sample([i for i in range(n) if i not in removed], 9))
+        added = set(range(n, n + 5))
+        new_rows = [(k, (v + 1.0) if k in changed else v,
+                     s) for k, v, s in old_rows if k not in removed]
+        new_rows += [(k, 1.0, "z") for k in added]
+        from dataqtor_spark.operators import scd as SCD
+
+        old = spark.createDataFrame(old_rows, "k long, v double, s string")
+        new = spark.createDataFrame(new_rows, "k long, v double, s string")
+        got = {r["k"]: r["change_type"]
+               for r in SCD.snapshot_diff(old, new, ["k"], ["v", "s"]).collect()}
+        assert {k for k, c in got.items() if c == "removed"} == removed
+        assert {k for k, c in got.items() if c == "changed"} == changed
+        assert {k for k, c in got.items() if c == "added"} == added
+
+
+def test_property_latest_per_key_is_idempotent_and_partition_free(spark):
+    """Compacting a compacted changelog is a no-op, and the result is
+    independent of input partitioning (semilattice property the
+    streaming sink relies on)."""
+    import random
+
+    from dataqtor_spark.operators import scd as SCD
+
+    rnd = random.Random(5)
+    rows = [(rnd.randint(0, 9), rnd.randint(0, 100), i)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, ts int, id int")
+    once = SCD.latest_per_key(df, ["k"], "ts", ["id"])
+    twice = SCD.latest_per_key(once, ["k"], "ts", ["id"])
+    a = {(r["k"], r["ts"], r["id"]) for r in once.collect()}
+    b = {(r["k"], r["ts"], r["id"]) for r in twice.collect()}
+    c = {(r["k"], r["ts"], r["id"]) for r in
+         SCD.latest_per_key(df.repartition(13), ["k"], "ts", ["id"]).collect()}
+    assert a == b == c
