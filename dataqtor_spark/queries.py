@@ -5764,3 +5764,86 @@ _front = list(dict.fromkeys(_SHOWCASE_ORDER + _SHOWCASE_EXTRA))
 QUERIES = {**{n: QUERIES[n] for n in _front},
            **{n: f for n, f in QUERIES.items() if n not in _front}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# s11 — session bounce rate; b07 — time-to-convert percentiles
+# ---------------------------------------------------------------------------
+
+_S11_SQL = """WITH x AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+y AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x),
+s AS (SELECT user_id, sid, min(ts) AS session_start,
+             count(*)::BIGINT AS n_events
+      FROM y GROUP BY user_id, sid)
+SELECT CAST(session_start AS DATE) AS day,
+       count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS bounce_rate
+FROM s GROUP BY 1"""
+
+
+@register("s11_session_bounce_rate", _S11_SQL)
+def s11_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing a
+    single event.  Builds on the unified sessionizer — one shuffle on
+    user, then an aggregate over the (small) session table."""
+    sess = SP.sessionize(_t(spark, sf_dir, "events"), "ts", "user_id",
+                         "30 minutes")
+    one = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (sess.groupBy(F.to_date("session_start").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 one.cast("long").alias("n_bounces"),
+                 F.round(one / F.count(F.lit(1)), 6).alias("bounce_rate"))
+            .withColumn("day", F.col("day").cast("timestamp")))
+
+
+_B07_SQL = """WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY 1
+), d AS (
+  SELECT (epoch_us(t1) - epoch_us(t0)) / 1000000.0 AS secs
+  FROM s JOIN p ON s.user_id = p.user_id
+)
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(secs, 0.25), 4) AS p25_s,
+       round(quantile_cont(secs, 0.5), 4) AS p50_s,
+       round(quantile_cont(secs, 0.75), 4) AS p75_s
+FROM d"""
+
+
+@register("b07_time_to_convert", _B07_SQL)
+def b07_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency percentiles: two per-user min
+    aggregates joined on the user key (sort-merge on an already-
+    clustered key at scale), exact-µs seconds, exact percentiles."""
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("pt"))
+         .join(s, "user_id")
+         .filter(F.col("pt") > F.col("t0"))
+         .groupBy("user_id").agg(F.min("pt").alias("t1"),
+                                 F.first("t0").alias("t0")))
+    secs = ((F.unix_micros(F.col("t1").cast("timestamp"))
+             - F.unix_micros(F.col("t0").cast("timestamp")))
+            / F.lit(1e6))
+    d = p.select(secs.alias("secs"))
+    return d.agg(F.count(F.lit(1)).cast("long").alias("n_converted"),
+                 F.round(F.expr("percentile(secs, 0.25)"), 4).alias("p25_s"),
+                 F.round(F.expr("percentile(secs, 0.5)"), 4).alias("p50_s"),
+                 F.round(F.expr("percentile(secs, 0.75)"), 4).alias("p75_s"))
