@@ -1189,3 +1189,51 @@ def column_modes(df: DataFrame, cols: list[str]) -> DataFrame:
             .join(F.broadcast(totals), "column")
             .withColumn("share", F.round(F.col("n") / F.col("__tot"), 6))
             .drop("__tot"))
+
+
+def duplicate_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-redundancy profile: for every column pair, how often the two
+    are (null-safely) equal — rate 1.0 flags a duplicated/derived column
+    (the ETL artifact every wide warehouse table accumulates).
+
+    All C(k,2) pair rates compute in ONE aggregate over one scan (values
+    compared as strings so heterogeneous types pair too); the row
+    explodes from a single result row, so cost is scan + k²/2 counters,
+    not k² scans.  Returns (col_a, col_b, n_rows, n_equal, equal_rate).
+    """
+    cols = _data_cols(df, cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        eq = F.col(a).cast("string").eqNullSafe(F.col(b).cast("string"))
+        aggs.append(F.sum(eq.cast("long")).alias(f"__eq_{a}_{b}"))
+    one = df.agg(*aggs)
+    structs = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__eq_{a}_{b}").alias("n_equal"),
+                        F.round(F.col(f"__eq_{a}_{b}") / F.col("__n"), 6)
+                        .alias("equal_rate"))
+               for a, b in pairs]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def inclusion_dependency(child: DataFrame, child_col: str,
+                         parent: DataFrame, parent_col: str) -> DataFrame:
+    """Inclusion-dependency check (FK-candidate discovery, SPIDER-style):
+    are all of ``child_col``'s values present in ``parent_col``?
+
+    Distinct-reduce both sides FIRST (the join carries only distinct
+    keys — at 100 TB that's the difference between joining two fact
+    tables and joining two key sets), then one left-anti join counts the
+    escapees.  Returns (n_child_distinct, n_missing, contained).
+    """
+    c = (child.select(F.col(child_col).alias("__k"))
+         .filter(F.col("__k").isNotNull()).distinct())
+    p = (parent.select(F.col(parent_col).alias("__k"))
+         .filter(F.col("__k").isNotNull()).distinct())
+    n_child = c.count()
+    n_missing = c.join(p, "__k", "left_anti").count()
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(n_child, n_missing, n_missing == 0)],
+        "n_child_distinct long, n_missing long, contained boolean")

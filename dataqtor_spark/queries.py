@@ -5847,3 +5847,115 @@ def b07_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(secs, 0.25)"), 4).alias("p25_s"),
                  F.round(F.expr("percentile(secs, 0.5)"), 4).alias("p50_s"),
                  F.round(F.expr("percentile(secs, 0.75)"), 4).alias("p75_s"))
+
+
+# ---------------------------------------------------------------------------
+# a21 — duplicate-column detection; fd02 — inclusion-dependency discovery
+# ---------------------------------------------------------------------------
+
+_A21_SQL = """WITH t AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         c_nationkey AS nation_copy FROM customer
+)
+SELECT 'c_custkey' AS col_a, 'c_nationkey' AS col_b,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN CAST(c_custkey AS VARCHAR) IS NOT DISTINCT FROM
+                     CAST(c_nationkey AS VARCHAR) THEN 1 ELSE 0 END)::BIGINT
+         AS n_equal,
+       round(sum(CASE WHEN CAST(c_custkey AS VARCHAR) IS NOT DISTINCT FROM
+                           CAST(c_nationkey AS VARCHAR)
+                      THEN 1 ELSE 0 END) / count(*), 6) AS equal_rate
+FROM t
+UNION ALL
+SELECT 'c_custkey', 'c_mktsegment', count(*)::BIGINT,
+       sum(CASE WHEN CAST(c_custkey AS VARCHAR) IS NOT DISTINCT FROM
+                     c_mktsegment THEN 1 ELSE 0 END)::BIGINT,
+       round(sum(CASE WHEN CAST(c_custkey AS VARCHAR) IS NOT DISTINCT FROM
+                           c_mktsegment THEN 1 ELSE 0 END) / count(*), 6)
+FROM t
+UNION ALL
+SELECT 'c_custkey', 'nation_copy', count(*)::BIGINT,
+       sum(CASE WHEN CAST(c_custkey AS VARCHAR) IS NOT DISTINCT FROM
+                     CAST(nation_copy AS VARCHAR) THEN 1 ELSE 0 END)::BIGINT,
+       round(sum(CASE WHEN CAST(c_custkey AS VARCHAR) IS NOT DISTINCT FROM
+                           CAST(nation_copy AS VARCHAR)
+                      THEN 1 ELSE 0 END) / count(*), 6)
+FROM t
+UNION ALL
+SELECT 'c_nationkey', 'c_mktsegment', count(*)::BIGINT,
+       sum(CASE WHEN CAST(c_nationkey AS VARCHAR) IS NOT DISTINCT FROM
+                     c_mktsegment THEN 1 ELSE 0 END)::BIGINT,
+       round(sum(CASE WHEN CAST(c_nationkey AS VARCHAR) IS NOT DISTINCT FROM
+                           c_mktsegment THEN 1 ELSE 0 END) / count(*), 6)
+FROM t
+UNION ALL
+SELECT 'c_nationkey', 'nation_copy', count(*)::BIGINT,
+       sum(CASE WHEN CAST(c_nationkey AS VARCHAR) IS NOT DISTINCT FROM
+                     CAST(nation_copy AS VARCHAR) THEN 1 ELSE 0 END)::BIGINT,
+       round(sum(CASE WHEN CAST(c_nationkey AS VARCHAR) IS NOT DISTINCT FROM
+                           CAST(nation_copy AS VARCHAR)
+                      THEN 1 ELSE 0 END) / count(*), 6)
+FROM t
+UNION ALL
+SELECT 'c_mktsegment', 'nation_copy', count(*)::BIGINT,
+       sum(CASE WHEN c_mktsegment IS NOT DISTINCT FROM
+                     CAST(nation_copy AS VARCHAR) THEN 1 ELSE 0 END)::BIGINT,
+       round(sum(CASE WHEN c_mktsegment IS NOT DISTINCT FROM
+                           CAST(nation_copy AS VARCHAR)
+                      THEN 1 ELSE 0 END) / count(*), 6)
+FROM t"""
+
+
+@register("a21_duplicate_columns", _A21_SQL)
+def a21_duplicate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-redundancy profile over customer plus a simulated ETL
+    duplicate (nation_copy = c_nationkey), which the 1.0 equal-rate pair
+    flags."""
+    t = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.col("c_nationkey").alias("nation_copy"))
+    return P.duplicate_columns(t)
+
+
+_FD02_SQL = """SELECT 'orders.o_custkey -> customer.c_custkey' AS dependency,
+  (SELECT count(DISTINCT o_custkey) FROM orders
+   WHERE o_custkey IS NOT NULL)::BIGINT AS n_child_distinct,
+  (SELECT count(*) FROM
+    (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL) c
+   WHERE NOT EXISTS (SELECT 1 FROM customer
+                     WHERE c_custkey = c.o_custkey))::BIGINT AS n_missing
+UNION ALL
+SELECT 'customer.c_custkey -> orders.o_custkey',
+  (SELECT count(DISTINCT c_custkey) FROM customer
+   WHERE c_custkey IS NOT NULL)::BIGINT,
+  (SELECT count(*) FROM
+    (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL) c
+   WHERE NOT EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c.c_custkey))::BIGINT
+UNION ALL
+SELECT 'lineitem.l_partkey -> part.p_partkey',
+  (SELECT count(DISTINCT l_partkey) FROM lineitem
+   WHERE l_partkey IS NOT NULL)::BIGINT,
+  (SELECT count(*) FROM
+    (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL) c
+   WHERE NOT EXISTS (SELECT 1 FROM part
+                     WHERE p_partkey = c.l_partkey))::BIGINT"""
+
+
+@register("fd02_inclusion_dependencies", _FD02_SQL)
+def fd02_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-candidate discovery across the star schema: distinct-reduced
+    anti-join containment for three directed column pairs."""
+    cands = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    out = None
+    for ct, cc, pt, pc in cands:
+        r = P.inclusion_dependency(_t(spark, sf_dir, ct), cc,
+                                   _t(spark, sf_dir, pt), pc)
+        r = r.select(F.lit(f"{ct}.{cc} -> {pt}.{pc}").alias("dependency"),
+                     "n_child_distinct", "n_missing")
+        out = r if out is None else out.unionByName(r)
+    return out

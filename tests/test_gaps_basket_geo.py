@@ -200,3 +200,23 @@ def test_pareto_concentration_known(spark):
     assert r["n_keys"] == 4
     assert r["n_keys_within_threshold"] == 1  # cum_share hits 0.8 at key 1
     assert abs(r["top_key_share"] - 0.8) < 1e-9
+
+
+def test_duplicate_columns_flags_copy(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (2, 2, "y"), (3, None, "z")],
+        "a int, a_copy int, other string")
+    got = {(r["col_a"], r["col_b"]): r["equal_rate"]
+           for r in P.duplicate_columns(df).collect()}
+    # null != value under null-safe compare, so the copy pair is 2/3
+    assert abs(got[("a", "a_copy")] - 2 / 3) < 1e-9
+    assert got[("a", "other")] == 0.0
+
+
+def test_inclusion_dependency_directions(spark):
+    child = spark.createDataFrame([(1,), (2,), (2,), (None,)], "k int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    fwd = P.inclusion_dependency(child, "k", parent, "k").collect()[0]
+    assert fwd["contained"] and fwd["n_child_distinct"] == 2
+    rev = P.inclusion_dependency(parent, "k", child, "k").collect()[0]
+    assert not rev["contained"] and rev["n_missing"] == 1
