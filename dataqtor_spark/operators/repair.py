@@ -221,6 +221,7 @@ class RepairSession:
     def __init__(self, df: DataFrame):
         self._head = df
         self._snapshots: dict[str, DataFrame] = {}
+        self._audit: list[dict] = []
 
     @property
     def df(self) -> DataFrame:
@@ -228,7 +229,21 @@ class RepairSession:
 
     def apply(self, fn, *args, **kwargs) -> "RepairSession":
         self._head = fn(self._head, *args, **kwargs)
+        self._audit.append({
+            "step": len(self._audit),
+            "op": getattr(fn, "__name__", str(fn)),
+            "args": ", ".join([repr(a) for a in args]
+                              + [f"{k}={v!r}" for k, v in kwargs.items()]),
+        })
         return self
+
+    def audit_log(self) -> list[dict]:
+        """Ordered record of every repair applied to this lineage — the
+        governance trail the reference's in-place mutation loses
+        (home.py applies edits destructively; here each step is a pure
+        transform, so the log + the source REPRODUCES the head
+        exactly)."""
+        return list(self._audit)
 
     def snapshot(self, name: str) -> DataFrame:
         self._snapshots[name] = self._head

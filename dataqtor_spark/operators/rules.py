@@ -377,3 +377,55 @@ def group_completeness(df: DataFrame, value_col: str,
             .agg(n.cast("long").alias("total_records"),
                  nulls.cast("long").alias("null_records"),
                  F.round(nulls * 100.0 / n, 2).alias("null_pct")))
+
+
+def verify_suggestions(df: DataFrame, suggestions: DataFrame) -> DataFrame:
+    """Re-assert a suggested-constraint table
+    (``profile.suggest_constraints`` output) against a dataset:
+    (column, constraint, param, passed) — the other half of the
+    profile→rules loop (suggest on yesterday's batch, verify today's).
+
+    One wide aggregate recomputes the same statistics the suggester used
+    (single scan, however many constraints), then each suggestion row
+    compares against its recomputed value driver-side (the suggestion
+    table is tiny by construction).  Numeric bounds use the exact stored
+    values, so verifying against the SAME data always passes.
+    """
+    rows = suggestions.collect()
+    cols = sorted({r["column"] for r in rows})
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .alias(f"__nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            # try_cast: string columns yield NULL bounds instead of an
+            # ANSI NumberFormatException; bound constraints only ever
+            # reference numeric columns anyway
+            F.min(F.expr(f"try_cast({c} AS double)")).alias(f"__min_{c}"),
+            F.max(F.expr(f"try_cast({c} AS double)")).alias(f"__max_{c}"),
+        ]
+    got = df.agg(*aggs).collect()[0]
+    n = got["__n"]
+    out = []
+    for r in rows:
+        c, k, p = r["column"], r["constraint"], r["param"]
+        nulls = got[f"__nulls_{c}"]
+        filled = n - nulls
+        if k == "not_null":
+            ok = nulls == 0
+        elif k == "complete_ge":
+            ok = n > 0 and round(filled / n, 4) >= p
+        elif k == "unique":
+            ok = got[f"__nd_{c}"] == filled
+        elif k == "isin":
+            ok = got[f"__nd_{c}"] <= p
+        elif k == "min_ge":
+            ok = got[f"__min_{c}"] is not None and got[f"__min_{c}"] >= p
+        elif k == "max_le":
+            ok = got[f"__max_{c}"] is not None and got[f"__max_{c}"] <= p
+        else:
+            ok = False
+        out.append((c, k, float(p), bool(ok)))
+    return df.sparkSession.createDataFrame(
+        out, "column string, constraint string, param double, passed boolean")

@@ -95,3 +95,35 @@ def test_snapshot_diff_common_cols_and_schema_changes(spark):
     ch = SCD.schema_changes(old, new)
     assert {(c["column"], c["change"]) for c in ch} == {
         ("gone", "removed"), ("added", "added")}
+
+
+def test_suggestion_verify_roundtrip_and_drift(spark):
+    from dataqtor_spark.operators import profile as P
+    from dataqtor_spark.operators import rules as R
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.5), (3, "a", 2.0)],
+        "id long, cat string, v double")
+    sug = P.suggest_constraints(df)
+    # same data: every suggestion must verify
+    res = R.verify_suggestions(df, sug).collect()
+    assert res and all(r["passed"] for r in res)
+    # drifted data: new max above stored bound + a null in id fails
+    drift = spark.createDataFrame(
+        [(None, "a", 99.0)], "id long, cat string, v double")
+    res2 = {(r["column"], r["constraint"]): r["passed"]
+            for r in R.verify_suggestions(df.unionByName(drift), sug).collect()}
+    assert res2[("v", "max_le")] is False
+    assert res2[("id", "not_null")] is False
+    assert res2[("cat", "isin")] is True  # domain unchanged
+
+
+def test_repair_session_audit_log(spark):
+    from dataqtor_spark.operators import repair as RP
+
+    df = spark.createDataFrame([(1, "  a  b ")], "id long, name string")
+    s = RP.RepairSession(df)
+    s.apply(RP.collapse_spaces, "name").apply(RP.upper_case, "name")
+    log = s.audit_log()
+    assert [e["op"] for e in log] == ["collapse_spaces", "upper_case"]
+    assert log[0]["step"] == 0 and "'name'" in log[0]["args"]
