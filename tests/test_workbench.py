@@ -127,3 +127,30 @@ def test_repair_session_audit_log(spark):
     log = s.audit_log()
     assert [e["op"] for e in log] == ["collapse_spaces", "upper_case"]
     assert log[0]["step"] == 0 and "'name'" in log[0]["args"]
+
+
+def test_metrics_repository_anomaly_detection(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from dataqtor_spark.operators import metrics_repo as MR
+    from dataqtor_spark.operators import profile as P
+
+    path = str(tmp_path / "metrics")
+    # three near-stable runs (null count 10/11/12), then a spike to 50
+    for k, run in [(10, "r1"), (11, "r2"), (12, "r3")]:
+        base = [(i, None if i < k else float(i % 7)) for i in range(100)]
+        df = spark.createDataFrame(base, "id long, v double")
+        MR.save_metrics(MR.metrics_from_profile(
+            P.null_profile(df, ["v"]), run), path)
+    spiked = spark.createDataFrame(
+        [(i, None if i % 2 else 1.0) for i in range(100)], "id long, v double")
+    MR.save_metrics(MR.metrics_from_profile(
+        P.null_profile(spiked, ["v"]), "r4"), path)
+
+    hist = MR.load_history(spark, path)
+    res = {r["metric"]: r for r in
+           MR.metric_anomalies(hist, "r4", z_threshold=3.0).collect()}
+    assert res["null_records"]["is_anomaly"]
+    assert res["total_records"]["is_anomaly"] is False  # constant metric
+    # constant history -> zero variance -> NULL z, never a false alarm
+    assert res["total_records"]["z"] is None
