@@ -1237,3 +1237,51 @@ def inclusion_dependency(child: DataFrame, child_col: str,
     return spark.createDataFrame(
         [(n_child, n_missing, n_missing == 0)],
         "n_child_distinct long, n_missing long, contained boolean")
+
+
+def null_profile_partials(df: DataFrame, part_col: str,
+                          cols: list[str] | None = None) -> DataFrame:
+    """Per-partition null-profile partials: (partition, column, total,
+    nulls).  The mergeable half of incremental profiling — profile ONLY
+    newly-arrived partitions, store these partials, and fold them with
+    :func:`merge_null_profiles` instead of rescanning 100 TB of history
+    every run.  Counts are algebraic (sum-mergeable by construction);
+    pair with the HLL sketches for distinct counts, which merge the same
+    way.
+    """
+    cols = [c for c in _data_cols(df, cols) if c != part_col]
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("long")),
+                               F.lit(0)).alias(f"__nulls_{c}"))
+    one = df.groupBy(F.col(part_col).alias("partition")).agg(*aggs)
+    structs = [F.struct(F.lit(c).alias("column"),
+                        F.col("__total").alias("total_records"),
+                        F.col(f"__nulls_{c}").alias("null_records"))
+               for c in cols]
+    return (one.select("partition", F.explode(F.array(*structs)).alias("s"))
+            .select("partition", "s.*"))
+
+
+def merge_null_profiles(partials: DataFrame) -> DataFrame:
+    """Fold stored per-partition partials into the table-level null
+    profile (same schema as :func:`null_profile`).  Pure aggregation over
+    the tiny partials table — no data scan; this is what an incremental
+    nightly profile actually executes."""
+    g = (partials.groupBy("column")
+         .agg(F.sum("total_records").cast("long").alias("total_records"),
+              F.sum("null_records").cast("long").alias("null_records")))
+    return (g.withColumn("filled_records",
+                         F.col("total_records") - F.col("null_records"))
+            .withColumn("null_pct",
+                        F.when(F.col("total_records") > 0,
+                               F.round(F.col("null_records") * 100.0
+                                       / F.col("total_records"), 2))
+                        .otherwise(F.lit(0.0)))
+            .withColumn("filled_pct",
+                        F.when(F.col("total_records") > 0,
+                               F.round(F.col("filled_records") * 100.0
+                                       / F.col("total_records"), 2))
+                        .otherwise(F.lit(0.0)))
+            .select("column", "total_records", "null_records",
+                    "filled_records", "null_pct", "filled_pct"))

@@ -114,3 +114,30 @@ def test_approx_describe_close_to_exact(tables):
     for q in ("q25", "median", "q75"):
         if q in exact.asDict() and exact[q] is not None:
             assert abs(approx[q] - exact[q]) / exact[q] < 0.05
+
+
+def test_incremental_profile_merge_equals_direct(spark, tables):
+    from dataqtor_spark.operators import profile as P
+
+    ev = tables["events"]
+    cols = ["user_id", "value", "props"]
+    direct = {r["column"]: (r["total_records"], r["null_records"],
+                            r["null_pct"])
+              for r in P.null_profile(ev, cols).collect()}
+    partials = P.null_profile_partials(
+        ev.withColumn("day", F.to_date("ts")), "day", cols + ["day"])
+    merged = {r["column"]: (r["total_records"], r["null_records"],
+                            r["null_pct"])
+              for r in P.merge_null_profiles(partials).collect()}
+    assert merged == direct
+    # incremental: merging yesterday's partials with today's only touches
+    # the partials table — verify a two-batch split folds identically
+    a = P.null_profile_partials(
+        ev.filter(F.col("event_id") % 2 == 0).withColumn(
+            "day", F.to_date("ts")), "day", cols + ["day"])
+    b = P.null_profile_partials(
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "day", F.to_date("ts")), "day", cols + ["day"])
+    two = {r["column"]: (r["total_records"], r["null_records"], r["null_pct"])
+           for r in P.merge_null_profiles(a.unionByName(b)).collect()}
+    assert two == direct
