@@ -5959,3 +5959,16 @@ def fd02_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_child_distinct", "n_missing")
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# Final prefix splice for queries registered after the extras block.
+_SHOWCASE_FINAL = _front + [
+    "s11_session_bounce_rate", "b07_time_to_convert",
+    "a21_duplicate_columns", "fd02_inclusion_dependencies",
+]
+_missing = [n for n in _SHOWCASE_FINAL if n not in QUERIES]
+assert not _missing, f"showcase-final references unknown queries: {_missing}"
+_ff = list(dict.fromkeys(_SHOWCASE_FINAL))
+QUERIES = {**{n: QUERIES[n] for n in _ff},
+           **{n: f for n, f in QUERIES.items() if n not in _ff}}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
