@@ -5972,3 +5972,109 @@ _ff = list(dict.fromkeys(_SHOWCASE_FINAL))
 QUERIES = {**{n: QUERIES[n] for n in _ff},
            **{n: f for n, f in QUERIES.items() if n not in _ff}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# s12 — windowed distinct users; a22 — whitespace/encoding anomaly profile;
+# clv01 — cumulative per-user revenue (CLV curve)
+# ---------------------------------------------------------------------------
+
+_S12_SQL = """SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))
+         AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1"""
+
+
+@register("s12_windowed_distinct_users", _S12_SQL)
+def s12_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per 6-hour window (exact here and in the
+    oracle; in streaming swap count_distinct for approx_count_distinct —
+    HLL state merges per window, bounded by windows-in-flight)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window(F.col("ts"), "6 hours").alias("w"))
+            .agg(F.count_distinct("user_id").cast("long").alias("n_users"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_users",
+                    "n_events"))
+
+
+_A22_COLS = ["c_name", "c_mktsegment"]
+
+_A22_SQL = "\nUNION ALL\n".join(f"""SELECT '{c}' AS "column",
+  sum(CASE WHEN {c} <> trim({c}) THEN 1 ELSE 0 END)::BIGINT
+    AS n_untrimmed,
+  sum(CASE WHEN {c} LIKE '%  %' THEN 1 ELSE 0 END)::BIGINT
+    AS n_multispace,
+  sum(CASE WHEN regexp_matches({c}, '[^\\x00-\\x7F]') THEN 1 ELSE 0 END)::BIGINT
+    AS n_non_ascii,
+  sum(CASE WHEN {c} = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty
+FROM customer WHERE {c} IS NOT NULL""" for c in _A22_COLS)
+
+
+@register("a22_whitespace_profile", _A22_SQL)
+def a22_whitespace_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/encoding anomaly profile per string column (untrimmed,
+    multi-space, non-ASCII, empty counts) — the invisible-character
+    findings behind most "two identical values don't join" bugs.  One
+    fused aggregate for all columns, same single-scan shape as A3."""
+    df = _t(spark, sf_dir, "customer")
+    aggs = []
+    for c in _A22_COLS:
+        col = F.col(c)
+        nn = col.isNotNull()
+        aggs += [
+            F.sum((nn & (col != F.trim(col))).cast("long"))
+            .alias(f"__untrim_{c}"),
+            F.sum((nn & col.contains("  ")).cast("long"))
+            .alias(f"__multi_{c}"),
+            F.sum((nn & col.rlike("[^\\x00-\\x7F]")).cast("long"))
+            .alias(f"__nonascii_{c}"),
+            F.sum((nn & (col == "")).cast("long")).alias(f"__empty_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = [F.struct(
+        F.lit(c).alias("column"),
+        F.col(f"__untrim_{c}").alias("n_untrimmed"),
+        F.col(f"__multi_{c}").alias("n_multispace"),
+        F.col(f"__nonascii_{c}").alias("n_non_ascii"),
+        F.col(f"__empty_{c}").alias("n_empty")) for c in _A22_COLS]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+_CLV01_SQL = """WITH weekly AS (
+  SELECT user_id,
+         date_diff('day', TIMESTAMP '2024-01-01', CAST(ts AS TIMESTAMP))
+           // 7 AS week,
+         sum(CAST(value AS DECIMAL(18,2))) AS wk_rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(week AS INT) AS week,
+       round(CAST(sum(wk_rev) OVER (PARTITION BY user_id ORDER BY week
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+         AS cum_revenue
+FROM weekly"""
+
+
+@register("clv01_cumulative_revenue", _CLV01_SQL)
+def clv01_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve: weekly purchase revenue per user,
+    accumulated along the user's own timeline (per-user window, DECIMAL
+    sums; weeks are day-offset based so no engine week-start drift)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    week = (F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date"))
+            / 7).cast("int")
+    weekly = (ev.groupBy("user_id", week.alias("week"))
+              .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                   .alias("wk_rev")))
+    w = (Window.partitionBy("user_id").orderBy("week")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return weekly.select(
+        "user_id", F.col("week").cast("int").alias("week"),
+        F.round(F.sum("wk_rev").over(w).cast("double"), 2)
+        .alias("cum_revenue"))
