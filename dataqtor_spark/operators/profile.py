@@ -1285,3 +1285,50 @@ def merge_null_profiles(partials: DataFrame) -> DataFrame:
                         .otherwise(F.lit(0.0)))
             .select("column", "total_records", "null_records",
                     "filled_records", "null_pct", "filled_pct"))
+
+
+DATE_PATTERNS = {
+    "yyyy-MM-dd": r"^\d{4}-\d{2}-\d{2}$",
+    "dd/MM/yyyy": r"^\d{2}/\d{2}/\d{4}$",
+    "dd.MM.yyyy": r"^\d{2}\.\d{2}\.\d{4}$",
+    "ddMMyyyy": r"^\d{8}$",
+    "yyyy-MM-dd HH:mm:ss": r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}",
+}
+
+
+def date_format_profile(df: DataFrame, col: str) -> DataFrame:
+    """Date-format sniffing for a string column: how many non-null values
+    match each known date pattern, plus the unmatched remainder — the
+    "what format IS this column" question that precedes every strict
+    parse (the reference hard-codes ddMMyyyy and silently fails
+    otherwise, home.py:1893-1919; this profiler is how an engine picks
+    the format instead of guessing).
+
+    One aggregate, one regex per pattern per row, all inside codegen.
+    Returns (format, n_matching, pct) with 'unmatched' as the last row.
+    """
+    c = F.col(col).cast("string")
+    nn = c.isNotNull()
+    safe = {name: f"__m_{i}" for i, name in enumerate(DATE_PATTERNS)}
+    aggs = [F.sum(nn.cast("long")).alias("__n")]
+    for name, pat in DATE_PATTERNS.items():
+        aggs.append(F.sum((nn & c.rlike(pat)).cast("long"))
+                    .alias(safe[name]))
+    one = df.agg(*aggs)
+    any_match = None
+    for name in DATE_PATTERNS:
+        t = F.col(safe[name])
+        any_match = t if any_match is None else (any_match + t)
+    structs = [F.struct(F.lit(name).alias("format"),
+                        F.col(safe[name]).alias("n_matching"),
+                        F.round(F.col(safe[name]) * 100.0 / F.col("__n"), 2)
+                        .alias("pct"))
+               for name in DATE_PATTERNS]
+    # patterns are mutually exclusive (anchored, distinct shapes), so the
+    # remainder is a subtraction, not another scan
+    structs.append(F.struct(
+        F.lit("unmatched").alias("format"),
+        (F.col("__n") - any_match).alias("n_matching"),
+        F.round((F.col("__n") - any_match) * 100.0 / F.col("__n"), 2)
+        .alias("pct")))
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -321,3 +321,24 @@ def render_report_markdown(report_df) -> str:
                      f"(measurement {first} → {last})")
         lines.append("")
     return "\n".join(lines)
+
+
+def parse_locale_number(df: DataFrame, col: str, out_col: str | None = None,
+                        decimal_comma: bool = True) -> DataFrame:
+    """Parse locale-formatted number strings ('1.234,56' under tr/de
+    convention) into doubles — the numeric twin of the reference's
+    Turkish-locale string repairs (its data is tr-TR, home.py:580-601).
+
+    Pure expression chain: strip grouping separators, swap the decimal
+    comma, ``try_cast`` (unparseable → NULL, never an ANSI error) —
+    whole-stage-codegen friendly, no UDF.  With ``decimal_comma=False``
+    parses en-US style ('1,234.56').
+    """
+    c = F.col(col).cast("string")
+    if decimal_comma:
+        norm = F.replace(F.replace(c, F.lit("."), F.lit("")),
+                         F.lit(","), F.lit("."))
+    else:
+        norm = F.replace(c, F.lit(","), F.lit(""))
+    return df.withColumn(out_col or f"{col}_parsed",
+                         norm.try_cast("double"))

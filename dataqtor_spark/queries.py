@@ -6078,3 +6078,81 @@ def clv01_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("week").cast("int").alias("week"),
         F.round(F.sum("wk_rev").over(w).cast("double"), 2)
         .alias("cum_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# f14 — locale number parsing; a23 — date-format sniffing
+# ---------------------------------------------------------------------------
+
+_F14_SQL = """WITH t AS (
+  SELECT o_orderkey,
+         concat(CAST(CAST(floor(o_totalprice) AS BIGINT) // 1000 AS VARCHAR), '.',
+                lpad(CAST(CAST(floor(o_totalprice) AS BIGINT) % 1000 AS VARCHAR),
+                     3, '0'), ',', '25') AS tr_num
+  FROM orders WHERE o_totalprice >= 1000 AND o_totalprice IS NOT NULL
+)
+SELECT o_orderkey, tr_num,
+       try_cast(replace(replace(tr_num, '.', ''), ',', '.') AS DOUBLE)
+         AS tr_num_parsed
+FROM t"""
+
+
+@register("f14_locale_number_parse", _F14_SQL)
+def f14_locale_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse tr-locale number strings (built deterministically from
+    o_totalprice: '12.345,25' style) back into doubles."""
+    from dataqtor_spark.operators import repair as RP
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= 1000) & F.col("o_totalprice").isNotNull())
+    ik = F.floor("o_totalprice").cast("bigint")
+    t = o.select(
+        "o_orderkey",
+        F.concat((ik / 1000).cast("bigint").cast("string"), F.lit("."),
+                 F.lpad((ik % 1000).cast("string"), 3, "0"),
+                 F.lit(","), F.lit("25")).alias("tr_num"))
+    return RP.parse_locale_number(t, "tr_num")
+
+
+_A23_SQL_PARTS = []
+for _name, _pat in [
+    ("yyyy-MM-dd", r"^\d{4}-\d{2}-\d{2}$"),
+    ("dd/MM/yyyy", r"^\d{2}/\d{2}/\d{4}$"),
+    ("dd.MM.yyyy", r"^\d{2}\.\d{2}\.\d{4}$"),
+    ("ddMMyyyy", r"^\d{8}$"),
+    ("yyyy-MM-dd HH:mm:ss", r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"),
+]:
+    _A23_SQL_PARTS.append(
+        f"""SELECT '{_name}' AS format,
+  sum(CASE WHEN regexp_matches(ds, '{_pat}') THEN 1 ELSE 0 END)::BIGINT
+    AS n_matching,
+  round(sum(CASE WHEN regexp_matches(ds, '{_pat}')
+            THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct
+FROM t""")
+
+_A23_SQL = ("""WITH t AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0
+              THEN strftime(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%Y')
+              WHEN o_orderkey % 3 = 1
+              THEN strftime(CAST(o_orderdate AS TIMESTAMP), '%d%m%Y')
+              ELSE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')
+         END AS ds
+  FROM orders WHERE o_orderdate IS NOT NULL
+)
+""" + "\nUNION ALL\n".join(_A23_SQL_PARTS)
+    + """
+UNION ALL
+SELECT 'unmatched', 0::BIGINT, 0.0 FROM t LIMIT 6""")
+
+
+@register("a23_date_format_profile", _A23_SQL)
+def a23_date_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-format sniffing over a deterministically mixed-format string
+    column (orderdate rendered three ways keyed on orderkey mod 3)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    ds = (F.when(F.col("o_orderkey") % 3 == 0,
+                 F.date_format("o_orderdate", "dd/MM/yyyy"))
+          .when(F.col("o_orderkey") % 3 == 1,
+                F.date_format("o_orderdate", "ddMMyyyy"))
+          .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")))
+    return P.date_format_profile(o.select(ds.alias("ds")), "ds")

@@ -139,3 +139,29 @@ def test_age_ansi_safe_on_garbage(spark):
     assert out["31022020"] is None  # no Feb 31
     assert out[""] is None
     assert out[None] is None
+
+
+def test_parse_locale_number_variants(spark):
+    from dataqtor_spark.operators import repair as RP
+
+    df = spark.createDataFrame(
+        [("1.234,56",), ("0,5",), ("12",), ("abc",), (None,)], "s string")
+    got = [r["s_parsed"] for r in
+           RP.parse_locale_number(df, "s").collect()]
+    assert got == [1234.56, 0.5, 12.0, None, None]
+    us = spark.createDataFrame([("1,234.56",)], "s string")
+    assert RP.parse_locale_number(us, "s", decimal_comma=False) \
+        .collect()[0]["s_parsed"] == 1234.56
+
+
+def test_date_format_profile_counts(spark):
+    from dataqtor_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [("2024-01-05",), ("05/01/2024",), ("05012024",), ("garbage",),
+         (None,)], "ds string")
+    got = {r["format"]: r["n_matching"]
+           for r in P.date_format_profile(df, "ds").collect()}
+    assert got["yyyy-MM-dd"] == 1 and got["dd/MM/yyyy"] == 1
+    assert got["ddMMyyyy"] == 1 and got["unmatched"] == 1
+    assert sum(got.values()) == 4  # nulls excluded everywhere
