@@ -1332,3 +1332,53 @@ def date_format_profile(df: DataFrame, col: str) -> DataFrame:
         F.round((F.col("__n") - any_match) * 100.0 / F.col("__n"), 2)
         .alias("pct")))
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+SENTINEL_TOKENS = ["n/a", "na", "null", "none", "-", "?", "unknown", ""]
+
+
+def sentinel_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """De-facto-null detection: per column, how many non-null values are
+    sentinel tokens ('N/A', '-', 'NULL', …, case-insensitive) — the
+    nulls that hide from the null profile and poison joins and
+    aggregates.  Feed findings into ``repair.value_to_null`` (F8).
+    One fused aggregate across all columns; same single-scan shape as
+    A3."""
+    aggs = []
+    for c in cols:
+        v = F.lower(F.trim(F.col(c).cast("string")))
+        nn = F.col(c).isNotNull()
+        aggs += [
+            F.sum(nn.cast("long")).alias(f"__n_{c}"),
+            F.sum((nn & v.isin(SENTINEL_TOKENS)).cast("long"))
+            .alias(f"__s_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = [F.struct(
+        F.lit(c).alias("column"),
+        F.col(f"__n_{c}").alias("n_values"),
+        F.col(f"__s_{c}").alias("n_sentinels"),
+        F.round(F.col(f"__s_{c}") * 100.0 / F.col(f"__n_{c}"), 2)
+        .alias("sentinel_pct")) for c in cols]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def case_profile(df: DataFrame, col: str) -> DataFrame:
+    """Case-consistency profile of a string column: counts of all-upper,
+    all-lower, title-case, and mixed values (letters-bearing values
+    only).  The complement of the shape profiler (A11) — 'ISTANBUL' vs
+    'Istanbul' vs 'istanbul' is the classic join-killer the reference
+    repairs with F1/F2 (home.py:1590-1617); this measures how bad it is
+    first.  One aggregate, pure string expressions."""
+    c = F.col(col).cast("string")
+    has_alpha = c.rlike("[A-Za-z]")
+    upper = has_alpha & (c == F.upper(c))
+    lower = has_alpha & (c == F.lower(c))
+    title = has_alpha & (c == F.initcap(c)) & ~upper & ~lower
+    mixed = has_alpha & ~upper & ~lower & ~title
+    return df.agg(
+        F.sum(has_alpha.cast("long")).alias("n_values"),
+        F.sum(upper.cast("long")).alias("n_upper"),
+        F.sum(lower.cast("long")).alias("n_lower"),
+        F.sum(title.cast("long")).alias("n_title"),
+        F.sum(mixed.cast("long")).alias("n_mixed"))

@@ -6156,3 +6156,56 @@ def a23_date_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.date_format("o_orderdate", "ddMMyyyy"))
           .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")))
     return P.date_format_profile(o.select(ds.alias("ds")), "ds")
+
+
+# ---------------------------------------------------------------------------
+# a24 — sentinel (de-facto null) profile; a25 — case-consistency profile
+# ---------------------------------------------------------------------------
+
+_A24_COLS = ["c_name", "c_mktsegment"]
+
+_A24_SQL = "\nUNION ALL\n".join(f"""SELECT '{c}' AS "column",
+  count({c})::BIGINT AS n_values,
+  sum(CASE WHEN lower(trim(CAST({c} AS VARCHAR))) IN
+           ('n/a', 'na', 'null', 'none', '-', '?', 'unknown', '')
+           THEN 1 ELSE 0 END)::BIGINT AS n_sentinels,
+  round(sum(CASE WHEN lower(trim(CAST({c} AS VARCHAR))) IN
+            ('n/a', 'na', 'null', 'none', '-', '?', 'unknown', '')
+            THEN 1 ELSE 0 END) * 100.0 / count({c}), 2) AS sentinel_pct
+FROM customer""" for c in _A24_COLS)
+
+
+@register("a24_sentinel_profile", _A24_SQL)
+def a24_sentinel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-facto-null sentinel counts over customer string columns."""
+    return P.sentinel_profile(_t(spark, sf_dir, "customer"), _A24_COLS)
+
+
+_A25_SQL = """SELECT
+  sum(CASE WHEN regexp_matches(p_name, '[A-Za-z]') THEN 1 ELSE 0 END)::BIGINT
+    AS n_values,
+  sum(CASE WHEN regexp_matches(p_name, '[A-Za-z]')
+            AND p_name = upper(p_name) THEN 1 ELSE 0 END)::BIGINT AS n_upper,
+  sum(CASE WHEN regexp_matches(p_name, '[A-Za-z]')
+            AND p_name = lower(p_name) THEN 1 ELSE 0 END)::BIGINT AS n_lower,
+  sum(CASE WHEN regexp_matches(p_name, '[A-Za-z]')
+            AND p_name = list_aggregate(list_transform(
+                  string_split(p_name, ' '),
+                  w -> CASE WHEN w = '' THEN w
+                       ELSE upper(w[1]) || lower(w[2:]) END), 'string_agg', ' ')
+            AND p_name <> upper(p_name) AND p_name <> lower(p_name)
+           THEN 1 ELSE 0 END)::BIGINT AS n_title,
+  sum(CASE WHEN regexp_matches(p_name, '[A-Za-z]')
+            AND p_name <> upper(p_name) AND p_name <> lower(p_name)
+            AND p_name <> list_aggregate(list_transform(
+                  string_split(p_name, ' '),
+                  w -> CASE WHEN w = '' THEN w
+                       ELSE upper(w[1]) || lower(w[2:]) END), 'string_agg', ' ')
+           THEN 1 ELSE 0 END)::BIGINT AS n_mixed
+FROM part"""
+
+
+@register("a25_case_profile", _A25_SQL)
+def a25_case_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-consistency counts over part names."""
+    return P.case_profile(_t(spark, sf_dir, "part"), "p_name")

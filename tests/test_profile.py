@@ -141,3 +141,26 @@ def test_incremental_profile_merge_equals_direct(spark, tables):
     two = {r["column"]: (r["total_records"], r["null_records"], r["null_pct"])
            for r in P.merge_null_profiles(a.unionByName(b)).collect()}
     assert two == direct
+
+
+def test_sentinel_profile_finds_fake_nulls(spark):
+    from dataqtor_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [("N/A",), ("x",), (" - ",), ("?",), (None,)], "v string")
+    r = P.sentinel_profile(df, ["v"]).collect()[0]
+    assert r["n_values"] == 4          # NULL excluded
+    assert r["n_sentinels"] == 3       # N/A, -, ? (trimmed, case-folded)
+    assert r["sentinel_pct"] == 75.0
+
+
+def test_case_profile_buckets(spark):
+    from dataqtor_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [("HELLO",), ("hello",), ("Hello World",), ("hELLo",), ("123",)],
+        "v string")
+    r = P.case_profile(df, "v").collect()[0]
+    assert r["n_values"] == 4          # digits-only excluded
+    assert (r["n_upper"], r["n_lower"], r["n_title"], r["n_mixed"]) \
+        == (1, 1, 1, 1)
