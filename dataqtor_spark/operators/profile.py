@@ -1382,3 +1382,62 @@ def case_profile(df: DataFrame, col: str) -> DataFrame:
         F.sum(lower.cast("long")).alias("n_lower"),
         F.sum(title.cast("long")).alias("n_title"),
         F.sum(mixed.cast("long")).alias("n_mixed"))
+
+
+def observed_null_metrics(df: DataFrame, cols: list[str]):
+    """Attach null-profile metrics as an OBSERVATION on the DataFrame:
+    returns (observed_df, observation).  When the caller's own action
+    runs (a write, a count, a downstream aggregate), the metrics arrive
+    as a side effect — ZERO extra scans, the pattern for "profile while
+    you ingest" at 100 TB where a dedicated profiling pass would double
+    the IO bill.
+
+    ``observation.get`` blocks until the first action completes and
+    returns {total_records, nulls_<col>...}.  Works on batch; for
+    streams use the same metrics via ``df.observe`` + a
+    QueryProgressEvent listener.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("null_profile")
+    aggs = [F.count(F.lit(1)).alias("total_records")]
+    for c in cols:
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("long")),
+                               F.lit(0)).alias(f"nulls_{c}"))
+    return df.observe(obs, *aggs), obs
+
+
+def sampled_null_profile(df: DataFrame, cols: list[str] | None = None,
+                         fraction: float = 0.1,
+                         seed: int = 42) -> DataFrame:
+    """Estimated null profile from a Bernoulli sample: the same fused
+    aggregate over ``fraction`` of the rows, with counts scaled back up
+    and a ±2σ binomial half-width on each null percentage.
+
+    The scan still reads every row group (Bernoulli sampling can't skip
+    IO) but the aggregate state and any downstream work shrink by 1/f;
+    for scan-bound profiling at 100 TB prefer partition-level sampling
+    (read a subset of files) — same estimator, genuinely less IO.
+    Sampling is seeded (reproducible for a fixed partitioning) and
+    estimates are clearly labeled — this never masquerades as the exact
+    profile.
+    """
+    cols = _data_cols(df, cols)
+    s = df.sample(fraction=fraction, seed=seed)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("long")),
+                               F.lit(0)).alias(f"__nulls_{c}"))
+    one = s.agg(*aggs)
+    structs = []
+    for c in cols:
+        p = F.col(f"__nulls_{c}") / F.col("__n")
+        half = 2.0 * F.sqrt(p * (1 - p) / F.col("__n")) * 100.0
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("sampled_records"),
+            F.round(F.col("__n") / F.lit(fraction)).cast("long")
+            .alias("est_total_records"),
+            F.round(p * 100.0, 2).alias("est_null_pct"),
+            F.round(half, 2).alias("pct_half_width_2sigma")))
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -164,3 +164,31 @@ def test_case_profile_buckets(spark):
     assert r["n_values"] == 4          # digits-only excluded
     assert (r["n_upper"], r["n_lower"], r["n_title"], r["n_mixed"]) \
         == (1, 1, 1, 1)
+
+
+def test_observed_null_metrics_no_extra_scan(spark, tables):
+    from dataqtor_spark.operators import profile as P
+
+    cust = tables["customer"]
+    observed, obs = P.observed_null_metrics(cust, ["c_acctbal", "c_name"])
+    n = observed.count()  # the caller's OWN action triggers the metrics
+    got = obs.get
+    assert got["total_records"] == n
+    exact = {r["column"]: r["null_records"]
+             for r in P.null_profile(cust, ["c_acctbal", "c_name"]).collect()}
+    assert got["nulls_c_acctbal"] == exact["c_acctbal"]
+    assert got["nulls_c_name"] == exact["c_name"]
+
+
+def test_sampled_null_profile_within_bounds(spark, tables):
+    from dataqtor_spark.operators import profile as P
+
+    cust = tables["customer"]
+    exact = {r["column"]: r["null_pct"]
+             for r in P.null_profile(cust, ["c_acctbal"]).collect()}
+    est = P.sampled_null_profile(cust, ["c_acctbal"], fraction=0.5).collect()[0]
+    # the estimate must carry its uncertainty and bracket the truth
+    # within ~3 half-widths (2 sigma stated, 3x slack for a small table)
+    assert abs(est["est_null_pct"] - exact["c_acctbal"]) \
+        <= max(3 * est["pct_half_width_2sigma"], 2.0)
+    assert est["sampled_records"] < cust.count()
