@@ -429,3 +429,29 @@ def verify_suggestions(df: DataFrame, suggestions: DataFrame) -> DataFrame:
         out.append((c, k, float(p), bool(ok)))
     return df.sparkSession.createDataFrame(
         out, "column string, constraint string, param double, passed boolean")
+
+
+def violation_samples(df: DataFrame, rules: list[Rule], key: str,
+                      k: int = 5) -> DataFrame:
+    """Per-rule violation samples in ONE scan: for each rule, up to ``k``
+    violating keys in deterministic (key asc) order — the "show me a few
+    offending rows" every DQ report needs, without running one filter
+    query per rule (the reference rescans per rule family,
+    home.py:272-1130).
+
+    One projection computes every rule's boolean, a single explode emits
+    (rule, key) only for violations, and a per-rule rank window takes the
+    sample — the scan count is 1 regardless of |rules|.
+    """
+    from pyspark.sql.window import Window
+
+    structs = [F.when(r.violation,
+                      F.struct(F.lit(r.name).alias("rule"),
+                               F.col(key).alias("key")))
+               for r in rules]
+    pairs = (df.select(F.explode(F.array(*structs)).alias("s"))
+             .filter(F.col("s").isNotNull())
+             .select("s.rule", "s.key"))
+    w = Window.partitionBy("rule").orderBy(F.asc("key"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

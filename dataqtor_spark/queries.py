@@ -6209,3 +6209,32 @@ FROM part"""
 def a25_case_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-consistency counts over part names."""
     return P.case_profile(_t(spark, sf_dir, "part"), "p_name")
+
+
+_R20_SQL = "\nUNION ALL\n".join(
+    f"""SELECT * FROM (
+  SELECT '{rule}' AS rule, c_custkey AS key,
+         row_number() OVER (ORDER BY c_custkey) AS rank
+  FROM customer WHERE {pred}) WHERE rank <= 5"""
+    for rule, pred in [
+        ("acctbal_range",
+         "c_acctbal IS NOT NULL AND NOT (c_acctbal >= 0 AND c_acctbal <= 9000)"),
+        ("segment_no_digits",
+         "c_mktsegment IS NOT NULL AND regexp_matches(c_mktsegment, '[0-9]')"),
+        ("name_len18",
+         "c_name IS NOT NULL AND NOT (length(c_name) = 18)"),
+    ])
+
+
+@register("r20_violation_samples", _R20_SQL)
+def r20_violation_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up to five sample violating keys per rule, one scan for all
+    rules."""
+    rules = [
+        R.rule_compare("c_acctbal", "between", low=0, high=9000,
+                       name="acctbal_range"),
+        R.rule_no_digits("c_mktsegment", name="segment_no_digits"),
+        R.rule_length("c_name", "==", 18, name="name_len18"),
+    ]
+    return R.violation_samples(_t(spark, sf_dir, "customer"), rules,
+                               "c_custkey", k=5)

@@ -341,3 +341,23 @@ def test_equi_depth_histogram_balanced_and_tied(spark):
     assert total == 60
     tied = [r for r in out2 if r["lo"] == 1.0]
     assert len(tied) == 1 and tied[0]["n_rows"] == 50
+
+
+def test_violation_samples_one_scan_per_rule_cap(spark):
+    from dataqtor_spark.operators import rules as R
+
+    df = spark.createDataFrame(
+        [(i, float(-i), "a1") for i in range(1, 10)]
+        + [(99, 5.0, "ok")],
+        "k long, bal double, seg string")
+    rules = [
+        R.rule_compare("bal", ">=", 0.0, name="bal_nonneg"),
+        R.rule_no_digits("seg", name="seg_no_digits"),
+    ]
+    got = R.violation_samples(df, rules, "k", k=3).collect()
+    by_rule = {}
+    for r in got:
+        by_rule.setdefault(r["rule"], []).append(r["key"])
+    assert by_rule["bal_nonneg"] == [1, 2, 3]     # capped at k, key-ordered
+    assert by_rule["seg_no_digits"] == [1, 2, 3]
+    assert all(r["rank"] <= 3 for r in got)
