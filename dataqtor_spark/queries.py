@@ -6238,3 +6238,124 @@ def r20_violation_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return R.violation_samples(_t(spark, sf_dir, "customer"), rules,
                                "c_custkey", k=5)
+
+
+# ---------------------------------------------------------------------------
+# t25 — Zipf rank-frequency fit; pr21 — last-digit uniformity screen;
+# e04 — embedding isotropy (pairwise-cosine stats)
+# ---------------------------------------------------------------------------
+
+_T25_SQL = """WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), voc AS (
+  SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY 1
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, n
+  FROM voc ORDER BY n DESC, token LIMIT 100
+), pts AS (
+  SELECT round(ln(rank), 8) AS x, round(ln(n), 8) AS y FROM ranked
+), s AS (
+  SELECT count(*)::BIGINT AS m,
+         CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT m AS n_points,
+       round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) AS zipf_slope,
+       round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 4)
+         AS intercept
+FROM s"""
+
+
+@register("t25_zipf_fit", _T25_SQL)
+def t25_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares slope of
+    ln(count) vs ln(rank) over the top-100 vocabulary (natural corpora
+    sit near −1; a flat slope flags synthetic/templated text).  The
+    regression runs on the aggregated 100-row vocab table with the
+    standard deterministic-float recipe (rounded terms, DECIMAL sums)."""
+    from dataqtor_spark.operators import textstats as T
+
+    voc = T.vocab(_t(spark, sf_dir, "documents"), top_k=100)
+    pts = voc.select(F.round(F.log("rank"), 8).alias("x"),
+                     F.round(F.log("count"), 8).alias("y"))
+    d8 = lambda c: F.sum(c.cast("decimal(28,8)")).cast("double")
+    s = pts.agg(F.count(F.lit(1)).cast("long").alias("m"),
+                d8(F.col("x")).alias("sx"), d8(F.col("y")).alias("sy"),
+                d8(F.round(F.col("x") * F.col("y"), 8)).alias("sxy"),
+                d8(F.round(F.col("x") * F.col("x"), 8)).alias("sxx"))
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / \
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(F.col("m").alias("n_points"),
+                    F.round(slope, 4).alias("zipf_slope"),
+                    F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"),
+                            4).alias("intercept"))
+
+
+_PR21_SQL = """WITH d AS (
+  SELECT CAST(CAST(floor(o_totalprice * 100) AS BIGINT) % 10 AS INT)
+    AS last_digit
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT last_digit, count(*)::BIGINT AS n,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+FROM d GROUP BY last_digit"""
+
+
+@register("pr21_last_digit_uniformity", _PR21_SQL)
+def pr21_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit (cents) histogram of order totals — the fraud/rounding
+    screen complementing the Benford first-digit profile (uniform
+    expected; spikes at 0/5 reveal hand-entered or rounded amounts)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    d = o.select((F.floor(F.col("o_totalprice") * 100).cast("bigint") % 10)
+                 .cast("int").alias("last_digit"))
+    from pyspark.sql.window import Window
+
+    counts = d.groupBy("last_digit").agg(F.count(F.lit(1)).cast("long")
+                                         .alias("n"))
+    return counts.withColumn(
+        "pct", F.round(F.col("n") * 100.0
+                       / F.sum("n").over(Window.partitionBy()), 4))
+
+
+_E04_SQL = """WITH pairs AS (
+  SELECT a.vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_cosine,
+       round(min(cos), 6) AS min_cosine,
+       round(max(cos), 6) AS max_cosine
+FROM pairs"""
+
+
+@register("e04_embedding_isotropy", _E04_SQL)
+def e04_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy diagnostic: cosine similarity between deterministically
+    paired embeddings (vec_id, vec_id+1).  Healthy isotropic spaces show
+    mean cosine near 0; anisotropic collapse (all vectors in a cone,
+    common after bad normalization) shows a high floor.  Adjacent-id
+    pairing is an equi-join — no sampling RNG, no cross join."""
+    from dataqtor_spark.operators.dedup import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"),
+                   F.col("embedding").alias("vb"))
+    va, vb = F.col("va"), F.col("vb")
+    cos = F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 6)
+    pairs = a.join(b, "vec_id").select(cos.alias("cos"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mean_cosine"),
+        F.round(F.min("cos"), 6).alias("min_cosine"),
+        F.round(F.max("cos"), 6).alias("max_cosine"))

@@ -184,3 +184,25 @@ def test_impute_by_group_mean_median_and_all_null_group(spark):
 
     med = impute_by_group(df, "x", ["g"], "median").filter("g = 'g1'")
     assert sorted(r["x"] for r in med.collect()) == [1.0, 2.0, 3.0]
+
+
+def test_zipf_fit_negative_slope_on_skewed_corpus(spark):
+    from dataqtor_spark.queries import t25_zipf_fit
+
+    r = t25_zipf_fit(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_points"] == 100
+    assert r["zipf_slope"] < 0      # frequency falls with rank, always
+    assert r["intercept"] > 0
+
+
+def test_last_digit_and_isotropy_invariants(spark):
+    from dataqtor_spark.queries import (e04_embedding_isotropy,
+                                        pr21_last_digit_uniformity)
+
+    digits = pr21_last_digit_uniformity(spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r["pct"] for r in digits) - 100.0) < 0.01
+    assert all(0 <= r["last_digit"] <= 9 for r in digits)
+
+    iso = e04_embedding_isotropy(spark, "/root/testdata/sf0.001").collect()[0]
+    assert -1.0 <= iso["min_cosine"] <= iso["mean_cosine"] \
+        <= iso["max_cosine"] <= 1.0
