@@ -53,6 +53,9 @@ HEADLINE = [
     "h21_waiting_suppliers",
     "t23_bm25_search",
     "cdc01_snapshot_diff",
+    "sg01_suggest_constraints",
+    "mb01_copurchase_pairs",
+    "s11_session_bounce_rate",
 ]
 
 

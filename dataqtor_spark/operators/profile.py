@@ -1441,3 +1441,32 @@ def sampled_null_profile(df: DataFrame, cols: list[str] | None = None,
             F.round(p * 100.0, 2).alias("est_null_pct"),
             F.round(half, 2).alias("pct_half_width_2sigma")))
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def k_anonymity(df: DataFrame, quasi_identifiers: list[str],
+                sensitive_col: str, k: int = 5) -> DataFrame:
+    """Privacy risk profile: k-anonymity and l-diversity of a table under
+    the given quasi-identifier columns.
+
+    Returns one row: the minimum equivalence-class size (the table's k),
+    how many rows sit in classes smaller than ``k`` (re-identifiable
+    under the threshold), and the minimum number of distinct sensitive
+    values per class (the table's l — classes with l=1 leak the
+    sensitive attribute outright).  One groupBy on the QI tuple + one
+    reduce of the class table; rows with NULL in any QI are excluded
+    (they form no linkable class).
+    """
+    nn = None
+    for c in quasi_identifiers:
+        x = F.col(c).isNotNull()
+        nn = x if nn is None else (nn & x)
+    classes = (df.filter(nn)
+               .groupBy(*quasi_identifiers)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(F.col(sensitive_col)).alias("l")))
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("n").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+        .cast("long").alias("n_rows_below_k"),
+        F.min("l").cast("long").alias("l_diversity"))

@@ -342,3 +342,22 @@ def parse_locale_number(df: DataFrame, col: str, out_col: str | None = None,
         norm = F.replace(c, F.lit(","), F.lit(""))
     return df.withColumn(out_col or f"{col}_parsed",
                          norm.try_cast("double"))
+
+
+def mask_columns(df, cols: list[str], salt: str = "",
+                 length: int | None = 16):
+    """Irreversibly pseudonymize columns: salted SHA-256 hex (optionally
+    truncated) replaces each value; NULLs stay NULL.  Deterministic, so
+    masked keys still JOIN and GROUP correctly across tables masked with
+    the same salt — the property that makes masked analytics work at
+    all.  Pure expressions (jvm-side sha2), no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    for c in cols:
+        h = F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256)
+        if length:
+            h = F.substring(h, 1, length)
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), h))
+    return out

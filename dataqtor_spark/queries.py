@@ -6359,3 +6359,49 @@ def e04_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)), 6).alias("mean_cosine"),
         F.round(F.min("cos"), 6).alias("min_cosine"),
         F.round(F.max("cos"), 6).alias("max_cosine"))
+
+
+# ---------------------------------------------------------------------------
+# priv01 — k-anonymity / l-diversity; priv02 — deterministic masking
+# ---------------------------------------------------------------------------
+
+_PRIV01_SQL = """WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+         count(DISTINCT c_acctbal)::BIGINT AS l
+  FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_classes,
+       min(n)::BIGINT AS k_anonymity,
+       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_rows_below_k,
+       min(l)::BIGINT AS l_diversity
+FROM classes"""
+
+
+@register("priv01_k_anonymity", _PRIV01_SQL)
+def priv01_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity/l-diversity of customer under (nationkey, mktsegment)
+    quasi-identifiers with acctbal as the sensitive attribute."""
+    return P.k_anonymity(_t(spark, sf_dir, "customer"),
+                         ["c_nationkey", "c_mktsegment"], "c_acctbal", k=5)
+
+
+_PRIV02_SQL = """SELECT c_custkey,
+       CASE WHEN c_name IS NOT NULL
+            THEN substr(sha256(concat('pepper', c_name)), 1, 16) END
+         AS c_name,
+       c_mktsegment
+FROM customer ORDER BY c_custkey LIMIT 100"""
+
+
+@register("priv02_masked_names", _PRIV02_SQL)
+def priv02_masked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-SHA256 name masking (first 100 customers): deterministic
+    pseudonyms that still join/group across tables sharing the salt."""
+    from dataqtor_spark.operators import repair as RP
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name",
+                                             "c_mktsegment")
+    return (RP.mask_columns(c, ["c_name"], salt="pepper")
+            .orderBy("c_custkey").limit(100))

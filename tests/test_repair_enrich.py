@@ -165,3 +165,34 @@ def test_date_format_profile_counts(spark):
     assert got["yyyy-MM-dd"] == 1 and got["dd/MM/yyyy"] == 1
     assert got["ddMMyyyy"] == 1 and got["unmatched"] == 1
     assert sum(got.values()) == 4  # nulls excluded everywhere
+
+
+def test_mask_columns_deterministic_and_joinable(spark):
+    from dataqtor_spark.operators import repair as RP
+
+    a = spark.createDataFrame([(1, "alice"), (2, "bob"), (3, None)],
+                              "id long, name string")
+    b = spark.createDataFrame([("alice", 10), ("bob", 20)],
+                              "name string, score long")
+    ma = RP.mask_columns(a, ["name"], salt="s1")
+    mb = RP.mask_columns(b, ["name"], salt="s1")
+    rows = {r["id"]: r["name"] for r in ma.collect()}
+    assert rows[3] is None and rows[1] != "alice" and len(rows[1]) == 16
+    # same salt -> masked keys still join
+    assert ma.join(mb, "name").count() == 2
+    # different salt -> unlinkable
+    mc = RP.mask_columns(b, ["name"], salt="s2")
+    assert ma.join(mc, "name").count() == 0
+
+
+def test_k_anonymity_known_values(spark):
+    from dataqtor_spark.operators import profile as P
+
+    rows = [("a", 1, 10.0), ("a", 1, 20.0), ("a", 1, 10.0),
+            ("b", 2, 5.0)]
+    df = spark.createDataFrame(rows, "qi1 string, qi2 int, s double")
+    r = P.k_anonymity(df, ["qi1", "qi2"], "s", k=2).collect()[0]
+    assert r["n_classes"] == 2
+    assert r["k_anonymity"] == 1        # the singleton (b,2) class
+    assert r["n_rows_below_k"] == 1
+    assert r["l_diversity"] == 1        # (b,2) has one sensitive value
