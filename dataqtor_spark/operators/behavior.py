@@ -359,3 +359,48 @@ def pareto_concentration(df: DataFrame, key_col: str, revenue: "F.Column",
         F.sum(F.when(F.col("cum_share") <= threshold, 1).otherwise(0))
         .cast("long").alias(f"n_keys_within_threshold"),
         F.round(F.min("cum_share"), 6).alias("top_key_share"))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_pair_support: int = 2,
+                      top_k: int = 20) -> DataFrame:
+    """Association rules from basket data: for each ordered item pair
+    (a → b), support count, confidence = n(a,b)/n(a), and lift =
+    confidence / P(b) — the step after co-occurrence counting that turns
+    "bought together" into "predicts buying".
+
+    Reuses the posting-list pair expansion (ONE shuffle groups items per
+    basket, pairs expand in-row); per-item supports come from the same
+    deduped (basket, item) relation, and the scalar basket count rides a
+    broadcast.  Ratios follow the deterministic-float recipe (exact
+    counts, one double division each, rounded).  Both rule directions
+    are emitted; top-k by (lift desc, a, b) total order.
+    """
+    items = (df.select(F.col(basket_col).alias("__b"),
+                       F.col(item_col).alias("__i"))
+             .filter(F.col("__i").isNotNull()).distinct())
+    n_baskets = items.select("__b").distinct().count()
+    supp = items.groupBy(F.col("__i").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item"))
+    pairs = (items.groupBy("__b")
+             .agg(F.sort_array(F.collect_set("__i")).alias("its"))
+             .filter(F.size("its") > 1)
+             .select(F.explode(F.expr(
+                 "flatten(transform(its, (x, i) -> "
+                 "transform(slice(its, i + 2, size(its)), "
+                 "y -> struct(x as a, y as b))))")).alias("p"))
+             .groupBy(F.col("p.a"), F.col("p.b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= min_pair_support))
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"))
+    sa = supp.select(F.col("item").alias("a"), F.col("n_item").alias("n_a"))
+    sb = supp.select(F.col("item").alias("b"), F.col("n_item").alias("n_b"))
+    out = (both.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+           .select("a", "b", F.col("n_ab").cast("long").alias("support"),
+                   F.round(F.col("n_ab") / F.col("n_a"), 6)
+                   .alias("confidence"),
+                   F.round((F.col("n_ab") / F.col("n_a"))
+                           / (F.col("n_b") / F.lit(float(n_baskets))), 6)
+                   .alias("lift")))
+    return out.orderBy(F.desc("lift"), F.asc("a"), F.asc("b")).limit(top_k)

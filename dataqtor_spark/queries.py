@@ -6405,3 +6405,38 @@ def priv02_masked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "c_mktsegment")
     return (RP.mask_columns(c, ["c_name"], salt="pepper")
             .orderBy("c_custkey").limit(100))
+
+
+_MB02_SQL = """WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_partkey IS NOT NULL
+), nb AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+supp AS (SELECT i AS item, count(*)::BIGINT AS n_item FROM items GROUP BY 1),
+pairs AS (
+  SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS n_ab
+  FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), bidir AS (
+  SELECT a, b, n_ab FROM pairs
+  UNION ALL SELECT b, a, n_ab FROM pairs
+)
+SELECT a, b, n_ab AS support,
+       round(n_ab / sa.n_item, 6) AS confidence,
+       round((n_ab / sa.n_item) / (sb.n_item / CAST(n_baskets AS DOUBLE)), 6)
+         AS lift
+FROM bidir
+JOIN supp sa ON sa.item = a
+JOIN supp sb ON sb.item = b
+CROSS JOIN nb
+ORDER BY lift DESC, a, b LIMIT 20"""
+
+
+@register("mb02_association_rules", _MB02_SQL)
+def mb02_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 association rules (support/confidence/lift) over co-ordered
+    parts."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.association_rules(_t(spark, sf_dir, "lineitem"),
+                               "l_orderkey", "l_partkey",
+                               min_pair_support=2, top_k=20)

@@ -221,3 +221,18 @@ def test_inclusion_dependency_directions(spark):
     assert fwd["contained"] and fwd["n_child_distinct"] == 2
     rev = P.inclusion_dependency(parent, "k", child, "k").collect()[0]
     assert not rev["contained"] and rev["n_missing"] == 1
+
+
+def test_association_rules_lift_semantics(spark):
+    # b appears in every basket -> lift(a->b) == 1 (no signal);
+    # c only ever with a -> lift(a->c) > 1
+    rows = [(1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"), (2, "c"),
+            (3, "b"), (3, "x"), (4, "b"), (4, "x")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["a"], r["b"]): r for r in B.association_rules(
+        df, "basket", "item", min_pair_support=2, top_k=50).collect()}
+    assert got[("a", "b")]["lift"] == 1.0
+    assert got[("a", "c")]["lift"] == 2.0      # 1.0 conf / (2/4 baskets)
+    assert got[("a", "c")]["confidence"] == 1.0
+    assert got[("c", "a")]["confidence"] == 1.0
