@@ -836,3 +836,32 @@ def bpe_merge_candidates(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
             .orderBy(F.desc("n"), F.asc("tok_a"), F.asc("tok_b"))
             .limit(top_k))
+
+
+def weighted_resample(df: DataFrame, weight_col: str,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Materialize a per-row replication weight deterministically: each
+    row is emitted floor(w) times, plus one more when the row's portable
+    hash fraction falls below frac(w) — so expected copies equal w
+    exactly, and the SAME rows get the extra copy on every engine, every
+    run, every partitioning (no RNG, no seed drift).
+
+    This executes the source-mix plan that ``source_mix`` computes
+    (up-/down-sampling sources toward a target token share).  The copy
+    column generates in-row (``sequence`` + explode); nothing shuffles
+    until whatever aggregation follows.
+    """
+    from dataqtor_spark.operators.dedup import PORTABLE_P, portable_string_hash
+
+    frac = (portable_string_hash(F.concat(F.lit("rs:"),
+                                          F.col(id_col).cast("string")))
+            .cast("double") / F.lit(float(PORTABLE_P)))
+    n_copies = (F.floor(F.col(weight_col))
+                + F.when(frac < (F.col(weight_col)
+                                 - F.floor(F.col(weight_col))), 1)
+                .otherwise(0)).cast("int")
+    return (df.withColumn("__copies", n_copies)
+            .filter(F.col("__copies") > 0)
+            .withColumn("copy", F.explode(F.sequence(F.lit(1),
+                                                     F.col("__copies"))))
+            .drop("__copies"))

@@ -6440,3 +6440,55 @@ def mb02_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.association_rules(_t(spark, sf_dir, "lineitem"),
                                "l_orderkey", "l_partkey",
                                min_pair_support=2, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# t26 — weighted resampling toward a uniform source mix
+# ---------------------------------------------------------------------------
+
+_T26_NIBBLE = _nibble_value_sql("md5(concat('rs:', CAST(doc_id AS VARCHAR)))")
+
+_T26_SQL = f"""WITH shares AS (
+  SELECT source, count(*)::BIGINT AS n,
+         count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, (1.0 / (SELECT count(DISTINCT source) FROM documents))
+                 / share AS wt
+  FROM shares
+), docs AS (
+  SELECT d.doc_id, d.source, w.wt,
+         ({_T26_NIBBLE} % 1000000007) / 1000000007.0 AS frac
+  FROM documents d JOIN w ON d.source = w.source
+), copies AS (
+  SELECT source,
+         CAST(floor(wt) + CASE WHEN frac < wt - floor(wt)
+                               THEN 1 ELSE 0 END AS INT) AS n_copies
+  FROM docs
+)
+SELECT source, sum(n_copies)::BIGINT AS n_resampled
+FROM copies GROUP BY source"""
+
+
+@register("t26_weighted_resample", _T26_SQL)
+def t26_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically resample documents toward an equal source mix:
+    per-source weight = target share / current share, applied via the
+    portable-hash fractional replicator; output is the resampled count
+    per source (≈ uniform)."""
+    from dataqtor_spark.operators import textstats as T
+
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    shares = (docs.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("share", F.col("n")
+                          / F.sum("n").over(Window.partitionBy())))
+    n_src = docs.select("source").distinct().count()
+    w = shares.select("source",
+                      ((1.0 / n_src) / F.col("share")).alias("wt"))
+    joined = docs.join(F.broadcast(w), "source")
+    res = T.weighted_resample(joined, "wt", id_col="doc_id")
+    return (res.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_resampled")))

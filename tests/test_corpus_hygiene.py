@@ -206,3 +206,25 @@ def test_last_digit_and_isotropy_invariants(spark):
     iso = e04_embedding_isotropy(spark, "/root/testdata/sf0.001").collect()[0]
     assert -1.0 <= iso["min_cosine"] <= iso["mean_cosine"] \
         <= iso["max_cosine"] <= 1.0
+
+
+def test_weighted_resample_deterministic_and_unbiased(spark):
+    from dataqtor_spark.operators import textstats as T
+
+    df = spark.createDataFrame(
+        [(i, "src", 2.5) for i in range(1000)],
+        "doc_id long, source string, wt double")
+    r1 = T.weighted_resample(df, "wt")
+    n1 = r1.count()
+    # every row emits 2 or 3 copies; expected total = 2500 +- hash noise
+    assert 2300 <= n1 <= 2700
+    per = r1.groupBy("doc_id").count().collect()
+    assert all(r["count"] in (2, 3) for r in per)
+    # bit-deterministic: identical output on rerun and repartition
+    n2 = T.weighted_resample(df.repartition(7), "wt").count()
+    assert n2 == n1
+    # weight < 1 downsamples
+    down = spark.createDataFrame([(i, 0.25) for i in range(1000)],
+                                 "doc_id long, wt double")
+    nd = T.weighted_resample(down, "wt").count()
+    assert 150 <= nd <= 350
