@@ -865,3 +865,30 @@ def weighted_resample(df: DataFrame, weight_col: str,
             .withColumn("copy", F.explode(F.sequence(F.lit(1),
                                                      F.col("__copies"))))
             .drop("__copies"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       weights: tuple = (0.8, 0.1, 0.1)) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split is a deterministic hash of the document's content
+    FINGERPRINT (order/duplication-insensitive token set), not its id —
+    so exact and fingerprint-level duplicates always land in the same
+    split, the failure mode naive id-hash splits have (same text, two
+    ids, one in train and one in test → evaluation contamination).
+
+    Pure expressions: fingerprint (md5 of sorted distinct tokens) →
+    portable hash → unit fraction → threshold cut at the cumulative
+    weights.  Adding data never reshuffles old assignments (hash-stable),
+    the property that makes the split usable incrementally.
+    """
+    from dataqtor_spark.operators.dedup import PORTABLE_P, portable_string_hash
+
+    fp = fingerprint(text_col)
+    frac = (portable_string_hash(F.concat(F.lit("split:"), fp))
+            .cast("double") / F.lit(float(PORTABLE_P)))
+    w_train, w_val, _ = weights
+    split = (F.when(frac < w_train, "train")
+             .when(frac < w_train + w_val, "val")
+             .otherwise("test"))
+    return df.select(F.col(id_col), fp.alias("fp"), split.alias("split"))

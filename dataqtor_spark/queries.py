@@ -6492,3 +6492,34 @@ def t26_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = T.weighted_resample(joined, "wt", id_col="doc_id")
     return (res.groupBy("source")
             .agg(F.count(F.lit(1)).cast("long").alias("n_resampled")))
+
+
+# ---------------------------------------------------------------------------
+# t27 — leakage-safe train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+_T27_NIBBLE = _nibble_value_sql(
+    "md5(concat('split:', md5(array_to_string(list_sort(list_distinct("
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "x -> x <> ''))), ' '))))")
+
+_T27_SQL = f"""WITH s AS (
+  SELECT doc_id,
+         ({_T27_NIBBLE} % 1000000007) / 1000000007.0 AS frac
+  FROM documents
+)
+SELECT CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM s GROUP BY 1"""
+
+
+@register("t27_leakage_safe_split", _T27_SQL)
+def t27_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-hashed 80/10/10 split counts (near-dups share a
+    split by construction)."""
+    from dataqtor_spark.operators import textstats as T
+
+    s = T.leakage_safe_split(_t(spark, sf_dir, "documents"))
+    return s.groupBy("split").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_docs"))

@@ -228,3 +228,22 @@ def test_weighted_resample_deterministic_and_unbiased(spark):
                                  "doc_id long, wt double")
     nd = T.weighted_resample(down, "wt").count()
     assert 150 <= nd <= 350
+
+
+def test_leakage_safe_split_keeps_dups_together(spark):
+    # same content under different ids and word order/duplication MUST
+    # share a split; assignments are stable under repartitioning
+    rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha alpha"),
+            (3, "totally different text here")] + \
+           [(i, f"doc number {i} unique words") for i in range(10, 110)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r["doc_id"]: r["split"]
+         for r in T.leakage_safe_split(df).collect()}
+    assert s[1] == s[2]                     # near-dups share a split
+    s2 = {r["doc_id"]: r["split"]
+          for r in T.leakage_safe_split(df.repartition(9)).collect()}
+    assert s == s2                          # partition-independent
+    from collections import Counter
+
+    c = Counter(s.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
