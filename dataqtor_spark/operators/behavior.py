@@ -336,28 +336,39 @@ def rfm_segments(df: DataFrame, as_of, user_col: str = "user_id",
 
 def pareto_concentration(df: DataFrame, key_col: str, revenue: "F.Column",
                          threshold: float = 0.8) -> DataFrame:
-    """Pareto/ABC concentration: how many keys carry ``threshold`` of
-    total revenue (the 80/20 diagnosis), plus the top-key share.
+    """Pareto/ABC concentration: how many keys are needed to reach
+    ``threshold`` of total revenue (the 80/20 diagnosis), plus the
+    top-key share.
 
-    One keyed aggregate (DECIMAL-exact), then windows over the aggregated
-    key table only: a cumulative sum in (revenue desc, key) total order
-    and the scalar total.  The fact table shuffles once; the window runs
-    on |keys| rows.  The share ratio is a single double division of two
-    exact decimals, so the cut is engine-deterministic.
+    A key is counted iff the cumulative share *before* it is still below
+    the threshold — so the key whose cumulative share first crosses the
+    line is included (a single key holding 85% reports 1, not 0).  One
+    keyed aggregate (DECIMAL-exact), then windows over the aggregated
+    key table only: the previous-rows cumulative sum in
+    (revenue desc, key) total order and the scalar total.  The fact
+    table shuffles once; the window runs on |keys| rows.  Each share is
+    one double division of two exact decimals, so the cut is
+    engine-deterministic.
     """
     per_key = (df.groupBy(F.col(key_col).alias("k"))
                .agg(F.sum(revenue.cast("decimal(28,10)")).alias("rev")))
     w_cum = (Window.orderBy(F.col("rev").desc(), F.col("k"))
              .rowsBetween(Window.unboundedPreceding, 0))
+    w_prev = (Window.orderBy(F.col("rev").desc(), F.col("k"))
+              .rowsBetween(Window.unboundedPreceding, -1))
     w_all = Window.partitionBy()
+    total = F.sum("rev").over(w_all).cast("double")
     scored = per_key.select(
         "k", "rev",
-        (F.sum("rev").over(w_cum).cast("double")
-         / F.sum("rev").over(w_all).cast("double")).alias("cum_share"))
+        (F.sum("rev").over(w_cum).cast("double") / total)
+        .alias("cum_share"),
+        (F.coalesce(F.sum("rev").over(w_prev),
+                    F.lit(0).cast("decimal(28,10)")).cast("double") / total)
+        .alias("prev_share"))
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum(F.when(F.col("cum_share") <= threshold, 1).otherwise(0))
-        .cast("long").alias(f"n_keys_within_threshold"),
+        F.sum(F.when(F.col("prev_share") < threshold, 1).otherwise(0))
+        .cast("long").alias("n_keys_to_threshold"),
         F.round(F.min("cum_share"), 6).alias("top_key_share"))
 
 

@@ -5624,12 +5624,16 @@ _PARETO01_SQL = """WITH per_key AS (
   SELECT k, rev,
          CAST(sum(rev) OVER (ORDER BY rev DESC, k
                              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-           / CAST(sum(rev) OVER () AS DOUBLE) AS cum_share
+           / CAST(sum(rev) OVER () AS DOUBLE) AS cum_share,
+         CAST(coalesce(sum(rev) OVER (ORDER BY rev DESC, k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS DOUBLE)
+           / CAST(sum(rev) OVER () AS DOUBLE) AS prev_share
   FROM per_key
 )
 SELECT count(*)::BIGINT AS n_keys,
-       sum(CASE WHEN cum_share <= 0.8 THEN 1 ELSE 0 END)::BIGINT
-         AS n_keys_within_threshold,
+       sum(CASE WHEN prev_share < 0.8 THEN 1 ELSE 0 END)::BIGINT
+         AS n_keys_to_threshold,
        round(min(cum_share), 6) AS top_key_share
 FROM scored"""
 
@@ -6142,7 +6146,7 @@ _A23_SQL = ("""WITH t AS (
 """ + "\nUNION ALL\n".join(_A23_SQL_PARTS)
     + """
 UNION ALL
-SELECT 'unmatched', 0::BIGINT, 0.0 FROM t LIMIT 6""")
+SELECT 'unmatched' AS format, 0::BIGINT AS n_matching, 0.0 AS pct""")
 
 
 @register("a23_date_format_profile", _A23_SQL)

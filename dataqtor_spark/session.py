@@ -80,12 +80,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SparkSession, including the driver's.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # timestamps are compared against DuckDB's naive-UTC values, and the
+    # NTZ->TIMESTAMP cast below is only value-preserving under UTC; pin the
+    # session TZ for EVERY table so a caller session built in another zone
+    # hashes identically and interval math never drifts across DST.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name != "events":
         return _normalize_timestamps(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # timestamps are compared against DuckDB's naive-UTC values; pin the
-    # session TZ so a caller session built in another zone hashes identically
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -20,6 +20,42 @@ from pyspark.sql import functions as F
 from dataqtor_spark.operators.rules import Rule
 
 
+def _recover_snapshot(path: str) -> None:
+    """If a previous swap crashed between ``path -> path.__old`` and
+    ``tmp -> path``, the live snapshot is sitting at ``path.__old``:
+    restore it before reading, so no batch ever observes "no snapshot"
+    and silently rebuilds from itself alone."""
+    import os
+
+    old = path.rstrip("/") + ".__old"
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+
+
+def _swap_snapshot(tmp: str, path: str) -> None:
+    """Crash-safe snapshot promotion (the ``compact_dataset`` pattern,
+    session.py): rename the live snapshot aside (``path -> path.__old``),
+    promote the new one (``tmp -> path``), then delete the aside copy.
+    A crash at any point leaves either the old or the new snapshot on
+    disk under a recoverable name — never a window with no snapshot,
+    which the old rmtree-then-rename swap had."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".__old"
+    if os.path.isdir(old):  # leftover aside copy from a crashed swap
+        if os.path.isdir(path):
+            shutil.rmtree(old)   # prior swap completed; drop the orphan
+        else:
+            os.rename(old, path)  # prior swap died mid-way; restore,
+            # then fall through and promote tmp over the restored copy
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def windowed_event_agg(df: DataFrame, ts_col: str = "ts",
                        window: str = "1 hour",
                        group_col: str | None = "event_type") -> DataFrame:
@@ -465,9 +501,9 @@ def latest_per_key_sink(stream: DataFrame, key_cols: list[str], ts_col: str,
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         import os
-        import shutil
 
         spark = batch.sparkSession
+        _recover_snapshot(path)
         fresh = latest_per_key(batch, key_cols, ts_col, tiebreak_cols)
         if os.path.isdir(path) and any(
                 f.endswith(".parquet") for f in os.listdir(path)):
@@ -476,9 +512,7 @@ def latest_per_key_sink(stream: DataFrame, key_cols: list[str], ts_col: str,
                                    ts_col, tiebreak_cols)
         tmp = path.rstrip("/") + ".__tmp"
         fresh.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        _swap_snapshot(tmp, path)
 
     return (stream.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)
@@ -515,23 +549,30 @@ def additive_agg_sink(stream: DataFrame, group_cols: list[str], path: str,
 
     Additive merges are NOT naturally idempotent (a checkpoint-replayed
     batch would double-count), so exactly-once comes from an **epoch
-    ledger**: each applied batch's epoch id is recorded next to the
-    snapshot, and a batch whose epoch is already in the ledger is
-    skipped.  This is the third exactly-once construction in this module
-    — anti-join upsert (new-keys-only), semilattice merge (naturally
-    idempotent), and now ledgered addition (for merges that aren't) —
-    which together cover every sink algebra a DQ pipeline needs.
-    Snapshot rewrite is temp-dir-and-swap like the CDC sink.
+    ledger**: each applied batch's epoch id is recorded *inside the
+    snapshot directory itself* (a ``_epochs`` parquet subdir — Spark's
+    reader skips underscore-prefixed paths, so the snapshot read is
+    unaffected), and a batch whose epoch is already in the ledger is
+    skipped.  Because ledger and data land in the same temp dir and are
+    promoted by ONE rename, they commit atomically: a crash anywhere
+    leaves ledger and snapshot consistent, so a replayed epoch is either
+    fully absent (re-applied cleanly) or fully present (skipped) — never
+    half-applied.  This is the third exactly-once construction in this
+    module — anti-join upsert (new-keys-only), semilattice merge
+    (naturally idempotent), and now ledgered addition (for merges that
+    aren't) — which together cover every sink algebra a DQ pipeline
+    needs.  Snapshot rewrite is temp-dir-and-swap like the CDC sink.
     """
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         import os
-        import shutil
 
         spark = batch.sparkSession
-        ledger = path.rstrip("/") + ".__epochs"
-        applied = set()
-        if os.path.isdir(ledger) and any(
-                f.endswith(".parquet") for f in os.listdir(ledger)):
+        _recover_snapshot(path)
+        have = os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path))
+        ledger = path.rstrip("/") + "/_epochs"
+        applied: set[int] = set()
+        if have and os.path.isdir(ledger):
             applied = {r["epoch"] for r in
                        spark.read.parquet(ledger).collect()}
         if epoch_id in applied:
@@ -540,8 +581,7 @@ def additive_agg_sink(stream: DataFrame, group_cols: list[str], path: str,
                 .agg(F.count(F.lit(1)).cast("long").alias("n"),
                      F.sum(F.col(value_col).cast("decimal(18,2)"))
                      .alias("s")))
-        if os.path.isdir(path) and any(
-                f.endswith(".parquet") for f in os.listdir(path)):
+        if have:
             cur = spark.read.parquet(path)
             part = (cur.unionByName(part)
                     .groupBy(*group_cols)
@@ -549,11 +589,10 @@ def additive_agg_sink(stream: DataFrame, group_cols: list[str], path: str,
                          F.sum("s").cast("decimal(18,2)").alias("s")))
         tmp = path.rstrip("/") + ".__tmp"
         part.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-        spark.createDataFrame([(int(epoch_id),)], "epoch long") \
-            .write.mode("append").parquet(ledger)
+        epochs = sorted(applied | {int(epoch_id)})
+        spark.createDataFrame([(e,) for e in epochs], "epoch long") \
+            .coalesce(1).write.mode("overwrite").parquet(tmp + "/_epochs")
+        _swap_snapshot(tmp, path)
 
     return (stream.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)

@@ -198,8 +198,16 @@ def test_pareto_concentration_known(spark):
         [(1, 80.0), (2, 10.0), (3, 5.0), (4, 5.0)], "k int, v double")
     r = B.pareto_concentration(df, "k", F.col("v"), 0.8).collect()[0]
     assert r["n_keys"] == 4
-    assert r["n_keys_within_threshold"] == 1  # cum_share hits 0.8 at key 1
+    assert r["n_keys_to_threshold"] == 1  # key 1 alone reaches 0.8
     assert abs(r["top_key_share"] - 0.8) < 1e-9
+
+
+def test_pareto_counts_the_crossing_key(spark):
+    # a single key holding 85% must report 1, not 0
+    df = spark.createDataFrame(
+        [(1, 85.0), (2, 15.0)], "k int, v double")
+    r = B.pareto_concentration(df, "k", F.col("v"), 0.8).collect()[0]
+    assert r["n_keys_to_threshold"] == 1
 
 
 def test_duplicate_columns_flags_copy(spark):
