@@ -109,7 +109,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     when a bucket runs dry — that's the approximation showing)."""
     query_id_col = query_id_col or id_col
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        # no driver-side job to sniff the dimension: a .first() here would
+        # run a Spark job per call.  Take it from column metadata if the
+        # producer attached one, else demand it explicitly.
+        meta = corpus.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+        if dim is None:
+            raise ValueError(
+                "lsh_topk: pass dim= explicitly (or attach {'dim': n} "
+                "metadata to the vector column); inferring it would run a "
+                "driver-side job per call")
+        dim = int(dim)
     planes = _hyperplanes(dim, n_planes)
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(F.col(vec_col)).alias("__cv"))

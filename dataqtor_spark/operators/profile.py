@@ -531,6 +531,62 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .alias("cramers_v"))
 
 
+def kendall_tau(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Kendall's τ-b rank correlation (pandas-profiling §2.10 'kendall').
+
+    Scale design: the input collapses to its (x, y) contingency cells in
+    ONE map-side-combinable groupBy; concordant/discordant pair counts
+    are then a broadcast self-join over the *cell* table, quadratic only
+    in distinct value pairs — the same bounded-cardinality contract as
+    ``cramers_v``/χ² (bin continuous inputs first; r·c cells, however
+    large the input).  Tie corrections come from the cell marginals:
+
+        τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),   n₀ = n(n−1)/2,
+        n₁/n₂ = Σ tᵢ(tᵢ−1)/2 over x / y tie groups.
+
+    Counts accumulate in DECIMAL(38,0) (pair products overflow BIGINT
+    once n ≳ 4·10⁹ rows); the single float division happens at the end.
+    """
+    dec = "decimal(38,0)"
+    cells = (df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+             .groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+             .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("cnt")))
+    a, b = cells.alias("a"), cells.alias("b")
+    # unordered distinct-cell pairs, once each (lexicographic order)
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.x") < F.col("b.x"))
+        | ((F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))))
+    prod = (F.col("a.cnt") * F.col("b.cnt")).cast(dec)
+    sgn = (F.col("b.x") - F.col("a.x")) * (F.col("b.y") - F.col("a.y"))
+    cd = pairs.agg(
+        F.coalesce(F.sum(F.when(sgn > 0, prod)), F.lit(0).cast(dec))
+        .alias("c_pairs"),
+        F.coalesce(F.sum(F.when(sgn < 0, prod)), F.lit(0).cast(dec))
+        .alias("d_pairs"))
+    tx = (cells.groupBy("x")
+          .agg(F.sum("cnt").cast(dec).alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast(dec)
+               .alias("n1")))
+    ty = (cells.groupBy("y")
+          .agg(F.sum("cnt").cast(dec).alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast(dec)
+               .alias("n2")))
+    tot = cells.agg(F.sum("cnt").cast(dec).alias("n"))
+    one = (cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+           .crossJoin(F.broadcast(tot)))
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast(dec)
+    tau = ((F.col("c_pairs") - F.col("d_pairs")).cast("double")
+           / (F.sqrt((n0 - F.col("n1")).cast("double"))
+              * F.sqrt((n0 - F.col("n2")).cast("double"))))
+    return one.select(
+        F.lit(col_x).alias("col_x"), F.lit(col_y).alias("col_y"),
+        F.col("n").cast("long").alias("n"),
+        F.col("c_pairs").cast("double").alias("concordant"),
+        F.col("d_pairs").cast("double").alias("discordant"),
+        F.round(tau, 6).alias("kendall_tau"))
+
+
 def moment_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Population skewness and excess kurtosis per column, one aggregate
     pass (pandas-profiling §2.10; Spark's built-ins use the population

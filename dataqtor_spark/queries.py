@@ -1013,6 +1013,82 @@ def d02_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
 
 
+# d02b — the SCALE path of the same operator: stop-shingle cut enabled.
+# The uncut inverted index costs Σ df(shingle)², which blows up on
+# ultra-common shingles at 100 TB; dropping shingles shared by more than
+# ``max_doc_freq`` docs bounds the per-shingle pair expansion at df² ≤ K²
+# (documented recall trade: pairs sharing ONLY dropped shingles are missed,
+# and surviving pair Jaccards are computed over the cut shingle sets).  The
+# oracle replays the identical cut, so the trade itself is differentially
+# tested — at sf0.01 the cut genuinely fires (25 → 23 pairs).
+
+_D02B_CUT = 2
+
+_D02B_PAIRS_SQL = f"""WITH ex0 AS (
+  SELECT DISTINCT doc_id AS id, sh FROM (
+    SELECT doc_id,
+           array_to_string(words[i:i+4], ' ') AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+          FROM documents),
+         UNNEST(generate_series(1, len(words) - 4)) AS t(i)
+  )
+), dfq AS (
+  SELECT sh, count(*) AS d FROM ex0 GROUP BY sh
+), ex AS (
+  SELECT ex0.id, ex0.sh FROM ex0 JOIN dfq USING (sh) WHERE d <= {_D02B_CUT}
+), sizes AS (
+  SELECT id, count(*) AS n FROM ex GROUP BY id
+), inter AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_common
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.id < r.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.id
+JOIN sizes sb ON inter.id_b = sb.id
+WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2"""
+
+
+@register("d02b_ngram_jaccard_cut", _D02B_PAIRS_SQL)
+def d02b_jaccard_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2,
+                                  max_doc_freq=_D02B_CUT)
+
+
+@register(
+    "a19_levenshtein_pairs",
+    """SELECT count(*)::BIGINT AS n_close_pairs,
+       coalesce(sum(levenshtein(a.c_name, b.c_name)), 0)::BIGINT AS total_distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+)
+def a19_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching via the SymSpell deletion-neighborhood
+    equi-join (``dedup.edit_distance_pairs``) — candidate generation is
+    |s|+1 keys per row, never a quadratic block self-join, so the plan
+    survives blocks of 10⁴+ rows.  The oracle states the same pair
+    semantics as a blocked quadratic join, tractable for DuckDB at
+    sf0.01.  (Earlier rounds registered this as a blocked |block|²
+    Levenshtein join; re-routed per the round-3 audit so no registered
+    query carries a known-quadratic plan.)"""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey",
+                                             "c_name")
+    pairs = DD.edit_distance_pairs(c, "c_custkey", "c_name",
+                                   block_col="c_nationkey")
+    na = c.select(F.col("c_custkey").alias("id_a"),
+                  F.col("c_name").alias("name_a"))
+    nb = c.select(F.col("c_custkey").alias("id_b"),
+                  F.col("c_name").alias("name_b"))
+    return (pairs.join(na, "id_a").join(nb, "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_close_pairs"),
+                 F.coalesce(F.sum(F.levenshtein("name_a", "name_b")),
+                            F.lit(0)).cast("long").alias("total_distance")))
+
+
 # --- d03/d04 — MinHash and SimHash (portable md5 hash family) --------------
 # The sketches use dedup's portable family (every hash derived from md5,
 # which is bit-identical in Spark and DuckDB), so the full pipeline —
@@ -1572,6 +1648,52 @@ FROM chi""",
 def pr04_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — Cramér's V categorical association."""
     return P.cramers_v(_t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey")
+
+
+_PR22_SQL = """WITH cells AS (
+  SELECT l_quantity AS x,
+         CAST(floor(l_extendedprice / 5000) AS BIGINT) AS y,
+         CAST(count(*) AS HUGEINT) AS cnt
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+), cd AS (
+  SELECT coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                           THEN a.cnt * b.cnt END), 0) AS c_pairs,
+         coalesce(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                           THEN a.cnt * b.cnt END), 0) AS d_pairs
+  FROM cells a JOIN cells b
+    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+), tx AS (
+  SELECT sum(t * (t - 1)) // 2 AS n1
+  FROM (SELECT sum(cnt) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT sum(t * (t - 1)) // 2 AS n2
+  FROM (SELECT sum(cnt) AS t FROM cells GROUP BY y)
+), tot AS (SELECT sum(cnt) AS n FROM cells)
+SELECT 'l_quantity' AS col_x, 'price_bin' AS col_y,
+       CAST(n AS BIGINT) AS n,
+       CAST(c_pairs AS DOUBLE) AS concordant,
+       CAST(d_pairs AS DOUBLE) AS discordant,
+       round(CAST(c_pairs - d_pairs AS DOUBLE)
+             / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
+                * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 6)
+         AS kendall_tau
+FROM cd, tx, ty, tot"""
+
+
+@register("pr22_kendall_tau", _PR22_SQL)
+def pr22_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — Kendall τ-b rank correlation (the last enumerated
+    pandas-profiling report statistic; φk has no closed SQL form and is
+    documented out of scope in COVERAGE.md).  Continuous price is binned
+    to keep the contingency-cell pair join bounded (the operator's
+    documented contract)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        F.floor(F.col("l_extendedprice") / 5000).cast("long")
+        .alias("price_bin"))
+    return P.kendall_tau(li, "l_quantity", "price_bin")
 
 
 _MOMENT_COLS = ["l_quantity", "l_discount"]
@@ -2161,29 +2283,6 @@ def a18_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s}")
           for s in _PIVOT_STATUSES])
-
-
-@register(
-    "a19_levenshtein_pairs",
-    """SELECT count(*)::BIGINT AS n_close_pairs,
-       coalesce(sum(levenshtein(a.p_name, b.p_name)), 0)::BIGINT AS total_distance
-FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 12""",
-)
-def a19_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching, blocked on brand so the pair space is
-    |brand-group|² not |table|² (the blocking-key pattern every fuzzy
-    matcher at scale needs; the similarity LSH variants are the unblocked
-    path)."""
-    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = pt.alias("a"), pt.alias("b")
-    pairs = (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
-                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
-             .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
-             .filter(F.col("dist") <= 12))
-    return pairs.agg(F.count(F.lit(1)).alias("n_close_pairs"),
-                     F.coalesce(F.sum("dist"), F.lit(0)).alias("total_distance"))
 
 
 # --- p01/p02/f14/r06 — the remaining §2 items as oracle-checked queries ----
@@ -5382,7 +5481,8 @@ _SHOWCASE_ORDER = [
     "h08_market_share", "h09_product_type_profit",
     "h17_small_quantity_revenue", "h21_waiting_suppliers",
     # dedup / similarity
-    "d01_exact_dedup", "d02_ngram_jaccard_pairs", "d03_minhash_pairs",
+    "d01_exact_dedup", "d02_ngram_jaccard_pairs", "d02b_ngram_jaccard_cut",
+    "d03_minhash_pairs", "a19_levenshtein_pairs",
     "d05_embedding_near_dup", "d06_dedup_clusters", "d09_semantic_dedup",
     "ann01_brute_topk", "ann02_lsh_topk", "ann03_ivf_topk",
     # text / corpus pipeline
@@ -5398,7 +5498,8 @@ _SHOWCASE_ORDER = [
     "w03_scd2_merge",
     # analytics breadth
     "cube01_returnflag_status", "x02_variant_props_histogram",
-    "pr02_pearson_correlations", "pr16_hll_incremental_users",
+    "pr02_pearson_correlations", "pr22_kendall_tau",
+    "pr16_hll_incremental_users",
     "b01_funnel_events", "g01_pagerank_transitions", "geo01_nearest_city",
     "mb01_copurchase_pairs", "m02_image_decode_features",
     "er01_entity_resolution", "fd01_functional_deps_orders",

@@ -167,7 +167,8 @@ def test_lsh_topk_finds_strong_neighbors(spark, tables):
     queries = (emb.filter(F.col("vec_id") < 10)
                .select((F.col("vec_id") + 10000).alias("vec_id"),
                        F.transform("embedding", lambda x: x * 2.0).alias("embedding")))
-    approx = A.lsh_topk(emb, queries, "vec_id", "embedding", k=3, n_planes=8)
+    approx = A.lsh_topk(emb, queries, "vec_id", "embedding", k=3, n_planes=8,
+                        dim=64)
     top1 = {r["query_id"]: r["neighbor_id"] for r in approx.collect() if r["rank"] == 1}
     for q in range(10):
         assert top1[q + 10000] == q, f"query {q + 10000}: twin not at rank 1 ({top1})"
@@ -178,7 +179,8 @@ def test_lsh_topk_beats_random_candidates(spark, tables):
     # assert the approximate result is well-formed and nonempty per query
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") < 5)
-    approx = A.lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=5).collect()
+    approx = A.lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=5,
+                        dim=64).collect()
     by_q = {}
     for r in approx:
         by_q.setdefault(r["query_id"], []).append(r)

@@ -80,6 +80,32 @@ def test_spearman_monotone_is_one(spark):
     assert got["spearman"] == pytest.approx(1.0)
 
 
+def test_kendall_tau_no_ties_known(spark):
+    # x=[1,2,3,4], y=[1,3,2,4]: C=5, D=1, no ties -> tau = 4/6
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (4, 4)], "x int, y int")
+    r = P.kendall_tau(df, "x", "y").collect()[0]
+    assert r["n"] == 4
+    assert r["concordant"] == 5.0 and r["discordant"] == 1.0
+    assert r["kendall_tau"] == pytest.approx(4 / 6, abs=1e-6)
+
+
+def test_kendall_tau_b_tie_correction(spark):
+    # x=[1,1,2,3], y=[1,2,2,3]: C=4, D=0, one x-tie pair, one y-tie pair
+    # -> tau_b = 4 / sqrt((6-1)(6-1)) = 0.8
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (3, 3)], "x int, y int")
+    r = P.kendall_tau(df, "x", "y").collect()[0]
+    assert r["kendall_tau"] == pytest.approx(0.8, abs=1e-6)
+
+
+def test_kendall_tau_monotone_is_one(spark):
+    df = spark.createDataFrame([(i, i * i) for i in range(50)],
+                               "x int, y long")
+    r = P.kendall_tau(df, "x", "y").collect()[0]
+    assert r["kendall_tau"] == pytest.approx(1.0)
+
+
 def test_histogram_total_and_edges(tables):
     df = tables["lineitem"]
     h = P.histogram(df, "l_extendedprice", bins=10).collect()
