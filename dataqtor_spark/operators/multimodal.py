@@ -1,16 +1,16 @@
 """Multimodal column plumbing (north-star extension): image/audio/video as
 opaque ``binary`` columns with typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake (clearly marked below) — but everything Spark-side is
-real and tested: the schema contract, Arrow-batched ``mapInPandas``
-signatures, per-batch iteration shape, frame-explosion layout, and the
-pure-expression metadata path (size / sha256 / magic-byte sniffing, which
-needs no codec at all).
-
-Swap ``_FAKE_DECODE = True`` paths for PIL/ffmpeg calls on a cluster with
-codecs installed; nothing else changes — the operator boundaries are the
-``mapInPandas`` functions and their output schemas.
+The image operators carry a REAL codec branch (PIL, used automatically
+when importable — gated like the Excel source, since this container ships
+no codecs) next to a deterministic sha-derived fake for codec-less
+environments.  Either way everything Spark-side is identical: the schema
+contract, Arrow-batched ``mapInPandas`` signatures, per-batch iteration
+shape, frame-explosion layout, and the pure-expression metadata path
+(size / sha256 / magic-byte sniffing, which needs no codec at all).
+Audio/video decode remains stub-only (soundfile/ffmpeg are heavier
+dependencies); the operator boundaries are the ``mapInPandas`` functions
+and their output schemas, so swapping those in changes nothing else.
 
 Scale notes: payloads never shuffle — metadata extraction is a projection;
 decode is ``mapInPandas`` (Arrow batches, no per-row Python overhead);
@@ -27,7 +27,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_FAKE_DECODE = True  # no codecs in this container — deterministic stub
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -90,22 +95,42 @@ def _fake_image_props(payload: bytes) -> tuple[int, int, str, list[float]]:
 
 
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
-                          id_col: str = "media_id") -> DataFrame:
+                          id_col: str = "media_id",
+                          use_codec: bool | None = None) -> DataFrame:
     """Arrow-batched decode + feature extraction.
 
-    Real plumbing: batch iterator in, per-batch DataFrame out, declared
-    output schema.  Only ``_fake_image_props`` is a stub.
+    ``use_codec=None`` (default) picks the REAL PIL decode when Pillow is
+    importable, else the deterministic sha-derived fake; pass True/False
+    to force.  The real branch decodes each payload, reads
+    width/height/mode, and emits a 16-dim feature (4×4 grayscale
+    nearest-neighbour thumbnail, normalized) — same output schema either
+    way, so the plumbing is identical and codec availability only has to
+    hold on the executors.
     """
+    codec = _pil_available() if use_codec is None else use_codec
+    if codec and not _pil_available():
+        raise NotImplementedError(
+            "real codec path needs PIL (pip install pillow)")
+
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if codec:
+            import io
+
+            from PIL import Image
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if not _FAKE_DECODE:
-                    raise NotImplementedError("real codec path needs PIL/ffmpeg")
-                w, h, mode, feat = _fake_image_props(bytes(payload) if payload is not None else b"")
-                rows.append((mid, w, h, mode, feat))
+                data = bytes(payload) if payload is not None else b""
+                if codec:
+                    img = Image.open(io.BytesIO(data))
+                    thumb = img.convert("L").resize(
+                        (4, 4), getattr(Image, "NEAREST", 0))
+                    rows.append((mid, img.width, img.height, img.mode,
+                                 [p / 255.0 for p in thumb.tobytes()]))
+                else:
+                    rows.append((mid, *_fake_image_props(data)))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height",
                                               "mode", "feature"])
 
@@ -117,22 +142,46 @@ RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
 def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
-                  payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
-    """Resize stub: passes payloads through with the declared target shape
-    (real impl decodes → resamples → re-encodes inside the same iterator)."""
+                  payload_col: str = "payload", id_col: str = "media_id",
+                  use_codec: bool | None = None) -> DataFrame:
+    """Resize: with PIL available (or ``use_codec=True``) payloads are
+    decoded → resampled to ``target`` → re-encoded as PNG inside the same
+    Arrow batch iterator; without codecs the fake passes payloads through
+    with the declared target shape.  Identical schema either way."""
     tw, th = target
+    codec = _pil_available() if use_codec is None else use_codec
+    if codec and not _pil_available():
+        raise NotImplementedError(
+            "real codec path needs PIL (pip install pillow)")
 
     def resize(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if codec:
+            import io
+
+            from PIL import Image
         for pdf in batches:
-            if not _FAKE_DECODE:
-                raise NotImplementedError("real codec path needs PIL")
-            yield pd.DataFrame({
-                "media_id": pdf[id_col],
-                "width": tw, "height": th,
-                "payload": pdf[payload_col],
-            })
+            if codec:
+                out = []
+                for payload in pdf[payload_col]:
+                    data = bytes(payload) if payload is not None else b""
+                    img = Image.open(io.BytesIO(data)).resize(
+                        (tw, th), getattr(Image, "NEAREST", 0))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out.append(buf.getvalue())
+                yield pd.DataFrame({
+                    "media_id": pdf[id_col],
+                    "width": tw, "height": th,
+                    "payload": out,
+                })
+            else:
+                yield pd.DataFrame({
+                    "media_id": pdf[id_col],
+                    "width": tw, "height": th,
+                    "payload": pdf[payload_col],
+                })
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         resize, schema=RESIZED_SCHEMA)
@@ -142,10 +191,14 @@ FRAMES_SCHEMA = "media_id long, frame_index int, ts_ms long, frame binary"
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
-                        payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+                        payload_col: str = "payload", id_col: str = "media_id",
+                        use_codec: bool = False) -> DataFrame:
     """Frame sampling: one input row → N frame rows, emitted inside the
     batch iterator (no join/explode shuffle).  Frame count/bytes are a
     deterministic fake of ffmpeg keyframe extraction."""
+    if use_codec:
+        raise NotImplementedError("real video codec path needs ffmpeg")
+
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -172,18 +225,21 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def extract_audio_features(df: DataFrame, payload_col: str = "payload",
-                           id_col: str = "media_id") -> DataFrame:
+                           id_col: str = "media_id",
+                           use_codec: bool = False) -> DataFrame:
     """Audio decode + feature extraction — same Arrow-batched contract as
     :func:`decode_image_features`; the codec call is the deterministic
     fake (swap for soundfile/librosa on a cluster with codecs)."""
+    if use_codec:
+        raise NotImplementedError(
+            "real audio codec path needs soundfile/ffmpeg")
+
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if not _FAKE_DECODE:
-                    raise NotImplementedError("real codec path needs soundfile/ffmpeg")
                 data = bytes(payload) if payload is not None else b""
                 dig = hashlib.sha256(data).digest()
                 duration = 500 + int.from_bytes(dig[4:6], "big")  # 0.5–66 s

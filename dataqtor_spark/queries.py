@@ -1450,7 +1450,9 @@ def m02_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return MM.decode_image_features(docs).drop("feature")
+    # the oracle replays the sha-derived fake decode, so pin the fake path
+    # even on a machine where PIL is installed
+    return MM.decode_image_features(docs, use_codec=False).drop("feature")
 
 
 _M03_SQL = f"""SELECT media_id, (i - 1)::INT AS frame_index,
@@ -2096,7 +2098,8 @@ def m02b_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return MM.decode_image_features(docs).select("media_id", "width", "height", "mode")
+    return (MM.decode_image_features(docs, use_codec=False)
+            .select("media_id", "width", "height", "mode"))
 
 
 # --- j05 — as-of join (time-series enrichment) -----------------------------

@@ -1,4 +1,5 @@
 import pyspark.sql.functions as F
+import pytest
 
 from dataqtor_spark.operators import multimodal as MM
 from dataqtor_spark.streaming import profiler as SP
@@ -32,8 +33,10 @@ def test_media_metadata_expressions(spark):
 
 
 def test_decode_image_features_plumbing(spark):
+    # use_codec=False: text payloads aren't decodable images, so this
+    # exercises the deterministic fake path regardless of PIL presence
     df = _media_df(spark).limit(20)
-    out = MM.decode_image_features(df)
+    out = MM.decode_image_features(df, use_codec=False)
     rows = out.collect()
     assert len(rows) == 20
     for r in rows:
@@ -42,14 +45,74 @@ def test_decode_image_features_plumbing(spark):
         assert len(r["feature"]) == 16
         assert all(0 <= x <= 1 for x in r["feature"])
     # deterministic: same payload → same features
-    again = MM.decode_image_features(df).collect()
+    again = MM.decode_image_features(df, use_codec=False).collect()
     assert {r["media_id"]: r["width"] for r in rows} == \
         {r["media_id"]: r["width"] for r in again}
 
 
+def _tiny_png(width, height, rgb):
+    """A valid single-color RGB PNG built with stdlib only (zlib+struct),
+    so the codec-gated tests need PIL only for the DECODE side."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+@pytest.mark.skipif(not MM._pil_available(), reason="PIL not installed")
+def test_real_image_decode_via_pil(spark):
+    # real tiny PNGs through the same schema contract as the fake path
+    imgs = spark.createDataFrame(
+        [(1, bytearray(_tiny_png(6, 4, (255, 0, 0)))),
+         (2, bytearray(_tiny_png(3, 5, (0, 128, 0))))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r
+            for r in MM.decode_image_features(imgs, use_codec=True).collect()}
+    assert rows[1]["width"] == 6 and rows[1]["height"] == 4
+    assert rows[2]["width"] == 3 and rows[2]["height"] == 5
+    assert rows[1]["mode"] == "RGB"
+    assert len(rows[1]["feature"]) == 16
+    # solid red -> every thumbnail pixel has the same luma
+    assert len(set(rows[1]["feature"])) == 1
+    resized = {r["media_id"]: r
+               for r in MM.resize_images(imgs, target=(8, 8),
+                                         use_codec=True).collect()}
+    assert resized[1]["width"] == 8 and resized[1]["height"] == 8
+    # re-encoded payload is a real PNG, and decodes back at the target size
+    assert bytes(resized[1]["payload"]).startswith(b"\x89PNG")
+    back = {r["media_id"]: r for r in MM.decode_image_features(
+        spark.createDataFrame(
+            [(1, resized[1]["payload"])], "media_id long, payload binary"),
+        use_codec=True).collect()}
+    assert back[1]["width"] == 8 and back[1]["height"] == 8
+
+
+@pytest.mark.skipif(MM._pil_available(), reason="PIL installed")
+def test_forced_codec_without_pil_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "media_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_features(df, use_codec=True)
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(df, use_codec=True)
+    with pytest.raises(NotImplementedError):
+        MM.extract_audio_features(df, use_codec=True)
+    with pytest.raises(NotImplementedError):
+        MM.sample_video_frames(df, use_codec=True)
+
+
 def test_resize_and_frame_sampling(spark):
     df = _media_df(spark).limit(10)
-    resized = MM.resize_images(df, target=(128, 128)).collect()
+    resized = MM.resize_images(df, target=(128, 128),
+                               use_codec=False).collect()
     assert all(r["width"] == 128 and r["height"] == 128 for r in resized)
     frames = MM.sample_video_frames(df, every_ms=500, max_frames=4)
     rows = frames.collect()
