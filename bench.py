@@ -34,6 +34,7 @@ HEADLINE = [
     "t02_quality_features",
     "t04_fingerprint_clusters",
     "d02_ngram_jaccard_pairs",
+    "d02b_ngram_jaccard_cut",
     "d03_minhash_pairs",
     "ann01_brute_topk",
     "ann03_ivf_topk",
@@ -80,19 +81,28 @@ def main() -> None:
         warm_dir = sf_dir
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, warm_dir).count()
-        best, n = None, 0
-        for _ in range(2):  # best-of-2: damps machine-load noise (~±15%)
+        samples: list[float] = []
+        n = 0
+        # best-of-2 damps machine-load noise (~±15%); sub-0.5s queries get
+        # 5 samples so scheduler jitter is distinguishable from a real
+        # regression (their round-over-round deltas are jitter-sized)
+        while len(samples) < (2 if not samples or min(samples) >= 0.5 else 5):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            t = time.perf_counter() - t0
-            best = t if best is None else min(best, t)
+            samples.append(time.perf_counter() - t0)
+        best = min(samples)
+        mean = sum(samples) / len(samples)
+        sd = (sum((s - mean) ** 2 for s in samples) / len(samples)) ** 0.5
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        spreads[name] = round(sd, 3)
+        print(f"# {name}: {timings[name]:.3f}s ±{sd:.3f} "
+              f"(n={len(samples)}, {n} rows)", file=sys.stderr)
         # isolate queries: drop persisted intermediates (e.g. minhash
         # signatures) so later timings don't pay earlier queries' cache
         spark.catalog.clearCache()
@@ -103,6 +113,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stddev": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

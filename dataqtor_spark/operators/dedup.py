@@ -152,15 +152,29 @@ def _h_array(num_hashes: int) -> Column:
 
 
 def minhash_candidates(sig: DataFrame, id_col: str,
-                       num_hashes: int = 64, bands: int = 16) -> DataFrame:
+                       num_hashes: int = 64, bands: int = 16,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """LSH banding: docs colliding in ≥1 band become candidate pairs
-    (id_a < id_b).  rows-per-doc = bands; join is a groupBy on band hash."""
+    (id_a < id_b).  rows-per-doc = bands; join is a groupBy on band hash.
+
+    ``max_bucket_size`` drops buckets larger than the cap before pair
+    expansion — the skew guard for dup-heavy corpora, where one hot
+    bucket of b near-identical docs would otherwise expand b²/2 pairs
+    per band.  An over-full bucket is (by construction) an exact or
+    near-exact duplicate *cluster*, which exact hash-dedup (``d01``)
+    collapses in one linear pass — run that first and let banding handle
+    the long tail; pairs internal to a capped-out bucket are
+    intentionally skipped (see the skew probe in SCALE_PROBE.md for the
+    measured blow-up without the cap)."""
     exploded = sig.select(F.col(id_col).alias("__id"),
                           F.explode(_band_hash_array(num_hashes, bands))
                           .alias("__bh"))
-    return (exploded.groupBy("__bh")
-            .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
-            .filter(F.size("ids") > 1)
+    grouped = (exploded.groupBy("__bh")
+               .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    return (grouped
             .select(F.explode(F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"

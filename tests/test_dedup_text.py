@@ -95,6 +95,25 @@ def test_minhash_finds_planted_near_dups(spark):
     assert all(3 not in p and 5 not in p for p in pairs)
 
 
+def test_minhash_bucket_cap_skips_hot_cluster(spark):
+    # 12 identical docs form one hot bucket per band; with the cap below
+    # the cluster size their 66 internal pairs are skipped, while a small
+    # distinct near-dup pair elsewhere must survive
+    rows = [(i, "the same boilerplate footer text repeated here " * 4)
+            for i in range(12)]
+    rows += [(100, "a quick brown fox jumps over the lazy dog today"),
+             (101, "a quick brown fox jumps over the lazy dog tonight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = D.minhash_signatures(df, "doc_id", "text")
+    uncapped = D.minhash_candidates(sig, "doc_id").collect()
+    capped = D.minhash_candidates(sig, "doc_id", max_bucket_size=8).collect()
+    hot = {(a, b) for a in range(12) for b in range(12) if a < b}
+    assert hot <= {(r["id_a"], r["id_b"]) for r in uncapped}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert not (hot & capped_pairs)          # hot cluster skipped
+    assert (100, 101) in capped_pairs        # small buckets unaffected
+
+
 def test_simhash_near_pairs(spark):
     # hamming≤3 is a long-document regime: use ~400-token docs where a
     # single-token edit flips only a few signature bits

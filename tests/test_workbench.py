@@ -44,6 +44,33 @@ def test_full_lifecycle(spark, tables, tmp_path):
     assert "__row_id" not in back.columns  # stripped on download
 
 
+def test_readme_quickstart(spark, tmp_path):
+    """The README 'Quick start' snippet, verbatim (plus asserts), over the
+    sf0.001 test data — mirrors the reference's E2→E3 loop: profile →
+    rule → repair → before/after score (home.py's Detector/Corrector
+    pages)."""
+    from dataqtor_spark import Workbench
+    from dataqtor_spark.operators import rules
+
+    wb = Workbench.load(spark, "/root/testdata/sf0.001/customer.parquet",
+                        row_id_order=["c_custkey"])
+    prof = wb.profile(["c_acctbal", "c_mktsegment"])
+    assert {r["column"] for r in prof.collect()} == {"c_acctbal",
+                                                     "c_mktsegment"}
+    seg_rule = rules.rule_forbidden_values("c_mktsegment", ["MACHINERY"])
+    before = wb.detect([seg_rule]).collect()[0]
+    wb.remap_value("c_mktsegment", "MACHINERY", "HEAVY EQUIPMENT")
+    after = wb.detect([seg_rule]).collect()[0]
+    assert before["out_of_format_records"] > 0
+    assert after["out_of_format_records"] == 0
+    rep = wb.report().collect()
+    by_m = {r["measurement"]: r["overall_dq_score"] for r in rep}
+    assert by_m[1] > by_m[0]
+    wb.save(str(tmp_path / "clean.parquet"))
+    assert spark.read.parquet(str(tmp_path / "clean.parquet")).count() \
+        == wb.df.count()
+
+
 def test_workbench_expectation_shortcuts(spark, tmp_path):
     import pyspark.sql.functions as F
 

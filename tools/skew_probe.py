@@ -1,0 +1,125 @@
+"""Skewed-corpus probe for the dedup banding operators.
+
+The uniform scale probe (tools/scale_probe.py) shows near-linear growth,
+but dedup cost is driven by *duplicate density*, not corpus size: a hot
+shingle shared by h docs expands h²/2 pairs in the n-gram inverted index,
+and a hot LSH bucket of b near-identical docs expands b²/2 candidate
+pairs per band.  This probe plants a hot cluster (h identical boilerplate
+docs appended to the sf corpus), measures the blow-up with the guards OFF,
+and shows the guards (``max_doc_freq`` stop-shingle cut, ``max_bucket_size``
+bucket cap) holding cost flat as the cluster grows.
+
+Usage: python tools/skew_probe.py [sf_dir]
+Rewrites the '## Skewed-corpus probe' section of SCALE_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+MARK = "## Skewed-corpus probe (dedup banding)"
+BOILER = ("terms of service please read carefully this boilerplate footer "
+          "is appended to every mirrored page of the site " * 3)
+
+
+def planted(docs, h: int):
+    """sf corpus + h exact copies of one boilerplate doc (shifted ids)."""
+    hot = (docs.sparkSession.range(h)
+           .select((F.lit(10_000_000) + F.col("id")).alias("doc_id"),
+                   F.lit(BOILER).alias("text")))
+    return docs.select("doc_id", "text").unionByName(hot)
+
+
+def timed(df) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from dataqtor_spark.operators import dedup as DD
+    from dataqtor_spark.queries import _t
+    from dataqtor_spark.session import get_spark
+
+    spark = get_spark("skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _t(spark, sf_dir, "documents")
+
+    rows = []
+    for h in (200, 800):
+        corpus = planted(docs, h).persist()
+        corpus.count()
+
+        t_uncut, n_uncut = timed(DD.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=5, threshold=0.2))
+        t_cut, n_cut = timed(DD.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=5, threshold=0.2, max_doc_freq=16))
+
+        sig = DD.minhash_signatures(corpus, "doc_id", "text",
+                                    num_hashes=64, shingle_n=5).persist()
+        sig.count()
+        t_band, n_band = timed(DD.minhash_candidates(sig, "doc_id", 64, 16))
+        t_cap, n_cap = timed(DD.minhash_candidates(sig, "doc_id", 64, 16,
+                                                   max_bucket_size=16))
+        sig.unpersist()
+        corpus.unpersist()
+        rows.append((h, t_uncut, n_uncut, t_cut, n_cut,
+                     t_band, n_band, t_cap, n_cap))
+        print(f"h={h}: uncut {t_uncut:.2f}s/{n_uncut} pairs, "
+              f"cut {t_cut:.2f}s/{n_cut}, band {t_band:.2f}s/{n_band}, "
+              f"cap {t_cap:.2f}s/{n_cap}", file=sys.stderr)
+
+    (h1, tu1, nu1, tc1, nc1, tb1, nb1, tp1, np1) = rows[0]
+    (h2, tu2, nu2, tc2, nc2, tb2, nb2, tp2, np2) = rows[1]
+    ratio = h2 / h1
+    section = [
+        MARK, "",
+        f"Corpus = {os.path.basename(sf_dir.rstrip('/'))} documents + a",
+        f"planted hot cluster of h identical boilerplate docs; h grows {ratio:.0f}×",
+        f"({h1} → {h2}), so an unguarded pair expansion should grow ~{ratio*ratio:.0f}×",
+        "(quadratic in cluster size) while the guarded paths stay flat.",
+        "",
+        "| operator | guard | pairs @h=" + str(h1) + " | t (s) | pairs @h=" + str(h2) + " | t (s) | pair growth |",
+        "|---|---|---|---|---|---|---|",
+        f"| ngram_jaccard_pairs | none (uncut) | {nu1:,} | {tu1:.2f} | {nu2:,} | {tu2:.2f} | {nu2 / max(nu1, 1):.1f}× |",
+        f"| ngram_jaccard_pairs | max_doc_freq=16 | {nc1:,} | {tc1:.2f} | {nc2:,} | {tc2:.2f} | {nc2 / max(nc1, 1):.1f}× |",
+        f"| minhash_candidates | none (uncapped) | {nb1:,} | {tb1:.2f} | {nb2:,} | {tb2:.2f} | {nb2 / max(nb1, 1):.1f}× |",
+        f"| minhash_candidates | max_bucket_size=16 | {np1:,} | {tp1:.2f} | {np2:,} | {tp2:.2f} | {np2 / max(np1, 1):.1f}× |",
+        "",
+        "The unguarded rows grow quadratically with the hot-cluster size —",
+        "the blow-up that at 100 TB would sink the stage.  With the guards on",
+        "the cost is flat: the stop-shingle cut drops shingles shared by >16",
+        "docs before the posting-list expansion, and the bucket cap skips",
+        "over-full LSH buckets (those clusters are exact/near-exact dups,",
+        "which the linear d01 exact-hash pass collapses first).  Both guards",
+        "trade documented recall (pairs internal to a dropped shingle/bucket)",
+        "for bounded cost; the differential oracle d02b tests the cut's exact",
+        "semantics.",
+        "",
+    ]
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "SCALE_PROBE.md")
+    text = open(path).read() if os.path.exists(path) else "# SCALE_PROBE\n\n"
+    block = "\n".join(section)
+    if MARK in text:
+        text = re.sub(re.escape(MARK) + r".*?(?=\n## |\Z)", block,
+                      text, flags=re.S)
+    else:
+        text = text.rstrip("\n") + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(text)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
