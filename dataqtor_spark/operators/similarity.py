@@ -64,17 +64,31 @@ def tfidf_vectors(df: DataFrame, col: str, n: int = 3) -> DataFrame:
 
 
 def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
-                    n: int = 3, top_n: int | None = 50) -> DataFrame:
+                    n: int = 3, top_n: int | None = 50,
+                    max_doc_freq: int | None = None) -> DataFrame:
     """A13 exact mode: (left_side, right_side, similarity) for non-identical
     value pairs with TF-IDF cosine ≥ threshold, ordered desc (ties by the
-    pair, deterministic), limited to ``top_n`` like the reference."""
+    pair, deterministic), limited to ``top_n`` like the reference.
+
+    ``max_doc_freq`` is the stop-gram cut (same guard as
+    ``dedup.ngram_jaccard_pairs``): grams shared by more than K values
+    are dropped before pair expansion, bounding the per-gram df²/2
+    blowup at corpus scale.  Dropped grams carry the LOWEST idf weights,
+    so the similarity underestimate is small and one-sided (documented
+    recall trade; leave None for exact string_grouper parity)."""
     # persist: both sides of the self-join read the SAME vector table;
     # without it the whole tokenize→tf→idf→norm pipeline is planned and
     # executed twice (the plan showed ~31 exchanges, half of them the
     # duplicated subtree).  The small ranked result is materialized via
     # localCheckpoint so the vectors can be unpersisted before returning —
     # no storage leak across repeated calls.
-    vec = tfidf_vectors(df, col, n).persist()
+    vec = tfidf_vectors(df, col, n)
+    if max_doc_freq is not None:
+        keep = (vec.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_doc_freq).select("gram"))
+        vec = vec.join(F.broadcast(keep), "gram")
+    vec = vec.persist()
     try:
         # posting-list sparse dot product: ONE exchange of the vector
         # table builds per-gram postings (sorted by value, so pairs come

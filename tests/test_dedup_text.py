@@ -226,6 +226,23 @@ def test_similar_strings_exact(spark):
     assert all(0 < s <= 1.0 + 1e-9 for s in pairs.values())
 
 
+def test_similar_strings_stop_gram_cut(spark):
+    # 'abc' is shared by both close values AND dominates a hot gram set:
+    # with max_doc_freq=1 every shared gram disappears, so no pair clears
+    # the threshold; without the cut the close pair is found
+    vals = ["abcd", "abce", "xyzw"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    uncut = S.similar_strings(df, "s", min_similarity=0.1, top_n=None)
+    cut = S.similar_strings(df, "s", min_similarity=0.1, top_n=None,
+                            max_doc_freq=1)
+    assert uncut.count() == 1 and cut.count() == 0
+    # a cut above every df is a no-op: same result as uncut
+    same = S.similar_strings(df, "s", min_similarity=0.1, top_n=None,
+                             max_doc_freq=10)
+    assert [tuple(r) for r in same.collect()] == \
+        [tuple(r) for r in uncut.collect()]
+
+
 def test_similar_strings_tfidf_matches_sklearn_formula(spark):
     # hand-check one pair: cosine of L2-normalized smooth-idf tf-idf vectors
     vals = ["abcd", "abce", "xyzw"]

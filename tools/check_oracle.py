@@ -67,7 +67,13 @@ def compare(name, sdf_pd, odf_pd):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    args = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
 
     import duckdb
 
@@ -83,6 +89,7 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_noracle = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -90,16 +97,19 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle — rows-only check)")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             n_noracle += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            results[name] = {"status": "fail", "err": f"oracle: {e}"}
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
@@ -107,11 +117,21 @@ def main():
             print(f"FAIL  {name}:")
             for p in problems[:7]:
                 print(f"      {p}")
+            results[name] = {"status": "fail", "problems": problems[:7]}
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(sdf)} rows)")
+            results[name] = {"status": "pass", "rows": len(sdf)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "n_rows_only": n_noracle, "results": results},
+                      f, indent=1, default=str)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
