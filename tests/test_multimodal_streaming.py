@@ -95,6 +95,58 @@ def test_real_image_decode_via_pil(spark):
     assert back[1]["width"] == 8 and back[1]["height"] == 8
 
 
+def _tiny_wav(seconds, rate, freq, channels=1, amplitude=0.5):
+    """Integer-PCM WAV built with stdlib wave — a pure sine tone whose
+    RMS is analytically amplitude/sqrt(2)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(seconds * rate)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(32767 * amplitude
+                                  * math.sin(2 * math.pi * freq * i / rate)))
+            * channels
+            for i in range(n))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_wav_decode(spark):
+    # 0.25 s of a 440 Hz sine at 16 kHz: duration/rate/channels exact,
+    # RMS = amplitude/sqrt(2) (sine identity) within discretization error
+    wav1 = _tiny_wav(0.25, 16000, 440.0, channels=1, amplitude=0.5)
+    wav2 = _tiny_wav(0.5, 8000, 220.0, channels=2, amplitude=0.25)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav1)), (2, bytearray(wav2)),
+         (3, bytearray(b"not audio at all"))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r
+            for r in MM.extract_audio_features(df).collect()}
+    assert rows[1]["duration_ms"] == 250
+    assert rows[1]["sample_rate"] == 16000 and rows[1]["n_channels"] == 1
+    assert rows[1]["rms"] == pytest.approx(0.5 / 2 ** 0.5, rel=1e-2)
+    assert rows[2]["duration_ms"] == 500
+    assert rows[2]["sample_rate"] == 8000 and rows[2]["n_channels"] == 2
+    assert rows[2]["rms"] == pytest.approx(0.25 / 2 ** 0.5, rel=1e-2)
+    # the WAV payload also sniffs as RIFF in the pure-expression metadata
+    meta = {r["media_id"]: r["format"]
+            for r in MM.attach_media_metadata(df).collect()}
+    assert meta[1] == "riff"
+    # non-audio payloads fall back to the deterministic fake, and
+    # use_codec=False forces it for WAVs too (oracle parity path)
+    fake = {r["media_id"]: r for r in
+            MM.extract_audio_features(df, use_codec=False).collect()}
+    assert fake[1]["duration_ms"] != 250 or fake[1]["sample_rate"] != 16000
+    assert rows[3] == fake[3]
+
+
 @pytest.mark.skipif(MM._pil_available(), reason="PIL installed")
 def test_forced_codec_without_pil_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))],
@@ -103,8 +155,6 @@ def test_forced_codec_without_pil_raises(spark):
         MM.decode_image_features(df, use_codec=True)
     with pytest.raises(NotImplementedError):
         MM.resize_images(df, use_codec=True)
-    with pytest.raises(NotImplementedError):
-        MM.extract_audio_features(df, use_codec=True)
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(df, use_codec=True)
 
