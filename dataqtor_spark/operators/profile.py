@@ -590,6 +590,143 @@ def kendall_tau(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         F.round(tau, 6).alias("kendall_tau"))
 
 
+def phik_correlation(df: DataFrame, col_x: str, col_y: str,
+                     n_bins: int = 10) -> DataFrame:
+    """φk correlation coefficient (Baak, Koopman, Snoek & Klous 2018,
+    arXiv:1811.11440) — the ``phi_k`` matrix in pandas-profiling 3.2.0's
+    report (reference surface: /root/reference/home.py:84-86 via
+    ``ProfileReport``), the one §2.10 statistic previously documented as
+    out of scope.
+
+    Definition: bin both variables, take the Pearson χ² of the observed
+    contingency table (noise-corrected by the independence pedestal
+    E[χ²|ρ=0] = (r−1)(c−1)), then find the ρ ∈ [0, 1) for which a
+    standard bivariate normal — binned so its marginals match the
+    observed marginals exactly — produces the same χ².  φk = that ρ.
+
+    Scale design: ALL per-row work is Spark-side — one min/max aggregate
+    to fix the bin grid, then one map-side-combinable groupBy producing
+    ≤ n_bins² contingency cells.  Only that tiny cell table is collected;
+    the bivariate-normal inversion (Gauss–Legendre quadrature for the BVN
+    rectangle masses + bisection on ρ) runs on the driver over ≤ n_bins²
+    numbers — the same bounded-driver-work contract as the k-means
+    centroid pulls in ``dedup.semantic_dedup``.  Numeric columns are
+    equi-width binned; string columns group on their category value
+    (ordered lexically, as the phik library orders unordered categoricals).
+
+    No closed SQL form exists for the BVN inversion, so the registry
+    entry is rows-only; correctness is pytest-anchored (φk → 1 under
+    functional dependence, → 0 under independence, symmetry in the
+    argument order, and a hand-checked 2×2 value).
+    """
+    import math
+    from statistics import NormalDist
+
+    import numpy as np
+
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
+               "decimal", "date", "timestamp"}
+
+    def _is_numeric(c: str) -> bool:
+        t = dict(df.dtypes)[c]
+        return t.split("(")[0] in numeric
+
+    pair = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    num_cols = [c for c in (col_x, col_y) if _is_numeric(c)]
+    if num_cols:
+        mm = pair.agg(*[f for c in num_cols for f in (
+            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))])
+        pair = pair.crossJoin(F.broadcast(mm))
+
+    def _bin(c: str):
+        if not _is_numeric(c):
+            return F.col(c).cast("string")
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        v = F.col(c).cast("double")
+        idx = F.floor((v - lo) / ((hi - lo) / n_bins))
+        return (F.when(hi == lo, F.lit(0))
+                .otherwise(F.least(idx, F.lit(n_bins - 1)))
+                .cast("string"))
+
+    cells = (pair.groupBy(_bin(col_x).alias("bx"), _bin(col_y).alias("by"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .collect())  # ≤ n_bins² rows by construction
+
+    xs = sorted({r["bx"] for r in cells})
+    ys = sorted({r["by"] for r in cells})
+    obs = np.zeros((len(xs), len(ys)))
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    for r in cells:
+        obs[xi[r["bx"]], yi[r["by"]]] = r["cnt"]
+    n = obs.sum()
+    r_dim, c_dim = obs.shape
+
+    def _result(val: float) -> DataFrame:
+        return df.sparkSession.createDataFrame(
+            [(col_x, col_y, int(n), round(float(val), 4))],
+            "col_x string, col_y string, n long, phik double")
+
+    if n == 0 or r_dim < 2 or c_dim < 2:
+        return _result(0.0)
+
+    p = obs.sum(axis=1) / n           # row marginals
+    q = obs.sum(axis=0) / n           # col marginals
+    e = n * np.outer(p, q)
+    chi2_obs = float(((obs - e) ** 2 / e).sum())
+    pedestal = (r_dim - 1) * (c_dim - 1)
+    chi2_target = max(0.0, chi2_obs - pedestal)
+    if chi2_target == 0.0:
+        return _result(0.0)
+
+    nd = NormalDist()
+    clip = 7.5
+
+    def _edges(marg: np.ndarray) -> np.ndarray:
+        cum = np.concatenate(([0.0], np.cumsum(marg)))
+        cum = np.clip(cum, 0.0, 1.0)
+        return np.array([-clip if v <= 0 else clip if v >= 1
+                         else max(-clip, min(clip, nd.inv_cdf(v)))
+                         for v in cum])
+
+    zx, zy = _edges(p), _edges(q)
+    # BVN CDF at every grid corner in one vectorized sweep:
+    #   B(h,k,ρ) = Φ(h)Φ(k) + (1/2π)∫₀^ρ exp(−(h²+k²−2rhk)/(2(1−r²)))/√(1−r²) dr
+    nodes, weights = np.polynomial.legendre.leggauss(48)
+    phi_x = np.array([nd.cdf(v) for v in zx])
+    phi_y = np.array([nd.cdf(v) for v in zy])
+    h = zx[:, None]
+    k = zy[None, :]
+
+    def _bvn_chi2(rho: float) -> float:
+        r_nodes = 0.5 * rho * (nodes + 1.0)        # map [−1,1] → [0,ρ]
+        w = 0.5 * rho * weights
+        acc = np.zeros((len(zx), len(zy)))
+        for r_, w_ in zip(r_nodes, w):
+            om = 1.0 - r_ * r_
+            acc += w_ * np.exp(-(h * h + k * k - 2.0 * r_ * h * k)
+                               / (2.0 * om)) / math.sqrt(om)
+        bvn = phi_x[:, None] * phi_y[None, :] + acc / (2.0 * math.pi)
+        rect = (bvn[1:, 1:] - bvn[:-1, 1:] - bvn[1:, :-1] + bvn[:-1, :-1])
+        rect = np.clip(rect, 1e-15, None)
+        rect = rect / rect.sum()
+        exp_ij = np.outer(p, q)
+        return float(n * ((rect - exp_ij) ** 2 / exp_ij).sum())
+
+    hi_rho = 0.99999
+    if chi2_target >= _bvn_chi2(hi_rho):
+        return _result(1.0)
+    lo, hi = 0.0, hi_rho
+    for _ in range(50):
+        mid = (lo + hi) / 2.0
+        if _bvn_chi2(mid) < chi2_target:
+            lo = mid
+        else:
+            hi = mid
+    return _result((lo + hi) / 2.0)
+
+
 def moment_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Population skewness and excess kurtosis per column, one aggregate
     pass (pandas-profiling §2.10; Spark's built-ins use the population

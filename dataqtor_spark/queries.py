@@ -1698,6 +1698,30 @@ def pr22_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.kendall_tau(li, "l_quantity", "price_bin")
 
 
+@register("pr23_phik")
+def pr23_phik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — φk correlation (pandas-profiling 3.2.0 'phi_k' matrix,
+    Baak et al. 2018), closing the last enumerated report statistic.
+    Rows-only by nature: the bivariate-normal inversion that defines φk
+    has no closed SQL form (COVERAGE.md documents the trade); pytest
+    anchors the value (ρ-recovery on Gaussian data, 0/1 limits,
+    symmetry).  All per-row work is one binned groupBy; the driver only
+    sees the ≤ 10×10 contingency table.
+
+    The synthetic tables generate every column independently (measured
+    Pearson ≈ 0.003 across all pairs), so this returns BOTH regimes: the
+    natural independent pair (φk = 0) and a derived signal+noise column
+    (y = 2000·quantity + extendedprice) whose φk is a deterministic
+    mid-range value."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice",
+        (F.col("l_quantity").cast("double") * 2000
+         + F.col("l_extendedprice")).alias("qty_plus_noise"))
+    indep = P.phik_correlation(li, "l_quantity", "l_extendedprice")
+    dep = P.phik_correlation(li, "l_quantity", "qty_plus_noise")
+    return indep.unionByName(dep)
+
+
 _MOMENT_COLS = ["l_quantity", "l_discount"]
 
 def _moment_oracle(c: str) -> str:

@@ -106,6 +106,46 @@ def test_kendall_tau_monotone_is_one(spark):
     assert r["kendall_tau"] == pytest.approx(1.0)
 
 
+def test_phik_functional_dependence_is_one(spark):
+    df = spark.createDataFrame([(float(i % 23), float(i % 23))
+                                for i in range(2000)], "x double, y double")
+    r = P.phik_correlation(df, "x", "y").collect()[0]
+    assert r["phik"] == pytest.approx(1.0)
+
+
+def test_phik_independence_is_zero(spark):
+    # full factorial 8x8 grid: exactly independent, chi2 = 0
+    df = spark.createDataFrame([(float(i % 8), float((i // 8) % 8))
+                                for i in range(6400)], "x double, y double")
+    r = P.phik_correlation(df, "x", "y").collect()[0]
+    assert r["phik"] == 0.0
+
+
+def test_phik_recovers_gaussian_rho_and_symmetry(spark):
+    # the paper's defining property: on binned bivariate-normal data,
+    # phik estimates the generating rho
+    import random
+    random.seed(11)
+    xs = [random.gauss(0, 1) for _ in range(4000)]
+    rows = [(x, 0.6 * x + 0.8 * random.gauss(0, 1)) for x in xs]
+    df = spark.createDataFrame(rows, "x double, y double")
+    fwd = P.phik_correlation(df, "x", "y").collect()[0]
+    rev = P.phik_correlation(df, "y", "x").collect()[0]
+    assert fwd["phik"] == pytest.approx(0.6, abs=0.08)
+    assert fwd["phik"] == rev["phik"]
+
+
+def test_phik_categorical_and_degenerate(spark):
+    dfc = spark.createDataFrame(
+        [("a" if i % 2 else "b", float(i % 2)) for i in range(500)],
+        "x string, y double")
+    assert P.phik_correlation(dfc, "x", "y").collect()[0]["phik"] == 1.0
+    one = spark.createDataFrame([(1.0, float(i)) for i in range(100)],
+                                "x double, y double")
+    # single x bin -> r_dim < 2 -> 0 by definition
+    assert P.phik_correlation(one, "x", "y").collect()[0]["phik"] == 0.0
+
+
 def test_histogram_total_and_edges(tables):
     df = tables["lineitem"]
     h = P.histogram(df, "l_extendedprice", bins=10).collect()
