@@ -432,24 +432,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     blowup on ultra-common shingles; pairs sharing ONLY dropped shingles
     can be missed (documented recall trade)."""
     ex = _exploded_shingles(df, id_col, text_col, n)
+    # Posting lists FIRST: the one heavy exchange (exploded (id, hash) rows
+    # hash-partitioned on the shingle) happens exactly once, and everything
+    # else derives from the much smaller posting-list table:
+    #   * the stop-shingle cut is a FREE filter on size(ids) — no separate
+    #     doc-freq aggregation, no re-shingling pass, no broadcast of the
+    #     (at scale huge) surviving-shingle set;
+    #   * per-doc sizes re-explode only the kept 8-byte ids (a light
+    #     exchange, and post-cut semantics fall out by construction);
+    #   * pairs are expanded in-row from each list — per-shingle blowup is
+    #     |df|²/2, bounded by the cut — and only pair rows shuffle again.
+    # The self-join form exchanged the full inverted index twice and joined.
+    posts = (ex.groupBy("__sh")
+             .agg(F.sort_array(F.collect_list("__id")).alias("ids")))
     if max_doc_freq is not None:
-        dfreq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
-        ex = (ex.join(F.broadcast(dfreq.filter(F.col("__df") <= max_doc_freq)
-                                  .select("__sh")), "__sh"))
-    # the inverted index feeds two consumers (posting-list pair expansion
-    # and the per-doc sizes); persist it once instead of re-shingling the
-    # corpus, then materialize the (small) pair result and release storage
-    ex = ex.persist()
+        posts = posts.filter(F.size("ids") <= max_doc_freq)
+    # two consumers (sizes, pair expansion): persist the compact lists
+    posts = posts.persist()
     try:
-        sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-        # posting-list form of the sparse dot product: ONE exchange of the
-        # exploded (id, hash) rows builds per-shingle doc lists, pairs are
-        # expanded in-row, and only pair rows shuffle again — the self-join
-        # form exchanged the full inverted index twice and then joined.
-        # Per-shingle blowup is |df|²/2, bounded by the stop-shingle cut.
-        inter = (ex.groupBy("__sh")
-                 .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
-                 .filter(F.size("ids") > 1)
+        sizes = (posts.select(F.explode("ids").alias("__id"))
+                 .groupBy("__id").agg(F.count(F.lit(1)).alias("__n")))
+        inter = (posts.filter(F.size("ids") > 1)
                  .select(F.explode(F.expr(
                      "flatten(transform(ids, (x, i) -> "
                      "transform(slice(ids, i + 2, size(ids)), "
@@ -467,7 +470,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 .select("id_a", "id_b", "jaccard")
                 .localCheckpoint())
     finally:
-        ex.unpersist()
+        posts.unpersist()
 
 
 # ---------------------------------------------------------------------------
