@@ -739,46 +739,63 @@ def bm25_search(df: DataFrame, terms: list[str], id_col: str = "doc_id",
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
 
-    Plan shape: ONE tokenize/explode feeds both the per-doc length
-    aggregate and the term-filtered tf aggregate (the filter prunes the
-    exploded stream to |terms| tokens before any shuffle); df-per-term and
-    the corpus scalars (N, avgdl) broadcast.  Nothing here is
-    corpus-bounded — no vocabulary broadcast, no driver state — so the
-    same plan runs at 100 TB.  Per-(doc,term) contributions are rounded
+    Plan shape: for a bag-of-terms query the token stream never leaves
+    the row — per-doc length and each term's tf are in-row array ops
+    (tokenize ONCE in its own projection; CollapseProject won't inline a
+    non-cheap alias referenced |terms|+1 times), so the only exchanges
+    are a single-row map-side-combinable corpus aggregate (N, Σdl, and
+    df-per-term as a count of tf>0 docs) broadcast back, and the final
+    TakeOrderedAndProject.  ZERO token-level shuffle, no explode, no
+    vocabulary broadcast, no driver state — the same plan runs at 100 TB;
+    cost is |terms| array scans per doc, the right trade for retrieval
+    queries (|terms| ≲ dozens).  Per-(doc,term) contributions are rounded
     to 8 dp and summed in DECIMAL so the final score is independent of
     addend order (bit-identical across engines and partitionings); ties
-    break on id.  Returns the top ``top_k`` (id, score) via
-    TakeOrderedAndProject.
+    break on id.  Returns the top ``top_k`` (id, score).
     """
-    # the exploded token stream feeds three consumers (doc lengths, corpus
-    # scalars, term frequencies); without persist each one re-tokenizes
-    # the corpus (4 Generates in the physical plan) — cache it once, and
-    # localCheckpoint the (tiny) top-k so storage is released eagerly
-    toks = _tokens_exploded(df, id_col, text_col).persist()
+    terms = list(terms)
+    c = F.col(text_col).cast("string")
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"),
+                    lambda x: x != "")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+
+    def _eq(term):  # factory: a 2-arg lambda would bind (element, index)
+        return lambda x: x == F.lit(term)
+
+    per_doc = base.select(
+        "__id", F.size("__toks").alias("dl"),
+        *[F.size(F.filter("__toks", _eq(t))).alias(f"__tf{i}")
+          for i, t in enumerate(terms)])
+    # two consumers (corpus scalars, scoring); the persisted table is
+    # (id, dl, |terms| ints) — narrow, unlike the exploded token stream
+    # the previous form cached
+    per_doc = per_doc.persist()
     try:
-        dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("dl"))
-        corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                        F.sum("dl").alias("total_dl"))
-        tf = (toks.filter(F.col("token").isin(list(terms)))
-              .groupBy("__id", "token").agg(F.count(F.lit(1)).alias("tf")))
-        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5))
+        corpus = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+            *[F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+              for i in range(len(terms))])
         avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
-        contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
-            F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
-        return (tf.join(F.broadcast(dfreq), "token")
-                .join(dl, "__id")
-                .crossJoin(F.broadcast(corpus))
-                .groupBy("__id")
-                .agg(F.sum(F.round(contrib, 8).cast("decimal(28,8)"))
-                     .cast("double").alias("score"))
+        score = None
+        for i in range(len(terms)):
+            tf, dfq = F.col(f"__tf{i}"), F.col(f"__df{i}")
+            idf = F.log(F.lit(1.0) + (F.col("n_docs") - dfq + 0.5)
+                        / (dfq + 0.5))
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+            piece = (F.when(tf > 0, F.round(contrib, 8))
+                     .otherwise(F.lit(0.0)).cast("decimal(28,8)"))
+            score = piece if score is None else score + piece
+        return (per_doc.crossJoin(F.broadcast(corpus))
+                .filter(sum((F.col(f"__tf{i}") for i in range(len(terms))),
+                            F.lit(0)) > 0)
                 .select(F.col("__id").alias(id_col),
-                        F.round("score", 4).alias("score"))
+                        F.round(score.cast("double"), 4).alias("score"))
                 .orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
                 .localCheckpoint())
     finally:
-        toks.unpersist()
+        per_doc.unpersist()
 
 
 def oov_rate(df: DataFrame, vocab_size: int, id_col: str = "doc_id",
