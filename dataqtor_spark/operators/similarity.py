@@ -82,24 +82,25 @@ def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
     # duplicated subtree).  The small ranked result is materialized via
     # localCheckpoint so the vectors can be unpersisted before returning —
     # no storage leak across repeated calls.
-    vec = tfidf_vectors(df, col, n)
-    if max_doc_freq is not None:
-        keep = (vec.groupBy("gram")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= max_doc_freq).select("gram"))
-        vec = vec.join(F.broadcast(keep), "gram")
-    vec = vec.persist()
+    vec = tfidf_vectors(df, col, n).persist()
     try:
         # posting-list sparse dot product: ONE exchange of the vector
         # table builds per-gram postings (sorted by value, so pairs come
         # out ordered), partial products expand in-row, and only pair
         # rows shuffle to the final sum — the aliased self-join form
         # exchanged the vectors twice.  Per-gram blowup is df²/2, same as
-        # the join, capped by a stop-gram cut at corpus scale.
+        # the join; the stop-gram cut is a FREE filter on posting size
+        # (idf weights and norms are fixed before the cut, so dropping a
+        # gram's postings here is identical to dropping its vector rows —
+        # no separate doc-freq aggregate, no broadcast of the kept-gram
+        # set).
         pairs = (vec.groupBy("gram")
                  .agg(F.sort_array(F.collect_list(F.struct("value", "weight")))
                       .alias("ps"))
-                 .filter(F.size("ps") > 1)
+                 .filter(F.size("ps") > 1))
+        if max_doc_freq is not None:
+            pairs = pairs.filter(F.size("ps") <= max_doc_freq)
+        pairs = (pairs
                  .select(F.explode(F.expr(
                      "flatten(transform(ps, (x, i) -> "
                      "transform(slice(ps, i + 2, size(ps)), y -> struct("
