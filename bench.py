@@ -57,6 +57,8 @@ HEADLINE = [
     "sg01_suggest_constraints",
     "mb01_copurchase_pairs",
     "s11_session_bounce_rate",
+    "th01_audience_overlap",
+    "kll01_quantile_rollup",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Mergeable DataSketches operators (Apache DataSketches via the Spark 4
+``theta_*`` / ``kll_*`` built-ins).
+
+Why these exist: at 100 TB, "distinct users who did BOTH X and Y" and
+"p95 latency per group, rolled up to any ancestor" are the queries that
+break naive plans — COUNT(DISTINCT) over an intersection needs the raw
+key sets co-shuffled, and exact percentiles need a full sort.  Sketches
+make both ALGEBRAIC: per-partition/per-group states merge associatively,
+so the heavy data is touched once, partials are bytes, and any rollup
+(segment → day → global) is a merge over tiny states — the same contract
+as the HLL operators in :mod:`dataqtor_spark.operators.profile`.
+
+Exactness contract (what the differential oracle leans on): both sketch
+families are EXACT below their retained-item capacity — theta keeps every
+hashed key until ``lgK`` entries (4096 at the default), KLL keeps every
+value while n ≤ k — and degrade to bounded-error estimates past it.  The
+registered queries run exact at the oracle's scale factor and become
+estimates at 100 TB with the published error bounds (theta: ~1/√k
+relative; KLL: ~1.65/k rank error), which is precisely the trade these
+operators are FOR.  No reference parity: this is north-star surface the
+reference (single-node pandas) cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def theta_overlap(df: DataFrame, segment_col: str, key_col: str,
+                  seg_a: str, seg_b: str) -> DataFrame:
+    """Audience overlap between two segments without co-shuffling raw keys:
+    (segment_a, segment_b, distinct_a, distinct_b, n_overlap, n_union,
+    jaccard).
+
+    Plan shape: ONE scan builds a theta sketch per segment (map-side
+    combinable aggregate — the raw keys never leave their partitions);
+    intersection/union are driver-free set algebra over two sketch
+    buffers.  The exact-SQL equivalent (two DISTINCT sets + INTERSECT)
+    shuffles every key twice and cannot pre-aggregate.
+    """
+    sk = (df.filter(F.col(segment_col).isin([seg_a, seg_b]))
+          .groupBy(F.col(segment_col).alias("seg"))
+          .agg(F.theta_sketch_agg(F.col(key_col)).alias("sk")))
+    both = sk.agg(
+        F.max(F.when(F.col("seg") == seg_a,
+                     F.theta_sketch_estimate("sk"))).alias("distinct_a"),
+        F.max(F.when(F.col("seg") == seg_b,
+                     F.theta_sketch_estimate("sk"))).alias("distinct_b"),
+        F.theta_sketch_estimate(F.theta_intersection_agg("sk"))
+        .alias("n_overlap"),
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("n_union"))
+    return both.select(
+        F.lit(seg_a).alias("segment_a"), F.lit(seg_b).alias("segment_b"),
+        F.col("distinct_a").cast("long").alias("distinct_a"),
+        F.col("distinct_b").cast("long").alias("distinct_b"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.round(F.col("n_overlap") / F.col("n_union"), 6).alias("jaccard"))
+
+
+def theta_segment_matrix(df: DataFrame, segment_col: str,
+                         key_col: str) -> DataFrame:
+    """Pairwise audience overlap across ALL segments: (segment_a,
+    segment_b, n_overlap) for every unordered segment pair, from one scan.
+
+    The per-segment sketches (|segments| rows of ~kB buffers) are the only
+    shuffled state; the pair matrix is a broadcast self-join over that
+    tiny table — quadratic only in |segments|, never in keys.
+    """
+    sk = (df.groupBy(F.col(segment_col).alias("seg"))
+          .agg(F.theta_sketch_agg(F.col(key_col)).alias("sk")))
+    a, b = sk.alias("a"), sk.alias("b")
+    return (a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg"))
+            .select(F.col("a.seg").alias("segment_a"),
+                    F.col("b.seg").alias("segment_b"),
+                    F.theta_sketch_estimate(
+                        F.theta_intersection(F.col("a.sk"), F.col("b.sk")))
+                    .cast("long").alias("n_overlap")))
+
+
+def kll_quantile_rollup(df: DataFrame, value_col: str, group_col: str,
+                        quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                        k: int = 65535) -> DataFrame:
+    """Per-group quantiles PLUS the global rollup from one scan, via
+    mergeable KLL sketches: (group, q, value); the global row merges the
+    per-group sketches (group = '__all__') instead of re-reading data.
+
+    This is the scale pattern exact percentiles can't follow: sketch once
+    at the finest grain, then ANY coarser rollup (group → all, day →
+    month) is an algebraic merge of kB-sized states.  Values returned are
+    actual data points (KLL quantiles are order statistics of retained
+    items), so below capacity (n ≤ k per merged sketch) the result equals
+    ``percentile_disc`` exactly.
+    """
+    v = F.col(value_col).cast("double")
+    per_group = (df.filter(v.isNotNull())
+                 .groupBy(F.col(group_col).cast("string").alias("group"))
+                 .agg(F.kll_sketch_agg_double(v, F.lit(k)).alias("sk")))
+    # kll_sketch_merge_double is a binary scalar: fold the per-group
+    # sketch list (|groups| kB-sized buffers — tiny) pairwise
+    merged = (per_group.agg(F.collect_list("sk").alias("sks"))
+              .select(F.lit("__all__").alias("group"),
+                      F.aggregate(
+                          F.slice("sks", 2, F.greatest(
+                              F.size("sks") - 1, F.lit(0))),
+                          F.element_at("sks", 1),
+                          lambda acc, x: F.kll_sketch_merge_double(acc, x))
+                      .alias("sk")))
+    both = per_group.unionByName(merged)
+    rows = [F.struct(F.lit(q).alias("q"),
+                     F.kll_sketch_get_quantile_double("sk", F.lit(q))
+                     .alias("value")) for q in quantiles]
+    return (both.select("group", F.explode(F.array(*rows)).alias("s"))
+            .select("group", F.col("s.q").alias("q"),
+                    F.col("s.value").alias("value")))

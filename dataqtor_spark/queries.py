@@ -6655,3 +6655,65 @@ def t27_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = T.leakage_safe_split(_t(spark, sf_dir, "documents"))
     return s.groupBy("split").agg(F.count(F.lit(1)).cast("long")
                                   .alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# th01/kll01 — mergeable DataSketches (theta set algebra, KLL quantile
+# rollup).  Exact below sketch capacity (the oracle's scale factor),
+# bounded-error estimates at 100 TB — see operators/sketches.py.
+# ---------------------------------------------------------------------------
+
+_TH01_SQL = """WITH a AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), i AS (
+  SELECT count(*)::BIGINT AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+), u AS (
+  SELECT count(*)::BIGINT AS n FROM (SELECT * FROM a UNION SELECT * FROM b)
+)
+SELECT 'view' AS segment_a, 'purchase' AS segment_b,
+       (SELECT count(*) FROM a)::BIGINT AS distinct_a,
+       (SELECT count(*) FROM b)::BIGINT AS distinct_b,
+       i.n AS n_overlap, u.n AS n_union,
+       round(i.n * 1.0 / u.n, 6) AS jaccard
+FROM i, u"""
+
+
+@register("th01_audience_overlap", _TH01_SQL)
+def th01_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between the 'view' and 'purchase' segments
+    via theta sketches — one scan, no raw-key co-shuffle; exact at the
+    oracle SF (distinct keys < the 4096-entry exact-mode capacity)."""
+    from dataqtor_spark.operators import sketches as SK
+
+    return SK.theta_overlap(_t(spark, sf_dir, "events"),
+                            "event_type", "user_id", "view", "purchase")
+
+
+_KLL01_QS = (0.25, 0.5, 0.75, 0.95)
+
+_KLL01_SQL = ("""WITH src AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL
+), allv AS (
+  SELECT grp, v FROM src
+  UNION ALL
+  SELECT '__all__' AS grp, v FROM src
+)
+""" + "\nUNION ALL\n".join(
+    f"""SELECT grp AS "group", {q} AS q,
+  quantile_disc(v, {q}) AS value FROM allv GROUP BY grp"""
+    for q in _KLL01_QS))
+
+
+@register("kll01_quantile_rollup", _KLL01_SQL)
+def kll01_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag quantity quantiles plus the '__all__' rollup merged
+    from the per-group KLL sketches (never re-reading the data); equals
+    percentile_disc exactly while n per merged sketch ≤ k."""
+    from dataqtor_spark.operators import sketches as SK
+
+    return SK.kll_quantile_rollup(_t(spark, sf_dir, "lineitem"),
+                                  "l_quantity", "l_returnflag",
+                                  quantiles=_KLL01_QS)

@@ -139,3 +139,54 @@ def test_read_pruned_equals_full_filter(spark, tables, tmp_path):
     assert got.exceptAll(want).count() == 0
     # and it actually skipped files
     assert len(got.inputFiles()) < len(want.inputFiles())
+
+
+# --- DataSketches: theta set algebra, KLL quantile rollup ------------------
+
+def test_theta_overlap_exact_below_capacity(spark):
+    from dataqtor_spark.operators import sketches as SK
+
+    rows = ([("a", i) for i in range(100)]          # keys 0..99
+            + [("b", i) for i in range(50, 130)])   # keys 50..129
+    df = spark.createDataFrame(rows, "seg string, k int")
+    r = SK.theta_overlap(df, "seg", "k", "a", "b").collect()[0]
+    assert (r["distinct_a"], r["distinct_b"]) == (100, 80)
+    assert r["n_overlap"] == 50 and r["n_union"] == 130
+    assert r["jaccard"] == pytest.approx(50 / 130, abs=1e-6)
+
+
+def test_theta_segment_matrix_matches_exact(spark):
+    from dataqtor_spark.operators import sketches as SK
+
+    rows = [(f"s{i % 3}", i % 40) for i in range(600)]
+    df = spark.createDataFrame(rows, "seg string, k int")
+    got = {(r["segment_a"], r["segment_b"]): r["n_overlap"]
+           for r in SK.theta_segment_matrix(df, "seg", "k").collect()}
+    import itertools
+    segs = {f"s{i}" for i in range(3)}
+    exact = {}
+    for a, b in itertools.combinations(sorted(segs), 2):
+        ka = {k for s, k in rows if s == a}
+        kb = {k for s, k in rows if s == b}
+        exact[(a, b)] = len(ka & kb)
+    assert got == exact
+
+
+def test_kll_rollup_equals_percentile_disc(spark, tables):
+    from dataqtor_spark.operators import sketches as SK
+
+    li = tables["lineitem"]
+    out = SK.kll_quantile_rollup(li, "l_quantity", "l_returnflag",
+                                 quantiles=(0.5, 0.9)).collect()
+    got = {(r["group"], r["q"]): r["value"] for r in out}
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) within group "
+               "(order by cast(l_quantity as double))").alias("q50"),
+        F.expr("percentile_disc(0.9) within group "
+               "(order by cast(l_quantity as double))").alias("q90")).collect()
+    for r in exact:
+        assert got[(r["l_returnflag"], 0.5)] == r["q50"]
+        assert got[(r["l_returnflag"], 0.9)] == r["q90"]
+    g = li.agg(F.expr("percentile_disc(0.9) within group "
+                      "(order by cast(l_quantity as double))").alias("v"))
+    assert got[("__all__", 0.9)] == g.collect()[0]["v"]
