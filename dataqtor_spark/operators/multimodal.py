@@ -116,7 +116,12 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        if codec:
+        # availability re-checked HERE (executor side): the driver-side
+        # pick above only selects the intent; a heterogeneous cluster
+        # where an executor lacks Pillow degrades to the fake instead of
+        # ImportError-ing the task
+        have_pil = codec and _pil_available()
+        if have_pil:
             import io
 
             from PIL import Image
@@ -124,14 +129,19 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                if codec:
-                    img = Image.open(io.BytesIO(data))
-                    thumb = img.convert("L").resize(
-                        (4, 4), getattr(Image, "NEAREST", 0))
-                    rows.append((mid, img.width, img.height, img.mode,
-                                 [p / 255.0 for p in thumb.tobytes()]))
-                else:
-                    rows.append((mid, *_fake_image_props(data)))
+                if have_pil:
+                    # per-row fallback: a null/corrupt/non-image payload
+                    # must not fail the job — dirty corpora are the norm
+                    try:
+                        img = Image.open(io.BytesIO(data))
+                        thumb = img.convert("L").resize(
+                            (4, 4), getattr(Image, "NEAREST", 0))
+                        rows.append((mid, img.width, img.height, img.mode,
+                                     [p / 255.0 for p in thumb.tobytes()]))
+                        continue
+                    except Exception:
+                        pass
+                rows.append((mid, *_fake_image_props(data)))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height",
                                               "mode", "feature"])
 
@@ -158,20 +168,26 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
     def resize(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        if codec:
+        have_pil = codec and _pil_available()  # executor-side re-check
+        if have_pil:
             import io
 
             from PIL import Image
         for pdf in batches:
-            if codec:
+            if have_pil:
                 out = []
                 for payload in pdf[payload_col]:
                     data = bytes(payload) if payload is not None else b""
-                    img = Image.open(io.BytesIO(data)).resize(
-                        (tw, th), getattr(Image, "NEAREST", 0))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    out.append(buf.getvalue())
+                    # undecodable payloads pass through untouched rather
+                    # than failing the job (same contract as decode)
+                    try:
+                        img = Image.open(io.BytesIO(data)).resize(
+                            (tw, th), getattr(Image, "NEAREST", 0))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out.append(buf.getvalue())
+                    except Exception:
+                        out.append(data)
                 yield pd.DataFrame({
                     "media_id": pdf[id_col],
                     "width": tw, "height": th,
@@ -279,7 +295,13 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
                 if codec and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-                    rows.append(_wav(mid, data))
+                    # the sniff only proves the container: compressed
+                    # (mu-law/ADPCM), truncated, or odd-width WAVs raise
+                    # in wave/numpy — fall back per-row, don't kill the job
+                    try:
+                        rows.append(_wav(mid, data))
+                    except Exception:
+                        rows.append(_fake(mid, data))
                 else:
                     rows.append(_fake(mid, data))
             yield pd.DataFrame(rows, columns=["media_id", "duration_ms",

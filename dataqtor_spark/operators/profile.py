@@ -625,33 +625,60 @@ def phik_correlation(df: DataFrame, col_x: str, col_y: str,
     import numpy as np
 
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
-               "decimal", "date", "timestamp"}
+               "decimal", "date", "timestamp", "timestamp_ntz"}
 
     def _is_numeric(c: str) -> bool:
         t = dict(df.dtypes)[c]
         return t.split("(")[0] in numeric
 
+    def _as_num(c: str):
+        t = dict(df.dtypes)[c].split("(")[0]
+        if t == "date":  # DATE does not cast to DOUBLE
+            return F.unix_date(F.col(c)).cast("double")
+        if t in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
     pair = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
     num_cols = [c for c in (col_x, col_y) if _is_numeric(c)]
+    cat_cols = [c for c in (col_x, col_y) if not _is_numeric(c)]
     if num_cols:
         mm = pair.agg(*[f for c in num_cols for f in (
-            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))])
+            F.min(_as_num(c)).alias(f"__lo_{c}"),
+            F.max(_as_num(c)).alias(f"__hi_{c}"))])
         pair = pair.crossJoin(F.broadcast(mm))
+    # categorical axes are capped at the n_bins most frequent values
+    # (rest → '__other__'), preserving the ≤ n_bins² cell bound — a
+    # high-cardinality string column must not turn the driver-side
+    # inversion quadratic (same bounded-cardinality contract as
+    # ``cramers_v``; ties broken by value for determinism)
+    for c in cat_cols:
+        top = (pair.groupBy(F.col(c).cast("string").alias("__v"))
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .orderBy(F.desc("__n"), F.asc("__v")).limit(n_bins)
+               .select("__v", F.lit(1).alias(f"__keep_{c}")))
+        pair = (pair.join(F.broadcast(top),
+                          pair[c].cast("string") == top["__v"], "left")
+                .drop("__v"))
 
     def _bin(c: str):
         if not _is_numeric(c):
-            return F.col(c).cast("string")
+            return (F.when(F.col(f"__keep_{c}").isNull(), F.lit("__other__"))
+                    .otherwise(F.col(c).cast("string")))
         lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
-        v = F.col(c).cast("double")
-        idx = F.floor((v - lo) / ((hi - lo) / n_bins))
-        return (F.when(hi == lo, F.lit(0))
-                .otherwise(F.least(idx, F.lit(n_bins - 1)))
-                .cast("string"))
+        idx = F.floor((_as_num(c) - lo) / ((hi - lo) / n_bins))
+        # zero-pad so the driver's lexical sort is the numeric order
+        # (unpadded, bin '10' sorts between '1' and '2' and scrambles
+        # the marginal cumsum the BVN edges are built from)
+        return F.format_string(
+            "%06d",
+            F.when(hi == lo, F.lit(0))
+            .otherwise(F.least(idx, F.lit(n_bins - 1))).cast("int"))
 
     cells = (pair.groupBy(_bin(col_x).alias("bx"), _bin(col_y).alias("by"))
              .agg(F.count(F.lit(1)).alias("cnt"))
-             .collect())  # ≤ n_bins² rows by construction
+             .collect())  # ≤ n_bins² cells: numeric axes by construction,
+    #                       categorical axes by the top-n_bins cap above
 
     xs = sorted({r["bx"] for r in cells})
     ys = sorted({r["by"] for r in cells})

@@ -42,21 +42,37 @@ def theta_overlap(df: DataFrame, segment_col: str, key_col: str,
     sk = (df.filter(F.col(segment_col).isin([seg_a, seg_b]))
           .groupBy(F.col(segment_col).alias("seg"))
           .agg(F.theta_sketch_agg(F.col(key_col)).alias("sk")))
+    # NOT theta_intersection_agg: over ONE sketch it returns that sketch
+    # (fold identity — full overlap for a missing segment) and over ZERO
+    # rows its result buffer is the "infinite set" and throws.  Pull the
+    # two per-segment sketches into one row and apply the BINARY set ops
+    # under null guards, forcing the degenerate cases to their
+    # set-theoretic truth (missing segment ⇒ empty set ⇒ overlap 0,
+    # union = the other side).
     both = sk.agg(
-        F.max(F.when(F.col("seg") == seg_a,
-                     F.theta_sketch_estimate("sk"))).alias("distinct_a"),
-        F.max(F.when(F.col("seg") == seg_b,
-                     F.theta_sketch_estimate("sk"))).alias("distinct_b"),
-        F.theta_sketch_estimate(F.theta_intersection_agg("sk"))
-        .alias("n_overlap"),
-        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("n_union"))
+        F.first(F.when(F.col("seg") == seg_a, F.col("sk")),
+                ignorenulls=True).alias("ska"),
+        F.first(F.when(F.col("seg") == seg_b, F.col("sk")),
+                ignorenulls=True).alias("skb"))
+    missing = F.col("ska").isNull() | F.col("skb").isNull()
+    a_est = (F.when(F.col("ska").isNull(), F.lit(0.0))
+             .otherwise(F.theta_sketch_estimate(F.col("ska"))))
+    b_est = (F.when(F.col("skb").isNull(), F.lit(0.0))
+             .otherwise(F.theta_sketch_estimate(F.col("skb"))))
+    overlap = (F.when(missing, F.lit(0.0))
+               .otherwise(F.theta_sketch_estimate(
+                   F.theta_intersection(F.col("ska"), F.col("skb")))))
+    union = (F.when(missing, a_est + b_est)
+             .otherwise(F.theta_sketch_estimate(
+                 F.theta_union(F.col("ska"), F.col("skb")))))
     return both.select(
         F.lit(seg_a).alias("segment_a"), F.lit(seg_b).alias("segment_b"),
-        F.col("distinct_a").cast("long").alias("distinct_a"),
-        F.col("distinct_b").cast("long").alias("distinct_b"),
-        F.col("n_overlap").cast("long").alias("n_overlap"),
-        F.col("n_union").cast("long").alias("n_union"),
-        F.round(F.col("n_overlap") / F.col("n_union"), 6).alias("jaccard"))
+        a_est.cast("long").alias("distinct_a"),
+        b_est.cast("long").alias("distinct_b"),
+        overlap.cast("long").alias("n_overlap"),
+        union.cast("long").alias("n_union"),
+        F.when(union > 0, F.round(overlap / union, 6))
+        .otherwise(F.lit(0.0)).alias("jaccard"))
 
 
 def theta_segment_matrix(df: DataFrame, segment_col: str,

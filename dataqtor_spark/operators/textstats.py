@@ -753,7 +753,12 @@ def bm25_search(df: DataFrame, terms: list[str], id_col: str = "doc_id",
     addend order (bit-identical across engines and partitionings); ties
     break on id.  Returns the top ``top_k`` (id, score).
     """
-    terms = list(terms)
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order: a repeated
+    # query term must not double its contribution (bag-of-DISTINCT-terms,
+    # matching the tf-groupBy semantics of the SQL twin)
+    if not terms:  # empty query matches nothing; keep the output schema
+        return df.select(F.col(id_col),
+                         F.lit(0.0).alias("score")).limit(0)
     c = F.col(text_col).cast("string")
     toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"),
                     lambda x: x != "")
@@ -762,10 +767,14 @@ def bm25_search(df: DataFrame, terms: list[str], id_col: str = "doc_id",
     def _eq(term):  # factory: a 2-arg lambda would bind (element, index)
         return lambda x: x == F.lit(term)
 
-    per_doc = base.select(
+    per_doc = (base.select(
         "__id", F.size("__toks").alias("dl"),
         *[F.size(F.filter("__toks", _eq(t))).alias(f"__tf{i}")
           for i, t in enumerate(terms)])
+        # token-less docs (empty/whitespace/null text) are not documents
+        # to BM25: they must not inflate N or deflate avgdl (null text →
+        # null size, also dropped here)
+        .filter(F.col("dl") > 0))
     # two consumers (corpus scalars, scoring); the persisted table is
     # (id, dl, |terms| ints) — narrow, unlike the exploded token stream
     # the previous form cached

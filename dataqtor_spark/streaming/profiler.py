@@ -373,12 +373,16 @@ def scd2_sink(stream: DataFrame, key: str, ts_col: str,
     Returns the started StreamingQuery (caller awaits termination).
     """
     import os
-    import shutil
 
     from dataqtor_spark.operators.scd import SCD_COLS, scd2_from_history, scd2_merge
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        # same crash-safe swap contract as the other sinks: if a prior
+        # batch died between rename-aside and promote, restore the aside
+        # copy FIRST — otherwise this batch sees "no dimension" and
+        # silently rebuilds from its own change rows alone
+        _recover_snapshot(path)
         tb = [tiebreak_col] if tiebreak_col else []
         changes = batch.select(key, *attr_cols, ts_col, *tb)
         if os.path.isdir(path) and any(
@@ -392,13 +396,7 @@ def scd2_sink(stream: DataFrame, key: str, ts_col: str,
         tmp = path.rstrip("/") + ".__scd2_tmp"
         merged.select(key, *attr_cols, *SCD_COLS).write.mode(
             "overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            old = path.rstrip("/") + ".__scd2_old"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, path)
+        _swap_snapshot(tmp, path)
 
     return (stream.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)
@@ -575,6 +573,14 @@ def additive_agg_sink(stream: DataFrame, group_cols: list[str], path: str,
         if have and os.path.isdir(ledger):
             applied = {r["epoch"] for r in
                        spark.read.parquet(ledger).collect()}
+        # migrate a ledger written by the earlier external-dir layout
+        # (<path>.__epochs): its applied set folds into the in-snapshot
+        # ledger on the next batch, so upgrading mid-stream cannot
+        # double-count a replayed epoch
+        legacy = path.rstrip("/") + ".__epochs"
+        if os.path.isdir(legacy):
+            applied |= {r["epoch"] for r in
+                        spark.read.parquet(legacy).collect()}
         if epoch_id in applied:
             return  # replayed batch: already folded into the snapshot
         part = (batch.groupBy(*group_cols)
@@ -593,6 +599,10 @@ def additive_agg_sink(stream: DataFrame, group_cols: list[str], path: str,
         spark.createDataFrame([(e,) for e in epochs], "epoch long") \
             .coalesce(1).write.mode("overwrite").parquet(tmp + "/_epochs")
         _swap_snapshot(tmp, path)
+        if os.path.isdir(legacy):  # absorbed into the snapshot ledger
+            import shutil
+
+            shutil.rmtree(legacy)
 
     return (stream.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)

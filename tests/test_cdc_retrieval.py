@@ -1,6 +1,7 @@
 """CDC primitives (snapshot diff, changelog compaction), BM25 retrieval,
 OOV profiling, unpivot and CUBE invariants."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataqtor_spark.operators import scd as S
@@ -65,6 +66,34 @@ def test_bm25_idf_downweights_common_terms(spark):
     got = {r["doc_id"]: r["score"]
            for r in T.bm25_search(docs, ["the", "rare"], top_k=10).collect()}
     assert got[1] > got[2]
+
+
+def test_bm25_ignores_tokenless_docs_in_corpus_stats(spark):
+    # empty/whitespace/null texts are not documents: N and avgdl must
+    # come from tokenized docs only (the t23 oracle's semantics)
+    import math
+    docs = spark.createDataFrame(
+        [(1, "spark join agg"), (2, "spark x y"), (3, "   "), (4, None)],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in T.bm25_search(docs, ["spark"], top_k=10).collect()}
+    # N=2, df=2, avgdl=3, dl=3, tf=1:
+    # idf = ln(1 + 0.5/2.5); contrib = idf*2.2/(1+1.2)
+    exact = round(round(math.log(1 + 0.5 / 2.5) * 2.2 / 2.2, 8), 4)
+    assert set(got) == {1, 2}
+    assert got[1] == pytest.approx(exact, abs=1e-4)
+
+
+def test_bm25_duplicate_and_empty_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, "join")], "doc_id int, text string")
+    once = {r["doc_id"]: r["score"]
+            for r in T.bm25_search(docs, ["spark"], top_k=10).collect()}
+    twice = {r["doc_id"]: r["score"]
+             for r in T.bm25_search(docs, ["spark", "spark"],
+                                    top_k=10).collect()}
+    assert once == twice          # repeated query term not double-counted
+    assert T.bm25_search(docs, [], top_k=10).count() == 0
 
 
 def test_oov_rate_bounds_and_known_value(spark):

@@ -147,6 +147,38 @@ def test_real_wav_decode(spark):
     assert rows[3] == fake[3]
 
 
+@pytest.mark.skipif(not MM._pil_available(), reason="PIL not installed")
+def test_dirty_payloads_fall_back_instead_of_failing(spark):
+    # a corpus with null/corrupt/non-image rows must not kill the job on
+    # the real-codec path: bad rows degrade per-row to the fake
+    imgs = spark.createDataFrame(
+        [(1, bytearray(_tiny_png(4, 4, (1, 2, 3)))),
+         (2, bytearray(b"")),                 # empty payload
+         (3, bytearray(b"not an image")),     # corrupt
+         (4, None)],                          # NULL payload
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r
+            for r in MM.decode_image_features(imgs, use_codec=True).collect()}
+    assert rows[1]["width"] == 4 and rows[1]["height"] == 4
+    assert set(rows) == {1, 2, 3, 4}          # every row survived
+    fake = {r["media_id"]: r
+            for r in MM.decode_image_features(imgs, use_codec=False).collect()}
+    assert rows[3] == fake[3]                 # bad row == fake path row
+    resized = {r["media_id"]: r
+               for r in MM.resize_images(imgs, target=(8, 8),
+                                         use_codec=True).collect()}
+    assert bytes(resized[1]["payload"]).startswith(b"\x89PNG")
+    assert bytes(resized[3]["payload"]) == b"not an image"  # passthrough
+    # compressed/undecodable WAV container: RIFF/WAVE sniff passes but
+    # wave.open raises -> per-row fake, not a job failure
+    bogus_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x01" * 32
+    adf = spark.createDataFrame([(9, bytearray(bogus_wav))],
+                                "media_id long, payload binary")
+    got = MM.extract_audio_features(adf).collect()
+    want = MM.extract_audio_features(adf, use_codec=False).collect()
+    assert got == want
+
+
 @pytest.mark.skipif(MM._pil_available(), reason="PIL installed")
 def test_forced_codec_without_pil_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))],
@@ -653,3 +685,39 @@ def test_additive_agg_sink_exactly_once(spark, tables, tmp_path):
     got2 = {r["event_type"]: (r["n"], float(r["s"])) for r in
             spark.read.parquet(sink).collect()}
     assert got2 == want
+
+
+def test_scd2_sink_recovers_crashed_swap(spark, tables, tmp_path):
+    # a crash between rename-aside and promote leaves the dim only at
+    # '<path>.__old'; the next batch must restore it and merge, not
+    # silently rebuild from its own change rows alone
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators import scd as SCD
+
+    ev = tables["events"].select("user_id", "event_type", "ts", "event_id")
+    early = ev.filter(F.col("ts") < "2024-01-15")
+    late = ev.filter(F.col("ts") >= "2024-01-15")
+    sink = str(tmp_path / "scd2_dim")
+    src0 = str(tmp_path / "c0")
+    early.write.mode("overwrite").parquet(src0)
+    stream = spark.readStream.schema(ev.schema).parquet(src0)
+    SP.scd2_sink(stream, "user_id", "ts", ["event_type"], sink,
+                 str(tmp_path / "ck0"),
+                 tiebreak_col="event_id").awaitTermination()
+    # simulate the crash window: live dim renamed aside, promote not done
+    os.rename(sink, sink + ".__old")
+    src1 = str(tmp_path / "c1")
+    late.write.mode("overwrite").parquet(src1)
+    stream = spark.readStream.schema(ev.schema).parquet(src1)
+    SP.scd2_sink(stream, "user_id", "ts", ["event_type"], sink,
+                 str(tmp_path / "ck1"),
+                 tiebreak_col="event_id").awaitTermination()
+    want = SCD.scd2_from_history(ev, "user_id", "ts", ["event_type"],
+                                 tiebreak_col="event_id")
+    got = spark.read.parquet(sink)
+    assert got.count() == want.count()          # full history survived
+    assert got.exceptAll(want).count() == 0
+    assert not os.path.isdir(sink + ".__old")   # aside copy cleaned up

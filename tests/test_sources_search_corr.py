@@ -135,6 +135,33 @@ def test_phik_recovers_gaussian_rho_and_symmetry(spark):
     assert fwd["phik"] == rev["phik"]
 
 
+def test_phik_date_column_and_bin_count_stability(spark):
+    import datetime as dt
+    # date axes convert via unix_date (a straight cast would throw)
+    rows = [(dt.date(2020, 1, 1) + dt.timedelta(days=i % 50), float(i % 50))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "d date, v double")
+    assert P.phik_correlation(df, "d", "v").collect()[0]["phik"] == 1.0
+    # n_bins > 10 must not scramble bin order (zero-padded labels)
+    import random
+    random.seed(5)
+    g = [(x, 0.6 * x + 0.8 * random.gauss(0, 1))
+         for x in (random.gauss(0, 1) for _ in range(3000))]
+    gdf = spark.createDataFrame(g, "x double, y double")
+    v10 = P.phik_correlation(gdf, "x", "y", n_bins=10).collect()[0]["phik"]
+    v16 = P.phik_correlation(gdf, "x", "y", n_bins=16).collect()[0]["phik"]
+    assert abs(v10 - v16) < 0.05   # was ~0.05+ drift with lexical order
+
+
+def test_phik_high_cardinality_categorical_capped(spark):
+    # a ~unique string column must stay within the n_bins^2 cell bound
+    # (top-n_bins categories + __other__), not collect |distinct| cells
+    rows = [(f"user{i}", float(i % 5)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = P.phik_correlation(df, "s", "v").collect()[0]
+    assert r["n"] == 5000          # ran to completion, bounded driver work
+
+
 def test_phik_categorical_and_degenerate(spark):
     dfc = spark.createDataFrame(
         [("a" if i % 2 else "b", float(i % 2)) for i in range(500)],

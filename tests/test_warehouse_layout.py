@@ -190,3 +190,17 @@ def test_kll_rollup_equals_percentile_disc(spark, tables):
     g = li.agg(F.expr("percentile_disc(0.9) within group "
                       "(order by cast(l_quantity as double))").alias("v"))
     assert got[("__all__", 0.9)] == g.collect()[0]["v"]
+
+
+def test_theta_overlap_missing_segment_is_zero(spark):
+    from dataqtor_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([("view", i) for i in range(20)],
+                               "seg string, k int")
+    r = SK.theta_overlap(df, "seg", "k", "view", "purchase").collect()[0]
+    assert r["distinct_a"] == 20 and r["distinct_b"] == 0
+    assert r["n_overlap"] == 0 and r["n_union"] == 20
+    assert r["jaccard"] == 0.0
+    # both segments absent
+    r2 = SK.theta_overlap(df, "seg", "k", "x", "y").collect()[0]
+    assert (r2["n_overlap"], r2["n_union"], r2["jaccard"]) == (0, 0, 0.0)

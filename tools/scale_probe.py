@@ -74,6 +74,12 @@ PROBES = {
         .groupBy().count()),
     "suggest_constraints": ("customer", lambda df, P, R:
         P.suggest_constraints(df)),
+    "theta_overlap": ("events", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.sketches", fromlist=["theta_overlap"])
+        .theta_overlap(df, "event_type", "user_id", "view", "purchase")),
+    "kll_quantile_rollup": ("lineitem", lambda df, P, R: __import__(
+        "dataqtor_spark.operators.sketches", fromlist=["kll_quantile_rollup"])
+        .kll_quantile_rollup(df, "l_quantity", "l_returnflag")),
 }
 
 
