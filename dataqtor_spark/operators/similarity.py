@@ -26,11 +26,13 @@ from pyspark.sql import functions as F
 CLEAN_RE = r"[,\-./]|\s"
 
 
-def char_ngrams(col: Column | str, n: int = 3) -> Column:
+def char_ngrams(col: Column | str, n: int = 3,
+                clean_regex: str = CLEAN_RE) -> Column:
     """Distinct character n-grams of the cleaned string (string_grouper's
-    default preprocessing: remove ``[,-./]`` and whitespace)."""
+    default preprocessing: remove ``[,-./]`` and whitespace;
+    ``clean_regex`` mirrors the library's ``regex`` option)."""
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    cleaned = F.regexp_replace(c, CLEAN_RE, "")
+    cleaned = F.regexp_replace(c, clean_regex, "")
     k = F.length(cleaned) - (n - 1)
     return F.when(k <= 0, F.array(cleaned)).otherwise(
         F.transform(F.sequence(F.lit(1), k),
@@ -38,7 +40,8 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def tfidf_vectors(df: DataFrame, col: str, n: int = 3) -> DataFrame:
+def tfidf_vectors(df: DataFrame, col: str, n: int = 3,
+                  clean_regex: str = CLEAN_RE) -> DataFrame:
     """(value, gram, weight) with L2-normalized smooth-idf TF-IDF weights
     over the DISTINCT values of ``col`` (string_grouper vectorizes the
     unique corpus).  idf = ln((1+N)/(1+df)) + 1."""
@@ -49,7 +52,9 @@ def tfidf_vectors(df: DataFrame, col: str, n: int = 3) -> DataFrame:
     # N rides a broadcast scalar instead of a driver-side count() — one job
     # fewer per invocation, and the idf stage stays fully lazy
     n_docs = vals.agg(F.count(F.lit(1)).alias("__n"))
-    grams = (vals.select("value", F.explode(char_ngrams("value", n)).alias("gram"))
+    grams = (vals.select("value",
+                         F.explode(char_ngrams("value", n, clean_regex))
+                         .alias("gram"))
              .groupBy("value", "gram").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = grams.groupBy("gram").agg(F.countDistinct("value").alias("df"))
     idf = (dfreq.crossJoin(F.broadcast(n_docs))
@@ -65,7 +70,8 @@ def tfidf_vectors(df: DataFrame, col: str, n: int = 3) -> DataFrame:
 
 def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
                     n: int = 3, top_n: int | None = 50,
-                    max_doc_freq: int | None = None) -> DataFrame:
+                    max_doc_freq: int | None = None,
+                    clean_regex: str = CLEAN_RE) -> DataFrame:
     """A13 exact mode: (left_side, right_side, similarity) for non-identical
     value pairs with TF-IDF cosine ≥ threshold, ordered desc (ties by the
     pair, deterministic), limited to ``top_n`` like the reference.
@@ -82,7 +88,7 @@ def similar_strings(df: DataFrame, col: str, min_similarity: float = 0.52,
     # duplicated subtree).  The small ranked result is materialized via
     # localCheckpoint so the vectors can be unpersisted before returning —
     # no storage leak across repeated calls.
-    vec = tfidf_vectors(df, col, n).persist()
+    vec = tfidf_vectors(df, col, n, clean_regex).persist()
     try:
         # posting-list sparse dot product: ONE exchange of the vector
         # table builds per-gram postings (sorted by value, so pairs come

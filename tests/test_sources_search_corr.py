@@ -333,3 +333,18 @@ def test_register_tables_enables_pure_sql(spark):
     assert len(got) == 3 and all(r["n"] > 0 for r in got)
     # events view carries the ns->us timestamp fixup
     assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
+
+
+def test_similar_strings_clean_regex_option(spark):
+    from dataqtor_spark.operators import similarity as SIM
+
+    # with the default regex, '-' is stripped: 'ab-cd' == 'abcd' as grams;
+    # with a whitespace-only regex they differ
+    df = spark.createDataFrame([("ab-cd",), ("abcd",), ("zzzz",)],
+                               "v string")
+    dflt = SIM.similar_strings(df, "v", min_similarity=0.9).collect()
+    assert {(r["left_side"], r["right_side"]) for r in dflt} == \
+        {("ab-cd", "abcd")}
+    strict = SIM.similar_strings(df, "v", min_similarity=0.9,
+                                 clean_regex=r"\s").collect()
+    assert strict == []   # '-' kept -> gram sets diverge below 0.9
