@@ -87,14 +87,35 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     """(id, shingle-hash) — shingles are xxhash64'd at the source so every
     downstream shuffle/join moves 8-byte longs instead of shingle strings
     (collision probability ~2⁻⁶⁴ per shingle pair: irrelevant next to the
-    approximation the thresholds already accept)."""
+    approximation the thresholds already accept).
+
+    The shingle hash composes word hashes — ``xxhash64(h(w_i), …,
+    h(w_{i+n-1}))`` over a once-per-row word-hash array — instead of
+    concatenating n words into a throwaway string per shingle: each word
+    is hashed once however many shingles cover it, and the per-shingle
+    cost is n array reads + one fixed-arity hash (no string allocation).
+    Same distinct-shingles-per-doc semantics as :func:`word_shingles`
+    (distinct applied to the hash array; equal shingles ⇔ equal hash
+    tuples up to the accepted 2⁻⁶⁴ collision odds)."""
     from dataqtor_spark.session import parallelize
 
-    return (parallelize(df.select(F.col(id_col).alias("__id"),
-                                  F.col(text_col).alias("__txt")))
-            .select("__id",
-                    F.explode(F.transform(word_shingles("__txt", n),
-                                          lambda s: F.xxhash64(s))).alias("__sh")))
+    base = parallelize(df.select(F.col(id_col).alias("__id"),
+                                 F.col(text_col).alias("__txt")))
+    c = F.col("__txt").cast("string")
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    base = base.select("__id", words.alias("__ws"))
+    wh = F.transform(F.col("__ws"), lambda w: F.xxhash64(w))
+    base = base.select("__id", F.col("__ws"), wh.alias("__wh"))
+    k = F.size("__ws") - (n - 1)
+    shingles = F.when(
+        # degenerate short text: ONE shingle = the whole token string
+        # (word_shingles' contract)
+        k <= 0, F.array(F.xxhash64(F.concat_ws(" ", F.col("__ws"))))
+    ).otherwise(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(*[F.element_at(F.col("__wh"), i + j)
+                               for j in range(n)]))))
+    return base.select("__id", F.explode(shingles).alias("__sh"))
 
 
 # ---------------------------------------------------------------------------
