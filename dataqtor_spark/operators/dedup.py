@@ -68,10 +68,17 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 # shingling (shared by minhash / jaccard)
 # ---------------------------------------------------------------------------
 
+def _words(col: Column | str) -> Column:
+    """The ONE tokenization every shingle construction shares (lowercase,
+    trim, whitespace split) — word_shingles and _exploded_shingles must
+    tokenize identically or their consumers silently drift apart."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams as an array<string> (lowercased)."""
-    c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    words = F.split(F.trim(F.lower(c)), r"\s+")
+    words = _words(col)
     k = F.size(words) - (n - 1)
     return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
         F.array_distinct(
@@ -101,9 +108,7 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
 
     base = parallelize(df.select(F.col(id_col).alias("__id"),
                                  F.col(text_col).alias("__txt")))
-    c = F.col("__txt").cast("string")
-    words = F.split(F.trim(F.lower(c)), r"\s+")
-    base = base.select("__id", words.alias("__ws"))
+    base = base.select("__id", _words("__txt").alias("__ws"))
     wh = F.transform(F.col("__ws"), lambda w: F.xxhash64(w))
     base = base.select("__id", F.col("__ws"), wh.alias("__wh"))
     k = F.size("__ws") - (n - 1)

@@ -116,15 +116,18 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        # availability re-checked HERE (executor side): the driver-side
-        # pick above only selects the intent; a heterogeneous cluster
-        # where an executor lacks Pillow degrades to the fake instead of
-        # ImportError-ing the task
-        have_pil = codec and _pil_available()
+        # availability re-checked HERE (executor side) only in AUTO mode
+        # (use_codec=None): a heterogeneous cluster where an executor
+        # lacks Pillow degrades to the fake instead of ImportError-ing
+        # the task.  An EXPLICIT use_codec=True must stay loud — silently
+        # fabricating features on an under-provisioned executor (and
+        # diverging between executors) is worse than failing.
+        have_pil = codec and (_pil_available() if use_codec is None
+                              else True)
         if have_pil:
             import io
 
-            from PIL import Image
+            from PIL import Image  # raises on forced-True without PIL
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -168,29 +171,40 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
     def resize(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        have_pil = codec and _pil_available()  # executor-side re-check
+        # executor-side re-check in AUTO mode only; forced True stays
+        # loud (see decode_image_features)
+        have_pil = codec and (_pil_available() if use_codec is None
+                              else True)
         if have_pil:
             import io
 
             from PIL import Image
         for pdf in batches:
             if have_pil:
-                out = []
+                out, ws, hs = [], [], []
                 for payload in pdf[payload_col]:
-                    data = bytes(payload) if payload is not None else b""
                     # undecodable payloads pass through untouched rather
-                    # than failing the job (same contract as decode)
+                    # than failing the job — with NULL width/height so the
+                    # metadata never claims target dims for bytes that
+                    # were not actually resized (NULL payload stays NULL)
                     try:
+                        data = bytes(payload)
                         img = Image.open(io.BytesIO(data)).resize(
                             (tw, th), getattr(Image, "NEAREST", 0))
                         buf = io.BytesIO()
                         img.save(buf, format="PNG")
                         out.append(buf.getvalue())
+                        ws.append(tw)
+                        hs.append(th)
                     except Exception:
-                        out.append(data)
+                        out.append(None if payload is None else
+                                   bytes(payload))
+                        ws.append(None)
+                        hs.append(None)
                 yield pd.DataFrame({
                     "media_id": pdf[id_col],
-                    "width": tw, "height": th,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
                     "payload": out,
                 })
             else:

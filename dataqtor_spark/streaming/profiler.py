@@ -383,6 +383,17 @@ def scd2_sink(stream: DataFrame, key: str, ts_col: str,
         # copy FIRST — otherwise this batch sees "no dimension" and
         # silently rebuilds from its own change rows alone
         _recover_snapshot(path)
+        # migrate the aside name the pre-_swap_snapshot implementation
+        # used (<path>.__scd2_old): a deployment that crashed mid-swap
+        # under the old code must find its history after upgrading
+        legacy_old = path.rstrip("/") + ".__scd2_old"
+        if os.path.isdir(legacy_old):
+            if os.path.isdir(path):
+                import shutil
+
+                shutil.rmtree(legacy_old)  # old swap completed; stale copy
+            else:
+                os.rename(legacy_old, path)
         tb = [tiebreak_col] if tiebreak_col else []
         changes = batch.select(key, *attr_cols, ts_col, *tb)
         if os.path.isdir(path) and any(

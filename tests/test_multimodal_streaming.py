@@ -168,7 +168,12 @@ def test_dirty_payloads_fall_back_instead_of_failing(spark):
                for r in MM.resize_images(imgs, target=(8, 8),
                                          use_codec=True).collect()}
     assert bytes(resized[1]["payload"]).startswith(b"\x89PNG")
+    assert resized[1]["width"] == 8 and resized[1]["height"] == 8
     assert bytes(resized[3]["payload"]) == b"not an image"  # passthrough
+    # fallback rows must not claim target dims for unresized bytes,
+    # and NULL payloads stay NULL
+    assert resized[3]["width"] is None and resized[3]["height"] is None
+    assert resized[4]["payload"] is None
     # compressed/undecodable WAV container: RIFF/WAVE sniff passes but
     # wave.open raises -> per-row fake, not a job failure
     bogus_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x01" * 32

@@ -149,8 +149,20 @@ def main() -> None:
               ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "SCALE_PROBE.md")
+    # preserve foreign '## ' sections (e.g. skew_probe.py's skewed-corpus
+    # table): this tool owns only the header + growth table, so splice
+    # them back instead of clobbering the whole file
+    import re
+
+    block = "\n".join(lines)
+    if os.path.exists(path):
+        old = open(path).read()
+        foreign = re.findall(r"(?m)(^## .*?)(?=\n## |\Z)", old, flags=re.S)
+        keep = [s.rstrip("\n") for s in foreign]
+        if keep:
+            block = block.rstrip("\n") + "\n\n" + "\n\n".join(keep) + "\n"
     with open(path, "w") as f:
-        f.write("\n".join(lines))
+        f.write(block)
     print(f"wrote {path}")
 
 
