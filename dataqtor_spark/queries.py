@@ -6717,3 +6717,25 @@ def kll01_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kll_quantile_rollup(_t(spark, sf_dir, "lineitem"),
                                   "l_quantity", "l_returnflag",
                                   quantiles=_KLL01_QS)
+
+
+_TH02_SQL = """WITH s AS (
+  SELECT DISTINCT event_type, user_id FROM events
+)
+SELECT a.event_type AS segment_a, b.event_type AS segment_b,
+       count(*)::BIGINT AS n_overlap
+FROM s a JOIN s b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2"""
+
+
+@register("th02_segment_overlap_matrix", _TH02_SQL)
+def th02_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap across ALL event types from one
+    scan of per-segment theta sketches (the broadcast pair join is over
+    |segments| kB-sized sketch rows, never raw keys); exact at the
+    oracle SF, bounded-error estimate at scale."""
+    from dataqtor_spark.operators import sketches as SK
+
+    return SK.theta_segment_matrix(_t(spark, sf_dir, "events"),
+                                   "event_type", "user_id")
