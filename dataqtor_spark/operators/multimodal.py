@@ -221,14 +221,59 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
 FRAMES_SCHEMA = "media_id long, frame_index int, ts_ms long, frame binary"
 
 
+def _avi_mjpeg_frames(data: bytes) -> tuple[int, list[bytes]]:
+    """Demux an AVI container with stdlib byte arithmetic: returns
+    (µs-per-frame from the ``avih`` header, the stream-0 video frame
+    chunks in order).  For MJPEG AVIs each ``..dc``/``..db`` chunk IS a
+    complete JPEG — no codec needed to extract; decoding the sampled
+    JPEGs downstream is :func:`decode_image_features`' job.  Raises on
+    anything that isn't a RIFF/AVI container (callers fall back
+    per-row)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    usec = 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal usec
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            body = pos + 8
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(body + 4, min(end, body + size))
+            elif fourcc == b"avih" and size >= 4:
+                usec = struct.unpack("<I", data[body:body + 4])[0]
+            elif fourcc[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(data[body:body + size])
+            pos = body + size + (size & 1)  # chunks pad to even offsets
+
+    total = struct.unpack("<I", data[4:8])[0]
+    walk(12, min(len(data), 8 + total))
+    if not frames:
+        raise ValueError("no video frame chunks")
+    return (usec or 33333), frames
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
                         payload_col: str = "payload", id_col: str = "media_id",
-                        use_codec: bool = False) -> DataFrame:
+                        use_codec: bool | None = None) -> DataFrame:
     """Frame sampling: one input row → N frame rows, emitted inside the
-    batch iterator (no join/explode shuffle).  Frame count/bytes are a
-    deterministic fake of ffmpeg keyframe extraction."""
-    if use_codec:
-        raise NotImplementedError("real video codec path needs ffmpeg")
+    batch iterator (no join/explode shuffle).
+
+    The REAL branch (``use_codec=True``, or None with an AVI payload)
+    demuxes MJPEG-in-AVI with a stdlib RIFF walker — the sampled frames
+    are the container's literal JPEG chunks, timed by the ``avih`` frame
+    clock and decimated to one frame per ``every_ms`` (≤ ``max_frames``).
+    No ffmpeg: container demux is byte arithmetic, and anything that
+    isn't an extractable AVI falls back per-row to the deterministic
+    sha-derived fake (``use_codec=False`` forces the fake everywhere —
+    the oracle-checked queries pin it).  Compressed non-MJPEG codecs
+    inside AVI still come out as their raw chunk bytes: sampling is
+    codec-agnostic, decode is downstream."""
+    codec = True if use_codec is None else use_codec
 
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -237,6 +282,19 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8
             out = {"media_id": [], "frame_index": [], "ts_ms": [], "frame": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
+                if codec and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    try:
+                        usec, frames = _avi_mjpeg_frames(data)
+                        step = max(1, round(every_ms * 1000 / usec))
+                        for j, src in enumerate(
+                                range(0, len(frames), step)[:max_frames]):
+                            out["media_id"].append(mid)
+                            out["frame_index"].append(j)
+                            out["ts_ms"].append(src * usec // 1000)
+                            out["frame"].append(frames[src])
+                        continue
+                    except Exception:
+                        pass  # undemuxable container: per-row fake below
                 dig = hashlib.sha256(data).digest()
                 n = 1 + dig[3] % max_frames
                 for i in range(n):

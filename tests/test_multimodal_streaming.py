@@ -192,8 +192,9 @@ def test_forced_codec_without_pil_raises(spark):
         MM.decode_image_features(df, use_codec=True)
     with pytest.raises(NotImplementedError):
         MM.resize_images(df, use_codec=True)
-    with pytest.raises(NotImplementedError):
-        MM.sample_video_frames(df, use_codec=True)
+    # video needs no PIL: the AVI demux is stdlib byte arithmetic, and a
+    # non-AVI payload degrades per-row to the fake
+    assert MM.sample_video_frames(df, use_codec=True).count() >= 1
 
 
 def test_resize_and_frame_sampling(spark):
@@ -726,3 +727,46 @@ def test_scd2_sink_recovers_crashed_swap(spark, tables, tmp_path):
     assert got.count() == want.count()          # full history survived
     assert got.exceptAll(want).count() == 0
     assert not os.path.isdir(sink + ".__old")   # aside copy cleaned up
+
+
+def _tiny_avi(frame_payloads, usec_per_frame):
+    """Minimal MJPEG-style AVI: RIFF('AVI ' LIST(hdrl avih) LIST(movi
+    00dc*)) built with struct only."""
+    import struct
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(typ, body):
+        return chunk(b"LIST", typ + body)
+
+    avih = chunk(b"avih", struct.pack("<I", usec_per_frame) + b"\x00" * 52)
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frame_payloads))
+    body = b"AVI " + lst(b"hdrl", avih) + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_avi_frame_sampling(spark):
+    # 10 frames at 10 fps (100_000 us/frame); every_ms=300 -> step 3 ->
+    # source frames 0,3,6,9 at 0/300/600/900 ms, capped to max_frames=3
+    frames = [b"FRAME%d" % i for i in range(10)]
+    avi = _tiny_avi(frames, 100_000)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not a video"))],
+        "media_id long, payload binary")
+    got = [r for r in MM.sample_video_frames(
+        df, every_ms=300, max_frames=3).collect() if r["media_id"] == 1]
+    got.sort(key=lambda r: r["frame_index"])
+    assert [bytes(r["frame"]) for r in got] == [b"FRAME0", b"FRAME3",
+                                               b"FRAME6"]
+    assert [r["ts_ms"] for r in got] == [0, 300, 600]
+    assert [r["frame_index"] for r in got] == [0, 1, 2]
+    # the non-AVI row still produced (fake) frames; forcing the fake on
+    # the AVI row changes its output (real path really ran above)
+    all_rows = MM.sample_video_frames(df, every_ms=300, max_frames=3)
+    assert all_rows.filter("media_id = 2").count() >= 1
+    fake = [r for r in MM.sample_video_frames(
+        df, every_ms=300, max_frames=3, use_codec=False).collect()
+        if r["media_id"] == 1]
+    assert bytes(fake[0]["frame"]) != b"FRAME0"
