@@ -113,6 +113,45 @@ def event_transitions(df: DataFrame, user_col: str = "user_id",
         F.round(F.col("n") / F.sum("n").over(src_tot), 6).alias("share"))
 
 
+def autocorrelation(df: DataFrame, ts_col: str = "ts",
+                    lags: tuple[int, ...] = (1, 2, 24),
+                    bucket: str = "hour",
+                    value_col: str | None = None) -> DataFrame:
+    """Lag-k autocorrelation of a time-bucketed series: (lag, autocorr,
+    n_pairs) — the seasonality/burstiness screen (a strong lag-24 on an
+    hourly series = daily cycle; near-zero everywhere = arrival noise).
+
+    ``value_col=None`` correlates bucket COUNTS (event-rate seasonality);
+    otherwise bucket sums of the value.  Scale design: the heavy input
+    collapses FIRST through a map-side-combinable groupBy to one row per
+    bucket, so the single-partition ordering window that lag() needs runs
+    over the bounded time-axis series (time-span / bucket rows — hours in
+    a decade ≈ 10⁵), never over raw events.  All lags come from one
+    window pass + one aggregate.
+    """
+    from pyspark.sql import Window
+
+    v = (F.count(F.lit(1)).cast("double") if value_col is None
+         else F.sum(F.col(value_col).cast("double")))
+    series = (df.filter(F.col(ts_col).isNotNull())
+              .groupBy(F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+                       .alias("__b"))
+              .agg(v.alias("__v")))
+    w = Window.orderBy("__b")
+    lagged = series.select(
+        "__v", *[F.lag("__v", k).over(w).alias(f"__l{k}") for k in lags])
+    aggs = []
+    for k in lags:
+        aggs += [F.corr("__v", f"__l{k}").alias(f"__c{k}"),
+                 F.count(F.col(f"__l{k}")).alias(f"__n{k}")]
+    one = lagged.agg(*aggs)
+    structs = [F.struct(F.lit(k).alias("lag"),
+                        F.round(F.col(f"__c{k}"), 4).alias("autocorr"),
+                        F.col(f"__n{k}").cast("long").alias("n_pairs"))
+               for k in lags]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def interarrival_stats(df: DataFrame, user_col: str = "user_id",
                        ts_col: str = "ts", type_col: str = "event_type",
                        tiebreak_col: str = "event_id") -> DataFrame:

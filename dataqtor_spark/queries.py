@@ -6739,3 +6739,31 @@ def th02_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return SK.theta_segment_matrix(_t(spark, sf_dir, "events"),
                                    "event_type", "user_id")
+
+
+_TS03_LAGS = (1, 2, 24)
+
+_TS03_SQL = ("""WITH s AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+         count(*)::DOUBLE AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), l AS (
+  SELECT v, """
+ + ", ".join(f"lag(v, {k}) OVER (ORDER BY b) AS l{k}" for k in _TS03_LAGS)
+ + """
+  FROM s
+)
+""" + "\nUNION ALL\n".join(
+    f"""SELECT {k} AS lag, round(corr(v, l{k}), 4) AS autocorr,
+  count(l{k})::BIGINT AS n_pairs FROM l"""
+    for k in _TS03_LAGS))
+
+
+@register("ts03_autocorrelation", _TS03_SQL)
+def ts03_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate autocorrelation at lags 1/2/24 — the seasonality
+    screen over the bucketed (bounded) series, never the raw events."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.autocorrelation(_t(spark, sf_dir, "events"), "ts",
+                             lags=_TS03_LAGS, bucket="hour")

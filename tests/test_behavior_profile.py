@@ -164,3 +164,22 @@ def test_pagerank_mass_and_uniform_cycle(spark):
     for r in got:
         assert abs(r["rank"] - 0.25) < 1e-6
     assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-5
+
+
+def test_autocorrelation_detects_period(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    # hourly counts with an exact period-3 pattern: lag-3 autocorr = 1
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(90):
+        n = [1, 5, 9][h % 3]
+        rows += [(base + dt.timedelta(hours=h),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r["lag"]: r for r in B.autocorrelation(
+        df, "ts", lags=(1, 3)).collect()}
+    assert got[3]["autocorr"] == 1.0
+    assert got[3]["n_pairs"] == 87
+    assert got[1]["autocorr"] < 0.0   # adjacent buckets anti-correlated
