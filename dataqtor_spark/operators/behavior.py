@@ -152,6 +152,51 @@ def autocorrelation(df: DataFrame, ts_col: str = "ts",
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def cusum_changepoint(df: DataFrame, ts_col: str = "ts",
+                      bucket: str = "hour",
+                      value_col: str | None = None) -> DataFrame:
+    """CUSUM level-shift screen over the time-bucketed series: one row
+    (changepoint_ts, max_abs_cusum, mean_before, mean_after, n_buckets).
+    The bucket where |running Σ(v − mean)| peaks is the classic
+    changepoint estimate; a large peak relative to the series scale means
+    the level shifted there (pipeline regressions, source outages).
+
+    Same scale contract as :func:`autocorrelation`: raw events collapse
+    through one map-side-combinable groupBy to the bounded time-axis
+    series; the ordering window and the before/after means then run over
+    ≤ time-span/bucket rows.  Ties on |CUSUM| break on the earlier
+    bucket, so the answer is deterministic.
+    """
+    from pyspark.sql import Window
+
+    v = (F.count(F.lit(1)).cast("double") if value_col is None
+         else F.sum(F.col(value_col).cast("double")))
+    series = (df.filter(F.col(ts_col).isNotNull())
+              .groupBy(F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+                       .alias("__b"))
+              .agg(v.alias("__v")))
+    mean_row = series.agg(F.avg("__v").alias("__m"),
+                          F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    scored = (series.crossJoin(F.broadcast(mean_row))
+              .select("__b", "__n",
+                      F.sum(F.col("__v") - F.col("__m")).over(w)
+                      .alias("__cusum"),
+                      F.avg("__v").over(w).alias("__mb"),
+                      F.avg("__v").over(wa).alias("__ma")))
+    return (scored
+            .orderBy(F.abs(F.col("__cusum")).desc(), F.col("__b").asc())
+            .limit(1)
+            .select(F.col("__b").alias("changepoint_ts"),
+                    F.round(F.abs(F.col("__cusum")), 4)
+                    .alias("max_abs_cusum"),
+                    F.round("__mb", 4).alias("mean_before"),
+                    F.round(F.coalesce("__ma", F.lit(0.0)), 4)
+                    .alias("mean_after"),
+                    F.col("__n").cast("long").alias("n_buckets")))
+
+
 def interarrival_stats(df: DataFrame, user_col: str = "user_id",
                        ts_col: str = "ts", type_col: str = "event_type",
                        tiebreak_col: str = "event_id") -> DataFrame:

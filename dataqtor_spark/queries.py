@@ -6767,3 +6767,34 @@ def ts03_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return B.autocorrelation(_t(spark, sf_dir, "events"), "ts",
                              lags=_TS03_LAGS, bucket="hour")
+
+
+_TS04_SQL = """WITH s AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+         count(*)::DOUBLE AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), m AS (
+  SELECT avg(v) AS mn, count(*)::BIGINT AS n FROM s
+), scored AS (
+  SELECT b,
+         sum(v - mn) OVER (ORDER BY b
+                           ROWS UNBOUNDED PRECEDING) AS cusum,
+         avg(v) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS mb,
+         avg(v) OVER (ORDER BY b ROWS BETWEEN 1 FOLLOWING
+                      AND UNBOUNDED FOLLOWING) AS ma,
+         n
+  FROM s, m
+)
+SELECT b AS changepoint_ts, round(abs(cusum), 4) AS max_abs_cusum,
+       round(mb, 4) AS mean_before,
+       round(coalesce(ma, 0.0), 4) AS mean_after, n AS n_buckets
+FROM scored ORDER BY abs(cusum) DESC, b ASC LIMIT 1"""
+
+
+@register("ts04_cusum_changepoint", _TS04_SQL)
+def ts04_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift screen on the hourly event-rate series."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.cusum_changepoint(_t(spark, sf_dir, "events"), "ts",
+                               bucket="hour")

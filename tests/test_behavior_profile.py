@@ -183,3 +183,24 @@ def test_autocorrelation_detects_period(spark):
     assert got[3]["autocorr"] == 1.0
     assert got[3]["n_pairs"] == 87
     assert got[1]["autocorr"] < 0.0   # adjacent buckets anti-correlated
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    # 40 hours at rate 2, then 40 hours at rate 8: CUSUM peaks at the
+    # last low bucket (hour 39)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(80):
+        rows += [(base + dt.timedelta(hours=h),)] * (2 if h < 40 else 8)
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = B.cusum_changepoint(df, "ts").collect()[0]
+    assert r["changepoint_ts"] == base + dt.timedelta(hours=39)
+    assert r["mean_before"] == 2.0
+    assert r["mean_after"] == 8.0
+    assert r["n_buckets"] == 80
+    # |cusum| at the shift = 40 * (2 - 5) = 120
+    assert r["max_abs_cusum"] == 120.0
