@@ -197,6 +197,47 @@ def cusum_changepoint(df: DataFrame, ts_col: str = "ts",
                     F.col("__n").cast("long").alias("n_buckets")))
 
 
+def cross_correlation(df: DataFrame, type_col: str, type_a: str,
+                      type_b: str, ts_col: str = "ts",
+                      lags: tuple[int, ...] = (-2, -1, 0, 1, 2),
+                      bucket: str = "hour") -> DataFrame:
+    """Lead/lag screen between two event streams: (lag, xcorr, n_pairs)
+    where xcorr at lag k correlates series A at time t with series B at
+    t+k buckets (positive k: A leads B).  The "do errors follow deploys,
+    and by how much?" profile.
+
+    Scale contract as :func:`autocorrelation`: both streams collapse in
+    ONE conditional-aggregate groupBy (one scan builds both series, a
+    bucket carries 0 for the stream that was silent in it; buckets where
+    BOTH streams were silent are absent — on a dense grid that's no one,
+    and correlating only observed buckets is the documented semantics),
+    then every lag comes from one ordering-window pass over
+    ≤ time-span/bucket rows.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(type_col)
+    series = (df.filter(F.col(ts_col).isNotNull() & t.isin(type_a, type_b))
+              .groupBy(F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+                       .alias("__b"))
+              .agg(F.sum((t == type_a).cast("double")).alias("__a"),
+                   F.sum((t == type_b).cast("double")).alias("__b2")))
+    w = Window.orderBy("__b")
+    lagged = series.select(
+        "__a", *[F.lag("__b2", -k).over(w).alias(f"__bl{i}")
+                 for i, k in enumerate(lags)])
+    aggs = []
+    for i, _ in enumerate(lags):
+        aggs += [F.corr("__a", f"__bl{i}").alias(f"__c{i}"),
+                 F.count(F.col(f"__bl{i}")).alias(f"__n{i}")]
+    one = lagged.agg(*aggs)
+    structs = [F.struct(F.lit(k).alias("lag"),
+                        F.round(F.col(f"__c{i}"), 4).alias("xcorr"),
+                        F.col(f"__n{i}").cast("long").alias("n_pairs"))
+               for i, k in enumerate(lags)]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def interarrival_stats(df: DataFrame, user_col: str = "user_id",
                        ts_col: str = "ts", type_col: str = "event_type",
                        tiebreak_col: str = "event_id") -> DataFrame:

@@ -6798,3 +6798,37 @@ def ts04_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return B.cusum_changepoint(_t(spark, sf_dir, "events"), "ts",
                                bucket="hour")
+
+
+_TS05_LAGS = (-2, -1, 0, 1, 2)
+
+_TS05_SQL = ("""WITH s AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS a,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE AS v
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('click', 'error')
+  GROUP BY 1
+), l AS (
+  SELECT a, """
+ + ", ".join(
+     (f"lead(v, {k}) OVER (ORDER BY b) AS bl{i}" if k > 0
+      else f"lag(v, {-k}) OVER (ORDER BY b) AS bl{i}")
+     for i, k in enumerate(_TS05_LAGS))
+ + """
+  FROM s
+)
+""" + "\nUNION ALL\n".join(
+    f"""SELECT {k} AS lag, round(corr(a, bl{i}), 4) AS xcorr,
+  count(bl{i})::BIGINT AS n_pairs FROM l"""
+    for i, k in enumerate(_TS05_LAGS)))
+
+
+@register("ts05_cross_correlation", _TS05_SQL)
+def ts05_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """click→error lead/lag profile on hourly rates (positive lag:
+    clicks lead errors)."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.cross_correlation(_t(spark, sf_dir, "events"), "event_type",
+                               "click", "error", "ts", lags=_TS05_LAGS)

@@ -204,3 +204,23 @@ def test_cusum_finds_planted_level_shift(spark):
     assert r["n_buckets"] == 80
     # |cusum| at the shift = 40 * (2 - 5) = 120
     assert r["max_abs_cusum"] == 120.0
+
+
+def test_cross_correlation_detects_lead(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    # B is A shifted one hour later (A leads B by 1): xcorr peaks at lag 1
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(60):
+        na = [1, 4, 9][h % 3]
+        rows += [(base + dt.timedelta(hours=h), "a")] * na
+        nb = [1, 4, 9][(h - 1) % 3]
+        rows += [(base + dt.timedelta(hours=h), "b")] * nb
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {r["lag"]: r["xcorr"] for r in B.cross_correlation(
+        df, "event_type", "a", "b", "ts", lags=(-1, 0, 1)).collect()}
+    assert got[1] == 1.0          # A(t) == B(t+1)
+    assert got[0] < 1.0 and got[-1] < 1.0
