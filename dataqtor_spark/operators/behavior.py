@@ -113,6 +113,35 @@ def event_transitions(df: DataFrame, user_col: str = "user_id",
         F.round(F.col("n") / F.sum("n").over(src_tot), 6).alias("share"))
 
 
+def _bucketed_series(df: DataFrame, ts_col: str, bucket: str,
+                     aggs: dict):
+    """The shared series builder every time-axis screen uses: collapse
+    raw events through ONE map-side-combinable groupBy to a row per
+    bucket, then ZERO-FILL the missing buckets over the dense
+    min..max grid — a silent hour is a 0-rate data point, not an absent
+    row, or outage/seasonality math silently runs on "observed buckets
+    back" instead of time (the grid is generated in-row from the
+    broadcast min/max span, still ≤ time-span/bucket rows).  Returns
+    (bucket, *agg) with every agg coalesced to 0 on filled gaps."""
+    per_us = {"hour": 3_600_000_000, "day": 86_400_000_000,
+              "minute": 60_000_000, "week": 7 * 86_400_000_000}
+    if bucket not in per_us:
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    series = (df.filter(F.col(ts_col).isNotNull())
+              .groupBy(b.alias("__b"))
+              .agg(*[expr.alias(name) for name, expr in aggs.items()]))
+    span = series.agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    grid = (span.select(F.explode(F.sequence(
+        F.unix_micros(F.col("__lo")),
+        F.unix_micros(F.col("__hi")),
+        F.lit(per_us[bucket]))).alias("__us"))
+        .select(F.timestamp_micros(F.col("__us")).alias("__b")))
+    return (grid.join(series, "__b", "left")
+            .select("__b", *[F.coalesce(F.col(n), F.lit(0.0)).alias(n)
+                             for n in aggs]))
+
+
 def autocorrelation(df: DataFrame, ts_col: str = "ts",
                     lags: tuple[int, ...] = (1, 2, 24),
                     bucket: str = "hour",
@@ -122,28 +151,26 @@ def autocorrelation(df: DataFrame, ts_col: str = "ts",
     hourly series = daily cycle; near-zero everywhere = arrival noise).
 
     ``value_col=None`` correlates bucket COUNTS (event-rate seasonality);
-    otherwise bucket sums of the value.  Scale design: the heavy input
-    collapses FIRST through a map-side-combinable groupBy to one row per
-    bucket, so the single-partition ordering window that lag() needs runs
-    over the bounded time-axis series (time-span / bucket rows — hours in
-    a decade ≈ 10⁵), never over raw events.  All lags come from one
-    window pass + one aggregate.
+    otherwise bucket sums of the value.  Scale design: see
+    :func:`_bucketed_series` — the ordering window that lag() needs runs
+    over the bounded ZERO-FILLED time grid (hours in a decade ≈ 10⁵),
+    never over raw events, and lag k really means k buckets of wall
+    time.  All lags come from one window pass + one aggregate; n_pairs
+    counts the pairs the correlation actually used (both sides present).
     """
     from pyspark.sql import Window
 
     v = (F.count(F.lit(1)).cast("double") if value_col is None
          else F.sum(F.col(value_col).cast("double")))
-    series = (df.filter(F.col(ts_col).isNotNull())
-              .groupBy(F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
-                       .alias("__b"))
-              .agg(v.alias("__v")))
+    series = _bucketed_series(df, ts_col, bucket, {"__v": v})
     w = Window.orderBy("__b")
     lagged = series.select(
         "__v", *[F.lag("__v", k).over(w).alias(f"__l{k}") for k in lags])
     aggs = []
     for k in lags:
+        both = F.col("__v").isNotNull() & F.col(f"__l{k}").isNotNull()
         aggs += [F.corr("__v", f"__l{k}").alias(f"__c{k}"),
-                 F.count(F.col(f"__l{k}")).alias(f"__n{k}")]
+                 F.count(F.when(both, 1)).alias(f"__n{k}")]
     one = lagged.agg(*aggs)
     structs = [F.struct(F.lit(k).alias("lag"),
                         F.round(F.col(f"__c{k}"), 4).alias("autocorr"),
@@ -161,20 +188,17 @@ def cusum_changepoint(df: DataFrame, ts_col: str = "ts",
     changepoint estimate; a large peak relative to the series scale means
     the level shifted there (pipeline regressions, source outages).
 
-    Same scale contract as :func:`autocorrelation`: raw events collapse
-    through one map-side-combinable groupBy to the bounded time-axis
-    series; the ordering window and the before/after means then run over
-    ≤ time-span/bucket rows.  Ties on |CUSUM| break on the earlier
+    Same scale contract as :func:`autocorrelation` via
+    :func:`_bucketed_series`: the ZERO-FILLED bounded time grid — a full
+    outage is a run of 0-count buckets the running sum actually sees,
+    not a hole in the series.  Ties on |CUSUM| break on the earlier
     bucket, so the answer is deterministic.
     """
     from pyspark.sql import Window
 
     v = (F.count(F.lit(1)).cast("double") if value_col is None
          else F.sum(F.col(value_col).cast("double")))
-    series = (df.filter(F.col(ts_col).isNotNull())
-              .groupBy(F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
-                       .alias("__b"))
-              .agg(v.alias("__v")))
+    series = _bucketed_series(df, ts_col, bucket, {"__v": v})
     mean_row = series.agg(F.avg("__v").alias("__m"),
                           F.count(F.lit(1)).alias("__n"))
     w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
@@ -206,30 +230,28 @@ def cross_correlation(df: DataFrame, type_col: str, type_a: str,
     t+k buckets (positive k: A leads B).  The "do errors follow deploys,
     and by how much?" profile.
 
-    Scale contract as :func:`autocorrelation`: both streams collapse in
-    ONE conditional-aggregate groupBy (one scan builds both series, a
-    bucket carries 0 for the stream that was silent in it; buckets where
-    BOTH streams were silent are absent — on a dense grid that's no one,
-    and correlating only observed buckets is the documented semantics),
-    then every lag comes from one ordering-window pass over
-    ≤ time-span/bucket rows.
+    Scale contract as :func:`autocorrelation` via
+    :func:`_bucketed_series`: ONE conditional-aggregate groupBy builds
+    both series in one scan, zero-filled over the dense time grid (a
+    silent hour is a 0-rate point for both streams), then every lag
+    comes from one ordering-window pass over ≤ time-span/bucket rows.
     """
     from pyspark.sql import Window
 
     t = F.col(type_col)
-    series = (df.filter(F.col(ts_col).isNotNull() & t.isin(type_a, type_b))
-              .groupBy(F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
-                       .alias("__b"))
-              .agg(F.sum((t == type_a).cast("double")).alias("__a"),
-                   F.sum((t == type_b).cast("double")).alias("__b2")))
+    series = _bucketed_series(
+        df.filter(t.isin(type_a, type_b)), ts_col, bucket,
+        {"__a": F.sum((t == type_a).cast("double")),
+         "__b2": F.sum((t == type_b).cast("double"))})
     w = Window.orderBy("__b")
     lagged = series.select(
         "__a", *[F.lag("__b2", -k).over(w).alias(f"__bl{i}")
                  for i, k in enumerate(lags)])
     aggs = []
     for i, _ in enumerate(lags):
+        both = F.col("__a").isNotNull() & F.col(f"__bl{i}").isNotNull()
         aggs += [F.corr("__a", f"__bl{i}").alias(f"__c{i}"),
-                 F.count(F.col(f"__bl{i}")).alias(f"__n{i}")]
+                 F.count(F.when(both, 1)).alias(f"__n{i}")]
     one = lagged.agg(*aggs)
     structs = [F.struct(F.lit(k).alias("lag"),
                         F.round(F.col(f"__c{i}"), 4).alias("xcorr"),

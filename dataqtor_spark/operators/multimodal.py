@@ -246,7 +246,14 @@ def _avi_mjpeg_frames(data: bytes) -> tuple[int, list[bytes]]:
                 walk(body + 4, min(end, body + size))
             elif fourcc == b"avih" and size >= 4:
                 usec = struct.unpack("<I", data[body:body + 4])[0]
-            elif fourcc[2:4] in (b"dc", b"db") and size > 0:
+            elif (fourcc[:2] == b"00"  # stream 0 only: the avih clock is
+                  # stream 0's; a second video stream's chunks must not
+                  # interleave into this frame list
+                  and fourcc[2:4] in (b"dc", b"db") and size > 0):
+                if body + size > end:  # lying/truncated size field: a
+                    # partial frame is malformed, not a sample — raise so
+                    # the caller's per-row fake fallback fires
+                    raise ValueError("frame chunk overruns container")
                 frames.append(data[body:body + size])
             pos = body + size + (size & 1)  # chunks pad to even offsets
 
@@ -270,9 +277,13 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8
     No ffmpeg: container demux is byte arithmetic, and anything that
     isn't an extractable AVI falls back per-row to the deterministic
     sha-derived fake (``use_codec=False`` forces the fake everywhere —
-    the oracle-checked queries pin it).  Compressed non-MJPEG codecs
-    inside AVI still come out as their raw chunk bytes: sampling is
-    codec-agnostic, decode is downstream."""
+    the oracle-checked queries pin it).  Like the audio path (and unlike
+    a missing library, which the image ops raise on), ``use_codec=True``
+    treats an undemuxable PAYLOAD as a data problem, not an environment
+    problem: MP4/MKV/corrupt rows degrade per-row to the fake rather
+    than failing the job.  Compressed non-MJPEG codecs inside AVI still
+    come out as their raw chunk bytes: sampling is codec-agnostic,
+    decode is downstream."""
     codec = True if use_codec is None else use_codec
 
     def sample(batches: Iterator) -> Iterator:

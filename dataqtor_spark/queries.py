@@ -1469,8 +1469,8 @@ def m03_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return (MM.sample_video_frames(docs)
-            .withColumn("frame_hex", F.lower(F.hex("frame")))
+    return (MM.sample_video_frames(docs, use_codec=False)  # oracle pins
+            .withColumn("frame_hex", F.lower(F.hex("frame")))  # the fake
             .drop("frame"))
 
 
@@ -6743,10 +6743,17 @@ def th02_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS03_LAGS = (1, 2, 24)
 
-_TS03_SQL = ("""WITH s AS (
+_TS03_SQL = ("""WITH raw AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
          count(*)::DOUBLE AS v
   FROM events WHERE ts IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series((SELECT min(b) FROM raw),
+                                (SELECT max(b) FROM raw),
+                                INTERVAL 1 HOUR)) AS b
+), s AS (
+  SELECT grid.b, coalesce(raw.v, 0.0) AS v
+  FROM grid LEFT JOIN raw USING (b)
 ), l AS (
   SELECT v, """
  + ", ".join(f"lag(v, {k}) OVER (ORDER BY b) AS l{k}" for k in _TS03_LAGS)
@@ -6769,10 +6776,17 @@ def ts03_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                              lags=_TS03_LAGS, bucket="hour")
 
 
-_TS04_SQL = """WITH s AS (
+_TS04_SQL = """WITH raw AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
          count(*)::DOUBLE AS v
   FROM events WHERE ts IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series((SELECT min(b) FROM raw),
+                                (SELECT max(b) FROM raw),
+                                INTERVAL 1 HOUR)) AS b
+), s AS (
+  SELECT grid.b, coalesce(raw.v, 0.0) AS v
+  FROM grid LEFT JOIN raw USING (b)
 ), m AS (
   SELECT avg(v) AS mn, count(*)::BIGINT AS n FROM s
 ), scored AS (
@@ -6802,13 +6816,20 @@ def ts04_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS05_LAGS = (-2, -1, 0, 1, 2)
 
-_TS05_SQL = ("""WITH s AS (
+_TS05_SQL = ("""WITH raw AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS a,
          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE AS v
   FROM events
   WHERE ts IS NOT NULL AND event_type IN ('click', 'error')
   GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series((SELECT min(b) FROM raw),
+                                (SELECT max(b) FROM raw),
+                                INTERVAL 1 HOUR)) AS b
+), s AS (
+  SELECT grid.b, coalesce(raw.a, 0.0) AS a, coalesce(raw.v, 0.0) AS v
+  FROM grid LEFT JOIN raw USING (b)
 ), l AS (
   SELECT a, """
  + ", ".join(

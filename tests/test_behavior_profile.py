@@ -224,3 +224,26 @@ def test_cross_correlation_detects_lead(spark):
         df, "event_type", "a", "b", "ts", lags=(-1, 0, 1)).collect()}
     assert got[1] == 1.0          # A(t) == B(t+1)
     assert got[0] < 1.0 and got[-1] < 1.0
+
+
+def test_bucketed_series_zero_fills_outage_gaps(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    # 10 busy hours, a 5-hour total outage, 10 busy hours: the outage
+    # must appear as five 0-count buckets (not absent rows), so CUSUM
+    # sees the dip and lag really means wall-clock hours
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in list(range(10)) + list(range(15, 25)):
+        rows += [(base + dt.timedelta(hours=h),)] * 6
+    df = spark.createDataFrame(rows, "ts timestamp")
+    series = B._bucketed_series(
+        df, "ts", "hour", {"__v": F.count(F.lit(1)).cast("double")})
+    got = {r["__b"]: r["__v"] for r in series.collect()}
+    assert len(got) == 25                       # dense grid, no holes
+    for h in range(10, 15):
+        assert got[base + dt.timedelta(hours=h)] == 0.0
+    r = B.cusum_changepoint(df, "ts").collect()[0]
+    assert r["n_buckets"] == 25                 # outage buckets counted
