@@ -2014,9 +2014,10 @@ def t05_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-training-data pipeline in one lineage: quality filter →
     language filter → fingerprint dedup (keep lowest id) → per-language
     counts.  Every stage is the already-tested operator; the composition
-    is pure DataFrame flow — one scan, one fp shuffle, one count shuffle."""
-    from pyspark.sql.window import Window
-
+    is pure DataFrame flow — one scan, one fp shuffle, one count shuffle.
+    The keep-lowest-id step is a ``min_by`` aggregate (map-side
+    combinable), not a row_number window: same survivor, no per-group
+    sort."""
     from dataqtor_spark.session import parallelize
 
     # documents.parquet is a single row group — without an exchange the
@@ -2025,9 +2026,8 @@ def t05_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     flt = docs.filter((F.col("n_tokens") >= 5) & (F.col("digit_ratio") < 0.2))
     lng = TX.add_lang_id_tokens(flt).filter(F.col("lang_pred") != "und")
     fp = lng.select("doc_id", "lang_pred", TX.fingerprint("text").alias("fp"))
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    keep = (fp.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
+    keep = fp.groupBy("fp").agg(
+        F.min_by("lang_pred", "doc_id").alias("lang_pred"))
     return keep.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
