@@ -234,3 +234,54 @@ def test_property_latest_per_key_is_idempotent_and_partition_free(spark):
     c = {(r["k"], r["ts"], r["id"]) for r in
          SCD.latest_per_key(df.repartition(13), ["k"], "ts", ["id"]).collect()}
     assert a == b == c
+
+
+# --- round-4 operators: sketch set-algebra + correlation invariants --------
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.sampled_from(["x", "y"]),
+                          st.integers(0, 30)),
+                min_size=1, max_size=80))
+def test_theta_overlap_set_algebra_invariants(spark, rows):
+    from dataqtor_spark.operators import sketches as SKC
+
+    df = spark.createDataFrame(rows, "seg string, k int")
+    r = SKC.theta_overlap(df, "seg", "k", "x", "y").collect()[0]
+    ka = {k for s, k in rows if s == "x"}
+    kb = {k for s, k in rows if s == "y"}
+    # exact below capacity: every field matches set arithmetic
+    assert r["distinct_a"] == len(ka) and r["distinct_b"] == len(kb)
+    assert r["n_overlap"] == len(ka & kb)
+    assert r["n_union"] == len(ka | kb)
+    # invariants that must hold for ANY estimator
+    assert r["n_overlap"] <= min(r["distinct_a"], r["distinct_b"])
+    assert r["n_union"] >= max(r["distinct_a"], r["distinct_b"])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False),
+                min_size=5, max_size=60))
+def test_kll_quantiles_monotone_and_within_range(spark, vals):
+    from dataqtor_spark.operators import sketches as SKC
+
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v double")
+    out = SKC.kll_quantile_rollup(df, "v", "g",
+                                  quantiles=(0.1, 0.5, 0.9)).collect()
+    for grp in ("g", "__all__"):
+        qs = {r["q"]: r["value"] for r in out if r["group"] == grp}
+        assert qs[0.1] <= qs[0.5] <= qs[0.9]      # monotone in q
+        for v in qs.values():
+            assert v in vals                      # order statistics
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.floats(-50, 50, allow_nan=False),
+                          st.floats(-50, 50, allow_nan=False)),
+                min_size=10, max_size=80))
+def test_phik_bounded_and_symmetric(spark, rows):
+    df = spark.createDataFrame(rows, "x double, y double")
+    fwd = P.phik_correlation(df, "x", "y").collect()[0]["phik"]
+    rev = P.phik_correlation(df, "y", "x").collect()[0]["phik"]
+    assert 0.0 <= fwd <= 1.0
+    assert fwd == rev
