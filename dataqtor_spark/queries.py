@@ -4996,7 +4996,10 @@ def h21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .filter(F.col("l_shipdate")
                     > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-            .select("l_orderkey", "l_suppkey").distinct())
+            .select("l_orderkey", "l_suppkey").distinct()
+            # two consumers (n_late, final semi-join): cut the lineage so
+            # the join+distinct runs ONCE, not once per consumer
+            .localCheckpoint(eager=False))
     n_supp = (li.select("l_orderkey", "l_suppkey").distinct()
               .groupBy("l_orderkey")
               .agg(F.count(F.lit(1)).alias("n_supp")))
