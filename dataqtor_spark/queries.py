@@ -6856,3 +6856,24 @@ def ts05_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return B.cross_correlation(_t(spark, sf_dir, "events"), "event_type",
                                "click", "error", "ts", lags=_TS05_LAGS)
+
+
+_S13_SQL = """SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))
+         AS window_start,
+       time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))
+         + INTERVAL 6 HOUR AS window_end,
+       count(DISTINCT user_id)::BIGINT AS n_distinct_est
+FROM events GROUP BY 1"""
+
+
+@register("s13_windowed_distinct_sketch", _S13_SQL)
+def s13_windowed_distinct_sketch(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """s12's distinct-users-per-window with theta-sketch state — the
+    streaming-safe mergeable form (kB of state per window instead of the
+    key set); exact at the oracle SF so the DuckDB COUNT DISTINCT
+    hash-matches."""
+    from dataqtor_spark.streaming import profiler as SP
+
+    return SP.windowed_distinct_sketch(_t(spark, sf_dir, "events"),
+                                       "ts", "user_id", "6 hours")

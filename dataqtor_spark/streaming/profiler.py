@@ -618,3 +618,31 @@ def additive_agg_sink(stream: DataFrame, group_cols: list[str], path: str,
     return (stream.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def windowed_distinct_sketch(df: DataFrame, ts_col: str = "ts",
+                             key_col: str = "user_id",
+                             window: str = "6 hours",
+                             watermark: str | None = None) -> DataFrame:
+    """Distinct keys per event-time window via mergeable theta sketches:
+    (window_start, window_end, n_distinct_est).
+
+    The streaming form of the set-algebra family in
+    ``operators/sketches.py``: per-window aggregation state is a kB
+    sketch buffer instead of the exact form's full per-window key set,
+    so watermark-bounded state stays small however hot the window.
+    Exact below the 4096-key capacity (the stream≡batch≡exact test and
+    the s13 oracle lean on that), published ~1/√k error beyond.  Works
+    identically on batch and streaming frames — pass ``watermark`` on a
+    stream so closed windows emit and state is reclaimed.
+    """
+    d = df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    if watermark is not None:
+        d = d.withWatermark("__ts", watermark)
+    return (d.groupBy(F.window("__ts", window).alias("w"))
+            .agg(F.theta_sketch_estimate(
+                F.theta_sketch_agg(F.col(key_col)))
+                .cast("long").alias("n_distinct_est"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_distinct_est"))

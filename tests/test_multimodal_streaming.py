@@ -770,3 +770,29 @@ def test_real_avi_frame_sampling(spark):
         df, every_ms=300, max_frames=3, use_codec=False).collect()
         if r["media_id"] == 1]
     assert bytes(fake[0]["frame"]) != b"FRAME0"
+
+
+def test_windowed_distinct_sketch_stream_equals_batch_equals_exact(
+        spark, tables, tmp_path):
+    ev = tables["events"]
+    src = str(tmp_path / "events_sketch_stream")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    batch = {(r["window_start"], r["window_end"]): r["n_distinct_est"]
+             for r in SP.windowed_distinct_sketch(
+                 spark.read.parquet(src)).collect()}
+    # exact mode below capacity: sketch == exact count distinct
+    exact = {(r["w"]["start"], r["w"]["end"]): r["nd"]
+             for r in spark.read.parquet(src)
+             .groupBy(F.window(F.col("ts").cast("timestamp"), "6 hours")
+                      .alias("w"))
+             .agg(F.count_distinct("user_id").cast("long").alias("nd"))
+             .collect()}
+    assert batch == exact
+
+    stream = SP.stream_events(spark, src, watermark="1 minute")
+    result = SP.windowed_distinct_sketch(stream)
+    table = SP.run_stream_to_memory(result, "sketch_distinct_test", spark)
+    streamed = {(r["window_start"], r["window_end"]): r["n_distinct_est"]
+                for r in table.collect()}
+    assert streamed == batch
