@@ -1693,3 +1693,26 @@ def k_anonymity(df: DataFrame, quasi_identifiers: list[str],
         F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
         .cast("long").alias("n_rows_below_k"),
         F.min("l").cast("long").alias("l_diversity"))
+
+
+def group_trend(df: DataFrame, value_col: str, time_col: str,
+                group_col: str, origin: str = "1995-01-01") -> DataFrame:
+    """Per-group linear trend of ``value_col`` over time: (group, slope,
+    intercept, r2, n) via the built-in ``regr_*`` aggregates — the drift
+    DIRECTION screen (is this segment's metric rising, and how tightly?).
+
+    One map-side-combinable aggregate; x is days since a FIXED origin
+    (not the epoch) so the regression arithmetic runs on small centered
+    magnitudes — the cross-engine float agreement the differential
+    oracle needs.  Slope is per-day in value units.
+    """
+    x = (F.unix_date(F.col(time_col).cast("date"))
+         - F.unix_date(F.lit(origin).cast("date"))).cast("double")
+    y = F.col(value_col).cast("double")
+    return (df.filter(F.col(time_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+            .groupBy(F.col(group_col).alias("group"))
+            .agg(F.round(F.regr_slope(y, x), 4).alias("slope"),
+                 F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+                 F.round(F.regr_r2(y, x), 4).alias("r2"),
+                 F.regr_count(y, x).cast("long").alias("n")))

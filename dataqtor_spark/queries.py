@@ -6877,3 +6877,25 @@ def s13_windowed_distinct_sketch(spark: SparkSession,
 
     return SP.windowed_distinct_sketch(_t(spark, sf_dir, "events"),
                                        "ts", "user_id", "6 hours")
+
+
+_PR24_SQL = """SELECT o_orderpriority AS "group",
+       round(regr_slope(y, x), 4) AS slope,
+       round(regr_intercept(y, x), 4) AS intercept,
+       round(regr_r2(y, x), 4) AS r2,
+       regr_count(y, x)::BIGINT AS n
+FROM (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS y,
+         date_diff('day', DATE '1995-01-01',
+                   CAST(o_orderdate AS DATE))::DOUBLE AS x
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+) GROUP BY 1"""
+
+
+@register("pr24_group_trend", _PR24_SQL)
+def pr24_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value drift: regr_slope/intercept/r2 over days
+    since a fixed origin — one aggregate, cross-engine-stable centered x."""
+    return P.group_trend(_t(spark, sf_dir, "orders"), "o_totalprice",
+                         "o_orderdate", "o_orderpriority")

@@ -247,3 +247,20 @@ def test_bucketed_series_zero_fills_outage_gaps(spark):
         assert got[base + dt.timedelta(hours=h)] == 0.0
     r = B.cusum_changepoint(df, "ts").collect()[0]
     assert r["n_buckets"] == 25                 # outage buckets counted
+
+
+def test_group_trend_recovers_planted_slope(spark):
+    import datetime as dt
+
+    rows = []
+    for d in range(100):
+        ts = dt.datetime(1995, 1, 1) + dt.timedelta(days=d)
+        rows.append(("up", ts, 10.0 + 2.5 * d))     # slope 2.5/day, r2=1
+        rows.append(("flat", ts, 7.0))              # slope 0
+    df = spark.createDataFrame(rows, "g string, t timestamp, v double")
+    got = {r["group"]: r for r in P.group_trend(
+        df, "v", "t", "g").collect()}
+    assert got["up"]["slope"] == 2.5 and got["up"]["r2"] == 1.0
+    assert got["up"]["intercept"] == 10.0
+    assert got["flat"]["slope"] == 0.0
+    assert got["up"]["n"] == 100
