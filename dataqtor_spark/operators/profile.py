@@ -1716,3 +1716,44 @@ def group_trend(df: DataFrame, value_col: str, time_col: str,
                  F.round(F.regr_intercept(y, x), 4).alias("intercept"),
                  F.round(F.regr_r2(y, x), 4).alias("r2"),
                  F.regr_count(y, x).cast("long").alias("n")))
+
+
+def mahalanobis_profile(df: DataFrame, col_x: str, col_y: str,
+                        threshold: float = 13.816) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen: one row (n, n_outliers,
+    pct_outliers, max_dist2) flagging rows whose squared Mahalanobis
+    distance from the (μ, Σ) of the pair exceeds ``threshold`` (default
+    13.816 = χ²₂ at 0.999 — under normality ~0.1% false-positive rate).
+    Catches the joint outliers the per-column IQR/MAD/z screens miss
+    (each coordinate unremarkable, the COMBINATION wildly off-model).
+
+    Pure column expressions end to end: the 2×2 covariance inverse has a
+    closed form, so pass one computes the five moments
+    (map-side-combinable agg, broadcast back as one row) and pass two
+    evaluates dist² per row in-expression — no driver-side linear
+    algebra, no collect, and the SQL oracle replays the identical
+    formula.  Degenerate covariance (|Σ| = 0: constant or perfectly
+    collinear columns) yields zero outliers by definition.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    pair = df.filter(x.isNotNull() & y.isNotNull())
+    m = pair.agg(F.avg(x).alias("__mx"), F.avg(y).alias("__my"),
+                 F.var_pop(x).alias("__vx"), F.var_pop(y).alias("__vy"),
+                 F.covar_pop(x, y).alias("__cxy"))
+    det = F.col("__vx") * F.col("__vy") - F.col("__cxy") * F.col("__cxy")
+    dx = x - F.col("__mx")
+    dy = y - F.col("__my")
+    # (dx dy) Σ⁻¹ (dx dy)ᵀ with Σ⁻¹ = [[vy, -cxy], [-cxy, vx]] / det
+    d2 = (F.col("__vy") * dx * dx - 2 * F.col("__cxy") * dx * dy
+          + F.col("__vx") * dy * dy) / det
+    d2 = F.when(det > 0, d2).otherwise(F.lit(0.0))
+    return (pair.crossJoin(F.broadcast(m))
+            .select(d2.alias("__d2"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum((F.col("__d2") > threshold).cast("long"))
+                 .alias("n_outliers"),
+                 F.round(F.sum((F.col("__d2") > threshold).cast("long"))
+                         * 100.0 / F.count(F.lit(1)), 4)
+                 .alias("pct_outliers"),
+                 F.round(F.max("__d2"), 4).alias("max_dist2")))

@@ -6913,3 +6913,36 @@ _cut = _names.index("d09_semantic_dedup") + 1
 _order = _names[:_cut] + _R4_SHOWCASE + _names[_cut:]
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+_MV01_SQL = """WITH m AS (
+  SELECT avg(c_acctbal) AS mx, avg(CAST(c_nationkey AS DOUBLE)) AS my,
+         var_pop(c_acctbal) AS vx,
+         var_pop(CAST(c_nationkey AS DOUBLE)) AS vy,
+         covar_pop(c_acctbal, CAST(c_nationkey AS DOUBLE)) AS cxy
+  FROM customer WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+), d AS (
+  SELECT CASE WHEN vx * vy - cxy * cxy > 0 THEN
+           (vy * (c_acctbal - mx) * (c_acctbal - mx)
+            - 2 * cxy * (c_acctbal - mx) * (CAST(c_nationkey AS DOUBLE) - my)
+            + vx * (CAST(c_nationkey AS DOUBLE) - my)
+                 * (CAST(c_nationkey AS DOUBLE) - my))
+           / (vx * vy - cxy * cxy)
+         ELSE 0.0 END AS d2
+  FROM customer, m
+  WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n,
+       sum(CASE WHEN d2 > 13.816 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(sum(CASE WHEN d2 > 13.816 THEN 1 ELSE 0 END) * 100.0
+             / count(*), 4) AS pct_outliers,
+       round(max(d2), 4) AS max_dist2
+FROM d"""
+
+
+@register("mv01_mahalanobis_outliers", _MV01_SQL)
+def mv01_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint-outlier screen over (acctbal, nationkey) — closed-form 2×2
+    Mahalanobis, pure expressions on both engines."""
+    return P.mahalanobis_profile(_t(spark, sf_dir, "customer"),
+                                 "c_acctbal", "c_nationkey")

@@ -264,3 +264,26 @@ def test_group_trend_recovers_planted_slope(spark):
     assert got["up"]["intercept"] == 10.0
     assert got["flat"]["slope"] == 0.0
     assert got["up"]["n"] == 100
+
+
+def test_mahalanobis_flags_joint_outlier_only(spark):
+    import random
+    random.seed(3)
+    # tight correlated cloud + one point whose coordinates are each
+    # in-range but jointly off-model (x high with y low)
+    rows = []
+    for _ in range(500):
+        x = random.gauss(0, 1)
+        rows.append((x, 2 * x + random.gauss(0, 0.1)))
+    rows.append((2.0, -4.0))   # per-column z-scores ~2: joint outlier
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = P.mahalanobis_profile(df, "x", "y").collect()[0]
+    assert r["n"] == 501
+    assert r["n_outliers"] >= 1
+    # the planted point dominates the max distance
+    assert r["max_dist2"] > 100.0
+    # degenerate: constant column -> det 0 -> zero outliers, not a crash
+    c = spark.createDataFrame([(1.0, float(i)) for i in range(50)],
+                              "x double, y double")
+    rc = P.mahalanobis_profile(c, "x", "y").collect()[0]
+    assert rc["n_outliers"] == 0 and rc["max_dist2"] == 0.0
