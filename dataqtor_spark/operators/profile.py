@@ -1757,3 +1757,24 @@ def mahalanobis_profile(df: DataFrame, col_x: str, col_y: str,
                          * 100.0 / F.count(F.lit(1)), 4)
                  .alias("pct_outliers"),
                  F.round(F.max("__d2"), 4).alias("max_dist2")))
+
+
+def null_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
+    """missingno-style nullity correlation: pairwise Pearson corr of the
+    is-null indicators — "when this column is missing, is that one
+    missing too?" (co-missingness exposes upstream join/ingest bugs the
+    per-column null counts can't).  One aggregate over k(k−1)/2 corr
+    expressions, all map-side combinable; NULL corr (a column that is
+    never/always null has zero indicator variance) surfaces as NULL
+    rather than a fabricated 0."""
+    inds = {c: F.col(c).isNull().cast("double") for c in cols}
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.round(F.corr(inds[a], inds[b]), 4)
+                        .alias(f"__nc_{a}__{b}"))
+    one = df.agg(*aggs)
+    structs = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                        F.col(f"__nc_{a}__{b}").alias("null_corr"))
+               for i, a in enumerate(cols) for b in cols[i + 1:]]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

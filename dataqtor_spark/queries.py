@@ -6946,3 +6946,44 @@ def mv01_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mahalanobis, pure expressions on both engines."""
     return P.mahalanobis_profile(_t(spark, sf_dir, "customer"),
                                  "c_acctbal", "c_nationkey")
+
+
+# The synthetic tables carry no physical NULLs, so pr25 derives a
+# deterministic missingness pattern first (the same device a23 uses for
+# date formats): acctbal missing for negative balances, segment missing
+# for MOST of those same rows (co-missing), name missing on an unrelated
+# key pattern (independent).
+_PR25_SQL = """WITH d AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+         CASE WHEN c_acctbal < 0 AND c_custkey % 10 < 8
+              THEN NULL ELSE c_mktsegment END AS seg,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS nm
+  FROM customer
+)
+SELECT 'bal' AS col_a, 'seg' AS col_b,
+       round(corr(CASE WHEN bal IS NULL THEN 1.0 ELSE 0.0 END,
+                  CASE WHEN seg IS NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS null_corr FROM d
+UNION ALL
+SELECT 'bal', 'nm',
+       round(corr(CASE WHEN bal IS NULL THEN 1.0 ELSE 0.0 END,
+                  CASE WHEN nm IS NULL THEN 1.0 ELSE 0.0 END), 4) FROM d
+UNION ALL
+SELECT 'seg', 'nm',
+       round(corr(CASE WHEN seg IS NULL THEN 1.0 ELSE 0.0 END,
+                  CASE WHEN nm IS NULL THEN 1.0 ELSE 0.0 END), 4) FROM d"""
+
+
+@register("pr25_null_correlation", _PR25_SQL)
+def pr25_null_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nullity correlation over a derived co-missingness pattern: bal/seg
+    strongly co-missing, nm independent of both."""
+    c = _t(spark, sf_dir, "customer")
+    d = c.select(
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when((F.col("c_acctbal") < 0) & (F.col("c_custkey") % 10 < 8),
+               None).otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_name")).alias("nm"))
+    return P.null_correlation(d, ["bal", "seg", "nm"])

@@ -287,3 +287,22 @@ def test_mahalanobis_flags_joint_outlier_only(spark):
                               "x double, y double")
     rc = P.mahalanobis_profile(c, "x", "y").collect()[0]
     assert rc["n_outliers"] == 0 and rc["max_dist2"] == 0.0
+
+
+def test_null_correlation_identities(spark):
+    rows = []
+    for i in range(400):
+        a = None if i % 4 == 0 else 1.0
+        b = None if i % 4 == 0 else 2.0        # b missing iff a missing
+        c = None if i % 5 == 0 else "x"        # independent pattern
+        rows.append((a, b, c))
+    df = spark.createDataFrame(rows, "a double, b double, c string")
+    got = {(r["col_a"], r["col_b"]): r["null_corr"]
+           for r in P.null_correlation(df, ["a", "b", "c"]).collect()}
+    assert got[("a", "b")] == 1.0              # identical missingness
+    assert abs(got[("a", "c")]) < 0.01         # i%4 vs i%5: independent
+    # never-null column: zero indicator variance -> NULL, not 0
+    df2 = df.withColumn("d", F.lit(1.0))
+    g2 = {(r["col_a"], r["col_b"]): r["null_corr"]
+          for r in P.null_correlation(df2, ["a", "d"]).collect()}
+    assert g2[("a", "d")] is None
