@@ -1764,15 +1764,18 @@ def null_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
     is-null indicators — "when this column is missing, is that one
     missing too?" (co-missingness exposes upstream join/ingest bugs the
     per-column null counts can't).  One aggregate over k(k−1)/2 corr
-    expressions, all map-side combinable; NULL corr (a column that is
-    never/always null has zero indicator variance) surfaces as NULL
-    rather than a fabricated 0."""
+    expressions, all map-side combinable; a column that is never/always
+    null has zero indicator variance, so its correlations surface as
+    NULL rather than a fabricated 0 (``try_divide`` — ANSI ``corr``
+    would throw DIVIDE_BY_ZERO on the degenerate pair)."""
     inds = {c: F.col(c).isNull().cast("double") for c in cols}
     aggs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            aggs.append(F.round(F.corr(inds[a], inds[b]), 4)
-                        .alias(f"__nc_{a}__{b}"))
+            pearson = F.try_divide(
+                F.covar_pop(inds[a], inds[b]),
+                F.stddev_pop(inds[a]) * F.stddev_pop(inds[b]))
+            aggs.append(F.round(pearson, 4).alias(f"__nc_{a}__{b}"))
     one = df.agg(*aggs)
     structs = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
                         F.col(f"__nc_{a}__{b}").alias("null_corr"))
