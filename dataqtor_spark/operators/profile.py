@@ -1744,10 +1744,15 @@ def mahalanobis_profile(df: DataFrame, col_x: str, col_y: str,
     det = F.col("__vx") * F.col("__vy") - F.col("__cxy") * F.col("__cxy")
     dx = x - F.col("__mx")
     dy = y - F.col("__my")
-    # (dx dy) Σ⁻¹ (dx dy)ᵀ with Σ⁻¹ = [[vy, -cxy], [-cxy, vx]] / det
+    # (dx dy) Σ⁻¹ (dx dy)ᵀ with Σ⁻¹ = [[vy, -cxy], [-cxy, vx]] / det.
+    # The degeneracy guard is RELATIVE (det > ε·vx·vy, scale-invariant):
+    # an exactly-collinear pair's float det can land at a tiny positive
+    # value on one engine and ≤ 0 on another — an absolute >0 test would
+    # diverge across engines and blow dist² to ~1/ε garbage.
+    nondegen = det > 1e-9 * F.col("__vx") * F.col("__vy")
     d2 = (F.col("__vy") * dx * dx - 2 * F.col("__cxy") * dx * dy
-          + F.col("__vx") * dy * dy) / det
-    d2 = F.when(det > 0, d2).otherwise(F.lit(0.0))
+          + F.col("__vx") * dy * dy) / F.when(nondegen, det).otherwise(1.0)
+    d2 = F.when(nondegen, d2).otherwise(F.lit(0.0))
     return (pair.crossJoin(F.broadcast(m))
             .select(d2.alias("__d2"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
@@ -1768,16 +1773,22 @@ def null_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
     null has zero indicator variance, so its correlations surface as
     NULL rather than a fabricated 0 (``try_divide`` — ANSI ``corr``
     would throw DIVIDE_BY_ZERO on the degenerate pair)."""
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, null_corr double")
     inds = {c: F.col(c).isNull().cast("double") for c in cols}
     aggs = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            pearson = F.try_divide(
-                F.covar_pop(inds[a], inds[b]),
-                F.stddev_pop(inds[a]) * F.stddev_pop(inds[b]))
-            aggs.append(F.round(pearson, 4).alias(f"__nc_{a}__{b}"))
+    for i, j in pairs:  # positional aliases: column NAMES may contain
+        # '__' and would collide in a name-derived key
+        pearson = F.try_divide(
+            F.covar_pop(inds[cols[i]], inds[cols[j]]),
+            F.stddev_pop(inds[cols[i]]) * F.stddev_pop(inds[cols[j]]))
+        aggs.append(F.round(pearson, 4).alias(f"__nc_{i}_{j}"))
     one = df.agg(*aggs)
-    structs = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
-                        F.col(f"__nc_{a}__{b}").alias("null_corr"))
-               for i, a in enumerate(cols) for b in cols[i + 1:]]
+    structs = [F.struct(F.lit(cols[i]).alias("col_a"),
+                        F.lit(cols[j]).alias("col_b"),
+                        F.col(f"__nc_{i}_{j}").alias("null_corr"))
+               for i, j in pairs]
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

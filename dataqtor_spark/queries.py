@@ -4996,10 +4996,10 @@ def h21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
             .filter(F.col("l_shipdate")
                     > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-            .select("l_orderkey", "l_suppkey").distinct()
-            # two consumers (n_late, final semi-join): cut the lineage so
-            # the join+distinct runs ONCE, not once per consumer
-            .localCheckpoint(eager=False))
+            .select("l_orderkey", "l_suppkey").distinct())
+    # late feeds two consumers; deliberately NOT localCheckpoint'd — the
+    # recompute is cheaper than hiding the scans' pushdown evidence from
+    # the plan audit and losing lineage-based recompute on executor loss
     n_supp = (li.select("l_orderkey", "l_suppkey").distinct()
               .groupBy("l_orderkey")
               .agg(F.count(F.lit(1)).alias("n_supp")))
@@ -6922,7 +6922,7 @@ _MV01_SQL = """WITH m AS (
          covar_pop(c_acctbal, CAST(c_nationkey AS DOUBLE)) AS cxy
   FROM customer WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL
 ), d AS (
-  SELECT CASE WHEN vx * vy - cxy * cxy > 0 THEN
+  SELECT CASE WHEN vx * vy - cxy * cxy > 1e-9 * vx * vy THEN
            (vy * (c_acctbal - mx) * (c_acctbal - mx)
             - 2 * cxy * (c_acctbal - mx) * (CAST(c_nationkey AS DOUBLE) - my)
             + vx * (CAST(c_nationkey AS DOUBLE) - my)

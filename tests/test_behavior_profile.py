@@ -306,3 +306,24 @@ def test_null_correlation_identities(spark):
     g2 = {(r["col_a"], r["col_b"]): r["null_corr"]
           for r in P.null_correlation(df2, ["a", "d"]).collect()}
     assert g2[("a", "d")] is None
+
+
+def test_mahalanobis_collinear_pair_is_degenerate(spark):
+    # exactly collinear: float det may land at a tiny positive value —
+    # the relative guard must report zero outliers, not 1/eps garbage
+    df = spark.createDataFrame([(float(i), 2.0 * float(i))
+                                for i in range(200)], "x double, y double")
+    r = P.mahalanobis_profile(df, "x", "y").collect()[0]
+    assert r["n_outliers"] == 0 and r["max_dist2"] == 0.0
+
+
+def test_null_correlation_edge_inputs(spark):
+    df = spark.createDataFrame([(1.0, None, 2.0)],
+                               "a double, a__b double, b double")
+    # '__'-bearing column names must not collide in internal aliases
+    out = P.null_correlation(df, ["a", "a__b", "b"]).collect()
+    assert len(out) == 3
+    # <2 columns: empty result with the contract schema, not a crash
+    empty = P.null_correlation(df, ["a"])
+    assert empty.columns == ["col_a", "col_b", "null_corr"]
+    assert empty.count() == 0
