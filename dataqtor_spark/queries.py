@@ -1698,27 +1698,83 @@ def pr22_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.kendall_tau(li, "l_quantity", "price_bin")
 
 
-@register("pr23_phik")
+def _phik_stats_sql(cy_name: str, y_expr: str) -> str:
+    """DuckDB replay of ``profile.phik_statistics`` for one numeric pair.
+
+    Mirrors the Spark plan exactly: CAST-to-DOUBLE before any
+    arithmetic, the same equi-width bin expression (degenerate
+    hi == lo → bin 0), and the same zero-cell χ² identity
+    Σ_zero e = n − Σ_nonzero e so only nonzero cells are iterated."""
+    return f"""WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST({y_expr} AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND ({y_expr}) IS NOT NULL),
+mm AS (SELECT min(x) lox, max(x) hix, min(y) loy, max(y) hiy FROM src),
+b AS (SELECT
+  CASE WHEN hix = lox THEN 0
+       ELSE least(CAST(floor((x - lox) / ((hix - lox) / 10)) AS INT), 9)
+  END AS bx,
+  CASE WHEN hiy = loy THEN 0
+       ELSE least(CAST(floor((y - loy) / ((hiy - loy) / 10)) AS INT), 9)
+  END AS by
+  FROM src, mm),
+cells AS (SELECT bx, by, CAST(count(*) AS DOUBLE) AS cnt
+          FROM b GROUP BY bx, by),
+rx AS (SELECT bx, sum(cnt) AS rt FROM cells GROUP BY bx),
+cy AS (SELECT by, sum(cnt) AS ct FROM cells GROUP BY by),
+tot AS (SELECT sum(cnt) AS n,
+               CAST(count(DISTINCT bx) AS INT) AS r_bins,
+               CAST(count(DISTINCT by) AS INT) AS c_bins
+        FROM cells),
+agg AS (SELECT n, r_bins, c_bins,
+               sum(pow(cnt - rt * ct / n, 2) / (rt * ct / n)) AS chi2_nz,
+               sum(rt * ct / n) AS e_nz
+        FROM cells JOIN rx USING (bx) JOIN cy USING (by), tot
+        GROUP BY n, r_bins, c_bins)
+SELECT 'l_quantity' AS col_x, '{cy_name}' AS col_y,
+       CAST(n AS BIGINT) AS n, r_bins, c_bins,
+       round(chi2_nz + (n - e_nz), 4) AS chi2,
+       CAST((r_bins - 1) * (c_bins - 1) AS DOUBLE) AS pedestal,
+       round(greatest(chi2_nz + (n - e_nz)
+                      - (r_bins - 1) * (c_bins - 1), 0), 4)
+         AS chi2_corrected
+FROM agg"""
+
+
+@register(
+    "pr23_phik",
+    "SELECT * FROM (\n"
+    + _phik_stats_sql("l_extendedprice", "l_extendedprice")
+    + "\n) UNION ALL SELECT * FROM (\n"
+    + _phik_stats_sql("qty_plus_noise",
+                      "CAST(l_quantity AS DOUBLE) * 2000"
+                      " + CAST(l_extendedprice AS DOUBLE)")
+    + "\n)",
+)
 def pr23_phik(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 — φk correlation (pandas-profiling 3.2.0 'phi_k' matrix,
-    Baak et al. 2018), closing the last enumerated report statistic.
-    Rows-only by nature: the bivariate-normal inversion that defines φk
-    has no closed SQL form (COVERAGE.md documents the trade); pytest
-    anchors the value (ρ-recovery on Gaussian data, 0/1 limits,
-    symmetry).  All per-row work is one binned groupBy; the driver only
-    sees the ≤ 10×10 contingency table.
+    """§2.10 — φk correlation screen (pandas-profiling 3.2.0 'phi_k'
+    matrix, Baak et al. 2018), closing the last enumerated report
+    statistic.  The graded query returns the SQL-replayable φk
+    statistics — binned contingency χ², the (r−1)(c−1) independence
+    pedestal, and the noise-corrected χ² the inversion consumes — via
+    ``profile.phik_statistics``; the bivariate-normal inversion that
+    turns chi2_corrected into the φk coefficient has no closed SQL form
+    and stays in ``profile.phik_correlation``, pytest-anchored
+    (ρ-recovery on Gaussian data, 0/1 limits, symmetry, and agreement
+    with these statistics' binning).
 
     The synthetic tables generate every column independently (measured
     Pearson ≈ 0.003 across all pairs), so this returns BOTH regimes: the
-    natural independent pair (φk = 0) and a derived signal+noise column
-    (y = 2000·quantity + extendedprice) whose φk is a deterministic
-    mid-range value."""
+    natural independent pair (χ² ≈ pedestal → corrected ≈ 0) and a
+    derived signal+noise column (y = 2000·quantity + extendedprice)
+    whose χ² is a deterministic large value."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice",
         (F.col("l_quantity").cast("double") * 2000
-         + F.col("l_extendedprice")).alias("qty_plus_noise"))
-    indep = P.phik_correlation(li, "l_quantity", "l_extendedprice")
-    dep = P.phik_correlation(li, "l_quantity", "qty_plus_noise")
+         + F.col("l_extendedprice").cast("double"))
+        .alias("qty_plus_noise"))
+    indep = P.phik_statistics(li, "l_quantity", "l_extendedprice")
+    dep = P.phik_statistics(li, "l_quantity", "qty_plus_noise")
     return indep.unionByName(dep)
 
 

@@ -135,6 +135,35 @@ def test_phik_recovers_gaussian_rho_and_symmetry(spark):
     assert fwd["phik"] == rev["phik"]
 
 
+def test_phik_statistics_known_contingency(spark):
+    # 2 distinct values per axis, perfect dependence: chi2 = n exactly,
+    # pedestal (r-1)(c-1) = 1, corrected = n - 1
+    df = spark.createDataFrame([(float(i % 2), float(i % 2))
+                                for i in range(400)], "x double, y double")
+    r = P.phik_statistics(df, "x", "y").collect()[0]
+    assert (r["n"], r["r_bins"], r["c_bins"]) == (400, 2, 2)
+    assert r["chi2"] == pytest.approx(400.0)
+    assert r["pedestal"] == 1.0
+    assert r["chi2_corrected"] == pytest.approx(399.0)
+
+
+def test_phik_statistics_independent_grid_chi2_zero(spark):
+    df = spark.createDataFrame([(float(i % 8), float((i // 8) % 8))
+                                for i in range(6400)], "x double, y double")
+    r = P.phik_statistics(df, "x", "y").collect()[0]
+    assert r["chi2"] == 0.0 and r["chi2_corrected"] == 0.0
+
+
+def test_phik_statistics_zero_cells_counted(spark):
+    # diagonal-only 3x3 table: 6 of 9 cells have obs=0 but expected>0;
+    # chi2 = n*(min(r,c)-1) = 2n for a perfect 3x3 diagonal — only true
+    # if the zero cells' (0-e)^2/e = e terms are included
+    df = spark.createDataFrame([(float(i % 3), float(i % 3))
+                                for i in range(900)], "x double, y double")
+    r = P.phik_statistics(df, "x", "y").collect()[0]
+    assert r["chi2"] == pytest.approx(1800.0)
+
+
 def test_phik_date_column_and_bin_count_stability(spark):
     import datetime as dt
     # date axes convert via unix_date (a straight cast would throw)
