@@ -153,3 +153,45 @@ def pca_top_component(df: DataFrame, id_col: str, vec_col: str,
     proj = F.aggregate(F.zip_with(centered, load_arr, lambda x, w: x * w),
                        F.lit(0.0).cast("double"), lambda a, x: a + x)
     return (df.select(F.col(id_col), F.round(proj, 6).alias("pc1")), info)
+
+
+def pca2_closed_form(df: DataFrame, id_col: str, x_col: str,
+                     y_col: str) -> DataFrame:
+    """Top-principal-component projection of a 2-feature space via the
+    ANALYTIC 2×2 eigendecomposition — the SQL-replayable companion to
+    ``pca_top_component`` (whose d-dimensional power iteration has no
+    closed form).  For covariance [[vx, cxy], [cxy, vy]] the top
+    eigenvalue is λ = (vx+vy)/2 + √(((vx−vy)/2)² + cxy²) and (since
+    λ ≥ vx) an eigenvector is (cxy, λ−vx), sign-canonicalized so the
+    first loading is positive; in the degenerate cxy ≈ 0 case the
+    component is the higher-variance axis.  The guard is RELATIVE
+    (cxy² > 1e-18·vx·vy) so both engines take the same branch under
+    float noise.
+
+    Plan shape: one map-side-combinable aggregate produces the five
+    moments; the ≤ 1-row moment table broadcasts back onto the rows and
+    the projection is a pure column expression — no driver-side math,
+    no second scan.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    src = (df.filter(x.isNotNull() & y.isNotNull())
+           .select(F.col(id_col), x.alias("__x"), y.alias("__y")))
+    m = src.agg(F.avg("__x").alias("mx"), F.avg("__y").alias("my"),
+                F.var_pop("__x").alias("vx"), F.var_pop("__y").alias("vy"),
+                F.covar_pop("__x", "__y").alias("cxy"))
+    j = src.crossJoin(F.broadcast(m))
+    vx, vy, cxy = F.col("vx"), F.col("vy"), F.col("cxy")
+    # squares via multiplication, not pow(): libm pow implementations
+    # aren't guaranteed bit-identical across engines, x*x is
+    half = (vx - vy) / 2
+    lam = (vx + vy) / 2 + F.sqrt(half * half + cxy * cxy)
+    norm = F.sqrt(cxy * cxy + (lam - vx) * (lam - vx))
+    coupled = cxy * cxy > F.lit(1e-18) * vx * vy
+    u1 = F.when(coupled, F.abs(cxy) / norm) \
+          .otherwise(F.when(vx >= vy, F.lit(1.0)).otherwise(F.lit(0.0)))
+    u2 = F.when(coupled, F.signum(cxy) * (lam - vx) / norm) \
+          .otherwise(F.when(vx >= vy, F.lit(0.0)).otherwise(F.lit(1.0)))
+    score = (F.col("__x") - F.col("mx")) * u1 \
+        + (F.col("__y") - F.col("my")) * u2
+    return j.select(F.col(id_col), F.round(score, 4).alias("pc1"))

@@ -4132,23 +4132,30 @@ def j07_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# pr16 — incremental cardinality via mergeable HLL sketches (rows-only:
-# Datasketches estimates aren't replayable in the DuckDB oracle; the exact
-# merge property + error bound are asserted in tests/test_warehouse_layout)
+# pr16 — incremental cardinality via mergeable theta-sketch state (the s13
+# device: theta sketches are EXACT below their 2^lgk retained-key capacity,
+# so the DuckDB COUNT(DISTINCT) oracle hash-matches at test SFs while the
+# SAME plan degrades gracefully to a ±1/√k estimate above capacity at
+# 100 TB; the HLL variant stays in profile.hll_sketches/hll_rollup_estimate
+# as the lower-memory alternative, merge + error-bound pytest-anchored in
+# tests/test_warehouse_layout)
 # ---------------------------------------------------------------------------
 
-@register("pr16_hll_incremental_users")
-def pr16_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day HLL user sketches rolled up to one corpus-wide distinct
-    estimate — the rescan-free incremental form of pr09's cardinality
-    profile (store sketches, merge on demand at any granularity)."""
-    from dataqtor_spark.operators import profile as PR
-
+@register("pr16_incremental_distinct_users",
+          "SELECT CAST(count(DISTINCT user_id) AS BIGINT)"
+          " AS distinct_users FROM events")
+def pr16_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day theta user sketches rolled up to one corpus-wide distinct
+    count — the rescan-free incremental form of pr09's cardinality
+    profile (store per-partition sketch state, merge on demand at any
+    granularity; each day's sketch is a map-side-combinable partial, the
+    rollup is a bounded union of ≤ n_days 32 KB blobs)."""
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    daily = PR.hll_sketches(ev, ["day"], "user_id", lgk=12)
-    return (PR.hll_rollup_estimate(daily)
-            .select(F.col("approx_distinct").cast("long")
-                    .alias("approx_distinct_users")))
+    daily = ev.groupBy("day").agg(
+        F.theta_sketch_agg(F.col("user_id")).alias("sk"))
+    return daily.agg(
+        F.theta_sketch_estimate(F.theta_union_agg(F.col("sk")))
+        .cast("long").alias("distinct_users"))
 
 
 # ---------------------------------------------------------------------------
@@ -5585,7 +5592,7 @@ _SHOWCASE_ORDER = [
     # analytics breadth
     "cube01_returnflag_status", "x02_variant_props_histogram",
     "pr02_pearson_correlations", "pr22_kendall_tau",
-    "pr16_hll_incremental_users",
+    "pr16_incremental_distinct_users",
     "b01_funnel_events", "g01_pagerank_transitions", "geo01_nearest_city",
     "mb01_copurchase_pairs", "m02_image_decode_features",
     "er01_entity_resolution", "fd01_functional_deps_orders",
@@ -5733,6 +5740,50 @@ def e03_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj, _info = E.pca_top_component(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_iter=50)
     return proj
+
+
+_E03B_SQL = """WITH src AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+), m AS (
+  SELECT avg(x) AS mx, avg(y) AS my, var_pop(x) AS vx, var_pop(y) AS vy,
+         covar_pop(x, y) AS cxy
+  FROM src
+), lm AS (
+  SELECT src.*, m.*,
+         (vx + vy) / 2
+           + sqrt(((vx - vy) / 2) * ((vx - vy) / 2) + cxy * cxy) AS lam
+  FROM src, m
+), u AS (
+  SELECT *,
+    CASE WHEN cxy * cxy > 1e-18 * vx * vy
+         THEN abs(cxy) / sqrt(cxy * cxy + (lam - vx) * (lam - vx))
+         WHEN vx >= vy THEN 1.0 ELSE 0.0 END AS u1,
+    CASE WHEN cxy * cxy > 1e-18 * vx * vy
+         THEN sign(cxy) * (lam - vx)
+              / sqrt(cxy * cxy + (lam - vx) * (lam - vx))
+         WHEN vx >= vy THEN 0.0 ELSE 1.0 END AS u2
+  FROM lm
+)
+SELECT vec_id, round((x - mx) * u1 + (y - my) * u2, 4) AS pc1 FROM u"""
+
+
+@register("e03b_pca2_closed_form", _E03B_SQL)
+def e03b_pca2_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable PCA companion to e03: project embedding dims 0–1
+    onto the ANALYTIC top eigenvector of their 2×2 covariance (same
+    closed-form device as mv01's Σ⁻¹) — pure expressions on both
+    engines, so the full d-dimensional power-iteration path in e03 has a
+    differentially-tested exemplar of its centering/projection algebra."""
+    from dataqtor_spark.operators import embeddings as E
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.try_element_at(F.col("embedding"), F.lit(1)).alias("e0"),
+        F.try_element_at(F.col("embedding"), F.lit(2)).alias("e1"))
+    return E.pca2_closed_form(emb, "vec_id", "e0", "e1")
 
 
 _G02_SQL = """WITH e AS (

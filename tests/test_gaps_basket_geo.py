@@ -3,6 +3,8 @@ and haversine nearest-city."""
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dataqtor_spark.operators import behavior as B
@@ -156,6 +158,39 @@ def test_pca_captures_dominant_direction(spark):
     # deterministic across runs
     _, info2 = E.pca_top_component(df, "vec_id", "embedding", n_iter=60)
     assert np.allclose(info2["loadings"], load, atol=1e-9)
+
+
+def test_pca2_closed_form_matches_power_iteration(spark):
+    import numpy as np
+
+    from dataqtor_spark.operators import embeddings as E
+
+    # correlated 2-D cloud: the analytic 2x2 eigendecomposition must agree
+    # with the d-dimensional power-iteration path on the same data
+    rng = np.random.default_rng(3)
+    xs = rng.normal(size=400)
+    ys = 2.0 * xs + rng.normal(scale=0.5, size=400)
+    rows = [(i, float(xs[i]), float(ys[i])) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, e0 double, e1 double")
+    closed = {r["vec_id"]: r["pc1"]
+              for r in E.pca2_closed_form(df, "vec_id", "e0", "e1").collect()}
+    vec = df.select("vec_id", F.array("e0", "e1").alias("embedding"))
+    power, info = E.pca_top_component(vec, "vec_id", "embedding", n_iter=80)
+    for r in power.collect():
+        assert closed[r["vec_id"]] == pytest.approx(r["pc1"], abs=2e-4)
+    assert info["explained_variance_ratio"] > 0.9
+
+
+def test_pca2_closed_form_degenerate_axis_aligned(spark):
+    # zero covariance: the component must be the higher-variance axis
+    rows = [(i, float(i % 2), 10.0 * (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, e0 double, e1 double")
+    from dataqtor_spark.operators import embeddings as E
+    got = {r["vec_id"]: r["pc1"]
+           for r in E.pca2_closed_form(df, "vec_id", "e0", "e1").collect()}
+    # projection = centered y exactly (u = (0, 1))
+    mean_y = sum(10.0 * (i % 5) for i in range(200)) / 200
+    assert got[7] == pytest.approx(10.0 * (7 % 5) - mean_y, abs=1e-4)
 
 
 def test_triangle_count_known_graph(spark):
