@@ -36,6 +36,39 @@ from pyspark.sql import functions as F
 # memoized exactly like functions/phone.py's format-class expression.
 
 # ---------------------------------------------------------------------------
+# scale guards (skew protection for the quadratic-capable paths)
+# ---------------------------------------------------------------------------
+
+# Corpora below this size run unguarded (small-data parity: the quadratic
+# worst case is bounded and exact answers matter more than skew safety);
+# above it the inverted-index paths default their caps ON — SCALE_PROBE.md's
+# planted-skew probe measured a 16x candidate-pair blow-up on a 4x hot
+# cluster without the cap vs 1.0x with it, and at 100 TB an uncapped hot
+# bucket is a stage-sinker.
+AUTO_GUARD_MIN_DOCS = 100_000
+# Floor for the auto cap: buckets/posting-lists this small expand at most
+# ~floor²/2 pairs — noise at any scale worth guarding.
+AUTO_GUARD_CAP_FLOOR = 1024
+
+
+def resolve_auto_cap(n_docs: int, min_docs: int | None = None,
+                     floor: int | None = None) -> int | None:
+    """Default cap for bucket/posting-list sizes: ``None`` (unguarded)
+    below the ``min_docs`` corpus-size threshold, ``max(floor, √n_docs)``
+    above it.  √n keeps worst-case pair expansion per hot key at O(n)
+    while leaving legitimate mid-size duplicate clusters intact."""
+    import math
+
+    if min_docs is None:
+        min_docs = AUTO_GUARD_MIN_DOCS
+    if floor is None:
+        floor = AUTO_GUARD_CAP_FLOOR
+    if n_docs < min_docs:
+        return None
+    return max(floor, math.isqrt(n_docs))
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -179,7 +212,9 @@ def _h_array(num_hashes: int) -> Column:
 
 def minhash_candidates(sig: DataFrame, id_col: str,
                        num_hashes: int = 64, bands: int = 16,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | str | None = "auto",
+                       auto_guard_min_docs: int | None = None,
+                       unbounded: bool = False) -> DataFrame:
     """LSH banding: docs colliding in ≥1 band become candidate pairs
     (id_a < id_b).  rows-per-doc = bands; join is a groupBy on band hash.
 
@@ -191,7 +226,19 @@ def minhash_candidates(sig: DataFrame, id_col: str,
     collapses in one linear pass — run that first and let banding handle
     the long tail; pairs internal to a capped-out bucket are
     intentionally skipped (see the skew probe in SCALE_PROBE.md for the
-    measured blow-up without the cap)."""
+    measured blow-up without the cap).
+
+    The DEFAULT is ``"auto"``: above the ``AUTO_GUARD_MIN_DOCS``
+    corpus-size threshold the cap engages at ``max(1024, √n_docs)``
+    (``resolve_auto_cap``); below it the pass runs unguarded, so small
+    corpora keep exact banding semantics and differential oracles.  The
+    corpus count is taken from ``sig`` — callers persist signatures for
+    the verification probe anyway, so the count reuses that cache.  Pass
+    ``unbounded=True`` (or an explicit int) to opt out at any size."""
+    if unbounded:
+        max_bucket_size = None
+    elif max_bucket_size == "auto":
+        max_bucket_size = resolve_auto_cap(sig.count(), auto_guard_min_docs)
     exploded = sig.select(F.col(id_col).alias("__id"),
                           F.explode(_band_hash_array(num_hashes, bands))
                           .alias("__bh"))
@@ -451,12 +498,26 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> Dat
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | str | None = "auto",
+                        auto_guard_min_docs: int | None = None,
+                        unbounded: bool = False) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via inverted-index
     self-join.  ``max_doc_freq`` drops shingles shared by more than that
     many docs (stop-shingle cut) — at scale this bounds the quadratic
     blowup on ultra-common shingles; pairs sharing ONLY dropped shingles
-    can be missed (documented recall trade)."""
+    can be missed (documented recall trade).
+
+    The DEFAULT is ``"auto"``: above the ``AUTO_GUARD_MIN_DOCS``
+    corpus-size threshold the cut engages at ``max(1024, √n_docs)``
+    (``resolve_auto_cap``; the worst-case per-shingle pair expansion
+    stays O(n)); below it the pass is exact.  Pass ``unbounded=True``
+    for exact semantics at any size (the d02 string_grouper-parity
+    registration does), or an explicit int to pin the cut."""
+    if unbounded:
+        max_doc_freq = None
+    elif max_doc_freq == "auto":
+        max_doc_freq = resolve_auto_cap(
+            df.select(id_col).count(), auto_guard_min_docs)
     ex = _exploded_shingles(df, id_col, text_col, n)
     # Posting lists FIRST: the one heavy exchange (exploded (id, hash) rows
     # hash-partitioned on the shingle) happens exactly once, and everything

@@ -1009,8 +1009,13 @@ WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2"""
 
 @register("d02_ngram_jaccard_pairs", _D02_PAIRS_SQL)
 def d02_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unbounded=True: this is the string_grouper-parity registration — the
+    # oracle replays the EXACT uncut semantics, so the auto stop-shingle
+    # guard must never engage here regardless of corpus size.  d02b is the
+    # guarded scale path of the same operator.
     docs = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2,
+                                  unbounded=True)
 
 
 # d02b — the SCALE path of the same operator: stop-shingle cut enabled.

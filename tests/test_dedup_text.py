@@ -114,6 +114,65 @@ def test_minhash_bucket_cap_skips_hot_cluster(spark):
     assert (100, 101) in capped_pairs        # small buckets unaffected
 
 
+def test_auto_guard_engages_above_corpus_threshold(spark, monkeypatch):
+    # default "auto" cap: unguarded below AUTO_GUARD_MIN_DOCS, engaged at
+    # max(floor, sqrt(n)) above it — shrink the constants so a 14-doc
+    # corpus with a 12-doc hot cluster crosses the threshold
+    rows = [(i, "the same boilerplate footer text repeated here " * 4)
+            for i in range(12)]
+    rows += [(100, "a quick brown fox jumps over the lazy dog today"),
+             (101, "a quick brown fox jumps over the lazy dog tonight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = D.minhash_signatures(df, "doc_id", "text")
+    hot = {(a, b) for a in range(12) for b in range(12) if a < b}
+
+    # below the threshold: auto resolves to no cap, hot pairs all expand
+    below = {(r["id_a"], r["id_b"])
+             for r in D.minhash_candidates(sig, "doc_id").collect()}
+    assert hot <= below
+
+    monkeypatch.setattr(D, "AUTO_GUARD_CAP_FLOOR", 8)
+    above = {(r["id_a"], r["id_b"])
+             for r in D.minhash_candidates(
+                 sig, "doc_id", auto_guard_min_docs=10).collect()}
+    assert not (hot & above)            # guard engaged: hot bucket skipped
+    assert (100, 101) in above          # small buckets unaffected
+
+    # explicit opt-out restores exact banding even above the threshold
+    opt_out = {(r["id_a"], r["id_b"])
+               for r in D.minhash_candidates(
+                   sig, "doc_id", auto_guard_min_docs=10,
+                   unbounded=True).collect()}
+    assert hot <= opt_out
+
+
+def test_resolve_auto_cap_threshold_and_floor():
+    assert D.resolve_auto_cap(99_999) is None
+    assert D.resolve_auto_cap(100_000) == 1024     # floor dominates
+    assert D.resolve_auto_cap(4_000_000) == 2000   # sqrt(n) above floor
+    assert D.resolve_auto_cap(50, min_docs=10, floor=4) == 7
+
+
+def test_ngram_auto_guard_cuts_hot_shingle(spark, monkeypatch):
+    # one ultra-common shingle shared by every doc; above the threshold the
+    # auto doc-freq cut drops it, so docs sharing ONLY that shingle vanish
+    common = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{common} unique{i} filler{i} words{i} here{i}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(D, "AUTO_GUARD_CAP_FLOOR", 4)
+    uncut = D.ngram_jaccard_pairs(df, "doc_id", "text", n=5,
+                                  threshold=0.1).collect()
+    cut = D.ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.1,
+                                auto_guard_min_docs=10).collect()
+    assert len(uncut) == 66             # all pairs share the hot shingle
+    assert len(cut) == 0                # cut removed the only shared gram
+    explicit = D.ngram_jaccard_pairs(df, "doc_id", "text", n=5,
+                                     threshold=0.1, unbounded=True,
+                                     auto_guard_min_docs=10).collect()
+    assert len(explicit) == 66          # opt-out wins over the threshold
+
+
 def test_simhash_near_pairs(spark):
     # hamming≤3 is a long-document regime: use ~400-token docs where a
     # single-token edit flips only a few signature bits

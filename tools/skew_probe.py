@@ -60,14 +60,15 @@ def main() -> None:
         corpus.count()
 
         t_uncut, n_uncut = timed(DD.ngram_jaccard_pairs(
-            corpus, "doc_id", "text", n=5, threshold=0.2))
+            corpus, "doc_id", "text", n=5, threshold=0.2, unbounded=True))
         t_cut, n_cut = timed(DD.ngram_jaccard_pairs(
             corpus, "doc_id", "text", n=5, threshold=0.2, max_doc_freq=16))
 
         sig = DD.minhash_signatures(corpus, "doc_id", "text",
                                     num_hashes=64, shingle_n=5).persist()
         sig.count()
-        t_band, n_band = timed(DD.minhash_candidates(sig, "doc_id", 64, 16))
+        t_band, n_band = timed(DD.minhash_candidates(sig, "doc_id", 64, 16,
+                                                    unbounded=True))
         t_cap, n_cap = timed(DD.minhash_candidates(sig, "doc_id", 64, 16,
                                                    max_bucket_size=16))
         sig.unpersist()
