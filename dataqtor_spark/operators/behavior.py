@@ -113,6 +113,10 @@ def event_transitions(df: DataFrame, user_col: str = "user_id",
         F.round(F.col("n") / F.sum("n").over(src_tot), 6).alias("share"))
 
 
+_BUCKET_US = {"hour": 3_600_000_000, "day": 86_400_000_000,
+              "minute": 60_000_000, "week": 7 * 86_400_000_000}
+
+
 def _bucketed_series(df: DataFrame, ts_col: str, bucket: str,
                      aggs: dict):
     """The shared series builder every time-axis screen uses: collapse
@@ -122,9 +126,15 @@ def _bucketed_series(df: DataFrame, ts_col: str, bucket: str,
     row, or outage/seasonality math silently runs on "observed buckets
     back" instead of time (the grid is generated in-row from the
     broadcast min/max span, still ≤ time-span/bucket rows).  Returns
-    (bucket, *agg) with every agg coalesced to 0 on filled gaps."""
-    per_us = {"hour": 3_600_000_000, "day": 86_400_000_000,
-              "minute": 60_000_000, "week": 7 * 86_400_000_000}
+    (bucket, *agg) with every agg coalesced to 0 on filled gaps.
+
+    Because the grid is DENSE and REGULAR (one row every
+    ``_BUCKET_US[bucket]`` µs, no holes), "k rows back" ≡ "k buckets of
+    wall time back" — downstream screens exploit this to turn ordering
+    windows into equi-joins on shifted timestamps (autocorrelation,
+    cross-correlation) or in-row index arithmetic (CUSUM), so NO screen
+    funnels the series through a single-partition WindowExec."""
+    per_us = _BUCKET_US
     if bucket not in per_us:
         raise ValueError(f"unsupported bucket {bucket!r}")
     b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
@@ -151,32 +161,42 @@ def autocorrelation(df: DataFrame, ts_col: str = "ts",
     hourly series = daily cycle; near-zero everywhere = arrival noise).
 
     ``value_col=None`` correlates bucket COUNTS (event-rate seasonality);
-    otherwise bucket sums of the value.  Scale design: see
-    :func:`_bucketed_series` — the ordering window that lag() needs runs
-    over the bounded ZERO-FILLED time grid (hours in a decade ≈ 10⁵),
-    never over raw events, and lag k really means k buckets of wall
-    time.  All lags come from one window pass + one aggregate; n_pairs
-    counts the pairs the correlation actually used (both sides present).
+    otherwise bucket sums of the value.  Scale design: the grid from
+    :func:`_bucketed_series` is dense and regular, so lag-k "k rows
+    back" is exactly "value at __b − k·bucket_width" — each lag becomes
+    an EQUI-JOIN of the series with a timestamp-shifted copy of itself
+    (one explode carries all lags through a single partition-parallel
+    join), and NO single-partition ordering window exists anywhere in
+    the plan.  A minute-grain multi-year series (≈10⁶ rows) spreads over
+    the cluster instead of funneling through one task.  n_pairs counts
+    the pairs the correlation actually used (both buckets on the grid).
     """
-    from pyspark.sql import Window
-
+    width = _BUCKET_US[bucket]
     v = (F.count(F.lit(1)).cast("double") if value_col is None
          else F.sum(F.col(value_col).cast("double")))
     series = _bucketed_series(df, ts_col, bucket, {"__v": v})
-    w = Window.orderBy("__b")
-    lagged = series.select(
-        "__v", *[F.lag("__v", k).over(w).alias(f"__l{k}") for k in lags])
-    aggs = []
-    for k in lags:
-        both = F.col("__v").isNotNull() & F.col(f"__l{k}").isNotNull()
-        aggs += [F.corr("__v", f"__l{k}").alias(f"__c{k}"),
-                 F.count(F.when(both, 1)).alias(f"__n{k}")]
-    one = lagged.agg(*aggs)
-    structs = [F.struct(F.lit(k).alias("lag"),
-                        F.round(F.col(f"__c{k}"), 4).alias("autocorr"),
-                        F.col(f"__n{k}").cast("long").alias("n_pairs"))
-               for k in lags]
-    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    shifted = (series.select(
+        F.col("__v").alias("__l"),
+        F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag"),
+        F.col("__b"))
+        .select("lag", "__l",
+                F.timestamp_micros(F.unix_micros(F.col("__b"))
+                                   + F.col("lag").cast("long")
+                                   * F.lit(width).cast("long"))
+                .alias("__tb")))
+    pairs = series.join(shifted, series["__b"] == shifted["__tb"])
+    got = (pairs.groupBy("lag")
+           .agg(F.round(F.corr("__v", "__l"), 4).alias("autocorr"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    # a lag longer than the grid has zero join rows but must still emit
+    # its (lag, null, 0) row — right-join onto the literal lag list
+    lag_dim = (df.sparkSession.range(1)
+               .select(F.explode(F.array(*[F.lit(int(k)) for k in lags]))
+                       .alias("lag")))
+    return (lag_dim.join(F.broadcast(got), "lag", "left")
+            .select("lag", "autocorr",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs")))
 
 
 def cusum_changepoint(df: DataFrame, ts_col: str = "ts",
@@ -193,32 +213,78 @@ def cusum_changepoint(df: DataFrame, ts_col: str = "ts",
     outage is a run of 0-count buckets the running sum actually sees,
     not a hole in the series.  Ties on |CUSUM| break on the earlier
     bucket, so the answer is deterministic.
-    """
-    from pyspark.sql import Window
 
+    Every running statistic derives from ONE prefix sum of __v, computed
+    segmented (:func:`_segmented_prefix_sum`) — the bucket index is
+    in-row arithmetic on the regular grid, so no single-partition
+    WindowExec exists in the plan:
+        cusum   = prefix_v − idx·mean
+        mean_before = prefix_v / idx
+        mean_after  = (total − prefix_v) / (n − idx)
+    """
+    width = _BUCKET_US[bucket]
     v = (F.count(F.lit(1)).cast("double") if value_col is None
          else F.sum(F.col(value_col).cast("double")))
     series = _bucketed_series(df, ts_col, bucket, {"__v": v})
     mean_row = series.agg(F.avg("__v").alias("__m"),
-                          F.count(F.lit(1)).alias("__n"))
-    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
-    wa = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
-    scored = (series.crossJoin(F.broadcast(mean_row))
-              .select("__b", "__n",
-                      F.sum(F.col("__v") - F.col("__m")).over(w)
-                      .alias("__cusum"),
-                      F.avg("__v").over(w).alias("__mb"),
-                      F.avg("__v").over(wa).alias("__ma")))
+                          F.sum("__v").alias("__tot"),
+                          F.count(F.lit(1)).alias("__n"),
+                          F.min("__b").alias("__lo"))
+    # dense regular grid: the 1-based row index is pure arithmetic
+    idx = ((F.unix_micros(F.col("__b")) - F.unix_micros(F.col("__lo")))
+           / F.lit(width) + 1).cast("long")
+    indexed = (series.crossJoin(F.broadcast(mean_row))
+               .withColumn("__idx", idx))
+    scored = _segmented_prefix_sum(indexed, "__idx", "__v", "__pre")
+    cusum = F.col("__pre") - F.col("__idx") * F.col("__m")
+    ma = F.when(F.col("__idx") < F.col("__n"),
+                (F.col("__tot") - F.col("__pre"))
+                / (F.col("__n") - F.col("__idx")))
     return (scored
-            .orderBy(F.abs(F.col("__cusum")).desc(), F.col("__b").asc())
+            .orderBy(F.abs(cusum).desc(), F.col("__b").asc())
             .limit(1)
             .select(F.col("__b").alias("changepoint_ts"),
-                    F.round(F.abs(F.col("__cusum")), 4)
-                    .alias("max_abs_cusum"),
-                    F.round("__mb", 4).alias("mean_before"),
-                    F.round(F.coalesce("__ma", F.lit(0.0)), 4)
+                    F.round(F.abs(cusum), 4).alias("max_abs_cusum"),
+                    F.round(F.col("__pre") / F.col("__idx"), 4)
+                    .alias("mean_before"),
+                    F.round(F.coalesce(ma, F.lit(0.0)), 4)
                     .alias("mean_after"),
                     F.col("__n").cast("long").alias("n_buckets")))
+
+
+def _segmented_prefix_sum(df: DataFrame, idx_col: str, val_col: str,
+                          out_col: str,
+                          segment_rows: int = 4096) -> DataFrame:
+    """Two-level cumulative sum over a dense 1-based integer index,
+    WITHOUT a global single-partition window:
+
+    1. rows hash into ``segment_rows``-sized segments by index; the
+       within-segment running sum is a PARTITIONED window (parallel);
+    2. per-segment totals (≤ n/segment_rows rows — a minute-grain decade
+       is ~1.3k segments) get their carry-in via a triangular broadcast
+       self-join (Σ of strictly-earlier segment totals), not a window;
+    3. prefix = carry-in + within-segment running sum.
+
+    Exactly the textbook scan decomposition; the only full-data exchange
+    is the hash partition on segment id.
+    """
+    from pyspark.sql import Window
+
+    seg = df.withColumn("__seg",
+                        F.floor((F.col(idx_col) - 1) / segment_rows))
+    w_in = (Window.partitionBy("__seg").orderBy(idx_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    within = seg.withColumn("__within", F.sum(val_col).over(w_in))
+    totals = seg.groupBy("__seg").agg(F.sum(val_col).alias("__t"))
+    earlier = totals.select(F.col("__seg").alias("__eseg"),
+                            F.col("__t").alias("__et"))
+    carry = (totals.join(F.broadcast(earlier),
+                         F.col("__eseg") < F.col("__seg"), "left")
+             .groupBy("__seg")
+             .agg(F.coalesce(F.sum("__et"), F.lit(0.0)).alias("__carry")))
+    return (within.join(F.broadcast(carry), "__seg")
+            .withColumn(out_col, F.col("__carry") + F.col("__within"))
+            .drop("__seg", "__within", "__carry"))
 
 
 def cross_correlation(df: DataFrame, type_col: str, type_a: str,
@@ -230,34 +296,41 @@ def cross_correlation(df: DataFrame, type_col: str, type_a: str,
     t+k buckets (positive k: A leads B).  The "do errors follow deploys,
     and by how much?" profile.
 
-    Scale contract as :func:`autocorrelation` via
-    :func:`_bucketed_series`: ONE conditional-aggregate groupBy builds
-    both series in one scan, zero-filled over the dense time grid (a
-    silent hour is a 0-rate point for both streams), then every lag
-    comes from one ordering-window pass over ≤ time-span/bucket rows.
+    Scale contract as :func:`autocorrelation`: ONE conditional-aggregate
+    groupBy builds both series in one scan, zero-filled over the dense
+    time grid (a silent hour is a 0-rate point for both streams), then
+    every lead/lag is an equi-join of stream A with a timestamp-shifted
+    copy of stream B (all lags carried by one explode through one
+    partition-parallel join) — no single-partition ordering window.
     """
-    from pyspark.sql import Window
-
+    width = _BUCKET_US[bucket]
     t = F.col(type_col)
     series = _bucketed_series(
         df.filter(t.isin(type_a, type_b)), ts_col, bucket,
         {"__a": F.sum((t == type_a).cast("double")),
          "__b2": F.sum((t == type_b).cast("double"))})
-    w = Window.orderBy("__b")
-    lagged = series.select(
-        "__a", *[F.lag("__b2", -k).over(w).alias(f"__bl{i}")
-                 for i, k in enumerate(lags)])
-    aggs = []
-    for i, _ in enumerate(lags):
-        both = F.col("__a").isNotNull() & F.col(f"__bl{i}").isNotNull()
-        aggs += [F.corr("__a", f"__bl{i}").alias(f"__c{i}"),
-                 F.count(F.when(both, 1)).alias(f"__n{i}")]
-    one = lagged.agg(*aggs)
-    structs = [F.struct(F.lit(k).alias("lag"),
-                        F.round(F.col(f"__c{i}"), 4).alias("xcorr"),
-                        F.col(f"__n{i}").cast("long").alias("n_pairs"))
-               for i, k in enumerate(lags)]
-    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    # xcorr at lag k pairs A_t with B_{t+k}: shift B's copy back by k
+    # buckets so it lands on A's timestamp
+    shifted = (series.select(
+        F.col("__b2").alias("__l"),
+        F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag"),
+        F.col("__b"))
+        .select("lag", "__l",
+                F.timestamp_micros(F.unix_micros(F.col("__b"))
+                                   - F.col("lag").cast("long")
+                                   * F.lit(width).cast("long"))
+                .alias("__tb")))
+    pairs = series.join(shifted, series["__b"] == shifted["__tb"])
+    got = (pairs.groupBy("lag")
+           .agg(F.round(F.corr("__a", "__l"), 4).alias("xcorr"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    lag_dim = (df.sparkSession.range(1)
+               .select(F.explode(F.array(*[F.lit(int(k)) for k in lags]))
+                       .alias("lag")))
+    return (lag_dim.join(F.broadcast(got), "lag", "left")
+            .select("lag", "xcorr",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs")))
 
 
 def interarrival_stats(df: DataFrame, user_col: str = "user_id",

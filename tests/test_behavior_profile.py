@@ -249,6 +249,105 @@ def test_bucketed_series_zero_fills_outage_gaps(spark):
     assert r["n_buckets"] == 25                 # outage buckets counted
 
 
+def test_segmented_prefix_sum_matches_naive(spark):
+    from dataqtor_spark.operators import behavior as B
+
+    vals = [float((i * 37) % 11) for i in range(1, 101)]
+    df = spark.createDataFrame(
+        [(i, vals[i - 1]) for i in range(1, 101)], "__idx long, v double")
+    got = {r["__idx"]: r["p"]
+           for r in B._segmented_prefix_sum(df, "__idx", "v", "p",
+                                            segment_rows=8).collect()}
+    acc = 0.0
+    for i in range(1, 101):
+        acc += vals[i - 1]
+        assert got[i] == acc            # exact: small integers in doubles
+
+
+def test_ts_screens_match_global_window_reference(spark):
+    # minute grain, irregular arrivals with holes: the shift-join and
+    # segmented-prefix forms must reproduce the single-partition global-
+    # window formulation they replaced
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window
+
+    from dataqtor_spark.operators import behavior as B
+
+    random.seed(5)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for m in range(500):
+        if random.random() < 0.7:
+            rows += [(base + dt.timedelta(minutes=m),)] * random.randint(1, 5)
+    df = spark.createDataFrame(rows, "ts timestamp")
+    series = B._bucketed_series(
+        df, "ts", "minute", {"__v": F.count(F.lit(1)).cast("double")})
+
+    lags = (1, 7, 60, 9999)             # 9999 > grid: null/0 row expected
+    w = Window.orderBy("__b")
+    lagged = series.select(
+        "__v", *[F.lag("__v", k).over(w).alias(f"l{k}") for k in lags])
+    ref = lagged.agg(*[f for k in lags for f in (
+        F.round(F.corr("__v", f"l{k}"), 4).alias(f"c{k}"),
+        F.count(f"l{k}").alias(f"n{k}"))]).collect()[0]
+    got = {r["lag"]: r for r in B.autocorrelation(
+        df, "ts", lags=lags, bucket="minute").collect()}
+    for k in lags:
+        assert got[k]["n_pairs"] == ref[f"n{k}"]
+        if ref[f"c{k}"] is None:
+            assert got[k]["autocorr"] is None
+        else:
+            assert got[k]["autocorr"] == pytest.approx(ref[f"c{k}"],
+                                                       abs=2e-4)
+
+    mean_row = series.agg(F.avg("__v").alias("__m"),
+                          F.count(F.lit(1)).alias("__n"))
+    wc = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    ref_cp = (series.crossJoin(F.broadcast(mean_row))
+              .select("__b", "__n",
+                      F.sum(F.col("__v") - F.col("__m")).over(wc)
+                      .alias("cusum"),
+                      F.avg("__v").over(wc).alias("mb"),
+                      F.avg("__v").over(wa).alias("ma"))
+              .orderBy(F.abs(F.col("cusum")).desc(), F.col("__b").asc())
+              .limit(1).collect()[0])
+    got_cp = B.cusum_changepoint(df, "ts", bucket="minute").collect()[0]
+    assert got_cp["changepoint_ts"] == ref_cp["__b"]
+    assert got_cp["max_abs_cusum"] == pytest.approx(
+        abs(ref_cp["cusum"]), abs=2e-4)
+    assert got_cp["mean_before"] == pytest.approx(ref_cp["mb"], abs=2e-4)
+    assert got_cp["mean_after"] == pytest.approx(ref_cp["ma"], abs=2e-4)
+    assert got_cp["n_buckets"] == ref_cp["__n"]
+
+
+def test_ts_plans_free_of_single_partition_windows(spark):
+    # the de-funnel contract: ts03/ts05 compile with NO window operator at
+    # all; ts04's only windows are partitioned (the segmented prefix sum)
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(minutes=m), ["a", "b"][m % 2])
+            for m in range(200)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+    def plan(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    p_auto = plan(B.autocorrelation(df, "ts", lags=(1, 5), bucket="minute"))
+    p_x = plan(B.cross_correlation(df, "event_type", "a", "b", "ts",
+                                   lags=(-1, 0, 1), bucket="minute"))
+    assert "Window" not in p_auto and "Window" not in p_x
+    p_cusum = plan(B.cusum_changepoint(df, "ts", bucket="minute"))
+    for line in p_cusum.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__seg" in line      # partitioned by segment
+
+
 def test_group_trend_recovers_planted_slope(spark):
     import datetime as dt
 
