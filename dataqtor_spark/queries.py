@@ -1691,9 +1691,10 @@ FROM cd, tx, ty, tot"""
 
 @register("pr22_kendall_tau", _PR22_SQL)
 def pr22_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 — Kendall τ-b rank correlation (the last enumerated
-    pandas-profiling report statistic; φk has no closed SQL form and is
-    documented out of scope in COVERAGE.md).  Continuous price is binned
+    """§2.10 — Kendall τ-b rank correlation (a last enumerated
+    pandas-profiling report statistic; φk's SQL-expressible core is
+    graded as pr23, its BVN inversion pytest-anchored).  Continuous
+    price is binned
     to keep the contingency-cell pair join bounded (the operator's
     documented contract)."""
     li = _t(spark, sf_dir, "lineitem").select(
