@@ -62,6 +62,60 @@ HEADLINE = [
 ]
 
 
+def run_full(spark, sf_dir: str, warm_dir: str, reps: int,
+             out_path: str, sf) -> None:
+    """Interleaved full-artifact mode (--full): ``reps`` complete passes
+    over the headline set (rep loop OUTSIDE the query loop, so slow
+    machine-load drift spreads evenly across queries instead of biasing
+    whichever query ran last), medians + stddev + raw samples written as
+    an UNTRUNCATED JSON artifact — the driver's bench capture keeps only
+    a 2000-char tail, which loses a third of the per-query numbers."""
+    from dataqtor_spark.queries import QUERIES
+
+    for name in HEADLINE:                      # one untimed warm pass
+        QUERIES[name](spark, warm_dir).count()
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    for rep in range(reps):
+        for name in HEADLINE:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            rows[name] = QUERIES[name](spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+        print(f"# pass {rep + 1}/{reps} done", file=sys.stderr)
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    queries, stddev, raw = {}, {}, {}
+    for name in HEADLINE:
+        xs = samples[name]
+        mean = sum(xs) / len(xs)
+        queries[name] = round(med(xs), 3)
+        stddev[name] = round((sum((x - mean) ** 2 for x in xs)
+                              / len(xs)) ** 0.5, 3)
+        raw[name] = [round(x, 3) for x in xs]
+    artifact = {
+        "metric": "headline_queries_total_median",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "reps": reps,
+        "interleaved": True,
+        "queries": queries,
+        "stddev": stddev,
+        "samples": raw,
+        "rows": rows,
+        "sf": sf,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"# wrote {out_path}", file=sys.stderr)
+    print(json.dumps({k: artifact[k] for k in
+                      ("metric", "value", "unit", "queries", "sf")}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -81,6 +135,15 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if "--full" in sys.argv:
+        reps = (int(sys.argv[sys.argv.index("--reps") + 1])
+                if "--reps" in sys.argv else 5)
+        out = (sys.argv[sys.argv.index("--out") + 1]
+               if "--out" in sys.argv else "BENCH_LOCAL.json")
+        run_full(spark, sf_dir, warm_dir, reps, out, sf_val)
+        return
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -116,7 +179,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "stddev": spreads,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }))
 
 
