@@ -159,9 +159,12 @@ def ingest(
 
     Mirrors the reference's upload step (excel-then-csv fallback at
     /root/reference/home.py:55-62) with Spark-native sources.  ``fmt`` is
-    inferred from the extension when omitted.  ``xlsx`` goes through a
-    driver-side pandas→Arrow hop (core Spark has no xlsx reader) and is only
-    sensible for small files — everything at scale should be parquet/csv.
+    inferred from the extension when omitted.  ``xlsx`` with a ``schema``
+    parses on the EXECUTORS (``sources.xlsx.read_excel_distributed``:
+    binaryFile → stdlib zip/XML parse in mapInPandas — one task per
+    workbook, so upload fleets scale); without a schema it falls back to
+    the driver-side pandas hop (full-fidelity openpyxl path, small files
+    only).
 
     ``schema`` (DDL string) skips inference and enables PERMISSIVE
     malformed-row capture for csv/json (pass ``mode`` +
@@ -179,9 +182,14 @@ def ingest(
     elif fmt == "json":
         df = spark.read.options(**options).json(path)
     elif fmt == "excel":
-        import pandas as pd  # driver-side; small files only
+        if schema:
+            from dataqtor_spark.sources.xlsx import read_excel_distributed
 
-        df = spark.createDataFrame(pd.read_excel(path, **options))
+            df = read_excel_distributed(spark, path, schema, **options)
+        else:
+            import pandas as pd  # driver-side; small files only
+
+            df = spark.createDataFrame(pd.read_excel(path, **options))
     else:
         raise ValueError(f"unsupported format: {fmt}")
     df = with_row_id(df, order_by=row_id_order)

@@ -1,0 +1,143 @@
+"""Distributed xlsx ingestion — the scale path for the reference's Excel
+upload (S1, /root/reference/home.py:55-62, a driver-side
+``pd.read_excel``).
+
+xlsx is a zip of XML, so no external library is needed to READ one:
+``_parse_xlsx_bytes`` is a pure-stdlib (zipfile + ElementTree) cell
+extractor covering the storage model that matters for tabular ingest —
+shared strings, inline strings, formula cached values, numbers, booleans.
+``read_excel_distributed`` runs it INSIDE ``mapInPandas`` over Spark's
+``binaryFile`` source: one task per workbook, so a directory of ten
+thousand uploads parses cluster-wide with zero driver involvement.
+
+Scale contract and limits (documented, not hidden):
+- parallelism is per FILE — a single xlsx is a zip and cannot be split,
+  so one giant workbook is one task (convert to parquet/csv for that
+  shape; this reader is for the many-small-uploads fleet);
+- every cell surfaces as a STRING column first; the caller's DDL schema
+  is applied with ``try_cast`` (malformed cells → NULL, the PERMISSIVE
+  csv contract) — xlsx dates arrive as Excel serial numbers, convert
+  with ``date_add(DATE '1899-12-30', serial)`` downstream;
+- styles, merged regions, charts and macros are out of scope (openpyxl
+  on the driver via ``session.ingest`` remains the full-fidelity path
+  for small files).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(cell_ref: str | None, fallback: int) -> int:
+    """'B7' → 1; xlsx omits the r attribute on unreferenced cells, in
+    which case the cell lands after the previous one (``fallback``)."""
+    if not cell_ref:
+        return fallback
+    letters = "".join(ch for ch in cell_ref if ch.isalpha())
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1 if idx else fallback
+
+
+def _parse_xlsx_bytes(data: bytes, sheet_index: int = 0) -> list[list]:
+    """All rows of one worksheet as lists of (string | None) cell values,
+    row-major, ragged rows padded to their own width."""
+    z = zipfile.ZipFile(io.BytesIO(data))
+    names = z.namelist()
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        for si in root.findall(f"{_NS}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+
+    sheets = sorted(
+        (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
+    if sheet_index >= len(sheets):
+        raise IndexError(f"sheet {sheet_index} of {len(sheets)}")
+    root = ET.fromstring(z.read(sheets[sheet_index]))
+
+    rows: list[list] = []
+    for row in root.iter(f"{_NS}row"):
+        cells: dict[int, str | None] = {}
+        nxt = 0
+        for c in row.findall(f"{_NS}c"):
+            col = _col_index(c.get("r"), nxt)
+            nxt = col + 1
+            t = c.get("t")
+            v = c.find(f"{_NS}v")
+            if t == "s":
+                cells[col] = shared[int(v.text)] if v is not None else None
+            elif t == "inlineStr":
+                is_el = c.find(f"{_NS}is")
+                cells[col] = ("".join(tt.text or ""
+                                      for tt in is_el.iter(f"{_NS}t"))
+                              if is_el is not None else None)
+            else:
+                # n (number, default), str (formula cache), b (boolean)
+                cells[col] = v.text if v is not None else None
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i) for i in range(width)])
+    return rows
+
+
+def read_excel_distributed(spark: SparkSession, path: str, schema: str,
+                           header: bool = True,
+                           sheet_index: int = 0) -> DataFrame:
+    """Read one xlsx file or a glob/directory of them into a typed
+    DataFrame, parsing on the EXECUTORS (binaryFile → mapInPandas).
+
+    ``schema`` is a DDL string (required: executors can't coordinate
+    inference, same rationale as streaming sources).  With ``header``,
+    columns are matched to schema fields BY NAME from each file's first
+    row — files may order columns differently; a file missing a field
+    yields NULLs for it.  Without ``header``, cells map to schema fields
+    positionally.  Types are applied with ``try_cast`` (malformed →
+    NULL).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = _parse_datatype_string(schema).fields
+    names = [f.name for f in fields]
+    raw_schema = ", ".join(f"`{n}` string" for n in names)
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {n: [] for n in names}
+            for content in pdf["content"]:
+                rows = _parse_xlsx_bytes(bytes(content), sheet_index)
+                if not rows:
+                    continue
+                if header:
+                    hdr = [str(h) if h is not None else "" for h in rows[0]]
+                    pos = {n: (hdr.index(n) if n in hdr else None)
+                           for n in names}
+                    body = rows[1:]
+                else:
+                    pos = {n: i for i, n in enumerate(names)}
+                    body = rows
+                for r in body:
+                    for n in names:
+                        p = pos[n]
+                        out[n].append(
+                            r[p] if p is not None and p < len(r) else None)
+            yield pd.DataFrame({n: pd.Series(out[n], dtype="object")
+                                for n in names})
+
+    raw = (spark.read.format("binaryFile").load(path)
+           .select("content").mapInPandas(gen, raw_schema))
+    return raw.select(*[
+        F.expr(f"try_cast(`{f.name}` AS {f.dataType.simpleString()})")
+        .alias(f.name) for f in fields])
