@@ -95,18 +95,114 @@ def _fake_image_props(payload: bytes) -> tuple[int, int, str, list[float]]:
     return width, height, mode, feat
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 4: ("LA", 2), 6: ("RGBA", 4)}
+
+
+def _decode_png(data: bytes) -> tuple[int, int, str, list[list[int]]]:
+    """REAL stdlib PNG decode (zlib + the five spec filters) — no Pillow.
+
+    PNG's compression is stdlib ``zlib``, so the whole critical-chunk
+    pipeline (IHDR → concatenated IDAT inflate → per-row unfilter) is
+    implementable without any codec library, exactly like the WAV/RIFF
+    paths.  Covers 8-bit non-interlaced greyscale / RGB / LA / RGBA —
+    the shapes training corpora overwhelmingly hold; anything else
+    raises and the caller's per-row fallback handles it.
+
+    Returns (width, height, mode, luminance_rows) where luminance is
+    ITU-R 601-2 integer luma per pixel (identical to PIL's ``convert("L")``
+    coefficients) for downstream thumbnailing.
+    """
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, depth, ctype_, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype_ not in _PNG_MODES:
+        raise ValueError(f"unsupported PNG shape {ihdr}")
+    mode, bpp = _PNG_MODES[ctype_]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("truncated PNG data")
+    prev = bytearray(stride)
+    lum_rows: list[list[int]] = []
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = bytearray(raw[off + 1:off + 1 + stride])
+        if ftype == 1:                                      # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:                                    # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:                                    # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:                                    # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                row[i] = (row[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter {ftype}")
+        prev = row
+        if ctype_ == 0:
+            lum_rows.append(list(row))
+        elif ctype_ == 4:
+            lum_rows.append(list(row[0::2]))
+        else:  # RGB / RGBA: ITU-R 601-2 luma, PIL's convert("L") formula
+            lum_rows.append([
+                (row[i] * 299 + row[i + 1] * 587 + row[i + 2] * 114
+                 + 500) // 1000
+                for i in range(0, stride, bpp)])
+    return width, height, mode, lum_rows
+
+
+def _stdlib_png_props(data: bytes) -> tuple[int, int, str, list[float]]:
+    """PNG → the decode_image_features contract: (w, h, mode, 16-dim
+    feature = 4×4 nearest-neighbour luminance thumbnail, normalized)."""
+    width, height, mode, lum = _decode_png(data)
+    feat = [lum[(ty * height) // 4][(tx * width) // 4] / 255.0
+            for ty in range(4) for tx in range(4)]
+    return width, height, mode, feat
+
+
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "media_id",
                           use_codec: bool | None = None) -> DataFrame:
     """Arrow-batched decode + feature extraction.
 
-    ``use_codec=None`` (default) picks the REAL PIL decode when Pillow is
-    importable, else the deterministic sha-derived fake; pass True/False
-    to force.  The real branch decodes each payload, reads
-    width/height/mode, and emits a 16-dim feature (4×4 grayscale
-    nearest-neighbour thumbnail, normalized) — same output schema either
-    way, so the plumbing is identical and codec availability only has to
-    hold on the executors.
+    ``use_codec=None`` (default) picks the REAL decode tier per payload:
+    PIL when Pillow is importable; otherwise PNG payloads still decode
+    for REAL via the stdlib zlib/unfilter path (``_decode_png`` — no
+    codec library involved); everything else falls to the deterministic
+    sha-derived fake.  Pass True/False to force PIL-only/fake-only.  The
+    real branches decode each payload, read width/height/mode, and emit
+    a 16-dim feature (4×4 grayscale nearest-neighbour thumbnail,
+    normalized) — same output schema every tier, so the plumbing is
+    identical and codec availability only has to hold on the executors.
     """
     codec = _pil_available() if use_codec is None else use_codec
     if codec and not _pil_available():
@@ -141,6 +237,14 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                             (4, 4), getattr(Image, "NEAREST", 0))
                         rows.append((mid, img.width, img.height, img.mode,
                                      [p / 255.0 for p in thumb.tobytes()]))
+                        continue
+                    except Exception:
+                        pass
+                elif use_codec is None and data.startswith(_PNG_SIG):
+                    # codec-less executor, auto mode: PNG still decodes
+                    # for REAL via the stdlib zlib/unfilter path
+                    try:
+                        rows.append((mid, *_stdlib_png_props(data)))
                         continue
                     except Exception:
                         pass

@@ -796,3 +796,116 @@ def test_windowed_distinct_sketch_stream_equals_batch_equals_exact(
     streamed = {(r["window_start"], r["window_end"]): r["n_distinct_est"]
                 for r in table.collect()}
     assert streamed == batch
+
+
+# --- stdlib PNG decode tier (no Pillow anywhere in these tests) ------------
+
+def _encode_png(pixels, ctype, filters):
+    """Spec-literal PNG encoder for the tests: pixels = rows of channel
+    tuples, one filter id per row (exercising the decoder's unfilter
+    paths against independently-applied filter math)."""
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    height, width = len(pixels), len(pixels[0])
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    raw_rows = [bytearray(b for px in row for b in
+                          (px if isinstance(px, tuple) else (px,)))
+                for row in pixels]
+    out = bytearray()
+    prev = bytearray(width * bpp)
+    for row, f in zip(raw_rows, filters):
+        enc = bytearray(row)
+        if f == 1:
+            for i in range(len(row) - 1, bpp - 1, -1):
+                enc[i] = (row[i] - row[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(len(row)):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc[i] = (row[i] - pr) & 0xFF
+        out += bytes([f]) + enc
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def test_stdlib_png_decode_all_filters():
+    # 8x6 RGB gradient, one row per filter type (plus a repeat)
+    pixels = [[((x * 31) % 256, (y * 40) % 256, (x * y * 7) % 256)
+               for x in range(8)] for y in range(6)]
+    data = _encode_png(pixels, ctype=2, filters=[0, 1, 2, 3, 4, 2])
+    w, h, mode, lum = MM._decode_png(data)
+    assert (w, h, mode) == (8, 6, "RGB")
+    for y in range(6):
+        for x in range(8):
+            r, g, b = pixels[y][x]
+            assert lum[y][x] == (r * 299 + g * 587 + b * 114 + 500) // 1000
+
+
+def test_stdlib_png_grayscale_and_rgba():
+    gray = [[(x * 10 + y) % 256 for x in range(5)] for y in range(4)]
+    data = _encode_png(gray, ctype=0, filters=[0, 1, 2, 4])
+    w, h, mode, lum = MM._decode_png(data)
+    assert (w, h, mode) == (5, 4, "L")
+    assert [list(r) for r in lum] == gray
+    rgba = [[(x, y, x + y, 255) for x in range(3)] for y in range(3)]
+    w, h, mode, lum = MM._decode_png(
+        _encode_png(rgba, ctype=6, filters=[0, 2, 3]))
+    assert (w, h, mode) == (3, 3, "RGBA")
+
+
+def test_decode_image_features_stdlib_png_tier(spark):
+    # auto mode on a codec-less executor: PNG payloads decode for REAL
+    # (true dimensions, luminance thumbnail), non-PNG falls to the fake
+    pixels = [[(x * 16 % 256, 0, 0) for x in range(12)] for y in range(9)]
+    png = _encode_png(pixels, ctype=2, filters=[4] * 9)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           MM.decode_image_features(df, use_codec=None).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mode"]) == (12, 9, "RGB")
+    exp = MM._stdlib_png_props(png)[3]
+    assert got[1]["feature"] == pytest.approx(exp)
+    fake = MM._fake_image_props(b"not an image")
+    assert (got[2]["width"], got[2]["height"]) == fake[:2]
+
+
+def test_stdlib_png_unsupported_depth_falls_back(spark):
+    import struct
+    import zlib
+
+    # 16-bit IHDR: decoder must refuse, feature path must fall to fake
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        MM._decode_png(bad)
+    df = spark.createDataFrame([(1, bytearray(bad))],
+                               "media_id long, payload binary")
+    r = MM.decode_image_features(df, use_codec=None).collect()[0]
+    assert (r["width"], r["height"]) == MM._fake_image_props(bad)[:2]
