@@ -99,7 +99,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 4: ("LA", 2), 6: ("RGBA", 4)}
 
 
-def _decode_png(data: bytes) -> tuple[int, int, str, list[list[int]]]:
+def _decode_png_raw(data: bytes) -> tuple[int, int, int, int, list[bytearray]]:
     """REAL stdlib PNG decode (zlib + the five spec filters) — no Pillow.
 
     PNG's compression is stdlib ``zlib``, so the whole critical-chunk
@@ -109,9 +109,8 @@ def _decode_png(data: bytes) -> tuple[int, int, str, list[list[int]]]:
     the shapes training corpora overwhelmingly hold; anything else
     raises and the caller's per-row fallback handles it.
 
-    Returns (width, height, mode, luminance_rows) where luminance is
-    ITU-R 601-2 integer luma per pixel (identical to PIL's ``convert("L")``
-    coefficients) for downstream thumbnailing.
+    Returns (width, height, color_type, bytes_per_pixel, scanlines) with
+    scanlines fully unfiltered.
     """
     import struct
     import zlib
@@ -135,13 +134,13 @@ def _decode_png(data: bytes) -> tuple[int, int, str, list[list[int]]]:
     width, height, depth, ctype_, _comp, _filt, interlace = ihdr
     if depth != 8 or interlace != 0 or ctype_ not in _PNG_MODES:
         raise ValueError(f"unsupported PNG shape {ihdr}")
-    mode, bpp = _PNG_MODES[ctype_]
+    bpp = _PNG_MODES[ctype_][1]
     raw = zlib.decompress(b"".join(idat))
     stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("truncated PNG data")
     prev = bytearray(stride)
-    lum_rows: list[list[int]] = []
+    rows: list[bytearray] = []
     for y in range(height):
         off = y * (stride + 1)
         ftype = raw[off]
@@ -168,16 +167,57 @@ def _decode_png(data: bytes) -> tuple[int, int, str, list[list[int]]]:
         elif ftype != 0:
             raise ValueError(f"bad filter {ftype}")
         prev = row
-        if ctype_ == 0:
-            lum_rows.append(list(row))
-        elif ctype_ == 4:
-            lum_rows.append(list(row[0::2]))
-        else:  # RGB / RGBA: ITU-R 601-2 luma, PIL's convert("L") formula
-            lum_rows.append([
-                (row[i] * 299 + row[i + 1] * 587 + row[i + 2] * 114
-                 + 500) // 1000
-                for i in range(0, stride, bpp)])
-    return width, height, mode, lum_rows
+        rows.append(row)
+    return width, height, ctype_, bpp, rows
+
+
+def _decode_png(data: bytes) -> tuple[int, int, str, list[list[int]]]:
+    """:func:`_decode_png_raw` reduced to (width, height, mode,
+    luminance_rows): ITU-R 601-2 integer luma per pixel (the same
+    coefficients as PIL's ``convert("L")``) for thumbnailing."""
+    width, height, ctype_, bpp, rows = _decode_png_raw(data)
+    mode = _PNG_MODES[ctype_][0]
+    if ctype_ == 0:
+        lum = [list(r) for r in rows]
+    elif ctype_ == 4:
+        lum = [list(r[0::2]) for r in rows]
+    else:
+        lum = [[(r[i] * 299 + r[i + 1] * 587 + r[i + 2] * 114 + 500) // 1000
+                for i in range(0, len(r), bpp)] for r in rows]
+    return width, height, mode, lum
+
+
+def _encode_png(width: int, height: int, ctype: int,
+                rows: list[bytearray]) -> bytes:
+    """Minimal stdlib PNG writer (filter 0 every row) — the re-encode
+    half of the codec-less resize path."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _stdlib_png_resize(data: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbour resize of an 8-bit PNG, decode → sample →
+    re-encode entirely with the stdlib."""
+    width, height, ctype_, bpp, rows = _decode_png_raw(data)
+    out = []
+    for ty in range(th):
+        src = rows[(ty * height) // th]
+        line = bytearray()
+        for tx in range(tw):
+            sx = (tx * width) // tw
+            line += src[sx * bpp:(sx + 1) * bpp]
+        out.append(line)
+    return _encode_png(tw, th, ctype_, out)
 
 
 def _stdlib_png_props(data: bytes) -> tuple[int, int, str, list[float]]:
@@ -264,8 +304,11 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
                   use_codec: bool | None = None) -> DataFrame:
     """Resize: with PIL available (or ``use_codec=True``) payloads are
     decoded → resampled to ``target`` → re-encoded as PNG inside the same
-    Arrow batch iterator; without codecs the fake passes payloads through
-    with the declared target shape.  Identical schema either way."""
+    Arrow batch iterator; on codec-less executors in auto mode, PNG
+    payloads still resize for REAL (stdlib decode → nearest-neighbour →
+    filter-0 re-encode, :func:`_stdlib_png_resize`); anything else
+    passes through with the declared target shape.  Identical schema
+    every tier."""
     tw, th = target
     codec = _pil_available() if use_codec is None else use_codec
     if codec and not _pil_available():
@@ -312,10 +355,26 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
                     "payload": out,
                 })
             else:
+                out, ws, hs = [], [], []
+                for payload in pdf[payload_col]:
+                    data = bytes(payload) if payload is not None else None
+                    if (use_codec is None and data
+                            and data.startswith(_PNG_SIG)):
+                        try:
+                            out.append(_stdlib_png_resize(data, tw, th))
+                            ws.append(tw)
+                            hs.append(th)
+                            continue
+                        except Exception:
+                            pass
+                    out.append(data)
+                    ws.append(tw)
+                    hs.append(th)
                 yield pd.DataFrame({
                     "media_id": pdf[id_col],
-                    "width": tw, "height": th,
-                    "payload": pdf[payload_col],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "payload": out,
                 })
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(

@@ -107,9 +107,9 @@ def read_excel_distributed(spark: SparkSession, path: str, schema: str,
     """
     import pandas as pd
 
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import StructType
 
-    fields = _parse_datatype_string(schema).fields
+    fields = StructType.fromDDL(schema).fields
     names = [f.name for f in fields]
     raw_schema = ", ".join(f"`{n}` string" for n in names)
 

@@ -909,3 +909,27 @@ def test_stdlib_png_unsupported_depth_falls_back(spark):
                                "media_id long, payload binary")
     r = MM.decode_image_features(df, use_codec=None).collect()[0]
     assert (r["width"], r["height"]) == MM._fake_image_props(bad)[:2]
+
+
+def test_resize_images_stdlib_png_tier(spark):
+    # auto mode, no Pillow: PNG payloads resize for real (decode ->
+    # nearest-neighbour -> re-encode), non-PNG passes through
+    pixels = [[((x * 20) % 256, (y * 30) % 256, 7) for x in range(10)]
+              for y in range(8)]
+    png = _encode_png(pixels, ctype=2, filters=[0, 1, 2, 3, 4, 0, 1, 2])
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"plain bytes"))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r
+           for r in MM.resize_images(df, target=(4, 4)).collect()}
+    out = bytes(got[1]["payload"])
+    w, h, mode, lum = MM._decode_png(out)
+    assert (w, h, mode) == (4, 4, "RGB")
+    # nearest-neighbour: output pixel (tx,ty) is source ((tx*10)//4, (ty*8)//4)
+    _, _, ctype_, bpp, rows = MM._decode_png_raw(out)
+    for ty in range(4):
+        for tx in range(4):
+            exp = pixels[(ty * 8) // 4][(tx * 10) // 4]
+            assert tuple(rows[ty][tx * bpp:(tx + 1) * bpp]) == exp
+    assert bytes(got[2]["payload"]) == b"plain bytes"   # passthrough
+    assert got[2]["width"] == 4 and got[2]["height"] == 4
