@@ -1,17 +1,20 @@
 """Multimodal column plumbing (north-star extension): image/audio/video as
 opaque ``binary`` columns with typed metadata.
 
-The image operators carry a REAL codec branch (PIL, used automatically
-when importable — gated like the Excel source, since this container ships
-no codecs) next to a deterministic sha-derived fake for codec-less
-environments.  Audio decode is REAL for integer-PCM WAV (stdlib ``wave``
-+ numpy — no external codec), with the fake as fallback for compressed
-formats; video frame extraction remains stub-only (ffmpeg is the import
-boundary).  Either way everything Spark-side is identical: the schema
-contract, Arrow-batched ``mapInPandas`` signatures, per-batch iteration
-shape, frame-explosion layout, and the pure-expression metadata path
-(size / sha256 / magic-byte sniffing, which needs no codec at all) — so
-swapping a heavier codec in changes nothing else.
+The image operators carry REAL decode tiers: PIL when importable (gated
+like the Excel source, since this container ships no codec libraries),
+then a pure-stdlib PNG path (zlib inflate + the five spec unfilters —
+decode AND nearest-neighbour resize) for codec-less executors, then a
+deterministic sha-derived fake.  Audio decode is REAL for integer-PCM WAV
+(stdlib ``wave`` + numpy); video frame SAMPLING is real for MJPEG-in-AVI
+(stdlib RIFF demux); container METADATA (duration, track mix, rates) is
+real struct parsing for mp4/mp3/wav via ``probe_media_info``.  Only
+compressed A/V frame decode (mp3/mp4/h264…) stays behind the ffmpeg
+import boundary, documented out of scope.  Every tier is Spark-identical:
+the schema contract, Arrow-batched ``mapInPandas`` signatures, per-batch
+iteration shape, frame-explosion layout, and the pure-expression metadata
+path (size / sha256 / magic-byte sniffing) — so swapping a heavier codec
+in changes nothing else.
 
 Scale notes: payloads never shuffle — metadata extraction is a projection;
 decode is ``mapInPandas`` (Arrow batches, no per-row Python overhead);
@@ -555,3 +558,150 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# container probing (mp4 / mp3 / wav) — REAL struct parsing, no codec
+# ---------------------------------------------------------------------------
+
+MEDIA_INFO_SCHEMA = ("media_id long, container string, duration_ms double, "
+                     "n_tracks int, track_types array<string>, "
+                     "sample_rate int, bit_rate int")
+
+
+def _probe_mp4(data: bytes) -> tuple:
+    """ISO BMFF (mp4/mov) box walk: ``mvhd`` gives timescale + duration,
+    each ``trak``'s ``hdlr`` gives the track type (vide/soun/text…).
+    Pure struct parsing — frame DECODE stays out of scope (ffmpeg), but
+    the metadata a corpus triage actually filters on (duration, track
+    mix) needs none of it."""
+    import struct
+
+    def walk(pos: int, end: int, path: tuple = ()):
+        while pos + 8 <= end:
+            size, btype = struct.unpack(">I4s", data[pos:pos + 8])
+            hdr = 8
+            if size == 1:                       # 64-bit largesize
+                size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                hdr = 16
+            elif size == 0:                     # box runs to EOF
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("bad mp4 box")
+            yield path + (btype,), pos + hdr, pos + size
+            if btype in (b"moov", b"trak", b"mdia"):
+                yield from walk(pos + hdr, pos + size, path + (btype,))
+            pos += size
+
+    duration_ms = None
+    track_types: list[str] = []
+    saw_moov = False
+    for path, body, bend in walk(0, len(data)):
+        if path == (b"moov",):
+            saw_moov = True
+        elif path == (b"moov", b"mvhd"):
+            import struct as _s
+
+            ver = data[body]
+            if ver == 1:
+                timescale, duration = _s.unpack(
+                    ">IQ", data[body + 20:body + 32])
+            else:
+                timescale, duration = _s.unpack(
+                    ">II", data[body + 12:body + 20])
+            if timescale:
+                duration_ms = duration * 1000.0 / timescale
+        elif path == (b"moov", b"trak", b"mdia", b"hdlr"):
+            track_types.append(data[body + 8:body + 12].decode(
+                "ascii", "replace"))
+    if not saw_moov:
+        raise ValueError("no moov box")
+    return ("mp4", duration_ms, len(track_types), track_types, None, None)
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320]           # MPEG1 Layer III kbps
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def _probe_mp3(data: bytes) -> tuple:
+    """MPEG-1 Layer III: skip the ID3v2 tag (synchsafe size), parse the
+    first frame header (bitrate + sample-rate indices), estimate duration
+    from audio byte length at that bitrate (CBR assumption, documented)."""
+    pos = 0
+    if data[:3] == b"ID3":
+        flags = data[5]
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + size + (10 if flags & 0x10 else 0)
+    while pos + 4 <= len(data):
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            b1, b2 = data[pos + 1], data[pos + 2]
+            if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+                raise ValueError("not MPEG-1 Layer III")
+            bi, ri = b2 >> 4, (b2 >> 2) & 0x03
+            if bi in (0, 15) or ri == 3:
+                raise ValueError("free/bad bitrate or rate")
+            bit_rate = _MP3_BITRATES[bi] * 1000
+            rate = _MP3_RATES[ri]
+            dur = (len(data) - pos) * 8000.0 / bit_rate
+            return ("mp3", dur, 1, ["soun"], rate, bit_rate)
+        pos += 1
+    raise ValueError("no mp3 frame sync")
+
+
+def _probe_wav(data: bytes) -> tuple:
+    """RIFF/WAVE fmt + data chunks: channels, rate, duration — stdlib
+    struct only (the decode path lives in extract_audio_features)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not wav")
+    pos, rate, block_align, byte_rate, data_len = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag, size = data[pos:pos + 4], struct.unpack(
+            "<I", data[pos + 4:pos + 8])[0]
+        if tag == b"fmt ":
+            _fmt, _ch, rate, byte_rate, block_align = struct.unpack(
+                "<HHIIH", data[pos + 8:pos + 22])
+            channels = _ch
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)
+    if rate is None:
+        raise ValueError("no fmt chunk")
+    dur = (data_len * 1000.0 / byte_rate
+           if data_len is not None and byte_rate else None)
+    return ("wav", dur, 1, ["soun"], rate,
+            byte_rate * 8 if byte_rate else None)
+
+
+def probe_media_info(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """Typed container metadata for mp4/mp3/wav payloads — REAL parsing
+    of the container structures (boxes / frame headers / RIFF chunks),
+    which unlike frame decode needs no codec library anywhere.  Unknown
+    or malformed payloads yield a NULL-container row instead of failing
+    the job.  Arrow-batched ``mapInPandas``; payloads never shuffle."""
+    def probe(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                got = None
+                for fn in (_probe_wav, _probe_mp4, _probe_mp3):
+                    try:
+                        got = fn(data)
+                        break
+                    except Exception:
+                        continue
+                rows.append((mid, *(got if got else
+                                    (None, None, None, None, None, None))))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "container", "duration_ms", "n_tracks",
+                "track_types", "sample_rate", "bit_rate"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        probe, schema=MEDIA_INFO_SCHEMA)

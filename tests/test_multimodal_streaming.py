@@ -933,3 +933,71 @@ def test_resize_images_stdlib_png_tier(spark):
             assert tuple(rows[ty][tx * bpp:(tx + 1) * bpp]) == exp
     assert bytes(got[2]["payload"]) == b"plain bytes"   # passthrough
     assert got[2]["width"] == 4 and got[2]["height"] == 4
+
+
+# --- container probing (spec-literal mp4/mp3/wav fixtures) ------------------
+
+def _box(btype, body):
+    import struct
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_fixture():
+    import struct
+    mvhd = (b"\x00" + b"\x00" * 3           # version 0 + flags
+            + b"\x00" * 8                   # creation/modification
+            + struct.pack(">II", 1000, 5500))  # timescale, duration
+    hdlr_v = b"\x00" * 8 + b"vide" + b"\x00" * 12
+    hdlr_s = b"\x00" * 8 + b"soun" + b"\x00" * 12
+    trak_v = _box(b"trak", _box(b"mdia", _box(b"hdlr", hdlr_v)))
+    trak_s = _box(b"trak", _box(b"mdia", _box(b"hdlr", hdlr_s)))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak_v + trak_s)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def _mp3_fixture():
+    # ID3v2.3 tag of 100 bytes, then MPEG-1 Layer III 128kbps 44.1kHz
+    # frames: header 0xFF 0xFB 0x90 0x00, frame length 417 bytes
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+    return id3 + frame * 24
+
+
+def test_probe_mp4_duration_and_tracks():
+    got = MM._probe_mp4(_mp4_fixture())
+    assert got[0] == "mp4"
+    assert got[1] == pytest.approx(5500.0)      # 5500/1000 s -> ms
+    assert got[2] == 2 and got[3] == ["vide", "soun"]
+
+
+def test_probe_mp3_bitrate_and_duration():
+    data = _mp3_fixture()
+    c, dur, n, types, rate, bit_rate = MM._probe_mp3(data)
+    assert (c, rate, bit_rate) == ("mp3", 44100, 128000)
+    audio_bytes = len(data) - 110               # tag header + 100 bytes
+    assert dur == pytest.approx(audio_bytes * 8000.0 / 128000)
+
+
+def test_probe_media_info_mixed(spark):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 2 * 4000)   # 0.5 s stereo
+    wav = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4_fixture())), (2, bytearray(_mp3_fixture())),
+         (3, bytearray(wav)), (4, bytearray(b"not media")), (5, None)],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r for r in MM.probe_media_info(df).collect()}
+    assert got[1]["container"] == "mp4" and got[1]["n_tracks"] == 2
+    assert got[2]["container"] == "mp3" and got[2]["sample_rate"] == 44100
+    assert got[3]["container"] == "wav"
+    assert got[3]["duration_ms"] == pytest.approx(500.0)
+    assert got[3]["sample_rate"] == 8000
+    assert got[4]["container"] is None and got[5]["container"] is None
