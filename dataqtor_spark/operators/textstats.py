@@ -918,3 +918,41 @@ def leakage_safe_split(df: DataFrame, id_col: str = "doc_id",
              .when(frac < w_train + w_val, "val")
              .otherwise("test"))
     return df.select(F.col(id_col), fp.alias("fp"), split.alias("split"))
+
+
+def c4_line_filters(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    min_words: int = 3) -> DataFrame:
+    """C4-style line/document cleaning (Raffel et al. 2020 §2.2, the
+    public "Colossal Clean Crawled Corpus" heuristics) — the classic
+    first-pass web-text scrubber before dedup/quality gating:
+
+    - keep only lines that end in terminal punctuation ([.!?]) AND have
+      at least ``min_words`` words;
+    - drop lines mentioning javascript (cookie/JS-warning boilerplate);
+    - drop the whole DOCUMENT if it contains "lorem ipsum" or a curly
+      brace (placeholder text / code);
+
+    Everything is in-row array algebra (split → filter → rejoin): one
+    projection, no shuffle, no Python — and every rule is a list-lambda
+    ANSI SQL replays, so the operator is differentially testable.
+    Returns (id, n_lines, n_kept, doc_dropped, cleaned) with
+    ``cleaned`` NULL for dropped documents AND for documents no line of
+    which survived (SQL dialects disagree on joining an empty list — ''
+    in Spark, NULL in DuckDB — so "nothing left" is canonically NULL).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    keep = F.filter(lines, lambda l: (
+        F.trim(l).rlike("[.!?]$")
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
+        & ~F.lower(l).contains("javascript")))
+    dropped = (F.lower(t).contains("lorem ipsum")
+               | t.contains("{"))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(keep).alias("n_kept"),
+        dropped.alias("doc_dropped"),
+        F.when(~dropped & (F.size(keep) > 0), F.array_join(keep, "\n"))
+        .alias("cleaned"))

@@ -6773,6 +6773,69 @@ def t27_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   .alias("n_docs"))
 
 
+# t28 — C4 line/document cleaning.  The synthetic documents are single-
+# line word soup, so the query first DERIVES line structure + planted
+# violations deterministically (the a23/pr25 device): sentence breaks at
+# ' table ', an injected javascript-boilerplate line at ' window ',
+# terminal punctuation on even ids, 'lorem ipsum' every 97th doc, code
+# braces every 89th — identical plain-string replaces in both dialects
+# (neither engine rescans replaced text).
+_T28_SQL = """WITH src AS (
+  SELECT doc_id,
+         concat(
+           replace(replace(text,
+                   ' table ', '.' || chr(10) || 'the table '),
+                   ' window ',
+                   '.' || chr(10) || 'enable javascript now.' || chr(10)),
+           CASE WHEN doc_id % 2 = 0 THEN ' ok.' ELSE '' END,
+           CASE WHEN doc_id % 97 = 0
+                THEN chr(10) || 'lorem ipsum dolor.' ELSE '' END,
+           CASE WHEN doc_id % 89 = 0
+                THEN chr(10) || 'if (x) { y }' ELSE '' END) AS text
+  FROM documents
+), f AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         (contains(lower(text), 'lorem ipsum')
+          OR contains(text, '{')) AS doc_dropped
+  FROM src
+), k AS (
+  SELECT doc_id, doc_dropped, len(ls)::INT AS n_lines,
+         list_filter(ls, l ->
+           regexp_matches(trim(l), '[.!?]$')
+           AND len(string_split_regex(trim(l), '\\s+')) >= 3
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM f
+)
+SELECT doc_id, n_lines, len(kept)::INT AS n_kept, doc_dropped,
+       CASE WHEN NOT doc_dropped
+            THEN array_to_string(kept, chr(10)) END AS cleaned
+FROM k"""
+
+
+@register("t28_c4_line_filters", _T28_SQL)
+def t28_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) over a derived
+    multi-line corpus: terminal-punctuation + min-words line keep,
+    javascript-boilerplate line drop, lorem-ipsum / curly-brace document
+    drop — all in-row array algebra, oracle-replayed line for line."""
+    from dataqtor_spark.operators import textstats as TS
+
+    d = F.col("doc_id")
+    t = F.replace(F.col("text"), F.lit(" table "),
+                  F.lit(".\nthe table "))
+    t = F.replace(t, F.lit(" window "),
+                  F.lit(".\nenable javascript now.\n"))
+    t = F.concat(
+        t,
+        F.when(d % 2 == 0, F.lit(" ok.")).otherwise(F.lit("")),
+        F.when(d % 97 == 0, F.lit("\nlorem ipsum dolor."))
+        .otherwise(F.lit("")),
+        F.when(d % 89 == 0, F.lit("\nif (x) { y }"))
+        .otherwise(F.lit("")))
+    src = _t(spark, sf_dir, "documents").select(d, t.alias("text"))
+    return TS.c4_line_filters(src)
+
+
 # ---------------------------------------------------------------------------
 # th01/kll01 — mergeable DataSketches (theta set algebra, KLL quantile
 # rollup).  Exact below sketch capacity (the oracle's scale factor),

@@ -247,3 +247,25 @@ def test_leakage_safe_split_keeps_dups_together(spark):
 
     c = Counter(s.values())
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_c4_line_filters_rules(spark):
+    docs = [
+        (1, "a good sentence here.\nno\nno terminal punct line\n"
+            "please enable javascript to continue.\nshort.\nfine one too!"),
+        (2, "contains lorem ipsum filler.\nperfectly fine line."),
+        (3, "code sample { return 1; }\nreal prose sentence."),
+        (4, "everything here survives nicely.\nand this one as well?"),
+        (5, "nothing survives here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.c4_line_filters(df).collect()}
+    # line rules: terminal punct + >=3 words + no javascript
+    assert got[1]["n_lines"] == 6 and got[1]["n_kept"] == 2
+    assert got[1]["cleaned"] == "a good sentence here.\nfine one too!"
+    # document rules: lorem ipsum / brace drop the whole doc
+    assert got[2]["doc_dropped"] and got[2]["cleaned"] is None
+    assert got[3]["doc_dropped"] and got[3]["cleaned"] is None
+    assert not got[4]["doc_dropped"] and got[4]["n_kept"] == 2
+    # nothing kept -> canonical NULL, not empty string
+    assert got[5]["n_kept"] == 0 and got[5]["cleaned"] is None
