@@ -68,6 +68,46 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, id_col: str,
+                   vec_col: str, label_col: str, k: int = 10,
+                   query_id_col: str | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-cosine-similar corpus items with a DIFFERENT label —
+    the "confusable but wrong" examples a retrieval/embedding trainer
+    pairs against positives.
+
+    Same scale shape as :func:`brute_force_topk` (queries broadcast,
+    corpus never shuffles, deterministic 6-dp rounding + id tiebreak
+    before ranking); the label inequality is part of the scored-join
+    predicate, so ranks are dense over negatives only.  For
+    corpus-scale query sets, swap the brute scored join for
+    :func:`lsh_topk`/:func:`ivf_topk` blocking — the ranking contract
+    is unchanged.
+    """
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(label_col).alias("__cl"),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    c = c.withColumn("__cn", l2_norm(F.col("__cv")))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(label_col).alias("__ql"),
+                       _as_double(F.col(vec_col)).alias("__qv"))
+    q = q.withColumn("__qn", l2_norm(F.col("__qv")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter((F.col("neighbor_id") != F.col("query_id"))
+                      & (F.col("__cl") != F.col("__ql")))
+              .withColumn("cosine",
+                          F.round(dot(F.col("__cv"), F.col("__qv"))
+                                  / (F.col("__cn") * F.col("__qn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("__ql").alias("query_label"),
+                    "neighbor_id", F.col("__cl").alias("neighbor_label"),
+                    "cosine", "rank"))
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------

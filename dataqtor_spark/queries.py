@@ -1232,6 +1232,36 @@ def ann01_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "ann04_hard_negatives",
+    """SELECT query_id, query_label, neighbor_id, neighbor_label,
+       cosine, rank FROM (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                          q.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
+    AND c.label <> q.label
+) WHERE rank <= 5""",
+)
+def ann04_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training data prep): for a
+    deterministic query subset, the 5 most-similar OPPOSITE-label
+    vectors — brute scored join here, LSH/IVF blocking at corpus-scale
+    query sets (same ranking contract)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = ANN.hard_negatives(emb, queries, "vec_id", "embedding",
+                             "label", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # The hyperplane set is deterministic driver-side Python (LCG + Box-Muller
 # in ann._hyperplanes), so the oracle embeds the exact same float literals
 # and reproduces signature bits, multi-probe buckets, and the re-rank in

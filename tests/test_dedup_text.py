@@ -686,3 +686,18 @@ def test_ivf_append_visible_to_probe_without_rebuild(spark, tables, tmp_path):
             for r in got.filter("rank = 1").collect()}
     for qid, nid in top1.items():
         assert nid == qid + 1_000_000
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    rows = [(1, [1.0, 0.0], "a"), (2, [0.99, 0.14], "a"),
+            (3, [0.95, 0.31], "b"), (4, [0.0, 1.0], "b"),
+            (5, [0.9, 0.44], "a")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r["rank"]: r for r in A.hard_negatives(
+        df, df.filter(F.col("vec_id") == 1), "vec_id", "embedding",
+        "label", k=2).collect()}
+    # nearest overall is 2 (same label, excluded); hard negatives are the
+    # closest b-labeled vectors: 3 then 4
+    assert got[1]["neighbor_id"] == 3 and got[1]["neighbor_label"] == "b"
+    assert got[2]["neighbor_id"] == 4
+    assert all(r["query_label"] == "a" for r in got.values())
