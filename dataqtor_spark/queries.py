@@ -1307,6 +1307,58 @@ def ann02_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_ANN05_BRUTE_SQL = """SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                          q.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5"""
+
+
+@register(
+    "ann05_lsh_recall",
+    "WITH brute AS (" + _ANN05_BRUTE_SQL + "),\n"
+    "lsh AS (SELECT query_id, neighbor_id FROM (\n"
+    + _ann02_oracle_sql(k=5) + "\n))\n"
+    """SELECT b.query_id, count(*)::BIGINT AS n_brute,
+       sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS recall
+FROM brute b LEFT JOIN lsh l
+  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+GROUP BY b.query_id""",
+)
+def ann05_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH path against exact brute force, per query —
+    the approximation-quality dial every ANN deployment should watch
+    (more planes/probes buy recall; this query IS the measurement).
+    Both pipelines are themselves oracle-replayed, so the metric is
+    differentially checked end-to-end, not just plumbing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = (ANN.brute_force_topk(emb, queries, "vec_id", "embedding",
+                                  k=5)
+             .select("query_id", "neighbor_id"))
+    lsh = (ANN.lsh_topk(emb, queries, "vec_id", "embedding", k=5,
+                        n_planes=_ANN02_PLANES, dim=_ANN02_DIM)
+           .select(F.col("query_id").alias("lq"),
+                   F.col("neighbor_id").alias("ln")))
+    hit = F.sum(F.when(F.col("ln").isNotNull(), 1).otherwise(0))
+    return (brute.join(F.broadcast(lsh),
+                       (F.col("query_id") == F.col("lq"))
+                       & (F.col("neighbor_id") == F.col("ln")), "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_brute"),
+                 hit.cast("long").alias("n_hit"),
+                 F.round(hit * 1.0 / F.count(F.lit(1)), 4)
+                 .alias("recall")))
+
+
 # --- a13 — string-similarity self-match (TF-IDF 3-gram cosine) -------------
 
 _A13_SQL = """WITH vals AS (
