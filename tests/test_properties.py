@@ -285,3 +285,84 @@ def test_phik_bounded_and_symmetric(spark, rows):
     rev = P.phik_correlation(df, "y", "x").collect()[0]["phik"]
     assert 0.0 <= fwd <= 1.0
     assert fwd == rev
+
+
+# --- round-6 algebra --------------------------------------------------------
+
+@settings(max_examples=int(os.environ.get("HYP_EXAMPLES", "8")), deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=4, max_size=80))
+def test_phik_statistics_matches_numpy_contingency(spark, pairs):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pairs], "x double, y double")
+    r = P.phik_statistics(df, "x", "y").collect()[0]
+    # independent brute-force: bin exactly as the operator (equi-width
+    # over [lo, hi], 10 bins, top clamp), then full-grid chi2
+    xs = np.array([p[0] for p in pairs], float)
+    ys = np.array([p[1] for p in pairs], float)
+
+    def bins(v):
+        lo, hi = v.min(), v.max()
+        if hi == lo:
+            return np.zeros(len(v), int)
+        return np.minimum(((v - lo) / ((hi - lo) / 10)).astype(int), 9)
+
+    bx, by = bins(xs), bins(ys)
+    ux, uy = np.unique(bx), np.unique(by)
+    obs = np.zeros((len(ux), len(uy)))
+    for a, b in zip(bx, by):
+        obs[np.searchsorted(ux, a), np.searchsorted(uy, b)] += 1
+    n = obs.sum()
+    e = np.outer(obs.sum(1), obs.sum(0)) / n
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    assert r["n"] == len(pairs)
+    assert (r["r_bins"], r["c_bins"]) == (len(ux), len(uy))
+    assert abs(r["chi2"] - round(chi2, 4)) <= 1e-3
+
+
+@settings(max_examples=int(os.environ.get("HYP_EXAMPLES", "8")), deadline=None)
+@given(st.lists(st.floats(-100, 100), min_size=1, max_size=120),
+       st.integers(1, 7))
+def test_segmented_prefix_sum_property(spark, vals, seg):
+    from dataqtor_spark.operators import behavior as B
+
+    df = spark.createDataFrame(
+        [(i + 1, float(v)) for i, v in enumerate(vals)], "idx long, v double")
+    got = {r["idx"]: r["p"] for r in B._segmented_prefix_sum(
+        df, "idx", "v", "p", segment_rows=seg).collect()}
+    acc = 0.0
+    for i, v in enumerate(vals, start=1):
+        acc += v
+        assert abs(got[i] - acc) < 1e-6 * max(1.0, abs(acc))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 10),
+       st.sampled_from([0, 2, 6]), st.data())
+def test_png_roundtrip_property(w, h, ctype, data):
+    # library encode (filter 0) -> decode returns identical scanlines;
+    # identity resize preserves bytes.  Pure python, no Spark.
+    from dataqtor_spark.operators import multimodal as MM
+
+    bpp = {0: 1, 2: 3, 6: 4}[ctype]
+    rows = [bytearray(data.draw(st.binary(min_size=w * bpp,
+                                          max_size=w * bpp)))
+            for _ in range(h)]
+    png = MM._encode_png(w, h, ctype, rows)
+    w2, h2, ct2, bpp2, rows2 = MM._decode_png_raw(png)
+    assert (w2, h2, ct2, bpp2) == (w, h, ctype, bpp)
+    assert [bytes(r) for r in rows2] == [bytes(r) for r in rows]
+    same = MM._stdlib_png_resize(png, w, h)
+    assert MM._decode_png_raw(same)[4] == rows2
+
+
+def test_resolve_auto_cap_monotone():
+    from dataqtor_spark.operators.dedup import resolve_auto_cap
+
+    prev = 0
+    for n in (100_000, 300_000, 1_000_000, 9_000_000, 10 ** 9):
+        cap = resolve_auto_cap(n)
+        assert cap >= prev
+        prev = cap
