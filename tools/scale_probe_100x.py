@@ -1,4 +1,4 @@
-"""100x scale probe for the top-5 bench queries (round-4 verdict item:
+"""100x scale probe for the headline bench queries (round-4 verdict item:
 SCALE_PROBE's 10x in-memory runs stop where fixed overhead still masks
 super-linear terms).
 
@@ -38,11 +38,15 @@ import pyspark.sql.functions as F  # noqa: E402
 
 QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "a13_similar_strings", "mb01_copurchase_pairs",
-               "h21_waiting_suppliers"]
+               "h21_waiting_suppliers",
+               # second tier: fused profile, sessionize, sketches, text
+               "a00_full_profile_lineitem", "h01_pricing_summary",
+               "s03_sessionize_events", "th01_audience_overlap",
+               "kll01_quantile_rollup", "t05_training_pipeline"]
 
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
-REPLICATED = {"documents", "part", "lineitem", "orders"}
+REPLICATED = {"documents", "part", "lineitem", "orders", "events"}
 
 _VOWEL_PERMS = ["".join(p) for p in itertools.permutations("aeiou")]
 
@@ -64,6 +68,13 @@ def _replicant(spark, sf_dir: str, table: str, i: int):
         return df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
     if table == "orders":
         return df.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+    if table == "events":
+        # new event ids, SAME users and a per-copy time shift: per-user
+        # history grows k-fold (sessionize/rollup per-key load rises the
+        # way a longer retention window actually behaves)
+        return (df.withColumn("event_id",
+                              F.col("event_id") + F.lit(i * 100_000_000))
+                .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} DAY")))
     raise ValueError(table)
 
 
@@ -71,6 +82,10 @@ def build_dir(spark, sf_dir: str, out_dir: str, k: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for t in ALL_TABLES:
         dst = f"{out_dir}/{t}.parquet"
+        # a symlink for a REPLICATED table is stale state from a run when
+        # that table wasn't replicated yet — rebuild it, don't reuse it
+        if os.path.islink(dst) and t in REPLICATED:
+            os.unlink(dst)
         if os.path.exists(dst):
             continue
         if t not in REPLICATED:
@@ -112,7 +127,7 @@ def main() -> None:
             results[name][k] = (dt, n)
             print(f"{name} @{k}x: {dt:.2f}s rows={n:,}", file=sys.stderr)
 
-    lines = ["## 100x probe — top-5 bench queries, replicated parquet at rest",
+    lines = ["## 100x probe — headline bench queries, replicated parquet at rest",
              "",
              "sf0.1 facts replicated to parquet (shifted keys; text/name",
              "perturbed per copy so true duplicate structure scales k-fold,",
