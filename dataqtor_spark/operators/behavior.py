@@ -527,9 +527,16 @@ def rfm_segments(df: DataFrame, as_of, user_col: str = "user_id",
     spend), plus the concatenated segment label.
 
     One per-user aggregate (the only full shuffle), then three NTILE
-    windows over the users table — each made a total order with the user
-    id tiebreak, so tile membership is deterministic and engine-portable.
+    passes over the users table — each a total order with the user id
+    tiebreak, so tile membership is deterministic and engine-portable.
+    NTILE is computed from a DISTRIBUTED global row number
+    (``ordered.ordered_prefix`` range-partitioned scan +
+    ``ordered.ntile_expr`` bucket arithmetic), not a single-partition
+    window: a hundreds-of-millions-user table never funnels through one
+    task.
     """
+    from dataqtor_spark.operators.ordered import ntile_expr, ordered_prefix
+
     base = df if event_filter is None else df.filter(
         F.col(type_col) == event_filter)
     per_user = (base.groupBy(F.col(user_col).alias("user_id"))
@@ -539,13 +546,18 @@ def rfm_segments(df: DataFrame, as_of, user_col: str = "user_id",
                      F.count(F.lit(1)).cast("long").alias("frequency"),
                      F.sum(F.col(value_col).cast("decimal(18,2)"))
                      .alias("__m")))
-    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
-    f_w = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
-    m_w = Window.orderBy(F.col("__m").asc(), F.col("user_id"))
-    return (per_user
-            .withColumn("r_score", F.ntile(n_tiles).over(r_w))
-            .withColumn("f_score", F.ntile(n_tiles).over(f_w))
-            .withColumn("m_score", F.ntile(n_tiles).over(m_w))
+    n_row = per_user.agg(F.count(F.lit(1)).alias("__n"))
+    scored = per_user.crossJoin(F.broadcast(n_row))
+    for rn_col, order in (
+            ("__rn_r", [F.col("recency_days").desc(), F.col("user_id")]),
+            ("__rn_f", [F.col("frequency").asc(), F.col("user_id")]),
+            ("__rn_m", [F.col("__m").asc(), F.col("user_id")])):
+        scored = ordered_prefix(scored, order, out_rn=rn_col)
+    tile = lambda c: ntile_expr(F.col(c), F.col("__n"), n_tiles)  # noqa: E731
+    return (scored
+            .withColumn("r_score", tile("__rn_r"))
+            .withColumn("f_score", tile("__rn_f"))
+            .withColumn("m_score", tile("__rn_m"))
             .withColumn("monetary",
                         F.round(F.col("__m").cast("double"), 2))
             .withColumn("segment", F.concat_ws("", "r_score", "f_score",
@@ -563,27 +575,28 @@ def pareto_concentration(df: DataFrame, key_col: str, revenue: "F.Column",
     A key is counted iff the cumulative share *before* it is still below
     the threshold — so the key whose cumulative share first crosses the
     line is included (a single key holding 85% reports 1, not 0).  One
-    keyed aggregate (DECIMAL-exact), then windows over the aggregated
-    key table only: the previous-rows cumulative sum in
-    (revenue desc, key) total order and the scalar total.  The fact
-    table shuffles once; the window runs on |keys| rows.  Each share is
-    one double division of two exact decimals, so the cut is
-    engine-deterministic.
+    keyed aggregate (DECIMAL-exact); the cumulative sum in
+    (revenue desc, key) total order comes from the DISTRIBUTED
+    range-partitioned scan (``ordered.ordered_prefix``) and the
+    exclusive form is the inclusive one minus the row — so the
+    aggregated key table (hundreds of millions of keys at 100 TB) never
+    funnels through a single-partition window; the scalar total is a
+    broadcast 1-row aggregate.  Each share is one double division of
+    two exact decimals, so the cut is engine-deterministic.
     """
+    from dataqtor_spark.operators.ordered import ordered_prefix
+
     per_key = (df.groupBy(F.col(key_col).alias("k"))
                .agg(F.sum(revenue.cast("decimal(28,10)")).alias("rev")))
-    w_cum = (Window.orderBy(F.col("rev").desc(), F.col("k"))
-             .rowsBetween(Window.unboundedPreceding, 0))
-    w_prev = (Window.orderBy(F.col("rev").desc(), F.col("k"))
-              .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = Window.partitionBy()
-    total = F.sum("rev").over(w_all).cast("double")
-    scored = per_key.select(
+    tot_row = per_key.agg(F.sum("rev").alias("__tot"))
+    cum = ordered_prefix(per_key.crossJoin(F.broadcast(tot_row)),
+                         [F.col("rev").desc(), F.col("k")],
+                         sums={"__cum": F.col("rev")})
+    total = F.col("__tot").cast("double")
+    scored = cum.select(
         "k", "rev",
-        (F.sum("rev").over(w_cum).cast("double") / total)
-        .alias("cum_share"),
-        (F.coalesce(F.sum("rev").over(w_prev),
-                    F.lit(0).cast("decimal(28,10)")).cast("double") / total)
+        (F.col("__cum").cast("double") / total).alias("cum_share"),
+        ((F.col("__cum") - F.col("rev")).cast("double") / total)
         .alias("prev_share"))
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),

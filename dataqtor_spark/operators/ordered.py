@@ -1,0 +1,100 @@
+"""Distributed total-order primitives: prefix sums and row numbers over an
+ARBITRARY ordering without a single-partition window.
+
+The missing piece behind rank-flavoured analytics (Pareto cumulative
+shares, NTILE segmentation, rank correlations, ECDF statistics): Spark's
+``Window.orderBy(...)`` with no partition funnels every row through ONE
+task.  Harmless over a bounded grid, a stage-sinker over a
+hundreds-of-millions-row aggregate or distinct-value table.  The classic
+fix is a range-partitioned two-level scan:
+
+1. ``repartitionByRange`` on the ordering (sampled bounds: partition i's
+   rows all precede partition j's for i < j) — the one full exchange;
+2. within-partition running sums / row_number via a window partitioned
+   on ``spark_partition_id()`` — parallel across partitions;
+3. per-partition totals (one tiny row per partition) get their carry-in
+   via a triangular broadcast self-join — no window;
+4. global value = carry + within.
+
+Results depend only on the total order (callers must include a tiebreak
+column so the order IS total), never on where the sampled range bounds
+land, so outputs are deterministic and engine-portable.  The same
+decomposition as :func:`behavior._segmented_prefix_sum`, generalized
+from a dense integer index to any ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ordered_prefix(df: DataFrame, order_by: list[Column],
+                   sums: dict[str, Column] | None = None,
+                   out_rn: str | None = None,
+                   partitions: int | None = None) -> DataFrame:
+    """Add inclusive running sums (one output column per ``sums`` entry)
+    and/or a 1-based global row number, all in ``order_by`` total order,
+    computed with NO single-partition stage.
+
+    ``order_by`` entries may carry ``.desc()`` / ``.asc()``; include a
+    unique tiebreak so the order is total (required for deterministic
+    output).  Exclusive ("rows before") forms are the inclusive sum
+    minus the row's own value — no second pass needed.
+    """
+    sums = sums or {}
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint (lazy): the range exchange SAMPLES to pick bounds,
+    # so re-evaluating it can assign different partition ids per subtree —
+    # and this frame feeds two consumers (rows + per-partition totals)
+    # whose __pid values must agree.  The checkpoint pins one
+    # materialization both read; lineage truncation is the documented
+    # trade (same device as the minhash pipeline's candidate sets).
+    rp = (df.repartitionByRange(n, *order_by)
+          .withColumn("__pid", F.spark_partition_id())
+          .localCheckpoint(eager=False))
+    w_in = Window.partitionBy("__pid").orderBy(*order_by)
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    cols = list(df.columns)
+    within = rp
+    aggs = [F.count(F.lit(1)).alias("__t_cnt")]
+    for i, (_name, expr) in enumerate(sums.items()):
+        within = within.withColumn(f"__w{i}", F.sum(expr).over(w_run))
+        aggs.append(F.sum(expr).alias(f"__t{i}"))
+    if out_rn is not None:
+        within = within.withColumn("__w_rn", F.row_number().over(w_in))
+    totals = rp.groupBy("__pid").agg(*aggs)
+    earlier = totals.select(
+        *[F.col(c).alias(f"__e{c}") for c in totals.columns])
+    carry_aggs = [F.coalesce(F.sum("__e__t_cnt"), F.lit(0))
+                  .alias("__c_cnt")]
+    for i in range(len(sums)):
+        carry_aggs.append(F.sum(f"__e__t{i}").alias(f"__c{i}"))
+    carry = (totals.join(F.broadcast(earlier),
+                         F.col("__e__pid") < F.col("__pid"), "left")
+             .groupBy("__pid").agg(*carry_aggs))
+    out = within.join(F.broadcast(carry), "__pid")
+    proj = [F.col(c) for c in cols]
+    for i, name in enumerate(sums):
+        # typed zero for the first partition's null carry: 0 * within
+        proj.append((F.coalesce(F.col(f"__c{i}"),
+                                F.lit(0) * F.col(f"__w{i}"))
+                     + F.col(f"__w{i}")).alias(name))
+    if out_rn is not None:
+        proj.append((F.col("__c_cnt") + F.col("__w_rn")).cast("long")
+                    .alias(out_rn))
+    return out.select(*proj)
+
+
+def ntile_expr(rn: Column, n_rows: Column, n: int) -> Column:
+    """SQL-standard NTILE(n) from a 1-based global row number and the
+    total row count — the first ``n_rows % n`` buckets get the extra
+    row, exactly Spark's/DuckDB's semantics — so NTILE over any total
+    order composes with :func:`ordered_prefix` instead of a
+    single-partition window."""
+    big = (n_rows % n).cast("long")                 # buckets of size bs+1
+    bs = F.floor(n_rows / n).cast("long")
+    cut = big * (bs + 1)                            # rows in the big buckets
+    return (F.when(rn <= cut, F.floor((rn - 1) / (bs + 1)))
+            .otherwise(big + F.floor((rn - cut - 1) / bs)) + 1).cast("int")

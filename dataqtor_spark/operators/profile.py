@@ -444,27 +444,27 @@ def _fractional_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
     partition — a non-starter at scale.  Ranks are a function of the
     *value*, so compute them on the distinct-value table (groupBy →
     cumulative count over the much smaller distinct set) and join them
-    back; the single-partition stage is bounded by O(distinct), not
-    O(rows).  No explicit broadcast hint: AQE promotes the join to
-    broadcast at runtime when the rank table is actually small, and falls
-    back to a shuffle join for near-unique doubles where a forced
-    broadcast would OOM the driver.
+    back — and the cumulative itself is the DISTRIBUTED
+    range-partitioned scan (``ordered.ordered_prefix``), so even a
+    near-unique double column (distinct ≈ rows) never funnels through
+    one task.  No explicit broadcast hint on the join-back: AQE promotes
+    it to broadcast at runtime when the rank table is actually small,
+    and falls back to a shuffle join otherwise.
 
     NULLs rank as NULL (left join; they are excluded from the rank
     ordering), so ``F.corr`` over the ranks skips null-bearing rows
     per-pair — pandas' pairwise behaviour — instead of dropping the row
     from every pair.
     """
-    from pyspark.sql import Window
+    from dataqtor_spark.operators.ordered import ordered_prefix
 
     vc = (df.filter(F.col(col).isNotNull())
           .groupBy(col).agg(F.count(F.lit(1)).alias("__n")))
-    w = Window.orderBy(F.col(col)).rowsBetween(Window.unboundedPreceding, -1)
-    ranks = vc.select(
-        F.col(col),
-        (F.coalesce(F.sum("__n").over(w), F.lit(0))
-         + (F.col("__n") + 1) / 2.0).alias(out),
-    )
+    ranks = (ordered_prefix(vc, [F.col(col)],
+                            sums={"__ci": F.col("__n")})
+             .select(F.col(col),
+                     (F.col("__ci") - F.col("__n")
+                      + (F.col("__n") + 1) / 2.0).alias(out)))
     return df.join(ranks, col, "left")
 
 
@@ -956,21 +956,20 @@ def equi_depth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFram
     ANSI SQL with no interpolation — unlike quantile-boundary schemes whose
     float boundaries can differ across engines in the last ulp).
 
-    The single-partition window is over DISTINCT values — O(distinct), the
-    same bound as the Spearman rank table; for near-unique doubles at
-    extreme scale, swap in ``percentile_approx`` boundaries and accept
-    sketch error (documented trade).
+    The cumulative runs over DISTINCT values via the DISTRIBUTED
+    range-partitioned scan (``ordered.ordered_prefix``) — no
+    single-partition stage even for near-unique doubles; the scalar
+    total is a broadcast 1-row aggregate.
     """
-    from pyspark.sql.window import Window
+    from dataqtor_spark.operators.ordered import ordered_prefix
 
     vc = (df.filter(F.col(col).isNotNull())
           .groupBy(F.col(col).alias("__v"))
           .agg(F.count(F.lit(1)).alias("__c")))
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = vc.select(
-        "__v", "__c",
-        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__cb"),
-        F.sum("__c").over(Window.partitionBy()).alias("__tot"))
+    tot_row = vc.agg(F.sum("__c").alias("__tot"))
+    cum = (ordered_prefix(vc.crossJoin(F.broadcast(tot_row)),
+                          [F.col("__v")], sums={"__ci": F.col("__c")})
+           .withColumn("__cb", F.col("__ci") - F.col("__c")))
     return (cum.withColumn("bucket",
                            F.floor(F.col("__cb") * buckets / F.col("__tot"))
                            .cast("long"))
@@ -987,11 +986,13 @@ def ks_drift(df: DataFrame, col: str, group_col: str,
     exactly.
 
     Built like the rank/histogram family: per-distinct-value counts for
-    both groups in one groupBy, cumulative sums over the ordered distinct
-    set (O(distinct) single-partition window — same documented bound as the
-    Spearman ranks), then one max.  No sort of row data, no driver loop.
+    both groups in one groupBy, then BOTH cumulative sums in one
+    distributed range-partitioned scan (``ordered.ordered_prefix`` —
+    no single-partition stage over the distinct set) and one max; the
+    two group totals are a broadcast 1-row aggregate.  No sort of row
+    data, no driver loop.
     """
-    from pyspark.sql.window import Window
+    from dataqtor_spark.operators.ordered import ordered_prefix
 
     v = (df.filter(F.col(group_col).isin([group_a, group_b])
                    & F.col(col).isNotNull())
@@ -1000,16 +1001,17 @@ def ks_drift(df: DataFrame, col: str, group_col: str,
                  (F.col(group_col) == group_b).cast("long").alias("__b")))
     vc = v.groupBy("__v").agg(F.sum("__a").alias("__ca"),
                               F.sum("__b").alias("__cb"))
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    cum = vc.select(
-        (F.sum("__ca").over(w) / F.sum("__ca").over(tot)).alias("__fa"),
-        (F.sum("__cb").over(w) / F.sum("__cb").over(tot)).alias("__fb"),
-        F.sum("__ca").over(tot).alias("__na"),
-        F.sum("__cb").over(tot).alias("__nb"))
+    tot_row = vc.agg(F.sum("__ca").alias("__na"),
+                     F.sum("__cb").alias("__nb"))
+    cum = ordered_prefix(vc.crossJoin(F.broadcast(tot_row)),
+                         [F.col("__v")],
+                         sums={"__sa": F.col("__ca"),
+                               "__sb": F.col("__cb")})
     return cum.agg(
         F.first("__na").alias("n_a"), F.first("__nb").alias("n_b"),
-        F.round(F.max(F.abs(F.col("__fa") - F.col("__fb"))), 6).alias("ks"))
+        F.round(F.max(F.abs(F.col("__sa") / F.col("__na")
+                            - F.col("__sb") / F.col("__nb"))), 6)
+        .alias("ks"))
 
 
 def functional_dependency(df: DataFrame, deps: list[tuple[str, str]]) -> DataFrame:

@@ -366,3 +366,58 @@ def test_resolve_auto_cap_monotone():
         cap = resolve_auto_cap(n)
         assert cap >= prev
         prev = cap
+
+
+@settings(max_examples=int(os.environ.get("HYP_EXAMPLES", "8")), deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=80),
+       st.integers(2, 7))
+def test_ordered_prefix_and_ntile_match_window_forms(spark, vals, n):
+    from pyspark.sql.window import Window
+
+    from dataqtor_spark.operators.ordered import ntile_expr, ordered_prefix
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double")
+    order = [F.col("v").desc(), F.col("id")]
+    got = {r["id"]: (r["c"], r["rn"])
+           for r in ordered_prefix(df, order, sums={"c": F.col("v")},
+                                   out_rn="rn", partitions=5).collect()}
+    w = Window.orderBy(*order)
+    ref = df.select(
+        "id",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(n).over(w).alias("t")).collect()
+    for r in ref:
+        c, rn = got[r["id"]]
+        assert rn == r["rn"]
+        assert abs(c - r["c"]) < 1e-9 * max(1.0, abs(r["c"]))
+    # ntile arithmetic reproduces the window NTILE exactly
+    nt = {r["id"]: r["nt"] for r in ordered_prefix(
+        df, order, out_rn="rn", partitions=5)
+        .select("id", ntile_expr(F.col("rn"), F.lit(len(vals)), n)
+                .alias("nt")).collect()}
+    for r in ref:
+        assert nt[r["id"]] == r["t"], (r["id"], nt[r["id"]], r["t"])
+
+
+def test_rfm_pareto_plans_free_of_single_partition_windows(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    rows = [(i % 17, dt.datetime(2024, 1, 1 + i % 20), float(i % 7) + 1, i)
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long")
+
+    def plan(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    p_rfm = plan(B.rfm_segments(df, as_of="2024-02-01"))
+    p_par = plan(B.pareto_concentration(df, "user_id", F.col("value")))
+    for p in (p_rfm, p_par):
+        for line in p.splitlines():
+            if "windowspecdefinition" in line:
+                assert "__pid" in line    # only range-partitioned windows
