@@ -1123,20 +1123,20 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
     counts — the "will this key skew my shuffle" pre-flight check.
 
     The row data shuffles once (map-side-combinable groupBy on the key);
-    Gini needs the counts *ranked*, which is a single-partition window —
-    but over the per-key table, so the documented bound is O(distinct
-    keys), same as the rank/histogram family.  Gini uses the exact
-    integer identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending
-    counts, so everything stays in bigint until the final division.
+    Gini needs the counts *ranked*, which is a DISTRIBUTED global row
+    number (``ordered.ordered_prefix`` range-partitioned scan) — no
+    single-partition stage even over billions of distinct keys.  Gini
+    uses the exact integer identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n
+    over ascending counts, so everything stays in bigint until the
+    final division.
     """
-    from pyspark.sql.window import Window
+    from dataqtor_spark.operators.ordered import ordered_prefix
 
     counts = (df.filter(F.col(key).isNotNull())
               .groupBy(key).agg(F.count(F.lit(1)).alias("__n")))
-    w = Window.orderBy(F.col("__n"), F.col(key))
-    ranked = counts.select(F.col("__n"),
-                           F.row_number().over(w).cast("long").alias("__i"))
-    tot = Window.partitionBy()
+    ranked = (ordered_prefix(counts, [F.col("__n"), F.col(key)],
+                             out_rn="__i")
+              .select("__n", "__i"))
     return ranked.agg(
         F.lit(key).alias("key"),
         F.sum("__n").cast("long").alias("n_rows"),
@@ -1258,19 +1258,20 @@ def sequence_gaps(df: DataFrame, key_col: str) -> DataFrame:
     gap_size) for every hole between consecutive present keys — the
     "did ingestion drop a batch?" completeness check.
 
-    Dedup first (the shuffle carries only distinct keys), then one lag
-    window over the key order.  The window here is global — fine up to
-    ~billions of *distinct* keys; beyond that, bucket by ``key div B``,
-    detect gaps inside each bucket with a bucket-partitioned window, and
-    compare adjacent buckets' (min, max) — same answers, no single-task
-    sort.  This helper keeps the simple form and documents the split.
+    Dedup first (the shuffle carries only distinct keys), then
+    "previous key" comes from a DISTRIBUTED global row number
+    (``ordered.ordered_prefix``) self-joined on rn = rn−1 — an
+    equi-join two renamed projections of one checkpointed frame, so no
+    single-partition lag window even over billions of distinct keys.
     """
-    from pyspark.sql.window import Window
+    from dataqtor_spark.operators.ordered import ordered_prefix
 
     k = df.select(F.col(key_col).cast("long").alias("k")) \
         .filter(F.col("k").isNotNull()).distinct()
-    w = Window.orderBy("k")
-    d = k.withColumn("pk", F.lag("k").over(w))
+    rn = ordered_prefix(k, [F.col("k")], out_rn="__rn")
+    prev = rn.select((F.col("__rn") + 1).alias("__rn"),
+                     F.col("k").alias("pk"))
+    d = rn.join(prev, "__rn")
     return (d.filter(F.col("k") - F.col("pk") > 1)
             .select((F.col("pk") + 1).alias("gap_start"),
                     (F.col("k") - 1).alias("gap_end"),

@@ -4688,10 +4688,13 @@ def t22_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cosine"))
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"),
-                       F.asc("chunk_index"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _T22_K))
+    # limit first: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge), so the corpus-sized score
+    # table never funnels through a single-partition rank window; the
+    # rank window then runs over k rows (the vocab top-k device)
+    order = [F.desc("cosine"), F.asc("doc_id"), F.asc("chunk_index")]
+    top = scored.orderBy(*order).limit(_T22_K)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 # ---------------------------------------------------------------------------
