@@ -6865,7 +6865,9 @@ def t27_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # terminal punctuation on even ids, 'lorem ipsum' every 97th doc, code
 # braces every 89th — identical plain-string replaces in both dialects
 # (neither engine rescans replaced text).
-_T28_SQL = """WITH src AS (
+# shared CTE prefix: the derived multi-line corpus + C4 line algebra
+# (t28 grades the per-doc results; t29 composes the full funnel on top)
+_T28_CTES = """WITH src AS (
   SELECT doc_id,
          concat(
            replace(replace(text,
@@ -6890,21 +6892,17 @@ _T28_SQL = """WITH src AS (
            AND len(string_split_regex(trim(l), '\\s+')) >= 3
            AND NOT contains(lower(l), 'javascript')) AS kept
   FROM f
-)
+)"""
+
+_T28_SQL = _T28_CTES + """
 SELECT doc_id, n_lines, len(kept)::INT AS n_kept, doc_dropped,
        CASE WHEN NOT doc_dropped
             THEN array_to_string(kept, chr(10)) END AS cleaned
 FROM k"""
 
 
-@register("t28_c4_line_filters", _T28_SQL)
-def t28_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) over a derived
-    multi-line corpus: terminal-punctuation + min-words line keep,
-    javascript-boilerplate line drop, lorem-ipsum / curly-brace document
-    drop — all in-row array algebra, oracle-replayed line for line."""
-    from dataqtor_spark.operators import textstats as TS
-
+def _t28_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived multi-line corpus both t28 and t29 run on."""
     d = F.col("doc_id")
     t = F.replace(F.col("text"), F.lit(" table "),
                   F.lit(".\nthe table "))
@@ -6917,8 +6915,75 @@ def t28_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(d % 89 == 0, F.lit("\nif (x) { y }"))
         .otherwise(F.lit("")))
-    src = _t(spark, sf_dir, "documents").select(d, t.alias("text"))
-    return TS.c4_line_filters(src)
+    return _t(spark, sf_dir, "documents").select(d, t.alias("text"))
+
+
+@register("t28_c4_line_filters", _T28_SQL)
+def t28_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) over a derived
+    multi-line corpus: terminal-punctuation + min-words line keep,
+    javascript-boilerplate line drop, lorem-ipsum / curly-brace document
+    drop — all in-row array algebra, oracle-replayed line for line."""
+    from dataqtor_spark.operators import textstats as TS
+
+    return TS.c4_line_filters(_t28_derived(spark, sf_dir))
+
+
+_T29_NIBBLE = _nibble_value_sql(
+    "md5(concat('split:', md5(array_to_string(list_sort(list_distinct("
+    "list_filter(regexp_split_to_array(lower(trim(cleaned)), '\\s+'), "
+    "x -> x <> ''))), ' '))))")
+
+_T29_SQL = _T28_CTES + f""",
+cl AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned
+  FROM k WHERE NOT doc_dropped AND len(kept) > 0
+), dd AS (
+  SELECT min(doc_id) AS doc_id, cleaned FROM cl GROUP BY cleaned
+), sp AS (
+  SELECT ({_T29_NIBBLE} % 1000000007) / 1000000007.0 AS frac FROM dd
+)
+SELECT 'total' AS stage, count(*)::BIGINT AS n_docs FROM src
+UNION ALL SELECT 'cleaned', count(*)::BIGINT FROM cl
+UNION ALL SELECT 'deduped', count(*)::BIGINT FROM dd
+UNION ALL
+SELECT concat('split_', CASE WHEN frac < 0.8 THEN 'train'
+                             WHEN frac < 0.9 THEN 'val'
+                             ELSE 'test' END),
+       count(*)::BIGINT
+FROM sp GROUP BY 1"""
+
+
+@register("t29_curation_funnel", _T29_SQL)
+def t29_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation funnel — C4 clean → exact dedup on
+    the cleaned text → leakage-safe 80/10/10 split — with per-stage
+    survivor counts, every stage the registered operator the standalone
+    queries grade (t28 / d01-style groupBy / t27).  The whole pipeline
+    is one lazy DAG: Catalyst fuses the clean + dedup + split stages
+    over a single documents scan per output branch, and the oracle
+    replays all three stages end-to-end."""
+    from dataqtor_spark.operators import textstats as TS
+
+    src = _t28_derived(spark, sf_dir)
+    c4 = TS.c4_line_filters(src)
+    kept = (c4.filter(F.col("cleaned").isNotNull())
+            .select("doc_id", "cleaned"))
+    dd = kept.groupBy("cleaned").agg(F.min("doc_id").alias("doc_id"))
+    sp = TS.leakage_safe_split(
+        dd.select("doc_id", F.col("cleaned").alias("text")))
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    splits = (sp.groupBy(F.concat(F.lit("split_"), F.col("split"))
+                         .alias("stage"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return (stage("total", src)
+            .unionByName(stage("cleaned", kept))
+            .unionByName(stage("deduped", dd))
+            .unionByName(splits))
 
 
 # ---------------------------------------------------------------------------
