@@ -175,6 +175,8 @@ def ingest(
         fmt = {"xlsx": "excel", "xls": "excel", "pq": "parquet"}.get(ext, ext or "parquet")
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        df = spark.read.orc(path)
     elif fmt == "csv":
         r = spark.read.options(header=True, **options)
         r = r.schema(schema) if schema else r.option("inferSchema", True)

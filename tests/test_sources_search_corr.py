@@ -30,6 +30,15 @@ def test_parquet_roundtrip(spark, tables, tmp_path):
            sorted(r["r_name"] for r in src.select("r_name").collect())
 
 
+def test_orc_roundtrip(spark, tables, tmp_path):
+    src = tables["region"]
+    path = str(tmp_path / "region_orc")
+    S.write_dataset(src, path, fmt="orc")
+    back = S.ingest(spark, path, fmt="orc")
+    assert sorted(r["r_name"] for r in back.select("r_name").collect()) == \
+           sorted(r["r_name"] for r in src.select("r_name").collect())
+
+
 def test_excel_roundtrip_or_gated(spark, tables, tmp_path):
     # xlsx is a driver-side pandas hop; openpyxl may be absent — gate, don't fail
     path = str(tmp_path / "t.xlsx")
