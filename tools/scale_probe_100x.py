@@ -42,7 +42,13 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # second tier: fused profile, sessionize, sketches, text
                "a00_full_profile_lineitem", "h01_pricing_summary",
                "s03_sessionize_events", "th01_audience_overlap",
-               "kll01_quantile_rollup", "t05_training_pipeline"]
+               "kll01_quantile_rollup", "t05_training_pipeline",
+               # rank-flavoured screens on the ordered_prefix primitive
+               # (the round-6 de-funnel: prove no single-partition stage
+               # re-appears as a wall at 100x)
+               "pr03_spearman_correlations", "pr10_equi_depth_histogram",
+               "b06_rfm_segments", "pareto01_revenue_concentration",
+               "gap01_orderkey_gaps"]
 
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
