@@ -5491,6 +5491,64 @@ def geo01_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.nearest_city(spark, top_k=1)
 
 
+# geo02 — geohash density raster.  No driver table carries coordinates,
+# so the query derives a deterministic point cloud from customer keys
+# (the a23/pr25 device); the oracle replays the full quantize→interleave→
+# base-32 bit arithmetic, so the geohash itself is differentially tested.
+_GEO02_PRECISION = 3
+
+
+def _geo02_oracle_sql(precision: int = _GEO02_PRECISION) -> str:
+    from dataqtor_spark.operators.enrich import _GEOHASH_B32
+
+    nbits = 5 * precision
+    nx, ny = (nbits + 1) // 2, nbits // 2
+
+    def bit(i: int) -> str:
+        if i % 2 == 0:
+            return f"((x >> {nx - 1 - i // 2}) & 1)"
+        return f"((y >> {ny - 1 - (i - 1) // 2}) & 1)"
+
+    chars = []
+    for k in range(precision):
+        val = " + ".join(f"{bit(5 * k + j)} * {2 ** (4 - j)}"
+                         for j in range(5))
+        chars.append(
+            f"substring('{_GEOHASH_B32}', CAST(({val}) + 1 AS INT), 1)")
+    cell = " || ".join(chars)
+    return f"""WITH pts AS (
+  SELECT (c_custkey % 17000) / 100.0 - 85.0 AS lat,
+         (c_custkey % 35900) / 100.0 - 179.5 AS lng
+  FROM customer
+), q AS (
+  SELECT lat, lng,
+         least(CAST(floor((lng + 180.0) / 360.0 * {2 ** nx}) AS BIGINT),
+               {2 ** nx - 1}) AS x,
+         least(CAST(floor((lat + 90.0) / 180.0 * {2 ** ny}) AS BIGINT),
+               {2 ** ny - 1}) AS y
+  FROM pts
+)
+SELECT {cell} AS cell, count(*)::BIGINT AS n,
+       round(avg(lat), 4) AS avg_lat, round(avg(lng), 4) AS avg_lng
+FROM q GROUP BY 1"""
+
+
+@register("geo02_geohash_density", _geo02_oracle_sql())
+def geo02_geohash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density raster over geohash cells (pure bit-arithmetic
+    encode, no UDF): the blocking key that turns scale geo joins into
+    prefix equi-joins.  Point cloud derived deterministically from
+    customer keys; the oracle replays the quantize→interleave→base-32
+    pipeline bit for bit."""
+    from dataqtor_spark.operators import enrich as E
+
+    pts = _t(spark, sf_dir, "customer").select(
+        ((F.col("c_custkey") % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") % 35900) / 100.0 - 179.5).alias("lng"))
+    return E.geohash_density(pts, "lat", "lng",
+                             precision=_GEO02_PRECISION)
+
+
 # ---------------------------------------------------------------------------
 # r16–r19 — rules v2: conditional cross-column rule, composite-key
 # uniqueness, freshness, per-group completeness

@@ -279,3 +279,21 @@ def test_association_rules_lift_semantics(spark):
     assert got[("a", "c")]["lift"] == 2.0      # 1.0 conf / (2/4 baskets)
     assert got[("a", "c")]["confidence"] == 1.0
     assert got[("c", "a")]["confidence"] == 1.0
+
+
+def test_geohash_known_vectors(spark):
+    from dataqtor_spark.operators import enrich as E
+
+    df = spark.createDataFrame(
+        [(1, 42.605, -5.603), (2, 57.64911, 10.40744), (3, 0.0, 0.0)],
+        "id long, lat double, lng double")
+    got = {r["id"]: (r["g5"], r["g11"]) for r in df.select(
+        "id", E.geohash("lat", "lng", 5).alias("g5"),
+        E.geohash("lat", "lng", 11).alias("g11")).collect()}
+    # the classic spec example and a canonical long-precision vector
+    assert got[1][0] == "ezs42"
+    assert got[2][1] == "u4pruydqqvj"
+    assert got[3][0] == "s0000"          # origin lands in cell s000...
+    # prefix property: truncating the long hash gives the short hash
+    assert got[2][1][:5] == df.select(
+        E.geohash("lat", "lng", 5).alias("g")).collect()[1]["g"]
