@@ -13,7 +13,9 @@ fix is a range-partitioned two-level scan:
 2. within-partition running sums / row_number via a window partitioned
    on ``spark_partition_id()`` — parallel across partitions;
 3. per-partition totals (one tiny row per partition) get their carry-in
-   via a triangular broadcast self-join — no window;
+   via an exclusive running sum over the totals table itself — a
+   single-partition window, but over exactly P rows (one per partition),
+   so it is O(P log P) work on a bounded frame, not a data-sized funnel;
 4. global value = carry + within.
 
 Results depend only on the total order (callers must include a tiebreak
@@ -33,27 +35,44 @@ from pyspark.sql.window import Window
 def ordered_prefix(df: DataFrame, order_by: list[Column],
                    sums: dict[str, Column] | None = None,
                    out_rn: str | None = None,
-                   partitions: int | None = None) -> DataFrame:
+                   partitions: int | None = None,
+                   reliable: bool = False) -> DataFrame:
     """Add inclusive running sums (one output column per ``sums`` entry)
     and/or a 1-based global row number, all in ``order_by`` total order,
-    computed with NO single-partition stage.
+    computed with NO data-sized single-partition stage.
 
     ``order_by`` entries may carry ``.desc()`` / ``.asc()``; include a
     unique tiebreak so the order is total (required for deterministic
     output).  Exclusive ("rows before") forms are the inclusive sum
     minus the row's own value — no second pass needed.
+
+    ``reliable=True`` pins the range-partitioned materialization with a
+    RELIABLE checkpoint (written under ``spark.sparkContext``'s checkpoint
+    dir, which must be set to a fault-tolerant store on a real cluster)
+    instead of the default ``localCheckpoint``.  The default stores the
+    pinned blocks on executors: fastest, but on a multi-executor cluster
+    losing one executor mid-query kills the job unrecoverably (blocks
+    aren't re-derivable once lineage is truncated).  For long 100 TB jobs
+    where executor churn is expected, pay the checkpoint-dir write.
     """
     sums = sums or {}
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint (lazy): the range exchange SAMPLES to pick bounds,
+    # Checkpoint (lazy): the range exchange SAMPLES to pick bounds,
     # so re-evaluating it can assign different partition ids per subtree —
     # and this frame feeds two consumers (rows + per-partition totals)
     # whose __pid values must agree.  The checkpoint pins one
     # materialization both read; lineage truncation is the documented
     # trade (same device as the minhash pipeline's candidate sets).
     rp = (df.repartitionByRange(n, *order_by)
-          .withColumn("__pid", F.spark_partition_id())
-          .localCheckpoint(eager=False))
+          .withColumn("__pid", F.spark_partition_id()))
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="ordered_ckpt_"))
+        rp = rp.checkpoint(eager=False)
+    else:
+        rp = rp.localCheckpoint(eager=False)
     w_in = Window.partitionBy("__pid").orderBy(*order_by)
     w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
     cols = list(df.columns)
@@ -65,15 +84,20 @@ def ordered_prefix(df: DataFrame, order_by: list[Column],
     if out_rn is not None:
         within = within.withColumn("__w_rn", F.row_number().over(w_in))
     totals = rp.groupBy("__pid").agg(*aggs)
-    earlier = totals.select(
-        *[F.col(c).alias(f"__e{c}") for c in totals.columns])
-    carry_aggs = [F.coalesce(F.sum("__e__t_cnt"), F.lit(0))
+    # Carry-in = exclusive prefix sum over the totals table.  This IS an
+    # unpartitioned window, but over exactly one row per range partition
+    # (P rows, P = defaultParallelism) — a bounded metadata-sized frame,
+    # unlike the O(P²) triangular self-join it replaces, which at cluster
+    # scale (P ~ 1e4-1e5) expanded to 1e8-1e10 joined rows for what is a
+    # P-element scan.
+    w_tot = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    carry_cols = [F.col("__pid"),
+                  F.coalesce(F.sum("__t_cnt").over(w_tot), F.lit(0))
                   .alias("__c_cnt")]
     for i in range(len(sums)):
-        carry_aggs.append(F.sum(f"__e__t{i}").alias(f"__c{i}"))
-    carry = (totals.join(F.broadcast(earlier),
-                         F.col("__e__pid") < F.col("__pid"), "left")
-             .groupBy("__pid").agg(*carry_aggs))
+        carry_cols.append(F.sum(f"__t{i}").over(w_tot).alias(f"__c{i}"))
+    carry = totals.select(*carry_cols)
     out = within.join(F.broadcast(carry), "__pid")
     proj = [F.col(c) for c in cols]
     for i, name in enumerate(sums):

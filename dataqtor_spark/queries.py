@@ -7371,3 +7371,55 @@ def pr25_null_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey") % 7 == 0, None)
         .otherwise(F.col("c_name")).alias("nm"))
     return P.null_correlation(d, ["bal", "seg", "nm"])
+
+
+# Round-7 registry rotation: the driver grades only the FIRST 50 entries of
+# ``queries()``, and after six rounds the cumulative driver-graded set is 76
+# of 232 — the other 156 ride on the committed local oracle plus judge spot
+# checks.  Rotating the graded prefix converts that local-oracle trust into
+# driver-gate proof at zero code risk (VERDICT.md r6, task 1).  The prefix
+# below keeps the flagship a03 in slot 1 and fills slots 2-50 with 49
+# queries the driver has NEVER graded (diff of ORACLE_LOCAL_r6.json against
+# CORRECTNESS_r01-r06), spanning every family: text pipeline, profiling,
+# core §2 screens, dedup, ANN, embeddings, multimodal, geo, rank/ordered
+# primitives, streaming, and semi-structured.  All 49 are hash-checkable
+# (oracle SQL present); the two rows-only queries stay out of the prefix.
+_R7_PREFIX = [
+    "a03_null_profile_customer",
+    # round-6 additions, never driver-graded
+    "t28_c4_line_filters", "t29_curation_funnel", "ann04_hard_negatives",
+    "ann05_lsh_recall", "geo02_geohash_density", "e03b_pca2_closed_form",
+    # dedup + embeddings tail
+    "d07_incremental_dedup", "d08_quality_survivors", "e01_quantize_int8",
+    "e02_embedding_dim_stats", "e04_embedding_isotropy",
+    # text/training-data pipeline
+    "t05_training_pipeline", "t06_chunk_documents", "t07_pii_scrub",
+    "t08_shard_assignment", "t11_vocab_topk", "t13_decontaminate",
+    "t15_gopher_flags", "t20_paragraph_dedup", "t22_semantic_search",
+    "t23_bm25_search",
+    # multimodal + geo
+    "m01_media_metadata", "m02b_decode_dims", "m03_video_frame_sampling",
+    "geo01_nearest_city",
+    # profiling report tail
+    "pr07_psi_drift", "pr08_outlier_iqr", "pr10_equi_depth_histogram",
+    "pr11_ks_drift", "pr12_benford_extendedprice", "pr14_key_skew_user",
+    "pr16_incremental_distinct_users", "pr18_entropy_mi_orders",
+    "pr20_chi2_status_priority",
+    # core §2 screens (P/F/R families)
+    "p01_project_reorder_drop", "p03_typed_search_orders",
+    "p05_null_search_customer", "p06_row_id_lookup",
+    "p08_null_majority_rows", "f01_title_case_part", "r06_no_spaces_rule",
+    "r08b_email_subrule_counts",
+    # rank/ordered-primitive screens + time series
+    "b05_top_trigrams", "b06_rfm_segments",
+    "pareto01_revenue_concentration", "gap01_orderkey_gaps",
+    "ts03_autocorrelation",
+    # streaming sketch + semi-structured
+    "s13_windowed_distinct_sketch", "x01_json_extract_props",
+]
+_missing = [n for n in _R7_PREFIX if n not in QUERIES]
+assert not _missing, f"r7 prefix references unknown queries: {_missing}"
+assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
+QUERIES = {**{n: QUERIES[n] for n in _R7_PREFIX},
+           **{n: f for n, f in QUERIES.items() if n not in _R7_PREFIX}}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

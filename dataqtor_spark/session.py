@@ -20,7 +20,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 ROW_ID = "__row_id"
 
@@ -129,9 +128,12 @@ def with_row_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     (/root/reference/home.py:1373-1399,1406-1468).  Spark rows have no
     identity, so we add one:
 
-    - ``order_by`` given → ``row_number()`` over that ordering: fully
-      reproducible across runs/clusters.  This is a global sort; at 100 TB
-      prefer a natural key already in the data, or ids minted at ingestion.
+    - ``order_by`` given → dense 0-based ids in that ordering via the
+      range-partitioned two-level row number (``operators.ordered.
+      ordered_prefix``): fully reproducible across runs/clusters (pass a
+      total order — include a unique key — or ties land arbitrarily), and
+      with NO single-partition sort: the only data-sized exchange is the
+      ``repartitionByRange``, so the reproducible path survives 100 TB.
     - ``order_by`` None → ``monotonically_increasing_id()``: no shuffle, no
       sort; stable for a given materialized snapshot (same file layout ⇒
       same ids), which is exactly the reference's "one cached upload"
@@ -141,8 +143,10 @@ def with_row_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     if ROW_ID in df.columns:
         return df
     if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(ROW_ID, F.row_number().over(w).cast("long") - F.lit(1))
+        from dataqtor_spark.operators.ordered import ordered_prefix
+
+        out = ordered_prefix(df, [F.col(c) for c in order_by], out_rn=ROW_ID)
+        return out.withColumn(ROW_ID, F.col(ROW_ID) - F.lit(1))
     return df.withColumn(ROW_ID, F.monotonically_increasing_id())
 
 

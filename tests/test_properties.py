@@ -402,6 +402,43 @@ def test_ordered_prefix_and_ntile_match_window_forms(spark, vals, n):
         assert nt[r["id"]] == r["t"], (r["id"], nt[r["id"]], r["t"])
 
 
+def test_ordered_prefix_reliable_mode_agrees(spark):
+    from dataqtor_spark.operators.ordered import ordered_prefix
+
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 37) % 101).cast("double").alias("v"))
+    order = [F.col("v"), F.col("id")]
+    base = {r["id"]: (r["rn"], r["c"]) for r in ordered_prefix(
+        df, order, sums={"c": F.col("v")}, out_rn="rn",
+        partitions=7).collect()}
+    rel = {r["id"]: (r["rn"], r["c"]) for r in ordered_prefix(
+        df, order, sums={"c": F.col("v")}, out_rn="rn",
+        partitions=7, reliable=True).collect()}
+    assert base == rel
+
+
+def test_with_row_id_ordered_matches_window_row_number(spark):
+    from pyspark.sql.window import Window
+
+    from dataqtor_spark.session import ROW_ID, with_row_id
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), ((F.col("id") * 13) % 37).alias("v"))
+    got = {r["k"]: r[ROW_ID]
+           for r in with_row_id(df, order_by=["v", "k"]).collect()}
+    w = Window.orderBy(F.col("v"), F.col("k"))
+    ref = {r["k"]: r["rid"] for r in df.withColumn(
+        "rid", F.row_number().over(w).cast("long") - F.lit(1)).collect()}
+    assert got == ref
+    # the routed plan runs through ordered_prefix (its __pid partition
+    # marker is in the plan; the old single-partition Window.orderBy form
+    # never produced one) — the data-sized window is partitioned by __pid,
+    # and the range exchange sits behind the checkpoint that pins it
+    plan = with_row_id(df, order_by=["v", "k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "__pid" in plan
+
+
 def test_rfm_pareto_plans_free_of_single_partition_windows(spark):
     import datetime as dt
 
