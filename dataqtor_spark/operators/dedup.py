@@ -24,6 +24,7 @@ function), no Python in the hot path.
 from __future__ import annotations
 
 import functools
+import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -66,6 +67,48 @@ def resolve_auto_cap(n_docs: int, min_docs: int | None = None,
     if n_docs < min_docs:
         return None
     return max(floor, math.isqrt(n_docs))
+
+
+_log = logging.getLogger(__name__)
+
+
+def _engage_auto_cap(n_docs: int, min_docs: int | None, what: str) -> int | None:
+    """Resolve the auto guard and make its engagement VISIBLE: above the
+    threshold the candidate pass silently skips pairs internal to
+    over-full buckets/posting-lists (the documented recall trade), so the
+    cap value and the opt-out are logged once per call instead of being
+    discoverable only from missing pairs."""
+    cap = resolve_auto_cap(n_docs, min_docs)
+    if cap is not None:
+        _log.warning(
+            "auto skew guard engaged: %s capped at %d for n_docs=%d; "
+            "pairs internal to larger groups are skipped (run exact "
+            "hash-dedup first, or pass unbounded=True / an explicit cap "
+            "to opt out)", what, cap, n_docs)
+    return cap
+
+
+def _filter_by_deferred_auto_cap(grouped: DataFrame, count_src: DataFrame,
+                                 min_docs: int | None) -> DataFrame:
+    """Apply ``resolve_auto_cap`` semantics WITHOUT an eager count: the
+    corpus total is a 1-row aggregate broadcast-cross-joined into the
+    bucket/posting-list frame, and the cap becomes a filter the optimizer
+    evaluates inside the same job — no plan-construction-time Spark
+    action, no signature-pipeline recompute for callers who didn't cache.
+
+    The in-plan integer sqrt mirrors ``math.isqrt`` exactly: the float
+    ``floor(sqrt(n))`` candidate is corrected by one in either direction,
+    which covers the ulp error band around perfect squares."""
+    if min_docs is None:
+        min_docs = AUTO_GUARD_MIN_DOCS
+    total = count_src.agg(F.count(F.lit(1)).alias("__n_docs"))
+    r = F.floor(F.sqrt(F.col("__n_docs"))).cast("long")
+    isq = (F.when((r + 1) * (r + 1) <= F.col("__n_docs"), r + 1)
+           .when(r * r > F.col("__n_docs"), r - 1).otherwise(r))
+    cap = F.greatest(F.lit(AUTO_GUARD_CAP_FLOOR).cast("long"), isq)
+    keep = (F.col("__n_docs") < F.lit(min_docs)) | (F.size("ids") <= cap)
+    return (grouped.crossJoin(F.broadcast(total))
+            .filter(keep).drop("__n_docs"))
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +257,8 @@ def minhash_candidates(sig: DataFrame, id_col: str,
                        num_hashes: int = 64, bands: int = 16,
                        max_bucket_size: int | str | None = "auto",
                        auto_guard_min_docs: int | None = None,
-                       unbounded: bool = False) -> DataFrame:
+                       unbounded: bool = False,
+                       n_docs: int | None = None) -> DataFrame:
     """LSH banding: docs colliding in ≥1 band become candidate pairs
     (id_a < id_b).  rows-per-doc = bands; join is a groupBy on band hash.
 
@@ -231,21 +275,34 @@ def minhash_candidates(sig: DataFrame, id_col: str,
     The DEFAULT is ``"auto"``: above the ``AUTO_GUARD_MIN_DOCS``
     corpus-size threshold the cap engages at ``max(1024, √n_docs)``
     (``resolve_auto_cap``); below it the pass runs unguarded, so small
-    corpora keep exact banding semantics and differential oracles.  The
-    corpus count is taken from ``sig`` — callers persist signatures for
-    the verification probe anyway, so the count reuses that cache.  Pass
-    ``unbounded=True`` (or an explicit int) to opt out at any size."""
+    corpora keep exact banding semantics and differential oracles.  With
+    no ``n_docs`` hint the cap is resolved IN-PLAN (the corpus total is a
+    broadcast 1-row aggregate feeding the bucket filter), so "auto" costs
+    no extra Spark action and never recomputes the signature pipeline;
+    pass ``n_docs`` (from a prior count or pipeline metadata) to pin the
+    cap at plan time instead, in which case the engaged value is logged
+    (WARNING).  Pass ``unbounded=True`` (or an explicit int) to opt out
+    at any size."""
+    deferred_auto = False
     if unbounded:
         max_bucket_size = None
     elif max_bucket_size == "auto":
-        max_bucket_size = resolve_auto_cap(sig.count(), auto_guard_min_docs)
+        if n_docs is not None:
+            max_bucket_size = _engage_auto_cap(
+                n_docs, auto_guard_min_docs, "minhash band bucket size")
+        else:
+            deferred_auto = True
+            max_bucket_size = None
     exploded = sig.select(F.col(id_col).alias("__id"),
                           F.explode(_band_hash_array(num_hashes, bands))
                           .alias("__bh"))
     grouped = (exploded.groupBy("__bh")
                .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
                .filter(F.size("ids") > 1))
-    if max_bucket_size is not None:
+    if deferred_auto:
+        grouped = _filter_by_deferred_auto_cap(
+            grouped, sig, auto_guard_min_docs)
+    elif max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (grouped
             .select(F.explode(F.expr(
@@ -500,7 +557,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
                         max_doc_freq: int | str | None = "auto",
                         auto_guard_min_docs: int | None = None,
-                        unbounded: bool = False) -> DataFrame:
+                        unbounded: bool = False,
+                        n_docs: int | None = None) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via inverted-index
     self-join.  ``max_doc_freq`` drops shingles shared by more than that
     many docs (stop-shingle cut) — at scale this bounds the quadratic
@@ -510,14 +568,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     The DEFAULT is ``"auto"``: above the ``AUTO_GUARD_MIN_DOCS``
     corpus-size threshold the cut engages at ``max(1024, √n_docs)``
     (``resolve_auto_cap``; the worst-case per-shingle pair expansion
-    stays O(n)); below it the pass is exact.  Pass ``unbounded=True``
-    for exact semantics at any size (the d02 string_grouper-parity
-    registration does), or an explicit int to pin the cut."""
+    stays O(n)); below it the pass is exact.  With no ``n_docs`` hint the
+    cut is resolved IN-PLAN (broadcast 1-row corpus total feeding the
+    posting-list filter) — no extra eager count job; pass ``n_docs`` to
+    pin it at plan time, in which case the engaged value is logged
+    (WARNING).  Pass ``unbounded=True`` for exact semantics at any size
+    (the d02 string_grouper-parity registration does), or an explicit
+    int to pin the cut."""
+    deferred_auto = False
     if unbounded:
         max_doc_freq = None
     elif max_doc_freq == "auto":
-        max_doc_freq = resolve_auto_cap(
-            df.select(id_col).count(), auto_guard_min_docs)
+        if n_docs is not None:
+            max_doc_freq = _engage_auto_cap(
+                n_docs, auto_guard_min_docs,
+                "n-gram posting-list doc frequency")
+        else:
+            deferred_auto = True
+            max_doc_freq = None
     ex = _exploded_shingles(df, id_col, text_col, n)
     # Posting lists FIRST: the one heavy exchange (exploded (id, hash) rows
     # hash-partitioned on the shingle) happens exactly once, and everything
@@ -532,7 +600,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # The self-join form exchanged the full inverted index twice and joined.
     posts = (ex.groupBy("__sh")
              .agg(F.sort_array(F.collect_list("__id")).alias("ids")))
-    if max_doc_freq is not None:
+    if deferred_auto:
+        posts = _filter_by_deferred_auto_cap(
+            posts, df.select(id_col), auto_guard_min_docs)
+    elif max_doc_freq is not None:
         posts = posts.filter(F.size("ids") <= max_doc_freq)
     # two consumers (sizes, pair expansion): persist the compact lists
     posts = posts.persist()

@@ -4773,9 +4773,14 @@ def b05_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (tri.filter(F.col("e3").isNotNull())
               .groupBy("e1", "e2", "e3")
               .agg(F.count(F.lit(1)).alias("n")))
-    w2 = Window.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
-    return (counts.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= 10))
+    # limit first (t11's device): orderBy+limit compiles to
+    # TakeOrderedAndProject — distributed per-partition top-k + driver
+    # merge — so the aggregated trigram table is never sorted on one
+    # partition even when the path alphabet is high-cardinality (URLs,
+    # product ids); the rank window then runs over 10 rows.
+    order = [F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3")]
+    top = counts.orderBy(*order).limit(10)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 # ---------------------------------------------------------------------------
