@@ -137,7 +137,22 @@ def _bucketed_series(df: DataFrame, ts_col: str, bucket: str,
     per_us = _BUCKET_US
     if bucket not in per_us:
         raise ValueError(f"unsupported bucket {bucket!r}")
-    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    # Truncate with pure integer µs arithmetic, NOT date_trunc: date_trunc
+    # follows the session timezone, and under a DST zone day/week buckets
+    # are 23/25-hour wide around transitions — off the regular
+    # _BUCKET_US grid, so those rows would be silently dropped by the
+    # grid left-join below.  pmod on unix_micros is timezone-independent
+    # and exact (no double rounding), identical to date_trunc under the
+    # repo's pinned UTC sessions; buckets are UTC-aligned regardless of
+    # session zone.  Week buckets start Monday (epoch 1970-01-01 is a
+    # Thursday, hence the 3-day shift), matching date_trunc('week').
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if bucket == "week":
+        off = F.lit(3 * 86_400_000_000)
+        b = F.timestamp_micros(
+            (us + off) - F.pmod(us + off, F.lit(per_us[bucket])) - off)
+    else:
+        b = F.timestamp_micros(us - F.pmod(us, F.lit(per_us[bucket])))
     series = (df.filter(F.col(ts_col).isNotNull())
               .groupBy(b.alias("__b"))
               .agg(*[expr.alias(name) for name, expr in aggs.items()]))

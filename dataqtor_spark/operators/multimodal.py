@@ -624,30 +624,54 @@ _MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
 _MP3_RATES = [44100, 48000, 32000]
 
 
+def _mp3_frame_header(data: bytes, pos: int) -> tuple | None:
+    """Parse an MPEG-1 Layer III frame header at ``pos``; returns
+    (bit_rate, sample_rate, frame_len) or None if not a valid header."""
+    if pos + 4 > len(data) or data[pos] != 0xFF \
+            or (data[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2 = data[pos + 1], data[pos + 2]
+    if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+        return None
+    bi, ri = b2 >> 4, (b2 >> 2) & 0x03
+    if bi in (0, 15) or ri == 3:
+        return None
+    bit_rate = _MP3_BITRATES[bi] * 1000
+    rate = _MP3_RATES[ri]
+    pad = (b2 >> 1) & 1
+    return bit_rate, rate, 144 * bit_rate // rate + pad
+
+
 def _probe_mp3(data: bytes) -> tuple:
-    """MPEG-1 Layer III: skip the ID3v2 tag (synchsafe size), parse the
-    first frame header (bitrate + sample-rate indices), estimate duration
-    from audio byte length at that bitrate (CBR assumption, documented)."""
-    pos = 0
+    """MPEG-1 Layer III: skip the ID3v2 tag (synchsafe size), find a
+    frame header, estimate duration from audio byte length at its
+    bitrate (CBR assumption, documented).
+
+    This is the LAST probe in ``probe_media_info``, so a lone
+    sync-looking byte pair inside arbitrary binary (an image, truncated
+    media) must not classify the payload as mp3 with a garbage duration:
+    a candidate header is accepted only if a SECOND valid header sits
+    exactly one computed frame length after it (real CBR streams chain
+    frames back-to-back) — or the single frame is the whole remaining
+    payload of a stream that starts properly with ID3/sync."""
+    start = 0
     if data[:3] == b"ID3":
         flags = data[5]
         size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
                 | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
-        pos = 10 + size + (10 if flags & 0x10 else 0)
+        start = 10 + size + (10 if flags & 0x10 else 0)
+    pos = start
     while pos + 4 <= len(data):
-        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
-            b1, b2 = data[pos + 1], data[pos + 2]
-            if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
-                raise ValueError("not MPEG-1 Layer III")
-            bi, ri = b2 >> 4, (b2 >> 2) & 0x03
-            if bi in (0, 15) or ri == 3:
-                raise ValueError("free/bad bitrate or rate")
-            bit_rate = _MP3_BITRATES[bi] * 1000
-            rate = _MP3_RATES[ri]
-            dur = (len(data) - pos) * 8000.0 / bit_rate
-            return ("mp3", dur, 1, ["soun"], rate, bit_rate)
+        hdr = _mp3_frame_header(data, pos)
+        if hdr is not None:
+            bit_rate, rate, flen = hdr
+            chained = _mp3_frame_header(data, pos + flen) is not None
+            whole_single = (pos == start and pos + flen >= len(data))
+            if chained or whole_single:
+                dur = (len(data) - pos) * 8000.0 / bit_rate
+                return ("mp3", dur, 1, ["soun"], rate, bit_rate)
         pos += 1
-    raise ValueError("no mp3 frame sync")
+    raise ValueError("no chained mp3 frame sync")
 
 
 def _probe_wav(data: bytes) -> tuple:

@@ -16,8 +16,9 @@ Scale contract and limits (documented, not hidden):
   shape; this reader is for the many-small-uploads fleet);
 - every cell surfaces as a STRING column first; the caller's DDL schema
   is applied with ``try_cast`` (malformed cells → NULL, the PERMISSIVE
-  csv contract) — xlsx dates arrive as Excel serial numbers, convert
-  with ``date_add(DATE '1899-12-30', serial)`` downstream;
+  csv contract) — xlsx dates arrive as Excel serial numbers, so name
+  those fields in ``date_serial_cols`` to convert during ingest
+  (``date_add(DATE '1899-12-30', serial)`` / its seconds form);
 - styles, merged regions, charts and macros are out of scope (openpyxl
   on the driver via ``session.ingest`` remains the full-fidelity path
   for small files).
@@ -48,6 +49,41 @@ def _col_index(cell_ref: str | None, fallback: int) -> int:
     return idx - 1 if idx else fallback
 
 
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_RID_NS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships}")
+
+
+def _sheet_parts_in_workbook_order(z: zipfile.ZipFile,
+                                   names: list[str]) -> list[str]:
+    """Worksheet part paths in the WORKBOOK's sheet order: xl/workbook.xml
+    lists <sheet> elements in display order, each pointing via r:id into
+    xl/_rels/workbook.xml.rels.  Filename numbering (sheetN.xml) is only a
+    creation artifact — a workbook whose sheets were reordered after
+    creation keeps the original part names, so ``sheet_index=0`` by
+    filename can pick a different sheet than pandas/openpyxl do.  Falls
+    back to filename order when either XML part is missing/malformed."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        targets = {r.get("Id"): r.get("Target")
+                   for r in rels.findall(f"{_REL_NS}Relationship")}
+        out = []
+        for sh in wb.find(f"{_NS}sheets").findall(f"{_NS}sheet"):
+            tgt = targets[sh.get(f"{_RID_NS}id")]
+            tgt = tgt.lstrip("/")
+            if not tgt.startswith("xl/"):
+                tgt = "xl/" + tgt
+            out.append(tgt)
+        if out and all(t in names for t in out):
+            return out
+    except Exception:
+        pass
+    return sorted(
+        (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
+
+
 def _parse_xlsx_bytes(data: bytes, sheet_index: int = 0) -> list[list]:
     """All rows of one worksheet as lists of (string | None) cell values,
     row-major, ragged rows padded to their own width."""
@@ -60,9 +96,7 @@ def _parse_xlsx_bytes(data: bytes, sheet_index: int = 0) -> list[list]:
         for si in root.findall(f"{_NS}si"):
             shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
 
-    sheets = sorted(
-        (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
+    sheets = _sheet_parts_in_workbook_order(z, names)
     if sheet_index >= len(sheets):
         raise IndexError(f"sheet {sheet_index} of {len(sheets)}")
     root = ET.fromstring(z.read(sheets[sheet_index]))
@@ -93,7 +127,9 @@ def _parse_xlsx_bytes(data: bytes, sheet_index: int = 0) -> list[list]:
 
 def read_excel_distributed(spark: SparkSession, path: str, schema: str,
                            header: bool = True,
-                           sheet_index: int = 0) -> DataFrame:
+                           sheet_index: int = 0,
+                           date_serial_cols: list[str] | None = None
+                           ) -> DataFrame:
     """Read one xlsx file or a glob/directory of them into a typed
     DataFrame, parsing on the EXECUTORS (binaryFile → mapInPandas).
 
@@ -104,6 +140,13 @@ def read_excel_distributed(spark: SparkSession, path: str, schema: str,
     yields NULLs for it.  Without ``header``, cells map to schema fields
     positionally.  Types are applied with ``try_cast`` (malformed →
     NULL).
+
+    ``date_serial_cols`` names schema fields stored as Excel DATE SERIAL
+    numbers (days since 1899-12-30, time as the day fraction — how xlsx
+    stores every date cell): they convert via
+    ``date_add(DATE '1899-12-30', serial)`` for date fields and the
+    seconds-equivalent for timestamp fields, instead of the raw
+    try_cast (which would NULL them).
     """
     import pandas as pd
 
@@ -138,6 +181,26 @@ def read_excel_distributed(spark: SparkSession, path: str, schema: str,
 
     raw = (spark.read.format("binaryFile").load(path)
            .select("content").mapInPandas(gen, raw_schema))
-    return raw.select(*[
-        F.expr(f"try_cast(`{f.name}` AS {f.dataType.simpleString()})")
-        .alias(f.name) for f in fields])
+    serial = set(date_serial_cols or [])
+    unknown = serial - set(names)
+    if unknown:
+        raise ValueError(f"date_serial_cols not in schema: {sorted(unknown)}")
+    cols = []
+    for f in fields:
+        t = f.dataType.simpleString()
+        if f.name in serial and t.startswith("timestamp"):
+            # day fraction carries the time of day; rounding to whole
+            # seconds matches Excel's own display precision
+            cols.append(F.expr(
+                f"try_cast(timestampadd(SECOND, "
+                f"cast(round(try_cast(`{f.name}` AS double) * 86400) "
+                f"AS bigint), TIMESTAMP '1899-12-30 00:00:00') AS {t})"
+            ).alias(f.name))
+        elif f.name in serial:
+            cols.append(F.expr(
+                f"try_cast(date_add(DATE '1899-12-30', "
+                f"try_cast(try_cast(`{f.name}` AS double) AS int)) AS {t})"
+            ).alias(f.name))
+        else:
+            cols.append(F.expr(f"try_cast(`{f.name}` AS {t})").alias(f.name))
+    return raw.select(*cols)

@@ -249,6 +249,49 @@ def test_bucketed_series_zero_fills_outage_gaps(spark):
     assert r["n_buckets"] == 25                 # outage buckets counted
 
 
+def test_bucketed_series_grid_survives_dst_session_timezone(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    # Under a DST timezone, date_trunc('day') buckets are 23/25 hours
+    # wide around transitions and would fall off the regular-µs grid
+    # (silently dropped by the grid left-join).  The integer-µs
+    # truncation must keep every day on the grid regardless of session
+    # zone.  2024-03-10 is the US spring-forward date.
+    base = dt.datetime(2024, 3, 8, 12)
+    rows = [(base + dt.timedelta(days=d),) for d in range(6) for _ in range(3)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        series = B._bucketed_series(
+            df, "ts", "day", {"__v": F.count(F.lit(1)).cast("double")})
+        got = series.collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert len(got) == 6                        # dense grid, no holes
+    assert sum(r["__v"] for r in got) == 18.0   # no rows dropped
+
+
+def test_bucketed_series_week_starts_monday(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    # integer-µs week truncation must match date_trunc('week') semantics:
+    # buckets start on Monday (2024-01-01 is a Monday)
+    rows = [(dt.datetime(2024, 1, 3),), (dt.datetime(2024, 1, 8),),
+            (dt.datetime(2024, 1, 14),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    series = B._bucketed_series(
+        df, "ts", "week", {"__v": F.count(F.lit(1)).cast("double")})
+    got = sorted(r["__b"] for r in series.collect())
+    assert got[0] == dt.datetime(2024, 1, 1)
+    assert got[-1] == dt.datetime(2024, 1, 8)
+    assert len(got) == 2
+
+
 def test_segmented_prefix_sum_matches_naive(spark):
     from dataqtor_spark.operators import behavior as B
 

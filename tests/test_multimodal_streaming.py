@@ -978,6 +978,19 @@ def test_probe_mp3_bitrate_and_duration():
     assert dur == pytest.approx(audio_bytes * 8000.0 / 128000)
 
 
+def test_probe_mp3_rejects_embedded_sync_in_binary():
+    # a lone sync-looking byte pair inside arbitrary binary must NOT
+    # classify as mp3 (it is the last probe, so a false accept labels
+    # images/truncated media as mp3 with a garbage CBR duration); a
+    # valid stream chains a second header one frame length later
+    junk = b"\x89PNG\r\n" + b"A" * 300 + b"\xff\xfb\x90\x00" + b"B" * 600
+    with pytest.raises(ValueError):
+        MM._probe_mp3(junk)
+    # single whole-frame stream that STARTS at the sync is still accepted
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+    assert MM._probe_mp3(frame)[0] == "mp3"
+
+
 def test_probe_media_info_mixed(spark):
     import io
     import struct

@@ -64,6 +64,52 @@ def test_parse_selects_sheet_by_index():
         _parse_xlsx_bytes(data, 2)
 
 
+def _xlsx_with_workbook(order: list[int]) -> bytes:
+    """Three one-cell sheets (values '1','2','3' in part files sheet1-3)
+    plus a workbook.xml whose display order is ``order`` (1-based part
+    numbers) — models a workbook reordered after creation."""
+    import io
+
+    rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    rid_ns = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+              "relationships")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for i in (1, 2, 3):
+            z.writestr(f"xl/worksheets/sheet{i}.xml",
+                       f'<worksheet {_SHEET_NS}><sheetData>'
+                       f'<row><c><v>{i}</v></c></row>'
+                       '</sheetData></worksheet>')
+        sheets = "".join(
+            f'<sheet name="S{p}" sheetId="{k + 1}" r:id="rId{p}"/>'
+            for k, p in enumerate(order))
+        z.writestr("xl/workbook.xml",
+                   f'<workbook {_SHEET_NS} xmlns:r="{rid_ns}">'
+                   f'<sheets>{sheets}</sheets></workbook>')
+        rels = "".join(
+            f'<Relationship Id="rId{i}" Type="t" '
+            f'Target="worksheets/sheet{i}.xml"/>' for i in (1, 2, 3))
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   f'<Relationships xmlns="{rel_ns}">{rels}</Relationships>')
+    return buf.getvalue()
+
+
+def test_sheet_index_follows_workbook_order_not_filenames():
+    # workbook displays sheet3 first: sheet_index=0 must yield its rows,
+    # exactly what pandas/openpyxl resolve for the same file
+    data = _xlsx_with_workbook([3, 1, 2])
+    assert _parse_xlsx_bytes(data, 0) == [["3"]]
+    assert _parse_xlsx_bytes(data, 1) == [["1"]]
+    assert _parse_xlsx_bytes(data, 2) == [["2"]]
+
+
+def test_sheet_order_falls_back_to_filenames_without_workbook_xml():
+    data = _xlsx('<row><c><v>1</v></c></row>',
+                 extra_sheets=['<row><c><v>2</v></c></row>'])
+    assert _parse_xlsx_bytes(data, 0) == [["1"]]
+    assert _parse_xlsx_bytes(data, 1) == [["2"]]
+
+
 def _write_book(tmp_path, name: str, header: list[str],
                 rows: list[list]) -> None:
     def cell(v):
@@ -101,6 +147,29 @@ def test_distributed_read_positional_without_header(spark, tmp_path):
     df = read_excel_distributed(spark, str(tmp_path / "c.xlsx"),
                                 "a string, b string", header=False)
     assert df.collect()[0].asDict() == {"a": "x", "b": "y"}
+
+
+def test_date_serial_cols_convert_during_ingest(spark, tmp_path):
+    import datetime as dt
+
+    # Excel serials: 45292 = 2024-01-01; 45292.5 = same day 12:00:00
+    # (days since 1899-12-30, time as the day fraction)
+    _write_book(tmp_path, "e.xlsx", ["d", "ts", "plain"],
+                [[45292, 45292.5, 45292], ["bad", "bad", 7]])
+    df = read_excel_distributed(
+        spark, str(tmp_path / "e.xlsx"),
+        "d date, ts timestamp, plain int",
+        date_serial_cols=["d", "ts"])
+    rows = df.orderBy("plain").collect()
+    assert rows[1]["d"] == dt.date(2024, 1, 1)
+    assert rows[1]["ts"] == dt.datetime(2024, 1, 1, 12, 0, 0)
+    assert rows[1]["plain"] == 45292
+    # malformed serials keep the PERMISSIVE contract
+    assert rows[0]["d"] is None and rows[0]["ts"] is None
+
+    with pytest.raises(ValueError):
+        read_excel_distributed(spark, str(tmp_path / "e.xlsx"),
+                               "d date", date_serial_cols=["nope"])
 
 
 def test_ingest_routes_schema_to_distributed_path(spark, tmp_path):
