@@ -319,6 +319,147 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+# ---------------------------------------------------------------------------
+# portable product quantization (PQ + ADC — the compressed-codes scale path)
+#
+# IVF prunes WHICH corpus rows are scored; PQ compresses HOW each row is
+# stored and scored: a dim-D float vector becomes M small integer codes
+# (one per subspace), ~D·4 bytes → M bytes, so a 100 TB embedding corpus's
+# scan state shrinks ~32× and the per-candidate score is M table lookups
+# (ADC) instead of a D-element dot product.  Deterministic construction
+# throughout (the ann03 recipe per subspace: md5-ordered seed draw,
+# unrolled Lloyd rounds with 6 dp recentering, 9 dp + cid-tiebreak
+# assignment), so the entire pipeline — training, encoding, ADC ranking —
+# replays in ANSI SQL for differential checking.
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks_portable(corpus: DataFrame, id_col: str, vec_col: str,
+                                m: int = 4, ks: int = 8, n_iter: int = 2,
+                                cache_key: str | None = None
+                                ) -> tuple[int, list[list[tuple[int, list[float]]]]]:
+    """Per-subspace deterministic Lloyd's k-means: the dim-D vectors split
+    into ``m`` contiguous subvectors of D/m dims; each subspace gets its
+    own ``ks``-entry codebook.  Returns ``(sub_len, books)`` with
+    ``books[j] = [(cid, sub_center), ...]``.
+
+    One full scan per iteration trains ALL subspaces at once: the m
+    assignments are computed in-row (m nearest-centroid expressions over
+    slices), then a single (subspace, cid, pos)-grouped avg recenters every
+    codebook — collected state is m × ks × sub_len floats.  At 100 TB train
+    on a sample, exactly like the IVF quantizer; encoding is the only
+    full-corpus pass and it is a pure column expression."""
+    key = ("pq", cache_key, vec_col, m, ks, n_iter)
+    if cache_key is not None:
+        hit = _CENTROID_CACHE.get(key)
+        if hit is not None:
+            return hit
+    base = corpus.select(F.col(id_col).alias("__id"),
+                         _as_double(F.col(vec_col)).alias("__v"))
+    seeds = (base
+             .withColumn("__ord", F.md5(F.encode(F.col("__id").cast("string"), "UTF-8")))
+             .orderBy("__ord", "__id").limit(ks).collect())
+    dim = len(seeds[0]["__v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [[(i, [float(x) for x in r["__v"][j * sub:(j + 1) * sub]])
+              for i, r in enumerate(seeds)] for j in range(m)]
+    for _ in range(n_iter):
+        cids = F.array(*[
+            F.expr(_sql_nearest_cids(f"slice(__v, {j * sub + 1}, {sub})",
+                                     books[j], 1))[0] for j in range(m)])
+        rows = (base.select(cids.alias("__cs"), F.posexplode("__v"))
+                .select((F.col("pos") / sub).cast("int").alias("__j"),
+                        F.element_at(
+                            "__cs",
+                            ((F.col("pos") / sub).cast("int") + 1)
+                            .cast("int")).alias("__c"),
+                        F.pmod("pos", F.lit(sub)).alias("__p"), "col")
+                .groupBy("__j", "__c", "__p")
+                .agg(F.round(F.avg("col"), 6).alias("m")).collect())
+        acc: list[dict[int, dict[int, float]]] = [{} for _ in range(m)]
+        for r in rows:
+            acc[r["__j"]].setdefault(r["__c"], {})[r["__p"]] = r["m"]
+        books = [[(cid, [d[i] for i in range(sub)])
+                  for cid, d in sorted(acc[j].items())] for j in range(m)]
+    if cache_key is not None:
+        _CENTROID_CACHE[key] = (sub, books)
+    return sub, books
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, sub: int,
+              books: list[list[tuple[int, list[float]]]]) -> DataFrame:
+    """(id, codes array<int>) — the compressed corpus representation.
+    Pure column expressions; at rest this is the table you persist instead
+    of the raw vectors (M bytes/row), and the ADC scan reads only it."""
+    m = len(books)
+    codes = F.array(*[
+        F.expr(_sql_nearest_cids(f"slice({vec_col}, {j * sub + 1}, {sub})",
+                                 books[j], 1))[0] for j in range(m)])
+    return corpus.select(F.col(id_col).alias("neighbor_id"),
+                         codes.alias("codes"))
+
+
+def pq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 5, m: int = 4, ks: int = 8,
+                     n_iter: int = 2, query_id_col: str | None = None,
+                     cache_key: str | None = None) -> DataFrame:
+    """PQ/ADC approximate top-k: encode the corpus to M codes, score each
+    (query, candidate) as cosine(q, reconstruction(codes)) via per-query
+    lookup tables, rank per query.
+
+    The scale shape: queries build their M LUTs in-row (lut_j[i] =
+    dot(q_sub_j, center_j_i) — ks × m dot products per QUERY, not per
+    candidate), then the scored join reads only the corpus CODES — each
+    candidate costs m ``element_at`` lookups + a division.  The corpus
+    never shuffles; queries broadcast.  Reconstruction norms fold in from
+    driver-side ‖center‖² literals.  Deterministic: 6 dp rounding before
+    ranking, neighbor-id tiebreak, self-matches excluded."""
+    query_id_col = query_id_col or id_col
+    sub, books = train_pq_codebooks_portable(
+        corpus, id_col, vec_col, m, ks, n_iter, cache_key=cache_key)
+    enc = pq_encode(
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")),
+        id_col, "__cv", sub, books)
+    # lookup arrays are indexed BY CID (codes are centroid ids, which go
+    # non-contiguous when a Lloyd round empties a cluster): vanished cids
+    # get a dead 0.0 slot no code can ever select
+    def by_cid(book, value):
+        slots = {cid: value(c) for cid, c in book}
+        return [slots.get(i, 0.0) for i in range(max(slots) + 1)]
+
+    norm_arrs = [F.array(*[F.lit(v).cast("double")
+                           for v in by_cid(books[j],
+                                           lambda c: sum(x * x for x in c))])
+                 for j in range(m)]
+    recon_n = F.sqrt(sum(
+        F.element_at(norm_arrs[j], F.col("codes")[j] + 1) for j in range(m)))
+    enc = enc.withColumn("__rn", recon_n)
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv"))))
+    zeros = [0.0] * sub
+    for j in range(m):
+        qsub = F.slice("__qv", j * sub + 1, sub)
+        cid_centers = dict(books[j])
+        q = q.withColumn(f"__l{j}", F.array(*[
+            dot(qsub, F.array(*[F.lit(x).cast("double")
+                                for x in cid_centers.get(i, zeros)]))
+            for i in range(max(cid_centers) + 1)]))
+    adc_dot = sum(F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
+                  for j in range(m))
+    scored = (enc.crossJoin(F.broadcast(q.drop("__qv")))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("adc_cosine",
+                          F.round(adc_dot / (F.col("__rn") * F.col("__qn")),
+                                  6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_cosine", "rank"))
+
+
 def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int = 16,
                         seed: int = 42, sample_fraction: float | None = None,
                         cache_key: str | None = None) -> list[list[float]]:

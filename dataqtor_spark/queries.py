@@ -7428,3 +7428,85 @@ assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
 QUERIES = {**{n: QUERIES[n] for n in _R7_PREFIX},
            **{n: f for n, f in QUERIES.items() if n not in _R7_PREFIX}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# --- pq01 — product quantization + ADC (compressed-codes ANN scale path) ---
+# Per-subspace portable k-means (the ann03 recipe on each 16-dim slice),
+# corpus stored as 4 small codes, ADC cosine from per-query LUTs.  The
+# oracle replays the ENTIRE pipeline in SQL: per-subspace seed draw +
+# 2 Lloyd rounds + final encoding + reconstruction-norm ADC ranking.
+_PQ01_M, _PQ01_KS, _PQ01_K, _PQ01_DIM = 4, 8, 5, 64
+
+
+def _pq01_oracle_sql() -> str:
+    m, ks, k, dim = _PQ01_M, _PQ01_KS, _PQ01_K, _PQ01_DIM
+    sub = dim // m
+
+    def assign_cte(src: str, cents: str) -> str:
+        return f"""(
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, s.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY round(pow(list_distance(x.v, s.v), 2), 9), s.cid) AS rn
+    FROM {src} x, {cents} s) WHERE rn <= 1)"""
+
+    def recenter_cte(assigned: str) -> str:
+        return f"""(
+  SELECT cid, list(val ORDER BY i) AS v FROM (
+    SELECT a.cid, t.i, round(avg(a.v[t.i]), 6) AS val
+    FROM {assigned} a, unnest(generate_series(1, {sub})) AS t(i)
+    GROUP BY a.cid, t.i) GROUP BY cid)"""
+
+    parts = [f"WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+             f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v
+  FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {ks})"""]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"cs{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM c)")
+        parts.append(f"s{j} AS (SELECT cid, v[{lo}:{hi}] AS v FROM seeds)")
+        parts.append(f"a1_{j} AS {assign_cte(f'cs{j}', f's{j}')}")
+        parts.append(f"cent1_{j} AS {recenter_cte(f'a1_{j}')}")
+        parts.append(f"a2_{j} AS {assign_cte(f'cs{j}', f'cent1_{j}')}")
+        parts.append(f"cent2_{j} AS {recenter_cte(f'a2_{j}')}")
+        parts.append(f"af{j} AS {assign_cte(f'cs{j}', f'cent2_{j}')}")
+    parts.append(
+        "qs AS (SELECT vec_id AS query_id, v, "
+        "sqrt(list_inner_product(v, v)) AS qn FROM c WHERE vec_id < 8)")
+    dot_terms = " + ".join(
+        f"list_inner_product(q.v[{j * sub + 1}:{(j + 1) * sub}], c{j}.v)"
+        for j in range(m))
+    norm_terms = " + ".join(
+        f"list_inner_product(c{j}.v, c{j}.v)" for j in range(m))
+    joins = "af0 a0"
+    for j in range(1, m):
+        joins += f" JOIN af{j} a{j} ON a{j}.vec_id = a0.vec_id"
+    for j in range(m):
+        joins += f" JOIN cent2_{j} c{j} ON c{j}.cid = a{j}.cid"
+    parts.append(f"""scored AS (
+  SELECT q.query_id, a0.vec_id AS neighbor_id,
+         round(({dot_terms}) / (sqrt({norm_terms}) * q.qn), 6) AS adc_cosine
+  FROM {joins}, qs q WHERE a0.vec_id <> q.query_id)""")
+    return f"""{parts[0]}
+{",".join(parts[1:])}
+SELECT query_id, neighbor_id, adc_cosine, rank FROM (
+  SELECT query_id, neighbor_id, adc_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
+@register("pq01_product_quantization", _pq01_oracle_sql())
+def pq01_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k over the embeddings table: dim-64 vectors
+    compressed to 4 codebook codes (8 entries per subspace, portable
+    deterministic k-means), queries score candidates through per-query
+    lookup tables.  The compressed-storage ANN path for corpora whose raw
+    vectors don't fit the scan budget."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ANN.pq_topk_portable(
+        emb, queries, "vec_id", "embedding", k=_PQ01_K, m=_PQ01_M,
+        ks=_PQ01_KS, n_iter=2,
+        cache_key=os.path.join(sf_dir, "embeddings.parquet"))
+    return out.withColumn("rank", F.col("rank").cast("long"))
