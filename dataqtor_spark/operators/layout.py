@@ -127,3 +127,50 @@ def read_pruned(spark, path: str, col: str, lo, hi) -> "DataFrame":
                 .filter(F.col(col).between(lo, hi)).limit(0))
     return (spark.read.parquet(*keep)
             .filter(F.col(col).between(lo, hi)))
+
+
+# ---------------------------------------------------------------------------
+# raw-integer Morton interleave (oracle-exact variant)
+#
+# zorder_value above bucketizes through approxQuantile — the right default
+# for arbitrary numeric columns, but its sampled boundaries are not
+# SQL-replayable.  When the dimensions are ALREADY small integers (ids mod
+# 2^bits, day numbers, geohash cells), the interleave itself is pure bit
+# arithmetic that replays bit-for-bit in ANSI SQL, so layout keys become
+# differentially testable like any operator (zorder01; the geo02
+# precedent).
+# ---------------------------------------------------------------------------
+
+def zvalue_expr(cols: list[Column], bits: int = 16) -> Column:
+    """Morton interleave of the low ``bits`` bits of each column (2-4
+    dimensions): output bit ``b*n + i`` = bit ``b`` of ``cols[i]``.
+
+    Pure shift/mask arithmetic — ``bits × n`` constant-folded terms inside
+    whole-stage codegen.  Callers normalize each dimension into
+    [0, 2^bits) first (clamp, bucket, or hash); values outside alias in
+    via the mask.  ``bits * len(cols)`` ≤ 63 so the value fits a long."""
+    n = len(cols)
+    if not 2 <= n <= 4:
+        raise ValueError("zvalue_expr interleaves 2-4 dimensions")
+    if bits * n > 63:
+        raise ValueError(f"bits*dims = {bits * n} exceeds a signed long")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        v = c.cast("long")
+        for b in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + i)
+    return out.cast("long")
+
+
+def zvalue_sql(col_sqls: list[str], bits: int = 16) -> str:
+    """The identical Morton interleave as an ANSI-SQL expression string
+    (DuckDB-compatible ``>>``/``<<``/``&``/``+``) — the differential
+    oracle's side of :func:`zvalue_expr`."""
+    n = len(col_sqls)
+    terms = []
+    for i, c in enumerate(col_sqls):
+        for b in range(bits):
+            terms.append(
+                f"((((({c})::BIGINT >> {b}) & 1)) << {b * n + i})")
+    return "(" + " + ".join(terms) + ")"

@@ -7510,3 +7510,49 @@ def pq01_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks=_PQ01_KS, n_iter=2,
         cache_key=os.path.join(sf_dir, "embeddings.parquet"))
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- zorder01 — Z-order layout key (multi-dimension pruning, bit-exact) ---
+# The write-time clustering device: Morton-interleave (user, day) and
+# audit how the curve segments the data — per curve-segment row counts
+# and per-dimension min/max spans, i.e. exactly the row-group statistics
+# a Z-ordered parquet file would expose to pruning.  Bit-for-bit SQL
+# replay (the geo02 precedent for bit-arithmetic layout keys).
+_Z01_BITS, _Z01_SEG = 10, 6  # 20-bit z, segments of 2^6 curve steps
+
+
+def _zorder01_sql() -> str:
+    from dataqtor_spark.operators.layout import zvalue_sql
+
+    z = zvalue_sql(["(user_id & 1023)",
+                    "(datediff('day', DATE '2024-01-01', ts) & 1023)"],
+                   bits=_Z01_BITS)
+    return f"""SELECT seg, count(*)::BIGINT AS n_rows,
+       min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
+       min(day)::BIGINT AS min_day, max(day)::BIGINT AS max_day
+FROM (
+  SELECT ({z} >> {_Z01_SEG}) AS seg, user_id,
+         datediff('day', DATE '2024-01-01', ts) AS day
+  FROM (SELECT (user_id & 1023) AS user_id, ts FROM events))
+GROUP BY seg"""
+
+
+@register("zorder01_curve_segments", _zorder01_sql())
+def zorder01_curve_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve layout audit over events: Morton(user mod 2^10, day mod
+    2^10), rows grouped into 2^6-step curve segments, per-segment count
+    + both dimensions' min/max (the row-group stats pruning would use)."""
+    from dataqtor_spark.operators.layout import zvalue_expr
+
+    ev = _t(spark, sf_dir, "events")
+    user = F.col("user_id").bitwiseAND(F.lit(1023))
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    z = zvalue_expr([user, day.bitwiseAND(F.lit(1023))], bits=_Z01_BITS)
+    return (ev.select(F.shiftright(z, _Z01_SEG).alias("seg"),
+                      user.alias("user_id"), day.cast("long").alias("day"))
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("user_id").alias("min_user"),
+                 F.max("user_id").alias("max_user"),
+                 F.min("day").alias("min_day"),
+                 F.max("day").alias("max_day")))
