@@ -956,3 +956,46 @@ def c4_line_filters(df: DataFrame, id_col: str = "doc_id",
         dropped.alias("doc_dropped"),
         F.when(~dropped & (F.size(keep) > 0), F.array_join(keep, "\n"))
         .alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus identity — CCNet/CommonCrawl hygiene)
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAM_RE = "^(utm_|fbclid|gclid|mc_eid|ref=)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL so that cosmetic variants collapse to one
+    identity — the precondition for URL-level dedup, per-domain quality
+    aggregation, and crawl-frontier dedup over a web corpus:
+
+    - scheme and host lowercased, leading ``www.`` dropped;
+    - default ports (``:80`` http, ``:443`` https) dropped;
+    - fragment dropped;
+    - tracking query params (utm_*, fbclid, gclid, mc_eid) dropped and
+      the surviving params SORTED (param order is not identity);
+    - trailing slash on the path dropped.
+
+    Pure string/array expressions (regexp splits, list filter + sort) —
+    one projection, no UDF, replayable in ANSI SQL.  "No query left"
+    canonicalizes to no ``?`` at all (dialects disagree on joining an
+    empty list, so the empty join is normalized away via NULL).
+    """
+    u = F.regexp_replace(url, "#.*$", "")                 # strip fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+        .otherwise(host)
+    path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE)))
+    qs = F.when(F.size(kept) > 0,
+                F.concat(F.lit("?"), F.array_join(kept, "&"))) \
+        .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)

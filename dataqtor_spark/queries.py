@@ -7556,3 +7556,147 @@ def zorder01_curve_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("user_id").alias("max_user"),
                  F.min("day").alias("min_day"),
                  F.max("day").alias("max_day")))
+
+
+# --- b08 — first/last-touch conversion attribution -------------------------
+_B08_SQL = """WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type IN ('view', 'click') THEN event_type END
+           AS touch
+  FROM events
+), conv AS (
+  SELECT event_type, value,
+         first_value(touch IGNORE NULLS) OVER w AS first_touch,
+         last_value(touch IGNORE NULLS) OVER w AS last_touch
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT * FROM (
+  SELECT 'first' AS model, first_touch AS touch, count(*)::BIGINT AS n_conv,
+         round(sum(value::DECIMAL(18,2)), 2) AS revenue
+  FROM conv WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+  GROUP BY first_touch
+  UNION ALL
+  SELECT 'last', last_touch, count(*)::BIGINT,
+         round(sum(value::DECIMAL(18,2)), 2)
+  FROM conv WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+  GROUP BY last_touch)"""
+
+
+@register("b08_touch_attribution", _B08_SQL)
+def b08_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: each purchase credits the
+    user's FIRST and LAST preceding touch event (view/click stand in for
+    channels).  Scale shape: one per-user PARTITIONED window carries both
+    models (first/last ignore-nulls over the strictly-preceding frame) —
+    no self-join of conversions to touches, no unpartitioned window; the
+    credit aggregation is a bounded (model × channel) groupBy."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(F.col("event_type").isin("view", "click"),
+               F.col("event_type")).alias("touch"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    conv = (tagged
+            .withColumn("first_touch", F.first("touch", True).over(w))
+            .withColumn("last_touch", F.last("touch", True).over(w))
+            .filter(F.col("event_type") == "purchase"))
+    dec = F.col("value").cast("decimal(18,2)")
+
+    def credit(model: str, col: str) -> DataFrame:
+        return (conv.filter(F.col(col).isNotNull())
+                .groupBy(F.col(col).alias("touch"))
+                .agg(F.count(F.lit(1)).alias("n_conv"),
+                     F.round(F.sum(dec), 2).alias("revenue"))
+                .select(F.lit(model).alias("model"), "touch",
+                        "n_conv", "revenue"))
+
+    return credit("first", "first_touch").unionByName(
+        credit("last", "last_touch"))
+
+
+# --- t30 — URL canonicalization (web-corpus identity) -----------------------
+# The documents table carries no URL column, so (the a23/pr25 device) messy
+# URLs are DERIVED deterministically from doc_id — mixed-case hosts, www
+# prefixes, default ports, tracking params, unsorted params, fragments,
+# trailing slashes — then canonicalized; the oracle replays both the
+# derivation and every canonicalization rule with the same regexes.
+_T30_DERIVE_SQL = """
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+  (CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM:80' WHEN 1 THEN 'example.com'
+        WHEN 2 THEN 'Shop.NET:443' ELSE 'www.shop.net' END) ||
+  '/p/' || (doc_id % 7)::VARCHAR ||
+  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+  (CASE doc_id % 3 WHEN 0 THEN '?utm_source=x&id=' || (doc_id % 11)::VARCHAR
+        WHEN 1 THEN '?id=' || (doc_id % 11)::VARCHAR || '&utm_campaign=y'
+        ELSE '' END) ||
+  (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)"""
+
+_T30_SQL = f"""WITH raw AS (
+  SELECT doc_id, {_T30_DERIVE_SQL} AS url FROM documents
+), u AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(u, '\\?([^#]*)', 1) AS query0
+  FROM u
+), canon AS (
+  SELECT doc_id, scheme || '://' ||
+    (CASE WHEN scheme = 'http'
+          THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+          WHEN scheme = 'https'
+          THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+          ELSE regexp_replace(hostport, '^www\\.', '') END) ||
+    regexp_replace(path0, '/$', '') ||
+    (CASE WHEN len(list_filter(string_split(query0, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_|fbclid|gclid|mc_eid|ref=)'))) > 0
+          THEN '?' || array_to_string(list_sort(list_filter(
+            string_split(query0, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_|fbclid|gclid|mc_eid|ref=)'))), '&')
+          ELSE '' END) AS canonical_url
+  FROM parts)
+SELECT canonical_url, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS first_doc
+FROM canon GROUP BY canonical_url"""
+
+
+@register("t30_url_canonical", _T30_SQL)
+def t30_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL identity: derive messy URL variants, canonicalize
+    (lowercase scheme/host, strip www/default port/fragment/tracking
+    params/trailing slash, sort surviving params), count docs per
+    canonical URL.  One projection + one bounded groupBy."""
+    from dataqtor_spark.operators.textstats import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = (F.when(did % 4 == 0, F.lit("WWW.Example.COM:80"))
+            .when(did % 4 == 1, F.lit("example.com"))
+            .when(did % 4 == 2, F.lit("Shop.NET:443"))
+            .otherwise(F.lit("www.shop.net")))
+    url = F.concat(
+        scheme, F.lit("://"), host,
+        F.lit("/p/"), (did % 7).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("?utm_source=x&id="),
+                        (did % 11).cast("string")))
+        .when(did % 3 == 1,
+              F.concat(F.lit("?id="), (did % 11).cast("string"),
+                       F.lit("&utm_campaign=y")))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    return (d.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))

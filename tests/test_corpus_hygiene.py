@@ -269,3 +269,24 @@ def test_c4_line_filters_rules(spark):
     assert not got[4]["doc_dropped"] and got[4]["n_kept"] == 2
     # nothing kept -> canonical NULL, not empty string
     assert got[5]["n_kept"] == 0 and got[5]["cleaned"] is None
+
+
+def test_canonicalize_url_collapses_cosmetic_variants(spark):
+    from dataqtor_spark.operators.textstats import canonicalize_url
+
+    rows = [
+        # same identity through case/www/default-port/tracking/order/slash
+        ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=7#frag",
+         "http://example.com/a/b?id=7"),
+        ("http://example.com/a/b?id=7", "http://example.com/a/b?id=7"),
+        ("https://Shop.NET:443/p/?fbclid=zz", "https://shop.net/p"),
+        ("https://a.org/x?b=2&a=1", "https://a.org/x?a=1&b=2"),
+        ("https://a.org/x?a=1&b=2", "https://a.org/x?a=1&b=2"),
+        # non-default port and scheme differences are preserved identity
+        ("https://a.org:8443/x", "https://a.org:8443/x"),
+        ("http://a.org/x", "http://a.org/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in rows]
