@@ -999,3 +999,47 @@ def canonicalize_url(url: Column) -> Column:
                 F.concat(F.lit("?"), F.array_join(kept, "&"))) \
         .otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering (fixed-weight linear classifier)
+# ---------------------------------------------------------------------------
+
+QUALITY_LOGISTIC_WEIGHTS = {
+    "bias": -1.5,
+    "stopword_ratio": 6.0,     # real prose has stopwords
+    "punct_ratio": -8.0,       # punctuation noise (tables, code, OCR)
+    "digit_ratio": -5.0,       # number dumps
+    "upper_ratio": -3.0,       # SHOUTING / headers
+    "token_len_dev": -0.4,     # |avg_token_len - 5| — gibberish skews both ways
+    "log_len": 0.08,           # min(n_tokens, 100) — reward substance, capped
+}
+
+
+def quality_logistic(col: Column | str,
+                     weights: dict[str, float] | None = None) -> Column:
+    """Classifier-style document quality score in (0, 1): a linear model
+    over the :func:`quality_features` signals squashed with the ALGEBRAIC
+    sigmoid ``0.5 + 0.5·x/(1+|x|)`` — the fastText/DCLM "apply a trained
+    quality model at scale" shape with a fixed published weight vector
+    standing in for learned weights (swap ``weights`` for your model's).
+
+    The algebraic sigmoid is chosen over ``exp`` deliberately: it uses
+    only +,·,/,abs — IEEE-exact and therefore bit-identical across
+    engines — where libm ``exp`` may differ by an ulp between the JVM
+    and C implementations and flip a keep/drop decision at the margin.
+    Keep-threshold p ≥ 0.5 is exactly logit ≥ 0.  Features arrive
+    4 dp-rounded (the quality_features contract), so the whole score is
+    engine-exact."""
+    w = weights or QUALITY_LOGISTIC_WEIGHTS
+    f = quality_features(col)
+    r4 = {k: F.round(v, 4) for k, v in f.items()}
+    logit = (F.lit(w["bias"])
+             + F.lit(w["stopword_ratio"]) * r4["stopword_ratio"]
+             + F.lit(w["punct_ratio"]) * r4["punct_ratio"]
+             + F.lit(w["digit_ratio"]) * r4["digit_ratio"]
+             + F.lit(w["upper_ratio"]) * r4["upper_ratio"]
+             + F.lit(w["token_len_dev"]) * F.abs(r4["avg_token_len"] - 5.0)
+             + F.lit(w["log_len"])
+             * F.least(f["n_tokens"], F.lit(100)).cast("double"))
+    return F.lit(0.5) + F.lit(0.5) * logit / (F.lit(1.0) + F.abs(logit))

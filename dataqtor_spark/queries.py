@@ -7700,3 +7700,87 @@ def t30_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("canonical_url")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("first_doc")))
+
+
+# --- t31 — model-based quality filter (fixed-weight linear classifier) -----
+_T31_NT = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
+           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
+_T31_SQL = f"""WITH f AS (
+  SELECT source,
+    round(length(text) * 1.0 / greatest({_T31_NT}, 1), 4) AS atl,
+    round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
+          / greatest(length(text), 1), 4) AS pr,
+    round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+          / greatest(length(text), 1), 4) AS dr,
+    round(len(regexp_extract_all(text, '[A-Z]')) * 1.0
+          / greatest(length(text), 1), 4) AS ur,
+    round(len(regexp_extract_all(text,
+          '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b')) * 1.0
+          / greatest({_T31_NT}, 1), 4) AS sr,
+    {_T31_NT} AS nt
+  FROM documents
+), s AS (
+  SELECT source,
+    (-1.5 + 6.0 * sr - 8.0 * pr - 5.0 * dr - 3.0 * ur
+     - 0.4 * abs(atl - 5.0) + 0.08 * least(nt, 100)) AS logit
+  FROM f)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  round(sum(round(0.5 + 0.5 * logit / (1.0 + abs(logit)),
+                  6)::DECIMAL(18,6))::DOUBLE, 4) AS sum_score
+FROM s GROUP BY source"""
+
+
+@register("t31_quality_logistic", _T31_SQL)
+def t31_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filter: fixed-weight linear quality classifier
+    (algebraic sigmoid, engine-exact arithmetic) scored per document in
+    one projection, keep/drop + score mass aggregated per source."""
+    docs = _t(spark, sf_dir, "documents")
+    p = TX.quality_logistic(F.col("text"))
+    score6 = F.round(p, 6).cast("decimal(18,6)")
+    return (docs.select("source", p.alias("__p"), score6.alias("__s"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("__p") >= 0.5, 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.round(F.sum("__s").cast("double"), 4).alias("sum_score")))
+
+
+# --- ab01 — experiment assignment + sample-ratio-mismatch check -------------
+_AB01_MIX = "(((user_id + 11) * 2654435761) % 4294967296 + 4294967296) % 4294967296"
+_AB01_SQL = f"""WITH arms AS (
+  SELECT CASE WHEN ({_AB01_MIX}) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+), counts AS (
+  SELECT arm, count(*)::BIGINT AS n_users FROM arms GROUP BY arm
+), tot AS (SELECT sum(n_users) AS n FROM counts)
+SELECT arm, n_users,
+  round((n_users - n / 2.0) * (n_users - n / 2.0) / (n / 2.0), 6)
+    AS chi2_term,
+  (n_users - n / 2.0) * (n_users - n / 2.0) / (n / 2.0) > 3.841
+    AS srm_flag_half
+FROM counts, tot"""
+
+
+@register("ab01_srm_check", _AB01_SQL)
+def ab01_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation hygiene: deterministic 50/50 hash assignment of
+    users to arms (the t08 mixing key, so assignment is reproducible and
+    SQL-replayable) and the sample-ratio-mismatch χ² screen against the
+    expected split — the first thing to check before reading any A/B
+    metric.  Distinct-user pass + bounded per-arm aggregate."""
+    from dataqtor_spark.operators.textstats import shuffle_key
+
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    arm = F.when(F.pmod(shuffle_key("user_id", 11), F.lit(2)) == 0,
+                 F.lit("A")).otherwise(F.lit("B"))
+    counts = (users.select(arm.alias("arm"))
+              .groupBy("arm").agg(F.count(F.lit(1)).alias("n_users")))
+    tot = counts.agg(F.sum("n_users").cast("double").alias("n"))
+    term = ((F.col("n_users") - F.col("n") / 2)
+            * (F.col("n_users") - F.col("n") / 2) / (F.col("n") / 2))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("arm", "n_users",
+                    F.round(term, 6).alias("chi2_term"),
+                    (term > 3.841).alias("srm_flag_half")))

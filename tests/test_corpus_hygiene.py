@@ -290,3 +290,21 @@ def test_canonicalize_url_collapses_cosmetic_variants(spark):
     got = [r["c"] for r in
            df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_quality_logistic_orders_prose_above_noise(spark):
+    from dataqtor_spark.operators.textstats import quality_logistic
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and it is a "
+            "fine day for that in the park."),
+        (2, "3842 9184 5521 0091 8273 4455 1203 9981 7432 5567"),
+        (3, "!!! ??? ;;; ,,, ... !!! ??? ;;; ,,, ..."),
+        (4, "AAAA BBBB CCCC DDDD EEEE FFFF GGGG HHHH"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in df.select(
+        "doc_id", quality_logistic(F.col("text")).alias("p")).collect()}
+    assert all(0.0 < v < 1.0 for v in got.values())
+    assert got[1] > max(got[2], got[3], got[4])   # prose wins
+    assert got[1] > 0.5                            # and is kept
