@@ -7784,3 +7784,27 @@ def ab01_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("arm", "n_users",
                     F.round(term, 6).alias("chi2_term"),
                     (term > 3.841).alias("srm_flag_half")))
+
+
+# --- s14 — windowed KLL quantile sketch (streaming mergeable state) ---------
+_S14_QS = (0.5, 0.95)
+_S14_SQL = "\nUNION ALL\n".join(f"""SELECT
+  time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+  time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 6 HOUR
+    AS window_end,
+  {q} AS q, quantile_disc(CAST(value AS DOUBLE), {q}) AS value
+FROM events WHERE value IS NOT NULL GROUP BY 1""" for q in _S14_QS)
+
+
+@register("s14_windowed_quantile_sketch", _S14_SQL)
+def s14_windowed_quantile_sketch(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-window value quantiles with KLL sketch state — the
+    streaming-safe mergeable form of a windowed latency/price
+    distribution monitor; exact at the oracle SF (window n ≪ k) so
+    DuckDB's quantile_disc hash-matches."""
+    from dataqtor_spark.streaming import profiler as SP
+
+    return SP.windowed_quantile_sketch(_t(spark, sf_dir, "events"),
+                                       "ts", "value", "6 hours",
+                                       quantiles=_S14_QS)

@@ -356,6 +356,32 @@ def test_windowed_null_profile_batch_and_stream(spark, tables, tmp_path):
     assert streamed == batch
 
 
+def test_windowed_quantile_sketch_batch_and_stream(spark, tables, tmp_path):
+    import math
+
+    ev = tables["events"]
+    out = SP.windowed_quantile_sketch(ev, "ts", "value", "1 day",
+                                      quantiles=(0.5,)).collect()
+    # below capacity KLL quantiles are exact order statistics: the p50 of
+    # each window is an actual value from that window
+    vals = {r["window_start"]: r["value"] for r in out}
+    assert all(math.isfinite(v) for v in vals.values())
+
+    src = str(tmp_path / "events_q")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = SP.stream_events(spark, src, watermark="90 days")
+    res = SP.windowed_quantile_sketch(stream, "ts", "value", "1 day",
+                                      quantiles=(0.5,), watermark=None)
+    table = SP.run_stream_to_memory(res, "q_test", spark)
+    streamed = {(r["window_start"], r["q"]): r["value"]
+                for r in table.collect()}
+    batch = {(r["window_start"], r["q"]): r["value"]
+             for r in SP.windowed_quantile_sketch(
+                 spark.read.parquet(src), "ts", "value", "1 day",
+                 quantiles=(0.5,)).collect()}
+    assert streamed == batch
+
+
 def test_stream_checkpoint_recovery_exactly_once(spark, tables, tmp_path):
     # file sink + checkpoint: restarting over a grown source must process
     # only the new files (exactly-once), never re-emitting the old batch
