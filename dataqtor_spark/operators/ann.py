@@ -460,6 +460,77 @@ def pq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("query_id", "neighbor_id", "adc_cosine", "rank"))
 
 
+def ivfpq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
+                        vec_col: str, k: int = 5, n_clusters: int = 8,
+                        n_probe: int = 3, m: int = 4, ks: int = 8,
+                        n_iter: int = 2, query_id_col: str | None = None,
+                        cache_key: str | None = None) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN architecture — the IVF coarse
+    quantizer prunes WHICH rows are scored (queries probe ``n_probe`` of
+    ``n_clusters`` inverted lists; unprobed clusters are never read, and
+    at rest they are partition-pruned directories), and PQ compresses HOW
+    the survivors are scored (M codes + per-query LUTs instead of raw
+    vectors).  This is the FAISS IVFPQ layout re-expressed as DataFrame
+    ops; classic IVFPQ quantizes the RESIDUAL (x − coarse_centroid) for
+    tighter codes — here codes quantize x directly so the entire pipeline
+    (both trainers, encoding, probe, ADC ranking) stays replayable in
+    ANSI SQL; the residual refinement is a drop-in swap of the encode
+    input when checkability matters less than recall.
+
+    Corpus rows carry (cluster, codes, recon-norm) — never reshuffled;
+    queries broadcast with their LUTs.  Deterministic end to end."""
+    query_id_col = query_id_col or id_col
+    coarse = train_ivf_centroids_portable(
+        corpus, id_col, vec_col, n_clusters, n_iter, cache_key=cache_key)
+    sub, books = train_pq_codebooks_portable(
+        corpus, id_col, vec_col, m, ks, n_iter, cache_key=cache_key)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    c = c.withColumn("__cluster",
+                     F.expr(_sql_nearest_cids("__cv", coarse, 1))[0])
+    codes = F.array(*[
+        F.expr(_sql_nearest_cids(f"slice(__cv, {j * sub + 1}, {sub})",
+                                 books[j], 1))[0] for j in range(m)])
+    c = c.withColumn("codes", codes)
+
+    def by_cid(book, value):
+        slots = {cid: value(cvec) for cid, cvec in book}
+        return [slots.get(i, 0.0) for i in range(max(slots) + 1)]
+
+    norm_arrs = [F.array(*[F.lit(v).cast("double")
+                           for v in by_cid(books[j],
+                                           lambda cv: sum(x * x for x in cv))])
+                 for j in range(m)]
+    c = c.withColumn("__rn", F.sqrt(sum(
+        F.element_at(norm_arrs[j], F.col("codes")[j] + 1)
+        for j in range(m)))).drop("__cv")
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .withColumn("__cluster", F.explode(
+             F.expr(_sql_nearest_cids("__qv", coarse, n_probe)))))
+    zeros = [0.0] * sub
+    for j in range(m):
+        qsub = F.slice("__qv", j * sub + 1, sub)
+        cid_centers = dict(books[j])
+        q = q.withColumn(f"__l{j}", F.array(*[
+            dot(qsub, F.array(*[F.lit(x).cast("double")
+                                for x in cid_centers.get(i, zeros)]))
+            for i in range(max(cid_centers) + 1)]))
+    adc_dot = sum(F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
+                  for j in range(m))
+    scored = (c.join(F.broadcast(q.drop("__qv")), "__cluster")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("adc_cosine",
+                          F.round(adc_dot / (F.col("__rn") * F.col("__qn")),
+                                  6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_cosine", "rank"))
+
+
 def train_ivf_centroids(corpus: DataFrame, vec_col: str, n_clusters: int = 16,
                         seed: int = 42, sample_fraction: float | None = None,
                         cache_key: str | None = None) -> list[list[float]]:

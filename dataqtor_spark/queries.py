@@ -7808,3 +7808,94 @@ def s14_windowed_quantile_sketch(spark: SparkSession,
     return SP.windowed_quantile_sketch(_t(spark, sf_dir, "events"),
                                        "ts", "value", "6 hours",
                                        quantiles=_S14_QS)
+
+
+# --- ann06 — IVF-PQ composed ANN (coarse prune + compressed ADC scoring) ---
+_ANN06_NC, _ANN06_NPROBE = 8, 3
+
+
+def _ann06_oracle_sql() -> str:
+    m, ks, k, dim = _PQ01_M, _PQ01_KS, _PQ01_K, _PQ01_DIM
+    nc, npr = _ANN06_NC, _ANN06_NPROBE
+    sub = dim // m
+
+    def assign(src: str, cents: str, rn_cap: int, id_out: str,
+               v_out: str) -> str:
+        return f"""(
+  SELECT {id_out}, {v_out}, cid FROM (
+    SELECT x.vec_id AS {id_out}, x.v AS {v_out}, s.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY round(pow(list_distance(x.v, s.v), 2), 9), s.cid) AS rn
+    FROM {src} x, {cents} s) WHERE rn <= {rn_cap})"""
+
+    def recenter(assigned: str, d: int) -> str:
+        return f"""(
+  SELECT cid, list(val ORDER BY i) AS v FROM (
+    SELECT a.cid, t.i, round(avg(a.v[t.i]), 6) AS val
+    FROM {assigned} a, unnest(generate_series(1, {d})) AS t(i)
+    GROUP BY a.cid, t.i) GROUP BY cid)"""
+
+    parts = ["WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+             f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v
+  FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {max(nc, ks)})"""]
+    # coarse quantizer over full vectors (g-prefixed CTEs)
+    parts.append(f"gseeds AS (SELECT cid, v FROM seeds WHERE cid < {nc})")
+    parts.append(f"ga1 AS {assign('c', 'gseeds', 1, 'vec_id', 'v')}")
+    parts.append(f"gcent1 AS {recenter('ga1', dim)}")
+    parts.append(f"ga2 AS {assign('c', 'gcent1', 1, 'vec_id', 'v')}")
+    parts.append(f"gcent2 AS {recenter('ga2', dim)}")
+    parts.append(f"gaf AS {assign('c', 'gcent2', 1, 'vec_id', 'v')}")
+    parts.append(
+        f"gq AS {assign('(SELECT * FROM c WHERE vec_id < 8)', 'gcent2', npr, 'query_id', 'qv')}")
+    # PQ codebooks per subspace
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(f"cs{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM c)")
+        parts.append(
+            f"s{j} AS (SELECT cid, v[{lo}:{hi}] AS v FROM seeds WHERE cid < {ks})")
+        parts.append(f"a1_{j} AS {assign(f'cs{j}', f's{j}', 1, 'vec_id', 'v')}")
+        parts.append(f"cent1_{j} AS {recenter(f'a1_{j}', sub)}")
+        parts.append(f"a2_{j} AS {assign(f'cs{j}', f'cent1_{j}', 1, 'vec_id', 'v')}")
+        parts.append(f"cent2_{j} AS {recenter(f'a2_{j}', sub)}")
+        parts.append(f"af{j} AS {assign(f'cs{j}', f'cent2_{j}', 1, 'vec_id', 'v')}")
+    parts.append(
+        "qn AS (SELECT vec_id AS query_id, "
+        "sqrt(list_inner_product(v, v)) AS qn FROM c WHERE vec_id < 8)")
+    dot_terms = " + ".join(
+        f"list_inner_product(q.qv[{j * sub + 1}:{(j + 1) * sub}], c{j}.v)"
+        for j in range(m))
+    norm_terms = " + ".join(
+        f"list_inner_product(c{j}.v, c{j}.v)" for j in range(m))
+    joins = "gaf g JOIN gq q ON q.cid = g.cid"
+    for j in range(m):
+        joins += f" JOIN af{j} a{j} ON a{j}.vec_id = g.vec_id"
+    for j in range(m):
+        joins += f" JOIN cent2_{j} c{j} ON c{j}.cid = a{j}.cid"
+    joins += " JOIN qn n ON n.query_id = q.query_id"
+    parts.append(f"""scored AS (
+  SELECT q.query_id, g.vec_id AS neighbor_id,
+         round(({dot_terms}) / (sqrt({norm_terms}) * n.qn), 6) AS adc_cosine
+  FROM {joins} WHERE g.vec_id <> q.query_id)""")
+    return f"""{parts[0]}
+{",".join(parts[1:])}
+SELECT query_id, neighbor_id, adc_cosine, rank FROM (
+  SELECT query_id, neighbor_id, adc_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
+@register("ann06_ivfpq_topk", _ann06_oracle_sql())
+def ann06_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN: coarse inverted lists prune the candidate
+    set (3 of 8 clusters probed), PQ codes + per-query LUTs score the
+    survivors — the FAISS-architecture scale path, fully SQL-replayed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ANN.ivfpq_topk_portable(
+        emb, queries, "vec_id", "embedding", k=_PQ01_K,
+        n_clusters=_ANN06_NC, n_probe=_ANN06_NPROBE,
+        m=_PQ01_M, ks=_PQ01_KS, n_iter=2,
+        cache_key=os.path.join(sf_dir, "embeddings.parquet"))
+    return out.withColumn("rank", F.col("rank").cast("long"))
