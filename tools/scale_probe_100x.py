@@ -48,11 +48,19 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # re-appears as a wall at 100x)
                "pr03_spearman_correlations", "pr10_equi_depth_histogram",
                "b06_rfm_segments", "pareto01_revenue_concentration",
-               "gap01_orderkey_gaps"]
+               "gap01_orderkey_gaps",
+               # round-7 additions: compressed-codes ANN, limit-first
+               # trigram rank, layout audit, URL canon, quality model,
+               # attribution, windowed KLL
+               "pq01_product_quantization", "ann06_ivfpq_topk",
+               "b05_top_trigrams", "zorder01_curve_segments",
+               "t30_url_canonical", "t31_quality_logistic",
+               "b08_touch_attribution", "s14_windowed_quantile_sketch"]
 
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
-REPLICATED = {"documents", "part", "lineitem", "orders", "events"}
+REPLICATED = {"documents", "part", "lineitem", "orders", "events",
+              "embeddings"}
 
 _VOWEL_PERMS = ["".join(p) for p in itertools.permutations("aeiou")]
 
@@ -74,6 +82,12 @@ def _replicant(spark, sf_dir: str, table: str, i: int):
         return df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
     if table == "orders":
         return df.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000))
+    if table == "embeddings":
+        # new vector ids, vectors unchanged: corpus (and so every IVF
+        # cluster / PQ candidate set) grows k-fold — how an embedding
+        # store actually accretes; trainers stay on the same seed draw
+        # order because md5(vec_id) re-ranks the union
+        return df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
     if table == "events":
         # new event ids, SAME users and a per-copy time shift: per-user
         # history grows k-fold (sessionize/rollup per-key load rises the
