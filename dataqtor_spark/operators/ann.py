@@ -464,34 +464,72 @@ def ivfpq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
                         vec_col: str, k: int = 5, n_clusters: int = 8,
                         n_probe: int = 3, m: int = 4, ks: int = 8,
                         n_iter: int = 2, query_id_col: str | None = None,
-                        cache_key: str | None = None) -> DataFrame:
+                        cache_key: str | None = None,
+                        residual: bool = False) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN architecture — the IVF coarse
     quantizer prunes WHICH rows are scored (queries probe ``n_probe`` of
     ``n_clusters`` inverted lists; unprobed clusters are never read, and
     at rest they are partition-pruned directories), and PQ compresses HOW
     the survivors are scored (M codes + per-query LUTs instead of raw
     vectors).  This is the FAISS IVFPQ layout re-expressed as DataFrame
-    ops; classic IVFPQ quantizes the RESIDUAL (x − coarse_centroid) for
-    tighter codes — here codes quantize x directly so the entire pipeline
-    (both trainers, encoding, probe, ADC ranking) stays replayable in
-    ANSI SQL; the residual refinement is a drop-in swap of the encode
-    input when checkability matters less than recall.
+    ops.
+
+    ``residual=False`` (default) quantizes x directly, keeping the entire
+    pipeline (both trainers, encoding, probe, ADC ranking) replayable in
+    ANSI SQL — the ann06 oracle pins this mode.  ``residual=True`` is the
+    classic FAISS refinement: codes quantize x − coarse_centroid(x),
+    whose spread is much tighter than x's, so the same code budget
+    reconstructs more accurately; scoring then reconstructs
+    x̂ = coarse + residual-decode in-row via the per-cluster centroid
+    literals before the cosine.  The residual trainer's input embeds the
+    coarse assignment (data-dependent), so this mode is pytest-verified
+    (reconstruction-error dominance + determinism) rather than
+    SQL-replayed.
 
     Corpus rows carry (cluster, codes, recon-norm) — never reshuffled;
     queries broadcast with their LUTs.  Deterministic end to end."""
     query_id_col = query_id_col or id_col
     coarse = train_ivf_centroids_portable(
         corpus, id_col, vec_col, n_clusters, n_iter, cache_key=cache_key)
+    coarse_arr_sql = ("array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in cvec) + ")"
+        for _cid, cvec in coarse) + ")")
+    cid_pos = {cid: i for i, (cid, _cv) in enumerate(coarse)}
+    enc_src = corpus
+    enc_col = vec_col
+    if residual:
+        # residual = x − its coarse centroid, as one in-row expression
+        # (centroid literals indexed by the same nearest-cid expression)
+        res_sql = (
+            f"zip_with(transform({vec_col}, x -> cast(x as double)), "
+            f"element_at({coarse_arr_sql}, "
+            f"cast(array_position(array({','.join(str(c) for c, _ in coarse)}), "
+            f"{_sql_nearest_cids(f'transform({vec_col}, x -> cast(x as double))', coarse, 1)}[0]) as int)"
+            f"), (x, c) -> x - c)")
+        enc_src = corpus.withColumn("__res", F.expr(res_sql))
+        enc_col = "__res"
     sub, books = train_pq_codebooks_portable(
-        corpus, id_col, vec_col, m, ks, n_iter, cache_key=cache_key)
+        enc_src, id_col, enc_col, m, ks, n_iter,
+        cache_key=(f"{cache_key}|res" if cache_key and residual
+                   else cache_key))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("__cv"))
     c = c.withColumn("__cluster",
                      F.expr(_sql_nearest_cids("__cv", coarse, 1))[0])
+    enc_vec = "__cv"
+    if residual:
+        c = c.withColumn("__rv", F.expr(
+            f"zip_with(__cv, element_at({coarse_arr_sql}, "
+            f"cast(array_position(array({','.join(str(cc) for cc, _ in coarse)}), "
+            f"__cluster) as int)), (x, cc) -> x - cc)"))
+        enc_vec = "__rv"
     codes = F.array(*[
-        F.expr(_sql_nearest_cids(f"slice(__cv, {j * sub + 1}, {sub})",
+        F.expr(_sql_nearest_cids(f"slice({enc_vec}, {j * sub + 1}, {sub})",
                                  books[j], 1))[0] for j in range(m)])
     c = c.withColumn("codes", codes)
+    if residual:
+        return _ivfpq_residual_score(c, queries, coarse, sub, books, m,
+                                     n_probe, k, query_id_col, vec_col)
 
     def by_cid(book, value):
         slots = {cid: value(cvec) for cid, cvec in book}
@@ -519,6 +557,85 @@ def ivfpq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
             for i in range(max(cid_centers) + 1)]))
     adc_dot = sum(F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
                   for j in range(m))
+    scored = (c.join(F.broadcast(q.drop("__qv")), "__cluster")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("adc_cosine",
+                          F.round(adc_dot / (F.col("__rn") * F.col("__qn")),
+                                  6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_cosine", "rank"))
+
+
+def _ivfpq_residual_score(c: DataFrame, queries: DataFrame,
+                          coarse: list[tuple[int, list[float]]], sub: int,
+                          books: list[list[tuple[int, list[float]]]], m: int,
+                          n_probe: int, k: int, query_id_col: str,
+                          vec_col: str) -> DataFrame:
+    """ADC ranking for residual-quantized IVF-PQ: x̂ = coarse_g + decode
+    (codes), scored as cosine(q, x̂) with the FAISS precomputed-table
+    trick — per-candidate cost stays M lookups + one coarse dot that is
+    shared per (query, probed cluster):
+
+      dot(q, x̂)  = dot(q, coarse_g) + Σ_j lut_j[code_j]
+      ‖x̂‖²       = ‖coarse_g‖² + Σ_j (2·dot(coarse_g_sub_j, c_{j,code_j})
+                                       + ‖c_{j,code_j}‖²)
+
+    The (cluster, subspace, code) cross table is nc × m × ks driver-side
+    literals — kilobytes, the same precomputed term-2+3 table FAISS
+    builds."""
+    cids = [cid for cid, _cv in coarse]
+    gpos_sql = "array_position(array(" + ",".join(map(str, cids)) + "), {g})"
+
+    def pad(book, value):
+        slots = {cid: value(cvec) for cid, cvec in book}
+        return [slots.get(i, 0.0) for i in range(max(slots) + 1)]
+
+    # per-(cluster, code) norm/cross tables, one nested literal per subspace
+    cross_tabs = []
+    for j in range(m):
+        per_cluster = []
+        for _cid, cvec in coarse:
+            seg = cvec[j * sub:(j + 1) * sub]
+            per_cluster.append(F.array(*[F.lit(v).cast("double") for v in pad(
+                books[j],
+                lambda cc: 2.0 * sum(a * b for a, b in zip(seg, cc))
+                + sum(x * x for x in cc))]))
+        cross_tabs.append(F.array(*per_cluster))
+    base_norm = F.array(*[F.lit(sum(x * x for x in cv)).cast("double")
+                          for _cid, cv in coarse])
+    coarse_arr = F.array(*[F.array(*[F.lit(x).cast("double") for x in cv])
+                           for _cid, cv in coarse])
+
+    gpos_c = F.expr(gpos_sql.format(g="__cluster")).cast("int")
+    c = c.withColumn("__gp", gpos_c)
+    c = c.withColumn("__rn", F.sqrt(
+        F.element_at(base_norm, F.col("__gp"))
+        + sum(F.element_at(F.element_at(cross_tabs[j], F.col("__gp")),
+                           F.col("codes")[j] + 1) for j in range(m))))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .withColumn("__cluster", F.explode(
+             F.expr(_sql_nearest_cids("__qv", coarse, n_probe)))))
+    q = q.withColumn("__gpq", F.expr(gpos_sql.format(g="__cluster"))
+                     .cast("int"))
+    # shared per (query, probed cluster): dot(q, coarse_g)
+    q = q.withColumn("__qc", dot(F.col("__qv"),
+                                 F.element_at(coarse_arr, F.col("__gpq"))))
+    zeros = [0.0] * sub
+    for j in range(m):
+        qsub = F.slice("__qv", j * sub + 1, sub)
+        cid_centers = dict(books[j])
+        q = q.withColumn(f"__l{j}", F.array(*[
+            dot(qsub, F.array(*[F.lit(x).cast("double")
+                                for x in cid_centers.get(i, zeros)]))
+            for i in range(max(cid_centers) + 1)]))
+    adc_dot = F.col("__qc") + sum(
+        F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
+        for j in range(m))
     scored = (c.join(F.broadcast(q.drop("__qv")), "__cluster")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("adc_cosine",

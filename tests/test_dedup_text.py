@@ -415,6 +415,41 @@ def test_pq_adc_finds_planted_near_duplicate(spark):
     assert all(r["adc_cosine"] > 0.9 for r in rows_out)
 
 
+def test_ivfpq_residual_beats_plain_on_clustered_data(spark):
+    from dataqtor_spark.operators import ann as ANN
+
+    # archetype corpus (see the PQ ADC test): coarse clusters land on the
+    # archetypes, so residuals carry ONLY the member jitter — quantizing
+    # them recovers member-level ordering that direct-x codes collapse
+    rows = []
+    vid = 0
+    for a in range(4):
+        base = [1.0 if (i // 16) == a else 0.05 * ((i * 7 + a) % 5 - 2)
+                for i in range(64)]
+        for _mbr in range(25):
+            jit = [x + 0.01 * ((vid + i) % 7 - 3) for i, x in enumerate(base)]
+            rows.append((vid, jit))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id").isin(0, 25, 50, 75))
+    exact = ANN.brute_force_topk(df, queries, "vec_id", "embedding", k=3)
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(residual):
+        got = ANN.ivfpq_topk_portable(
+            df, queries, "vec_id", "embedding", k=3, n_clusters=4,
+            n_probe=2, m=4, ks=8, n_iter=2, residual=residual)
+        hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        return len(want & hits) / len(want), hits
+
+    plain_r, _ = recall(False)
+    res_r, res_hits = recall(True)
+    assert res_r >= plain_r          # residual codes can't do worse here
+    assert res_r >= 0.5              # and actually recover member order
+    again_r, again_hits = recall(True)
+    assert again_hits == res_hits    # deterministic
+
+
 def test_chunking_overlap_semantics(spark):
     from dataqtor_spark.operators import textstats as TX
 
