@@ -13,6 +13,7 @@ hash matches between Spark and DuckDB:
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -7899,3 +7900,80 @@ def ann06_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ01_M, ks=_PQ01_KS, n_iter=2,
         cache_key=os.path.join(sf_dir, "embeddings.parquet"))
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- ann07 — NDCG@5 of the LSH ranking vs exact ------------------------------
+# Ranking-quality complement to ann05's recall: recall says WHETHER the
+# true neighbors were found, NDCG says whether they were found IN ORDER
+# (rank-discounted).  Gains are exact cosines shifted positive; the
+# 1/log2(rank+1) discounts are PRECOMPUTED float literals embedded
+# identically in both engines (rank ≤ 5), so no libm log enters either
+# plan.  Both ranked lists are themselves SQL-replayed pipelines.
+_ANN07_K = 5
+_ANN07_DISC = [1.0 / math.log2(i + 1) for i in range(1, _ANN07_K + 1)]
+
+
+def _ann07_oracle_sql() -> str:
+    disc_case = ("CASE rank " + " ".join(
+        f"WHEN {i + 1} THEN {repr(_ANN07_DISC[i])}"
+        for i in range(_ANN07_K)) + " END")
+    return (f"""WITH brute AS (SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                          q.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= {_ANN07_K}),
+lsh AS (SELECT query_id, cosine, rank FROM (
+""" + _ann02_oracle_sql(k=_ANN07_K) + f"""
+)),
+idcg AS (
+  SELECT query_id,
+         sum(round((cosine + 1.0) * ({disc_case}), 9)::DECIMAL(18,9))
+           AS idcg
+  FROM brute GROUP BY query_id),
+dcg AS (
+  SELECT query_id,
+         sum(round((cosine + 1.0) * ({disc_case}), 9)::DECIMAL(18,9))
+           AS dcg,
+         count(*)::BIGINT AS n_found
+  FROM lsh GROUP BY query_id)
+SELECT i.query_id, coalesce(d.n_found, 0)::BIGINT AS n_found,
+       round(coalesce(d.dcg, 0)::DOUBLE / i.idcg::DOUBLE, 4) AS ndcg
+FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id""")
+
+
+@register("ann07_lsh_ndcg", _ann07_oracle_sql())
+def ann07_lsh_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the LSH ANN ranking against the exact ideal ordering,
+    per query — the rank-aware approximation-quality dial (ann05's
+    recall ignores position)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _ANN07_DISC]), F.col("rank").cast("int"))
+    term = (F.round((F.col("cosine") + 1.0) * disc, 9)
+            .cast("decimal(18,9)"))
+    brute = ANN.brute_force_topk(emb, queries, "vec_id", "embedding",
+                                 k=_ANN07_K)
+    idcg = brute.groupBy("query_id").agg(F.sum(term).alias("idcg"))
+    lsh = ANN.lsh_topk(emb, queries, "vec_id", "embedding", k=_ANN07_K,
+                       n_planes=_ANN02_PLANES, dim=_ANN02_DIM)
+    dcg = (lsh.groupBy("query_id")
+           .agg(F.sum(term).alias("dcg"),
+                F.count(F.lit(1)).cast("long").alias("n_found")))
+    d = dcg.select(F.col("query_id").alias("dq"), "dcg", "n_found")
+    return (idcg.join(F.broadcast(d),
+                      F.col("query_id") == F.col("dq"), "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_found"), F.lit(0)).cast("long")
+                    .alias("n_found"),
+                    F.round(F.coalesce(F.col("dcg"), F.lit(0))
+                            .cast("double")
+                            / F.col("idcg").cast("double"), 4)
+                    .alias("ndcg")))
