@@ -665,3 +665,54 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
                            / (F.col("n_b") / F.lit(float(n_baskets))), 6)
                    .alias("lift")))
     return out.orderBy(F.desc("lift"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def seasonal_decompose(df: DataFrame, ts_col: str = "ts",
+                       bucket: str = "hour", period: int = 24,
+                       trend_window: int = 24,
+                       value_col: str | None = None) -> DataFrame:
+    """Classic additive seasonal decomposition of a time-bucketed series:
+    (bucket, v, trend, seasonal, remainder) with
+
+      trend_t    = centered moving average over ``trend_window`` buckets,
+      seasonal_p = mean of (v − trend) per phase p = bucket index mod
+                   ``period`` (hour-of-day for hourly/period 24),
+      remainder  = v − trend − seasonal.
+
+    Scale contract (same as the other ts screens): the raw events
+    collapse once through :func:`_bucketed_series` to the bounded
+    zero-filled grid, and the centered MA is an EXPLODE + re-group —
+    each grid row contributes its value to the ``trend_window`` slots
+    whose average it belongs to, slots re-aggregate partition-parallel —
+    so there is NO ordering window anywhere; edge buckets average over
+    their in-grid neighbors only (partial frames, matching the SQL
+    ``ROWS BETWEEN`` oracle).  The seasonal profile is a period-sized
+    broadcast.  All components rounded (6 dp trend/seasonal, 4 dp
+    remainder) so engines agree bit-for-bit."""
+    width = _BUCKET_US[bucket]
+    half = trend_window // 2
+    v = (F.count(F.lit(1)).cast("double") if value_col is None
+         else F.sum(F.col(value_col).cast("double")))
+    series = _bucketed_series(df, ts_col, bucket, {"v": v})
+    offsets = F.array(*[F.lit(j) for j in range(-half, trend_window - half)])
+    contrib = (series
+               .select(F.explode(offsets).alias("__j"), "__b", "v")
+               .select(F.timestamp_micros(
+                   F.unix_micros(F.col("__b"))
+                   - F.col("__j").cast("long") * F.lit(width))
+                   .alias("__b"), "v"))
+    trend = (contrib.groupBy("__b")
+             .agg(F.round(F.avg("v"), 6).alias("trend")))
+    # inner join drops the out-of-grid slots explode created beyond the
+    # span; in-grid slots always survive (offset 0 contributes)
+    joined = series.join(trend, "__b")
+    phase = F.pmod((F.unix_micros(F.col("__b")) / F.lit(width))
+                   .cast("long"), F.lit(period)).alias("__p")
+    joined = joined.withColumn("__p", phase)
+    seasonal = (joined.groupBy("__p")
+                .agg(F.round(F.avg(F.col("v") - F.col("trend")), 6)
+                     .alias("seasonal")))
+    return (joined.join(F.broadcast(seasonal), "__p")
+            .select(F.col("__b").alias("bucket"), "v", "trend", "seasonal",
+                    F.round(F.col("v") - F.col("trend") - F.col("seasonal"),
+                            4).alias("remainder")))

@@ -7977,3 +7977,44 @@ def ann07_lsh_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .cast("double")
                             / F.col("idcg").cast("double"), 4)
                     .alias("ndcg")))
+
+
+# --- ts06 — additive seasonal decomposition ---------------------------------
+_TS06_SQL = """WITH raw AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+         count(*)::DOUBLE AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series((SELECT min(b) FROM raw),
+                                (SELECT max(b) FROM raw),
+                                INTERVAL 1 HOUR)) AS b
+), s AS (
+  SELECT grid.b, coalesce(raw.v, 0.0) AS v
+  FROM grid LEFT JOIN raw USING (b)
+), t AS (
+  SELECT b, v,
+         round(avg(v) OVER (ORDER BY b
+                            ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+               6) AS trend
+  FROM s
+), ph AS (
+  SELECT b, v, trend,
+         (epoch_us(b) // 3600000000) % 24 AS phase
+  FROM t
+), se AS (
+  SELECT phase, round(avg(v - trend), 6) AS seasonal FROM ph GROUP BY phase
+)
+SELECT ph.b AS bucket, ph.v AS v, ph.trend, se.seasonal,
+       round(ph.v - ph.trend - se.seasonal, 4) AS remainder
+FROM ph JOIN se USING (phase)"""
+
+
+@register("ts06_seasonal_decompose", _TS06_SQL)
+def ts06_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate decomposition: 24h centered-MA trend (explode +
+    re-group over the bounded zero-filled grid — no ordering window),
+    hour-of-day seasonal profile, residual anomaly signal."""
+    from dataqtor_spark.operators import behavior as B
+
+    return B.seasonal_decompose(_t(spark, sf_dir, "events"), "ts",
+                                bucket="hour", period=24, trend_window=24)

@@ -292,6 +292,41 @@ def test_bucketed_series_week_starts_monday(spark):
     assert len(got) == 2
 
 
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    import datetime as dt
+
+    from dataqtor_spark.operators import behavior as B
+
+    # 14 days of hourly events: rate = 5 + 4·[hour in 9..16] (a daytime
+    # plateau) — the seasonal profile must peak in work hours and the
+    # remainder must be near zero once trend+seasonal explain the series
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(14 * 24):
+        t = base + dt.timedelta(hours=h)
+        n = 9 if 9 <= t.hour <= 16 else 5
+        rows += [(t,)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = B.seasonal_decompose(df, "ts", bucket="hour", period=24,
+                               trend_window=24).collect()
+    assert len(out) == 14 * 24
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r["bucket"].hour, []).append(r["seasonal"])
+    day = sum(by_phase[h][0] for h in range(9, 17)) / 8
+    night = sum(by_phase[h][0] for h in list(range(0, 9)) + [17, 23]) / 11
+    assert day - night > 3.0            # plateau recovered (true gap = 4)
+    # interior buckets (full MA frames): components explain the series
+    interior = [r for r in out
+                if dt.timedelta(days=1) <= r["bucket"] - base
+                <= dt.timedelta(days=13)]
+    assert all(abs(r["remainder"]) < 1.5 for r in interior)
+    # no ordering window anywhere in the plan (explode + re-group trend)
+    plan = B.seasonal_decompose(df, "ts")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowExec" not in plan
+
+
 def test_segmented_prefix_sum_matches_naive(spark):
     from dataqtor_spark.operators import behavior as B
 
