@@ -8018,3 +8018,53 @@ def ts06_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return B.seasonal_decompose(_t(spark, sf_dir, "events"), "ts",
                                 bucket="hour", period=24, trend_window=24)
+
+
+# --- d10 — dedup run report (cluster-size histogram + reduction rate) -------
+@register(
+    "d10_dedup_report",
+    f"""WITH RECURSIVE pairs AS ({_D02_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+cc(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+),
+comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+dup AS (SELECT sum(cluster_size) AS in_clusters,
+               count(*) AS n_clusters FROM sizes)
+SELECT cluster_size::BIGINT AS cluster_size,
+       count(*)::BIGINT AS n_clusters,
+       (SELECT round((n_docs - in_clusters + n_clusters) * 1.0 / n_docs, 4)
+        FROM tot, dup) AS survivor_rate
+FROM sizes GROUP BY cluster_size""",
+)
+def d10_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run's governance report: near-dup cluster-size histogram
+    plus the corpus survivor rate (docs kept after keeping one survivor
+    per cluster).  Composes the d02 pair pass + d06 components + bounded
+    aggregates — the number every curation run logs before/after."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5,
+                                   threshold=0.2)
+    comp = DD.connected_components(pairs)
+    sizes = (comp.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = sizes.agg(F.sum("cluster_size").alias("in_clusters"),
+                    F.count(F.lit(1)).alias("n_clusters"))
+    rate = (n_docs.crossJoin(F.broadcast(dup))
+            .select(F.round((F.col("n_docs") - F.col("in_clusters")
+                             + F.col("n_clusters")) * 1.0 / F.col("n_docs"),
+                            4).alias("survivor_rate")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .select(F.col("cluster_size").cast("long").alias("cluster_size"),
+                    "n_clusters")
+            .crossJoin(F.broadcast(rate)))
