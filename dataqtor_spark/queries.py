@@ -8068,3 +8068,32 @@ def d10_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("cluster_size").cast("long").alias("cluster_size"),
                     "n_clusters")
             .crossJoin(F.broadcast(rate)))
+
+
+# --- f15 — robust scaling repair (median/IQR standardization) ---------------
+_F15_SQL = """WITH s AS (
+  SELECT round(quantile_cont(c_acctbal, 0.5), 6) AS med,
+         round(quantile_cont(c_acctbal, 0.75)
+               - quantile_cont(c_acctbal, 0.25), 6) AS iqr
+  FROM customer WHERE c_acctbal IS NOT NULL
+)
+SELECT c_custkey, round((c_acctbal - med) / iqr, 4) AS acctbal_scaled
+FROM customer, s WHERE c_acctbal IS NOT NULL"""
+
+
+@register("f15_robust_scale_acctbal", _F15_SQL)
+def f15_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-pipeline repair: robust standardization (x − median)/IQR —
+    outlier-insensitive where z-scores are not (f13's winsorize clips,
+    this rescales).  One exact-percentile aggregate broadcast over the
+    table; exact mode is the oracle path, approx_percentile the 100 TB
+    swap-in (pr17's contract)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
+    stats = c.agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("med"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75))
+                - F.percentile("c_acctbal", F.lit(0.25)), 6).alias("iqr"))
+    return (c.crossJoin(F.broadcast(stats))
+            .select("c_custkey",
+                    F.round((F.col("c_acctbal") - F.col("med"))
+                            / F.col("iqr"), 4).alias("acctbal_scaled")))
