@@ -1112,10 +1112,13 @@ def _nibble_value_sql(hex_col: str) -> str:
         for j in range(1, 16)) + ")"
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_cte_prefix() -> str:
+    """The shared WITH-prefix of the portable-MinHash SQL replay, through
+    the ``cand`` banding-candidate CTE — reused by d03 (which verifies
+    candidates) and er03 (which evaluates the candidate stage itself)."""
     from dataqtor_spark.operators.dedup import PORTABLE_P, portable_hash_constants
 
-    n, nh, bands, thr = _MH_SHINGLE, _MH_HASHES, _MH_BANDS, _MH_THRESHOLD
+    n, nh, bands = _MH_SHINGLE, _MH_HASHES, _MH_BANDS
     rpb = nh // bands
     consts = portable_hash_constants(nh)
     hmins = ",\n       ".join(
@@ -1124,7 +1127,6 @@ def _minhash_oracle_sql() -> str:
         f"SELECT doc_id, {b} AS band, "
         + " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
         + " AS key FROM sig" for b in range(bands))
-    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(nh))
     return f"""WITH words AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
 sh AS (
@@ -1141,7 +1143,13 @@ sig AS (
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
+
+
+def _minhash_oracle_sql() -> str:
+    nh, thr = _MH_HASHES, _MH_THRESHOLD
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(nh))
+    return f"""{_minhash_cte_prefix()}
 SELECT id_a, id_b, est_jaccard FROM (
   SELECT c.id_a, c.id_b, ({eq}) / {nh}.0 AS est_jaccard
   FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b)
@@ -8097,3 +8105,53 @@ def f15_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey",
                     F.round((F.col("c_acctbal") - F.col("med"))
                             / F.col("iqr"), 4).alias("acctbal_scaled")))
+
+
+# --- er03 — blocking-quality evaluation (pair completeness / reduction) -----
+# The record-linkage/dedup analog of ann05: does the LSH banding stage
+# find the TRUE near-dup pairs (pair completeness) while pruning the
+# quadratic pair space (reduction ratio)?  Truth = the exact inverted-
+# index Jaccard pairs (d02 semantics); candidates = the MinHash banding
+# stage BEFORE verification.  Both pipelines SQL-replayed end-to-end.
+_ER03_SQL = f"""{_minhash_cte_prefix()},
+truth AS (SELECT id_a, id_b FROM ({_D02_PAIRS_SQL})),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+m AS (
+  SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+         (SELECT count(*) FROM cand c
+            JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b)::BIGINT
+           AS n_hit)
+SELECT n_truth, n_candidates, n_hit,
+       round(n_hit * 1.0 / n_truth, 4) AS pair_completeness,
+       round(1.0 - n_candidates / (SELECT n * (n - 1) / 2.0 FROM nd), 6)
+         AS reduction_ratio
+FROM m"""
+
+
+@register("er03_blocking_quality", _ER03_SQL)
+def er03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-stage evaluation: MinHash banding candidates vs the exact
+    Jaccard truth pairs — pair completeness (recall of true pairs) and
+    reduction ratio (fraction of the quadratic pair space pruned), the
+    two numbers every blocking scheme is judged by."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5,
+                                   threshold=0.2, unbounded=True) \
+        .select("id_a", "id_b")
+    sig = DD.minhash_signatures_portable(docs, "doc_id", "text",
+                                         _MH_HASHES, _MH_SHINGLE)
+    cand = DD.minhash_candidates(sig, "doc_id", _MH_HASHES, _MH_BANDS)
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nh = (cand.join(truth, ["id_a", "id_b"])
+          .agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (nt.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(nh))
+            .crossJoin(F.broadcast(nd))
+            .select("n_truth", "n_candidates", "n_hit",
+                    F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 4)
+                    .alias("pair_completeness"),
+                    F.round(1.0 - F.col("n_candidates")
+                            / (F.col("n") * (F.col("n") - 1) / 2.0), 6)
+                    .alias("reduction_ratio")))
