@@ -8155,3 +8155,55 @@ def er03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(1.0 - F.col("n_candidates")
                             / (F.col("n") * (F.col("n") - 1) / 2.0), 6)
                     .alias("reduction_ratio")))
+
+
+# --- a26 — FK fan-out / join-cardinality reconciliation ----------------------
+_A26_SQL = """WITH fan AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_children
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), orphans AS (
+  SELECT count(*) AS n FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'customer<-orders' AS fk,
+       count(*)::BIGINT AS n_parents,
+       sum(CASE WHEN n_children = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_childless,
+       min(n_children)::BIGINT AS min_fanout,
+       max(n_children)::BIGINT AS max_fanout,
+       round(avg(n_children), 4) AS avg_fanout,
+       round(quantile_cont(n_children, 0.5), 4) AS p50_fanout,
+       (SELECT n FROM orphans)::BIGINT AS n_orphan_children
+FROM fan"""
+
+
+@register("a26_fk_fanout_profile", _A26_SQL)
+def a26_fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality reconciliation for the customer←orders FK: the
+    fan-out distribution (children per parent, childless parents) plus
+    orphaned children — the numbers that predict a join's output size
+    and catch referential drift BEFORE a 100 TB join materializes it.
+    One outer-join aggregate + one anti-join count."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    fan = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("n_children")))
+    orphans = (o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_orphan_children")))
+    prof = fan.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parents"),
+        F.sum(F.when(F.col("n_children") == 0, 1).otherwise(0))
+        .cast("long").alias("n_childless"),
+        F.min("n_children").cast("long").alias("min_fanout"),
+        F.max("n_children").cast("long").alias("max_fanout"),
+        F.round(F.avg("n_children"), 4).alias("avg_fanout"),
+        F.round(F.percentile("n_children", F.lit(0.5)), 4)
+        .alias("p50_fanout"))
+    return (prof.crossJoin(F.broadcast(orphans))
+            .select(F.lit("customer<-orders").alias("fk"),
+                    "n_parents", "n_childless", "min_fanout", "max_fanout",
+                    "avg_fanout", "p50_fanout", "n_orphan_children"))
