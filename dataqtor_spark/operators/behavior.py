@@ -635,7 +635,9 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     deduped (basket, item) relation, and the scalar basket count rides a
     broadcast.  Ratios follow the deterministic-float recipe (exact
     counts, one double division each, rounded).  Both rule directions
-    are emitted; top-k by (lift desc, a, b) total order.
+    are emitted; top-k by (lift desc, a, b) total order, or the full
+    (support-cut) rules table with ``top_k=None`` for downstream
+    consumers (the recommendation join in mb03).
     """
     items = (df.select(F.col(basket_col).alias("__b"),
                        F.col(item_col).alias("__i"))
@@ -664,6 +666,8 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
                    F.round((F.col("n_ab") / F.col("n_a"))
                            / (F.col("n_b") / F.lit(float(n_baskets))), 6)
                    .alias("lift")))
+    if top_k is None:
+        return out
     return out.orderBy(F.desc("lift"), F.asc("a"), F.asc("b")).limit(top_k)
 
 

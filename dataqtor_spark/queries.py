@@ -8207,3 +8207,76 @@ def a26_fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("customer<-orders").alias("fk"),
                     "n_parents", "n_childless", "min_fanout", "max_fanout",
                     "avg_fanout", "p50_fanout", "n_orphan_children"))
+
+
+# --- mb03 — co-occurrence recommendations (next-basket top-3) ----------------
+_MB03_SQL = """WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_partkey IS NOT NULL
+), nb AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+supp AS (SELECT i AS item, count(*)::BIGINT AS n_item FROM items GROUP BY 1),
+pairs AS (
+  SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS n_ab
+  FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), bidir AS (
+  SELECT a, b, n_ab FROM pairs
+  UNION ALL SELECT b, a, n_ab FROM pairs
+), rules AS (
+  SELECT a, b,
+         round((n_ab / sa.n_item) / (sb.n_item / CAST(n_baskets AS DOUBLE)),
+               6) AS lift
+  FROM bidir
+  JOIN supp sa ON sa.item = a
+  JOIN supp sb ON sb.item = b
+  CROSS JOIN nb
+), hist AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey < 20 AND l.l_partkey IS NOT NULL
+), cand AS (
+  SELECT h.u, r.b AS rec, max(r.lift) AS score
+  FROM hist h JOIN rules r ON r.a = h.i
+  WHERE NOT EXISTS (SELECT 1 FROM hist h2
+                    WHERE h2.u = h.u AND h2.i = r.b)
+  GROUP BY h.u, r.b
+)
+SELECT u AS custkey, rec AS partkey, score, rank FROM (
+  SELECT u, rec, score,
+         row_number() OVER (PARTITION BY u
+                            ORDER BY score DESC, rec ASC) AS rank
+  FROM cand) WHERE rank <= 3"""
+
+
+@register("mb03_cooccurrence_recs", _MB03_SQL)
+def mb03_cooccurrence_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-basket recommendations from association rules: for each user
+    in a bounded subset, the top-3 not-yet-ordered parts by max lift from
+    anything in their history.  Composes the posting-list rules table
+    (support-cut, no top-k truncation) with a history join and an
+    owned-item anti-join; ranking is a per-user PARTITIONED window."""
+    from pyspark.sql.window import Window
+
+    from dataqtor_spark.operators import behavior as B
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = B.association_rules(li, "l_orderkey", "l_partkey",
+                                min_pair_support=2, top_k=None) \
+        .select("a", "b", "lift")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    hist = (o.join(li.select("l_orderkey", "l_partkey"),
+                   o["o_orderkey"] == li["l_orderkey"])
+            .filter(F.col("l_partkey").isNotNull())
+            .select(F.col("o_custkey").alias("u"),
+                    F.col("l_partkey").alias("i")).distinct())
+    cand = (hist.join(rules, hist["i"] == rules["a"])
+            .groupBy("u", F.col("b").alias("rec"))
+            .agg(F.max("lift").alias("score")))
+    owned = hist.select("u", F.col("i").alias("rec"))
+    cand = cand.join(owned, ["u", "rec"], "left_anti")
+    w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("rec"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("u").alias("custkey"),
+                    F.col("rec").alias("partkey"), "score",
+                    F.col("rank").cast("long").alias("rank")))
