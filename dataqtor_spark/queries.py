@@ -2807,9 +2807,7 @@ def pr07_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.psi_drift(o, "o_totalprice", "__period", bins=10)
 
 
-@register(
-    "t10_sequence_packing",
-    f"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+_T10_CTE = f"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
            FROM documents),
 c AS (SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(toks), 1) + 1, 56),
@@ -2828,11 +2826,14 @@ p AS (SELECT shard,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
                   AS INT) AS bin,
              n_chunk_tokens
-      FROM ck)
-SELECT shard, bin, count(*)::BIGINT AS n_chunks,
+      FROM ck),
+bins AS (SELECT shard, bin, count(*)::BIGINT AS n_chunks,
        sum(n_chunk_tokens)::BIGINT AS n_tokens
-FROM p GROUP BY 1, 2""",
-)
+FROM p GROUP BY 1, 2)"""
+
+
+@register("t10_sequence_packing",
+          _T10_CTE + "\nSELECT shard, bin, n_chunks, n_tokens FROM bins")
 def t10_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk → shard → greedy 512-token sequence packing (the last step
     before a training-data writer); per-shard windows keep packing
@@ -8280,3 +8281,33 @@ def mb03_cooccurrence_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("u").alias("custkey"),
                     F.col("rec").alias("partkey"), "score",
                     F.col("rank").cast("long").alias("rank")))
+
+
+# --- t32 — packing-efficiency report -----------------------------------------
+_T32_SQL = _T10_CTE + """
+SELECT shard, count(*)::BIGINT AS n_bins,
+       CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS min_bins,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(sum(n_tokens) / (count(*) * 512.0), 4) AS fill_rate
+FROM bins GROUP BY shard"""
+
+
+@register("t32_packing_efficiency", _T32_SQL)
+def t32_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-writer governance for t10's greedy packing: per shard,
+    bins used vs the ceil(total/budget) lower bound and the realized
+    fill rate — the wasted-compute number a packing change is judged by
+    (greedy-by-prefix-sum wastes < one chunk per bin boundary)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(docs, max_tokens=64, overlap=8)
+    sharded = TX.assign_shards(chunks, "doc_id", n_shards=8)
+    packed = TX.pack_sequences(sharded, token_budget=512)
+    bins = (packed.groupBy("shard", "bin")
+            .agg(F.sum("n_chunk_tokens").alias("n_tokens")))
+    return (bins.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 F.ceil(F.sum("n_tokens") / 512.0).cast("long")
+                 .alias("min_bins"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.round(F.sum("n_tokens") / (F.count(F.lit(1)) * 512.0), 4)
+                 .alias("fill_rate")))
