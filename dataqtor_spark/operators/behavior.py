@@ -713,9 +713,18 @@ def seasonal_decompose(df: DataFrame, ts_col: str = "ts",
     phase = F.pmod((F.unix_micros(F.col("__b")) / F.lit(width))
                    .cast("long"), F.lit(period)).alias("__p")
     joined = joined.withColumn("__p", phase)
+    # Seasonal mean via exact DECIMAL accumulation, not avg of doubles:
+    # each (v − trend) sits ~1e-10 off a 6 dp grid point (v is an exact
+    # integer-valued count, trend is 6 dp-rounded), so its decimal cast
+    # is deterministic — and the decimal SUM is order-independent, where
+    # a double avg's summation order varies per run/partitioning and can
+    # flip a value sitting on the final round()'s half boundary (the
+    # flake this replaces).  The double division and round then see
+    # bit-identical inputs in both engines.
+    dec = (F.col("v") - F.col("trend")).cast("decimal(28,6)")
     seasonal = (joined.groupBy("__p")
-                .agg(F.round(F.avg(F.col("v") - F.col("trend")), 6)
-                     .alias("seasonal")))
+                .agg(F.round(F.sum(dec).cast("double")
+                             / F.count(F.lit(1)), 6).alias("seasonal")))
     return (joined.join(F.broadcast(seasonal), "__p")
             .select(F.col("__b").alias("bucket"), "v", "trend", "seasonal",
                     F.round(F.col("v") - F.col("trend") - F.col("seasonal"),

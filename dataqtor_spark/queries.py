@@ -8011,7 +8011,9 @@ _TS06_SQL = """WITH raw AS (
          (epoch_us(b) // 3600000000) % 24 AS phase
   FROM t
 ), se AS (
-  SELECT phase, round(avg(v - trend), 6) AS seasonal FROM ph GROUP BY phase
+  SELECT phase, round(sum((v - trend)::DECIMAL(28,6))::DOUBLE
+                     / count(*), 6) AS seasonal
+  FROM ph GROUP BY phase
 )
 SELECT ph.b AS bucket, ph.v AS v, ph.trend, se.seasonal,
        round(ph.v - ph.trend - se.seasonal, 4) AS remainder
