@@ -191,3 +191,19 @@ def schema_changes(old: DataFrame, new: DataFrame) -> list[dict]:
             out.append({"column": c, "change": "retyped",
                         "old_type": o[c], "new_type": n[c]})
     return out
+
+
+def snapshot_at(scd2: DataFrame, at_ts, key: str = "user_id") -> DataFrame:
+    """Reconstruct the dimension's state AS OF ``at_ts`` from its SCD2
+    history: the one row per key whose validity interval covers the
+    instant (``valid_from <= t < valid_to``, half-open like the builder).
+
+    This is the time-travel read every warehouse audit needs ("what did
+    the table say on the 15th?") and it is a pure FILTER on the history
+    — no window, no join: at 100 TB, a history partitioned or Z-ordered
+    on ``valid_from`` prunes to the covering row groups before a single
+    row is read."""
+    t = F.lit(at_ts).cast("timestamp")
+    return scd2.filter((F.col("valid_from") <= t)
+                       & ((F.col("valid_to").isNull())
+                          | (F.col("valid_to") > t)))

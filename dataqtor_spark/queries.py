@@ -8313,3 +8313,29 @@ def t32_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").cast("long").alias("total_tokens"),
                  F.round(F.sum("n_tokens") / (F.count(F.lit(1)) * 512.0), 4)
                  .alias("fill_rate")))
+
+
+# --- w04 — SCD2 time-travel snapshot ----------------------------------------
+_W04_AT = "2024-01-15 12:00:00"
+_W04_SQL = f"""WITH h AS ({_W02_SQL})
+SELECT user_id, event_type, valid_from, valid_to
+FROM h
+WHERE valid_from <= TIMESTAMP '{_W04_AT}'
+  AND valid_to > TIMESTAMP '{_W04_AT}'"""
+
+
+@register("w04_scd2_snapshot", _W04_SQL)
+def w04_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the w02 SCD2 history: the dimension's exact
+    state as of a fixed instant — one covering-interval row per key,
+    a pure filter over the history (partition/Z-order on valid_from
+    prunes it at rest)."""
+    from dataqtor_spark.operators import scd as SCD
+
+    hist = SCD.scd2_from_history(_t(spark, sf_dir, "events"),
+                                 "user_id", "ts", ["event_type"],
+                                 tiebreak_col="event_id")
+    hist = hist.withColumn("valid_to", F.coalesce(
+        F.col("valid_to"), F.lit("2200-01-01").cast("timestamp")))
+    return (SCD.snapshot_at(hist, _W04_AT, "user_id")
+            .select("user_id", "event_type", "valid_from", "valid_to"))
