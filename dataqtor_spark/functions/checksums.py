@@ -93,3 +93,41 @@ def taxnum_sql(expr: str) -> str:
     )
     eleven = f"(length({expr}) = 11 AND {tcid_sql(expr)})"
     return f"({ten} OR {eleven})"
+
+
+def _luhn_sum_sql(expr: str, length: int) -> str:
+    """Dialect-neutral SQL for the Luhn digit sum of a fixed-length digit
+    string: doubling every second digit from the RIGHT (>9 folds to
+    digit sum − 9); valid ⇔ sum % 10 = 0.  Uses only substring / CAST /
+    CASE, which Spark SQL and DuckDB parse identically, so the same
+    generated string serves both the operator and the oracle."""
+    terms = []
+    for i in range(1, length + 1):
+        # TRY_CAST, not CAST: ANSI Spark does not short-circuit the
+        # length conjunct, so a non-digit character must yield NULL
+        # (folded to false below), never a cast error
+        d = f"TRY_CAST(substring({expr}, {i}, 1) AS INT)"
+        if (length - i) % 2 == 1:  # doubled positions, counted from right
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 "
+                         f"ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ")"
+
+
+def luhn_valid_sql(expr: str, length: int = 16) -> str:
+    """Boolean SQL: ``expr`` is a ``length``-digit string passing the
+    Luhn check (payment cards, IMEI, many national ids) — the mod-10
+    sibling of the TR-ID/tax checksums, same pure-arithmetic recipe.
+    Non-digit characters NULL the digit sum, which folds to false."""
+    return (f"(length({expr}) = {length} "
+            f"AND coalesce({_luhn_sum_sql(expr, length)} % 10 = 0, false))")
+
+
+def luhn_valid(col, length: int = 16):
+    """Column form of :func:`luhn_valid_sql` (generated expression —
+    stays inside whole-stage codegen, no UDF)."""
+    from pyspark.sql import Column, functions as F
+
+    name = col._jc.toString() if isinstance(col, Column) else str(col)
+    return F.expr(luhn_valid_sql(name, length))

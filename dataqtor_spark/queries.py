@@ -8339,3 +8339,36 @@ def w04_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to"), F.lit("2200-01-01").cast("timestamp")))
     return (SCD.snapshot_at(hist, _W04_AT, "user_id")
             .select("user_id", "event_type", "valid_from", "valid_to"))
+
+
+# --- r21 — Luhn mod-10 checksum rule ----------------------------------------
+# Card-shaped numbers derived deterministically from custkey (the usual
+# derived-pattern device); the final digit is the key's own last digit,
+# so ~10% of rows pass the mod-10 check by construction.
+_R21_NUM = ("'42' || lpad(CAST((c_custkey * 7919) % 100000000000000 "
+            "AS VARCHAR), 14, '0')")
+
+
+def _r21_sql() -> str:
+    from dataqtor_spark.functions.checksums import luhn_valid_sql
+
+    return f"""SELECT {luhn_valid_sql(_R21_NUM, 16)} AS luhn_valid,
+       count(*)::BIGINT AS n
+FROM customer GROUP BY 1"""
+
+
+@register("r21_luhn_checksum", _r21_sql())
+def r21_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 validity over derived card-shaped numbers — the
+    payment-card/IMEI sibling of the reference's TR-ID/tax checksums
+    (functions/checksums.py), as one generated arithmetic expression
+    shared verbatim by both engines."""
+    from dataqtor_spark.functions.checksums import luhn_valid_sql
+
+    c = _t(spark, sf_dir, "customer")
+    num_spark = ("'42' || lpad(CAST((c_custkey * 7919) % 100000000000000 "
+                 "AS STRING), 14, '0')")
+    return (c.select(F.expr(luhn_valid_sql(num_spark, 16))
+                     .alias("luhn_valid"))
+            .groupBy("luhn_valid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))

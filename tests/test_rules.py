@@ -361,3 +361,21 @@ def test_violation_samples_one_scan_per_rule_cap(spark):
     assert by_rule["bal_nonneg"] == [1, 2, 3]     # capped at k, key-ordered
     assert by_rule["seg_no_digits"] == [1, 2, 3]
     assert all(r["rank"] <= 3 for r in got)
+
+
+def test_luhn_known_vectors(spark):
+    from dataqtor_spark.functions.checksums import luhn_valid
+
+    df = spark.createDataFrame(
+        [("4539578763621486",),   # valid (classic test number)
+         ("4539578763621487",),   # corrupted check digit
+         ("79927398713",),        # valid 11-digit Luhn example
+         ("79927398710",),        # invalid
+         ("abc",)],               # non-numeric / wrong length
+        "s string")
+    got16 = [r["v"] for r in df.select(
+        luhn_valid(F.col("s"), 16).alias("v")).collect()]
+    assert got16 == [True, False, False, False, False]
+    got11 = [r["v"] for r in df.select(
+        luhn_valid(F.col("s"), 11).alias("v")).collect()]
+    assert got11[2] is True and got11[3] is False
