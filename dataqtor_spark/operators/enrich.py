@@ -216,3 +216,39 @@ def geohash_density(df: DataFrame, lat_col: str, lng_col: str,
                  .alias("avg_lat"),
                  F.round(F.avg(F.col(lng_col).cast("double")), 4)
                  .alias("avg_lng")))
+
+
+def geohash_blocked_pairs(df: DataFrame, id_col: str, lat_col: str,
+                          lng_col: str, precision: int = 2,
+                          max_km: float = 300.0) -> DataFrame:
+    """Proximity self-join via geohash blocking: candidate pairs share a
+    cell (equi-join on the hash — the scale substitute for a geo cross
+    product), then exact haversine refines to ``max_km``.
+
+    Per-cell pair expansion is quadratic in cell occupancy, bounded by
+    choosing precision so cells hold O(sqrt) points (the same guard
+    calculus as the dedup banding caps); pairs straddling a cell
+    boundary are missed unless the 8 neighbour cells are also probed —
+    the standard blocking recall trade, documented like LSH banding's.
+    Distances round to 3 dp before the threshold so the filter is
+    engine-reproducible."""
+    cell = geohash(lat_col, lng_col, precision)
+    pts = df.select(F.col(id_col).alias("id"),
+                    F.radians(F.col(lat_col).cast("double")).alias("la"),
+                    F.radians(F.col(lng_col).cast("double")).alias("lo"),
+                    cell.alias("cell"))
+    a, b = pts.alias("a"), pts.alias("b")
+    dla = (F.col("b.la") - F.col("a.la")) / 2
+    dlo = (F.col("b.lo") - F.col("a.lo")) / 2
+    dist = F.round(
+        2 * 6371.0 * F.asin(F.sqrt(
+            F.pow(F.sin(dla), 2)
+            + F.cos(F.col("a.la")) * F.cos(F.col("b.la"))
+            * F.pow(F.sin(dlo), 2))), 3)
+    return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.cell").alias("cell"),
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    dist.alias("dist_km"))
+            .filter(F.col("dist_km") <= max_km))

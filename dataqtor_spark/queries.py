@@ -5513,7 +5513,10 @@ def geo01_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GEO02_PRECISION = 3
 
 
-def _geo02_oracle_sql(precision: int = _GEO02_PRECISION) -> str:
+def _geohash_cell_sql(precision: int) -> tuple[str, int, int]:
+    """(cell_expr, nx, ny): the base-32 geohash cell over integer grid
+    columns ``x``/``y`` — the SQL twin of ``enrich.geohash``'s bit
+    interleave, shared by the geo02 raster and geo03 blocking oracles."""
     from dataqtor_spark.operators.enrich import _GEOHASH_B32
 
     nbits = 5 * precision
@@ -5530,7 +5533,11 @@ def _geo02_oracle_sql(precision: int = _GEO02_PRECISION) -> str:
                          for j in range(5))
         chars.append(
             f"substring('{_GEOHASH_B32}', CAST(({val}) + 1 AS INT), 1)")
-    cell = " || ".join(chars)
+    return " || ".join(chars), nx, ny
+
+
+def _geo02_oracle_sql(precision: int = _GEO02_PRECISION) -> str:
+    cell, nx, ny = _geohash_cell_sql(precision)
     return f"""WITH pts AS (
   SELECT (c_custkey % 17000) / 100.0 - 85.0 AS lat,
          (c_custkey % 35900) / 100.0 - 179.5 AS lng
@@ -8372,3 +8379,55 @@ def r21_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("luhn_valid"))
             .groupBy("luhn_valid")
             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+# --- geo03 — geohash-blocked proximity pairs ---------------------------------
+_GEO03_PRECISION, _GEO03_KM = 2, 300.0
+_GEO03_PTS = """SELECT c_custkey AS id,
+         ((c_custkey * 7919) % 17000) / 100.0 - 85.0 AS lat,
+         ((c_custkey * 104729) % 35900) / 100.0 - 179.5 AS lng
+  FROM customer"""
+
+
+def _geo03_oracle_sql() -> str:
+    cell, nx, ny = _geohash_cell_sql(_GEO03_PRECISION)
+    return f"""WITH pts AS (
+  {_GEO03_PTS}
+), q AS (
+  SELECT id, radians(lat) AS la, radians(lng) AS lo,
+         least(CAST(floor((lng + 180.0) / 360.0 * {2 ** nx}) AS BIGINT),
+               {2 ** nx - 1}) AS x,
+         least(CAST(floor((lat + 90.0) / 180.0 * {2 ** ny}) AS BIGINT),
+               {2 ** ny - 1}) AS y
+  FROM pts
+), cells AS (
+  SELECT id, la, lo, {cell} AS cell FROM q
+)
+SELECT a.cell, a.id AS id_a, b.id AS id_b,
+       round(2 * 6371.0 * asin(sqrt(
+         pow(sin((b.la - a.la) / 2), 2)
+         + cos(a.la) * cos(b.la) * pow(sin((b.lo - a.lo) / 2), 2))), 3)
+         AS dist_km
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+WHERE round(2 * 6371.0 * asin(sqrt(
+        pow(sin((b.la - a.la) / 2), 2)
+        + cos(a.la) * cos(b.la) * pow(sin((b.lo - a.lo) / 2), 2))), 3)
+      <= {_GEO03_KM}"""
+
+
+@register("geo03_blocked_proximity_pairs", _geo03_oracle_sql())
+def geo03_blocked_proximity_pairs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The geohash-blocking claim as a measured query: proximity pairs
+    found through cell equi-joins + exact haversine refine, over the
+    derived point cloud — a radius self-join with NO cross product."""
+    from dataqtor_spark.operators import enrich as E
+
+    did = F.col("c_custkey")
+    pts = _t(spark, sf_dir, "customer").select(
+        did.alias("id"),
+        (((did * 7919) % 17000) / 100.0 - 85.0).alias("lat"),
+        (((did * 104729) % 35900) / 100.0 - 179.5).alias("lng"))
+    return E.geohash_blocked_pairs(pts, "id", "lat", "lng",
+                                   precision=_GEO03_PRECISION,
+                                   max_km=_GEO03_KM)
