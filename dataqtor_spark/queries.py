@@ -8431,3 +8431,68 @@ def geo03_blocked_proximity_pairs(spark: SparkSession,
     return E.geohash_blocked_pairs(pts, "id", "lat", "lng",
                                    precision=_GEO03_PRECISION,
                                    max_km=_GEO03_KM)
+
+
+# --- pr26 — pairwise normalized-MI matrix ------------------------------------
+_PR26_DOW = "(datediff('day', DATE '1995-01-01', o_orderdate) % 7)"
+_PR26_COLS = [("status", "o_orderstatus"),
+              ("priority", "o_orderpriority"),
+              ("dow", _PR26_DOW)]
+
+
+def _pr26_pair_sql(la: str, ea: str, lb: str, eb: str) -> str:
+    return f"""SELECT * FROM (
+WITH j AS (
+  SELECT {ea} AS a, {eb} AS b, count(*) * 1.0 AS n
+  FROM orders WHERE {ea} IS NOT NULL AND {eb} IS NOT NULL
+  GROUP BY 1, 2
+), t AS (SELECT sum(n) AS t FROM j),
+pa AS (SELECT a, sum(n) AS na FROM j GROUP BY a),
+pb AS (SELECT b, sum(n) AS nb FROM j GROUP BY b),
+f AS (SELECT j.*, pa.na, pb.nb, t.t
+      FROM j JOIN pa USING (a) JOIN pb USING (b) CROSS JOIN t),
+m AS (SELECT
+  round(-sum((na / t) * ln(na / t) * n / na), 6) AS entropy_a,
+  round(-sum((nb / t) * ln(nb / t) * n / nb), 6) AS entropy_b,
+  round(sum((n / t) * ln((n / t) / ((na / t) * (nb / t)))), 6) AS mi
+FROM f)
+SELECT '{la}' AS col_a, '{lb}' AS col_b, entropy_a, entropy_b, mi,
+       round(mi / least(entropy_a, entropy_b), 6) AS nmi
+FROM m)"""
+
+
+_PR26_SQL = "\nUNION ALL\n".join(
+    _pr26_pair_sql(la, ea, lb, eb)
+    for i, (la, ea) in enumerate(_PR26_COLS)
+    for lb, eb in _PR26_COLS[i + 1:])
+
+
+@register("pr26_nmi_matrix", _PR26_SQL)
+def pr26_nmi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise normalized mutual information over three categoricals
+    (status, priority, engine-exact day-of-week): the dependence matrix
+    a feature-selection pass reads.  NMI = MI / min(H) computed from the
+    already-rounded components so both engines divide identical values;
+    each pair is one joint-count shuffle (pr18's shape)."""
+    o = _t(spark, sf_dir, "orders")
+    dow = (F.datediff(F.to_date("o_orderdate"),
+                      F.lit("1995-01-01").cast("date")) % 7)
+    src = o.select(F.col("o_orderstatus").alias("status"),
+                   F.col("o_orderpriority").alias("priority"),
+                   dow.alias("dow"))
+    outs = []
+    labels = [la for la, _ in _PR26_COLS]
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1:]:
+            m = P.entropy_mi(src, la, lb)
+            outs.append(m.select(
+                F.lit(la).alias("col_a"), F.lit(lb).alias("col_b"),
+                "entropy_a", "entropy_b",
+                F.col("mutual_information").alias("mi"),
+                F.round(F.col("mutual_information")
+                        / F.least(F.col("entropy_a"), F.col("entropy_b")),
+                        6).alias("nmi")))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
