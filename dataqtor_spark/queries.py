@@ -8496,3 +8496,28 @@ def pr26_nmi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+# --- s16 — sliding (hopping) window aggregates -------------------------------
+@register(
+    "s16_sliding_window_agg",
+    """WITH x AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+           AS window_start
+  FROM events
+)
+SELECT window_start, window_start + INTERVAL '2 hours' AS window_end,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM x GROUP BY 1, 2""",
+)
+def s16_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows hopping every 1h (each event lands in two overlapping
+    windows) — the moving-average read; the oracle expands each event to
+    its covering slide-aligned starts.  Identical semantics on a stream
+    with a watermark."""
+    return SP.windowed_event_agg(_t(spark, sf_dir, "events"),
+                                 window="2 hours", slide="1 hour",
+                                 group_col=None)

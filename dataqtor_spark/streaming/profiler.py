@@ -58,10 +58,18 @@ def _swap_snapshot(tmp: str, path: str) -> None:
 
 def windowed_event_agg(df: DataFrame, ts_col: str = "ts",
                        window: str = "1 hour",
-                       group_col: str | None = "event_type") -> DataFrame:
-    """Tumbling-window counts + exact sums (decimal-accumulated).  Works on
-    static and streaming frames alike."""
-    keys = [F.window(F.col(ts_col), window).alias("w")]
+                       group_col: str | None = "event_type",
+                       slide: str | None = None) -> DataFrame:
+    """Windowed counts + exact sums (decimal-accumulated).  Works on
+    static and streaming frames alike.  ``slide`` < ``window`` makes the
+    windows HOPPING (each event lands in window/slide overlapping
+    windows — the moving-average / smooth-trend read that tumbling
+    windows can't give); default is tumbling.  State per window stays a
+    constant-size aggregate either way; hopping multiplies live windows
+    by the overlap factor, not by the data."""
+    w = (F.window(F.col(ts_col), window, slide) if slide
+         else F.window(F.col(ts_col), window))
+    keys = [w.alias("w")]
     if group_col:
         keys.append(F.col(group_col))
     out = (df.groupBy(*keys)
