@@ -126,8 +126,21 @@ def luhn_valid_sql(expr: str, length: int = 16) -> str:
 
 def luhn_valid(col, length: int = 16):
     """Column form of :func:`luhn_valid_sql` (generated expression —
-    stays inside whole-stage codegen, no UDF)."""
+    stays inside whole-stage codegen, no UDF).  Built with native Column
+    operations — no stringify-and-reparse round trip — so it accepts
+    arbitrary Column expressions and works on Spark Connect, where
+    ``Column._jc`` does not exist.  A non-digit character NULLs its term
+    (the rlike guard mirrors TRY_CAST in the SQL form), folding to false."""
     from pyspark.sql import Column, functions as F
 
-    name = col._jc.toString() if isinstance(col, Column) else str(col)
-    return F.expr(luhn_valid_sql(name, length))
+    c = col if isinstance(col, Column) else F.col(str(col))
+    total = F.lit(0)
+    for i in range(1, length + 1):
+        ch = F.substring(c, i, 1)
+        d = F.when(ch.rlike("^[0-9]$"), ch.cast("int"))
+        if (length - i) % 2 == 1:  # doubled positions, counted from right
+            term = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        else:
+            term = d
+        total = total + term
+    return (F.length(c) == length) & F.coalesce(total % 10 == 0, F.lit(False))

@@ -98,9 +98,19 @@ def _filter_by_deferred_auto_cap(grouped: DataFrame, count_src: DataFrame,
 
     The in-plan integer sqrt mirrors ``math.isqrt`` exactly: the float
     ``floor(sqrt(n))`` candidate is corrected by one in either direction,
-    which covers the ulp error band around perfect squares."""
+    which covers the ulp error band around perfect squares.
+
+    Whether the cap engages is only known at run time (it depends on the
+    corpus count inside the plan), so a notice is logged unconditionally
+    at INFO when the deferred filter is constructed — at scale the guard
+    must never drop candidate pairs silently."""
     if min_docs is None:
         min_docs = AUTO_GUARD_MIN_DOCS
+    _log.info(
+        "deferred auto skew guard attached: groups larger than "
+        "max(%d, isqrt(n_docs)) are skipped when n_docs >= %d (decided "
+        "in-plan from the corpus count; pass unbounded=True or an "
+        "explicit cap to opt out)", AUTO_GUARD_CAP_FLOOR, min_docs)
     total = count_src.agg(F.count(F.lit(1)).alias("__n_docs"))
     r = F.floor(F.sqrt(F.col("__n_docs"))).cast("long")
     isq = (F.when((r + 1) * (r + 1) <= F.col("__n_docs"), r + 1)

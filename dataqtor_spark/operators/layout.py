@@ -146,9 +146,13 @@ def zvalue_expr(cols: list[Column], bits: int = 16) -> Column:
     dimensions): output bit ``b*n + i`` = bit ``b`` of ``cols[i]``.
 
     Pure shift/mask arithmetic — ``bits × n`` constant-folded terms inside
-    whole-stage codegen.  Callers normalize each dimension into
-    [0, 2^bits) first (clamp, bucket, or hash); values outside alias in
-    via the mask.  ``bits * len(cols)`` ≤ 63 so the value fits a long."""
+    whole-stage codegen.  Callers MUST normalize each dimension into
+    [0, 2^bits) first (clamp, bucket, or hash): values above the range
+    alias in via the mask, and NEGATIVE inputs alias through two's
+    complement (arithmetic shift keeps the sign bit) rather than
+    erroring — same in :func:`zvalue_sql`, so the two sides agree, but
+    the curve locality the caller wanted is destroyed either way.
+    ``bits * len(cols)`` ≤ 63 so the value fits a long."""
     n = len(cols)
     if not 2 <= n <= 4:
         raise ValueError("zvalue_expr interleaves 2-4 dimensions")
@@ -164,13 +168,15 @@ def zvalue_expr(cols: list[Column], bits: int = 16) -> Column:
 
 
 def zvalue_sql(col_sqls: list[str], bits: int = 16) -> str:
-    """The identical Morton interleave as an ANSI-SQL expression string
-    (DuckDB-compatible ``>>``/``<<``/``&``/``+``) — the differential
-    oracle's side of :func:`zvalue_expr`."""
+    """The identical Morton interleave as a dialect-neutral SQL
+    expression string (``CAST``/``>>``/``<<``/``&``/``+`` parse on both
+    DuckDB and Spark SQL) — the differential oracle's side of
+    :func:`zvalue_expr`.  Same non-negative-input expectation: negative
+    values alias via two's complement instead of erroring."""
     n = len(col_sqls)
     terms = []
     for i, c in enumerate(col_sqls):
         for b in range(bits):
             terms.append(
-                f"((((({c})::BIGINT >> {b}) & 1)) << {b * n + i})")
+                f"((((CAST(({c}) AS BIGINT) >> {b}) & 1)) << {b * n + i})")
     return "(" + " + ".join(terms) + ")"

@@ -32,11 +32,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _resolve_reliable(sc, reliable: bool | None) -> bool:
+    """Decide reliable-vs-local checkpointing for :func:`ordered_prefix`.
+
+    ``None`` → reliable iff a checkpoint dir is already configured (the
+    cluster operator opted into fault tolerance once, every caller gets
+    it).  Explicit ``True`` with no dir: local masters fall back to a
+    temp dir with a warning; anything else raises — a driver-local path
+    is not fault-tolerant, which is the one property the flag promises."""
+    if reliable is None:
+        return sc.getCheckpointDir() is not None
+    if reliable and sc.getCheckpointDir() is None:
+        master = sc.master or ""
+        if not master.startswith("local"):
+            raise RuntimeError(
+                "ordered_prefix(reliable=True) needs "
+                "sc.setCheckpointDir(<fault-tolerant path>) on master "
+                f"{master!r}; a driver-local temp dir would not survive "
+                "executor loss")
+        import tempfile
+        import warnings
+        d = tempfile.mkdtemp(prefix="ordered_ckpt_")
+        warnings.warn(
+            "ordered_prefix(reliable=True): no checkpoint dir set; "
+            f"using local temp dir {d} (acceptable only on local[*])",
+            stacklevel=3)
+        sc.setCheckpointDir(d)
+    return bool(reliable)
+
+
 def ordered_prefix(df: DataFrame, order_by: list[Column],
                    sums: dict[str, Column] | None = None,
                    out_rn: str | None = None,
                    partitions: int | None = None,
-                   reliable: bool = False) -> DataFrame:
+                   reliable: bool | None = None) -> DataFrame:
     """Add inclusive running sums (one output column per ``sums`` entry)
     and/or a 1-based global row number, all in ``order_by`` total order,
     computed with NO data-sized single-partition stage.
@@ -46,14 +75,20 @@ def ordered_prefix(df: DataFrame, order_by: list[Column],
     output).  Exclusive ("rows before") forms are the inclusive sum
     minus the row's own value — no second pass needed.
 
-    ``reliable=True`` pins the range-partitioned materialization with a
-    RELIABLE checkpoint (written under ``spark.sparkContext``'s checkpoint
-    dir, which must be set to a fault-tolerant store on a real cluster)
-    instead of the default ``localCheckpoint``.  The default stores the
-    pinned blocks on executors: fastest, but on a multi-executor cluster
-    losing one executor mid-query kills the job unrecoverably (blocks
-    aren't re-derivable once lineage is truncated).  For long 100 TB jobs
-    where executor churn is expected, pay the checkpoint-dir write.
+    ``reliable`` picks how the range-partitioned materialization is
+    pinned.  ``True`` = RELIABLE checkpoint (written under
+    ``spark.sparkContext``'s checkpoint dir, which must be set to a
+    fault-tolerant store on a real cluster); ``False`` =
+    ``localCheckpoint`` (blocks live on executors: fastest, but losing
+    one executor mid-query kills the job unrecoverably once lineage is
+    truncated).  The default ``None`` means AUTO: use a reliable
+    checkpoint iff a checkpoint dir is already configured, else
+    localCheckpoint — so 100 TB clusters that set a checkpoint dir get
+    fault tolerance without every caller knowing this flag, and local
+    runs keep the fast path.  With an explicit ``reliable=True`` and no
+    checkpoint dir, a ``local[*]`` master falls back to a temp dir with
+    a warning; any other master raises (a driver-local path is not
+    fault-tolerant — exactly the failure the flag exists to survive).
     """
     sums = sums or {}
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -65,11 +100,7 @@ def ordered_prefix(df: DataFrame, order_by: list[Column],
     # trade (same device as the minhash pipeline's candidate sets).
     rp = (df.repartitionByRange(n, *order_by)
           .withColumn("__pid", F.spark_partition_id()))
-    if reliable:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            import tempfile
-            sc.setCheckpointDir(tempfile.mkdtemp(prefix="ordered_ckpt_"))
+    if _resolve_reliable(df.sparkSession.sparkContext, reliable):
         rp = rp.checkpoint(eager=False)
     else:
         rp = rp.localCheckpoint(eager=False)

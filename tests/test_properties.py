@@ -417,6 +417,50 @@ def test_ordered_prefix_reliable_mode_agrees(spark):
     assert base == rel
 
 
+def test_ordered_prefix_reliable_auto_resolution(spark):
+    """reliable=None follows the configured checkpoint dir; an explicit
+    True without one warns on local masters (and still computes)."""
+    import warnings
+
+    from dataqtor_spark.operators.ordered import (_resolve_reliable,
+                                                  ordered_prefix)
+
+    sc = spark.sparkContext
+
+    class _FakeSC:
+        def __init__(self, ckpt, master):
+            self._ckpt, self.master = ckpt, master
+
+        def getCheckpointDir(self):
+            return self._ckpt
+
+        def setCheckpointDir(self, d):
+            self._ckpt = d
+
+    # auto: no dir -> local checkpoint; dir set -> reliable
+    assert _resolve_reliable(_FakeSC(None, "local[4]"), None) is False
+    assert _resolve_reliable(_FakeSC("/ckpt", "spark://h:7077"), None) is True
+    # explicit True, no dir: cluster master refuses, local warns + falls back
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="setCheckpointDir"):
+        _resolve_reliable(_FakeSC(None, "spark://h:7077"), True)
+    fake = _FakeSC(None, "local[4]")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _resolve_reliable(fake, True) is True
+    assert any("checkpoint" in str(x.message) for x in w)
+    assert fake.getCheckpointDir() is not None
+    # end-to-end reliable-checkpoint equivalence is covered by
+    # test_ordered_prefix_reliable_mode_agrees above (auto+dir-set takes
+    # the identical rp.checkpoint(eager=False) branch); not re-run here
+    # to avoid pinning a checkpoint dir on the shared session fixture.
+    assert sc is spark.sparkContext
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    got = ordered_prefix(df, [F.col("v"), F.col("id")], out_rn="rn",
+                         reliable=None, partitions=3).count()
+    assert got == 50
+
+
 def test_with_row_id_ordered_matches_window_row_number(spark):
     from pyspark.sql.window import Window
 
