@@ -5900,12 +5900,14 @@ def a20_column_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.column_modes(_t(spark, sf_dir, "customer"), _A20_COLS)
 
 
-@register("e03_pca_projection")  # rows-only: eigensolver has no SQL oracle
 def e03_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-principal-component projection of the embeddings table
-    (mapInPandas scatter-matrix partials + driver power iteration;
-    unit-tested for variance-capture and determinism instead of a
-    DuckDB oracle)."""
+    (mapInPandas scatter-matrix partials + driver power iteration).
+    RETIRED from the registry (VERDICT.md r7, task 6): the power-iteration
+    float path is inherently non-SQL-replayable, so it sat rows-only;
+    ``e03b_pca2_closed_form`` is the hash-checkable registry query and the
+    operator itself stays unit-tested (variance capture + determinism,
+    tests/test_gaps_basket_geo.py) and importable here for callers."""
     from dataqtor_spark.operators import embeddings as E
 
     proj, _info = E.pca_top_component(
@@ -6169,7 +6171,7 @@ _SHOWCASE_EXTRA = [
     "cep01_sequence_match", "g02_triangle_count",
     "pr19_eta_squared_acctbal", "pr20_chi2_status_priority",
     "s10_windowed_topk", "o07_trimmed_mean_acctbal", "a20_column_modes",
-    "bpe01_merge_candidates", "e03_pca_projection",
+    "bpe01_merge_candidates",
 ]
 _missing = [n for n in _SHOWCASE_EXTRA if n not in QUERIES]
 assert not _missing, f"showcase-extra references unknown queries: {_missing}"
