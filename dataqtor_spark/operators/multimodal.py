@@ -384,6 +384,145 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
         resize, schema=RESIZED_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# perceptual image hashing (near-duplicate image detection)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _dhash_bits(lum: list[list[int]]) -> int:
+    """dHash over a 9×8 luminance grid: bit ``y*8+x`` set iff the pixel
+    is brighter than its right neighbour (horizontal gradient sign) —
+    pure integer comparisons, robust to re-encode/resize/brightness."""
+    v = 0
+    for y in range(8):
+        row = lum[y]
+        for x in range(8):
+            if row[x] > row[x + 1]:
+                v |= 1 << (y * 8 + x)
+    return _to_signed64(v)
+
+
+def _phash_bits(lum: list[list[int]]) -> int:
+    """pHash over a 32×32 luminance grid: orthonormal 2-D DCT-II (one
+    numpy matmul pair), keep the top-left 8×8 low-frequency block, bit =
+    coefficient above the median of the 63 non-DC coefficients."""
+    import numpy as np
+
+    n = 32
+    img = np.asarray(lum, dtype=np.float64)
+    k = np.arange(n)
+    basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    basis *= np.sqrt(2.0 / n)
+    basis[0] /= np.sqrt(2.0)
+    coeffs = (basis @ img @ basis.T)[:8, :8].ravel()
+    med = float(np.median(coeffs[1:]))
+    v = 0
+    for i, c in enumerate(coeffs):
+        if float(c) > med:
+            v |= 1 << i
+    return _to_signed64(v)
+
+
+def _gray_grid_pil(img, w: int, h: int) -> list[list[int]]:
+    from PIL import Image
+
+    g = img.convert("L").resize((w, h), getattr(Image, "NEAREST", 0))
+    raw = list(g.tobytes())
+    return [raw[y * w:(y + 1) * w] for y in range(h)]
+
+
+def _gray_grid_png(data: bytes, w: int, h: int) -> list[list[int]]:
+    width, height, _mode, lum = _decode_png(data)
+    return [[lum[(ty * height) // h][(tx * width) // w]
+             for tx in range(w)] for ty in range(h)]
+
+
+def _fake_phash(payload: bytes) -> int:
+    """DETERMINISTIC FAKE tier: 56-bit value from sha256 digest bytes
+    1-7 (big-endian) — positive, SQL-replayable byte arithmetic on the
+    hex digest (the m02 oracle device), shared bit-for-bit with the
+    ``m04`` DuckDB oracle."""
+    dig = hashlib.sha256(payload or b"").digest()
+    return int.from_bytes(dig[1:8], "big")
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", method: str = "dhash",
+                use_codec: bool | None = None) -> DataFrame:
+    """Perceptual 64-bit image hash per payload → ``(media_id, phash)``.
+
+    ``method="dhash"`` (gradient sign over a 9×8 downsample) or
+    ``"phash"`` (DCT low-frequency signs over 32×32).  Decode tiers
+    mirror :func:`decode_image_features`: PIL when importable, REAL
+    stdlib PNG decode otherwise (auto mode), deterministic sha-derived
+    fake last — identical schema every tier, so the banding join
+    downstream never cares which executor had a codec.  Feed the output
+    to :func:`phash_near_pairs` for hamming-banded near-duplicate pairs
+    (the image sibling of text SimHash dedup, ``dedup.simhash_near_pairs``)."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"method must be dhash|phash, got {method!r}")
+    gw, gh, hasher = ((9, 8, _dhash_bits) if method == "dhash"
+                      else (32, 32, _phash_bits))
+    codec = _pil_available() if use_codec is None else use_codec
+    if codec and not _pil_available():
+        raise NotImplementedError(
+            "real codec path needs PIL (pip install pillow)")
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        have_pil = codec and (_pil_available() if use_codec is None
+                              else True)
+        if have_pil:
+            import io
+
+            from PIL import Image
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if have_pil:
+                    try:
+                        rows.append((mid, hasher(_gray_grid_pil(
+                            Image.open(io.BytesIO(data)), gw, gh))))
+                        continue
+                    except Exception:
+                        pass
+                elif use_codec is None and data.startswith(_PNG_SIG):
+                    try:
+                        rows.append((mid, hasher(
+                            _gray_grid_png(data, gw, gh))))
+                        continue
+                    except Exception:
+                        pass
+                rows.append((mid, _fake_phash(data)))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        compute, schema=PHASH_SCHEMA)
+
+
+def phash_near_pairs(sig: DataFrame, id_col: str = "media_id",
+                     max_hamming: int = 3,
+                     sig_col: str = "phash") -> DataFrame:
+    """Image near-duplicate pairs within ``max_hamming`` bits: 16-bit
+    chunk banding + exact xor/bit_count verify — delegates to
+    ``dedup.simhash_near_pairs`` (pigeonhole recall is exact for
+    ``max_hamming`` ≤ 3 with 4 bands; the equi-join on (band, chunk)
+    shuffles signatures only, never payloads)."""
+    from dataqtor_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        sig.select(F.col(id_col), F.col(sig_col).alias("simhash")),
+        id_col, max_hamming=max_hamming)
+
+
 FRAMES_SCHEMA = "media_id long, frame_index int, ts_ms long, frame binary"
 
 

@@ -8561,3 +8561,53 @@ assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 QUERIES = {**{n: QUERIES[n] for n in _R8_PREFIX},
            **{n: f for n, f in QUERIES.items() if n not in _R8_PREFIX}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# --- m04 — perceptual image near-duplicate pairs (pHash + hamming banding) --
+# The image sibling of d04 SimHash dedup: multimodal.image_phash computes a
+# 64-bit perceptual hash per payload (PIL / stdlib-PNG / sha-derived fake
+# tiers), multimodal.phash_near_pairs bands it into 4×16-bit chunks for a
+# bucket equi-join + exact xor/bit_count verify.  The registry query pins
+# the fake tier (the m02 oracle device: 56-bit hash from sha256 bytes 1-7)
+# and PLANTS a hamming-1 neighbour per doc (bit doc_id%56 flipped), so the
+# banding + verify path is exercised end-to-end; pigeonhole makes 4-band
+# recall EXACT at max_hamming=3, so the oracle can replay with a brute-force
+# all-pairs hamming join and the results must agree bit-for-bit.  Real-PNG
+# near-identical images are covered in tests/test_multimodal.py.
+_M04_PHASH_BYTES = " + ".join(
+    f"(CAST({_sha_byte_sql('h', k)} AS BIGINT) << {8 * (7 - k)})"
+    for k in range(1, 8))
+_M04_SQL = f"""WITH base AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 300
+), sig0 AS (
+  SELECT doc_id, ({_M04_PHASH_BYTES}) AS phash FROM base
+), sig AS (
+  SELECT doc_id * 2 AS media_id, phash FROM sig0
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS media_id,
+         xor(phash, CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INT)) AS phash
+  FROM sig0
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+
+
+@register("m04_image_phash_pairs", _M04_SQL)
+def m04_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs over sha-derived fake-decode
+    payloads with a planted hamming-1 neighbour per image; banded
+    candidate join (signatures only shuffle, never payloads) + exact
+    hamming verify, oracle-replayed as brute-force all-pairs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    sig = MM.image_phash(docs, use_codec=False)
+    flip = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(media_id % 56 AS INT))")
+    planted = sig.select(
+        (F.col("media_id") * 2).alias("media_id"), "phash").unionByName(
+        sig.select((F.col("media_id") * 2 + 1).alias("media_id"),
+                   F.col("phash").bitwiseXOR(flip).alias("phash")))
+    return MM.phash_near_pairs(planted, max_hamming=3)

@@ -1040,3 +1040,65 @@ def test_probe_media_info_mixed(spark):
     assert got[3]["duration_ms"] == pytest.approx(500.0)
     assert got[3]["sample_rate"] == 8000
     assert got[4]["container"] is None and got[5]["container"] is None
+
+
+def test_image_phash_stdlib_png_near_dup_pairs(spark):
+    """Planted near-identical PNGs: dHash over the REAL stdlib decode
+    tier puts the perturbed copy within the hamming band and keeps the
+    inverted image far outside it."""
+    from dataqtor_spark.operators import multimodal as MM
+
+    base = [[((x * 31 + y * 17 + (x * y) % 13) % 256) for x in range(16)]
+            for y in range(16)]
+    near = [row[:] for row in base]
+    near[6][7] = (near[6][7] + 40) % 256   # one sampled pixel nudged
+    far = [[255 - v for v in row] for row in base]
+    payloads = [
+        (1, bytearray(_encode_png(base, ctype=0, filters=[0] * 16))),
+        (2, bytearray(_encode_png(near, ctype=0, filters=[0] * 16))),
+        (3, bytearray(_encode_png(far, ctype=0, filters=[0] * 16))),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    sig = MM.image_phash(df)  # auto mode: stdlib PNG tier in this container
+    rows = {r["media_id"]: r["phash"] for r in sig.collect()}
+    assert set(rows) == {1, 2, 3}
+    ham = lambda a, b: bin((rows[a] & (2**64 - 1)) ^ (rows[b] & (2**64 - 1))).count("1")
+    assert ham(1, 2) <= 3, f"near-dup hamming {ham(1, 2)}"
+    assert ham(1, 3) > 3 and ham(2, 3) > 3
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in MM.phash_near_pairs(sig, max_hamming=3).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == ham(1, 2)
+
+
+def test_image_phash_dct_method_and_fake_tier(spark):
+    """method="phash" (32×32 DCT) agrees with dHash on who is a
+    near-duplicate; non-PNG payloads land on the sha-derived fake tier
+    whose 56-bit value matches the documented digest formula."""
+    import hashlib
+
+    from dataqtor_spark.operators import multimodal as MM
+
+    base = [[((x * 29 + y * 23 + ((x + y) * 5) % 17) % 256)
+             for x in range(16)] for y in range(16)]
+    near = [row[:] for row in base]
+    near[3][3] = (near[3][3] + 25) % 256
+    far = [[(v * 7 + 90) % 256 for v in row] for row in base]
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_png(base, ctype=0, filters=[0] * 16))),
+         (2, bytearray(_encode_png(near, ctype=0, filters=[0] * 16))),
+         (3, bytearray(_encode_png(far, ctype=0, filters=[0] * 16)))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r["phash"]
+            for r in MM.image_phash(df, method="phash").collect()}
+    ham = lambda a, b: bin((rows[a] & (2**64 - 1)) ^ (rows[b] & (2**64 - 1))).count("1")
+    assert ham(1, 2) < ham(1, 3)
+    assert ham(1, 2) <= 10  # DCT low-frequency signs barely move
+    # fake tier: deterministic sha-derived 56-bit hash
+    blob = b"not an image at all"
+    fake = {r["media_id"]: r["phash"] for r in MM.image_phash(
+        spark.createDataFrame([(9, bytearray(blob))],
+                              "media_id long, payload binary"),
+        use_codec=False).collect()}
+    want = int.from_bytes(hashlib.sha256(blob).digest()[1:8], "big")
+    assert fake[9] == want
