@@ -1043,3 +1043,117 @@ def quality_logistic(col: Column | str,
              + F.lit(w["log_len"])
              * F.least(f["n_tokens"], F.lit(100)).cast("double"))
     return F.lit(0.5) + F.lit(0.5) * logit / (F.lit(1.0) + F.abs(logit))
+
+
+# ---------------------------------------------------------------------------
+# BPE training (iterative merge-apply-recount) and application
+# ---------------------------------------------------------------------------
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text",
+                    word_pattern: str = "^[a-z]+$") -> DataFrame:
+    """Distinct-word frequency table — the ONE data-sized pass of BPE
+    training; every merge round after it runs on this bounded vocabulary
+    (distinct words, not occurrences), which is what keeps the trainer
+    viable at 100 TB: corpus size only affects this first groupBy."""
+    from dataqtor_spark.session import parallelize
+
+    return (parallelize(df.select(_clean_tokens(text_col).alias("__toks")))
+            .select(F.explode("__toks").alias("word"))
+            .filter(F.col("word").rlike(word_pattern))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def _bpe_char_seq(col: Column) -> Column:
+    """word → space-delimited symbol string with leading AND trailing
+    separators (`"cat"` → `" c a t "`), the representation merge rounds
+    rewrite with literal ``replace``."""
+    return F.concat(F.lit(" "), F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _bpe_merge_seq(seq: Column, a: str, b: str) -> Column:
+    """Apply merge (a, b) to a symbol string: literal non-rescanning
+    ``replace``, applied TWICE.  One pass misses every second occurrence
+    of back-to-back pairs (the matches share a boundary space); the
+    second pass catches them.  This exact two-pass semantics — identical
+    in Spark and DuckDB, which is why the whole trainer is
+    SQL-replayable — can differ from strict leftmost-sequential BPE on
+    odd runs of ≥5 repeated self-pair symbols (``aaaaa``), where it may
+    pick different merge POSITIONS (same symbol multiset); a documented,
+    deterministic convention, not a bug."""
+    pat, repl = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+    return F.replace(F.replace(seq, pat, repl), pat, repl)
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency, from the
+    ``seq`` column — in-row array expressions (split → slice/transform
+    zip), only (a, b, partial count) rows reach the shuffle."""
+    syms = F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
+    pairs = (words.select(F.col("cnt"), syms.alias("l"))
+             .filter(F.size("l") > 1)
+             .select("cnt", F.explode(F.expr(
+                 "transform(slice(l, 1, size(l) - 1), "
+                 "(x, i) -> struct(x AS a, l[i + 1] AS b))")).alias("p")))
+    return (pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("n")))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", rounds: int = 8,
+              word_pattern: str = "^[a-z]+$"):
+    """Train a BPE tokenizer: ``rounds`` iterations of count-pairs →
+    pick argmax (count desc, pair asc tiebreak — total order) → merge
+    everywhere.  Returns ``(merges, words)``: the ordered merge table
+    (list of ``{round, sym_a, sym_b, merged, n}`` dicts) and the
+    vocabulary DataFrame with the post-training ``seq`` segmentation.
+
+    Distribution shape: one corpus-sized shuffle (word counts), then per
+    round one bounded aggregation over the DISTINCT-WORD table plus a
+    1-row driver collect (the winning pair — ledger state, the g01
+    fixed-rounds device); the merge itself is a literal-replace column
+    rewrite, no shuffle.  The word table is cached for the loop and
+    unpersisted before returning."""
+    words = (bpe_word_counts(df, text_col, word_pattern)
+             .withColumn("seq", _bpe_char_seq(F.col("word"))))
+    cached = words.cache()
+    words = cached
+    merges: list[dict] = []
+    try:
+        for r in range(rounds):
+            top = (_bpe_pair_counts(words)
+                   .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                   .limit(1).collect())
+            if not top:
+                break  # vocabulary fully merged — nothing left to count
+            a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+            merges.append({"round": r, "sym_a": a, "sym_b": b,
+                           "merged": a + b, "n": n})
+            words = words.withColumn("seq",
+                                     _bpe_merge_seq(F.col("seq"), a, b))
+    finally:
+        cached.unpersist()
+    return merges, words
+
+
+def apply_bpe(df: DataFrame, merges: list, text_col: str = "text",
+              out_col: str = "bpe_tokens",
+              word_pattern: str = "^[a-z]+$") -> DataFrame:
+    """Segment each document with a trained merge table → ``out_col``
+    array of subword tokens (pure expressions: per-word symbol string →
+    the merge replaces in training order → split back).  Words not
+    matching ``word_pattern`` are dropped, consistent with training.
+
+    This is the expression path (re-segments every occurrence in-row,
+    zero shuffle).  When the same corpus the merges were trained on is
+    being counted, prefer joining the trainer's returned ``words`` table
+    (seq already final, one hash join on the bounded vocabulary) — the
+    bpe03 registry query takes that path."""
+    def seg(w: Column) -> Column:
+        s = _bpe_char_seq(w)
+        for m in merges:
+            s = _bpe_merge_seq(s, m["sym_a"], m["sym_b"])
+        return F.filter(F.split(s, " "), lambda x: x != "")
+
+    toks = F.filter(_clean_tokens(text_col),
+                    lambda w: w.rlike(word_pattern))
+    return df.withColumn(out_col, F.flatten(F.transform(toks, seg)))

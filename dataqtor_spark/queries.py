@@ -8611,3 +8611,115 @@ def m04_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select((F.col("media_id") * 2 + 1).alias("media_id"),
                    F.col("phash").bitwiseXOR(flip).alias("phash")))
     return MM.phash_near_pairs(planted, max_hamming=3)
+
+
+# --- bpe02/bpe03 — BPE tokenizer training + tokenizer-true token counts ----
+# Closes the bpe01 loop (VERDICT.md r7, task 3): bpe01 found round-1 merge
+# CANDIDATES; bpe02 runs the full iterative merge-apply-recount trainer
+# (textstats.bpe_train — one corpus-sized shuffle for word counts, then R
+# bounded rounds over the distinct-word vocabulary, 1-row ledger collect per
+# round) and bpe03 counts learned-vocab subword tokens per source by joining
+# the trained vocabulary segmentation back to the corpus (the t01 token-count
+# read, tokenizer-true).  The oracle replays ALL R rounds as an unrolled CTE
+# chain (the g01 fixed-rounds device) using the same two-pass literal-replace
+# merge semantics — see textstats._bpe_merge_seq for why replace() is
+# engine-portable here.
+_BPE_ROUNDS = 8
+
+
+def _bpe_cte_chain(rounds: int) -> str:
+    sql = """WITH w AS (
+  SELECT tok AS word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents) WHERE regexp_matches(tok, '^[a-z]+$')
+  GROUP BY 1
+), s0 AS (
+  SELECT word, cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+  FROM w
+)"""
+    for r in range(rounds):
+        sql += f""", p{r} AS (
+  SELECT pr[1] AS a, pr[2] AS b, sum(cnt)::BIGINT AS n
+  FROM (
+    SELECT cnt, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS pr
+    FROM (SELECT cnt, list_filter(string_split(seq, ' '), x -> x <> '') AS l
+          FROM s{r}) WHERE len(l) > 1)
+  GROUP BY 1, 2
+), b{r} AS (
+  SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+), s{r + 1} AS (
+  SELECT word, cnt,
+         replace(replace(seq, ' ' || a || ' ' || b || ' ',
+                         ' ' || a || b || ' '),
+                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS seq
+  FROM s{r}, b{r}
+)"""
+    return sql
+
+
+_BPE02_SQL = (_bpe_cte_chain(_BPE_ROUNDS) + "\nSELECT * FROM (\n"
+              + "\nUNION ALL\n".join(
+                  f"SELECT CAST({r} AS INT) AS merge_round, a AS sym_a, "
+                  f"b AS sym_b, a || b AS merged, n FROM b{r}"
+                  for r in range(_BPE_ROUNDS))
+              + "\n) ORDER BY merge_round")
+
+
+@register("bpe02_bpe_train", _BPE02_SQL)
+def bpe02_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained merge table after R=8 rounds — each row a (pair →
+    new symbol) rule with its corpus count at selection time."""
+    merges, _words = TX.bpe_train(_t(spark, sf_dir, "documents"),
+                                  rounds=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        [(m["round"], m["sym_a"], m["sym_b"], m["merged"], m["n"])
+         for m in merges],
+        "merge_round int, sym_a string, sym_b string, merged string, n long")
+
+
+_BPE03_SQL = (_bpe_cte_chain(_BPE_ROUNDS) + f""", wl AS (
+  SELECT word, len(list_filter(string_split(seq, ' '), x -> x <> ''))::BIGINT
+           AS n_sub
+  FROM s{_BPE_ROUNDS}
+), d AS (
+  SELECT source, tok FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents) WHERE regexp_matches(tok, '^[a-z]+$')
+)
+SELECT source, count(*)::BIGINT AS n_words,
+       sum(n_sub)::BIGINT AS n_bpe_tokens,
+       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS subwords_per_word
+FROM d JOIN wl ON d.tok = wl.word
+GROUP BY source""")
+
+
+@register("bpe03_tokenizer_token_counts", _BPE03_SQL)
+def bpe03_tokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-true token counts per source: train BPE, then join the
+    trained vocabulary's segmentation lengths back to the corpus — the
+    scale path for counting learned-vocab tokens (one hash join on the
+    bounded distinct-word table instead of re-segmenting every
+    occurrence; textstats.apply_bpe is the in-row expression sibling,
+    equality-tested in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    _merges, words = TX.bpe_train(docs, rounds=_BPE_ROUNDS)
+    n_sub = F.size(F.filter(F.split(F.col("seq"), " "),
+                            lambda x: x != "")).cast("long")
+    wl = words.select(F.col("word"), n_sub.alias("n_sub"))
+    from dataqtor_spark.session import parallelize
+    d = (parallelize(docs.select(
+            F.col("source"),
+            F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                     lambda t: t != "").alias("__toks")))
+         .select("source", F.explode("__toks").alias("word"))
+         .filter(F.col("word").rlike("^[a-z]+$")))
+    return (d.join(wl, "word")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
+            .withColumn("subwords_per_word",
+                        F.round(F.col("n_bpe_tokens")
+                                / F.col("n_words"), 6)))

@@ -308,3 +308,62 @@ def test_quality_logistic_orders_prose_above_noise(spark):
     assert all(0.0 < v < 1.0 for v in got.values())
     assert got[1] > max(got[2], got[3], got[4])   # prose wins
     assert got[1] > 0.5                            # and is kept
+
+
+def test_bpe_train_learns_chained_merges(spark):
+    from dataqtor_spark.operators import textstats as T
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the hat and the cat chat")],
+        "doc_id long, text string")
+    merges, words = T.bpe_train(df, rounds=3)
+    got = [(m["sym_a"], m["sym_b"], m["n"]) for m in merges]
+    # 'at' appears in cat/sat/mat/hat/chat (6 incl. dup cat); then 'he'
+    # inside the×4; round 3 merges t+he — a merge BUILT ON a merge
+    assert got == [("a", "t", 6), ("h", "e", 4), ("t", "he", 4)]
+    seqs = {r["word"]: r["seq"] for r in words.collect()}
+    assert seqs["the"] == " the "
+    assert seqs["chat"] == " c h at "
+
+
+def test_apply_bpe_matches_trained_vocab_segmentation(spark):
+    """The in-row expression path (apply_bpe) and the trained-words
+    join path (bpe03's device) must segment identically."""
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators import textstats as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["banana band bananas", "abab abab banana", "band of bananas",
+             "the band played banana songs"])],
+        "doc_id long, text string")
+    merges, words = T.bpe_train(df, rounds=4)
+    seg = {r["word"]: [s for s in r["seq"].split(" ") if s]
+           for r in words.collect()}
+    out = {r["doc_id"]: r["bpe_tokens"]
+           for r in T.apply_bpe(df, merges).collect()}
+    for r in df.collect():
+        toks = [w for w in r["text"].lower().split() if w.isalpha()
+                and w == w.lower() and w.isascii()]
+        want = [s for w in toks for s in seg[w]]
+        assert out[r["doc_id"]] == want, (r["doc_id"], out[r["doc_id"]], want)
+
+
+def test_bpe_merge_two_pass_handles_back_to_back_pairs(spark):
+    """' a b a b ' must merge BOTH occurrences (one replace pass misses
+    the second — the matches share a boundary space)."""
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators.textstats import (_bpe_char_seq,
+                                                    _bpe_merge_seq)
+
+    df = spark.createDataFrame([("abab",), ("ababab",), ("aaaa",)],
+                               "w string")
+    merged = df.select(
+        "w", _bpe_merge_seq(_bpe_char_seq(F.col("w")), "a", "b").alias("s"),
+        _bpe_merge_seq(_bpe_char_seq(F.col("w")), "a", "a").alias("sa"))
+    got = {r["w"]: (r["s"], r["sa"]) for r in merged.collect()}
+    assert got["abab"][0] == " ab ab "
+    assert got["ababab"][0] == " ab ab ab "
+    assert got["aaaa"][1] == " aa aa "
