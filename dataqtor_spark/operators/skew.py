@@ -78,3 +78,58 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     out = f.join(d, (f[fact_key] == d[dim_key])
                  & (f["__salt"] == d["__salt"]), how)
     return out.drop("__salt")
+
+
+def hot_key_share(df: DataFrame, key_col: str,
+                  support: float = 0.5) -> tuple:
+    """Detect a hot join key cheaply: one ``freqItems`` pass (single
+    scan, NO shuffle — approximate candidates with support ≥ ``support``)
+    followed by one global aggregate that exactly counts just those
+    candidates alongside the total.  Returns ``(key, share)`` for the
+    hottest candidate, or ``(None, 0.0)`` when nothing clears support.
+    Cost is two scans of the key column regardless of skew — never a
+    count-by-key shuffle."""
+    cands = (df.stat.freqItems([key_col], support=max(support, 1e-4))
+             .collect()[0][0]) or []
+    if not cands:
+        return None, 0.0
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cands):
+        aggs.append(F.sum((F.col(key_col) == F.lit(c)).cast("long"))
+                    .alias(f"__c{i}"))
+    row = df.agg(*aggs).collect()[0]
+    total = row["__n"] or 0
+    if not total:
+        return None, 0.0
+    best_i = max(range(len(cands)), key=lambda i: row[f"__c{i}"] or 0)
+    return cands[best_i], (row[f"__c{best_i}"] or 0) / total
+
+
+def join_with_skew_guard(fact: DataFrame, dim: DataFrame, fact_key: str,
+                         dim_key: str, how: str = "inner",
+                         n_salt: int = 16,
+                         salt_threshold: float | None = None) -> DataFrame:
+    """Equi-join that AUTOMATICALLY engages :func:`salted_join` when the
+    fact side's hottest key holds ≥ ``salt_threshold`` of the rows
+    (measured by :func:`hot_key_share` — a freqItems pass plus one
+    bounded aggregate, never a count-by-key shuffle).  ``None`` (the
+    default) keeps the plain join: the guard is opt-in because the
+    detection pass costs two fact scans, which only pays for itself on
+    joins big enough that one serialized reducer dominates the stage.
+    Results are row-identical either way (j07's oracle proves the salted
+    construction); only the shuffle layout changes."""
+    if salt_threshold is not None:
+        import logging
+
+        _key, share = hot_key_share(fact, fact_key,
+                                    support=salt_threshold)
+        if share >= salt_threshold:
+            logging.getLogger(__name__).warning(
+                "skew guard engaged: key %r holds %.1f%% of fact rows "
+                "(threshold %.1f%%); salting join over %d reducers",
+                _key, 100 * share, 100 * salt_threshold, n_salt)
+            return salted_join(fact, dim, fact_key, dim_key,
+                               n_salt=n_salt, how=how)
+    if fact_key == dim_key:
+        return fact.join(dim, fact_key, how)
+    return fact.join(dim, fact[fact_key] == dim[dim_key], how)

@@ -252,10 +252,28 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
 
 
 def co_located_join(spark: SparkSession, left_table: str, right_table: str,
-                    on: list[str], how: str = "inner") -> DataFrame:
+                    on: list[str], how: str = "inner",
+                    salt_threshold: float | None = None,
+                    n_salt: int = 16) -> DataFrame:
     """Join two same-bucketed catalog tables; with matching bucketing the
-    physical plan contains no Exchange on either side."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
+    physical plan contains no Exchange on either side.
+
+    ``salt_threshold`` (opt-in) arms the hot-key guard for single-column
+    joins: when the left side's hottest key holds ≥ that fraction of its
+    rows (one ``freqItems`` pass + a bounded aggregate —
+    ``skew.hot_key_share``), the join is rewritten through
+    ``skew.salted_join`` over ``n_salt`` reducers instead.  Salting
+    re-shuffles both sides (the bucket co-location is deliberately given
+    up — with a 90 %-hot key the bucketed plan serializes on one reducer
+    anyway, which is strictly worse).  Results are row-identical."""
+    left, right = spark.table(left_table), spark.table(right_table)
+    if salt_threshold is not None and len(on) == 1:
+        from dataqtor_spark.operators.skew import join_with_skew_guard
+
+        return join_with_skew_guard(left, right, on[0], on[0], how=how,
+                                    n_salt=n_salt,
+                                    salt_threshold=salt_threshold)
+    return left.join(right, on, how)
 
 
 def compact_dataset(spark: SparkSession, path: str,

@@ -204,3 +204,39 @@ def test_theta_overlap_missing_segment_is_zero(spark):
     # both segments absent
     r2 = SK.theta_overlap(df, "seg", "k", "x", "y").collect()[0]
     assert (r2["n_overlap"], r2["n_union"], r2["jaccard"]) == (0, 0, 0.0)
+
+
+def test_skew_guard_engages_on_planted_hot_key(spark):
+    """A planted 90%-hot key must flip join_with_skew_guard onto the
+    salted plan (salt column visible in the physical plan, dim side
+    replicated); values stay identical to the plain join."""
+    from dataqtor_spark.operators import skew as SK
+
+    # 90% of fact rows share key 7; dim has keys 0..49
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") * 3 % 101).alias("v"))
+    dim = spark.range(0, 50).select(F.col("id").alias("dk"),
+                                    F.concat(F.lit("d"), F.col("id"))
+                                    .alias("label"))
+    key, share = SK.hot_key_share(fact, "k", support=0.5)
+    assert key == 7 and share > 0.85
+    guarded = SK.join_with_skew_guard(fact, dim, "k", "dk",
+                                      n_salt=4, salt_threshold=0.5)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "salted plan did not engage"
+    plain = fact.join(dim, fact["k"] == dim["dk"])
+    assert guarded.count() == plain.count() == 2000
+    assert guarded.exceptAll(plain).count() == 0
+    # uniform keys: guard measures, stays on the plain join
+    uni = spark.range(0, 2000).select((F.col("id") % 50).alias("k"),
+                                      F.col("id").alias("row_id"))
+    key_u, share_u = SK.hot_key_share(uni, "k", support=0.5)
+    assert share_u < 0.5
+    unguarded = SK.join_with_skew_guard(uni, dim, "k", "dk",
+                                        n_salt=4, salt_threshold=0.5)
+    uplan = unguarded._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in uplan
+    assert unguarded.count() == 2000
