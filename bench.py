@@ -59,6 +59,20 @@ HEADLINE = [
     "s11_session_bounce_rate",
     "th01_audience_overlap",
     "kll01_quantile_rollup",
+    # round-8 extension (VERDICT r7, task 5): the most expensive queries
+    # previously invisible to regression tracking, plus this round's adds
+    "ann06_ivfpq_topk",
+    "pq01_product_quantization",
+    "geo03_blocked_proximity_pairs",
+    "ts06_seasonal_decompose",
+    "er03_blocking_quality",
+    "pr26_nmi_matrix",
+    "t29_curation_funnel",
+    "d09_semantic_dedup",
+    "e03b_pca2_closed_form",
+    "bpe02_bpe_train",
+    "bpe03_tokenizer_token_counts",
+    "m04_image_phash_pairs",
 ]
 
 

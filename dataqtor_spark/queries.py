@@ -8723,3 +8723,33 @@ def bpe03_tokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("subwords_per_word",
                         F.round(F.col("n_bpe_tokens")
                                 / F.col("n_words"), 6)))
+
+
+@register(
+    "m05_image_dedup_clusters",
+    f"""WITH RECURSIVE pairs AS (SELECT * FROM ({_M04_SQL})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+cc(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+),
+comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
+SELECT component, count(*)::BIGINT AS cluster_size,
+       min(id)::BIGINT AS survivor_id
+FROM comp GROUP BY 1""",
+)
+def m05_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup pipeline's last stage: m04's hamming-banded pHash
+    pairs → min-label connected components → survivor per visual
+    cluster (d06's device on the image modality; components iterate on
+    spilled parquet, never a transitive in-memory self-join)."""
+    pairs = m04_image_phash_pairs(spark, sf_dir)
+    comp = DD.connected_components(pairs)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.min("id").alias("survivor_id")))
