@@ -809,3 +809,57 @@ def ivf_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def mips_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+              vec_col: str, k: int = 10,
+              query_id_col: str | None = None) -> DataFrame:
+    """Exact maximum-inner-product top-k (the retrieval objective of
+    dot-product-trained dual encoders, where cosine's norm division is
+    WRONG): (query_id, neighbor_id, dot, rank), queries broadcast, corpus
+    never shuffles, scores rounded to 6 dp before ranking with id
+    tiebreak (the ann01 determinism contract).
+
+    Scale path: MIPS reduces to cosine search via norm augmentation —
+    x̃ = [x, √(M² − ‖x‖²)] with M = max corpus norm, q̃ = [q, 0] — after
+    which every cosine structure here (LSH banding, IVF lists, PQ codes)
+    applies unchanged; :func:`mips_augment` builds the transform and the
+    reduction is equality-tested against this exact form in pytest."""
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("__qv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("dot", F.round(dot(F.col("__cv"),
+                                             F.col("__qv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot", "rank"))
+
+
+def mips_augment(corpus: DataFrame, queries: DataFrame, id_col: str,
+                 vec_col: str) -> tuple:
+    """The MIPS→cosine reduction (Bachrach et al. 2014): append
+    √(M² − ‖x‖²) to every corpus vector (M = max corpus norm, one
+    bounded 1-row broadcast) and 0.0 to every query.  Augmented-corpus
+    norms are all exactly M, so cosine order against an augmented query
+    IS inner-product order against the original corpus — which lets the
+    LSH/IVF/PQ cosine machinery serve dot-product retrieval unchanged.
+    Returns ``(aug_corpus, aug_queries)`` with ``vec_col`` replaced."""
+    c = corpus.withColumn("__n2", F.aggregate(
+        _as_double(F.col(vec_col)), F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x * x))
+    mx = c.agg(F.max("__n2").alias("__m2"))
+    aug_c = (c.crossJoin(F.broadcast(mx))
+             .withColumn(vec_col, F.concat(
+                 _as_double(F.col(vec_col)),
+                 F.array(F.sqrt(F.greatest(
+                     F.col("__m2") - F.col("__n2"), F.lit(0.0))))))
+             .drop("__n2", "__m2"))
+    aug_q = queries.withColumn(vec_col, F.concat(
+        _as_double(F.col(vec_col)), F.array(F.lit(0.0).cast("double"))))
+    return aug_c, aug_q

@@ -868,3 +868,17 @@ def probe_media_info(df: DataFrame, payload_col: str = "payload",
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         probe, schema=MEDIA_INFO_SCHEMA)
+
+
+def phash_bands(sig_col: Column) -> Column:
+    """4×16-bit hamming band array for a 64-bit perceptual hash —
+    ``array<struct<band:int, bhash:bigint>>`` for explode + equi-join
+    (the banding used by ``phash_near_pairs`` / the streaming image
+    dedup sink, shared so index layouts agree)."""
+    chunks = []
+    for b in range(4):
+        chunks.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(sig_col, b * 16)
+            .bitwiseAND(F.lit(0xFFFF)).alias("bhash")))
+    return F.array(*chunks)

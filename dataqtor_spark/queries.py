@@ -8753,3 +8753,30 @@ def m05_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.min("id").alias("survivor_id")))
+
+
+@register(
+    "ann08_mips_topk",
+    """SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_inner_product(c.embedding::DOUBLE[],
+                                  q.embedding::DOUBLE[]), 6) AS dot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_inner_product(c.embedding::DOUBLE[],
+                          q.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5""",
+)
+def ann08_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product retrieval (dot-product dual encoders,
+    where cosine normalization is the wrong objective): exact brute
+    scored-broadcast baseline; the norm-augmentation reduction
+    (ann.mips_augment) routes the same workload through the LSH/IVF/PQ
+    cosine structures at scale, equality-tested in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ANN.mips_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))

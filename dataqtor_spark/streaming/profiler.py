@@ -689,3 +689,86 @@ def windowed_quantile_sketch(df: DataFrame, ts_col: str = "ts",
                        F.explode(F.array(*rows)).alias("s"))
             .select("window_start", "window_end",
                     F.col("s.q").alias("q"), F.col("s.value").alias("value")))
+
+
+def stream_image_dedup_sink(stream: DataFrame, id_col: str,
+                            payload_col: str, path: str, checkpoint: str,
+                            max_hamming: int = 3, method: str = "dhash",
+                            use_codec: bool | None = None):
+    """Streaming perceptual-image dedup: each micro-batch's payloads are
+    pHash'd (Arrow-batched, map-only — payloads never shuffle and never
+    enter the index), hamming-banded against the signatures accumulated
+    from ALL previous batches, and split:
+
+    - ``<path>/dups``: (id, dup_of, hamming) — batch images within
+      ``max_hamming`` bits of an already-ingested image (within-batch
+      near-dups resolve to the min-id member);
+    - ``<path>/sigs`` + ``<path>/bands``: the 8-byte-per-image signature
+      index, grown by the batch's survivors only.
+
+    The image sibling of :func:`stream_near_dup_sink`, same replay
+    contract: already-indexed ids are dropped first, so checkpoint
+    recovery cannot double-ingest.  Per-batch cost is the decode pass
+    plus a band equi-join against the stored band table; history is
+    never re-decoded.
+    """
+    import os
+
+    from dataqtor_spark.operators import multimodal as MM
+
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        have_index = os.path.isdir(f"{path}/sigs")
+        b = batch.dropDuplicates([id_col])
+        if have_index:
+            seen = spark.read.parquet(f"{path}/sigs").select(id_col)
+            if os.path.isdir(f"{path}/dups"):
+                seen = seen.unionByName(
+                    spark.read.parquet(f"{path}/dups").select(id_col))
+            b = b.join(seen, id_col, "left_anti")
+        sig = (MM.image_phash(b, payload_col, id_col, method, use_codec)
+               .withColumnRenamed("media_id", id_col).localCheckpoint())
+        bnd = sig.select(
+            F.col(id_col), F.col("phash"),
+            F.explode(MM.phash_bands(F.col("phash"))).alias("c")
+        ).select(id_col, "phash", "c.band", "c.bhash")
+        ham = F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
+        cand = None
+        if have_index:
+            old = (spark.read.parquet(f"{path}/bands")
+                   .withColumnRenamed(id_col, "__old")
+                   .withColumnRenamed("phash", "__oph"))
+            cand = (bnd.join(old, ["band", "bhash"])
+                    .select(F.col(id_col).alias("id_a"),
+                            F.col("__old").alias("id_b"),
+                            F.col("phash").alias("__pa"),
+                            F.col("__oph").alias("__pb")).distinct())
+        wb = (MM.phash_near_pairs(sig, id_col, max_hamming=max_hamming)
+              .join(sig.select(F.col(id_col).alias("id_a"),
+                               F.col("phash").alias("__pa")), "id_a")
+              .join(sig.select(F.col(id_col).alias("id_b"),
+                               F.col("phash").alias("__pb")), "id_b")
+              # within-batch pairs: the LARGER id defers to the smaller
+              .select(F.greatest("id_a", "id_b").alias("id_a"),
+                      F.least("id_a", "id_b").alias("id_b"),
+                      "__pa", "__pb"))
+        cand = wb if cand is None else cand.unionByName(wb).distinct()
+        dups = (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .groupBy("id_a")
+                .agg(F.min("id_b").alias("dup_of"),
+                     F.min("hamming").alias("hamming"))
+                .withColumnRenamed("id_a", id_col)
+                .localCheckpoint())
+        dups.write.mode("append").parquet(f"{path}/dups")
+        survivors = sig.join(dups.select(id_col), id_col, "left_anti")
+        survivors.write.mode("append").parquet(f"{path}/sigs")
+        (survivors.select(
+            F.col(id_col), F.col("phash"),
+            F.explode(MM.phash_bands(F.col("phash"))).alias("c"))
+         .select(id_col, "phash", "c.band", "c.bhash")
+         .write.mode("append").parquet(f"{path}/bands"))
+
+    return (stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -788,3 +788,29 @@ def test_hard_negatives_excludes_same_label(spark):
     assert got[1]["neighbor_id"] == 3 and got[1]["neighbor_label"] == "b"
     assert got[2]["neighbor_id"] == 4
     assert all(r["query_label"] == "a" for r in got.values())
+
+
+def test_mips_augmentation_reduces_to_cosine_order(spark):
+    """Norm-augmented cosine ranking must reproduce exact dot-product
+    ranking — the reduction that lets LSH/IVF/PQ serve MIPS."""
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators import ann as ANN
+
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-2, 2) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in ANN.mips_topk(emb, queries, "vec_id", "embedding",
+                                    k=5).collect()}
+    aug_c, aug_q = ANN.mips_augment(emb, queries, "vec_id", "embedding")
+    via_cos = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in ANN.brute_force_topk(
+                   aug_c, aug_q, "vec_id", "embedding", k=5).collect()}
+    assert via_cos == exact
+    # augmented corpus norms are all the max norm (constant M)
+    norms = [r["n"] for r in aug_c.select(
+        ANN.l2_norm(F.col("embedding")).alias("n")).collect()]
+    assert max(norms) - min(norms) < 1e-9

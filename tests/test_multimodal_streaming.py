@@ -1102,3 +1102,45 @@ def test_image_phash_dct_method_and_fake_tier(spark):
         use_codec=False).collect()}
     want = int.from_bytes(hashlib.sha256(blob).digest()[1:8], "big")
     assert fake[9] == want
+
+
+def test_stream_image_dedup_sink_cross_batch(spark, tmp_path):
+    """Cross-batch perceptual dedup: a near-identical PNG arriving in a
+    later batch is flagged against the stored signature index; replays
+    ingest nothing twice."""
+    from dataqtor_spark.streaming import profiler as SP2
+
+    base = [[((x * 31 + y * 17 + (x * y) % 13) % 256) for x in range(16)]
+            for y in range(16)]
+    near = [row[:] for row in base]
+    near[6][7] = (near[6][7] + 40) % 256
+    far = [[255 - v for v in row] for row in base]
+    other = [[((x * 7 + y * 51) % 256) for x in range(16)]
+             for y in range(16)]
+    png = lambda px: bytearray(_encode_png(px, ctype=0, filters=[0] * 16))
+    b1 = spark.createDataFrame([(1, png(base)), (2, png(other))],
+                               "media_id long, payload binary")
+    b2 = spark.createDataFrame([(3, png(near)), (4, png(far))],
+                               "media_id long, payload binary")
+    idx = str(tmp_path / "img_index")
+    for i, b in enumerate([b1, b2]):
+        src = str(tmp_path / f"img_src_{i}")
+        b.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = SP2.stream_image_dedup_sink(stream, "media_id", "payload",
+                                        idx, str(tmp_path / f"img_ck_{i}"))
+        q.awaitTermination()
+    dups = {r["media_id"]: r["dup_of"]
+            for r in spark.read.parquet(f"{idx}/dups").collect()}
+    assert dups == {3: 1}
+    kept = {r["media_id"] for r in spark.read.parquet(f"{idx}/sigs").collect()}
+    assert kept == {1, 2, 4}
+    # replay batch 2: already-indexed ids drop, nothing double-ingests
+    stream = spark.readStream.schema(b1.schema).parquet(
+        str(tmp_path / "img_src_1"))
+    q = SP2.stream_image_dedup_sink(stream, "media_id", "payload",
+                                    idx, str(tmp_path / "img_ck_replay"))
+    q.awaitTermination()
+    assert spark.read.parquet(f"{idx}/dups").count() == 1
+    assert {r["media_id"] for r in
+            spark.read.parquet(f"{idx}/sigs").collect()} == {1, 2, 4}
