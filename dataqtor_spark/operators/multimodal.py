@@ -3,9 +3,10 @@ opaque ``binary`` columns with typed metadata.
 
 The image operators carry REAL decode tiers: PIL when importable (gated
 like the Excel source, since this container ships no codec libraries),
-then a pure-stdlib PNG path (zlib inflate + the five spec unfilters —
-decode AND nearest-neighbour resize) for codec-less executors, then a
-deterministic sha-derived fake.  Audio decode is REAL for integer-PCM WAV
+then pure-stdlib paths for codec-less executors — PNG (zlib inflate +
+the five spec unfilters — decode AND nearest-neighbour resize), GIF
+(variable-width LZW decompressor + palette/interlace handling), BMP
+(palette/BGR raw rows) — then a deterministic sha-derived fake.  Audio decode is REAL for integer-PCM WAV
 (stdlib ``wave`` + numpy); video frame SAMPLING is real for MJPEG-in-AVI
 (stdlib RIFF demux); container METADATA (duration, track mix, rates) is
 real struct parsing for mp4/mp3/wav via ``probe_media_info``.  Only
@@ -232,16 +233,233 @@ def _stdlib_png_props(data: bytes) -> tuple[int, int, str, list[float]]:
     return width, height, mode, feat
 
 
+# ---------------------------------------------------------------------------
+# GIF (LZW) and BMP stdlib decode tiers
+# ---------------------------------------------------------------------------
+# GIF is a COMPRESSED codec whose entire decompressor (variable-width LZW,
+# 12-bit max) fits in ~40 lines of integer arithmetic — so, like PNG's
+# zlib path, it decodes for REAL on codec-less executors.  BMP is raw
+# (palette / BGR rows, 4-byte row padding).  Both reduce to the same
+# (width, height, mode, luminance_rows) contract as _decode_png, so every
+# downstream consumer (features, phash, resize) dispatches by magic bytes
+# and never cares which container arrived.
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes,
+                    n_pixels: int) -> bytearray:
+    """GIF-flavor LZW decompression: LSB-first bit packing, CLEAR/END
+    control codes, code width grows as the table fills (12-bit cap)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while len(out) < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                return out                       # truncated stream
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:         # spec: table freezes when full
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]       # the KwKwK self-reference case
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, str, list[list[int]]]:
+    """REAL stdlib GIF decode (first frame): logical-screen parse,
+    sub-block reassembly, LZW inflate, palette → ITU-R 601-2 luma,
+    4-pass interlace reorder.  Animated GIFs yield frame 1 — the
+    perceptual-hash contract (a near-dup of the poster frame IS a
+    near-dup of the asset); anything malformed raises and the caller's
+    per-row fallback catches it."""
+    import struct
+
+    if data[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF")
+    if len(data) < 14:
+        raise ValueError("truncated GIF")
+    _w, _h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:                 # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:               # image descriptor
+            _l, _t, iw, ih, iflags = struct.unpack(
+                "<HHHHB", data[pos:pos + 9])
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = data[pos:pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(mcs, b"".join(chunks), iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF image data")
+            luma = [(pal[3 * i] * 299 + pal[3 * i + 1] * 587
+                     + pal[3 * i + 2] * 114 + 500) // 1000
+                    for i in range(len(pal) // 3)]
+            rows = [[luma[idx[y * iw + x]] for x in range(iw)]
+                    for y in range(ih)]
+            if iflags & 0x40:             # interlaced: 8/8/4/2 row passes
+                order = ([*range(0, ih, 8)] + [*range(4, ih, 8)]
+                         + [*range(2, ih, 4)] + [*range(1, ih, 2)])
+                fixed: list = [None] * ih
+                for src, dst in enumerate(order):
+                    fixed[dst] = rows[src]
+                rows = fixed
+            return iw, ih, "P", rows
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image")
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, str, list[list[int]]]:
+    """REAL stdlib BMP decode: BITMAPINFOHEADER (or the V4/V5 supersets,
+    same fixed offsets), 8-bit palette / 24-bit BGR / 32-bit BGRX,
+    bottom-up or top-down, 4-byte row padding → luma rows."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(data) < 54:
+        raise ValueError("truncated BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (dib,) = struct.unpack("<I", data[14:18])
+    if dib < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack("<ii", data[18:26])
+    _planes, bpp = struct.unpack("<HH", data[26:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if comp != 0 or bpp not in (8, 24, 32) or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP shape bpp={bpp} comp={comp}")
+    top_down = height < 0
+    height = abs(height)
+    pal = None
+    if bpp == 8:
+        (used,) = struct.unpack("<I", data[46:50])
+        off = 14 + dib
+        pal = [(data[off + 4 * i + 2] * 299 + data[off + 4 * i + 1] * 587
+                + data[off + 4 * i] * 114 + 500) // 1000
+               for i in range(used or 256)]            # BGRA entries
+    stride = ((bpp * width + 31) // 32) * 4
+    step = bpp // 8
+    rows = []
+    for y in range(height):
+        src = y if top_down else height - 1 - y
+        line = data[pix_off + src * stride:pix_off + (src + 1) * stride]
+        if len(line) < (width * step if bpp > 8 else width):
+            raise ValueError("truncated BMP pixel data")
+        if bpp == 8:
+            rows.append([pal[v] for v in line[:width]])
+        else:
+            rows.append([(line[x * step + 2] * 299
+                          + line[x * step + 1] * 587
+                          + line[x * step] * 114 + 500) // 1000
+                         for x in range(width)])
+    return width, height, ("P" if bpp == 8 else "RGB"), rows
+
+
+def _decode_image(data: bytes) -> tuple[int, int, str, list[list[int]]]:
+    """Stdlib decode dispatch by magic bytes — PNG (zlib/unfilter), GIF
+    (LZW), BMP (raw) — to the shared (width, height, mode,
+    luminance_rows) contract.  Raises for any other container."""
+    if data.startswith(_PNG_SIG):
+        return _decode_png(data)
+    if data[:6] in _GIF_SIGS:
+        return _decode_gif(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    raise ValueError("no stdlib decoder for payload")
+
+
+def _stdlib_decodable(data: bytes) -> bool:
+    """True when :func:`_decode_image` has a real tier for the payload."""
+    return (data.startswith(_PNG_SIG) or data[:6] in _GIF_SIGS
+            or data[:2] == b"BM")
+
+
+def _stdlib_image_props(data: bytes) -> tuple[int, int, str, list[float]]:
+    """Any stdlib-decodable image → the decode_image_features contract:
+    (w, h, mode, 16-dim normalized 4×4 luminance thumbnail)."""
+    width, height, mode, lum = _decode_image(data)
+    feat = [lum[(ty * height) // 4][(tx * width) // 4] / 255.0
+            for ty in range(4) for tx in range(4)]
+    return width, height, mode, feat
+
+
+def _stdlib_resize_any(data: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbour resize for any stdlib-decodable payload: PNG
+    keeps its native channels (:func:`_stdlib_png_resize`); GIF/BMP
+    resample the luma plane and re-encode as grayscale PNG (the
+    normalized thumbnail container, matching the PIL tier's PNG-out
+    contract)."""
+    if data.startswith(_PNG_SIG):
+        return _stdlib_png_resize(data, tw, th)
+    width, height, _mode, lum = _decode_image(data)
+    rows = [bytearray(lum[(ty * height) // th][(tx * width) // tw]
+                      for tx in range(tw)) for ty in range(th)]
+    return _encode_png(tw, th, 0, rows)
+
+
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           id_col: str = "media_id",
                           use_codec: bool | None = None) -> DataFrame:
     """Arrow-batched decode + feature extraction.
 
     ``use_codec=None`` (default) picks the REAL decode tier per payload:
-    PIL when Pillow is importable; otherwise PNG payloads still decode
-    for REAL via the stdlib zlib/unfilter path (``_decode_png`` — no
-    codec library involved); everything else falls to the deterministic
-    sha-derived fake.  Pass True/False to force PIL-only/fake-only.  The
+    PIL when Pillow is importable; otherwise PNG/GIF/BMP payloads still
+    decode for REAL via the stdlib tiers (``_decode_image`` — zlib
+    unfilter / LZW / raw rows, no codec library involved); everything
+    else falls to the deterministic sha-derived fake.  Pass True/False to force PIL-only/fake-only.  The
     real branches decode each payload, read width/height/mode, and emit
     a 16-dim feature (4×4 grayscale nearest-neighbour thumbnail,
     normalized) — same output schema every tier, so the plumbing is
@@ -283,11 +501,11 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                         continue
                     except Exception:
                         pass
-                elif use_codec is None and data.startswith(_PNG_SIG):
-                    # codec-less executor, auto mode: PNG still decodes
-                    # for REAL via the stdlib zlib/unfilter path
+                elif use_codec is None and _stdlib_decodable(data):
+                    # codec-less executor, auto mode: PNG/GIF/BMP still
+                    # decode for REAL via the stdlib tiers
                     try:
-                        rows.append((mid, *_stdlib_png_props(data)))
+                        rows.append((mid, *_stdlib_image_props(data)))
                         continue
                     except Exception:
                         pass
@@ -307,11 +525,11 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
                   use_codec: bool | None = None) -> DataFrame:
     """Resize: with PIL available (or ``use_codec=True``) payloads are
     decoded → resampled to ``target`` → re-encoded as PNG inside the same
-    Arrow batch iterator; on codec-less executors in auto mode, PNG
-    payloads still resize for REAL (stdlib decode → nearest-neighbour →
-    filter-0 re-encode, :func:`_stdlib_png_resize`); anything else
-    passes through with the declared target shape.  Identical schema
-    every tier."""
+    Arrow batch iterator; on codec-less executors in auto mode,
+    PNG/GIF/BMP payloads still resize for REAL (stdlib decode →
+    nearest-neighbour → filter-0 PNG re-encode,
+    :func:`_stdlib_resize_any`); anything else passes through with the
+    declared target shape.  Identical schema every tier."""
     tw, th = target
     codec = _pil_available() if use_codec is None else use_codec
     if codec and not _pil_available():
@@ -362,9 +580,9 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
                 for payload in pdf[payload_col]:
                     data = bytes(payload) if payload is not None else None
                     if (use_codec is None and data
-                            and data.startswith(_PNG_SIG)):
+                            and _stdlib_decodable(data)):
                         try:
-                            out.append(_stdlib_png_resize(data, tw, th))
+                            out.append(_stdlib_resize_any(data, tw, th))
                             ws.append(tw)
                             hs.append(th)
                             continue
@@ -443,6 +661,14 @@ def _gray_grid_png(data: bytes, w: int, h: int) -> list[list[int]]:
              for tx in range(w)] for ty in range(h)]
 
 
+def _gray_grid_stdlib(data: bytes, w: int, h: int) -> list[list[int]]:
+    """Any stdlib-decodable payload (PNG/GIF/BMP) → w×h nearest-neighbour
+    luminance grid for the perceptual hashers."""
+    width, height, _mode, lum = _decode_image(data)
+    return [[lum[(ty * height) // h][(tx * width) // w]
+             for tx in range(w)] for ty in range(h)]
+
+
 def _fake_phash(payload: bytes) -> int:
     """DETERMINISTIC FAKE tier: 56-bit value from sha256 digest bytes
     1-7 (big-endian) — positive, SQL-replayable byte arithmetic on the
@@ -460,8 +686,8 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
     ``method="dhash"`` (gradient sign over a 9×8 downsample) or
     ``"phash"`` (DCT low-frequency signs over 32×32).  Decode tiers
     mirror :func:`decode_image_features`: PIL when importable, REAL
-    stdlib PNG decode otherwise (auto mode), deterministic sha-derived
-    fake last — identical schema every tier, so the banding join
+    stdlib PNG/GIF/BMP decode otherwise (auto mode), deterministic
+    sha-derived fake last — identical schema every tier, so the banding join
     downstream never cares which executor had a codec.  Feed the output
     to :func:`phash_near_pairs` for hamming-banded near-duplicate pairs
     (the image sibling of text SimHash dedup, ``dedup.simhash_near_pairs``)."""
@@ -494,10 +720,10 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
                         continue
                     except Exception:
                         pass
-                elif use_codec is None and data.startswith(_PNG_SIG):
+                elif use_codec is None and _stdlib_decodable(data):
                     try:
                         rows.append((mid, hasher(
-                            _gray_grid_png(data, gw, gh))))
+                            _gray_grid_stdlib(data, gw, gh))))
                         continue
                     except Exception:
                         pass

@@ -1144,3 +1144,205 @@ def test_stream_image_dedup_sink_cross_batch(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/dups").count() == 1
     assert {r["media_id"] for r in
             spark.read.parquet(f"{idx}/sigs").collect()} == {1, 2, 4}
+
+
+# --- stdlib GIF (LZW) and BMP decode tiers ---------------------------------
+
+def _lzw_codes(seq, min_code_size=8):
+    """Real greedy LZW compression (the GIF encoder side): dictionary
+    build, CLEAR reset when the table fills — so the decoder's entry
+    construction, KwKwK self-reference, and code-width growth paths all
+    get exercised by genuinely compressed streams."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes = [clear]
+    w = b""
+    for v in seq:
+        wk = w + bytes([v])
+        if wk in table:
+            w = wk
+            continue
+        codes.append(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+        w = bytes([v])
+    if w:
+        codes.append(table[w])
+    codes.append(end)
+    return codes
+
+
+def _pack_lzw(codes, min_code_size=8):
+    """LSB-first variable-width packing, mirroring the decoder's
+    table-length bookkeeping so widths stay in sync."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bits = buf = 0
+    code_size = min_code_size + 1
+    table_len = clear + 2
+    fresh = True
+    for code in codes:
+        buf |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+        if code == clear:
+            code_size, table_len, fresh = min_code_size + 1, clear + 2, True
+        elif code != end:
+            if not fresh and table_len < 4096:
+                table_len += 1
+                if table_len == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            fresh = False
+    if bits:
+        out.append(buf & 0xFF)
+    return out
+
+
+def _encode_gif(pixels, interlace=False, trailing_frame=None):
+    """Spec-literal GIF89a for the tests: 256-entry gray identity
+    palette (index == luma), real LZW compression, a graphic-control
+    extension (exercises the skip path), optional interlacing and a
+    second frame (first frame must win)."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    frames = [(pixels, interlace)]
+    if trailing_frame is not None:
+        frames.append((trailing_frame, False))
+    for px, il in frames:
+        fh, fw = len(px), len(px[0])
+        out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, fw, fh,
+                                           0x40 if il else 0)
+        rows = px
+        if il:
+            order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                     + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+            rows = [px[r] for r in order]
+        data = _pack_lzw(_lzw_codes([v for row in rows for v in row]))
+        out += bytes([8])
+        for i in range(0, len(data), 255):
+            blk = data[i:i + 255]
+            out += bytes([len(blk)]) + bytes(blk)
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def _encode_bmp(pixels, bpp=24, top_down=False):
+    """Spec-literal BMP: pixels = rows of (r, g, b); 8-bit mode writes a
+    gray identity palette and indexes by the red channel."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = ((bpp * w + 31) // 32) * 4
+    pal = (b"".join(bytes([i, i, i, 0]) for i in range(256))
+           if bpp == 8 else b"")
+    pix = bytearray()
+    for row in (pixels if top_down else pixels[::-1]):
+        line = bytearray()
+        for r, g, b in row:
+            if bpp == 8:
+                line.append(r)
+            elif bpp == 24:
+                line += bytes([b, g, r])
+            else:
+                line += bytes([b, g, r, 0])
+        line += b"\x00" * (stride - len(line))
+        pix += line
+    off = 14 + 40 + len(pal)
+    return (b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w,
+                          -h if top_down else h, 1, bpp, 0, len(pix),
+                          2835, 2835, 256 if bpp == 8 else 0, 0)
+            + pal + pix)
+
+
+def test_stdlib_gif_decode_compressed_interlaced_animated():
+    # repetitive rows force the KwKwK LZW branch; 32x24 crosses the
+    # 512-entry boundary so the code width actually grows
+    px = [[(y * 11 + (x // 8) * 5) % 256 for x in range(32)]
+          for y in range(24)]
+    w, h, mode, lum = MM._decode_gif(_encode_gif(px))
+    assert (w, h, mode) == (32, 24, "P")
+    assert lum == px                      # identity gray palette
+    # interlaced rows come back in display order
+    assert MM._decode_gif(_encode_gif(px, interlace=True))[3] == px
+    # animated: first frame wins
+    other = [[255 - v for v in row] for row in px]
+    assert MM._decode_gif(_encode_gif(px, trailing_frame=other))[3] == px
+    with pytest.raises(ValueError):
+        MM._decode_gif(b"GIF89a\x00")
+
+
+def test_stdlib_bmp_decode_24bit_8bit_topdown():
+    px = [[((x * 13) % 256, (y * 29) % 256, (x + y) % 256)
+           for x in range(7)] for y in range(5)]
+    w, h, mode, lum = MM._decode_bmp(_encode_bmp(px, bpp=24))
+    assert (w, h, mode) == (7, 5, "RGB")
+    for y in range(5):
+        for x in range(7):
+            r, g, b = px[y][x]
+            assert lum[y][x] == (r * 299 + g * 587 + b * 114 + 500) // 1000
+    gray = [[((x * 37 + y * 3) % 256,) * 3 for x in range(6)]
+            for y in range(4)]
+    w, h, mode, lum = MM._decode_bmp(_encode_bmp(gray, bpp=8,
+                                                 top_down=True))
+    assert (w, h, mode) == (6, 4, "P")
+    assert lum == [[c[0] for c in row] for row in gray]
+    with pytest.raises(ValueError):
+        MM._decode_bmp(b"BMxx")
+
+
+def test_cross_container_phash_and_features_agree(spark):
+    # one grayscale image encoded as PNG, GIF and BMP: every stdlib tier
+    # must land on the SAME luminance plane, so dHash and the 4x4
+    # feature agree bit-for-bit across containers
+    px = [[((x * 31 + y * 17 + (x * y) % 13) % 256) for x in range(16)]
+          for y in range(16)]
+    png = _encode_png(px, ctype=0, filters=[0] * 16)
+    gif = _encode_gif(px)
+    bmp = _encode_bmp([[(v, v, v) for v in row] for row in px], bpp=24)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
+         (4, bytearray(b"junk"))],
+        "media_id long, payload binary")
+    sig = {r["media_id"]: r["phash"]
+           for r in MM.image_phash(df, method="dhash").collect()}
+    assert sig[1] == sig[2] == sig[3]
+    assert sig[4] == MM._to_signed64(MM._fake_phash(b"junk"))
+    feats = {r["media_id"]: r for r in
+             MM.decode_image_features(df).collect()}
+    for mid in (1, 2, 3):
+        assert (feats[mid]["width"], feats[mid]["height"]) == (16, 16)
+    assert feats[1]["feature"] == feats[2]["feature"] == feats[3]["feature"]
+
+
+def test_resize_gif_bmp_stdlib_tier(spark):
+    px = [[(x * 16 + y) % 256 for x in range(12)] for y in range(8)]
+    gif = _encode_gif(px)
+    bmp = _encode_bmp([[(v, v, v) for v in row] for row in px], bpp=24)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(bmp))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r
+           for r in MM.resize_images(df, target=(4, 4)).collect()}
+    for mid in (1, 2):
+        w, h, mode, lum = MM._decode_png(bytes(got[mid]["payload"]))
+        assert (w, h, mode) == (4, 4, "L")
+        exp = [[px[(ty * 8) // 4][(tx * 12) // 4] for tx in range(4)]
+               for ty in range(4)]
+        assert lum == exp
