@@ -8780,3 +8780,55 @@ def ann08_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     out = ANN.mips_topk(emb, queries, "vec_id", "embedding", k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- m06 — perceptual audio near-duplicate pairs (fingerprint + banding) ---
+# Audio sibling of m04, completing the text/image/audio near-dup triplet:
+# multimodal.audio_fingerprint (real tier: WAV rFFT 9x8 time-band spectral
+# gradient signs, pytest-covered on synthesized PCM) feeds the same 4x16-bit
+# hamming banding.  The registry query pins the sha-derived fake tier (the
+# m02/m04 oracle device) and PLANTS a hamming-2 neighbour per track (bits
+# doc_id%56 and (doc_id*7+13)%56 — never equal mod 56, since 6d = 43 mod 56
+# has no solution with 43 odd), so banding recall at max_hamming=3 is
+# pigeonhole-exact and the DuckDB oracle replays with brute-force all-pairs.
+_M06_AFP_BYTES = " + ".join(
+    f"(CAST({_sha_byte_sql('h', k)} AS BIGINT) << {8 * (7 - k)})"
+    for k in range(1, 8))
+_M06_SQL = f"""WITH base AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+  WHERE doc_id >= 300 AND doc_id < 550
+), sig0 AS (
+  SELECT doc_id, ({_M06_AFP_BYTES}) AS afp FROM base
+), sig AS (
+  SELECT doc_id * 2 AS media_id, afp FROM sig0
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS media_id,
+         xor(xor(afp, CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INT)),
+             CAST(1 AS BIGINT) << CAST((doc_id * 7 + 13) % 56 AS INT)) AS afp
+  FROM sig0
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3"""
+
+
+@register("m06_audio_fp_pairs", _M06_SQL)
+def m06_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs over sha-derived fake-fingerprint
+    payloads with a planted hamming-2 neighbour per track; banded
+    candidate join (8-byte fingerprints shuffle, payloads never do) +
+    exact hamming verify, oracle-replayed as brute-force all-pairs."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 550)).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    sig = MM.audio_fingerprint(docs, use_codec=False)
+    flip = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(media_id % 56 AS INT)) ^ "
+        "shiftleft(CAST(1 AS BIGINT), CAST((media_id * 7 + 13) % 56 AS INT))")
+    planted = sig.select(
+        (F.col("media_id") * 2).alias("media_id"), "afp").unionByName(
+        sig.select((F.col("media_id") * 2 + 1).alias("media_id"),
+                   F.col("afp").bitwiseXOR(flip).alias("afp")))
+    return MM.afp_near_pairs(planted, max_hamming=3)

@@ -1346,3 +1346,93 @@ def test_resize_gif_bmp_stdlib_tier(spark):
         exp = [[px[(ty * 8) // 4][(tx * 12) // 4] for tx in range(4)]
                for ty in range(4)]
         assert lum == exp
+
+
+# --- perceptual audio fingerprinting ---------------------------------------
+
+def _make_wav(samples, rate=8000, width=2, channels=1):
+    """Integer-PCM WAV writer for the tests (stdlib wave)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", max(-32768, min(32767, int(s * 32767))))
+            for s in samples))
+    return buf.getvalue()
+
+
+def _tone_track(freqs, block=1000, rate=8000, amp=0.8, noise=0.0, seed=5):
+    """One strong tone per block (decisive band-energy margins), plus
+    optional deterministic low-level noise."""
+    import math
+    import random
+
+    rnd = random.Random(seed)
+    out = []
+    for f in freqs:
+        for i in range(block):
+            s = amp * math.sin(2 * math.pi * f * i / rate)
+            if noise:
+                s += noise * (rnd.random() * 2 - 1)
+            out.append(s)
+    return out
+
+
+_FREQS_A = [400, 1800, 700, 2600, 1100, 3400, 500, 2200, 900]
+_FREQS_B = [3400, 500, 2600, 700, 1800, 400, 2200, 900, 1100]
+
+
+def test_afp_bits_volume_dc_and_noise_invariance():
+    import numpy as np
+
+    base = np.array(_tone_track(_FREQS_A))
+    sig = MM._afp_bits(base)
+    # volume scaling and DC offset leave every energy comparison intact
+    assert MM._afp_bits(base * 0.5) == sig
+    assert MM._afp_bits(base * 0.25 + 0.01) == sig
+    # low-level noise: decisive margins keep the hash within banding reach
+    near = np.array(_tone_track(_FREQS_A, noise=0.005))
+    assert bin(MM._afp_bits(near) ^ sig).count("1") <= 3
+    # a different block-frequency sequence is far away
+    other = MM._afp_bits(np.array(_tone_track(_FREQS_B)))
+    assert bin(other ^ sig).count("1") > 3
+    with pytest.raises(ValueError):
+        MM._afp_bits(np.zeros(10))
+
+
+def test_wav_samples_downmix_and_widths():
+    import numpy as np
+
+    mono = _tone_track(_FREQS_A[:2], block=200)
+    stereo = [v for s in mono for v in (s, -s)]  # L = -R: downmix ~ 0
+    x, rate = MM._wav_samples(_make_wav(stereo, channels=2))
+    assert rate == 8000 and x.size == len(mono)
+    assert float(np.abs(x).max()) < 1e-4
+    x1, _ = MM._wav_samples(_make_wav(mono))
+    assert x1.size == len(mono)
+    assert float(np.abs(x1 - np.array(mono)).max()) < 1e-3
+
+
+def test_audio_fingerprint_spark_tiers_and_pairs(spark):
+    wav_a = _make_wav(_tone_track(_FREQS_A))
+    wav_near = _make_wav(_tone_track(_FREQS_A, noise=0.005))
+    wav_b = _make_wav(_tone_track(_FREQS_B))
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_a)), (2, bytearray(wav_near)),
+         (3, bytearray(wav_b)), (4, bytearray(b"not audio"))],
+        "media_id long, payload binary")
+    sig = MM.audio_fingerprint(df)
+    got = {r["media_id"]: r["afp"] for r in sig.collect()}
+    # executor path == local path on the SAME (int16-quantized) samples
+    assert got[1] == MM._afp_bits(MM._wav_samples(wav_a)[0])
+    assert got[4] == MM._fake_phash(b"not audio")  # fake tier fallback
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             MM.afp_near_pairs(sig, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
