@@ -180,3 +180,104 @@ def zvalue_sql(col_sqls: list[str], bits: int = 16) -> str:
             terms.append(
                 f"((((CAST(({c}) AS BIGINT) >> {b}) & 1)) << {b * n + i})")
     return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (oracle-exact, unrolled-rounds variant)
+#
+# Morton's weakness at scale: the Z curve takes long diagonal jumps at
+# power-of-two boundaries, so curve segments (= parquet files after
+# repartitionByRange) carry wide min/max boxes on those seams and pruning
+# opens extra files.  The Hilbert curve is CONTINUOUS — consecutive curve
+# steps are always grid-adjacent — so equal-length segments have provably
+# tighter bounding boxes; it is what Databricks liquid clustering and
+# Iceberg's hilbert-order use for exactly this reason.  The canonical
+# xy2d algorithm is a per-bit fold with carried (x, y, d) state, which
+# maps onto Spark as `bits` chained projections (each round's columns
+# reference the previous round's BY NAME, so Catalyst keeps one Project
+# node per round — linear plan size, no expression blow-up; CollapseProject
+# declines to inline multiply-referenced columns) and onto the DuckDB
+# oracle as the same rounds unrolled into a CTE chain (the g01/bpe02
+# fixed-rounds device).  The (3*rx) XOR ry step is rewritten as
+# 3*rx + ry*(1-2*rx) — identical on {0,1}² — to stay dialect-neutral.
+# ---------------------------------------------------------------------------
+
+
+def with_hilbert(df: DataFrame, x_col: str, y_col: str, bits: int = 8,
+                 out_col: str = "hvalue") -> DataFrame:
+    """Append the 2-D Hilbert index of ``(x_col, y_col)`` as ``out_col``.
+
+    Both dimensions MUST already lie in [0, 2^bits) — clamp, bucket, or
+    mask first (same caller contract as :func:`zvalue_expr`).  The index
+    is a long in [0, 4^bits); ``bits`` ≤ 31 keeps it inside a signed
+    long, though layout use wants small grids (8-12 bits/dim)."""
+    if not 1 <= bits <= 31:
+        raise ValueError("with_hilbert needs 1 <= bits <= 31")
+    cur = df.withColumns({
+        "__hx": F.col(x_col).cast("long"),
+        "__hy": F.col(y_col).cast("long"),
+        "__hd": F.lit(0).cast("long"),
+    })
+    for r in range(bits - 1, -1, -1):
+        s = 1 << r
+        hx, hy = F.col("__hx"), F.col("__hy")
+        rx = F.when(hx.bitwiseAND(F.lit(s)) > 0,
+                    F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(hy.bitwiseAND(F.lit(s)) > 0,
+                    F.lit(1)).otherwise(F.lit(0))
+        cur = cur.withColumns({
+            "__hx": F.when(ry == 1, hx).otherwise(
+                F.when(rx == 1, F.lit(s - 1) - hy).otherwise(hy)),
+            "__hy": F.when(ry == 1, hy).otherwise(
+                F.when(rx == 1, F.lit(s - 1) - hx).otherwise(hx)),
+            "__hd": F.col("__hd") + (F.lit(s) * F.lit(s) * (
+                F.lit(3) * rx + ry * (F.lit(1) - F.lit(2) * rx))
+            ).cast("long"),
+        })
+    return (cur.withColumn(out_col, F.col("__hd"))
+            .drop("__hx", "__hy", "__hd"))
+
+
+def hilbert_cte_sql(base_sql: str, passthrough: list[str], x_sql: str,
+                    y_sql: str, bits: int = 8,
+                    out: str = "hvalue") -> str:
+    """The identical Hilbert fold as a dialect-neutral SQL CTE chain —
+    the differential oracle's side of :func:`with_hilbert`.  ``base_sql``
+    provides the input rows; ``passthrough`` columns are carried along;
+    the result exposes them plus ``out``.  One CTE per curve order keeps
+    every round's (hx, hy, hd) named, mirroring the Spark projections
+    bit for bit."""
+    cols = ", ".join(passthrough)
+    sql = (f"WITH hstep{bits} AS (\n"
+           f"  SELECT {cols}, CAST({x_sql} AS BIGINT) AS hx,\n"
+           f"         CAST({y_sql} AS BIGINT) AS hy,\n"
+           f"         CAST(0 AS BIGINT) AS hd\n"
+           f"  FROM ({base_sql})\n)")
+    for r in range(bits - 1, -1, -1):
+        s = 1 << r
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        sql += (f", hstep{r} AS (\n"
+                f"  SELECT {cols},\n"
+                f"    (CASE WHEN {ry} = 1 THEN hx"
+                f" WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END) AS hx,\n"
+                f"    (CASE WHEN {ry} = 1 THEN hy"
+                f" WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END) AS hy,\n"
+                f"    hd + CAST({s * s} AS BIGINT) *"
+                f" (3 * {rx} + {ry} * (1 - 2 * {rx})) AS hd\n"
+                f"  FROM hstep{r + 1 if r < bits - 1 else bits}\n)")
+    return sql + f"\nSELECT {cols}, hd AS {out} FROM hstep0"
+
+
+def write_hilbert_ordered(df: DataFrame, path: str, x_col: str,
+                          y_col: str, n_files: int = 16,
+                          bits: int = 8) -> None:
+    """Write ``df`` as parquet clustered on the Hilbert curve of the two
+    (pre-normalized) dimensions — same mechanics as
+    :func:`write_zordered`, tighter per-file bounding boxes thanks to
+    curve continuity."""
+    (with_hilbert(df, x_col, y_col, bits, "__h")
+     .repartitionByRange(n_files, "__h")
+     .sortWithinPartitions("__h")
+     .drop("__h")
+     .write.mode("overwrite").parquet(path))

@@ -8832,3 +8832,57 @@ def m06_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select((F.col("media_id") * 2 + 1).alias("media_id"),
                    F.col("afp").bitwiseXOR(flip).alias("afp")))
     return MM.afp_near_pairs(planted, max_hamming=3)
+
+
+# --- hilbert01 — Hilbert-curve layout key (continuity-tight pruning) -------
+# The Z-order sibling with provably tighter segment bounding boxes: the
+# Hilbert curve never jumps (consecutive steps are grid-adjacent), so the
+# per-segment min/max spans this query audits — exactly the row-group
+# stats a Hilbert-clustered parquet file exposes — stay compact across
+# power-of-two seams where Morton diagonals blow up.  The per-bit state
+# fold runs as chained projections in Spark and replays bit-for-bit as an
+# unrolled CTE chain in DuckDB (layout.hilbert_cte_sql, the g01 device).
+_H01_BITS, _H01_SEG = 8, 6  # 16-bit curve, segments of 2^6 steps
+
+
+def _hilbert01_sql() -> str:
+    from dataqtor_spark.operators.layout import hilbert_cte_sql
+
+    chain = hilbert_cte_sql(
+        base_sql=("SELECT (user_id & 255) AS user_id, "
+                  "(datediff('day', DATE '2024-01-01', ts) & 255) AS day "
+                  "FROM events"),
+        passthrough=["user_id", "day"],
+        x_sql="user_id", y_sql="day", bits=_H01_BITS)
+    return f"""SELECT seg, count(*)::BIGINT AS n_rows,
+       min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
+       min(day)::BIGINT AS min_day, max(day)::BIGINT AS max_day
+FROM (
+  SELECT (hvalue >> {_H01_SEG}) AS seg, user_id, day
+  FROM ({chain})
+) GROUP BY seg"""
+
+
+@register("hilbert01_curve_segments", _hilbert01_sql())
+def hilbert01_curve_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit over events: index (user mod 2^8, day
+    mod 2^8), rows grouped into 2^6-step curve segments, per-segment
+    count + both dimensions' min/max — the stats pruning would use,
+    tighter than zorder01's by curve continuity."""
+    from dataqtor_spark.operators.layout import with_hilbert
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("user_id"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .bitwiseAND(F.lit(255)).alias("day"))
+    h = with_hilbert(base, "user_id", "day", bits=_H01_BITS)
+    return (h.select(F.shiftright(F.col("hvalue"), _H01_SEG).alias("seg"),
+                     F.col("user_id").cast("long").alias("user_id"),
+                     F.col("day").cast("long").alias("day"))
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("user_id").alias("min_user"),
+                 F.max("user_id").alias("max_user"),
+                 F.min("day").alias("min_day"),
+                 F.max("day").alias("max_day")))
