@@ -1157,3 +1157,67 @@ def apply_bpe(df: DataFrame, merges: list, text_col: str = "text",
     toks = F.filter(_clean_tokens(text_col),
                     lambda w: w.rlike(word_pattern))
     return df.withColumn(out_col, F.flatten(F.transform(toks, seg)))
+
+
+def domain_mixture_plan(df: DataFrame, domain_col: str,
+                        weights: dict[str, int], budget: int,
+                        text_col: str = "text") -> DataFrame:
+    """Budgeted domain-mixing allocation — the static data-mixing step of
+    a training run (The Pile / DoReMi-style fixed weights), downstream of
+    :func:`source_mix`'s diagnostics: given integer mixture ``weights``
+    (parts of ``sum(weights)`` — integers so every quota is EXACT, no
+    float shares) and a total token ``budget``, emit one row per weighted
+    domain with
+
+    - ``quota_tokens``: the domain's slice of the budget by the
+      largest-remainder method (quotas sum to exactly ``budget``:
+      floor(budget·w/W) plus +1 for the largest ``(budget·w) mod W``
+      remainders, ties broken by domain name);
+    - ``alloc_tokens`` = min(quota, available) — what one pass over the
+      corpus can supply;
+    - ``shortfall_tokens`` and ``epochs`` = ceil(quota/avail), the
+      oversampling factor needed to meet quota by repeating the domain
+      (NULL when the domain has no data at all).
+
+    Scale shape: one groupBy(domain) with map-side partial aggregation
+    (the only corpus-sized exchange), then all quota arithmetic runs on
+    the |domains|-row frame — the unpartitioned rank window is over that
+    provably bounded set, never the data."""
+    from pyspark.sql.window import Window
+
+    W = sum(weights.values())
+    if W <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+    wtab = df.sparkSession.createDataFrame(
+        sorted((d, int(w)) for d, w in weights.items()),
+        "domain string, weight long")
+    avail = (df.groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(token_count(text_col)).alias("avail_tokens")))
+    base = (wtab.join(avail, "domain", "left")
+            .select(
+                "domain", "weight",
+                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                F.coalesce("avail_tokens", F.lit(0)).alias("avail_tokens"),
+                (F.lit(int(budget)) * F.col("weight")).alias("__num")))
+    base = base.withColumn("__rem", F.col("__num") % F.lit(W)).withColumn(
+        "__base", ((F.col("__num") - F.col("__rem")) / F.lit(W))
+        .cast("long"))
+    # bounded frames: |domains| rows
+    rk = Window.orderBy(F.desc("__rem"), F.asc("domain"))
+    tot = Window.partitionBy()
+    quota = (F.col("__base")
+             + F.when(F.row_number().over(rk)
+                      <= F.lit(int(budget)) - F.sum("__base").over(tot),
+                      F.lit(1)).otherwise(F.lit(0)))
+    out = base.withColumn("quota_tokens", quota.cast("long"))
+    alloc = F.least(F.col("quota_tokens"), F.col("avail_tokens"))
+    return out.select(
+        "domain", "weight", "n_docs", "avail_tokens", "quota_tokens",
+        alloc.alias("alloc_tokens"),
+        (F.col("quota_tokens") - alloc).alias("shortfall_tokens"),
+        F.when(F.col("avail_tokens") > 0,
+               ((F.col("quota_tokens") + F.col("avail_tokens") - F.lit(1))
+                - (F.col("quota_tokens") + F.col("avail_tokens") - F.lit(1))
+                % F.col("avail_tokens"))
+               / F.col("avail_tokens")).cast("long").alias("epochs"))

@@ -8886,3 +8886,62 @@ def hilbert01_curve_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("user_id").alias("max_user"),
                  F.min("day").alias("min_day"),
                  F.max("day").alias("max_day")))
+
+
+# --- mix01 — budgeted domain-mixture allocation ----------------------------
+# The static data-mixing step of a training run (The Pile / DoReMi fixed
+# weights) as exact integer arithmetic: largest-remainder quotas (sum to
+# the budget bit-for-bit — no float shares), availability caps, shortfall
+# and oversampling epochs.  Weights deliberately include a surplus domain
+# (de), heavy-shortfall domains (en), and a domain absent from the corpus
+# (it → zero avail, NULL epochs); budget 30007 is coprime-ish to W=1000 so
+# the remainder ranking actually engages.  One corpus-sized groupBy; all
+# quota math on the 6-row domain frame.
+_MIX01_TOKENS = ("sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
+                 "ELSE len(regexp_split_to_array(trim(text), '\\s+')) "
+                 "END)::BIGINT")
+_MIX01_SQL = f"""WITH avail AS (
+  SELECT lang AS domain, count(*)::BIGINT AS n_docs,
+         {_MIX01_TOKENS} AS avail_tokens
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT * FROM (VALUES ('de', 100), ('en', 400), ('es', 150),
+                        ('fr', 150), ('it', 50), ('zh', 150))
+         AS t(domain, weight)
+), base AS (
+  SELECT w.domain, w.weight::BIGINT AS weight,
+         coalesce(a.n_docs, 0) AS n_docs,
+         coalesce(a.avail_tokens, 0) AS avail_tokens,
+         (30007 * w.weight) // 1000 AS base_q,
+         (30007 * w.weight) % 1000 AS rem
+  FROM w LEFT JOIN avail a USING (domain)
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk,
+         sum(base_q) OVER () AS tot_base
+  FROM base
+), quota AS (
+  SELECT domain, weight, n_docs, avail_tokens,
+         (base_q + CASE WHEN rk <= 30007 - tot_base
+                        THEN 1 ELSE 0 END)::BIGINT AS quota_tokens
+  FROM ranked
+)
+SELECT domain, weight, n_docs, avail_tokens, quota_tokens,
+       least(quota_tokens, avail_tokens)::BIGINT AS alloc_tokens,
+       (quota_tokens
+        - least(quota_tokens, avail_tokens))::BIGINT AS shortfall_tokens,
+       CASE WHEN avail_tokens > 0
+            THEN ((quota_tokens + avail_tokens - 1) // avail_tokens)::BIGINT
+       END AS epochs
+FROM quota"""
+
+
+@register("mix01_domain_mixture", _MIX01_SQL)
+def mix01_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder token-budget allocation across language domains
+    with availability caps, shortfall, and oversampling epochs — exact
+    integer quotas replayed bit-for-bit by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.domain_mixture_plan(
+        docs, "lang",
+        {"en": 400, "zh": 150, "fr": 150, "es": 150, "de": 100, "it": 50},
+        budget=30007)

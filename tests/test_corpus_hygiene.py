@@ -367,3 +367,30 @@ def test_bpe_merge_two_pass_handles_back_to_back_pairs(spark):
     assert got["abab"][0] == " ab ab "
     assert got["ababab"][0] == " ab ab ab "
     assert got["aaaa"][1] == " aa aa "
+
+
+def test_domain_mixture_plan_invariants(spark):
+    """Largest-remainder quotas sum EXACTLY to the budget; allocation
+    never exceeds availability; epochs = ceil(quota/avail); absent
+    domains get zero avail and NULL epochs."""
+    from dataqtor_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1), ["a", "a", "a", "b", "c"][i % 5])
+         for i in range(200)],
+        "doc_id long, text string, domain string")
+    budget = 1237
+    plan = {r["domain"]: r for r in TX.domain_mixture_plan(
+        docs, "domain", {"a": 3, "b": 2, "c": 1, "zz": 1}, budget
+    ).collect()}
+    assert set(plan) == {"a", "b", "c", "zz"}
+    assert sum(r["quota_tokens"] for r in plan.values()) == budget
+    for r in plan.values():
+        assert r["alloc_tokens"] == min(r["quota_tokens"], r["avail_tokens"])
+        assert r["shortfall_tokens"] == r["quota_tokens"] - r["alloc_tokens"]
+        if r["avail_tokens"] > 0:
+            q, a = r["quota_tokens"], r["avail_tokens"]
+            assert r["epochs"] == -(-q // a)
+    assert plan["zz"]["n_docs"] == 0 and plan["zz"]["avail_tokens"] == 0
+    assert plan["zz"]["epochs"] is None
+    assert plan["zz"]["shortfall_tokens"] == plan["zz"]["quota_tokens"]
