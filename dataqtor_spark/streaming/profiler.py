@@ -772,3 +772,50 @@ def stream_image_dedup_sink(stream: DataFrame, id_col: str,
     return (stream.writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def ivf_ingest_batch(batch: DataFrame, epoch_id: int, path: str,
+                     id_col: str, vec_col: str) -> bool:
+    """One idempotent micro-batch append into a ``write_ivf_index``
+    layout: assign with the STORED centroids (no retrain), append only
+    the touched cluster directories, and record the epoch in a ledger so
+    a checkpoint-recovery replay of the same epoch is a no-op.
+
+    Returns True when the batch was ingested, False when the ledger
+    already held the epoch.  The ledger lives inside the index
+    (``<path>/_epoch_ledger/<epoch>``) and is keyed by Spark's
+    ``batchId``, which is stable across recoveries of ONE checkpoint
+    lineage — an index is owned by exactly one ingest stream (pair a new
+    checkpoint with a rebuilt index).  O(1) bookkeeping per batch; no
+    id-scan of the accumulated corpus."""
+    import os
+
+    from dataqtor_spark.operators import ann as ANN
+
+    marker = f"{path}/_epoch_ledger/{int(epoch_id)}"
+    if os.path.exists(marker):
+        return False
+    ANN.append_to_ivf_index(batch.dropDuplicates([id_col]), path,
+                            id_col, vec_col)
+    os.makedirs(marker, exist_ok=True)
+    return True
+
+
+def stream_ivf_ingest_sink(stream: DataFrame, path: str, checkpoint: str,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Streaming ANN index maintenance: every micro-batch of embeddings
+    lands in the partitioned IVF layout via :func:`ivf_ingest_batch`
+    (stored-centroid assignment — one codegen'd expression, one shuffle
+    on cluster id, epoch-ledger replay safety).  Readers keep using
+    ``ann.ivf_topk_at_rest`` unchanged: new vectors become visible to
+    probes as soon as their files land, through the same partition
+    pruning.  The index must exist (``ann.write_ivf_index`` on a seed
+    corpus) — the quantizer is fixed between rebuilds, the standard
+    IVF freshness/recall trade documented on ``append_to_ivf_index``."""
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        ivf_ingest_batch(batch, epoch_id, path, id_col, vec_col)
+
+    return (stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -814,3 +814,51 @@ def test_mips_augmentation_reduces_to_cosine_order(spark):
     norms = [r["n"] for r in aug_c.select(
         ANN.l2_norm(F.col("embedding")).alias("n")).collect()]
     assert max(norms) - min(norms) < 1e-9
+
+
+def test_stream_ivf_ingest_sink_appends_and_replays(spark, tables, tmp_path):
+    """Streaming index maintenance: micro-batches of new embeddings land
+    in the partitioned IVF layout with stored-centroid assignment; the
+    epoch ledger makes recovery replays no-ops; a full probe over the
+    grown index is exact."""
+    from dataqtor_spark.operators import ann as ANN
+    from dataqtor_spark.streaming import profiler as SP
+
+    emb = tables["embeddings"]
+    seed = emb.filter(F.col("vec_id") < 40)
+    path = str(tmp_path / "ivf_stream_index")
+    ANN.write_ivf_index(seed, path, "vec_id", "embedding",
+                        n_clusters=4, n_iter=2)
+    n0 = spark.read.parquet(f"{path}/corpus").count()
+
+    src = str(tmp_path / "emb_src")
+    ck = str(tmp_path / "ivf_ck")
+    b1 = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    b2 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
+    b1.write.mode("overwrite").parquet(src)
+    SP.stream_ivf_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), path, ck
+    ).awaitTermination()
+    b2.write.mode("append").parquet(src)
+    SP.stream_ivf_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), path, ck
+    ).awaitTermination()
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == n0 + 40
+    assert {r["vec_id"] for r in corpus.select("vec_id").collect()} \
+        == set(range(80))
+    # checkpoint-recovery replay of an already-ledgered epoch: no-op
+    assert SP.ivf_ingest_batch(b1, 0, path, "vec_id", "embedding") is False
+    assert spark.read.parquet(f"{path}/corpus").count() == n0 + 40
+
+    # the grown index is EXACT under a full probe (placement only
+    # affects pruning, and every cluster is scanned here)
+    queries = emb.filter(F.col("vec_id") < 4)
+    full80 = emb.filter(F.col("vec_id") < 80)
+    at_rest = ANN.ivf_topk_at_rest(spark, path, queries, "vec_id",
+                                   "embedding", k=5, n_probe=4)
+    brute = ANN.brute_force_topk(full80, queries, "vec_id", "embedding",
+                                 k=5)
+    assert sorted(map(tuple, at_rest.collect())) \
+        == sorted(map(tuple, brute.collect()))
