@@ -8945,3 +8945,161 @@ def mix01_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang",
         {"en": 400, "zh": 150, "fr": 150, "es": 150, "de": 100, "it": 50},
         budget=30007)
+
+
+# --- d11 — cross-modality dedup governance report --------------------------
+# One row per modality (text n-gram Jaccard, image pHash, audio
+# fingerprint): corpus size, items caught in any near-dup pair, cluster
+# count, survivor rate — the single table a curation run logs when all
+# three dedup passes ship together.  Composes the d02 pair pass and the
+# m04/m06 banded fake-tier pairs with connected components per modality;
+# every branch replays in SQL (three recursive CCs under one WITH).
+_D11_SQL = f"""WITH RECURSIVE pairs_t AS ({_D02_PAIRS_SQL}),
+edges_t AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs_t
+  UNION SELECT id_b, id_a FROM pairs_t
+),
+cc_t(id, label) AS (
+  SELECT src, src FROM edges_t
+  UNION
+  SELECT e.src, cc_t.label FROM edges_t e JOIN cc_t ON cc_t.id = e.dst
+),
+comp_t AS (SELECT id, min(label) AS component FROM cc_t GROUP BY id),
+base_i AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 300
+), sig0_i AS (
+  SELECT doc_id, ({_M04_PHASH_BYTES}) AS phash FROM base_i
+), sig_i AS (
+  SELECT doc_id * 2 AS media_id, phash FROM sig0_i
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS media_id,
+         xor(phash, CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INT)) AS phash
+  FROM sig0_i
+), pairs_i AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM sig_i a JOIN sig_i b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges_i AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs_i
+  UNION SELECT id_b, id_a FROM pairs_i
+),
+cc_i(id, label) AS (
+  SELECT src, src FROM edges_i
+  UNION
+  SELECT e.src, cc_i.label FROM edges_i e JOIN cc_i ON cc_i.id = e.dst
+),
+comp_i AS (SELECT id, min(label) AS component FROM cc_i GROUP BY id),
+base_a AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+  WHERE doc_id >= 300 AND doc_id < 550
+), sig0_a AS (
+  SELECT doc_id, ({_M06_AFP_BYTES}) AS afp FROM base_a
+), sig_a AS (
+  SELECT doc_id * 2 AS media_id, afp FROM sig0_a
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS media_id,
+         xor(xor(afp, CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INT)),
+             CAST(1 AS BIGINT) << CAST((doc_id * 7 + 13) % 56 AS INT)) AS afp
+  FROM sig0_a
+), pairs_a AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b
+  FROM sig_a a JOIN sig_a b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.afp, b.afp)) <= 3
+),
+edges_a AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs_a
+  UNION SELECT id_b, id_a FROM pairs_a
+),
+cc_a(id, label) AS (
+  SELECT src, src FROM edges_a
+  UNION
+  SELECT e.src, cc_a.label FROM edges_a e JOIN cc_a ON cc_a.id = e.dst
+),
+comp_a AS (SELECT id, min(label) AS component FROM cc_a GROUP BY id)
+SELECT 'text' AS modality,
+       (SELECT count(*) FROM documents)::BIGINT AS n_items,
+       (SELECT count(*) FROM comp_t)::BIGINT AS n_dup_items,
+       (SELECT count(DISTINCT component) FROM comp_t)::BIGINT AS n_clusters,
+       round(((SELECT count(*) FROM documents) - (SELECT count(*) FROM comp_t)
+              + (SELECT count(DISTINCT component) FROM comp_t)) * 1.0
+             / (SELECT count(*) FROM documents), 4) AS survivor_rate
+UNION ALL
+SELECT 'image',
+       (SELECT count(*) FROM sig_i)::BIGINT,
+       (SELECT count(*) FROM comp_i)::BIGINT,
+       (SELECT count(DISTINCT component) FROM comp_i)::BIGINT,
+       round(((SELECT count(*) FROM sig_i) - (SELECT count(*) FROM comp_i)
+              + (SELECT count(DISTINCT component) FROM comp_i)) * 1.0
+             / (SELECT count(*) FROM sig_i), 4)
+UNION ALL
+SELECT 'audio',
+       (SELECT count(*) FROM sig_a)::BIGINT,
+       (SELECT count(*) FROM comp_a)::BIGINT,
+       (SELECT count(DISTINCT component) FROM comp_a)::BIGINT,
+       round(((SELECT count(*) FROM sig_a) - (SELECT count(*) FROM comp_a)
+              + (SELECT count(DISTINCT component) FROM comp_a)) * 1.0
+             / (SELECT count(*) FROM sig_a), 4)"""
+
+
+@register("d11_multimodal_dedup_report", _D11_SQL)
+def d11_multimodal_dedup_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-modality near-dup governance: text (n-gram Jaccard), image
+    (pHash banding), audio (fingerprint banding) — items, dup items,
+    clusters, survivor rate in one table."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def row(modality: str, n_items_df: DataFrame,
+            comp: DataFrame) -> DataFrame:
+        stats = comp.agg(
+            F.count(F.lit(1)).alias("n_dup_items"),
+            F.countDistinct("component").alias("n_clusters"))
+        return (n_items_df.crossJoin(F.broadcast(stats))
+                .select(F.lit(modality).alias("modality"),
+                        F.col("n_items").cast("long").alias("n_items"),
+                        F.col("n_dup_items").cast("long")
+                        .alias("n_dup_items"),
+                        F.col("n_clusters").cast("long").alias("n_clusters"),
+                        F.round((F.col("n_items") - F.col("n_dup_items")
+                                 + F.col("n_clusters")) * 1.0
+                                / F.col("n_items"), 4)
+                        .alias("survivor_rate")))
+
+    # text
+    tp = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
+    text_row = row("text", docs.agg(F.count(F.lit(1)).alias("n_items")),
+                   DD.connected_components(tp))
+    # image (the m04 planted fake-tier device)
+    idocs = docs.filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    isig = MM.image_phash(idocs, use_codec=False)
+    iflip = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(media_id % 56 AS INT))")
+    iplanted = isig.select(
+        (F.col("media_id") * 2).alias("media_id"), "phash").unionByName(
+        isig.select((F.col("media_id") * 2 + 1).alias("media_id"),
+                    F.col("phash").bitwiseXOR(iflip).alias("phash")))
+    image_row = row(
+        "image", iplanted.agg(F.count(F.lit(1)).alias("n_items")),
+        DD.connected_components(MM.phash_near_pairs(iplanted,
+                                                    max_hamming=3)))
+    # audio (the m06 device)
+    adocs = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 550)).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"))
+    asig = MM.audio_fingerprint(adocs, use_codec=False)
+    aflip = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(media_id % 56 AS INT)) ^ "
+        "shiftleft(CAST(1 AS BIGINT), CAST((media_id * 7 + 13) % 56 AS INT))")
+    aplanted = asig.select(
+        (F.col("media_id") * 2).alias("media_id"), "afp").unionByName(
+        asig.select((F.col("media_id") * 2 + 1).alias("media_id"),
+                    F.col("afp").bitwiseXOR(aflip).alias("afp")))
+    audio_row = row(
+        "audio", aplanted.agg(F.count(F.lit(1)).alias("n_items")),
+        DD.connected_components(MM.afp_near_pairs(aplanted,
+                                                  max_hamming=3)))
+    return text_row.unionByName(image_row).unionByName(audio_row)
