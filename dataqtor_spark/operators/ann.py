@@ -863,3 +863,35 @@ def mips_augment(corpus: DataFrame, queries: DataFrame, id_col: str,
     aug_q = queries.withColumn(vec_col, F.concat(
         _as_double(F.col(vec_col)), F.array(F.lit(0.0).cast("double"))))
     return aug_c, aug_q
+
+
+def rerank_topk(shortlist: DataFrame, corpus: DataFrame, id_col: str,
+                vec_col: str, k: int = 10) -> DataFrame:
+    """Exact-cosine re-ranking of an approximate shortlist — stage two
+    of the production retrieval pattern (ANN index returns k' ≫ k
+    candidates cheaply; true vectors re-score just those):
+    ``(query_id, neighbor_id)`` pairs in, ``(query_id, neighbor_id,
+    cosine, rank ≤ k)`` out, the ann01 determinism contract (6 dp round,
+    id tiebreak).
+
+    Scale shape: the shortlist is ``n_queries × k'`` rows — broadcast it
+    against the corpus for both vector lookups, so the corpus never
+    shuffles and the exact math runs on a candidate set that no longer
+    depends on corpus size."""
+    s = F.broadcast(shortlist.select("query_id", "neighbor_id"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"))
+    q = corpus.select(F.col(id_col).alias("query_id"),
+                      _as_double(F.col(vec_col)).alias("__qv"))
+    scored = (c.join(s, "neighbor_id")
+              .join(F.broadcast(q.join(
+                  F.broadcast(s.select("query_id").distinct()),
+                  "query_id")), "query_id")
+              .withColumn("cosine", F.round(
+                  dot(F.col("__cv"), F.col("__qv"))
+                  / (l2_norm(F.col("__cv")) * l2_norm(F.col("__qv"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

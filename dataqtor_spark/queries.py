@@ -7833,7 +7833,12 @@ def s14_windowed_quantile_sketch(spark: SparkSession,
 _ANN06_NC, _ANN06_NPROBE = 8, 3
 
 
-def _ann06_oracle_sql() -> str:
+def _ann06_oracle_sql(rerank_from: int | None = None,
+                      final_k: int | None = None) -> str:
+    """ann06's full IVF-PQ replay; with ``rerank_from`` set, the ADC
+    ranking becomes a k'-deep shortlist that a second stage re-scores
+    with EXACT cosine and cuts to ``final_k`` (the ann09 two-stage
+    production pattern)."""
     m, ks, k, dim = _PQ01_M, _PQ01_KS, _PQ01_K, _PQ01_DIM
     nc, npr = _ANN06_NC, _ANN06_NPROBE
     sub = dim // m
@@ -7896,13 +7901,35 @@ def _ann06_oracle_sql() -> str:
   SELECT q.query_id, g.vec_id AS neighbor_id,
          round(({dot_terms}) / (sqrt({norm_terms}) * n.qn), 6) AS adc_cosine
   FROM {joins} WHERE g.vec_id <> q.query_id)""")
-    return f"""{parts[0]}
+    if rerank_from is None:
+        return f"""{parts[0]}
 {",".join(parts[1:])}
 SELECT query_id, neighbor_id, adc_cosine, rank FROM (
   SELECT query_id, neighbor_id, adc_cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_cosine DESC, neighbor_id ASC) AS rank
   FROM scored) WHERE rank <= {k}"""
+    parts.append(f"""short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_cosine DESC, neighbor_id ASC) AS rk
+    FROM scored) WHERE rk <= {rerank_from})""")
+    parts.append("""exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_inner_product(cv.v, qv.v)
+               / (sqrt(list_inner_product(cv.v, cv.v))
+                  * sqrt(list_inner_product(qv.v, qv.v))), 6) AS cosine
+  FROM short s
+  JOIN c cv ON cv.vec_id = s.neighbor_id
+  JOIN c qv ON qv.vec_id = s.query_id)""")
+    return f"""{parts[0]}
+{",".join(parts[1:])}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact) WHERE rank <= {final_k}"""
 
 
 @register("ann06_ivfpq_topk", _ann06_oracle_sql())
@@ -9103,3 +9130,29 @@ def d11_multimodal_dedup_report(spark: SparkSession,
         DD.connected_components(MM.afp_near_pairs(aplanted,
                                                   max_hamming=3)))
     return text_row.unionByName(image_row).unionByName(audio_row)
+
+
+# --- ann09 — two-stage retrieval (IVF-PQ shortlist → exact rerank) ---------
+# THE production serving pattern: the compressed index (ann06's IVF-PQ,
+# 3/8 clusters probed, ADC scoring) returns a k'=20 shortlist cheaply;
+# stage two re-scores only those candidates with exact cosine over the
+# true vectors and cuts to k=5 — ADC quantization error never decides
+# the final ranking, and the exact math runs on a candidate set whose
+# size is independent of corpus scale.  The oracle replays BOTH stages
+# (the ann06 trainer/probe/ADC replay extended with the shortlist +
+# exact-rescore CTEs).
+@register("ann09_two_stage_rerank",
+          _ann06_oracle_sql(rerank_from=20, final_k=_PQ01_K))
+def ann09_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ shortlist (k'=20, ADC) re-scored with exact cosine to
+    top-5 — ann.rerank_topk broadcasts the bounded shortlist, the
+    corpus never shuffles in either stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    short = ANN.ivfpq_topk_portable(
+        emb, queries, "vec_id", "embedding", k=20,
+        n_clusters=_ANN06_NC, n_probe=_ANN06_NPROBE,
+        m=_PQ01_M, ks=_PQ01_KS, n_iter=2,
+        cache_key=os.path.join(sf_dir, "embeddings.parquet"))
+    out = ANN.rerank_topk(short, emb, "vec_id", "embedding", k=_PQ01_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -862,3 +862,30 @@ def test_stream_ivf_ingest_sink_appends_and_replays(spark, tables, tmp_path):
                                  k=5)
     assert sorted(map(tuple, at_rest.collect())) \
         == sorted(map(tuple, brute.collect()))
+
+
+def test_two_stage_rerank_recall_dominates_adc(spark, tables):
+    """Exact re-scoring of a k'-deep ADC shortlist can only improve
+    recall@k over cutting the ADC ranking at k directly — and within the
+    shortlist the final order must equal exact brute-force order."""
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    kw = dict(n_clusters=8, n_probe=3, m=4, ks=16, n_iter=2)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in ANN.brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=5).collect()}
+    adc = {(r["query_id"], r["neighbor_id"]) for r in
+           ANN.ivfpq_topk_portable(emb, queries, "vec_id", "embedding",
+                                   k=5, **kw).collect()}
+    short = ANN.ivfpq_topk_portable(emb, queries, "vec_id", "embedding",
+                                    k=20, **kw)
+    rr = ANN.rerank_topk(short, emb, "vec_id", "embedding", k=5)
+    rr_pairs = {(r["query_id"], r["neighbor_id"]) for r in rr.collect()}
+    assert len(rr_pairs & truth) >= len(adc & truth)
+    # within-shortlist exactness: rerank cosines equal brute cosines
+    brute = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in ANN.brute_force_topk(emb, queries, "vec_id",
+                                           "embedding", k=499).collect()}
+    for r in rr.collect():
+        assert r["cosine"] == brute[(r["query_id"], r["neighbor_id"])]

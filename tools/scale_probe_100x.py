@@ -55,7 +55,15 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "pq01_product_quantization", "ann06_ivfpq_topk",
                "b05_top_trigrams", "zorder01_curve_segments",
                "t30_url_canonical", "t31_quality_logistic",
-               "b08_touch_attribution", "s14_windowed_quantile_sketch"]
+               "b08_touch_attribution", "s14_windowed_quantile_sketch",
+               # round-8 additions: Hilbert layout fold, BPE trainer
+               # (vocab grows k-fold via the per-copy word suffixes),
+               # mixture quotas, exact-MIPS linear scan, cross-modality
+               # dedup report (text branch scales; the planted image/
+               # audio slices are fixed-size by construction)
+               "hilbert01_curve_segments", "bpe02_bpe_train",
+               "mix01_domain_mixture", "ann08_mips_topk",
+               "d11_multimodal_dedup_report"]
 
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
