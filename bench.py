@@ -73,6 +73,14 @@ HEADLINE = [
     "bpe02_bpe_train",
     "bpe03_tokenizer_token_counts",
     "m04_image_phash_pairs",
+    # late round-8 adds: audio fingerprint pairs, MIPS scan, two-stage
+    # rerank, Hilbert layout fold, mixture quotas, cross-modality report
+    "m06_audio_fp_pairs",
+    "ann08_mips_topk",
+    "ann09_two_stage_rerank",
+    "hilbert01_curve_segments",
+    "mix01_domain_mixture",
+    "d11_multimodal_dedup_report",
 ]
 
 
