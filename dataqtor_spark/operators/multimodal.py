@@ -1219,3 +1219,29 @@ def phash_bands(sig_col: Column) -> Column:
             F.shiftrightunsigned(sig_col, b * 16)
             .bitwiseAND(F.lit(0xFFFF)).alias("bhash")))
     return F.array(*chunks)
+
+
+def video_near_dup_pairs(frame_sigs: DataFrame, video_col: str = "media_id",
+                         sig_col: str = "phash",
+                         min_matches: int = 3) -> DataFrame:
+    """Video-level near-duplicate pairs from per-frame perceptual
+    hashes: two videos match when ≥ ``min_matches`` of their sampled
+    frames share a fingerprint — the standard frame-sampling video
+    dedup (sample → pHash per frame → overlap count), robust to
+    re-encodes and trims that preserve most frames.
+
+    Input is ``(video_col, sig_col)`` one row per sampled frame (from
+    :func:`sample_video_frames` → :func:`image_phash`, any decode
+    tier).  The join is an equi-join on the 64-bit fingerprint — only
+    8-byte signatures shuffle, and candidate pairs exist only where
+    frames actually collide (posting-list shape, never video × video).
+    Returns ``(id_a, id_b, n_matched)`` with ``id_a < id_b``."""
+    a = frame_sigs.select(F.col(video_col).alias("id_a"),
+                          F.col(sig_col).alias("__s")).distinct()
+    b = frame_sigs.select(F.col(video_col).alias("id_b"),
+                          F.col(sig_col).alias("__s")).distinct()
+    return (a.join(b, "__s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .filter(F.col("n_matched") >= min_matches))

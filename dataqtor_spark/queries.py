@@ -9156,3 +9156,56 @@ def ann09_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=os.path.join(sf_dir, "embeddings.parquet"))
     out = ANN.rerank_topk(short, emb, "vec_id", "embedding", k=_PQ01_K)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- m07 — video near-dup via frame-fingerprint overlap --------------------
+# Completes the modality matrix (text d02, image m04, audio m06): videos
+# match when >= 3 of their 5 sampled frames share a perceptual hash.
+# The device: each doc spawns TWO synthetic 5-frame videos — 2k with
+# frames text#0..text#4, 2k+1 sharing frames 0-3 but diverging on frame
+# 4 — so every planted pair overlaps on exactly 4 fingerprints and the
+# HAVING >= 3 gate is decisive; the fake pHash tier (sha bytes 1-7)
+# replays per frame in DuckDB.  The real path is identical plumbing:
+# sample_video_frames -> image_phash -> video_near_dup_pairs.
+_M07_SQL = f"""WITH f AS (
+  SELECT doc_id, text, i
+  FROM documents, unnest(generate_series(0, 4)) AS t(i)
+  WHERE doc_id < 200
+), frames AS (
+  SELECT doc_id * 2 AS media_id,
+         sha256(text || '#' || i::VARCHAR) AS h FROM f
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         sha256(text || CASE WHEN i < 4 THEN '#' || i::VARCHAR
+                             ELSE '#alt' END) FROM f
+), sig AS (
+  SELECT DISTINCT media_id, ({_M04_PHASH_BYTES}) AS phash FROM frames
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       count(*)::BIGINT AS n_matched
+FROM sig a JOIN sig b ON a.phash = b.phash AND a.media_id < b.media_id
+GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+
+@register("m07_video_frame_dedup", _M07_SQL)
+def m07_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling video dedup over synthetic 5-frame videos with a
+    planted 4/5-overlap twin per video; fingerprint equi-join (8 bytes
+    per frame shuffle, posting-list shape — never video x video)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    f = docs.select("doc_id", "text",
+                    F.explode(F.sequence(F.lit(0), F.lit(4))).alias("i"))
+    fa = f.select(
+        (F.col("doc_id") * 2).alias("media_id"),
+        F.encode(F.concat(F.col("text"), F.lit("#"),
+                          F.col("i").cast("string")), "UTF-8")
+        .alias("payload"))
+    fb = f.select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        F.encode(F.concat(
+            F.col("text"),
+            F.when(F.col("i") < 4,
+                   F.concat(F.lit("#"), F.col("i").cast("string")))
+            .otherwise(F.lit("#alt"))), "UTF-8").alias("payload"))
+    sig = MM.image_phash(fa.unionByName(fb), use_codec=False)
+    return MM.video_near_dup_pairs(sig, min_matches=3)

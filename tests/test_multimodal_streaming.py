@@ -1436,3 +1436,23 @@ def test_audio_fingerprint_spark_tiers_and_pairs(spark):
              MM.afp_near_pairs(sig, max_hamming=3).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_video_near_dup_pairs_real_avi_path(spark):
+    """The full real video-dedup pipeline: MJPEG-AVI demux -> per-frame
+    fingerprint -> overlap join.  Video 2 shares 4 of video 1's 5
+    frames (one re-ordered container, one swapped frame); video 3 is
+    disjoint."""
+    shared = [b"CLIP-A-%d" % i for i in range(5)]
+    v1 = _tiny_avi(shared, 100_000)
+    v2 = _tiny_avi(shared[:4] + [b"CLIP-B-tail"], 100_000)
+    v3 = _tiny_avi([b"OTHER-%d" % i for i in range(5)], 100_000)
+    df = spark.createDataFrame(
+        [(1, bytearray(v1)), (2, bytearray(v2)), (3, bytearray(v3))],
+        "media_id long, payload binary")
+    frames = MM.sample_video_frames(df, every_ms=100, max_frames=5)
+    sig = MM.image_phash(
+        frames.select("media_id", F.col("frame").alias("payload")))
+    pairs = {(r["id_a"], r["id_b"]): r["n_matched"]
+             for r in MM.video_near_dup_pairs(sig, min_matches=3).collect()}
+    assert pairs == {(1, 2): 4}
