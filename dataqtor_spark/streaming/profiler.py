@@ -56,6 +56,39 @@ def _swap_snapshot(tmp: str, path: str) -> None:
         shutil.rmtree(old)
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — the
+    cluster-correct way to probe index/ledger state (``os.*`` only sees
+    the driver's local disk; HDFS/S3 index paths need the filesystem the
+    writers actually use).  Returns None when no JVM gateway exists
+    (Spark Connect); callers fall back to ``os``."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    except Exception:
+        return None
+
+
+def _fs_exists(spark, path: str) -> bool:
+    h = _hadoop_fs(spark, path)
+    if h is None:
+        import os
+
+        return os.path.exists(path)
+    return bool(h[0].exists(h[1]))
+
+
+def _fs_mkdirs(spark, path: str) -> None:
+    h = _hadoop_fs(spark, path)
+    if h is None:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+    else:
+        h[0].mkdirs(h[1])
+
+
 def windowed_event_agg(df: DataFrame, ts_col: str = "ts",
                        window: str = "1 hour",
                        group_col: str | None = "event_type",
@@ -710,19 +743,19 @@ def stream_image_dedup_sink(stream: DataFrame, id_col: str,
     contract: already-indexed ids are dropped first, so checkpoint
     recovery cannot double-ingest.  Per-batch cost is the decode pass
     plus a band equi-join against the stored band table; history is
-    never re-decoded.
+    never re-decoded.  Index-state probes go through the Hadoop
+    filesystem of ``path`` (HDFS/S3-correct), not the driver's local
+    disk.
     """
-    import os
-
     from dataqtor_spark.operators import multimodal as MM
 
     def _ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        have_index = os.path.isdir(f"{path}/sigs")
+        have_index = _fs_exists(spark, f"{path}/sigs")
         b = batch.dropDuplicates([id_col])
         if have_index:
             seen = spark.read.parquet(f"{path}/sigs").select(id_col)
-            if os.path.isdir(f"{path}/dups"):
+            if _fs_exists(spark, f"{path}/dups"):
                 seen = seen.unionByName(
                     spark.read.parquet(f"{path}/dups").select(id_col))
             b = b.join(seen, id_col, "left_anti")
@@ -787,17 +820,18 @@ def ivf_ingest_batch(batch: DataFrame, epoch_id: int, path: str,
     ``batchId``, which is stable across recoveries of ONE checkpoint
     lineage — an index is owned by exactly one ingest stream (pair a new
     checkpoint with a rebuilt index).  O(1) bookkeeping per batch; no
-    id-scan of the accumulated corpus."""
-    import os
-
+    id-scan of the accumulated corpus.  Ledger probes use the Hadoop
+    filesystem of ``path``, so an HDFS/S3 index keeps its ledger beside
+    its data, not on the driver's local disk."""
     from dataqtor_spark.operators import ann as ANN
 
+    spark = batch.sparkSession
     marker = f"{path}/_epoch_ledger/{int(epoch_id)}"
-    if os.path.exists(marker):
+    if _fs_exists(spark, marker):
         return False
     ANN.append_to_ivf_index(batch.dropDuplicates([id_col]), path,
                             id_col, vec_col)
-    os.makedirs(marker, exist_ok=True)
+    _fs_mkdirs(spark, marker)
     return True
 
 
