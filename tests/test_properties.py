@@ -502,3 +502,82 @@ def test_rfm_pareto_plans_free_of_single_partition_windows(spark):
         for line in p.splitlines():
             if "windowspecdefinition" in line:
                 assert "__pid" in line    # only range-partitioned windows
+
+
+@given(st.integers(2, 12), st.integers(2, 12), st.booleans(), st.data())
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_identity(w, h, interlace, data):
+    """Any gray grid encoded as GIF (real LZW compression, identity
+    palette) decodes to exactly itself — interlaced or not."""
+    from dataqtor_spark.operators import multimodal as MM
+    from tests.test_multimodal_streaming import _encode_gif
+
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                              max_size=w * h))
+    pixels = [flat[y * w:(y + 1) * w] for y in range(h)]
+    gw, gh, _mode, lum = MM._decode_gif(_encode_gif(pixels,
+                                                    interlace=interlace))
+    assert (gw, gh) == (w, h)
+    assert lum == pixels
+
+
+@given(st.lists(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255),
+                                   st.integers(0, 255)),
+                         min_size=1, max_size=9),
+                min_size=1, max_size=9).filter(
+                    lambda rows: len({len(r) for r in rows}) == 1),
+       st.sampled_from([24, 32]), st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_bmp_roundtrip_luma(pixels, bpp, top_down):
+    """BMP decode reproduces the ITU-R 601-2 luma of every pixel for
+    24/32-bit, bottom-up and top-down, across padded strides."""
+    from dataqtor_spark.operators import multimodal as MM
+    from tests.test_multimodal_streaming import _encode_bmp
+
+    w, h, _mode, lum = MM._decode_bmp(
+        _encode_bmp(pixels, bpp=bpp, top_down=top_down))
+    assert (w, h) == (len(pixels[0]), len(pixels))
+    for y, row in enumerate(pixels):
+        for x, (r, g, b) in enumerate(row):
+            assert lum[y][x] == (r * 299 + g * 587 + b * 114 + 500) // 1000
+
+
+@given(st.integers(1, 6), st.data())
+@settings(max_examples=20, deadline=None)
+def test_hilbert_reference_agreement_random_points(bits, data):
+    """with_hilbert's per-round expressions implement the canonical
+    xy2d fold for arbitrary orders and points (driver-side replica of
+    the column arithmetic — the Spark plan equality is covered by
+    test_warehouse_layout)."""
+    n = 1 << bits
+    pts = data.draw(st.lists(st.tuples(st.integers(0, n - 1),
+                                       st.integers(0, n - 1)),
+                             min_size=1, max_size=20))
+
+    def xy2d(order, x, y):
+        d, s = 0, 1 << (order - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def fold(order, x, y):  # the exact arithmetic with_hilbert emits
+        d = 0
+        for r in range(order - 1, -1, -1):
+            s = 1 << r
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * (3 * rx + ry * (1 - 2 * rx))
+            nx = x if ry == 1 else (s - 1 - y if rx == 1 else y)
+            ny = y if ry == 1 else (s - 1 - x if rx == 1 else x)
+            x, y = nx, ny
+        return d
+
+    for x, y in pts:
+        assert fold(bits, x, y) == xy2d(bits, x, y)
