@@ -24,7 +24,15 @@ def _recover_snapshot(path: str) -> None:
     """If a previous swap crashed between ``path -> path.__old`` and
     ``tmp -> path``, the live snapshot is sitting at ``path.__old``:
     restore it before reading, so no batch ever observes "no snapshot"
-    and silently rebuilds from itself alone."""
+    and silently rebuilds from itself alone.
+
+    Filesystem contract (applies to every ``_swap_snapshot`` sink): the
+    crash-safety argument rests on ATOMIC directory rename, which local
+    disks and HDFS provide but object stores (S3/GCS rename = copy +
+    delete) do not — on an object store, point these sinks at a table
+    format with transactional commit (Delta/Iceberg) instead of raw
+    parquet paths.  The append-only index sinks (near-dup, image-dedup,
+    IVF ingest) never rename and carry no such requirement."""
     import os
 
     old = path.rstrip("/") + ".__old"
