@@ -9209,3 +9209,65 @@ def m07_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("#alt"))), "UTF-8").alias("payload"))
     sig = MM.image_phash(fa.unionByName(fb), use_codec=False)
     return MM.video_near_dup_pairs(sig, min_matches=3)
+
+
+# --- ann10 — Matryoshka truncated-dimension retrieval evaluation -----------
+# The dimension-truncation scale lever (MRL-style embeddings): cosine over
+# the first d dims costs d/64 of the full scan and, on nested-trained
+# embeddings, loses little recall — this query MEASURES that trade on the
+# corpus (recall@5 of prefix-dim brute force vs full-dim truth, the ann05
+# evaluation device applied to dimensionality instead of LSH).  Both
+# pipelines are exact and fully SQL-replayed; synthetic embeddings have no
+# MRL structure, so the observed curve is the honest pessimistic baseline.
+def _ann10_sql() -> str:
+    dims = (8, 16, 32, 64)
+
+    def topk(d: int) -> str:
+        sl = f"(c.embedding::DOUBLE[])[1:{d}], (q.embedding::DOUBLE[])[1:{d}]"
+        return f"""(
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity({sl}), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings c, embeddings q
+    WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 5)"""
+
+    parts = [f"t{d} AS {topk(d)}" for d in dims]
+    selects = [
+        f"""SELECT CAST({d} AS BIGINT) AS dim,
+       (SELECT count(*) FROM t{d} x JOIN t64 y
+        USING (query_id, neighbor_id))::BIGINT AS n_matched,
+       round((SELECT count(*) FROM t{d} x JOIN t64 y
+              USING (query_id, neighbor_id)) / 40.0, 4) AS recall_at_5"""
+        for d in dims]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("ann10_matryoshka_recall", _ann10_sql())
+def ann10_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of prefix-dimension cosine retrieval (8/16/32/64 dims)
+    against full-dimension truth — the measurement behind serving ANN on
+    truncated embeddings at a fraction of the scan cost."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def top(d: int) -> DataFrame:
+        c = emb.withColumn("embedding", F.slice("embedding", 1, d))
+        qq = q.withColumn("embedding", F.slice("embedding", 1, d))
+        return (ANN.brute_force_topk(c, qq, "vec_id", "embedding", k=5)
+                .select("query_id", "neighbor_id"))
+
+    truth = top(64)
+    out = None
+    for d in (8, 16, 32, 64):
+        m = (top(d).join(truth, ["query_id", "neighbor_id"])
+             .agg(F.count(F.lit(1)).alias("n_matched")))
+        row = m.select(
+            F.lit(d).cast("long").alias("dim"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.round(F.col("n_matched") / F.lit(40.0), 4)
+            .alias("recall_at_5"))
+        out = row if out is None else out.unionByName(row)
+    return out
