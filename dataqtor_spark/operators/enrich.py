@@ -252,3 +252,49 @@ def geohash_blocked_pairs(df: DataFrame, id_col: str, lat_col: str,
                     F.col("b.id").alias("id_b"),
                     dist.alias("dist_km"))
             .filter(F.col("dist_km") <= max_km))
+
+
+def grid_density_clusters(df: DataFrame, lat_col: str, lng_col: str,
+                          cell_deg: float = 10.0,
+                          min_pts: int = 4) -> DataFrame:
+    """Grid-density spatial clustering (DBSCAN's grid approximation):
+    quantize points to ``cell_deg``-degree cells, keep cells holding
+    ≥ ``min_pts`` points (core cells), union 8-neighbor-adjacent core
+    cells into clusters.  Returns one row per cluster:
+    ``(cluster, n_cells, n_points)`` with ``cluster`` = min cell key.
+
+    Scale shape: ONE groupBy over the points (the only corpus-sized
+    shuffle — density estimation is a counting aggregate); adjacency is
+    an equi-join of each core cell against its 9 exploded neighbor
+    offsets — never a cell×cell (let alone point×point) product; the
+    component pass runs on core cells only, a set bounded by the grid,
+    not the data."""
+    cx = F.floor(F.col(lat_col) / F.lit(float(cell_deg))).cast("long")
+    cy = F.floor(F.col(lng_col) / F.lit(float(cell_deg))).cast("long")
+    cells = (df.select(cx.alias("cx"), cy.alias("cy"))
+             .groupBy("cx", "cy")
+             .agg(F.count(F.lit(1)).alias("n_points")))
+    key = ((F.col("cx") + 1000) * 100000 + F.col("cy") + 1000).cast("long")
+    core = cells.filter(F.col("n_points") >= min_pts).withColumn("cell", key)
+    offs = F.array(*[F.struct((F.col("cx") + dx).alias("nx"),
+                              (F.col("cy") + dy).alias("ny"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     if (dx, dy) != (0, 0)])
+    neigh = (core.select("cell", F.explode(offs).alias("o"))
+             .select("cell", F.col("o.nx").alias("cx"),
+                     F.col("o.ny").alias("cy")))
+    edges = (neigh.join(core.select(F.col("cell").alias("cell_b"),
+                                    "cx", "cy"), ["cx", "cy"])
+             .filter(F.col("cell") < F.col("cell_b"))
+             .select(F.col("cell").alias("id_a"),
+                     F.col("cell_b").alias("id_b")))
+    from dataqtor_spark.operators.dedup import connected_components
+
+    comp = connected_components(edges)
+    labeled = (core.join(comp.withColumnRenamed("id", "cell"), "cell",
+                         "left")
+               .withColumn("component",
+                           F.coalesce("component", F.col("cell"))))
+    return (labeled.groupBy(F.col("component").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("n_points").alias("n_points")))

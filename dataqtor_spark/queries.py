@@ -9271,3 +9271,55 @@ def ann10_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_at_5"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- geo04 — grid-density spatial clustering (DBSCAN-lite) -----------------
+# DBSCAN's grid approximation at warehouse scale: the corpus pays ONE
+# counting groupBy; everything after (core-cell gate, 8-neighbor
+# adjacency, components) runs on the bounded grid.  The oracle replays
+# quantization, the neighbor join, and the component closure (recursive
+# CTE seeded from ALL core cells, so isolated cores keep their singleton
+# clusters).  Point cloud = the geo03 derived spread.
+_GEO04_SQL = """WITH pts AS (
+  SELECT ((c_custkey * 7919) % 17000) / 100.0 - 85.0 AS lat,
+         ((c_custkey * 104729) % 35900) / 100.0 - 179.5 AS lng
+  FROM customer
+), cells AS (
+  SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cx,
+         CAST(floor(lng / 10.0) AS BIGINT) AS cy,
+         count(*) AS n_points
+  FROM pts GROUP BY 1, 2
+), core AS (
+  SELECT ((cx + 1000) * 100000 + cy + 1000) AS cell, cx, cy, n_points
+  FROM cells WHERE n_points >= 4
+), edges AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cell <> b.cell
+), cc AS (
+  SELECT cell AS id, cell AS label FROM core
+  UNION
+  SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst
+), comp AS (
+  SELECT id, min(label) AS component FROM cc GROUP BY id
+)
+SELECT comp.component AS cluster, count(*)::BIGINT AS n_cells,
+       sum(core.n_points)::BIGINT AS n_points
+FROM comp JOIN core ON core.cell = comp.id
+GROUP BY 1"""
+
+
+@register("geo04_density_clusters", "WITH RECURSIVE " + _GEO04_SQL[5:])
+def geo04_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clusters over the derived point cloud: core cells
+    (>= 4 points per 10-degree cell) unioned across 8-neighbor
+    adjacency — cluster id, cell count, point count."""
+    from dataqtor_spark.operators import enrich as E
+
+    did = F.col("c_custkey")
+    pts = _t(spark, sf_dir, "customer").select(
+        (((did * 7919) % 17000) / 100.0 - 85.0).alias("lat"),
+        (((did * 104729) % 35900) / 100.0 - 179.5).alias("lng"))
+    return E.grid_density_clusters(pts, "lat", "lng", cell_deg=10.0,
+                                   min_pts=4)

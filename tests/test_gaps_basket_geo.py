@@ -297,3 +297,30 @@ def test_geohash_known_vectors(spark):
     # prefix property: truncating the long hash gives the short hash
     assert got[2][1][:5] == df.select(
         E.geohash("lat", "lng", 5).alias("g")).collect()[1]["g"]
+
+
+def test_grid_density_clusters_planted_blobs(spark):
+    """Two dense blobs spanning adjacent cells merge into single
+    clusters; scattered noise never reaches min_pts; an isolated dense
+    cell keeps a singleton cluster."""
+    from pyspark.sql import functions as F
+
+    from dataqtor_spark.operators import enrich as E
+
+    pts = []
+    # blob A: 20 points straddling cells (0,0) and (0,1) -> one cluster
+    for i in range(10):
+        pts.append((2.0 + i * 0.1, 8.0))      # cell (0,0)
+        pts.append((2.0 + i * 0.1, 11.0))     # cell (0,1)
+    # blob B: far away, one dense cell -> singleton cluster
+    for i in range(6):
+        pts.append((-44.0 - i * 0.5, -120.0))  # cell (-5,-12)
+    # noise: 3 points in 3 distinct cells, below min_pts
+    pts += [(70.0, 70.0), (50.0, 20.0), (-20.0, 150.0)]
+    df = spark.createDataFrame(pts, "lat double, lng double")
+    got = {r["cluster"]: (r["n_cells"], r["n_points"]) for r in
+           E.grid_density_clusters(df, "lat", "lng", cell_deg=10.0,
+                                   min_pts=4).collect()}
+    assert len(got) == 2
+    sizes = sorted(got.values())
+    assert sizes == [(1, 6), (2, 20)]
