@@ -9323,3 +9323,34 @@ def geo04_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((did * 104729) % 35900) / 100.0 - 179.5).alias("lng"))
     return E.grid_density_clusters(pts, "lat", "lng", cell_deg=10.0,
                                    min_pts=4)
+
+
+# --- s18 — late-arrival (watermark) audit ----------------------------------
+# What would a 1h watermark drop?  Event-time lateness measured against
+# ARRIVAL order (event_id): an event is late iff its ts trails the
+# per-user high-water mark of everything that arrived before it by more
+# than the watermark — exactly Structured Streaming's discard rule,
+# replayed as a batch audit so the watermark can be chosen from data.
+# Per-user partitioned prefix max — no global sort.
+_S18_SQL = """SELECT event_type, count(*)::BIGINT AS n_events,
+       coalesce(sum(late), 0)::BIGINT AS n_late,
+       round(coalesce(sum(late), 0) * 1.0 / count(*), 4) AS late_frac
+FROM (
+  SELECT event_type,
+         CASE WHEN ts < max(ts) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              - INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS late
+  FROM events)
+GROUP BY 1"""
+
+
+@register("s18_late_arrival_audit", _S18_SQL)
+def s18_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type share of events a 1-hour watermark would discard
+    (streaming.late_arrival_audit over the events table)."""
+    from dataqtor_spark.streaming import profiler as SP
+
+    ev = _t(spark, sf_dir, "events")
+    return SP.late_arrival_audit(ev, watermark="1 hour")

@@ -861,3 +861,34 @@ def stream_ivf_ingest_sink(stream: DataFrame, path: str, checkpoint: str,
     return (stream.writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def late_arrival_audit(df: DataFrame, ts_col: str = "ts",
+                       order_col: str = "event_id",
+                       key_col: str = "user_id",
+                       group_col: str = "event_type",
+                       watermark: str = "1 hour") -> DataFrame:
+    """What WOULD a watermark drop?  Batch audit of event-time lateness
+    against arrival order: an event is late iff its event time trails
+    the per-key high-water mark of everything that arrived before it by
+    more than ``watermark`` — exactly the rows
+    ``withWatermark(ts, watermark)`` would discard if this frame were
+    replayed as a stream.  Returns per-``group_col``
+    ``(n_events, n_late, late_frac)`` — the number to check BEFORE
+    picking a production watermark.
+
+    The prefix max runs per key (``partitionBy(key_col)`` window over
+    arrival order) — parallelism = key count, no global sort."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    hwm = F.max(F.col(ts_col)).over(w)
+    late = (F.col(ts_col)
+            < hwm - F.expr(f"INTERVAL {watermark}")).cast("int")
+    return (df.withColumn("__late", F.coalesce(late, F.lit(0)))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("__late").cast("long").alias("n_late"),
+                 F.round(F.sum("__late")
+                         / F.count(F.lit(1)), 4).alias("late_frac")))

@@ -1456,3 +1456,27 @@ def test_video_near_dup_pairs_real_avi_path(spark):
     pairs = {(r["id_a"], r["id_b"]): r["n_matched"]
              for r in MM.video_near_dup_pairs(sig, min_matches=3).collect()}
     assert pairs == {(1, 2): 4}
+
+
+def test_late_arrival_audit_hand_sequence(spark):
+    """Lateness is judged against the per-key high-water mark of ARRIVAL
+    order: an event older than (hwm - watermark) is late; first events
+    and fresh events are not; keys don't interfere."""
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, t(10, 0), 1, "a", 0.0),   # first for user 1 -> never late
+        (1, t(12, 0), 2, "a", 0.0),   # advances hwm to 12:00
+        (1, t(10, 30), 3, "b", 0.0),  # 10:30 < 12:00 - 1h -> LATE
+        (1, t(11, 30), 4, "b", 0.0),  # 11:30 >= 11:00 -> on time
+        (2, t(9, 0), 5, "b", 0.0),    # other key: first -> never late
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string, value double")
+    got = {r["event_type"]: r for r in SP.late_arrival_audit(
+        df, watermark="1 hour").collect()}
+    assert (got["a"]["n_events"], got["a"]["n_late"]) == (2, 0)
+    assert (got["b"]["n_events"], got["b"]["n_late"]) == (3, 1)
+    assert got["b"]["late_frac"] == 0.3333
