@@ -1221,3 +1221,41 @@ def domain_mixture_plan(df: DataFrame, domain_col: str,
                 - (F.col("quota_tokens") + F.col("avail_tokens") - F.lit(1))
                 % F.col("avail_tokens"))
                / F.col("avail_tokens")).cast("long").alias("epochs"))
+
+
+def curriculum_phases(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_phases: int = 4) -> DataFrame:
+    """Curriculum schedule: rank documents easy→hard by quality score
+    (descending, id tiebreak) and split the ranking into ``n_phases``
+    NTILE phases — the ordering a curriculum-learning run feeds phase by
+    phase.  Per-phase report: ``(phase, n_docs, n_tokens, sum_quality,
+    min_quality, max_quality)``.
+
+    The global ranking uses the distributed total-order primitive
+    (``ordered.ordered_prefix`` + ``ordered.ntile_expr`` bucket
+    arithmetic) — no single-partition window anywhere, so a
+    billion-document corpus ranks at full parallelism.  Quality sums
+    accumulate as DECIMAL so the report is bit-stable across partition
+    orders."""
+    from dataqtor_spark.operators.ordered import ntile_expr, ordered_prefix
+
+    scored = df.select(F.col(id_col),
+                       token_count(text_col).alias("__tok"),
+                       quality_score(text_col).alias("quality_score"))
+    n_row = scored.agg(F.count(F.lit(1)).alias("__n"))
+    base = scored.crossJoin(F.broadcast(n_row))
+    ranked = ordered_prefix(
+        base, [F.col("quality_score").desc(), F.col(id_col)],
+        out_rn="__rn")
+    phased = ranked.withColumn(
+        "phase", ntile_expr(F.col("__rn"), F.col("__n"),
+                            n_phases).cast("long"))
+    return (phased.groupBy("phase")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__tok").cast("long").alias("n_tokens"),
+                 F.round(F.sum(F.col("quality_score")
+                               .cast("decimal(18,4)")).cast("double"), 4)
+                 .alias("sum_quality"),
+                 F.min("quality_score").alias("min_quality"),
+                 F.max("quality_score").alias("max_quality")))

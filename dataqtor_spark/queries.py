@@ -9354,3 +9354,37 @@ def s18_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return SP.late_arrival_audit(ev, watermark="1 hour")
+
+
+# --- t33 — curriculum schedule (easy→hard quality phases) ------------------
+# Curriculum learning's data side: a deterministic easy→hard global
+# ranking (quality desc, id tiebreak) split into NTILE phases.  Spark
+# ranks through the distributed total-order primitive (ordered_prefix +
+# ntile_expr — no single-partition window); the oracle uses native
+# NTILE, whose SQL-standard bucket arithmetic ntile_expr reproduces
+# exactly.  Quality sums ride DECIMAL so no float summation order leaks
+# into the hash.
+_T33_TOK = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
+_T33_SQL = f"""WITH q AS (
+  SELECT doc_id, {_T33_TOK} AS n_tok, {_QSCORE_SQL} AS quality_score
+  FROM documents
+), p AS (
+  SELECT *, ntile(4) OVER (ORDER BY quality_score DESC, doc_id) AS phase
+  FROM q
+)
+SELECT phase::BIGINT AS phase, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       round(CAST(sum(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS sum_quality,
+       min(quality_score) AS min_quality,
+       max(quality_score) AS max_quality
+FROM p GROUP BY 1"""
+
+
+@register("t33_curriculum_phases", _T33_SQL)
+def t33_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy→hard curriculum phases over documents (4 NTILE phases by
+    quality score) with per-phase doc/token/quality stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.curriculum_phases(docs, n_phases=4)
