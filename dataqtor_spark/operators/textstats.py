@@ -544,6 +544,69 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("shared_frac")))
 
 
+def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", span_tokens: int = 8,
+                       min_docs: int = 2) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022): remove
+    from every document the tokens covered by any ``span_tokens``-token
+    window whose text also occurs in ``min_docs``-1 other documents —
+    :func:`repeated_spans` detects the boilerplate, this op scrubs it.
+
+    Returns per-doc ``(id, n_tokens, n_removed, cleaned_text)`` where
+    ``cleaned_text`` is the space-joined surviving tokens (NULL when the
+    whole document was boilerplate — the cross-engine canonical form of
+    "empty join").
+
+    Scale shape: one posexplode of xxhash64'd windows (8 bytes/row),
+    one analytic pass over the hash partitioning to mark shared windows
+    (no self-join, no second explode), one groupBy(doc) collecting the
+    bounded list of shared start offsets, one hash-join back to the
+    token arrays.  The in-row coverage test is O(doc_tokens x shared
+    starts) — bounded by document length, never by corpus size, so the
+    whole op is linear in corpus tokens at 100 TB.
+    """
+    from dataqtor_spark.session import parallelize
+    from pyspark.sql.window import Window
+
+    base = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  _clean_tokens(text_col).alias("__tk")))
+            .withColumn("__n", F.size("__tk")))
+    wins_expr = F.when(
+        F.col("__n") >= span_tokens,
+        F.transform(F.sequence(F.lit(1), F.col("__n") - (span_tokens - 1)),
+                    lambda s: F.xxhash64(F.concat_ws(
+                        " ", F.slice(F.col("__tk"), s, span_tokens)))))
+    ex = base.select("__id", F.posexplode(wins_expr).alias("__p", "__h"))
+    wh = Window.partitionBy("__h")
+    if min_docs == 2:
+        multi = F.min("__id").over(wh) != F.max("__id").over(wh)
+    else:
+        multi = F.size(F.collect_set("__id").over(wh)) >= min_docs
+    starts = (ex.withColumn("__multi", multi)
+              .filter("__multi")
+              .groupBy("__id")
+              # posexplode is 0-based; token offsets below are 1-based
+              .agg(F.collect_list(F.col("__p") + 1).alias("__ss")))
+    span = F.lit(span_tokens)
+    ss = F.coalesce(F.col("__ss"), F.array().cast("array<int>"))
+    covered = lambda i: F.exists(  # noqa: E731 — bound per-row, not stored
+        ss, lambda s: (i >= s) & (i <= s + (span - 1)))
+    kept = F.when(
+        F.col("__n") > 0,
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.col("__n")),
+                     lambda i: ~covered(i)),
+            lambda i: F.element_at("__tk", i)),
+    ).otherwise(F.array().cast("array<string>"))
+    return (base.join(starts, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.col("__n").cast("long").alias("n_tokens"),
+                    (F.col("__n") - F.size(kept)).cast("long")
+                    .alias("n_removed"),
+                    F.when(F.size(kept) > 0, F.concat_ws(" ", kept))
+                    .alias("cleaned_text")))
+
+
 def source_mix(df: DataFrame, source_col: str = "source",
                text_col: str = "text",
                targets: dict[str, float] | None = None) -> DataFrame:

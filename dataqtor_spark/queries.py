@@ -9388,3 +9388,50 @@ def t33_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score) with per-phase doc/token/quality stats."""
     docs = _t(spark, sf_dir, "documents")
     return TX.curriculum_phases(docs, n_phases=4)
+
+
+# --- t35 — exact-substring dedup APPLY (scrub shared spans) ----------------
+# t16 detects Lee-et-al cross-document boilerplate; t35 removes it: every
+# token covered by an 8-token window whose text recurs in another document
+# is dropped, and the cleaned text is re-joined.  The Spark side marks
+# shared windows with one analytic pass over the window-hash partitioning
+# (no self-join) and tests coverage in-row against the bounded list of
+# shared start offsets; the oracle replays the same construction over the
+# literal window text.  Empty-join is canonicalized to NULL on both sides.
+_T35_SPAN = 8
+
+_T35_SQL = f"""WITH {_TOKS_CTE},
+wins AS (
+  SELECT doc_id, i, array_to_string(list_slice(tk, i, i + {_T35_SPAN - 1}), ' ') AS sp
+  FROM base, unnest(generate_series(1, n - {_T35_SPAN - 1})) AS t(i)
+  WHERE n >= {_T35_SPAN}
+),
+shared AS (
+  SELECT sp FROM wins GROUP BY sp HAVING count(DISTINCT doc_id) >= 2
+),
+starts AS (
+  SELECT doc_id, list(i) AS ss FROM wins JOIN shared USING (sp) GROUP BY doc_id
+),
+cleaned AS (
+  SELECT b.doc_id, b.n,
+         CASE WHEN b.n > 0 THEN
+           list_transform(
+             list_filter(generate_series(1, b.n),
+                         i -> len(list_filter(coalesce(s.ss, []),
+                                x -> i BETWEEN x AND x + {_T35_SPAN - 1})) = 0),
+             i -> b.tk[i])
+         ELSE [] END AS kept
+  FROM base b LEFT JOIN starts s USING (doc_id)
+)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       (n - len(kept))::BIGINT AS n_removed,
+       array_to_string(kept, ' ') AS cleaned_text
+FROM cleaned"""
+
+
+@register("t35_span_scrub", _T35_SQL)
+def t35_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup apply: scrub cross-document repeated 8-token
+    spans from every document (textstats.scrub_shared_spans)."""
+    return TX.scrub_shared_spans(_t(spark, sf_dir, "documents"),
+                                 span_tokens=_T35_SPAN, min_docs=2)

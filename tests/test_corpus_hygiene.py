@@ -70,6 +70,31 @@ def test_repeated_spans_detects_boilerplate(spark):
     assert out[1]["n_shared_windows"] == 2
 
 
+def test_scrub_shared_spans_removes_boilerplate(spark):
+    boiler = "this exact boilerplate license header appears in many files"
+    df = _docs(spark, [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "completely different content with no shared windows at all ok"),
+        (4, "tiny"),                                     # shorter than span
+        (5, boiler),                                     # pure boilerplate
+    ])
+    out = {r["doc_id"]: r for r in
+           T.scrub_shared_spans(df, span_tokens=8, min_docs=2).collect()}
+    # the 9 boilerplate tokens are covered by the 2 shared windows
+    # (starts 1 and 2, each spanning 8 tokens -> tokens 1..9 removed)
+    assert out[1]["n_removed"] == 9
+    assert out[1]["cleaned_text"] == "alpha beta gamma delta"
+    assert out[2]["cleaned_text"] == "epsilon zeta eta theta"
+    # untouched doc survives verbatim (lowercased tokens re-joined)
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"].startswith("completely different")
+    # sub-span doc has no windows, nothing removed
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny"
+    # fully-boilerplate doc scrubs to NULL (canonical empty join)
+    assert out[5]["n_removed"] == 9 and out[5]["cleaned_text"] is None
+
+
 def test_source_mix_targets_and_uniform(spark):
     df = spark.createDataFrame(
         [(1, "a b c d", "s1"), (2, "e f", "s1"), (3, "g h i j k l", "s2")],
