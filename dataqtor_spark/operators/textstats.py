@@ -544,6 +544,76 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("shared_frac")))
 
 
+def dsir_importance(df: DataFrame, target_pred: Column,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    top_k: int = 50) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how much more likely its bag of n-gram
+    features is under a TARGET distribution than under the raw corpus,
+    and keep the top-k.  ``target_pred`` marks the target rows (e.g.
+    ``F.col("source") == "src0"`` for in-domain seed data).
+
+    Features are unigrams + bigrams with identity keys (the paper hashes
+    them into a fixed bucket count purely to bound memory — at Spark
+    scale the feature aggregate is a distributed groupBy, so identity
+    keys stay exact; hash into ``xxhash64(f) % B`` buckets if the
+    downstream consumer needs a dense vector).  Both distributions are
+    Laplace-smoothed over the joint vocabulary; the per-document log
+    weight ``sum c_f * (ln p_t(f) - ln p_q(f))`` accumulates per-feature
+    log-ratios rounded to 9 dp as DECIMAL so the sum is exact and
+    summation order can never leak into the result.
+
+    One tokenization pass feeds both distributions (a conditional sum
+    inside a single feature groupBy — the target corpus is never
+    re-scanned); vocab totals ride broadcast scalars; the final top-k is
+    a TakeOrderedAndProject, never a global sort.  Returns
+    ``(id, n_feats, log_weight, rank)`` for the k selected docs.
+    """
+    from dataqtor_spark.session import parallelize
+
+    toks = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  target_pred.alias("__t"),
+                                  _clean_tokens(text_col).alias("__tk")))
+            .withColumn("__n", F.size("__tk")))
+    bigrams = F.when(
+        F.col("__n") >= 2,
+        F.transform(F.sequence(F.lit(1), F.col("__n") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__tk", i),
+                        F.element_at("__tk", i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("__id", "__t",
+                        F.explode(F.concat("__tk", bigrams)).alias("__f"))
+    # per-doc feature counts (the c_f vector, exploded)
+    docf = grams.groupBy("__id", "__f").agg(
+        F.count(F.lit(1)).alias("__c"))
+    # one pass: raw count + target count per feature
+    feat = grams.groupBy("__f").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum(F.col("__t").cast("long")).alias("__ct"))
+    tot = feat.agg(F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt"),
+                   F.count(F.lit(1)).alias("__v"))
+    ratio = (feat.crossJoin(F.broadcast(tot))
+             .select("__f", F.round(
+                 F.log((F.col("__ct") + 1) / (F.col("__tt") + F.col("__v")))
+                 - F.log((F.col("__cr") + 1) / (F.col("__tr") + F.col("__v"))),
+                 9).cast("decimal(18,9)").alias("__lr")))
+    scored = (docf.join(ratio, "__f")
+              .groupBy("__id")
+              .agg(F.sum("__c").cast("long").alias("n_feats"),
+                   F.round(F.sum(F.col("__c").cast("decimal(10,0)")
+                                 * F.col("__lr")).cast("double"), 6)
+                   .alias("log_weight")))
+    top = (scored.orderBy(F.col("log_weight").desc(), F.col("__id"))
+           .limit(top_k))
+    from pyspark.sql.window import Window
+
+    # rank AFTER the limit — TakeOrderedAndProject bounds the window frame
+    w = Window.orderBy(F.col("log_weight").desc(), F.col("__id"))
+    return top.select(F.col("__id").alias(id_col), "n_feats", "log_weight",
+                      F.row_number().over(w).cast("long").alias("rank"))
+
+
 def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", span_tokens: int = 8,
                        min_docs: int = 2) -> DataFrame:

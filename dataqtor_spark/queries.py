@@ -9435,3 +9435,57 @@ def t35_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans from every document (textstats.scrub_shared_spans)."""
     return TX.scrub_shared_spans(_t(spark, sf_dir, "documents"),
                                  span_tokens=_T35_SPAN, min_docs=2)
+
+
+# --- dsir01 — DSIR importance resampling (Xie et al. 2023) -----------------
+# Target distribution = the src0 documents (a stand-in for in-domain seed
+# data); raw = the whole corpus.  Unigram+bigram features, Laplace
+# smoothing over the joint vocabulary, per-doc log importance weight
+# sum(c_f * (ln p_t - ln p_q)) accumulated as DECIMAL over 9-dp-rounded
+# log ratios (summation-order-proof), top-k selection ranked AFTER the
+# rounding so both engines rank identical values.
+_DSIR_K = 50
+
+_DSIR_SQL = f"""WITH toks AS (
+  SELECT doc_id, (source = 'src0') AS t,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), tkn AS (
+  SELECT doc_id, t, tk, len(tk) AS n FROM toks
+), grams AS (
+  SELECT doc_id, t, u.f
+  FROM tkn, unnest(list_concat(
+    tk,
+    CASE WHEN n >= 2 THEN list_transform(generate_series(1, n - 1),
+                                         i -> tk[i] || ' ' || tk[i + 1])
+         ELSE [] END)) AS u(f)
+), docf AS (
+  SELECT doc_id, f, count(*) AS c FROM grams GROUP BY 1, 2
+), feat AS (
+  SELECT f, count(*) AS cr, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+  FROM grams GROUP BY 1
+), tot AS (
+  SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM feat
+), ratio AS (
+  SELECT f, CAST(round(ln((ct + 1.0) / (tt + v))
+                       - ln((cr + 1.0) / (tr + v)), 9) AS DECIMAL(18,9)) AS lr
+  FROM feat, tot
+), scored AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_feats,
+         round(CAST(sum(CAST(c AS DECIMAL(10,0)) * lr) AS DOUBLE), 6)
+           AS log_weight
+  FROM docf JOIN ratio USING (f) GROUP BY 1
+)
+SELECT doc_id, n_feats, log_weight,
+       row_number() OVER (ORDER BY log_weight DESC, doc_id)::BIGINT AS rank
+FROM scored ORDER BY log_weight DESC, doc_id LIMIT {_DSIR_K}"""
+
+
+@register("dsir01_importance_select", _DSIR_SQL)
+def dsir01_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: top-50 docs by n-gram importance weight of
+    the src0 target distribution vs the raw corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.dsir_importance(docs, F.col("source") == "src0",
+                              top_k=_DSIR_K)
