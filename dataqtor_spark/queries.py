@@ -9489,3 +9489,41 @@ def dsir01_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TX.dsir_importance(docs, F.col("source") == "src0",
                               top_k=_DSIR_K)
+
+
+# --- Round-9 graded-prefix rotation (VERDICT.md r8, task 2) -----------------
+# The driver's correctness gate grades the FIRST 50 entries of
+# ``queries()``; 175 of 269 are driver-green after eight rounds.  This
+# prefix is 50 queries the driver has NEVER graded (set-diff of the
+# registry against CORRECTNESS_r01-r08 keys), oldest first by definition
+# position, all hash-checkable (oracle SQL present; the rows-only
+# ann03b stays out).  43 never-graded remain after this round — one more
+# rotation closes the gate.  Registrations appended after this splice
+# land after position 50, so the prefix survives later adds.
+_R9_PREFIX = [
+    "t16_repeated_spans", "t17_source_mix", "t18_stratified_sample",
+    "pr09_distinct_profile", "r14_fk_orphans", "r15_ship_before_order",
+    "t19_top_terms", "f12_group_impute", "s09_window_anomalies",
+    "pr13_uniqueness_profile", "b02_cohort_retention",
+    "b03_event_transitions", "pr15_mad_outliers_acctbal",
+    "h04_priority_check", "h06_forecast_revenue", "h10_returned_items",
+    "h13_customer_distribution", "h14_promo_revenue", "h18_large_orders",
+    "h22_dormant_customers", "w02_scd2_history", "h11_nation_concentration",
+    "h15_top_supplier", "h16_supplier_diversity", "j05b_asof_tolerance",
+    "pr17_group_percentiles", "f13_winsorize_acctbal",
+    "pit01_point_in_time_join", "er02_golden_records", "h19_banded_revenue",
+    "h02_min_cost_supplier", "h12_shipmode_priority", "h20_part_promotion",
+    "x03_unpivot_measures", "s12_windowed_distinct_users",
+    "a22_whitespace_profile", "clv01_cumulative_revenue",
+    "f14_locale_number_parse", "a23_date_format_profile",
+    "a24_sentinel_profile", "a25_case_profile", "r20_violation_samples",
+    "t25_zipf_fit", "pr21_last_digit_uniformity", "priv01_k_anonymity",
+    "priv02_masked_names", "mb02_association_rules", "t26_weighted_resample",
+    "t27_leakage_safe_split", "th02_segment_overlap_matrix",
+]
+_missing = [n for n in _R9_PREFIX if n not in QUERIES]
+assert not _missing, f"r9 prefix references unknown queries: {_missing}"
+assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
+QUERIES = {**{n: QUERIES[n] for n in _R9_PREFIX},
+           **{n: f for n, f in QUERIES.items() if n not in _R9_PREFIX}}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
