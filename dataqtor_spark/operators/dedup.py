@@ -531,10 +531,40 @@ def _simhash_xxhash_pack_expr() -> Column:
     return sig
 
 
-def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3,
+                       max_bucket: int | str | None = "auto",
+                       auto_guard_min_docs: int | None = None,
+                       unbounded: bool = False,
+                       n_docs: int | None = None) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` via 16-bit-chunk
     banding (pigeonhole: ≤3 differing bits → ≥1 of 4 chunks identical),
-    then exact verify with xor + bit_count."""
+    then exact verify with xor + bit_count.
+
+    Candidate generation is posting-list shaped: signatures group on the
+    (band, chunk) key and pairs expand in-row from each bucket's list, so
+    only 16-byte (id, sig) structs shuffle and the per-bucket blowup is
+    |bucket|²/2.  ``max_bucket`` bounds that term — at 100 TB a hot
+    chunk value (millions of near-black frames or solid-color thumbnails
+    sharing a 16-bit slice) otherwise makes the stage quadratic in the
+    bucket.  The default ``"auto"`` mirrors ``ngram_jaccard_pairs`` /
+    ``minhash_candidates``: above ``AUTO_GUARD_MIN_DOCS`` signatures the
+    cap engages at ``max(1024, isqrt(n))``, resolved IN-PLAN from a
+    broadcast 1-row count (or at plan time when ``n_docs`` is given, in
+    which case engagement is logged); below the threshold the pass is
+    exact.  ``unbounded=True`` opts out entirely; an explicit int pins
+    the cap.  Skipped buckets are near-identical clusters the linear
+    exact-hash pass collapses first (documented recall trade)."""
+    deferred_auto = False
+    if unbounded:
+        max_bucket = None
+    elif max_bucket == "auto":
+        if n_docs is not None:
+            max_bucket = _engage_auto_cap(
+                n_docs, auto_guard_min_docs,
+                "simhash (band, chunk) bucket size")
+        else:
+            deferred_auto = True
+            max_bucket = None
     chunks = []
     for b in range(4):
         chunks.append(F.struct(
@@ -545,13 +575,25 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> Dat
     exploded = (sig.select(F.col(id_col).alias("__id"), F.col("simhash"),
                            F.explode(F.array(*chunks)).alias("c"))
                 .select("__id", "simhash", "c.band", "c.bhash"))
-    pairs = (exploded.alias("l")
-             .join(exploded.alias("r"),
-                   (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.bhash") == F.col("r.bhash"))
-                   & (F.col("l.__id") < F.col("r.__id")))
-             .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
-                     F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+    # ids are unique within a bucket (one row per signature per band), so
+    # the sorted struct list ascends strictly by id → in-row expansion
+    # yields id_a < id_b exactly like the former l.__id < r.__id join.
+    buckets = (exploded.groupBy("band", "bhash")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col("__id").alias("i"),
+                            F.col("simhash").alias("s")))).alias("ids"))
+               .filter(F.size("ids") > 1))
+    if deferred_auto:
+        buckets = _filter_by_deferred_auto_cap(
+            buckets, sig.select(id_col), auto_guard_min_docs)
+    elif max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = (buckets.select(F.explode(F.expr(
+                 "flatten(transform(ids, (x, i) -> "
+                 "transform(slice(ids, i + 2, size(ids)), "
+                 "y -> struct(x.i as id_a, y.i as id_b, "
+                 "x.s as sh_a, y.s as sh_b))))")).alias("p"))
+             .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
              .distinct())
     return (pairs.withColumn("hamming",
                              F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))

@@ -736,17 +736,19 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
 
 def phash_near_pairs(sig: DataFrame, id_col: str = "media_id",
                      max_hamming: int = 3,
-                     sig_col: str = "phash") -> DataFrame:
+                     sig_col: str = "phash", **guard) -> DataFrame:
     """Image near-duplicate pairs within ``max_hamming`` bits: 16-bit
     chunk banding + exact xor/bit_count verify — delegates to
     ``dedup.simhash_near_pairs`` (pigeonhole recall is exact for
-    ``max_hamming`` ≤ 3 with 4 bands; the equi-join on (band, chunk)
-    shuffles signatures only, never payloads)."""
+    ``max_hamming`` ≤ 3 with 4 bands; the posting lists on (band, chunk)
+    shuffle signatures only, never payloads).  ``**guard`` forwards the
+    hot-bucket cap knobs (``max_bucket``/``unbounded``/``n_docs``/
+    ``auto_guard_min_docs``)."""
     from dataqtor_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
         sig.select(F.col(id_col), F.col(sig_col).alias("simhash")),
-        id_col, max_hamming=max_hamming)
+        id_col, max_hamming=max_hamming, **guard)
 
 
 FRAMES_SCHEMA = "media_id long, frame_index int, ts_ms long, frame binary"
@@ -1024,16 +1026,16 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
 
 def afp_near_pairs(sig: DataFrame, id_col: str = "media_id",
                    max_hamming: int = 3,
-                   sig_col: str = "afp") -> DataFrame:
+                   sig_col: str = "afp", **guard) -> DataFrame:
     """Audio near-duplicate pairs within ``max_hamming`` bits — the same
     4×16-bit hamming banding as :func:`phash_near_pairs` (shared
     ``dedup.simhash_near_pairs`` machinery; pigeonhole recall exact at
-    ≤3 bits)."""
+    ≤3 bits).  ``**guard`` forwards the hot-bucket cap knobs."""
     from dataqtor_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
         sig.select(F.col(id_col), F.col(sig_col).alias("simhash")),
-        id_col, max_hamming=max_hamming)
+        id_col, max_hamming=max_hamming, **guard)
 
 
 # ---------------------------------------------------------------------------
@@ -1223,7 +1225,11 @@ def phash_bands(sig_col: Column) -> Column:
 
 def video_near_dup_pairs(frame_sigs: DataFrame, video_col: str = "media_id",
                          sig_col: str = "phash",
-                         min_matches: int = 3) -> DataFrame:
+                         min_matches: int = 3,
+                         max_bucket: int | str | None = "auto",
+                         auto_guard_min_docs: int | None = None,
+                         unbounded: bool = False,
+                         n_videos: int | None = None) -> DataFrame:
     """Video-level near-duplicate pairs from per-frame perceptual
     hashes: two videos match when ≥ ``min_matches`` of their sampled
     frames share a fingerprint — the standard frame-sampling video
@@ -1232,16 +1238,49 @@ def video_near_dup_pairs(frame_sigs: DataFrame, video_col: str = "media_id",
 
     Input is ``(video_col, sig_col)`` one row per sampled frame (from
     :func:`sample_video_frames` → :func:`image_phash`, any decode
-    tier).  The join is an equi-join on the 64-bit fingerprint — only
-    8-byte signatures shuffle, and candidate pairs exist only where
-    frames actually collide (posting-list shape, never video × video).
-    Returns ``(id_a, id_b, n_matched)`` with ``id_a < id_b``."""
-    a = frame_sigs.select(F.col(video_col).alias("id_a"),
-                          F.col(sig_col).alias("__s")).distinct()
-    b = frame_sigs.select(F.col(video_col).alias("id_b"),
-                          F.col(sig_col).alias("__s")).distinct()
-    return (a.join(b, "__s")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
+    tier).  Candidates come from fingerprint posting lists — only
+    8-byte signatures shuffle, pairs expand in-row per list, and pairs
+    exist only where frames actually collide (never video × video).
+    ``max_bucket`` bounds the |list|²/2 expansion on hot fingerprints
+    (near-black frames, solid-color cards shared by millions of videos
+    at 100 TB): the default ``"auto"`` engages ``max(1024,
+    isqrt(n_videos))`` above ``AUTO_GUARD_MIN_DOCS`` videos, resolved
+    in-plan (or at plan time via the ``n_videos`` hint, logged);
+    ``unbounded=True`` opts out, an explicit int pins the cap.  Videos
+    sharing ONLY capped fingerprints can be missed — those frames are
+    boilerplate the overlap count shouldn't ride anyway (documented
+    recall trade).  Returns ``(id_a, id_b, n_matched)`` with
+    ``id_a < id_b``."""
+    from dataqtor_spark.operators.dedup import (
+        _engage_auto_cap, _filter_by_deferred_auto_cap)
+
+    deferred_auto = False
+    if unbounded:
+        max_bucket = None
+    elif max_bucket == "auto":
+        if n_videos is not None:
+            max_bucket = _engage_auto_cap(
+                n_videos, auto_guard_min_docs,
+                "video fingerprint posting-list size")
+        else:
+            deferred_auto = True
+            max_bucket = None
+    sigs = frame_sigs.select(F.col(video_col).alias("__v"),
+                             F.col(sig_col).alias("__s")).distinct()
+    posts = (sigs.groupBy("__s")
+             .agg(F.sort_array(F.collect_list("__v")).alias("ids"))
+             .filter(F.size("ids") > 1))
+    if deferred_auto:
+        posts = _filter_by_deferred_auto_cap(
+            posts, frame_sigs.select(video_col).distinct(),
+            auto_guard_min_docs)
+    elif max_bucket is not None:
+        posts = posts.filter(F.size("ids") <= max_bucket)
+    return (posts.select(F.explode(F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x as id_a, y as id_b))))")).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_matched"))
             .filter(F.col("n_matched") >= min_matches))

@@ -57,6 +57,10 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     salt (xxhash64 of the whole row), the dim side is replicated
     ``n_salt``× via an exploded sequence, and the shuffle key becomes
     (key, salt).  Row-identical to the plain join for any salt values.
+    When ``fact_key == dim_key`` the output carries ONE key column (the
+    fact side's), matching the plain USING-join schema — so a guard that
+    engages salting at runtime (:func:`join_with_skew_guard`) never
+    changes the output schema, whichever path it takes.
 
     AQE's skew-join split (`spark.sql.adaptive.skewJoin`) handles most of
     these cases by splitting oversized partitions at runtime; explicit
@@ -77,6 +81,11 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
         F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>")).alias("__salt"))
     out = f.join(d, (f[fact_key] == d[dim_key])
                  & (f["__salt"] == d["__salt"]), how)
+    if how in ("left_semi", "left_anti"):
+        return out.drop("__salt")
+    if fact_key == dim_key:
+        return out.select(*[f[c] for c in fact.columns],
+                          *[d[c] for c in dim.columns if c != dim_key])
     return out.drop("__salt")
 
 
@@ -85,24 +94,32 @@ def hot_key_share(df: DataFrame, key_col: str,
     """Detect a hot join key cheaply: one ``freqItems`` pass (single
     scan, NO shuffle — approximate candidates with support ≥ ``support``)
     followed by one global aggregate that exactly counts just those
-    candidates alongside the total.  Returns ``(key, share)`` for the
-    hottest candidate, or ``(None, 0.0)`` when nothing clears support.
-    Cost is two scans of the key column regardless of skew — never a
-    count-by-key shuffle."""
+    candidates alongside the total.  NULL is always counted as a
+    candidate of its own: ``freqItems`` never surfaces it and a plain
+    ``==`` comparison against it is NULL, yet NULL fact keys in a
+    left/outer join still all shuffle to one reducer — a hot NULL must
+    engage the guard like any hot value.  Returns ``(key, share)`` for
+    the hottest candidate (``key is None`` when NULL itself is hottest),
+    or ``(None, 0.0)`` when nothing clears support.  Cost is two scans
+    of the key column regardless of skew — never a count-by-key
+    shuffle."""
     cands = (df.stat.freqItems([key_col], support=max(support, 1e-4))
              .collect()[0][0]) or []
-    if not cands:
-        return None, 0.0
+    cands = [c for c in cands if c is not None] + [None]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cands):
-        aggs.append(F.sum((F.col(key_col) == F.lit(c)).cast("long"))
-                    .alias(f"__c{i}"))
+        hit = (F.col(key_col).isNull() if c is None
+               else F.col(key_col).eqNullSafe(F.lit(c)))
+        aggs.append(F.sum(hit.cast("long")).alias(f"__c{i}"))
     row = df.agg(*aggs).collect()[0]
     total = row["__n"] or 0
     if not total:
         return None, 0.0
     best_i = max(range(len(cands)), key=lambda i: row[f"__c{i}"] or 0)
-    return cands[best_i], (row[f"__c{best_i}"] or 0) / total
+    best_n = row[f"__c{best_i}"] or 0
+    if not best_n:
+        return None, 0.0
+    return cands[best_i], best_n / total
 
 
 def join_with_skew_guard(fact: DataFrame, dim: DataFrame, fact_key: str,

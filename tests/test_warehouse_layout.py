@@ -242,6 +242,53 @@ def test_skew_guard_engages_on_planted_hot_key(spark):
     assert unguarded.count() == 2000
 
 
+def test_skew_guard_same_key_name_schema_stable(spark):
+    """When fact and dim share the key NAME, engaging the guard must not
+    change the output schema: the plain path is a USING join (one merged
+    key column) and the salted path must match it — downstream code
+    can't depend on runtime data distribution."""
+    from dataqtor_spark.operators import skew as SK
+
+    fact = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(3))
+        .otherwise(F.col("id") % 20).alias("k"),
+        F.col("id").alias("row_id"))
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("label"))
+    plain = SK.join_with_skew_guard(fact, dim, "k", "k", n_salt=4,
+                                    salt_threshold=None)
+    salted = SK.join_with_skew_guard(fact, dim, "k", "k", n_salt=4,
+                                     salt_threshold=0.5)
+    assert "__salt" in salted._jdf.queryExecution().executedPlan().toString()
+    assert salted.columns == plain.columns == ["k", "row_id", "label"]
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_hot_key_share_detects_null_majority(spark):
+    """A 90%-NULL key column must register as hot: freqItems can't see
+    NULL and `==` comparisons return NULL, but null fact keys in a
+    left join still all shuffle to one reducer."""
+    from dataqtor_spark.operators import skew as SK
+
+    fact = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 20).alias("k"),
+        F.col("id").alias("row_id"))
+    key, share = SK.hot_key_share(fact, "k", support=0.5)
+    assert key is None and share > 0.85
+    # and the guard engages on it
+    dim = spark.range(0, 20).select(F.col("id").alias("dk"),
+                                    F.lit("x").alias("label"))
+    guarded = SK.join_with_skew_guard(fact, dim, "k", "dk", n_salt=4,
+                                      salt_threshold=0.5, how="left")
+    assert "__salt" in guarded._jdf.queryExecution().executedPlan().toString()
+    plain = fact.join(dim, fact["k"] == dim["dk"], "left")
+    assert guarded.count() == plain.count() == 1000
+    assert guarded.exceptAll(plain).count() == 0
+
+
 def test_hilbert_index_is_bijective_and_continuous(spark):
     """The two properties that make Hilbert clustering worth its extra
     arithmetic over Morton: every grid cell gets a unique curve position
