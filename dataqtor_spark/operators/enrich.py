@@ -274,7 +274,15 @@ def grid_density_clusters(df: DataFrame, lat_col: str, lng_col: str,
     cells = (df.select(cx.alias("cx"), cy.alias("cy"))
              .groupBy("cx", "cy")
              .agg(F.count(F.lit(1)).alias("n_points")))
-    key = ((F.col("cx") + 1000) * 100000 + F.col("cy") + 1000).cast("long")
+    # Injective (cx, cy) -> long packing over the whole realistic domain:
+    # cell = cx*2^32 + (cy + 2^31), unique while cy in [-2^31, 2^31) and
+    # |cx| < 2^31 — i.e. any lat/lng grid down to sub-centimeter cells
+    # (cell_deg ~1e-7), with no signed-64 overflow (|cx|*2^32 < 2^63).
+    # Plain integer arithmetic so the same expression replays in any SQL
+    # dialect.  (A fixed small-offset packing collides for fine grids —
+    # sub-500m cells silently merged far-apart clusters.)
+    key = (F.col("cx") * F.lit(4294967296).cast("long")
+           + F.col("cy") + F.lit(2147483648).cast("long"))
     core = cells.filter(F.col("n_points") >= min_pts).withColumn("cell", key)
     offs = F.array(*[F.struct((F.col("cx") + dx).alias("nx"),
                               (F.col("cy") + dy).alias("ny"))

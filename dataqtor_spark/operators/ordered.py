@@ -153,3 +153,45 @@ def ntile_expr(rn: Column, n_rows: Column, n: int) -> Column:
     cut = big * (bs + 1)                            # rows in the big buckets
     return (F.when(rn <= cut, F.floor((rn - 1) / (bs + 1)))
             .otherwise(big + F.floor((rn - cut - 1) / bs)) + 1).cast("int")
+
+
+def ordered_running_max(df: DataFrame, order_by: list[Column],
+                        expr: Column, out_col: str,
+                        exclusive: bool = True,
+                        partitions: int | None = None,
+                        reliable: bool | None = None) -> DataFrame:
+    """Global running MAX of ``expr`` in ``order_by`` total order with NO
+    data-sized single-partition stage — the max sibling of
+    :func:`ordered_prefix`, same two-level range-partitioned scan:
+    within-partition running max (parallel), plus a carry-in that is the
+    max over all PRECEDING partitions' totals (an exclusive window over
+    the P-row totals table).  ``exclusive=True`` (the default) makes the
+    output the max over rows STRICTLY BEFORE each row — the high-water
+    mark a streaming watermark audit needs — NULL for the global first
+    row(s); ``False`` includes the row itself.  ``order_by`` must be a
+    total order (include a tiebreak).  ``reliable`` / checkpoint
+    semantics are exactly :func:`ordered_prefix`'s (the range exchange
+    samples its bounds, so the frame is pinned before its two
+    consumers)."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    rp = (df.repartitionByRange(n, *order_by)
+          .withColumn("__pid", F.spark_partition_id()))
+    if _resolve_reliable(df.sparkSession.sparkContext, reliable):
+        rp = rp.checkpoint(eager=False)
+    else:
+        rp = rp.localCheckpoint(eager=False)
+    end = -1 if exclusive else 0
+    w_in = (Window.partitionBy("__pid").orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, end))
+    within = rp.withColumn("__wmax", F.max(expr).over(w_in))
+    totals = rp.groupBy("__pid").agg(F.max(expr).alias("__tmax"))
+    w_tot = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    carry = totals.select(F.col("__pid"),
+                          F.max("__tmax").over(w_tot).alias("__cmax"))
+    out = within.join(F.broadcast(carry), "__pid")
+    cols = [F.col(c) for c in df.columns]
+    cols.append(F.greatest(F.coalesce(F.col("__wmax"), F.col("__cmax")),
+                           F.coalesce(F.col("__cmax"), F.col("__wmax")))
+                .alias(out_col))
+    return out.select(*cols)

@@ -9290,7 +9290,7 @@ _GEO04_SQL = """WITH pts AS (
          count(*) AS n_points
   FROM pts GROUP BY 1, 2
 ), core AS (
-  SELECT ((cx + 1000) * 100000 + cy + 1000) AS cell, cx, cy, n_points
+  SELECT (cx * 4294967296 + cy + 2147483648) AS cell, cx, cy, n_points
   FROM cells WHERE n_points >= 4
 ), edges AS (
   SELECT a.cell AS src, b.cell AS dst
@@ -9328,17 +9328,21 @@ def geo04_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- s18 — late-arrival (watermark) audit ----------------------------------
 # What would a 1h watermark drop?  Event-time lateness measured against
 # ARRIVAL order (event_id): an event is late iff its ts trails the
-# per-user high-water mark of everything that arrived before it by more
-# than the watermark — exactly Structured Streaming's discard rule,
-# replayed as a batch audit so the watermark can be chosen from data.
-# Per-user partitioned prefix max — no global sort.
+# GLOBAL high-water mark (max ts across ALL keys) of everything that
+# arrived before it by more than the watermark — Structured Streaming's
+# actual rule (one global watermark, not per-key), replayed as a batch
+# audit so the watermark can be chosen from data.  Row-level advancement
+# makes n_late a tight upper bound on real drops (Spark only advances
+# the watermark at micro-batch boundaries).  The Spark side computes the
+# global prefix max with the two-level range-partitioned scan
+# (ordered.ordered_running_max), never a single-partition window.
 _S18_SQL = """SELECT event_type, count(*)::BIGINT AS n_events,
        coalesce(sum(late), 0)::BIGINT AS n_late,
        round(coalesce(sum(late), 0) * 1.0 / count(*), 4) AS late_frac
 FROM (
   SELECT event_type,
          CASE WHEN ts < max(ts) OVER (
-                PARTITION BY user_id ORDER BY event_id
+                ORDER BY event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               - INTERVAL 1 HOUR
               THEN 1 ELSE 0 END AS late

@@ -780,6 +780,11 @@ def stream_image_dedup_sink(stream: DataFrame, id_col: str,
                    .withColumnRenamed(id_col, "__old")
                    .withColumnRenamed("phash", "__oph"))
             cand = (bnd.join(old, ["band", "bhash"])
+                    # self-pairs exist only when a crash between the
+                    # bands and sigs appends left this batch's own band
+                    # rows behind; the replay must not mark an image a
+                    # dup of itself
+                    .filter(F.col(id_col) != F.col("__old"))
                     .select(F.col(id_col).alias("id_a"),
                             F.col("__old").alias("id_b"),
                             F.col("phash").alias("__pa"),
@@ -802,13 +807,23 @@ def stream_image_dedup_sink(stream: DataFrame, id_col: str,
                 .withColumnRenamed("id_a", id_col)
                 .localCheckpoint())
         dups.write.mode("append").parquet(f"{path}/dups")
-        survivors = sig.join(dups.select(id_col), id_col, "left_anti")
-        survivors.write.mode("append").parquet(f"{path}/sigs")
+        survivors = (sig.join(dups.select(id_col), id_col, "left_anti")
+                     .localCheckpoint())
+        # bands BEFORE sigs: sigs is the replay gate (the left_anti seen
+        # set), so the three appends must fail safe in write order.  A
+        # crash after bands but before sigs leaves orphan band rows; the
+        # recovery replay re-ingests the whole batch (its ids are not in
+        # sigs), the self-pair filter above ignores the orphans, and the
+        # candidate .distinct() absorbs the duplicated band rows.  The
+        # former sigs-then-bands order instead half-indexed the batch:
+        # signatures gated out of the replay with no band entries, so
+        # every future near-duplicate of them was silently missed.
         (survivors.select(
             F.col(id_col), F.col("phash"),
             F.explode(MM.phash_bands(F.col("phash"))).alias("c"))
          .select(id_col, "phash", "c.band", "c.bhash")
          .write.mode("append").parquet(f"{path}/bands"))
+        survivors.write.mode("append").parquet(f"{path}/sigs")
 
     return (stream.writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", checkpoint)
@@ -867,26 +882,45 @@ def late_arrival_audit(df: DataFrame, ts_col: str = "ts",
                        order_col: str = "event_id",
                        key_col: str = "user_id",
                        group_col: str = "event_type",
-                       watermark: str = "1 hour") -> DataFrame:
+                       watermark: str = "1 hour",
+                       scope: str = "global") -> DataFrame:
     """What WOULD a watermark drop?  Batch audit of event-time lateness
-    against arrival order: an event is late iff its event time trails
-    the per-key high-water mark of everything that arrived before it by
-    more than ``watermark`` — exactly the rows
-    ``withWatermark(ts, watermark)`` would discard if this frame were
-    replayed as a stream.  Returns per-``group_col``
+    against arrival order.  Returns per-``group_col``
     ``(n_events, n_late, late_frac)`` — the number to check BEFORE
     picking a production watermark.
 
-    The prefix max runs per key (``partitionBy(key_col)`` window over
-    arrival order) — parallelism = key count, no global sort."""
-    from pyspark.sql.window import Window
+    ``scope="global"`` (the default) mirrors Structured Streaming's
+    actual rule: the watermark is a single GLOBAL high-water mark (max
+    event time seen so far across ALL keys), so an event is late iff its
+    event time trails the global prefix max of everything that arrived
+    before it by more than ``watermark``.  Because Spark only advances
+    the watermark at micro-batch boundaries (never mid-batch), the
+    row-level prefix max is the watermark's upper envelope: ``n_late``
+    is a tight UPPER bound on real drops, exact in the one-row-batch
+    limit, and real batching can only drop fewer.  The global prefix max
+    runs through :func:`ordered.ordered_running_max` — the two-level
+    range-partitioned scan, never a data-sized single-partition window.
 
-    w = (Window.partitionBy(key_col).orderBy(order_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    hwm = F.max(F.col(ts_col)).over(w)
-    late = (F.col(ts_col)
-            < hwm - F.expr(f"INTERVAL {watermark}")).cast("int")
-    return (df.withColumn("__late", F.coalesce(late, F.lit(0)))
+    ``scope="per_key"`` measures lateness against each ``key_col``'s OWN
+    arrival-order prefix max instead — useful for auditing per-key
+    session/state timeouts, but NOT the watermark rule (a key whose own
+    history lags the global max under-counts drops)."""
+    interval = F.expr(f"INTERVAL {watermark}")
+    if scope == "per_key":
+        from pyspark.sql.window import Window
+
+        w = (Window.partitionBy(key_col).orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        hwm = df.withColumn("__hwm", F.max(F.col(ts_col)).over(w))
+    elif scope == "global":
+        from dataqtor_spark.operators.ordered import ordered_running_max
+
+        hwm = ordered_running_max(df, [F.col(order_col)], F.col(ts_col),
+                                  "__hwm", exclusive=True)
+    else:
+        raise ValueError(f"scope must be 'global' or 'per_key', got {scope!r}")
+    late = (F.col(ts_col) < F.col("__hwm") - interval).cast("int")
+    return (hwm.withColumn("__late", F.coalesce(late, F.lit(0)))
             .groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("__late").cast("long").alias("n_late"),

@@ -324,3 +324,25 @@ def test_grid_density_clusters_planted_blobs(spark):
     assert len(got) == 2
     sizes = sorted(got.values())
     assert sizes == [(1, 6), (2, 20)]
+
+
+def test_grid_density_fine_grid_no_key_collision(spark):
+    """Sub-500m cells (a realistic DBSCAN setting) must keep far-apart
+    dense cells in DISTINCT clusters: the cell key packs (cx, cy)
+    injectively over the whole lat/lng domain.  Under the former
+    fixed-offset packing ((cx+1000)*100000 + cy+1000), cells
+    (cx=0, cy=200000) and (cx=2, cy=0) collided onto one key and the
+    two clusters silently merged."""
+    from dataqtor_spark.operators import enrich as E
+
+    cell = 0.0005
+    pts = []
+    for i in range(4):
+        pts.append((0.0 + i * 1e-5, 100.0 + i * 1e-5))   # cx=0, cy=200000
+        pts.append((0.001 + i * 1e-5, 0.0 + i * 1e-5))   # cx=2, cy=0
+    df = spark.createDataFrame(pts, "lat double, lng double")
+    got = sorted(
+        (r["n_cells"], r["n_points"]) for r in
+        E.grid_density_clusters(df, "lat", "lng", cell_deg=cell,
+                                min_pts=4).collect())
+    assert got == [(1, 4), (1, 4)], got

@@ -1146,6 +1146,65 @@ def test_stream_image_dedup_sink_cross_batch(spark, tmp_path):
             spark.read.parquet(f"{idx}/sigs").collect()} == {1, 2, 4}
 
 
+def test_stream_image_dedup_sink_crash_between_bands_and_sigs(spark, tmp_path):
+    """Crash-consistency of the three appends: a batch that died after
+    writing dups and bands but BEFORE sigs (the replay gate) must fully
+    recover on replay — its survivors re-ingest (their orphan band rows
+    are ignored by the self-pair filter, the duplicated band rows are
+    absorbed by the candidate distinct), and later near-duplicates of
+    them are still detected exactly once."""
+    from dataqtor_spark.operators import multimodal as MM
+    from dataqtor_spark.streaming import profiler as SP2
+
+    base = [[((x * 31 + y * 17 + (x * y) % 13) % 256) for x in range(16)]
+            for y in range(16)]
+    near = [row[:] for row in base]
+    near[6][7] = (near[6][7] + 40) % 256
+    far = [[255 - v for v in row] for row in base]
+    near_far = [row[:] for row in far]
+    near_far[2][3] = (near_far[2][3] + 40) % 256
+    png = lambda px: bytearray(_encode_png(px, ctype=0, filters=[0] * 16))
+    idx = str(tmp_path / "cr_index")
+
+    def ingest(i, rows):
+        b = spark.createDataFrame(rows, "media_id long, payload binary")
+        src = str(tmp_path / f"cr_src_{i}")
+        b.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(b.schema).parquet(src)
+        SP2.stream_image_dedup_sink(
+            stream, "media_id", "payload", idx,
+            str(tmp_path / f"cr_ck_{i}")).awaitTermination()
+
+    ingest(0, [(1, png(base))])
+    # batch 2 = (3 near-dup of 1, 4 distinct): simulate the crash state —
+    # dups and the survivor's bands landed, sigs did not
+    spark.createDataFrame([(3, 1, 1)], "media_id long, dup_of long, "
+                          "hamming int").write.mode("append").parquet(
+        f"{idx}/dups")
+    sig4 = MM.image_phash(
+        spark.createDataFrame([(4, png(far))],
+                              "media_id long, payload binary"),
+        "payload", "media_id", "dhash")
+    (sig4.select(F.col("media_id"), F.col("phash"),
+                 F.explode(MM.phash_bands(F.col("phash"))).alias("c"))
+     .select("media_id", "phash", "c.band", "c.bhash")
+     .write.mode("append").parquet(f"{idx}/bands"))
+    # recovery replay of the full batch
+    ingest(1, [(3, png(near)), (4, png(far))])
+    dups = {r["media_id"]: r["dup_of"]
+            for r in spark.read.parquet(f"{idx}/dups").collect()}
+    assert dups == {3: 1}, "replay must not mark 4 a dup of its orphan bands"
+    assert {r["media_id"] for r in
+            spark.read.parquet(f"{idx}/sigs").collect()} == {1, 4}
+    # a later near-dup of the recovered survivor is caught exactly once
+    # despite 4's duplicated band rows
+    ingest(2, [(5, png(near_far))])
+    dups = {r["media_id"]: r["dup_of"]
+            for r in spark.read.parquet(f"{idx}/dups").collect()}
+    assert dups == {3: 1, 5: 4}
+    assert spark.read.parquet(f"{idx}/dups").count() == 2
+
+
 # --- stdlib GIF (LZW) and BMP decode tiers ---------------------------------
 
 def _lzw_codes(seq, min_code_size=8):
@@ -1459,18 +1518,22 @@ def test_video_near_dup_pairs_real_avi_path(spark):
 
 
 def test_late_arrival_audit_hand_sequence(spark):
-    """Lateness is judged against the per-key high-water mark of ARRIVAL
-    order: an event older than (hwm - watermark) is late; first events
-    and fresh events are not; keys don't interfere."""
+    """Default scope="global" judges lateness against the ONE global
+    high-water mark of arrival order — Structured Streaming's actual
+    watermark rule, where a slow key's events are dropped by faster
+    keys' progress; scope="per_key" is the per-key session-state variant
+    where keys don't interfere."""
     import datetime as dt
 
     t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
     rows = [
-        (1, t(10, 0), 1, "a", 0.0),   # first for user 1 -> never late
-        (1, t(12, 0), 2, "a", 0.0),   # advances hwm to 12:00
+        (1, t(10, 0), 1, "a", 0.0),   # global first -> never late
+        (1, t(12, 0), 2, "a", 0.0),   # advances global hwm to 12:00
         (1, t(10, 30), 3, "b", 0.0),  # 10:30 < 12:00 - 1h -> LATE
         (1, t(11, 30), 4, "b", 0.0),  # 11:30 >= 11:00 -> on time
-        (2, t(9, 0), 5, "b", 0.0),    # other key: first -> never late
+        (2, t(9, 0), 5, "b", 0.0),    # user 2's first, but the GLOBAL
+                                      # hwm is 12:00 -> LATE (a real
+                                      # watermark would drop it)
     ]
     df = spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_id long, "
@@ -1478,5 +1541,10 @@ def test_late_arrival_audit_hand_sequence(spark):
     got = {r["event_type"]: r for r in SP.late_arrival_audit(
         df, watermark="1 hour").collect()}
     assert (got["a"]["n_events"], got["a"]["n_late"]) == (2, 0)
-    assert (got["b"]["n_events"], got["b"]["n_late"]) == (3, 1)
-    assert got["b"]["late_frac"] == 0.3333
+    assert (got["b"]["n_events"], got["b"]["n_late"]) == (3, 2)
+    assert got["b"]["late_frac"] == 0.6667
+    # per-key scope: user 2's 9:00 event is its key's first -> not late
+    per_key = {r["event_type"]: r for r in SP.late_arrival_audit(
+        df, watermark="1 hour", scope="per_key").collect()}
+    assert (per_key["b"]["n_events"], per_key["b"]["n_late"]) == (3, 1)
+    assert per_key["b"]["late_frac"] == 0.3333

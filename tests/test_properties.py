@@ -402,6 +402,37 @@ def test_ordered_prefix_and_ntile_match_window_forms(spark, vals, n):
         assert nt[r["id"]] == r["t"], (r["id"], nt[r["id"]], r["t"])
 
 
+@settings(max_examples=int(os.environ.get("HYP_EXAMPLES", "8")), deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=80))
+def test_ordered_running_max_matches_window_form(spark, vals):
+    """The two-level range-partitioned running max equals the
+    single-partition window form in both exclusive and inclusive modes,
+    including the partition-carry boundaries (partitions=5 forces
+    them)."""
+    from pyspark.sql.window import Window
+
+    from dataqtor_spark.operators.ordered import ordered_running_max
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double")
+    w = Window.orderBy("id")
+    ref = {r["id"]: (r["ex"], r["inc"]) for r in df.select(
+        "id",
+        F.max("v").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("ex"),
+        F.max("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("inc")).collect()}
+    ex = {r["id"]: r["m"] for r in ordered_running_max(
+        df, [F.col("id")], F.col("v"), "m", exclusive=True,
+        partitions=5).collect()}
+    inc = {r["id"]: r["m"] for r in ordered_running_max(
+        df, [F.col("id")], F.col("v"), "m", exclusive=False,
+        partitions=5).collect()}
+    for i, (e, c) in ref.items():
+        assert ex[i] == e, (i, ex[i], e)
+        assert inc[i] == c, (i, inc[i], c)
+
+
 def test_ordered_prefix_reliable_mode_agrees(spark):
     from dataqtor_spark.operators.ordered import ordered_prefix
 
