@@ -81,7 +81,19 @@ HEADLINE = [
     "hilbert01_curve_segments",
     "mix01_domain_mixture",
     "d11_multimodal_dedup_report",
+    # round-9 adds: image dedup clusters, video frame dedup, and the
+    # IVF-PQ at-rest serving path (ann06 minus the per-process trainer
+    # warm-up — the number a cluster sees per probe)
+    "m05_image_dedup_clusters",
+    "m07_video_frame_dedup",
+    "ann11_ivfpq_at_rest",
 ]
+
+# Queries that serve from a persisted index: the first call at a given
+# SF builds the index fixture (the OFFLINE step by contract), so the
+# bench prebuilds at the timed SF during warm-up and the samples measure
+# serving only.
+AT_REST = {"ann11_ivfpq_at_rest"}
 
 
 def run_full(spark, sf_dir: str, warm_dir: str, reps: int,
@@ -96,6 +108,8 @@ def run_full(spark, sf_dir: str, warm_dir: str, reps: int,
 
     for name in HEADLINE:                      # one untimed warm pass
         QUERIES[name](spark, warm_dir).count()
+        if name in AT_REST:                    # build the index fixture
+            QUERIES[name](spark, sf_dir).count()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     for rep in range(reps):
@@ -172,6 +186,8 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, warm_dir).count()
+        if name in AT_REST:                    # build the index fixture
+            fn(spark, sf_dir).count()
         samples: list[float] = []
         n = 0
         # best-of-2 damps machine-load noise (~±15%); sub-0.5s queries get

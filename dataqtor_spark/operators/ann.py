@@ -531,14 +531,7 @@ def ivfpq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
         return _ivfpq_residual_score(c, queries, coarse, sub, books, m,
                                      n_probe, k, query_id_col, vec_col)
 
-    def by_cid(book, value):
-        slots = {cid: value(cvec) for cid, cvec in book}
-        return [slots.get(i, 0.0) for i in range(max(slots) + 1)]
-
-    norm_arrs = [F.array(*[F.lit(v).cast("double")
-                           for v in by_cid(books[j],
-                                           lambda cv: sum(x * x for x in cv))])
-                 for j in range(m)]
+    norm_arrs = _pq_norm_arrays(books, m)
     c = c.withColumn("__rn", F.sqrt(sum(
         F.element_at(norm_arrs[j], F.col("codes")[j] + 1)
         for j in range(m)))).drop("__cv")
@@ -809,6 +802,123 @@ def ivf_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _pq_norm_arrays(books, m: int) -> list[Column]:
+    """Per-subspace literal arrays of ‖codeword‖²: element j of the sum
+    reconstructs the encoded vector's norm from its codes (the same
+    literal device as the per-query LUTs)."""
+    def by_cid(book, value):
+        slots = {cid: value(cvec) for cid, cvec in book}
+        return [slots.get(i, 0.0) for i in range(max(slots) + 1)]
+
+    return [F.array(*[F.lit(v).cast("double")
+                      for v in by_cid(books[j],
+                                      lambda cv: sum(x * x for x in cv))])
+            for j in range(m)]
+
+
+def write_ivfpq_index(corpus: DataFrame, path: str, id_col: str,
+                      vec_col: str, n_clusters: int = 8, m: int = 4,
+                      ks: int = 8, n_iter: int = 2,
+                      cache_key: str | None = None) -> None:
+    """Persist the composed IVF-PQ index as a data-lake layout: PQ codes
+    + reconstructed norms written ``partitionBy(coarse cluster)``, plus
+    the two tiny quantizer sidecars (coarse centroids, PQ codebooks).
+
+    This is the SERVING form of :func:`ivfpq_topk_portable`: training
+    (the per-process-cached part that dominates a cold query) happens
+    ONCE at build time; a probe afterwards is partition pruning over the
+    code table plus codegen'd LUT arithmetic — no raw vectors are read
+    or even stored (M ints + one double per row).  At 100 TB the index
+    directory is ~1000× smaller than the corpus and rebuild cadence is
+    an offline choice (see :func:`append_to_ivf_index` on quantizer
+    aging)."""
+    coarse = train_ivf_centroids_portable(
+        corpus, id_col, vec_col, n_clusters, n_iter,
+        cache_key=cache_key or path)
+    sub, books = train_pq_codebooks_portable(
+        corpus, id_col, vec_col, m, ks, n_iter, cache_key=cache_key or path)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("__cv"))
+         .withColumn("__cluster",
+                     F.expr(_sql_nearest_cids("__cv", coarse, 1))[0])
+         .withColumn("codes", F.array(*[
+             F.expr(_sql_nearest_cids(f"slice(__cv, {j * sub + 1}, {sub})",
+                                      books[j], 1))[0] for j in range(m)])))
+    norm_arrs = _pq_norm_arrays(books, m)
+    c = c.withColumn("__rn", F.sqrt(sum(
+        F.element_at(norm_arrs[j], F.col("codes")[j] + 1)
+        for j in range(m)))).drop("__cv")
+    (c.repartition("__cluster").write.mode("overwrite")
+     .partitionBy("__cluster").parquet(f"{path}/corpus"))
+    spark = corpus.sparkSession
+    crows = [(cid, i, x) for cid, vec in coarse for i, x in enumerate(vec)]
+    (spark.createDataFrame(crows, "cid int, dim int, val double")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    brows = [(j, cid, p, x) for j in range(m)
+             for cid, cvec in books[j] for p, x in enumerate(cvec)]
+    (spark.createDataFrame(brows, "j int, cid int, pos int, val double")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
+
+
+def load_pq_codebooks(spark, path: str
+                      ) -> tuple[int, list[list[tuple[int, list[float]]]]]:
+    """Read the PQ codebook sidecar of a :func:`write_ivfpq_index`
+    layout; returns the same ``(sub_len, books)`` shape the trainer
+    produces."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    acc: dict[int, dict[int, dict[int, float]]] = {}
+    for r in rows:
+        acc.setdefault(r["j"], {}).setdefault(r["cid"], {})[r["pos"]] = r["val"]
+    sub = max(len(d) for by_cid in acc.values() for d in by_cid.values())
+    books = [[(cid, [d[i] for i in range(sub)])
+              for cid, d in sorted(acc[j].items())]
+             for j in sorted(acc)]
+    return sub, books
+
+
+def ivfpq_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
+                       vec_col: str, k: int = 5, n_probe: int = 3,
+                       query_id_col: str | None = None) -> DataFrame:
+    """ADC top-k against a :func:`write_ivfpq_index` layout — identical
+    results to (non-residual) :func:`ivfpq_topk_portable` with the same
+    training parameters, but the serving cost only: probed cluster ids
+    prune partitions of the code table (PartitionFilters in the plan),
+    per-query LUTs broadcast, and the scan reads codes + stored norms,
+    never vectors."""
+    query_id_col = query_id_col or id_col
+    coarse = load_ivf_centroids(spark, path)
+    sub, books = load_pq_codebooks(spark, path)
+    m = len(books)
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .withColumn("__cluster", F.explode(
+             F.expr(_sql_nearest_cids("__qv", coarse, n_probe)))))
+    zeros = [0.0] * sub
+    for j in range(m):
+        qsub = F.slice("__qv", j * sub + 1, sub)
+        cid_centers = dict(books[j])
+        q = q.withColumn(f"__l{j}", F.array(*[
+            dot(qsub, F.array(*[F.lit(x).cast("double")
+                                for x in cid_centers.get(i, zeros)]))
+            for i in range(max(cid_centers) + 1)]))
+    probed = [r["__cluster"] for r in q.select("__cluster").distinct().collect()]
+    c = (spark.read.parquet(f"{path}/corpus")
+         .filter(F.col("__cluster").isin(probed)))
+    adc_dot = sum(F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
+                  for j in range(m))
+    scored = (c.join(F.broadcast(q.drop("__qv")), "__cluster")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("adc_cosine",
+                          F.round(adc_dot / (F.col("__rn") * F.col("__qn")),
+                                  6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_cosine", "rank"))
 
 
 def mips_topk(corpus: DataFrame, queries: DataFrame, id_col: str,

@@ -657,6 +657,41 @@ def test_ivf_at_rest_prunes_partitions(spark, tables, tmp_path):
     assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters", 1)[1][:400]
 
 
+def test_ivfpq_at_rest_matches_portable_and_prunes(spark, tables, tmp_path):
+    """The persisted IVF-PQ layout serves IDENTICAL results to the live
+    ivfpq_topk_portable path with the same training params (training is
+    deterministic, the index stores codes + norms), and the probe scan
+    is partition-pruned on the coarse cluster directories."""
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivfpq_index")
+    ANN.write_ivfpq_index(emb, path, "vec_id", "embedding",
+                          n_clusters=8, m=4, ks=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    at_rest = ANN.ivfpq_topk_at_rest(spark, path, queries, "vec_id",
+                                     "embedding", k=5, n_probe=3)
+    live = ANN.ivfpq_topk_portable(emb, queries, "vec_id", "embedding",
+                                   k=5, n_clusters=8, n_probe=3,
+                                   m=4, ks=8, n_iter=2)
+    assert (sorted(map(tuple, at_rest.collect()))
+            == sorted(map(tuple, live.collect())))
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert ("PartitionFilters" in plan
+            and "__cluster" in plan.split("PartitionFilters", 1)[1][:400])
+    # the pruned FileScan reads the code table (codes + stored norm) —
+    # raw vectors are not even stored in the index layout
+    pruned = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pruned and "codes#" in pruned[0] and "__rn#" in pruned[0]
+    # codebook sidecar round-trips the trainer's shape
+    sub, books = ANN.load_pq_codebooks(spark, path)
+    sub2, books2 = ANN.train_pq_codebooks_portable(
+        emb, "vec_id", "embedding", m=4, ks=8, n_iter=2)
+    assert sub == sub2
+    assert [[(c, [round(x, 9) for x in v]) for c, v in b] for b in books] \
+        == [[(c, [round(x, 9) for x in v]) for c, v in b] for b in books2]
+
+
 def test_edit_distance_pairs_matches_quadratic(spark, tables):
     from pyspark.sql import functions as F
     from dataqtor_spark.operators import dedup as DD
