@@ -32,6 +32,48 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _spark_context_or_none(spark):
+    """The driver-side SparkContext, or None on Spark Connect (where the
+    session has no local JVM context — checkpoint/localCheckpoint still
+    work, as server-executed commands, but ``sc``-level introspection
+    like ``getCheckpointDir``/``defaultParallelism`` does not exist)."""
+    try:
+        return spark.sparkContext
+    except Exception:
+        return None
+
+
+def _default_parallelism(spark) -> int:
+    """``sc.defaultParallelism`` classically; on Connect, the session's
+    shuffle-partition setting (the same knob the range exchange would
+    use anyway)."""
+    sc = _spark_context_or_none(spark)
+    if sc is not None:
+        return sc.defaultParallelism
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def _pin(df: DataFrame, reliable: bool | None) -> DataFrame:
+    """Pin one materialization of a range-partitioned frame so its two
+    consumers (rows + per-partition totals) agree on partition ids —
+    the sampling-exchange hazard documented on :func:`ordered_prefix`.
+
+    Classic sessions resolve ``reliable`` via :func:`_resolve_reliable`
+    (checkpoint-dir aware).  On Spark Connect both checkpoint flavors
+    are server-executed commands: ``reliable=True`` issues
+    ``df.checkpoint`` (the SERVER's checkpoint dir must be configured —
+    a missing one surfaces as the server's own error), anything else
+    uses ``localCheckpoint``, the same default as classic."""
+    sc = _spark_context_or_none(df.sparkSession)
+    if sc is None:
+        if reliable is True:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+    if _resolve_reliable(sc, reliable):
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def _resolve_reliable(sc, reliable: bool | None) -> bool:
     """Decide reliable-vs-local checkpointing for :func:`ordered_prefix`.
 
@@ -91,19 +133,15 @@ def ordered_prefix(df: DataFrame, order_by: list[Column],
     fault-tolerant — exactly the failure the flag exists to survive).
     """
     sums = sums or {}
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = partitions or _default_parallelism(df.sparkSession)
     # Checkpoint (lazy): the range exchange SAMPLES to pick bounds,
     # so re-evaluating it can assign different partition ids per subtree —
     # and this frame feeds two consumers (rows + per-partition totals)
     # whose __pid values must agree.  The checkpoint pins one
     # materialization both read; lineage truncation is the documented
     # trade (same device as the minhash pipeline's candidate sets).
-    rp = (df.repartitionByRange(n, *order_by)
-          .withColumn("__pid", F.spark_partition_id()))
-    if _resolve_reliable(df.sparkSession.sparkContext, reliable):
-        rp = rp.checkpoint(eager=False)
-    else:
-        rp = rp.localCheckpoint(eager=False)
+    rp = _pin(df.repartitionByRange(n, *order_by)
+              .withColumn("__pid", F.spark_partition_id()), reliable)
     w_in = Window.partitionBy("__pid").orderBy(*order_by)
     w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
     cols = list(df.columns)
@@ -173,13 +211,9 @@ def ordered_running_max(df: DataFrame, order_by: list[Column],
     semantics are exactly :func:`ordered_prefix`'s (the range exchange
     samples its bounds, so the frame is pinned before its two
     consumers)."""
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    rp = (df.repartitionByRange(n, *order_by)
-          .withColumn("__pid", F.spark_partition_id()))
-    if _resolve_reliable(df.sparkSession.sparkContext, reliable):
-        rp = rp.checkpoint(eager=False)
-    else:
-        rp = rp.localCheckpoint(eager=False)
+    n = partitions or _default_parallelism(df.sparkSession)
+    rp = _pin(df.repartitionByRange(n, *order_by)
+              .withColumn("__pid", F.spark_partition_id()), reliable)
     end = -1 if exclusive else 0
     w_in = (Window.partitionBy("__pid").orderBy(*order_by)
             .rowsBetween(Window.unboundedPreceding, end))

@@ -117,7 +117,15 @@ def parallelize(df: DataFrame, partitions: int | None = None) -> DataFrame:
     call it only in front of expression-dense stages where one shuffle of
     the (narrow) input buys full-width compute.
     """
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    from dataqtor_spark.operators.ordered import (
+        _default_parallelism, _spark_context_or_none)
+
+    n = partitions or _default_parallelism(df.sparkSession)
+    if _spark_context_or_none(df.sparkSession) is None:
+        # Spark Connect: no df.rdd to probe the current partition count;
+        # AQE coalesces the (narrow) exchange back down if it was already
+        # wide enough, so repartition unconditionally
+        return df.repartition(n)
     return df.repartition(n) if df.rdd.getNumPartitions() < n else df
 
 
@@ -137,10 +145,12 @@ def with_row_id(df: DataFrame, order_by: list[str] | None = None,
       ``repartitionByRange``, so the reproducible path survives 100 TB.
       Side effect: ``ordered_prefix`` pins its range exchange with a lazy
       checkpoint (lineage truncation; executor-pinned blocks under the
-      default ``localCheckpoint``, and unavailable on Spark Connect).
-      ``reliable`` is forwarded: ``None`` (default) auto-selects a
-      reliable checkpoint iff ``sc.getCheckpointDir()`` is configured,
-      ``True``/``False`` force it — see ``ordered_prefix``.
+      default ``localCheckpoint``).  ``reliable`` is forwarded: ``None``
+      (default) auto-selects a reliable checkpoint iff
+      ``sc.getCheckpointDir()`` is configured, ``True``/``False`` force
+      it — see ``ordered_prefix``.  On Spark Connect both checkpoint
+      flavors run as server-side commands (no driver SparkContext is
+      touched); ``reliable=True`` requires the SERVER's checkpoint dir.
     - ``order_by`` None → ``monotonically_increasing_id()``: no shuffle, no
       sort; stable for a given materialized snapshot (same file layout ⇒
       same ids), which is exactly the reference's "one cached upload"
