@@ -6,7 +6,9 @@ like the Excel source, since this container ships no codec libraries),
 then pure-stdlib paths for codec-less executors — PNG (zlib inflate +
 the five spec unfilters — decode AND nearest-neighbour resize), GIF
 (variable-width LZW decompressor + palette/interlace handling), BMP
-(palette/BGR raw rows) — then a deterministic sha-derived fake.  Audio decode is REAL for integer-PCM WAV
+(palette/BGR raw rows), baseline JPEG (canonical huffman entropy decode
++ dequant + separable IDCT, luma-only with chroma kept in sync) — then
+a deterministic sha-derived fake.  Audio decode is REAL for integer-PCM WAV
 (stdlib ``wave`` + numpy); video frame SAMPLING is real for MJPEG-in-AVI
 (stdlib RIFF demux); container METADATA (duration, track mix, rates) is
 real struct parsing for mp4/mp3/wav via ``probe_media_info``.  Only
@@ -25,6 +27,7 @@ handles explode without a join.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -408,23 +411,290 @@ def _decode_bmp(data: bytes) -> tuple[int, int, str, list[list[int]]]:
     return width, height, ("P" if bpp == 8 else "RGB"), rows
 
 
+# --- baseline JPEG (SOF0) — REAL huffman + dequant + IDCT, stdlib only -----
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+@functools.lru_cache(maxsize=1)
+def _jpeg_idct_table() -> list[list[float]]:
+    """8-point DCT-III basis: C[u][x] = a(u)·cos((2x+1)uπ/16) — the
+    separable 2-D inverse transform is two passes over this table."""
+    import math
+
+    return [[(math.sqrt(0.125) if u == 0 else 0.5)
+             * math.cos((2 * x + 1) * u * math.pi / 16)
+             for x in range(8)] for u in range(8)]
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical huffman: (bit_length, code) → symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment, handling
+    0xFF00 byte stuffing and RSTn restart markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if not self.n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1                    # stuffed 0xFF
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG huffman code")
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at an MCU-restart boundary."""
+        self.n = 0
+        while (self.pos + 1 < len(self.data)
+               and not (self.data[self.pos] == 0xFF
+                        and 0xD0 <= self.data[self.pos + 1] <= 0xD7)):
+            self.pos += 1
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, str, list[list[int]]]:
+    """REAL stdlib baseline-JPEG decode (SOF0, 8-bit): marker-segment
+    parse, canonical huffman entropy decode, dequantization, separable
+    2-D IDCT, restart-interval handling.  Only the Y (luminance)
+    component is transformed — this module's decode contract is luma
+    rows, so chroma blocks are entropy-decoded purely to keep the bit
+    stream in sync and then discarded, which also makes every chroma
+    subsampling (4:4:4/4:2:2/4:2:0) free.  Progressive (SOF2) and
+    arithmetic-coded JPEGs raise — ffmpeg/PIL territory, and
+    :func:`_stdlib_decodable` pre-screens for SOF0 so the auto tier
+    falls through cleanly instead of erroring mid-batch."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []   # (id, h, v, tq)
+    width = height = 0
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:                         # EOI
+            break
+        seg_len = (data[pos + 2] << 8) | data[pos + 3]
+        seg = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:                         # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = [(seg[i + 2 * j] << 8) | seg[i + 2 * j + 1]
+                            for j in range(64)]
+                    i += 128
+                else:
+                    vals = list(seg[i:i + 64])
+                    i += 64
+                qt[tq] = vals                      # zigzag order
+        elif marker == 0xC4:                       # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = seg[i + 1:i + 17]
+                n = sum(counts)
+                symbols = seg[i + 17:i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _jpeg_huff_table(counts, symbols)
+                i += 17 + n
+        elif marker == 0xC0:                       # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("non-8-bit JPEG")
+            height = (seg[1] << 8) | seg[2]
+            width = (seg[3] << 8) | seg[4]
+            comps = [(seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                      seg[7 + 3 * c] & 0x0F, seg[8 + 3 * c])
+                     for c in range(seg[5])]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) JPEG is supported")
+        elif marker == 0xDD:                       # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:                       # SOS — entropy follows
+            ncomp = seg[0]
+            scan = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4,
+                                     seg[2 + 2 * c] & 0x0F)
+                    for c in range(ncomp)}
+            return _jpeg_scan(data, pos + 2 + seg_len, width, height,
+                              comps, scan, qt, huff_dc, huff_ac,
+                              restart_interval)
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no scan")
+
+
+def _jpeg_scan(data, pos, width, height, comps, scan, qt, huff_dc,
+               huff_ac, restart_interval):
+    if not comps or not width or not height:
+        raise ValueError("JPEG scan before SOF0")
+    hmax = max(h for _i, h, _v, _q in comps)
+    vmax = max(v for _i, _h, v, _q in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    y_id, y_h, y_v, y_tq = comps[0]
+    yw, yh = mcux * y_h * 8, mcuy * y_v * 8
+    plane = [[0] * yw for _ in range(yh)]
+    idct = _jpeg_idct_table()
+    q_y = qt[y_tq]
+    bits = _JpegBits(data, pos)
+    pred = {cid: 0 for cid, _h, _v, _q in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                bits.restart()
+                pred = {cid: 0 for cid in pred}
+            mcu_count += 1
+            for ci, (cid, ch, cv, ctq) in enumerate(comps):
+                tdc, tac = scan[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        # entropy-decode one block
+                        s = bits.huff(huff_dc[tdc])
+                        diff = _jpeg_extend(bits.bits(s), s) if s else 0
+                        pred[cid] += diff
+                        coefs = [0] * 64
+                        coefs[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = bits.huff(huff_ac[tac])
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16        # ZRL
+                                    continue
+                                break              # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC overflow")
+                            coefs[k] = _jpeg_extend(bits.bits(size), size)
+                            k += 1
+                        if ci:                     # chroma: sync only
+                            continue
+                        # dequant (zigzag → natural) + separable IDCT
+                        blk = [0.0] * 64
+                        for j in range(64):
+                            blk[_JPEG_ZIGZAG[j]] = coefs[j] * q_y[j]
+                        tmp = [0.0] * 64
+                        for r in range(8):         # rows: DCT-III over u
+                            row = blk[8 * r:8 * r + 8]
+                            for x in range(8):
+                                tmp[8 * r + x] = sum(
+                                    row[u] * idct[u][x] for u in range(8))
+                        ox, oy = (mx * y_h + bx) * 8, (my * y_v + by) * 8
+                        for y in range(8):
+                            out_row = plane[oy + y]
+                            for x in range(8):
+                                v = int(sum(tmp[8 * u + x] * idct[u][y]
+                                            for u in range(8)) + 128.5)
+                                out_row[ox + x] = (0 if v < 0
+                                                   else 255 if v > 255
+                                                   else v)
+    # Y is usually full-resolution; nearest-sample if it was subsampled
+    rows = []
+    for y in range(height):
+        src = plane[y * y_v // vmax]
+        if y_h == hmax:
+            rows.append(src[:width])
+        else:
+            rows.append([src[x * y_h // hmax] for x in range(width)])
+    return width, height, ("L" if len(comps) == 1 else "RGB"), rows
+
+
+def _jpeg_is_baseline(data: bytes) -> bool:
+    """Cheap marker walk: True iff the frame header is SOF0 (the only
+    JPEG flavor the stdlib tier decodes)."""
+    if data[:2] != b"\xff\xd8":
+        return False
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return False
+        marker = data[pos + 1]
+        if marker == 0xC0:
+            return True
+        if marker in (0xD9, 0xDA) or (0xC1 <= marker <= 0xCF
+                                      and marker != 0xC4 and marker != 0xC8
+                                      and marker != 0xCC):
+            return False
+        pos += 2 + ((data[pos + 2] << 8) | data[pos + 3])
+    return False
+
+
 def _decode_image(data: bytes) -> tuple[int, int, str, list[list[int]]]:
     """Stdlib decode dispatch by magic bytes — PNG (zlib/unfilter), GIF
-    (LZW), BMP (raw) — to the shared (width, height, mode,
-    luminance_rows) contract.  Raises for any other container."""
+    (LZW), BMP (raw), baseline JPEG (huffman + IDCT) — to the shared
+    (width, height, mode, luminance_rows) contract.  Raises for any
+    other container."""
     if data.startswith(_PNG_SIG):
         return _decode_png(data)
     if data[:6] in _GIF_SIGS:
         return _decode_gif(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     raise ValueError("no stdlib decoder for payload")
 
 
 def _stdlib_decodable(data: bytes) -> bool:
-    """True when :func:`_decode_image` has a real tier for the payload."""
+    """True when :func:`_decode_image` has a real tier for the payload.
+    JPEG payloads pre-screen for a baseline (SOF0) frame so progressive
+    files fall through to the next tier instead of erroring."""
     return (data.startswith(_PNG_SIG) or data[:6] in _GIF_SIGS
-            or data[:2] == b"BM")
+            or data[:2] == b"BM"
+            or (data[:2] == b"\xff\xd8" and _jpeg_is_baseline(data)))
 
 
 def _stdlib_image_props(data: bytes) -> tuple[int, int, str, list[float]]:
@@ -456,7 +726,7 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
     """Arrow-batched decode + feature extraction.
 
     ``use_codec=None`` (default) picks the REAL decode tier per payload:
-    PIL when Pillow is importable; otherwise PNG/GIF/BMP payloads still
+    PIL when Pillow is importable; otherwise PNG/GIF/BMP/baseline-JPEG payloads still
     decode for REAL via the stdlib tiers (``_decode_image`` — zlib
     unfilter / LZW / raw rows, no codec library involved); everything
     else falls to the deterministic sha-derived fake.  Pass True/False to force PIL-only/fake-only.  The
@@ -502,7 +772,7 @@ def decode_image_features(df: DataFrame, payload_col: str = "payload",
                     except Exception:
                         pass
                 elif use_codec is None and _stdlib_decodable(data):
-                    # codec-less executor, auto mode: PNG/GIF/BMP still
+                    # codec-less executor, auto mode: PNG/GIF/BMP/JPEG still
                     # decode for REAL via the stdlib tiers
                     try:
                         rows.append((mid, *_stdlib_image_props(data)))
@@ -526,7 +796,7 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (224, 224),
     """Resize: with PIL available (or ``use_codec=True``) payloads are
     decoded → resampled to ``target`` → re-encoded as PNG inside the same
     Arrow batch iterator; on codec-less executors in auto mode,
-    PNG/GIF/BMP payloads still resize for REAL (stdlib decode →
+    PNG/GIF/BMP/baseline-JPEG payloads still resize for REAL (stdlib decode →
     nearest-neighbour → filter-0 PNG re-encode,
     :func:`_stdlib_resize_any`); anything else passes through with the
     declared target shape.  Identical schema every tier."""
@@ -662,7 +932,7 @@ def _gray_grid_png(data: bytes, w: int, h: int) -> list[list[int]]:
 
 
 def _gray_grid_stdlib(data: bytes, w: int, h: int) -> list[list[int]]:
-    """Any stdlib-decodable payload (PNG/GIF/BMP) → w×h nearest-neighbour
+    """Any stdlib-decodable payload (PNG/GIF/BMP/baseline JPEG) → w×h nearest-neighbour
     luminance grid for the perceptual hashers."""
     width, height, _mode, lum = _decode_image(data)
     return [[lum[(ty * height) // h][(tx * width) // w]
@@ -686,7 +956,7 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
     ``method="dhash"`` (gradient sign over a 9×8 downsample) or
     ``"phash"`` (DCT low-frequency signs over 32×32).  Decode tiers
     mirror :func:`decode_image_features`: PIL when importable, REAL
-    stdlib PNG/GIF/BMP decode otherwise (auto mode), deterministic
+    stdlib PNG/GIF/BMP/baseline-JPEG decode otherwise (auto mode), deterministic
     sha-derived fake last — identical schema every tier, so the banding join
     downstream never cares which executor had a codec.  Feed the output
     to :func:`phash_near_pairs` for hamming-banded near-duplicate pairs
