@@ -63,7 +63,18 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # audio slices are fixed-size by construction)
                "hilbert01_curve_segments", "bpe02_bpe_train",
                "mix01_domain_mixture", "ann08_mips_topk",
-               "d11_multimodal_dedup_report"]
+               "d11_multimodal_dedup_report",
+               # round-9 additions (VERDICT r8 task 3): the expensive
+               # newcomers that lacked probe rows — blocking quality,
+               # tokenizer-true recount, two-stage rerank, span scrub,
+               # DSIR selection, the at-rest IVF-PQ serving path, and
+               # m07 (whose doc_id<200 video corpus is fixed-size BY
+               # CONSTRUCTION — its row documents that bound, the
+               # operator's scaling is d11's video leg / the skew probe)
+               "er03_blocking_quality", "bpe03_tokenizer_token_counts",
+               "ann09_two_stage_rerank", "t35_span_scrub",
+               "dsir01_importance_select", "ann11_ivfpq_at_rest",
+               "m07_video_frame_dedup"]
 
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
@@ -149,6 +160,8 @@ def main() -> None:
         fn(spark, sf_dir).count()            # warm codegen at 1x
         results[name] = {}
         for k in (1, 10, 100):
+            if name == "ann11_ivfpq_at_rest":
+                fn(spark, dirs[k]).count()   # offline index build, untimed
             t0 = time.perf_counter()
             n = fn(spark, dirs[k]).count()
             dt = time.perf_counter() - t0
