@@ -818,6 +818,26 @@ def _pq_norm_arrays(books, m: int) -> list[Column]:
             for j in range(m)]
 
 
+def _ivfpq_encode_frame(corpus: DataFrame, id_col: str, vec_col: str,
+                        coarse, sub: int, books) -> DataFrame:
+    """(neighbor_id, codes, __rn, __cluster) — the stored row shape of
+    the IVF-PQ layout: coarse assignment, per-subspace codes, and the
+    norm reconstructed FROM the codes (so serving never needs the
+    vector)."""
+    m = len(books)
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("__cv"))
+         .withColumn("__cluster",
+                     F.expr(_sql_nearest_cids("__cv", coarse, 1))[0])
+         .withColumn("codes", F.array(*[
+             F.expr(_sql_nearest_cids(f"slice(__cv, {j * sub + 1}, {sub})",
+                                      books[j], 1))[0] for j in range(m)])))
+    norm_arrs = _pq_norm_arrays(books, m)
+    return c.withColumn("__rn", F.sqrt(sum(
+        F.element_at(norm_arrs[j], F.col("codes")[j] + 1)
+        for j in range(m)))).drop("__cv")
+
+
 def write_ivfpq_index(corpus: DataFrame, path: str, id_col: str,
                       vec_col: str, n_clusters: int = 8, m: int = 4,
                       ks: int = 8, n_iter: int = 2,
@@ -839,17 +859,7 @@ def write_ivfpq_index(corpus: DataFrame, path: str, id_col: str,
         cache_key=cache_key or path)
     sub, books = train_pq_codebooks_portable(
         corpus, id_col, vec_col, m, ks, n_iter, cache_key=cache_key or path)
-    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                       _as_double(F.col(vec_col)).alias("__cv"))
-         .withColumn("__cluster",
-                     F.expr(_sql_nearest_cids("__cv", coarse, 1))[0])
-         .withColumn("codes", F.array(*[
-             F.expr(_sql_nearest_cids(f"slice(__cv, {j * sub + 1}, {sub})",
-                                      books[j], 1))[0] for j in range(m)])))
-    norm_arrs = _pq_norm_arrays(books, m)
-    c = c.withColumn("__rn", F.sqrt(sum(
-        F.element_at(norm_arrs[j], F.col("codes")[j] + 1)
-        for j in range(m)))).drop("__cv")
+    c = _ivfpq_encode_frame(corpus, id_col, vec_col, coarse, sub, books)
     (c.repartition("__cluster").write.mode("overwrite")
      .partitionBy("__cluster").parquet(f"{path}/corpus"))
     spark = corpus.sparkSession
@@ -860,6 +870,25 @@ def write_ivfpq_index(corpus: DataFrame, path: str, id_col: str,
              for cid, cvec in books[j] for p, x in enumerate(cvec)]
     (spark.createDataFrame(brows, "j int, cid int, pos int, val double")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks"))
+
+
+def append_to_ivfpq_index(new_rows: DataFrame, path: str, id_col: str,
+                          vec_col: str) -> None:
+    """Incremental IVF-PQ maintenance: encode NEW vectors with the
+    STORED quantizers (no retrain — centroid + codebook sidecars load as
+    bounded collects) and append their codes into the partitioned
+    layout; only touched cluster directories gain files, and the next
+    probe sees the additions through the same partition pruning.  The
+    PQ sibling of :func:`append_to_ivf_index`, with the same documented
+    quantizer-aging trade: reconstruction error of appended vectors
+    grows as the distribution drifts from the training corpus — monitor
+    cluster skew and rebuild with :func:`write_ivfpq_index`."""
+    spark = new_rows.sparkSession
+    coarse = load_ivf_centroids(spark, path)
+    sub, books = load_pq_codebooks(spark, path)
+    c = _ivfpq_encode_frame(new_rows, id_col, vec_col, coarse, sub, books)
+    (c.repartition("__cluster").write.mode("append")
+     .partitionBy("__cluster").parquet(f"{path}/corpus"))
 
 
 def load_pq_codebooks(spark, path: str

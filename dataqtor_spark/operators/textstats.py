@@ -1356,6 +1356,56 @@ def domain_mixture_plan(df: DataFrame, domain_col: str,
                / F.col("avail_tokens")).cast("long").alias("epochs"))
 
 
+def temperature_mixture_plan(df: DataFrame, domain_col: str, budget: int,
+                             text_col: str = "text") -> DataFrame:
+    """Temperature-scaled mixture allocation at α = 1/2 — the standard
+    multilingual rebalancing (sample domain s ∝ n_s^α, α < 1 upweights
+    tail languages): weights are derived FROM the corpus as
+    ``isqrt(avail_tokens)`` instead of being hand-fixed like
+    :func:`domain_mixture_plan`'s, then the same exact largest-remainder
+    integer quota split applies.  α = 1/2 specifically because
+    ``isqrt`` is the one fractional power computable EXACTLY in integer
+    arithmetic on both engines (floor(sqrt) with the ±1 ulp correction —
+    the dedup auto-cap device), so quotas stay bit-reproducible where a
+    libm ``pow(x, 0.7)`` would not be.
+
+    Output schema matches ``domain_mixture_plan`` (weight is the derived
+    isqrt).  Scale shape: one corpus-sized groupBy(domain); every window
+    after runs on the |domains|-row frame."""
+    from pyspark.sql.window import Window
+
+    avail = (df.groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(token_count(text_col)).alias("avail_tokens")))
+    r = F.floor(F.sqrt(F.col("avail_tokens"))).cast("long")
+    isq = (F.when((r + 1) * (r + 1) <= F.col("avail_tokens"), r + 1)
+           .when(r * r > F.col("avail_tokens"), r - 1).otherwise(r))
+    base = avail.withColumn("weight", isq)
+    tot = Window.partitionBy()
+    base = (base.withColumn("__W", F.sum("weight").over(tot))
+            .withColumn("__num", F.lit(int(budget)) * F.col("weight"))
+            .withColumn("__rem", F.col("__num") % F.col("__W"))
+            .withColumn("__base",
+                        ((F.col("__num") - F.col("__rem")) / F.col("__W"))
+                        .cast("long")))
+    rk = Window.orderBy(F.desc("__rem"), F.asc("domain"))
+    quota = (F.col("__base")
+             + F.when(F.row_number().over(rk)
+                      <= F.lit(int(budget)) - F.sum("__base").over(tot),
+                      F.lit(1)).otherwise(F.lit(0)))
+    out = base.withColumn("quota_tokens", quota.cast("long"))
+    alloc = F.least(F.col("quota_tokens"), F.col("avail_tokens"))
+    return out.select(
+        "domain", "weight", "n_docs", "avail_tokens", "quota_tokens",
+        alloc.alias("alloc_tokens"),
+        (F.col("quota_tokens") - alloc).alias("shortfall_tokens"),
+        F.when(F.col("avail_tokens") > 0,
+               ((F.col("quota_tokens") + F.col("avail_tokens") - F.lit(1))
+                - (F.col("quota_tokens") + F.col("avail_tokens") - F.lit(1))
+                % F.col("avail_tokens"))
+               / F.col("avail_tokens")).cast("long").alias("epochs"))
+
+
 def curriculum_phases(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       n_phases: int = 4) -> DataFrame:

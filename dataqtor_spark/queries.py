@@ -7834,14 +7834,20 @@ _ANN06_NC, _ANN06_NPROBE = 8, 3
 
 
 def _ann06_oracle_sql(rerank_from: int | None = None,
-                      final_k: int | None = None) -> str:
+                      final_k: int | None = None,
+                      append_sql: str | None = None) -> str:
     """ann06's full IVF-PQ replay; with ``rerank_from`` set, the ADC
     ranking becomes a k'-deep shortlist that a second stage re-scores
     with EXACT cosine and cuts to ``final_k`` (the ann09 two-stage
-    production pattern)."""
+    production pattern).  ``append_sql`` (a SELECT yielding extra
+    ``(vec_id, v)`` rows) models index APPEND: the quantizers still
+    train on the ORIGINAL corpus ``c`` — exactly the stored-sidecar
+    no-retrain contract of ``append_to_ivfpq_index`` — while encoding
+    and probing run over the union (the ann12 replay)."""
     m, ks, k, dim = _PQ01_M, _PQ01_KS, _PQ01_K, _PQ01_DIM
     nc, npr = _ANN06_NC, _ANN06_NPROBE
     sub = dim // m
+    served = "c" if append_sql is None else "call"
 
     def assign(src: str, cents: str, rn_cap: int, id_out: str,
                v_out: str) -> str:
@@ -7863,24 +7869,35 @@ def _ann06_oracle_sql(rerank_from: int | None = None,
              f"""seeds AS (
   SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v
   FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {max(nc, ks)})"""]
-    # coarse quantizer over full vectors (g-prefixed CTEs)
+    if append_sql is not None:
+        parts.append(
+            f"call AS (SELECT vec_id, v FROM c UNION ALL {append_sql})")
+    # coarse quantizer over full vectors (g-prefixed CTEs); training
+    # always reads c — append never retrains
     parts.append(f"gseeds AS (SELECT cid, v FROM seeds WHERE cid < {nc})")
     parts.append(f"ga1 AS {assign('c', 'gseeds', 1, 'vec_id', 'v')}")
     parts.append(f"gcent1 AS {recenter('ga1', dim)}")
     parts.append(f"ga2 AS {assign('c', 'gcent1', 1, 'vec_id', 'v')}")
     parts.append(f"gcent2 AS {recenter('ga2', dim)}")
-    parts.append(f"gaf AS {assign('c', 'gcent2', 1, 'vec_id', 'v')}")
+    parts.append(f"gaf AS {assign(served, 'gcent2', 1, 'vec_id', 'v')}")
     parts.append(
         f"gq AS {assign('(SELECT * FROM c WHERE vec_id < 8)', 'gcent2', npr, 'query_id', 'qv')}")
-    # PQ codebooks per subspace
+    # PQ codebooks per subspace: ts{j} (training slices, always c) feed
+    # the two Lloyd rounds; cs{j} (serving slices) feed only the final
+    # encode — identical frames unless append_sql is set
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
-        parts.append(f"cs{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM c)")
+        parts.append(f"ts{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM c)")
+        if append_sql is not None:
+            parts.append(
+                f"cs{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM {served})")
+        else:
+            parts.append(f"cs{j} AS (SELECT * FROM ts{j})")
         parts.append(
             f"s{j} AS (SELECT cid, v[{lo}:{hi}] AS v FROM seeds WHERE cid < {ks})")
-        parts.append(f"a1_{j} AS {assign(f'cs{j}', f's{j}', 1, 'vec_id', 'v')}")
+        parts.append(f"a1_{j} AS {assign(f'ts{j}', f's{j}', 1, 'vec_id', 'v')}")
         parts.append(f"cent1_{j} AS {recenter(f'a1_{j}', sub)}")
-        parts.append(f"a2_{j} AS {assign(f'cs{j}', f'cent1_{j}', 1, 'vec_id', 'v')}")
+        parts.append(f"a2_{j} AS {assign(f'ts{j}', f'cent1_{j}', 1, 'vec_id', 'v')}")
         parts.append(f"cent2_{j} AS {recenter(f'a2_{j}', sub)}")
         parts.append(f"af{j} AS {assign(f'cs{j}', f'cent2_{j}', 1, 'vec_id', 'v')}")
     parts.append(
@@ -9574,6 +9591,102 @@ def ann11_ivfpq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
             _t(spark, sf_dir, "embeddings"), idx, "vec_id", "embedding",
             n_clusters=_ANN06_NC, m=_PQ01_M, ks=_PQ01_KS, n_iter=2,
             cache_key=emb_path)
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    out = ANN.ivfpq_topk_at_rest(spark, idx, queries, "vec_id",
+                                 "embedding", k=_PQ01_K,
+                                 n_probe=_ANN06_NPROBE)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- mix02 — temperature-scaled mixture (alpha = 1/2) -----------------------
+# Multilingual rebalancing: sampling weight per domain = avail_tokens^0.5
+# (temperature sampling upweights tail languages), computed as EXACT
+# integer isqrt (floor(sqrt) with the +/-1 ulp correction — the dedup
+# auto-cap device) so the largest-remainder quota split stays
+# bit-reproducible across engines; alpha=1/2 is the one fractional power
+# with that property.  Budget 25013 exercises the remainder ranking.
+_MIX02_BUDGET = 25013
+
+_MIX02_SQL = f"""WITH avail AS (
+  SELECT lang AS domain, count(*)::BIGINT AS n_docs,
+         {_MIX01_TOKENS} AS avail_tokens
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT domain, n_docs, avail_tokens,
+         (CASE WHEN (r + 1) * (r + 1) <= avail_tokens THEN r + 1
+               WHEN r * r > avail_tokens THEN r - 1 ELSE r END)::BIGINT
+           AS weight
+  FROM (SELECT *, CAST(floor(sqrt(avail_tokens)) AS BIGINT) AS r
+        FROM avail)
+), base AS (
+  SELECT *, sum(weight) OVER () AS W,
+         {_MIX02_BUDGET} * weight AS num
+  FROM w
+), ranked AS (
+  SELECT domain, n_docs, avail_tokens, weight,
+         (num - num % W) // W AS base_q,
+         row_number() OVER (ORDER BY num % W DESC, domain ASC) AS rk,
+         sum((num - num % W) // W) OVER () AS tot_base
+  FROM base
+), quota AS (
+  SELECT domain, weight, n_docs, avail_tokens,
+         (base_q + CASE WHEN rk <= {_MIX02_BUDGET} - tot_base
+                        THEN 1 ELSE 0 END)::BIGINT AS quota_tokens
+  FROM ranked
+)
+SELECT domain, weight, n_docs, avail_tokens, quota_tokens,
+       least(quota_tokens, avail_tokens)::BIGINT AS alloc_tokens,
+       (quota_tokens
+        - least(quota_tokens, avail_tokens))::BIGINT AS shortfall_tokens,
+       CASE WHEN avail_tokens > 0
+            THEN ((quota_tokens + avail_tokens - 1) // avail_tokens)::BIGINT
+       END AS epochs
+FROM quota"""
+
+
+@register("mix02_temperature_mixture", _MIX02_SQL)
+def mix02_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=1/2) domain mixture over language
+    domains: isqrt-derived weights, exact largest-remainder quotas,
+    availability caps, shortfall, oversampling epochs."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.temperature_mixture_plan(docs, "lang", budget=_MIX02_BUDGET)
+
+
+# --- ann12 — IVF-PQ index APPEND (no-retrain maintenance) -------------------
+# The maintenance half of the at-rest story: new vectors (a deterministic
+# negated-copy delta) are encoded with the STORED quantizers and appended
+# into the partitioned layout; probes then serve base+delta through the
+# same partition pruning.  The oracle replays exactly that contract —
+# quantizers train on the ORIGINAL corpus only, encoding/probing run over
+# the union (the append_sql variant of the ann06 CTE chain).
+_ANN12_APPEND_SQL = ("SELECT vec_id + 100000 AS vec_id, "
+                     "list_transform(v, x -> -x) AS v "
+                     "FROM c WHERE vec_id < 40")
+
+
+@register("ann12_ivfpq_append",
+          _ann06_oracle_sql(append_sql=_ANN12_APPEND_SQL))
+def ann12_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving after an index APPEND: base corpus indexed once,
+    a negated-copy delta appended with stored quantizers
+    (ann.append_to_ivfpq_index), top-5 ADC probes over the union."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = os.path.join(
+        _ANN11_ROOT,
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{_ANN06_NC}c{_PQ01_M}m{_PQ01_KS}k"
+        f"_{_corpus_fingerprint(emb_path)}_app")
+    if not os.path.isdir(os.path.join(idx, "corpus")):
+        emb = _t(spark, sf_dir, "embeddings")
+        ANN.write_ivfpq_index(emb, idx, "vec_id", "embedding",
+                              n_clusters=_ANN06_NC, m=_PQ01_M,
+                              ks=_PQ01_KS, n_iter=2, cache_key=emb_path)
+        delta = (emb.filter(F.col("vec_id") < 40)
+                 .select((F.col("vec_id") + 100000).alias("vec_id"),
+                         F.transform("embedding", lambda x: -x)
+                         .alias("embedding")))
+        ANN.append_to_ivfpq_index(delta, idx, "vec_id", "embedding")
     queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     out = ANN.ivfpq_topk_at_rest(spark, idx, queries, "vec_id",
                                  "embedding", k=_PQ01_K,

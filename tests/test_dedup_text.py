@@ -692,6 +692,35 @@ def test_ivfpq_at_rest_matches_portable_and_prunes(spark, tables, tmp_path):
         == [[(c, [round(x, 9) for x in v]) for c, v in b] for b in books2]
 
 
+def test_ivfpq_append_serves_new_vectors(spark, tables, tmp_path):
+    """append_to_ivfpq_index: vectors appended with the STORED quantizers
+    become retrievable through the same partition-pruned probes — an
+    exact duplicate of a query vector appended post-build must surface
+    as its top ADC neighbor."""
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivfpq_app")
+    ANN.write_ivfpq_index(emb, path, "vec_id", "embedding",
+                          n_clusters=8, m=4, ks=8, n_iter=2)
+    delta = (emb.filter(F.col("vec_id") < 4)
+             .select((F.col("vec_id") + 50000).alias("vec_id"),
+                     F.col("embedding")))
+    ANN.append_to_ivfpq_index(delta, path, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = ANN.ivfpq_topk_at_rest(spark, path, queries, "vec_id",
+                                 "embedding", k=3, n_probe=3)
+    top = {r["query_id"]: r["neighbor_id"]
+           for r in got.filter(F.col("rank") == 1).collect()}
+    # identical vector -> identical codes -> maximal ADC cosine; min-id
+    # tiebreak can prefer another exact-dup id, so assert the clone is
+    # in the top ranks with the query's own ADC self-similarity
+    ranked = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    for q in range(4):
+        assert (q, q + 50000) in ranked or top.get(q) == q + 50000, (
+            q, sorted(p for p in ranked if p[0] == q))
+
+
 def test_edit_distance_pairs_matches_quadratic(spark, tables):
     from pyspark.sql import functions as F
     from dataqtor_spark.operators import dedup as DD
