@@ -858,6 +858,43 @@ def ivf_ingest_batch(batch: DataFrame, epoch_id: int, path: str,
     return True
 
 
+def ivfpq_ingest_batch(batch: DataFrame, epoch_id: int, path: str,
+                       id_col: str, vec_col: str) -> bool:
+    """One idempotent micro-batch append into a ``write_ivfpq_index``
+    layout: encode with the STORED quantizer sidecars (no retrain),
+    append only the touched cluster directories, epoch-ledger replay
+    safety — the PQ-coded sibling of :func:`ivf_ingest_batch`, same
+    one-checkpoint-lineage ledger contract."""
+    from dataqtor_spark.operators import ann as ANN
+
+    spark = batch.sparkSession
+    marker = f"{path}/_epoch_ledger/{int(epoch_id)}"
+    if _fs_exists(spark, marker):
+        return False
+    ANN.append_to_ivfpq_index(batch.dropDuplicates([id_col]), path,
+                              id_col, vec_col)
+    _fs_mkdirs(spark, marker)
+    return True
+
+
+def stream_ivfpq_ingest_sink(stream: DataFrame, path: str, checkpoint: str,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding"):
+    """Streaming IVF-PQ index maintenance: each micro-batch of embeddings
+    is PQ-encoded with the stored codebooks and lands in the partitioned
+    code layout via :func:`ivfpq_ingest_batch`; readers keep serving
+    through ``ann.ivfpq_topk_at_rest`` unchanged (new codes visible as
+    their files land, same partition pruning).  The index must exist
+    (``ann.write_ivfpq_index`` on a seed corpus); quantizer aging between
+    rebuilds is the documented ``append_to_ivfpq_index`` trade."""
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        ivfpq_ingest_batch(batch, epoch_id, path, id_col, vec_col)
+
+    return (stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
 def stream_ivf_ingest_sink(stream: DataFrame, path: str, checkpoint: str,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding"):

