@@ -436,6 +436,45 @@ def correlations(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def partial_correlations(df: DataFrame, pairs: list[tuple[str, str]],
+                         given: str) -> DataFrame:
+    """First-order partial Pearson correlations: for each (x, y) pair,
+    the correlation REMAINING after the control column ``given`` is
+    regressed out of both — the screen that separates direct association
+    from a shared-driver artifact (the §2.10 matrix says WHETHER two
+    columns move together; this says whether they still do once z is
+    held fixed).
+
+    One aggregate pass computes every needed pairwise ``corr``; the
+    closed form ``(r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))`` then runs
+    on the 1-row bounded frame.  Pairwise r's round to 9 dp BEFORE
+    combining so both engines feed the formula identical inputs
+    (the cross-engine float device).  A control perfectly correlated
+    with either column yields NULL (zero denominator) via try_divide."""
+    cols = sorted({c for p in pairs for c in p})
+    need = {tuple(sorted(p)) for p in pairs}
+    need |= {tuple(sorted((c, given))) for c in cols}
+    aggs = [F.round(F.corr(F.col(a), F.col(b)), 9).alias(f"__r_{a}__{b}")
+            for a, b in sorted(need)]
+    one = df.agg(*aggs)
+
+    def r(a: str, b: str):
+        a, b = sorted((a, b))
+        return F.col(f"__r_{a}__{b}")
+
+    structs = []
+    for x, y in pairs:
+        num = r(x, y) - r(x, given) * r(y, given)
+        den = F.sqrt((1 - r(x, given) * r(x, given))
+                     * (1 - r(y, given) * r(y, given)))
+        structs.append(F.struct(
+            F.lit(x).alias("col_a"), F.lit(y).alias("col_b"),
+            F.lit(given).alias("given"),
+            F.round(r(x, y), 6).alias("pearson"),
+            F.round(F.try_divide(num, den), 6).alias("partial_r")))
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def _fractional_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
     """Join a fractional (average) rank column onto ``df``.
 

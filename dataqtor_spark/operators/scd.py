@@ -88,6 +88,35 @@ def scd2_merge(current: DataFrame, updates: DataFrame, key: str,
     return closed.unionByName(recomputed)
 
 
+def scd2_with_deletes(changes: DataFrame, deletes: DataFrame, key: str,
+                      ts_col: str, attr_cols: list[str],
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """SCD2 build over a change log WITH hard deletes (the CDC matrix's
+    missing quadrant): ``deletes`` rows are tombstones — a delete CLOSES
+    the key's open validity interval at the delete timestamp without
+    opening a new one, and a later change re-opens the key.
+
+    Tombstones ride the same run-collapse as changes via an explicit
+    ``__del`` flag folded into the run-boundary compare (never a
+    NULL-attr sentinel, so genuinely-NULL attribute values can't be
+    mistaken for deletion); tombstone runs are dropped AFTER interval
+    construction, which is what closes the preceding run — the lead()
+    that ends each interval sees the tombstone's start.  Same one-shuffle
+    shape as :func:`scd2_from_history`."""
+    tb = [tiebreak_col] if tiebreak_col else []
+    ch = (changes.select(key, *attr_cols, ts_col, *tb)
+          .withColumn("__del", F.lit(False)))
+    de = deletes.select(
+        F.col(key),
+        *[F.lit(None).cast(changes.schema[a].dataType).alias(a)
+          for a in attr_cols],
+        F.col(ts_col), *[F.col(c) for c in tb]).withColumn(
+            "__del", F.lit(True))
+    runs = scd2_from_history(ch.unionByName(de), key, ts_col,
+                             attr_cols + ["__del"], tiebreak_col)
+    return runs.filter(~F.col("__del")).drop("__del")
+
+
 def point_in_time_join(facts: DataFrame, scd2: DataFrame, key: str,
                        fact_ts: str, attr_cols: list[str],
                        suffix: str = "_at") -> DataFrame:

@@ -9692,3 +9692,95 @@ def ann12_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "embedding", k=_PQ01_K,
                                  n_probe=_ANN06_NPROBE)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- w05 — SCD2 with hard deletes (tombstones) ------------------------------
+# The CDC quadrant w02-w04 left open: events with event_id % 97 == 0 act
+# as the delete stream; a delete closes the key's open interval at the
+# tombstone timestamp without opening a new one, and later changes
+# re-open the key.  The __del flag rides the run-boundary compare (no
+# NULL-attr sentinel), tombstone runs drop after interval construction.
+_W05_SQL = """WITH h AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END
+           AS event_type,
+         (event_id % 97 = 0) AS del
+  FROM events
+), o AS (
+  SELECT user_id, event_type, ts, event_id, del,
+         lag(event_type) OVER w AS prev_t,
+         lag(del) OVER w AS prev_d
+  FROM h WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ts, event_id, del FROM o
+  WHERE prev_d IS NULL OR del <> prev_d
+        OR NOT (event_type IS NOT DISTINCT FROM prev_t)
+)
+SELECT user_id, event_type, valid_from, coalesce(valid_to_raw,
+       TIMESTAMP '2200-01-01') AS valid_to,
+       (valid_to_raw IS NULL) AS is_current
+FROM (
+  SELECT user_id, event_type, del, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to_raw
+  FROM s)
+WHERE NOT del"""
+
+
+@register("w05_scd2_deletes", _W05_SQL)
+def w05_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history with hard deletes: a deterministic tombstone stream
+    (event_id % 97 == 0) closes open intervals; later changes re-open."""
+    from dataqtor_spark.operators import scd as SCD
+
+    ev = _t(spark, sf_dir, "events")
+    tomb = F.pmod(F.col("event_id"), F.lit(97)) == 0
+    out = SCD.scd2_with_deletes(
+        ev.filter(~tomb), ev.filter(tomb), "user_id", "ts",
+        ["event_type"], tiebreak_col="event_id")
+    return out.withColumn("valid_to", F.coalesce(
+        F.col("valid_to"), F.lit("2200-01-01").cast("timestamp")))
+
+
+# --- pr27 — partial correlations (control for a shared driver) --------------
+# The §2.10 matrix says whether two measures move together; pr27 asks
+# whether they STILL do once a control column is held fixed — the
+# classic shared-driver screen.  Pairwise r's round to 9 dp before the
+# closed form so both engines combine identical inputs; the formula
+# itself is a handful of deterministic flops on a 1-row frame.
+_PR27_PAIRS = [("l_quantity", "l_extendedprice"),
+               ("l_quantity", "l_discount"),
+               ("l_extendedprice", "l_discount")]
+_PR27_GIVEN = "l_tax"
+
+
+def _pr27_sql() -> str:
+    cols = sorted({c for p in _PR27_PAIRS for c in p})
+    need = {tuple(sorted(p)) for p in _PR27_PAIRS}
+    need |= {tuple(sorted((c, _PR27_GIVEN))) for c in cols}
+    aggs = ", ".join(f"round(corr({a}, {b}), 9) AS r_{a}__{b}"
+                     for a, b in sorted(need))
+
+    def r(a, b):
+        a, b = sorted((a, b))
+        return f"r_{a}__{b}"
+
+    sels = []
+    for x, y in _PR27_PAIRS:
+        rxy, rxz, ryz = r(x, y), r(x, _PR27_GIVEN), r(y, _PR27_GIVEN)
+        sels.append(f"""SELECT '{x}' AS col_a, '{y}' AS col_b,
+       '{_PR27_GIVEN}' AS given, round({rxy}, 6) AS pearson,
+       round(({rxy} - {rxz} * {ryz})
+             / sqrt((1 - {rxz} * {rxz}) * (1 - {ryz} * {ryz})), 6)
+         AS partial_r
+FROM c""")
+    return (f"WITH c AS (SELECT {aggs} FROM lineitem)\n"
+            + "\nUNION ALL\n".join(sels))
+
+
+@register("pr27_partial_correlations", _pr27_sql())
+def pr27_partial_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial Pearson correlations of the lineitem measures
+    controlling for l_tax — one aggregate pass, closed-form combine."""
+    return P.partial_correlations(_t(spark, sf_dir, "lineitem"),
+                                  _PR27_PAIRS, _PR27_GIVEN)

@@ -192,3 +192,33 @@ def test_sampled_null_profile_within_bounds(spark, tables):
     assert abs(est["est_null_pct"] - exact["c_acctbal"]) \
         <= max(3 * est["pct_half_width_2sigma"], 2.0)
     assert est["sampled_records"] < cust.count()
+
+
+def test_partial_correlation_removes_shared_driver(spark):
+    """x and y both driven by z plus independent noise: raw Pearson is
+    strongly positive, but controlling for z the partial correlation
+    collapses toward zero; against numpy's closed form it matches to
+    the rounding the operator applies."""
+    import numpy as np
+
+    from dataqtor_spark.operators import profile as P
+
+    rng = np.random.RandomState(7)
+    z = rng.normal(0, 1, 4000)
+    x = 2.0 * z + rng.normal(0, 1, 4000)
+    y = -1.5 * z + rng.normal(0, 1, 4000)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double")
+    row = P.partial_correlations(df, [("x", "y")], "z").collect()[0]
+    assert row["pearson"] < -0.5, "shared driver must dominate raw r"
+    assert abs(row["partial_r"]) < 0.1, "control must remove it"
+    rxy, rxz, ryz = (round(float(np.corrcoef(x, y)[0, 1]), 9),
+                     round(float(np.corrcoef(x, z)[0, 1]), 9),
+                     round(float(np.corrcoef(y, z)[0, 1]), 9))
+    want = round((rxy - rxz * ryz)
+                 / ((1 - rxz ** 2) * (1 - ryz ** 2)) ** 0.5, 6)
+    assert abs(row["partial_r"] - want) < 2e-6, (row["partial_r"], want)
+    # degenerate control: z vs z -> NULL, never a divide error
+    row2 = P.partial_correlations(df, [("x", "z")], "z").collect()[0]
+    assert row2["partial_r"] is None

@@ -368,3 +368,39 @@ def test_write_hilbert_ordered_prunes_both_dims(spark, tmp_path):
     # a narrow predicate on EITHER clustered dimension opens few files
     assert file_overlap_fraction(path, "x", 0, 31) < 0.7
     assert file_overlap_fraction(path, "y", 0, 31) < 0.7
+
+
+def test_scd2_with_deletes_hand_sequence(spark):
+    """Tombstone semantics: a delete closes the open interval at the
+    delete ts without opening a new one; a later change re-opens the
+    key; repeated values across a delete form distinct runs; deletes of
+    unknown keys are no-ops; genuinely-NULL attribute values are NOT
+    mistaken for deletion."""
+    import datetime as dt
+
+    from dataqtor_spark.operators import scd as SCD
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    ch = spark.createDataFrame(
+        [(1, "A", t(1), 10), (1, "A", t(5), 50),   # same value re-set
+         (1, "B", t(9), 90),                        # re-open after delete
+         (2, "X", t(2), 20),
+         (3, None, t(1), 11)],                      # NULL attr, real row
+        "user_id long, v string, ts timestamp, event_id long")
+    de = spark.createDataFrame(
+        [(1, t(3), 30),      # closes user 1's A run at day 3
+         (2, t(6), 60),      # closes user 2 for good
+         (9, t(4), 40)],     # unknown key: no-op
+        "user_id long, ts timestamp, event_id long")
+    got = sorted(
+        (r["user_id"], r["v"], r["valid_from"].day,
+         r["valid_to"].day if r["valid_to"] else None, r["is_current"])
+        for r in SCD.scd2_with_deletes(ch, de, "user_id", "ts", ["v"],
+                                       tiebreak_col="event_id").collect())
+    assert got == [
+        (1, "A", 1, 3, False),    # closed BY the tombstone
+        (1, "A", 5, 9, False),    # re-set after delete = new run
+        (1, "B", 9, None, True),
+        (2, "X", 2, 6, False),    # deleted, never re-opened
+        (3, None, 1, None, True), # NULL attr is a value, not a delete
+    ], got
