@@ -306,3 +306,55 @@ def grid_density_clusters(df: DataFrame, lat_col: str, lng_col: str,
     return (labeled.groupBy(F.col("component").alias("cluster"))
             .agg(F.count(F.lit(1)).alias("n_cells"),
                  F.sum("n_points").alias("n_points")))
+
+
+def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
+                          id_col: str = "pt_id", x_col: str = "x",
+                          y_col: str = "y") -> DataFrame:
+    """Spatial containment join: ``(point id, poly_id)`` for every point
+    strictly inside a polygon — even-odd ray casting, DIVISION-FREE.
+
+    ``polygons`` is ``(poly_id, xs array<double>, ys array<double>)``
+    (vertices in order, implicit closing edge).  The standard crossing
+    test ``px < x1 + (x2−x1)(py−y1)/(y2−y1)`` is rewritten as the
+    sign of ``(px−x1)(y2−y1) − (x2−x1)(py−y1)`` flipped by the edge
+    direction, so no division ever executes — exact IEEE products make
+    the test engine-reproducible AND remove the div-by-zero hazard on
+    horizontal edges (ANSI mode throws; AND gives no short-circuit
+    guarantee inside codegen).  Points exactly ON a boundary classify
+    arbitrarily (the even-odd rule's standard caveat) but
+    DETERMINISTICALLY — the same point gets the same answer on every
+    engine, which is what the differential oracle needs.
+
+    Scale shape: polygons broadcast (a polygon table is dimension-sized)
+    and the test is one codegen'd aggregate over the vertex array per
+    (point, bbox-candidate polygon) — the bounding-box prefilter inside
+    the same BroadcastNestedLoopJoin keeps the per-point work
+    proportional to polygons whose box the point actually hits.  For
+    thousands of polygons, block on grid cells first (the geo03
+    device) and feed each cell's candidates through this join."""
+    polys = polygons.select(
+        "poly_id", "xs", "ys",
+        F.array_min("xs").alias("__x0"), F.array_max("xs").alias("__x1"),
+        F.array_min("ys").alias("__y0"), F.array_max("ys").alias("__y1"))
+    px, py = F.col(x_col), F.col(y_col)
+    bbox = ((px >= F.col("__x0")) & (px <= F.col("__x1"))
+            & (py >= F.col("__y0")) & (py <= F.col("__y1")))
+    n = F.size("xs")
+    crossings = F.expr(f"""aggregate(sequence(1, size(xs)), 0, (acc, i) ->
+      acc + (CASE WHEN (element_at(ys, i) > {y_col})
+                       != (element_at(ys, i % size(ys) + 1) > {y_col})
+                  AND (({x_col} - element_at(xs, i))
+                        * (element_at(ys, i % size(ys) + 1)
+                           - element_at(ys, i))
+                       - (element_at(xs, i % size(xs) + 1)
+                          - element_at(xs, i))
+                         * ({y_col} - element_at(ys, i)))
+                      * (CASE WHEN element_at(ys, i % size(ys) + 1)
+                                   > element_at(ys, i)
+                              THEN 1.0 ELSE -1.0 END) < 0.0
+             THEN 1 ELSE 0 END))""")
+    return (points.join(F.broadcast(polys), bbox)
+            .withColumn("__cross", crossings)
+            .filter(F.pmod(F.col("__cross"), F.lit(2)) == 1)
+            .select(F.col(id_col), "poly_id"))

@@ -9784,3 +9784,73 @@ def pr27_partial_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     controlling for l_tax — one aggregate pass, closed-form combine."""
     return P.partial_correlations(_t(spark, sf_dir, "lineitem"),
                                   _PR27_PAIRS, _PR27_GIVEN)
+
+
+# --- geo05 — point-in-polygon containment join ------------------------------
+# Even-odd ray casting as a DIVISION-FREE column expression (sign of the
+# cross product, flipped by edge direction — exact IEEE products, no
+# div-by-zero hazard on horizontal edges, engine-reproducible).  Points
+# = the geo03/geo04 derived cloud; polygons = three literal regions
+# (triangle / pentagon / quad).  Polygons broadcast; the bbox prefilter
+# rides the same join.  Report: per-polygon point count + key range.
+_GEO05_POLYS = [
+    (1, [0.0, 40.0, 10.0], [0.0, 10.0, 40.0]),
+    (2, [-120.0, -140.0, -100.0, -60.0, -80.0],
+        [-60.0, -20.0, 0.0, -30.0, -70.0]),
+    (3, [100.0, 120.0, 160.0, 150.0], [50.0, 80.0, 70.0, 40.0]),
+]
+
+_GEO05_VALUES = ", ".join(
+    f"({pid}, {xs}, {ys})" for pid, xs, ys in _GEO05_POLYS)
+
+_GEO05_SQL = f"""WITH pts AS (
+  SELECT c_custkey AS pt_id,
+         ((c_custkey * 104729) % 35900) / 100.0 - 179.5 AS x,
+         ((c_custkey * 7919) % 17000) / 100.0 - 85.0 AS y
+  FROM customer
+), polys AS (
+  SELECT * FROM (VALUES {_GEO05_VALUES}) t(poly_id, xs, ys)
+), edges AS (
+  SELECT poly_id, xs[i] AS x1, ys[i] AS y1,
+         xs[i % len(xs) + 1] AS x2, ys[i % len(ys) + 1] AS y2
+  FROM polys, unnest(generate_series(1, len(xs))) t(i)
+), cand AS (
+  SELECT p.pt_id, q.poly_id, p.x, p.y
+  FROM pts p JOIN polys q
+    ON p.x >= list_min(q.xs) AND p.x <= list_max(q.xs)
+   AND p.y >= list_min(q.ys) AND p.y <= list_max(q.ys)
+), cr AS (
+  SELECT c.pt_id, c.poly_id,
+         sum(CASE WHEN (e.y1 > c.y) <> (e.y2 > c.y)
+                  AND ((c.x - e.x1) * (e.y2 - e.y1)
+                       - (e.x2 - e.x1) * (c.y - e.y1))
+                      * (CASE WHEN e.y2 > e.y1
+                              THEN 1.0 ELSE -1.0 END) < 0.0
+             THEN 1 ELSE 0 END) AS n_cross
+  FROM cand c JOIN edges e USING (poly_id)
+  GROUP BY 1, 2
+)
+SELECT poly_id, count(*)::BIGINT AS n_points,
+       min(pt_id)::BIGINT AS min_key, max(pt_id)::BIGINT AS max_key
+FROM cr WHERE n_cross % 2 = 1 GROUP BY 1"""
+
+
+@register("geo05_point_in_polygon", _GEO05_SQL)
+def geo05_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join of the derived point cloud against three literal
+    polygons (enrich.point_in_polygon_join): per-polygon point count and
+    key range."""
+    from dataqtor_spark.operators import enrich as E
+
+    did = F.col("c_custkey")
+    pts = _t(spark, sf_dir, "customer").select(
+        did.alias("pt_id"),
+        (((did * 104729) % 35900) / 100.0 - 179.5).alias("x"),
+        (((did * 7919) % 17000) / 100.0 - 85.0).alias("y"))
+    polys = spark.createDataFrame(
+        _GEO05_POLYS, "poly_id int, xs array<double>, ys array<double>")
+    inside = E.point_in_polygon_join(pts, polys)
+    return (inside.groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min("pt_id").alias("min_key"),
+                 F.max("pt_id").alias("max_key")))

@@ -346,3 +346,31 @@ def test_grid_density_fine_grid_no_key_collision(spark):
         E.grid_density_clusters(df, "lat", "lng", cell_deg=cell,
                                 min_pts=4).collect())
     assert got == [(1, 4), (1, 4)], got
+
+
+def test_point_in_polygon_hand_geometry(spark):
+    """Known containment facts: inside / outside / concave notch /
+    bbox-inside-but-polygon-outside; a point exactly on a boundary
+    classifies arbitrarily (even-odd caveat) but deterministically —
+    asserted against the rule's actual output."""
+    from dataqtor_spark.operators import enrich as E
+
+    # concave "C" shape: 0..10 square with a notch cut from the right
+    polys = spark.createDataFrame(
+        [(1, [0.0, 10.0, 10.0, 4.0, 4.0, 10.0, 10.0, 0.0],
+             [0.0, 0.0, 3.0, 3.0, 7.0, 7.0, 10.0, 10.0])],
+        "poly_id int, xs array<double>, ys array<double>")
+    pts = spark.createDataFrame(
+        [(1, 2.0, 5.0),    # deep inside the C
+         (2, 7.0, 5.0),    # inside the NOTCH (bbox yes, polygon no)
+         (3, 7.0, 1.5),    # lower arm of the C
+         (4, 7.0, 8.5),    # upper arm of the C
+         (5, 11.0, 5.0),   # outside bbox
+         (6, 0.0, 5.0),    # exactly ON the left edge: boundary points
+                           # classify arbitrarily but deterministically
+                           # (this one lands inside via the notch edge)
+         (7, -1.0, 5.0)],  # outside, same ray as edge cases
+        "pt_id long, x double, y double")
+    got = {r["pt_id"] for r in
+           E.point_in_polygon_join(pts, polys).collect()}
+    assert got == {1, 3, 4, 6}, got
