@@ -1442,3 +1442,30 @@ def curriculum_phases(df: DataFrame, id_col: str = "doc_id",
                  .alias("sum_quality"),
                  F.min("quality_score").alias("min_quality"),
                  F.max("quality_score").alias("max_quality")))
+
+
+def calibration_report(df: DataFrame, score: Column, label: Column,
+                       n_bins: int = 10) -> DataFrame:
+    """Reliability diagram of a [0,1] classifier score against a binary
+    label: equal-width score bins with ``(n, avg_score, label_rate,
+    abs_gap)`` per bin — the table behind expected calibration error
+    (ECE = Σ n_b/N·|avg_score_b − rate_b|) and the first thing to check
+    before trusting a quality filter's threshold at corpus scale.
+
+    Cross-engine determinism: the score is 6-dp-rounded BEFORE binning
+    and summing (DECIMAL accumulation, one divide at the end — the t31
+    device), so bin membership and averages are bit-identical however
+    the engines order their partial sums."""
+    s6 = F.round(score, 6).cast("decimal(18,6)")
+    b = F.least(F.floor(s6 * n_bins).cast("int"), F.lit(n_bins - 1))
+    base = df.select(b.alias("bin"), s6.alias("__s"),
+                     label.cast("int").alias("__y"))
+    return (base.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round((F.sum("__s") / F.count(F.lit(1))).cast("double"),
+                         4).alias("avg_score"),
+                 F.round(F.sum("__y") / F.count(F.lit(1)), 4)
+                 .alias("label_rate"))
+            .withColumn("abs_gap",
+                        F.round(F.abs(F.col("avg_score")
+                                      - F.col("label_rate")), 4)))

@@ -9854,3 +9854,54 @@ def geo05_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_points"),
                  F.min("pt_id").alias("min_key"),
                  F.max("pt_id").alias("max_key")))
+
+
+# --- ml01 — quality-classifier calibration report (ECE bins) ----------------
+# Before trusting a learned quality filter's threshold at corpus scale,
+# check its calibration: equal-width score bins vs the empirical rate of
+# an independent label (here the length+stopword prose gate).  Scores
+# 6-dp-round BEFORE binning and DECIMAL-sum per bin (the t31 device), so
+# bin membership and averages are engine-exact; ECE is one more fold the
+# consumer can take over the table.
+_ML01_SQL = f"""WITH f AS (
+  SELECT
+    round(length(text) * 1.0 / greatest({_T31_NT}, 1), 4) AS atl,
+    round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
+          / greatest(length(text), 1), 4) AS pr,
+    round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+          / greatest(length(text), 1), 4) AS dr,
+    round(len(regexp_extract_all(text, '[A-Z]')) * 1.0
+          / greatest(length(text), 1), 4) AS ur,
+    round(len(regexp_extract_all(text,
+          '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b')) * 1.0
+          / greatest({_T31_NT}, 1), 4) AS sr,
+    {_T31_NT} AS nt
+  FROM documents
+), s AS (
+  SELECT round(0.5 + 0.5 * logit / (1.0 + abs(logit)),
+               6)::DECIMAL(18,6) AS p,
+         (CASE WHEN nt >= 40 AND sr >= 0.05 THEN 1 ELSE 0 END) AS y
+  FROM (SELECT nt, sr,
+          (-1.5 + 6.0 * sr - 8.0 * pr - 5.0 * dr - 3.0 * ur
+           - 0.4 * abs(atl - 5.0) + 0.08 * least(nt, 100)) AS logit
+        FROM f)
+)
+SELECT bin, count(*)::BIGINT AS n_docs,
+       round((sum(p) / count(*))::DOUBLE, 4) AS avg_score,
+       round(sum(y) * 1.0 / count(*), 4) AS label_rate,
+       round(abs(round((sum(p) / count(*))::DOUBLE, 4)
+                 - round(sum(y) * 1.0 / count(*), 4)), 4) AS abs_gap
+FROM (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y FROM s)
+GROUP BY 1"""
+
+
+@register("ml01_calibration_report", _ML01_SQL)
+def ml01_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins of the fixed-weight quality classifier against
+    the length+stopword prose gate (textstats.calibration_report)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    label = ((feats["n_tokens"] >= 40)
+             & (F.round(feats["stopword_ratio"], 4) >= 0.05))
+    return TX.calibration_report(docs, TX.quality_logistic(F.col("text")),
+                                 label)
