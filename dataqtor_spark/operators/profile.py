@@ -1288,6 +1288,32 @@ def entropy_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(F.sum(mi_term), 6).alias("mutual_information"))
 
 
+def theils_u(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Theil's uncertainty coefficient, BOTH directions: U(A|B) = I(A;B)
+    / H(A) is the fraction of A's entropy explained by knowing B — the
+    ASYMMETRIC dependence measure the symmetric matrix family (Cramér's
+    V, NMI) can't express: a category that determines another without
+    the converse (city → nation but not nation → city) shows up as
+    U(B|A) ≈ 1, U(A|B) ≪ 1.
+
+    Same single joint-count shuffle as :func:`entropy_mi`; H and I round
+    to 9 dp BEFORE the ratio so both engines divide identical inputs;
+    zero-entropy columns yield NULL via try_divide (a constant column
+    explains nothing and nothing explains it)."""
+    base = entropy_mi(df, col_a, col_b).select(
+        F.round(F.col("entropy_a"), 9).alias("__ha"),
+        F.round(F.col("entropy_b"), 9).alias("__hb"),
+        F.round(F.col("mutual_information"), 9).alias("__mi"))
+    return base.select(
+        F.lit(col_a).alias("col_a"), F.lit(col_b).alias("col_b"),
+        F.col("__ha").alias("entropy_a"), F.col("__hb").alias("entropy_b"),
+        F.col("__mi").alias("mutual_information"),
+        F.round(F.try_divide(F.col("__mi"), F.col("__ha")), 6)
+        .alias("u_a_given_b"),
+        F.round(F.try_divide(F.col("__mi"), F.col("__hb")), 6)
+        .alias("u_b_given_a"))
+
+
 # ---------------------------------------------------------------------------
 # sequence-gap detection (islands & gaps) and NTILE decile profiling
 # ---------------------------------------------------------------------------

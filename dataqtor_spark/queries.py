@@ -9905,3 +9905,52 @@ def ml01_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.round(feats["stopword_ratio"], 4) >= 0.05))
     return TX.calibration_report(docs, TX.quality_logistic(F.col("text")),
                                  label)
+
+
+# --- pr28 — Theil's U (asymmetric dependence) --------------------------------
+# The direction the symmetric family (pr04 Cramér's V, pr26 NMI) can't
+# see: U(A|B) = I/H(A) vs U(B|A) = I/H(B).  Entropies and MI round to
+# 9 dp before the ratio (both engines divide identical inputs); the
+# heavy path is pr18's single joint-count shuffle.  Pairs chosen so the
+# asymmetry is real: l_returnflag (3 values) and l_linestatus (2) are
+# strongly but unevenly coupled, while orders' status/priority pair
+# mirrors pr18's near-independent baseline.
+_PR28_PAIRS = [("orders", "o_orderstatus", "o_orderpriority"),
+               ("lineitem", "l_returnflag", "l_linestatus")]
+
+
+def _pr28_sql() -> str:
+    blocks = []
+    for tbl, a, b in _PR28_PAIRS:
+        blocks.append(f"""SELECT * FROM (
+WITH j AS (
+  SELECT {a} AS a, {b} AS b, count(*) * 1.0 AS n
+  FROM {tbl} WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2
+), t AS (SELECT sum(n) AS t FROM j),
+pa AS (SELECT a, sum(n) AS na FROM j GROUP BY a),
+pb AS (SELECT b, sum(n) AS nb FROM j GROUP BY b),
+f AS (SELECT j.*, pa.na, pb.nb, t.t
+      FROM j JOIN pa USING (a) JOIN pb USING (b) CROSS JOIN t),
+e AS (SELECT
+  round(round(-sum((na / t) * ln(na / t) * n / na), 6), 9) AS ha,
+  round(round(-sum((nb / t) * ln(nb / t) * n / nb), 6), 9) AS hb,
+  round(round(sum((n / t) * ln((n / t) / ((na / t) * (nb / t)))), 6), 9)
+    AS mi
+FROM f)
+SELECT '{a}' AS col_a, '{b}' AS col_b, ha AS entropy_a, hb AS entropy_b,
+       mi AS mutual_information,
+       round(CASE WHEN ha <> 0 THEN mi / ha END, 6) AS u_a_given_b,
+       round(CASE WHEN hb <> 0 THEN mi / hb END, 6) AS u_b_given_a
+FROM e)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+@register("pr28_theils_u", _pr28_sql())
+def pr28_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric dependence (Theil's U) for two categorical pairs —
+    profile.theils_u, one joint-count shuffle per pair."""
+    out = None
+    for tbl, a, b in _PR28_PAIRS:
+        row = P.theils_u(_t(spark, sf_dir, tbl), a, b)
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -222,3 +222,20 @@ def test_partial_correlation_removes_shared_driver(spark):
     # degenerate control: z vs z -> NULL, never a divide error
     row2 = P.partial_correlations(df, [("x", "z")], "z").collect()[0]
     assert row2["partial_r"] is None
+
+
+def test_theils_u_asymmetry_and_bounds(spark):
+    """A determines B exactly (B = A mod 2) while B only halves A's
+    uncertainty: U(B|A) = 1, U(A|B) < 1; a constant column yields NULL
+    (zero entropy), never a divide error."""
+    from dataqtor_spark.operators import profile as P
+
+    rows = [(str(i % 4), str(i % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = P.theils_u(df, "a", "b").collect()[0]
+    assert r["u_b_given_a"] == 1.0          # A -> B deterministic
+    assert 0.4 < r["u_a_given_b"] < 0.6     # B halves A's 2 bits
+    const = spark.createDataFrame([("x", str(i % 2)) for i in range(10)],
+                                  "a string, b string")
+    r2 = P.theils_u(const, "a", "b").collect()[0]
+    assert r2["u_a_given_b"] is None        # H(A) = 0
