@@ -1288,6 +1288,40 @@ def entropy_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(F.sum(mi_term), 6).alias("mutual_information"))
 
 
+def json_key_type_profile(df: DataFrame, json_col: str,
+                          keys: list[str]) -> DataFrame:
+    """Schema inference over a variant JSON string column: per key, the
+    coverage (fraction of rows where the key is present) and a type
+    histogram (int / float / bool / string) — the profile that tells you
+    which keys are promotable to real columns and with what type.
+
+    Classification happens on the EXTRACTED STRING form by regex (both
+    engines return scalars as bare strings), never via engine ``typeof``
+    whose type names differ — so the histogram replays identically.
+    One scan, |keys| extractions per row, all codegen'd."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, k in enumerate(keys):
+        v = F.get_json_object(F.col(json_col), f"$.{k}")
+        aggs += [
+            F.sum(v.isNotNull().cast("long")).alias(f"__p{i}"),
+            F.sum(v.rlike(r"^-?[0-9]+$").cast("long")).alias(f"__i{i}"),
+            F.sum(v.rlike(r"^-?[0-9]+\.[0-9]+$").cast("long"))
+            .alias(f"__f{i}"),
+            F.sum(v.isin("true", "false").cast("long")).alias(f"__b{i}"),
+        ]
+    one = df.agg(*aggs)
+    structs = []
+    for i, k in enumerate(keys):
+        p, ii, ff, bb = (F.col(f"__p{i}"), F.col(f"__i{i}"),
+                         F.col(f"__f{i}"), F.col(f"__b{i}"))
+        structs.append(F.struct(
+            F.lit(k).alias("key"), p.alias("n_present"),
+            F.round(p / F.col("__n"), 4).alias("coverage"),
+            ii.alias("n_int"), ff.alias("n_float"), bb.alias("n_bool"),
+            (p - ii - ff - bb).alias("n_string")))
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def theils_u(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Theil's uncertainty coefficient, BOTH directions: U(A|B) = I(A;B)
     / H(A) is the fraction of A's entropy explained by knowing B — the

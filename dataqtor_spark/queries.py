@@ -9954,3 +9954,72 @@ def pr28_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = P.theils_u(_t(spark, sf_dir, tbl), a, b)
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- x04 — JSON key/type inference profile ----------------------------------
+# Which variant keys are promotable to real columns, and as what type?
+# A heterogeneous JSON column is derived deterministically from events
+# (four textual shapes — int, int+string, int+decimal, bare bool — built
+# by string concatenation of INTEGER casts only, so both engines
+# construct byte-identical JSON), then profiled per key: coverage + a
+# type histogram classified by REGEX on the extracted string form
+# (never engine typeof, whose type names differ).
+_X04_KEYS = ["k", "tag", "score", "flag"]
+
+_X04_VARIANT = ("CASE event_id % 4 "
+                "WHEN 0 THEN '{\"k\": ' || CAST(k AS VARCHAR) "
+                "|| ', \"tag\": \"a\"}' "
+                "WHEN 1 THEN '{\"k\": ' || CAST(k AS VARCHAR) "
+                "|| ', \"score\": ' || CAST(k AS VARCHAR) || '.5}' "
+                "WHEN 2 THEN '{\"flag\": true}' "
+                "ELSE props END")
+
+_FLOAT_RE = "-?[0-9]+\\.[0-9]+"
+_INT_RE = "-?[0-9]+"
+
+
+def _x04_key_sql(k: str) -> str:
+    return f"""SELECT '{k}' AS key,
+  count(v_{k})::BIGINT AS n_present,
+  round(count(v_{k}) * 1.0 / count(*), 4) AS coverage,
+  sum(CASE WHEN regexp_full_match(v_{k}, '{_INT_RE}')
+           THEN 1 ELSE 0 END)::BIGINT AS n_int,
+  sum(CASE WHEN regexp_full_match(v_{k}, '{_FLOAT_RE}')
+           THEN 1 ELSE 0 END)::BIGINT AS n_float,
+  sum(CASE WHEN v_{k} IN ('true', 'false') THEN 1 ELSE 0 END)::BIGINT
+    AS n_bool,
+  (count(v_{k})
+   - sum(CASE WHEN regexp_full_match(v_{k}, '{_INT_RE}')
+              OR regexp_full_match(v_{k}, '{_FLOAT_RE}')
+              OR v_{k} IN ('true', 'false')
+         THEN 1 ELSE 0 END))::BIGINT AS n_string
+FROM e"""
+
+
+_X04_EXTRACTS = ", ".join(f"json_extract_string(j, '$.{k}') AS v_{k}"
+                          for k in _X04_KEYS)
+_X04_SQL = f"""WITH v AS (
+  SELECT {_X04_VARIANT} AS j
+  FROM (SELECT event_id, props,
+               CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+), e AS (
+  SELECT j, {_X04_EXTRACTS}
+  FROM v
+)
+""" + "\nUNION ALL\n".join(_x04_key_sql(k) for k in _X04_KEYS)
+
+
+@register("x04_json_type_profile", _X04_SQL)
+def x04_json_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-key schema inference (profile.json_key_type_profile) over
+    a derived four-shape JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int").cast("string")
+    j = (F.when(F.pmod("event_id", F.lit(4)) == 0,
+                F.concat(F.lit('{"k": '), k, F.lit(', "tag": "a"}')))
+         .when(F.pmod("event_id", F.lit(4)) == 1,
+               F.concat(F.lit('{"k": '), k, F.lit(', "score": '), k,
+                        F.lit('.5}')))
+         .when(F.pmod("event_id", F.lit(4)) == 2, F.lit('{"flag": true}'))
+         .otherwise(F.col("props")))
+    return P.json_key_type_profile(ev.select(j.alias("j")), "j", _X04_KEYS)

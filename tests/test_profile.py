@@ -239,3 +239,28 @@ def test_theils_u_asymmetry_and_bounds(spark):
                                   "a string, b string")
     r2 = P.theils_u(const, "a", "b").collect()[0]
     assert r2["u_a_given_b"] is None        # H(A) = 0
+
+
+def test_json_key_type_profile_classification(spark):
+    """Hand-built variant column: coverage and the regex type histogram
+    classify int/float/bool/string exactly; absent keys count absent."""
+    from dataqtor_spark.operators import profile as P
+
+    rows = [('{"a": 1, "b": "x"}',),
+            ('{"a": -2.5, "b": "true"}',),   # quoted "true" is a STRING
+            ('{"a": true}',),
+            ('{"b": "y"}',)]
+    df = spark.createDataFrame(rows, "j string")
+    got = {r["key"]: r for r in P.json_key_type_profile(
+        df, "j", ["a", "b", "missing"]).collect()}
+    a = got["a"]
+    assert (a["n_present"], a["coverage"]) == (3, 0.75)
+    assert (a["n_int"], a["n_float"], a["n_bool"], a["n_string"]) \
+        == (1, 1, 1, 0)
+    b = got["b"]
+    # extraction strips quotes: "true" the string is indistinguishable
+    # from true the bool in string form — classified bool (documented
+    # regex-on-extracted-form semantics, identical on both engines)
+    assert (b["n_present"], b["n_bool"], b["n_string"]) == (3, 1, 2)
+    assert got["missing"]["n_present"] == 0
+    assert got["missing"]["coverage"] == 0.0
