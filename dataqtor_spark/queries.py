@@ -10023,3 +10023,43 @@ def x04_json_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.pmod("event_id", F.lit(4)) == 2, F.lit('{"flag": true}'))
          .otherwise(F.col("props")))
     return P.json_key_type_profile(ev.select(j.alias("j")), "j", _X04_KEYS)
+
+
+# --- t37 — fuzzy benchmark decontamination (MinHash) -------------------------
+# t13 flags exact 5-gram overlap; t37 is the GPT-3/PaLM-style FUZZY
+# screen — train docs whose MinHash signature agrees with any benchmark
+# doc on >= 50% of positions, catching paraphrase/truncation
+# contamination.  Asymmetric LSH: the benchmark band table broadcasts,
+# the corpus never self-joins.  Same portable signature family as d03,
+# so the whole pipeline replays in SQL.
+_T37_THRESHOLD = 0.5
+
+
+def _t37_oracle_sql() -> str:
+    nh = _MH_HASHES
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                    for i in range(nh))
+    return f"""{_minhash_cte_prefix()},
+dcand AS (
+  SELECT DISTINCT l.doc_id AS cid, r.doc_id AS bid
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id % 20 <> 0 AND r.doc_id % 20 = 0),
+scored AS (
+  SELECT c.cid, round(({eq}) / {nh}.0, 6) AS est
+  FROM dcand c JOIN sig a ON a.doc_id = c.cid
+               JOIN sig b ON b.doc_id = c.bid)
+SELECT cid AS doc_id, count(*)::BIGINT AS n_bench_hits,
+       max(est) AS max_est_jaccard
+FROM scored WHERE est >= {_T37_THRESHOLD} GROUP BY 1"""
+
+
+@register("t37_fuzzy_decontaminate", _t37_oracle_sql())
+def t37_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash fuzzy decontamination of the training slice against the
+    held-out benchmark slice (dedup.minhash_decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return DD.minhash_decontaminate(
+        corpus, bench, "doc_id", "text", threshold=_T37_THRESHOLD,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_MH_SHINGLE)

@@ -1013,3 +1013,23 @@ def test_two_stage_rerank_recall_dominates_adc(spark, tables):
                                            "embedding", k=499).collect()}
     for r in rr.collect():
         assert r["cosine"] == brute[(r["query_id"], r["neighbor_id"])]
+
+
+def test_minhash_decontaminate_planted_paraphrase(spark):
+    """A train doc that is a light paraphrase of a benchmark doc (one
+    word changed in 30) is flagged with high estimated Jaccard; an
+    unrelated doc is not; exact copies score 1.0."""
+    from dataqtor_spark.operators import dedup as DD
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = base.replace("tok7", "changed")
+    other = " ".join(f"zzz{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, near), (2, other), (3, base)], "doc_id long, text string")
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in DD.minhash_decontaminate(
+        corpus, bench, "doc_id", "text", threshold=0.5).collect()}
+    assert 3 in got and got[3]["max_est_jaccard"] == 1.0
+    assert 1 in got and got[1]["max_est_jaccard"] >= 0.5
+    assert 2 not in got
+    assert got[1]["n_bench_hits"] == 1
