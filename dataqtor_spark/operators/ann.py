@@ -289,16 +289,29 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
                       vec_col: str, k: int = 10, n_clusters: int = 16,
                       n_probe: int = 3, n_iter: int = 2,
                       query_id_col: str | None = None,
-                      cache_key: str | None = None) -> DataFrame:
+                      cache_key: str | None = None,
+                      corpus_filter: Column | None = None) -> DataFrame:
     """IVF top-k on the portable deterministic quantizer — same probe/
     re-rank plan as :func:`ivf_topk` (corpus never shuffles; queries explode
     to (query × probe) and broadcast-join on cluster id), but every stage is
     reproducible in ANSI SQL, so the whole pipeline is differentially
     checkable.  The MLlib-trained :func:`ivf_topk` remains the scale path
-    when a stronger quantizer matters more than checkability."""
+    when a stronger quantizer matters more than checkability.
+
+    ``corpus_filter`` is FILTERED ANN (metadata-constrained retrieval):
+    the predicate restricts which corpus rows are scored while training
+    stays on the FULL corpus — the standard pre-filter semantics, where
+    the quantizer's geometry doesn't shift with the query's filter.  On
+    the at-rest layout the same predicate lands as PushedFilters beside
+    the cluster PartitionFilters, so selective filters cut the scan, not
+    just the score count.  A very selective filter starves probes
+    (fewer than k survivors per query) — raise ``n_probe``, exactly the
+    filtered-search recall trade every vector store documents."""
     query_id_col = query_id_col or id_col
     centers = train_ivf_centroids_portable(
         corpus, id_col, vec_col, n_clusters, n_iter, cache_key=cache_key)
+    if corpus_filter is not None:
+        corpus = corpus.filter(corpus_filter)
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(F.col(vec_col)).alias("__cv"))
          .withColumn("__cn", l2_norm(F.col("__cv")))

