@@ -236,7 +236,18 @@ def cusum_changepoint(df: DataFrame, ts_col: str = "ts",
         cusum   = prefix_v − idx·mean
         mean_before = prefix_v / idx
         mean_after  = (total − prefix_v) / (n − idx)
+
+    For the count series (``value_col=None``) everything is kept in EXACT
+    integer arithmetic: ``n·cusum_i = n·prefix_i − idx·total`` is a long,
+    so (a) the argmax ordering is an integer comparison — immune to the
+    prefix-sum association order differing between engines — and (b) the
+    three rounded outputs are exact integer rationals over denominators
+    n/idx/(n−idx), never a ``round(<double>, 4)`` near a tie (the t17
+    class; see functions/exact.py).  Magnitudes: n·prefix ≤ n_buckets ×
+    total_events ≈ 1e5·1e12 at 100 TB — inside int64.
     """
+    from dataqtor_spark.functions.exact import round_ratio
+
     width = _BUCKET_US[bucket]
     v = (F.count(F.lit(1)).cast("double") if value_col is None
          else F.sum(F.col(value_col).cast("double")))
@@ -250,6 +261,23 @@ def cusum_changepoint(df: DataFrame, ts_col: str = "ts",
            / F.lit(width) + 1).cast("long")
     indexed = (series.crossJoin(F.broadcast(mean_row))
                .withColumn("__idx", idx))
+    if value_col is None:
+        # counts: exact round-trip double→long (integers < 2^53)
+        indexed = indexed.withColumn("__vi", F.col("__v").cast("long"))
+        scored = _segmented_prefix_sum(indexed, "__idx", "__vi", "__pre")
+        n, i = F.col("__n"), F.col("__idx")
+        pre, tot = F.col("__pre"), F.col("__tot").cast("long")
+        num = n * pre - i * tot  # n·cusum_i, exact long
+        ma = F.when(i < n, round_ratio(tot - pre, n - i, 4))
+        return (scored
+                .orderBy(F.abs(num).desc(), F.col("__b").asc())
+                .limit(1)
+                .select(F.col("__b").alias("changepoint_ts"),
+                        round_ratio(F.abs(num), n, 4)
+                        .alias("max_abs_cusum"),
+                        round_ratio(pre, i, 4).alias("mean_before"),
+                        F.coalesce(ma, F.lit(0.0)).alias("mean_after"),
+                        n.cast("long").alias("n_buckets")))
     scored = _segmented_prefix_sum(indexed, "__idx", "__v", "__pre")
     cusum = F.col("__pre") - F.col("__idx") * F.col("__m")
     ma = F.when(F.col("__idx") < F.col("__n"),
@@ -633,8 +661,10 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     Reuses the posting-list pair expansion (ONE shuffle groups items per
     basket, pairs expand in-row); per-item supports come from the same
     deduped (basket, item) relation, and the scalar basket count rides a
-    broadcast.  Ratios follow the deterministic-float recipe (exact
-    counts, one double division each, rounded).  Both rule directions
+    broadcast.  Confidence and lift are ratios of exact integer counts,
+    rounded via the exact-integer device (functions/exact.py) —
+    ``round(<double ratio>, 6)`` flips at cross-engine ties.  Both rule
+    directions
     are emitted; top-k by (lift desc, a, b) total order, or the full
     (support-cut) rules table with ``top_k=None`` for downstream
     consumers (the recommendation join in mb03).
@@ -659,12 +689,18 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"))
     sa = supp.select(F.col("item").alias("a"), F.col("n_item").alias("n_a"))
     sb = supp.select(F.col("item").alias("b"), F.col("n_item").alias("n_b"))
+    from dataqtor_spark.functions.exact import round_ratio
+
     out = (both.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
            .select("a", "b", F.col("n_ab").cast("long").alias("support"),
-                   F.round(F.col("n_ab") / F.col("n_a"), 6)
+                   round_ratio(F.col("n_ab"), F.col("n_a"), 6)
                    .alias("confidence"),
-                   F.round((F.col("n_ab") / F.col("n_a"))
-                           / (F.col("n_b") / F.lit(float(n_baskets))), 6)
+                   # lift = (n_ab/n_a)/(n_b/N) = n_ab·N / (n_a·n_b)
+                   # (products in DECIMAL — long·long overflows ANSI at scale)
+                   round_ratio(F.col("n_ab").cast("decimal(38,0)")
+                               * F.lit(n_baskets),
+                               F.col("n_a").cast("decimal(38,0)")
+                               * F.col("n_b"), 6)
                    .alias("lift")))
     if top_k is None:
         return out
@@ -691,8 +727,16 @@ def seasonal_decompose(df: DataFrame, ts_col: str = "ts",
     so there is NO ordering window anywhere; edge buckets average over
     their in-grid neighbors only (partial frames, matching the SQL
     ``ROWS BETWEEN`` oracle).  The seasonal profile is a period-sized
-    broadcast.  All components rounded (6 dp trend/seasonal, 4 dp
-    remainder) so engines agree bit-for-bit."""
+    broadcast.  For the count series (``value_col=None``) every component
+    is EXACT integer arithmetic end to end (functions/exact.py):
+    trend6 = round6(Σ_window v / |window|) as a scaled long, seasonal6 =
+    round6(Σ_phase (10⁶·v − trend6) / (10⁶·n_phase)), remainder =
+    round4((10⁶·v − trend6 − seasonal6) / 10⁶) — ``round()`` never sees a
+    double, so no cross-engine rounding tie exists anywhere in the chain
+    (the t17 class).  The double path (explicit ``value_col``) keeps the
+    decimal-accumulation recipe."""
+    from dataqtor_spark.functions.exact import round_ratio, round_ratio_int
+
     width = _BUCKET_US[bucket]
     half = trend_window // 2
     v = (F.count(F.lit(1)).cast("double") if value_col is None
@@ -705,22 +749,44 @@ def seasonal_decompose(df: DataFrame, ts_col: str = "ts",
                    F.unix_micros(F.col("__b"))
                    - F.col("__j").cast("long") * F.lit(width))
                    .alias("__b"), "v"))
+    phase = F.pmod((F.unix_micros(F.col("__b")) / F.lit(width))
+                   .cast("long"), F.lit(period)).alias("__p")
+    if value_col is None:
+        # integer path: counts are exact longs; trend as a 10⁶-scaled long
+        trend = (contrib.groupBy("__b")
+                 .agg(round_ratio_int(F.sum(F.col("v").cast("long")),
+                                      F.count(F.lit(1)), 6).alias("__t6")))
+        joined = (series.join(trend, "__b").withColumn("__p", phase)
+                  .withColumn("__vi", F.col("v").cast("long")))
+        # per-row residual numerator 10⁶·v − trend6, summed in DECIMAL
+        # (10⁶·v alone can pass int64 at extreme scale)
+        resid = (F.col("__vi").cast("decimal(38,0)") * 1000000
+                 - F.col("__t6"))
+        seasonal = (joined.groupBy("__p")
+                    .agg(round_ratio_int(
+                        F.sum(resid),
+                        F.count(F.lit(1)).cast("decimal(38,0)") * 1000000,
+                        6).alias("__s6")))
+        rem_num = (F.col("__vi").cast("decimal(38,0)") * 1000000
+                   - F.col("__t6") - F.col("__s6"))
+        return (joined.join(F.broadcast(seasonal), "__p")
+                .select(F.col("__b").alias("bucket"),
+                        F.col("__vi").cast("double").alias("v"),
+                        (F.col("__t6") / F.lit(1e6)).cast("double")
+                        .alias("trend"),
+                        (F.col("__s6") / F.lit(1e6)).cast("double")
+                        .alias("seasonal"),
+                        round_ratio(rem_num, F.lit(1000000), 4)
+                        .alias("remainder")))
     trend = (contrib.groupBy("__b")
              .agg(F.round(F.avg("v"), 6).alias("trend")))
     # inner join drops the out-of-grid slots explode created beyond the
     # span; in-grid slots always survive (offset 0 contributes)
-    joined = series.join(trend, "__b")
-    phase = F.pmod((F.unix_micros(F.col("__b")) / F.lit(width))
-                   .cast("long"), F.lit(period)).alias("__p")
-    joined = joined.withColumn("__p", phase)
+    joined = series.join(trend, "__b").withColumn("__p", phase)
     # Seasonal mean via exact DECIMAL accumulation, not avg of doubles:
-    # each (v − trend) sits ~1e-10 off a 6 dp grid point (v is an exact
-    # integer-valued count, trend is 6 dp-rounded), so its decimal cast
-    # is deterministic — and the decimal SUM is order-independent, where
-    # a double avg's summation order varies per run/partitioning and can
-    # flip a value sitting on the final round()'s half boundary (the
-    # flake this replaces).  The double division and round then see
-    # bit-identical inputs in both engines.
+    # the decimal SUM is order-independent, where a double avg's summation
+    # order varies per run/partitioning and can flip a value sitting on
+    # the final round()'s half boundary.
     dec = (F.col("v") - F.col("trend")).cast("decimal(28,6)")
     seasonal = (joined.groupBy("__p")
                 .agg(F.round(F.sum(dec).cast("double")

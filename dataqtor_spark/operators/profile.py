@@ -320,13 +320,21 @@ def null_majority_rows(df: DataFrame, cols: list[str] | None = None) -> DataFram
 # ---------------------------------------------------------------------------
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None,
-                    exact_distinct: bool = False) -> DataFrame:
+                    exact_distinct: bool = False,
+                    exact_mean: tuple[int, int] | None = None) -> DataFrame:
     """One row per column: type, counts, distinct, numeric moments.
 
     Single aggregate pass.  ``distinct`` uses HyperLogLog
     (``approx_count_distinct``) by default — multiple exact COUNT DISTINCTs
     in one pass force an Expand operator that multiplies the scanned rows by
     the column count, which is exactly the wrong trade at 100 TB.
+
+    ``exact_mean=(in_scale, out_scale)`` declares the numeric inputs exact
+    at ``in_scale`` decimals (e.g. (2, 4) for cent-valued prices) and emits
+    ``mean`` as the EXACT ``out_scale``-dp rounding of the integer rational
+    sum/count — the portability device for hash-compared outputs, where
+    ``round(<double mean>, k)`` can flip at a cross-engine rounding tie
+    (see functions/exact.py).  Default keeps the raw double ``avg``.
     """
     cols = _data_cols(df, cols)
     types = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
@@ -339,8 +347,18 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
         else:
             aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__distinct_{c}"))
         if c in num:
+            if exact_mean is not None:
+                from dataqtor_spark.functions.exact import round_ratio
+
+                s_in, s_out = exact_mean
+                scaled = (F.sum(F.col(c).cast(f"decimal(38,{s_in})"))
+                          * (10 ** s_in))
+                mean_col = round_ratio(
+                    scaled, F.count(F.col(c)) * (10 ** s_in), s_out)
+            else:
+                mean_col = F.avg(F.col(c))
             aggs += [
-                F.avg(F.col(c)).alias(f"__mean_{c}"),
+                mean_col.alias(f"__mean_{c}"),
                 F.stddev_samp(F.col(c)).alias(f"__std_{c}"),
                 F.min(F.col(c)).cast("double").alias(f"__min_{c}"),
                 F.max(F.col(c)).cast("double").alias(f"__max_{c}"),

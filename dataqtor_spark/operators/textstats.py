@@ -601,8 +601,11 @@ def dsir_importance(df: DataFrame, target_pred: Column,
     scored = (docf.join(ratio, "__f")
               .groupBy("__id")
               .agg(F.sum("__c").cast("long").alias("n_feats"),
+                   # round the exact DECIMAL sum at 6dp IN DECIMAL SPACE,
+                   # then cast — rounding after a double cast reintroduces
+                   # the float tie the DECIMAL accumulation exists to avoid
                    F.round(F.sum(F.col("__c").cast("decimal(10,0)")
-                                 * F.col("__lr")).cast("double"), 6)
+                                 * F.col("__lr")), 6).cast("double")
                    .alias("log_weight")))
     top = (scored.orderBy(F.col("log_weight").desc(), F.col("__id"))
            .limit(top_k))
@@ -685,8 +688,18 @@ def source_mix(df: DataFrame, source_col: str = "source",
     share, then compute the sampling multiplier that would hit a target mix.
 
     ``targets`` maps source → target share (must cover every source it names;
-    unnamed sources get target 0); ``None`` means uniform across observed
-    sources.  ``weight = target_share / actual_token_share``.
+    unnamed sources get target 0, read at 9-decimal precision); ``None``
+    means uniform across observed sources.
+    ``weight = target_share / actual_token_share``.
+
+    Both 6-dp outputs are computed from EXACT integer rationals —
+    ``round_half_up(a/b, 6) == (2·a·10⁶ + b) div (2·b)`` on DECIMAL(38,0) —
+    never by rounding a double: a float ratio that lands within an ulp of a
+    .5 tie at the 6th decimal rounds differently across engines/libm builds
+    (observed: weight 0.9943265007320645, 7e-10 above the tie).  The
+    integer quotient is tie-free by construction, and ``q / 1e6`` is a
+    single correctly-rounded IEEE division on every platform.  A source
+    with zero tokens gets weight NULL (its share is exactly 0).
 
     One groupBy over (source) — partial aggregation reduces each partition
     to |sources| rows, so the shuffle is tiny no matter the corpus size; the
@@ -698,20 +711,34 @@ def source_mix(df: DataFrame, source_col: str = "source",
     tot = agg.agg(F.sum("n_tokens").alias("__tt"),
                   F.count(F.lit(1)).alias("__ns"))
     out = agg.crossJoin(F.broadcast(tot))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nt, tt, ns = dec(F.col("n_tokens")), dec(F.col("__tt")), dec(F.col("__ns"))
+
+    def r6(num, den):
+        # (2·num·10⁶ + den) div (2·den) — `div` truncates the exact decimal
+        # quotient, which for positive operands is floor, i.e. half-up.
+        two = F.lit(2).cast("decimal(38,0)")
+        m = F.lit(1000000).cast("decimal(38,0)")
+        q = F.call_function("div", two * num * m + den, two * den)
+        return (q / F.lit(1e6)).cast("double")
+
     if targets is None:
-        target = F.lit(1.0) / F.col("__ns")
+        # uniform target 1/ns → weight = tt / (ns · n_tokens)
+        w_num, w_den = tt, ns * nt
     else:
         expr = None
         for s, t in targets.items():
             cond = F.col("source") == s
-            expr = F.when(cond, F.lit(float(t))) if expr is None \
-                else expr.when(cond, F.lit(float(t)))
-        target = expr.otherwise(F.lit(0.0))
-    share = F.col("n_tokens") / F.col("__tt")
+            t9 = F.lit(int(round(float(t) * 1e9))).cast("decimal(38,0)")
+            expr = F.when(cond, t9) if expr is None else expr.when(cond, t9)
+        t_num = expr.otherwise(F.lit(0).cast("decimal(38,0)"))
+        # target t_num/10⁹ → weight = t_num · tt / (10⁹ · n_tokens)
+        w_num = t_num * tt
+        w_den = F.lit(1000000000).cast("decimal(38,0)") * nt
     return out.select(
         "source", "n_docs", "n_tokens",
-        F.round(share, 6).alias("token_share"),
-        F.round(target / share, 6).alias("weight"))
+        r6(nt, tt).alias("token_share"),
+        F.when(F.col("n_tokens") > 0, r6(w_num, w_den)).alias("weight"))
 
 
 def stratified_sample(df: DataFrame, strata_col: str, quota: int,
@@ -1176,6 +1203,63 @@ def quality_logistic(col: Column | str,
              + F.lit(w["log_len"])
              * F.least(f["n_tokens"], F.lit(100)).cast("double"))
     return F.lit(0.5) + F.lit(0.5) * logit / (F.lit(1.0) + F.abs(logit))
+
+
+def quality_logistic_exact(col: Column | str,
+                           weights: dict[str, float] | None = None
+                           ) -> dict[str, Column]:
+    """Tie-proof integer form of :func:`quality_logistic` for
+    hash-compared outputs: returns ``{"logit6": <long>, "p6": <long>}``
+    where ``logit6 = logit·10⁶`` and ``p6 = round(p·10⁶)`` are EXACT
+    scaled integers — ``round()`` never sees a double (functions/exact.py;
+    the t17 rounding-tie class).
+
+    Derivation: with features exactly rounded at 4 dp (scaled longs
+    ``f4 = round(f·10⁴)``) and weights read at 2 dp (``w2 = round(w·100)``),
+
+        logit·10⁶ = bias2·10⁴ + Σ w2ᵢ·f4ᵢ + wdev2·|atl4 − 5·10⁴|
+                    + wlen2·min(n_tokens, 100)·10⁴               (integer)
+
+    and the algebraic sigmoid ``p = 0.5 + 0.5·L/(1+|L|)`` becomes the
+    integer rational ``p = (10⁶ + |M| + M) / (2·(10⁶ + |M|))`` with
+    ``M = logit·10⁶``.  Keep-decision is ``p ≥ 0.5 ⟺ M ≥ 0`` — exact.
+    ``quality_logistic`` (double, unrounded) remains for score consumers
+    that never hash; this variant is for oracle-graded aggregates."""
+    from dataqtor_spark.functions.exact import round_ratio_int
+
+    w = weights or QUALITY_LOGISTIC_WEIGHTS
+    w2 = {k: int(round(v * 100)) for k, v in w.items()}
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    f4 = {
+        "avg_token_len": round_ratio_int(n_chars * 10000, safe_tok, 0),
+        "punct_ratio": round_ratio_int(
+            F.regexp_count(c, F.lit(r"[.,!?;:]")) * 10000, safe_chars, 0),
+        "digit_ratio": round_ratio_int(
+            F.regexp_count(c, F.lit(r"[0-9]")) * 10000, safe_chars, 0),
+        "upper_ratio": round_ratio_int(
+            F.regexp_count(c, F.lit(r"[A-Z]")) * 10000, safe_chars, 0),
+        "stopword_ratio": round_ratio_int(
+            F.regexp_count(
+                c, F.lit(r"(?i)\b(" + "|".join(EN_STOPWORDS) + r")\b"))
+            * 10000, safe_tok, 0),
+    }
+    logit6 = (F.lit(w2["bias"] * 10000)
+              + F.lit(w2["stopword_ratio"]) * f4["stopword_ratio"]
+              + F.lit(w2["punct_ratio"]) * f4["punct_ratio"]
+              + F.lit(w2["digit_ratio"]) * f4["digit_ratio"]
+              + F.lit(w2["upper_ratio"]) * f4["upper_ratio"]
+              + F.lit(w2["token_len_dev"])
+              * F.abs(f4["avg_token_len"] - F.lit(50000))
+              + F.lit(w2["log_len"])
+              * F.least(n_tok, F.lit(100)).cast("long") * F.lit(10000))
+    m = logit6.cast("long")
+    p6 = round_ratio_int(F.lit(1000000) + F.abs(m) + m,
+                         (F.lit(1000000) + F.abs(m)) * 2, 6)
+    return {"logit6": m, "p6": p6.cast("long")}
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dataqtor_spark.functions import checksums as CK
 from dataqtor_spark.functions import email as EM
+from dataqtor_spark.functions import exact as XR
 from dataqtor_spark.functions import phone as PH
 from dataqtor_spark.operators import profile as P
 from dataqtor_spark.operators import rules as R
@@ -84,7 +85,8 @@ _DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
     "\nUNION ALL\n".join(
         f"""SELECT '{c}' AS "column",
        count({c})::BIGINT AS count,
-       round(CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / count({c}), 4) AS mean,
+       {XR.round_ratio_sql(f'CAST(sum(CAST({c} AS DECIMAL(18,2))) * 100 AS HUGEINT)',
+                           f'count({c}) * 100', 4)} AS mean,
        round(stddev_samp({c}), 4) AS std,
        CAST(min({c}) AS DOUBLE) AS min,
        round(CAST(quantile_cont({c}, 0.25) AS DOUBLE), 4) AS q1,
@@ -102,9 +104,12 @@ def a05_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _DESCRIBE_COLS:
         col = F.col(c)
         dec_sum = F.sum(col.cast("decimal(18,2)")).cast("double")
+        # mean from exact integer rationals (cent-scaled sum / count) —
+        # round(<double ratio>, 4) flips at cross-engine rounding ties
+        cents = F.sum(col.cast("decimal(18,2)")) * 100
         aggs += [
             F.count(col).alias(f"__count_{c}"),
-            F.round(dec_sum / F.count(col), 4).alias(f"__mean_{c}"),
+            XR.round_ratio(cents, F.count(col) * 100, 4).alias(f"__mean_{c}"),
             F.round(F.stddev_samp(col), 4).alias(f"__std_{c}"),
             F.min(col).cast("double").alias(f"__min_{c}"),
             F.round(F.expr(f"percentile({c}, 0.25)").cast("double"), 4).alias(f"__q1_{c}"),
@@ -2002,7 +2007,9 @@ def _prof_num_oracle(c: str) -> str:
        count(*)::BIGINT AS total_records,
        (count(*) - count({c}))::BIGINT AS null_records,
        count(DISTINCT {c})::BIGINT AS distinct_values,
-       round(avg({c}), 4) AS mean, round(stddev_samp({c}), 4) AS std,
+       {XR.round_ratio_sql(f'CAST(sum(CAST({c} AS DECIMAL(18,2))) * 100 AS HUGEINT)',
+                           f'count({c}) * 100', 4)} AS mean,
+       round(stddev_samp({c}), 4) AS std,
        round(min({c})::DOUBLE, 4) AS min, round(max({c})::DOUBLE, 4) AS max,
        (SELECT round((sum(pow({c} - m, 3)) / count({c}))
                      / pow(sum(pow({c} - m, 2)) / count({c}), 1.5), 4)
@@ -2035,11 +2042,13 @@ def a00_full_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate pass (exact-distinct mode here for the oracle; the default
     uses HyperLogLog — see profile_columns docstring)."""
     out = P.profile_columns(_t(spark, sf_dir, "lineitem"),
-                            _PROF_NUM + _PROF_STR, exact_distinct=True)
+                            _PROF_NUM + _PROF_STR, exact_distinct=True,
+                            exact_mean=(2, 4))  # 2dp inputs, tie-proof 4dp
     return out.select(
         "column", "dtype", "total_records", "null_records", "distinct_values",
+        "mean",  # already exactly rounded at 4dp by exact_mean
         *[F.round(F.col(c), 4).alias(c)
-          for c in ["mean", "std", "min", "max", "skewness", "kurtosis"]],
+          for c in ["std", "min", "max", "skewness", "kurtosis"]],
         "zero_count", "negative_count")
 
 
@@ -3060,8 +3069,10 @@ _T17_SQL = """WITH agg AS (
   FROM documents GROUP BY source
 ), tot AS (SELECT sum(n_tokens) AS tt, count(*) AS ns FROM agg)
 SELECT source, n_docs, n_tokens,
-       round(n_tokens * 1.0 / tt, 6) AS token_share,
-       round((1.0 / ns) / (n_tokens * 1.0 / tt), 6) AS weight
+       ((2*n_tokens::HUGEINT*1000000 + tt) // (2*tt)) / 1e6 AS token_share,
+       CASE WHEN n_tokens = 0 THEN NULL ELSE
+            ((2*tt::HUGEINT*1000000 + ns*n_tokens) // (2*ns*n_tokens)) / 1e6
+       END AS weight
 FROM agg, tot"""
 
 
@@ -6836,9 +6847,10 @@ pairs AS (
   UNION ALL SELECT b, a, n_ab FROM pairs
 )
 SELECT a, b, n_ab AS support,
-       round(n_ab / sa.n_item, 6) AS confidence,
-       round((n_ab / sa.n_item) / (sb.n_item / CAST(n_baskets AS DOUBLE)), 6)
-         AS lift
+       ((2*n_ab::HUGEINT*1000000 + sa.n_item) // (2*sa.n_item)) / 1e6
+         AS confidence,
+       ((2*n_ab::HUGEINT*n_baskets*1000000 + sa.n_item*sb.n_item)
+        // (2*sa.n_item::HUGEINT*sb.n_item)) / 1e6 AS lift
 FROM bidir
 JOIN supp sa ON sa.item = a
 JOIN supp sb ON sb.item = b
@@ -7187,33 +7199,34 @@ def ts03_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                              lags=_TS03_LAGS, bucket="hour")
 
 
-_TS04_SQL = """WITH raw AS (
+_TS04_SQL = f"""WITH raw AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
-         count(*)::DOUBLE AS v
+         count(*)::BIGINT AS v
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), grid AS (
   SELECT unnest(generate_series((SELECT min(b) FROM raw),
                                 (SELECT max(b) FROM raw),
                                 INTERVAL 1 HOUR)) AS b
 ), s AS (
-  SELECT grid.b, coalesce(raw.v, 0.0) AS v
+  SELECT grid.b, coalesce(raw.v, 0) AS v
   FROM grid LEFT JOIN raw USING (b)
 ), m AS (
-  SELECT avg(v) AS mn, count(*)::BIGINT AS n FROM s
+  SELECT sum(v)::BIGINT AS tot, count(*)::BIGINT AS n FROM s
 ), scored AS (
   SELECT b,
-         sum(v - mn) OVER (ORDER BY b
-                           ROWS UNBOUNDED PRECEDING) AS cusum,
-         avg(v) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS mb,
-         avg(v) OVER (ORDER BY b ROWS BETWEEN 1 FOLLOWING
-                      AND UNBOUNDED FOLLOWING) AS ma,
-         n
+         sum(v) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS pre,
+         row_number() OVER (ORDER BY b) AS i, n, tot
   FROM s, m
+), f AS (
+  SELECT b, n*pre - i*tot AS num, pre, i, n, tot FROM scored
 )
-SELECT b AS changepoint_ts, round(abs(cusum), 4) AS max_abs_cusum,
-       round(mb, 4) AS mean_before,
-       round(coalesce(ma, 0.0), 4) AS mean_after, n AS n_buckets
-FROM scored ORDER BY abs(cusum) DESC, b ASC LIMIT 1"""
+SELECT b AS changepoint_ts,
+       {XR.round_ratio_sql('abs(num)', 'n', 4)} AS max_abs_cusum,
+       {XR.round_ratio_sql('pre', 'i', 4)} AS mean_before,
+       CASE WHEN i < n THEN {XR.round_ratio_sql('tot - pre', 'n - i', 4)}
+            ELSE 0.0 END AS mean_after,
+       n AS n_buckets
+FROM f ORDER BY abs(num) DESC, b ASC LIMIT 1"""
 
 
 @register("ts04_cusum_changepoint", _TS04_SQL)
@@ -7724,46 +7737,58 @@ def t30_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- t31 — model-based quality filter (fixed-weight linear classifier) -----
 _T31_NT = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
+_T31_STOP_NUM = ("len(regexp_extract_all(text,"
+                 " '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b'))::HUGEINT"
+                 " * 10000")
 _T31_SQL = f"""WITH f AS (
   SELECT source,
-    round(length(text) * 1.0 / greatest({_T31_NT}, 1), 4) AS atl,
-    round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
-          / greatest(length(text), 1), 4) AS pr,
-    round(len(regexp_extract_all(text, '[0-9]')) * 1.0
-          / greatest(length(text), 1), 4) AS dr,
-    round(len(regexp_extract_all(text, '[A-Z]')) * 1.0
-          / greatest(length(text), 1), 4) AS ur,
-    round(len(regexp_extract_all(text,
-          '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b')) * 1.0
-          / greatest({_T31_NT}, 1), 4) AS sr,
+    {XR.round_ratio_int_sql('length(text)::HUGEINT * 10000',
+                            f'greatest({_T31_NT}, 1)', 0)} AS atl4,
+    {XR.round_ratio_int_sql(
+        "len(regexp_extract_all(text, '[.,!?;:]'))::HUGEINT * 10000",
+        'greatest(length(text), 1)', 0)} AS pr4,
+    {XR.round_ratio_int_sql(
+        "len(regexp_extract_all(text, '[0-9]'))::HUGEINT * 10000",
+        'greatest(length(text), 1)', 0)} AS dr4,
+    {XR.round_ratio_int_sql(
+        "len(regexp_extract_all(text, '[A-Z]'))::HUGEINT * 10000",
+        'greatest(length(text), 1)', 0)} AS ur4,
+    {XR.round_ratio_int_sql(_T31_STOP_NUM, f'greatest({_T31_NT}, 1)', 0)} AS sr4,
     {_T31_NT} AS nt
   FROM documents
 ), s AS (
   SELECT source,
-    (-1.5 + 6.0 * sr - 8.0 * pr - 5.0 * dr - 3.0 * ur
-     - 0.4 * abs(atl - 5.0) + 0.08 * least(nt, 100)) AS logit
-  FROM f)
+    (-1500000 + 600 * sr4 - 800 * pr4 - 500 * dr4 - 300 * ur4
+     - 40 * abs(atl4 - 50000) + 8 * least(nt, 100) * 10000) AS m
+  FROM f
+), p AS (
+  SELECT source, m,
+         {XR.round_ratio_int_sql('1000000 + abs(m) + m',
+                                 '2 * (1000000 + abs(m))', 6)} AS p6
+  FROM s)
 SELECT source, count(*)::BIGINT AS n_docs,
-  sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-  round(sum(round(0.5 + 0.5 * logit / (1.0 + abs(logit)),
-                  6)::DECIMAL(18,6))::DOUBLE, 4) AS sum_score
-FROM s GROUP BY source"""
+  sum(CASE WHEN m >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  {XR.round_ratio_sql('sum(p6)', '1000000', 4)} AS sum_score
+FROM p GROUP BY source"""
 
 
 @register("t31_quality_logistic", _T31_SQL)
 def t31_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based corpus filter: fixed-weight linear quality classifier
-    (algebraic sigmoid, engine-exact arithmetic) scored per document in
-    one projection, keep/drop + score mass aggregated per source."""
+    (algebraic sigmoid) scored per document in one projection, keep/drop
+    + score mass aggregated per source — ALL in exact scaled-integer
+    arithmetic (quality_logistic_exact), so no round() ever sees a
+    double and no cross-engine rounding tie exists (the t17 class)."""
     docs = _t(spark, sf_dir, "documents")
-    p = TX.quality_logistic(F.col("text"))
-    score6 = F.round(p, 6).cast("decimal(18,6)")
-    return (docs.select("source", p.alias("__p"), score6.alias("__s"))
+    ex = TX.quality_logistic_exact(F.col("text"))
+    return (docs.select("source", ex["logit6"].alias("__m"),
+                        ex["p6"].alias("__p6"))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.when(F.col("__p") >= 0.5, 1).otherwise(0))
+                 F.sum(F.when(F.col("__m") >= 0, 1).otherwise(0))
                  .cast("long").alias("n_kept"),
-                 F.round(F.sum("__s").cast("double"), 4).alias("sum_score")))
+                 XR.round_ratio(F.sum(F.col("__p6").cast("decimal(38,0)")),
+                                F.lit(1000000), 4).alias("sum_score")))
 
 
 # --- ab01 — experiment assignment + sample-ratio-mismatch check -------------
@@ -8042,34 +8067,38 @@ def ann07_lsh_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- ts06 — additive seasonal decomposition ---------------------------------
-_TS06_SQL = """WITH raw AS (
+_TS06_SQL = f"""WITH raw AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
-         count(*)::DOUBLE AS v
+         count(*)::BIGINT AS v
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), grid AS (
   SELECT unnest(generate_series((SELECT min(b) FROM raw),
                                 (SELECT max(b) FROM raw),
                                 INTERVAL 1 HOUR)) AS b
 ), s AS (
-  SELECT grid.b, coalesce(raw.v, 0.0) AS v
+  SELECT grid.b, coalesce(raw.v, 0) AS v
   FROM grid LEFT JOIN raw USING (b)
 ), t AS (
   SELECT b, v,
-         round(avg(v) OVER (ORDER BY b
-                            ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
-               6) AS trend
+         {XR.round_ratio_int_sql(
+             'sum(v) OVER (ORDER BY b ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)',
+             'count(*) OVER (ORDER BY b ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)',
+             6)} AS t6
   FROM s
 ), ph AS (
-  SELECT b, v, trend,
+  SELECT b, v, t6,
          (epoch_us(b) // 3600000000) % 24 AS phase
   FROM t
 ), se AS (
-  SELECT phase, round(sum((v - trend)::DECIMAL(28,6))::DOUBLE
-                     / count(*), 6) AS seasonal
+  SELECT phase,
+         {XR.round_ratio_int_sql('sum(1000000*v::HUGEINT - t6)',
+                                 '1000000*count(*)::HUGEINT', 6)} AS s6
   FROM ph GROUP BY phase
 )
-SELECT ph.b AS bucket, ph.v AS v, ph.trend, se.seasonal,
-       round(ph.v - ph.trend - se.seasonal, 4) AS remainder
+SELECT ph.b AS bucket, ph.v::DOUBLE AS v,
+       ph.t6 / 1e6 AS trend, se.s6 / 1e6 AS seasonal,
+       {XR.round_ratio_sql('1000000*ph.v::HUGEINT - ph.t6 - se.s6',
+                           '1000000', 4)} AS remainder
 FROM ph JOIN se USING (phase)"""
 
 
@@ -8280,8 +8309,8 @@ pairs AS (
   UNION ALL SELECT b, a, n_ab FROM pairs
 ), rules AS (
   SELECT a, b,
-         round((n_ab / sa.n_item) / (sb.n_item / CAST(n_baskets AS DOUBLE)),
-               6) AS lift
+         ((2*n_ab::HUGEINT*n_baskets*1000000 + sa.n_item*sb.n_item)
+          // (2*sa.n_item::HUGEINT*sb.n_item)) / 1e6 AS lift
   FROM bidir
   JOIN supp sa ON sa.item = a
   JOIN supp sb ON sb.item = b
@@ -9494,7 +9523,7 @@ _DSIR_SQL = f"""WITH toks AS (
   FROM feat, tot
 ), scored AS (
   SELECT doc_id, sum(c)::BIGINT AS n_feats,
-         round(CAST(sum(CAST(c AS DECIMAL(10,0)) * lr) AS DOUBLE), 6)
+         CAST(round(sum(CAST(c AS DECIMAL(10,0)) * lr), 6) AS DOUBLE)
            AS log_weight
   FROM docf JOIN ratio USING (f) GROUP BY 1
 )
