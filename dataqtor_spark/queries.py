@@ -10124,3 +10124,44 @@ def ann13_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=os.path.join(sf_dir, "embeddings.parquet"),
         corpus_filter=F.pmod(F.col("vec_id"), F.lit(2)) == 0)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- Round-10 graded-prefix rotation (VERDICT.md r9, task 2) -----------------
+# The driver grades the FIRST 50 entries of ``queries()``; 225 of 280 are
+# driver-green after nine rounds.  This prefix is t17_source_mix (hash-red
+# in r9 on a cross-engine rounding tie, rewritten to exact integer
+# rationals this round — it MUST be re-graded to prove the fix) plus 49 of
+# the 54 never-driver-graded queries (set-diff of the registry against
+# CORRECTNESS_r01–r09 keys), oldest first by definition position, all
+# hash-checkable (the rows-only ann03b stays out).  Five stragglers remain
+# for r11: ml01, pr28, x04, t37, ann13 (+ any round-10 adds, which splice
+# in AFTER this block and so land after position 50).
+_R10_PREFIX = [
+    "t17_source_mix",
+    "ts04_cusum_changepoint", "ts05_cross_correlation", "pr24_group_trend",
+    "mv01_mahalanobis_outliers", "pr25_null_correlation",
+    "pq01_product_quantization", "zorder01_curve_segments",
+    "b08_touch_attribution", "t30_url_canonical", "t31_quality_logistic",
+    "ab01_srm_check", "s14_windowed_quantile_sketch", "ann06_ivfpq_topk",
+    "ann07_lsh_ndcg", "ts06_seasonal_decompose", "d10_dedup_report",
+    "f15_robust_scale_acctbal", "er03_blocking_quality",
+    "a26_fk_fanout_profile", "mb03_cooccurrence_recs",
+    "t32_packing_efficiency", "w04_scd2_snapshot", "r21_luhn_checksum",
+    "geo03_blocked_proximity_pairs", "pr26_nmi_matrix",
+    "s16_sliding_window_agg", "m04_image_phash_pairs", "bpe02_bpe_train",
+    "bpe03_tokenizer_token_counts", "m05_image_dedup_clusters",
+    "ann08_mips_topk", "m06_audio_fp_pairs", "hilbert01_curve_segments",
+    "mix01_domain_mixture", "d11_multimodal_dedup_report",
+    "ann09_two_stage_rerank", "m07_video_frame_dedup",
+    "ann10_matryoshka_recall", "geo04_density_clusters",
+    "s18_late_arrival_audit", "t33_curriculum_phases", "t35_span_scrub",
+    "dsir01_importance_select", "ann11_ivfpq_at_rest",
+    "mix02_temperature_mixture", "ann12_ivfpq_append", "w05_scd2_deletes",
+    "pr27_partial_correlations", "geo05_point_in_polygon",
+]
+_missing = [n for n in _R10_PREFIX if n not in QUERIES]
+assert not _missing, f"r10 prefix references unknown queries: {_missing}"
+assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50
+QUERIES = {**{n: QUERIES[n] for n in _R10_PREFIX},
+           **{n: f for n, f in QUERIES.items() if n not in _R10_PREFIX}}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
