@@ -463,6 +463,19 @@ def scd2_sink(stream: DataFrame, key: str, ts_col: str,
             .trigger(availableNow=True).start())
 
 
+N_BAND_PARTS = 64  # hash-partition fan-out of the at-rest band indexes
+
+
+def _pruned_band_read(spark, path: str, bp_values: list[int]) -> DataFrame:
+    """Read ``<path>/bands`` restricted to the ``__bp`` partitions a batch
+    can actually join — the filter is on the PARTITION column, so the scan
+    shows PartitionFilters and prunes directories instead of reading the
+    whole index (the 100 TB story for the streaming sinks; bp_values is
+    bounded by N_BAND_PARTS)."""
+    return (spark.read.parquet(f"{path}/bands")
+            .filter(F.col("__bp").isin(bp_values)))
+
+
 def stream_near_dup_sink(stream: DataFrame, id_col: str, text_col: str,
                          path: str, checkpoint: str,
                          threshold: float = 0.7, num_hashes: int = 64,
@@ -475,26 +488,38 @@ def stream_near_dup_sink(stream: DataFrame, id_col: str, text_col: str,
       estimated Jaccard vs an already-ingested doc ≥ ``threshold``
       (within-batch near-dups resolve to the min-id member too);
     - ``<path>/sigs`` + ``<path>/bands``: the signature/band index, grown
-      by the batch's non-duplicate survivors only.
+      by the batch's non-duplicate survivors only.  ``bands`` is
+      hash-partitioned on ``__bp = bhash % N_BAND_PARTS``; each batch
+      reads only the partitions its own band hashes can join
+      (PartitionFilters — the index scan prunes instead of growing with
+      history).
 
-    Replay-safe: ids already in the index are dropped first, so
-    checkpoint recovery cannot double-ingest.  Per-batch cost is
-    O(batch × sig) map-side + a band equi-join against the stored band
-    table — history is never re-shingled; at scale partition
-    ``<path>/bands`` by band-hash prefix so the join prunes.
+    Replay-safe: ids already in the index (sigs OR dups) are dropped
+    first, so checkpoint recovery cannot double-ingest; index-state
+    probes go through the Hadoop filesystem of ``path`` (HDFS/S3-correct,
+    not the driver's local disk).  Crash-safe append order: dups, then
+    bands, then sigs — sigs is the replay gate, so a crash between the
+    appends leaves at worst orphan band rows for ids the replay fully
+    re-ingests; the anti-join of stored band rows against the live
+    batch's own ids ignores those orphans (a batch id in the stored
+    bands is NECESSARILY an orphan — indexed ids were already dropped by
+    the seen filter), and the candidate ``.distinct()`` absorbs the
+    re-appended band rows.  The former sigs-then-bands order instead
+    half-indexed a crashed batch: signatures gated out of the replay
+    with no band entries, so every future near-duplicate of them was
+    silently missed.  Per-batch cost is O(batch × sig) map-side + the
+    partition-pruned band equi-join — history is never re-shingled.
     """
-    import os
-
     from dataqtor_spark.operators import dedup as DD
 
     def _ingest(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        have_index = os.path.isdir(f"{path}/sigs")
+        have_index = _fs_exists(spark, f"{path}/sigs")
         b = batch.dropDuplicates([id_col])
         if have_index:
             # everything ever ingested: survivors AND flagged dups
             seen = spark.read.parquet(f"{path}/sigs").select(id_col)
-            if os.path.isdir(f"{path}/dups"):
+            if _fs_exists(spark, f"{path}/dups"):
                 seen = seen.unionByName(
                     spark.read.parquet(f"{path}/dups").select(id_col))
             b = b.join(seen, id_col, "left_anti")
@@ -503,11 +528,19 @@ def stream_near_dup_sink(stream: DataFrame, id_col: str, text_col: str,
         bnd = sig.select(
             F.col(id_col),
             F.explode(DD._band_hash_array(num_hashes, bands)).alias("bhash"))
-        # cross-batch candidates: batch bands × stored bands
+        # cross-batch candidates: batch bands × stored bands (pruned to
+        # the batch's own partitions — bounded ≤ N_BAND_PARTS values)
         cand = None
-        if have_index:
-            old = spark.read.parquet(f"{path}/bands")
-            cand = (bnd.join(old.withColumnRenamed(id_col, "__old"), "bhash")
+        if _fs_exists(spark, f"{path}/bands"):
+            bps = [r["__bp"] for r in
+                   bnd.select(F.pmod(F.col("bhash"), F.lit(N_BAND_PARTS))
+                              .alias("__bp")).distinct().collect()]
+            old = (_pruned_band_read(spark, path, bps)
+                   .withColumnRenamed(id_col, "__old"))
+            # drop stored rows for ids in THIS batch: they can only be
+            # orphans from a crash between the bands and sigs appends
+            own = sig.select(F.col(id_col).alias("__old"))
+            cand = (bnd.join(old.join(own, "__old", "left_anti"), "bhash")
                     .select(F.col(id_col).alias("id_a"),
                             F.col("__old").alias("id_b")).distinct())
         # within-batch candidates
@@ -526,12 +559,16 @@ def stream_near_dup_sink(stream: DataFrame, id_col: str, text_col: str,
                 .withColumnRenamed("id_a", id_col)
                 .localCheckpoint())
         dups.write.mode("append").parquet(f"{path}/dups")
-        survivors = sig.join(dups.select(id_col), id_col, "left_anti")
-        survivors.write.mode("append").parquet(f"{path}/sigs")
+        survivors = (sig.join(dups.select(id_col), id_col, "left_anti")
+                     .localCheckpoint())
+        # bands BEFORE sigs — see the crash-safety contract above
         (survivors.select(
             F.col(id_col),
             F.explode(DD._band_hash_array(num_hashes, bands)).alias("bhash"))
-         .write.mode("append").parquet(f"{path}/bands"))
+         .withColumn("__bp", F.pmod(F.col("bhash"), F.lit(N_BAND_PARTS)))
+         .write.mode("append").partitionBy("__bp")
+         .parquet(f"{path}/bands"))
+        survivors.write.mode("append").parquet(f"{path}/sigs")
 
     return (stream.writeStream.foreachBatch(_ingest)
             .option("checkpointLocation", checkpoint)
@@ -745,15 +782,18 @@ def stream_image_dedup_sink(stream: DataFrame, id_col: str,
       ``max_hamming`` bits of an already-ingested image (within-batch
       near-dups resolve to the min-id member);
     - ``<path>/sigs`` + ``<path>/bands``: the 8-byte-per-image signature
-      index, grown by the batch's survivors only.
+      index, grown by the batch's survivors only; ``bands`` is
+      hash-partitioned on ``__bp = bhash % N_BAND_PARTS`` and each batch
+      reads only the partitions its own band hashes can join
+      (PartitionFilters — the index scan prunes instead of growing with
+      history).
 
     The image sibling of :func:`stream_near_dup_sink`, same replay
     contract: already-indexed ids are dropped first, so checkpoint
     recovery cannot double-ingest.  Per-batch cost is the decode pass
-    plus a band equi-join against the stored band table; history is
-    never re-decoded.  Index-state probes go through the Hadoop
-    filesystem of ``path`` (HDFS/S3-correct), not the driver's local
-    disk.
+    plus the partition-pruned band equi-join; history is never
+    re-decoded.  Index-state probes go through the Hadoop filesystem of
+    ``path`` (HDFS/S3-correct), not the driver's local disk.
     """
     from dataqtor_spark.operators import multimodal as MM
 
@@ -775,16 +815,24 @@ def stream_image_dedup_sink(stream: DataFrame, id_col: str,
         ).select(id_col, "phash", "c.band", "c.bhash")
         ham = F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
         cand = None
-        if have_index:
-            old = (spark.read.parquet(f"{path}/bands")
+        if _fs_exists(spark, f"{path}/bands"):
+            # prune the stored index to the partitions this batch's band
+            # hashes can join (bounded ≤ N_BAND_PARTS values)
+            bps = [r["__bp"] for r in
+                   bnd.select(F.pmod(F.col("bhash"), F.lit(N_BAND_PARTS))
+                              .alias("__bp")).distinct().collect()]
+            old = (_pruned_band_read(spark, path, bps)
                    .withColumnRenamed(id_col, "__old")
                    .withColumnRenamed("phash", "__oph"))
-            cand = (bnd.join(old, ["band", "bhash"])
-                    # self-pairs exist only when a crash between the
-                    # bands and sigs appends left this batch's own band
-                    # rows behind; the replay must not mark an image a
-                    # dup of itself
-                    .filter(F.col(id_col) != F.col("__old"))
+            # drop stored rows for ids in THIS batch: they can only be
+            # orphans from a crash between the bands and sigs appends
+            # (indexed ids were already dropped by the seen filter) —
+            # strictly stronger than a self-pair filter: it also stops a
+            # replayed near-dup PAIR from mutually flagging each other
+            # through their orphan rows and losing the whole cluster
+            own = sig.select(F.col(id_col).alias("__old"))
+            cand = (bnd.join(old.join(own, "__old", "left_anti"),
+                             ["band", "bhash"])
                     .select(F.col(id_col).alias("id_a"),
                             F.col("__old").alias("id_b"),
                             F.col("phash").alias("__pa"),
@@ -822,7 +870,9 @@ def stream_image_dedup_sink(stream: DataFrame, id_col: str,
             F.col(id_col), F.col("phash"),
             F.explode(MM.phash_bands(F.col("phash"))).alias("c"))
          .select(id_col, "phash", "c.band", "c.bhash")
-         .write.mode("append").parquet(f"{path}/bands"))
+         .withColumn("__bp", F.pmod(F.col("bhash"), F.lit(N_BAND_PARTS)))
+         .write.mode("append").partitionBy("__bp")
+         .parquet(f"{path}/bands"))
         survivors.write.mode("append").parquet(f"{path}/sigs")
 
     return (stream.writeStream.foreachBatch(_ingest)

@@ -605,6 +605,83 @@ def test_stream_near_dup_sink_cross_batch(spark, tmp_path):
             spark.read.parquet(f"{idx}/sigs").collect()} == {1, 2, 4}
 
 
+def test_stream_near_dup_sink_crash_between_bands_and_sigs(spark, tmp_path):
+    """Crash-consistency of the text sink's three appends (the mirror of
+    the image sink's test): a batch that died after writing dups and
+    bands but BEFORE sigs (the replay gate) must fully recover on replay
+    — its survivors re-ingest (orphan band rows are ignored by the
+    batch-own-id anti-join, duplicated band rows absorbed by the
+    candidate distinct), and later near-duplicates of them are still
+    detected exactly once."""
+    from dataqtor_spark.operators import dedup as DD
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    far = " ".join(f"zzz{i}" for i in range(40))
+    near_far = " ".join(f"zzz{i}" for i in range(39)) + " zzzX"
+    idx = str(tmp_path / "ndcr_index")
+    schema = "doc_id long, text string"
+
+    def ingest(i, rows):
+        b = spark.createDataFrame(rows, schema)
+        src = str(tmp_path / f"ndcr_src_{i}")
+        b.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(b.schema).parquet(src)
+        SP.stream_near_dup_sink(
+            stream, "doc_id", "text", idx,
+            str(tmp_path / f"ndcr_ck_{i}")).awaitTermination()
+
+    ingest(0, [(1, base)])
+    # batch 2 = (3 near-dup of 1, 4 distinct): simulate the crash state —
+    # dups and the survivor's bands landed, sigs did not
+    spark.createDataFrame([(3, 1, 1.0)], "doc_id long, dup_of long, "
+                          "est_jaccard double").write.mode("append").parquet(
+        f"{idx}/dups")
+    sig4 = DD.minhash_signatures_portable(
+        spark.createDataFrame([(4, far)], schema), "doc_id", "text", 64, 3)
+    (sig4.select(F.col("doc_id"),
+                 F.explode(DD._band_hash_array(64, 16)).alias("bhash"))
+     .withColumn("__bp", F.pmod(F.col("bhash"), F.lit(SP.N_BAND_PARTS)))
+     .write.mode("append").partitionBy("__bp").parquet(f"{idx}/bands"))
+    # recovery replay of the full batch
+    ingest(1, [(3, near), (4, far)])
+    dups = {r["doc_id"]: r["dup_of"]
+            for r in spark.read.parquet(f"{idx}/dups").collect()}
+    assert dups == {3: 1}, "replay must not mark 4 a dup of its orphan bands"
+    assert {r["doc_id"] for r in
+            spark.read.parquet(f"{idx}/sigs").collect()} == {1, 4}
+    # a later near-dup of the recovered survivor is caught exactly once
+    # despite 4's duplicated band rows
+    ingest(2, [(5, near_far)])
+    dups = {r["doc_id"]: r["dup_of"]
+            for r in spark.read.parquet(f"{idx}/dups").collect()}
+    assert dups == {3: 1, 5: 4}
+    assert spark.read.parquet(f"{idx}/dups").count() == 2
+
+
+def test_band_index_partition_pruning(spark, tmp_path):
+    """The stored band index is hash-partitioned on __bp and the sink's
+    read prunes: the scan carries PartitionFilters on __bp, never a
+    full-index read."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    far = " ".join(f"zzz{i}" for i in range(40))
+    idx = str(tmp_path / "bp_index")
+    b = spark.createDataFrame([(1, base), (2, far)], "doc_id long, text string")
+    src = str(tmp_path / "bp_src")
+    b.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b.schema).parquet(src)
+    SP.stream_near_dup_sink(stream, "doc_id", "text", idx,
+                            str(tmp_path / "bp_ck")).awaitTermination()
+    import os
+
+    parts = [d for d in os.listdir(f"{idx}/bands") if d.startswith("__bp=")]
+    assert parts, "band table must be written partitioned by __bp"
+    pruned = SP._pruned_band_read(spark, idx, [3, 7])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert ("PartitionFilters" in plan
+            and "__bp" in plan.split("PartitionFilters", 1)[1][:400])
+
+
 def test_latest_per_key_sink_matches_batch_compaction(spark, tables, tmp_path):
     from dataqtor_spark.operators import scd as SCD
 
@@ -1188,7 +1265,8 @@ def test_stream_image_dedup_sink_crash_between_bands_and_sigs(spark, tmp_path):
     (sig4.select(F.col("media_id"), F.col("phash"),
                  F.explode(MM.phash_bands(F.col("phash"))).alias("c"))
      .select("media_id", "phash", "c.band", "c.bhash")
-     .write.mode("append").parquet(f"{idx}/bands"))
+     .withColumn("__bp", F.pmod(F.col("bhash"), F.lit(SP.N_BAND_PARTS)))
+     .write.mode("append").partitionBy("__bp").parquet(f"{idx}/bands"))
     # recovery replay of the full batch
     ingest(1, [(3, png(near)), (4, png(far))])
     dups = {r["media_id"]: r["dup_of"]
