@@ -787,12 +787,23 @@ def append_to_ivf_index(new_rows: DataFrame, path: str, id_col: str,
 
 def ivf_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
                      vec_col: str, k: int = 10, n_probe: int = 3,
-                     query_id_col: str | None = None) -> DataFrame:
+                     query_id_col: str | None = None,
+                     corpus_filter: Column | None = None) -> DataFrame:
     """Top-k against a :func:`write_ivf_index` layout.  The probed cluster
     ids become an ``isin`` filter on the partition column, so the scan
     reads only the probed directories (PartitionFilters in the plan —
     asserted in tests); re-ranking is the same broadcast-query cosine as
-    :func:`ivf_topk`."""
+    :func:`ivf_topk`.
+
+    ``corpus_filter`` is FILTERED ANN over the stored index — the "WHERE
+    clause on a vector search" — with the same pre-filter semantics as
+    :func:`ivf_topk_portable`: the quantizer (built at index-write time
+    over the full corpus) keeps the full geometry; the predicate only
+    restricts which stored rows are scored.  Applied directly on the
+    partition-pruned read, so a parquet-pushable predicate (comparison /
+    isin / null test on stored columns) lands as PushedFilters BESIDE the
+    cluster PartitionFilters and is evaluated in the scan, touching no
+    extra bytes (asserted in tests)."""
     query_id_col = query_id_col or id_col
     centers = load_ivf_centroids(spark, path)
     q = (queries.select(F.col(query_id_col).alias("query_id"),
@@ -801,10 +812,12 @@ def ivf_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
          .withColumn("__cluster",
                      F.explode(F.expr(_sql_nearest_cids("__qv", centers, n_probe)))))
     probed = [r["__cluster"] for r in q.select("__cluster").distinct().collect()]
-    c = (spark.read.parquet(f"{path}/corpus")
-         .filter(F.col("__cluster").isin(probed))
-         .select("__cluster", F.col(id_col).alias("neighbor_id"),
-                 _as_double(F.col(vec_col)).alias("__cv"))
+    c = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("__cluster").isin(probed))
+    if corpus_filter is not None:
+        c = c.filter(corpus_filter)
+    c = (c.select("__cluster", F.col(id_col).alias("neighbor_id"),
+                  _as_double(F.col(vec_col)).alias("__cv"))
          .withColumn("__cn", l2_norm(F.col("__cv"))))
     scored = (c.join(F.broadcast(q), "__cluster")
               .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -922,13 +935,21 @@ def load_pq_codebooks(spark, path: str
 
 def ivfpq_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
                        vec_col: str, k: int = 5, n_probe: int = 3,
-                       query_id_col: str | None = None) -> DataFrame:
+                       query_id_col: str | None = None,
+                       corpus_filter: Column | None = None) -> DataFrame:
     """ADC top-k against a :func:`write_ivfpq_index` layout — identical
     results to (non-residual) :func:`ivfpq_topk_portable` with the same
     training parameters, but the serving cost only: probed cluster ids
     prune partitions of the code table (PartitionFilters in the plan),
     per-query LUTs broadcast, and the scan reads codes + stored norms,
-    never vectors."""
+    never vectors.
+
+    ``corpus_filter``: filtered ANN over the stored code table, same
+    pre-filter contract as :func:`ivf_topk_at_rest`; write the predicate
+    against ``id_col`` (the stored layout's rename to ``neighbor_id`` is
+    bridged here, and Catalyst pushes the filter through the alias) — a
+    pushable predicate lands as PushedFilters beside the cluster
+    PartitionFilters."""
     query_id_col = query_id_col or id_col
     coarse = load_ivf_centroids(spark, path)
     sub, books = load_pq_codebooks(spark, path)
@@ -949,6 +970,10 @@ def ivfpq_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
     probed = [r["__cluster"] for r in q.select("__cluster").distinct().collect()]
     c = (spark.read.parquet(f"{path}/corpus")
          .filter(F.col("__cluster").isin(probed)))
+    if corpus_filter is not None:
+        c = (c.withColumnRenamed("neighbor_id", id_col)
+             .filter(corpus_filter)
+             .withColumnRenamed(id_col, "neighbor_id"))
     adc_dot = sum(F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
                   for j in range(m))
     scored = (c.join(F.broadcast(q.drop("__qv")), "__cluster")

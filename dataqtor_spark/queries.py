@@ -9591,16 +9591,38 @@ ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
 _ANN11_ROOT = "/tmp/dataqtor_spark_ann11"
 
 
-def _corpus_fingerprint(path: str) -> int:
-    """Total byte size of a parquet file-or-directory — cheap staleness
-    key for the ann11 index fixture (testdata regenerates between
-    rounds; a size change forces a rebuild)."""
+def _corpus_fingerprint(path: str) -> str:
+    """Byte size + max mtime of a parquet file-or-directory — staleness
+    key for the at-rest index fixtures (testdata regenerates between
+    rounds; size alone would serve a stale index if regenerated data had
+    different content at an identical byte total)."""
     if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
+        return f"{os.path.getsize(path)}_{int(os.path.getmtime(path))}"
+    total, mt = 0, 0
     for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    return total
+        for f in files:
+            p = os.path.join(root, f)
+            total += os.path.getsize(p)
+            mt = max(mt, int(os.path.getmtime(p)))
+    return f"{total}_{mt}"
+
+
+def _ensure_fixture(idx: str, build) -> None:
+    """Build a /tmp index fixture exactly once, crash-safely: existence
+    is keyed on a ``_COMPLETE`` marker written only AFTER ``build()``
+    returns — a directory without the marker (e.g. a crash between the
+    base index write and the delta append) is torn down and rebuilt,
+    never served half-built."""
+    marker = os.path.join(idx, "_COMPLETE")
+    if os.path.exists(marker):
+        return
+    if os.path.isdir(idx):
+        import shutil
+
+        shutil.rmtree(idx)
+    build()
+    with open(marker, "w") as f:
+        f.write("ok\n")
 
 
 @register("ann11_ivfpq_at_rest", _ann06_oracle_sql())
@@ -9615,11 +9637,10 @@ def ann11_ivfpq_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{_ANN06_NC}c{_PQ01_M}m{_PQ01_KS}k"
         f"_{_corpus_fingerprint(emb_path)}")
-    if not os.path.isdir(os.path.join(idx, "corpus")):
-        ANN.write_ivfpq_index(
-            _t(spark, sf_dir, "embeddings"), idx, "vec_id", "embedding",
-            n_clusters=_ANN06_NC, m=_PQ01_M, ks=_PQ01_KS, n_iter=2,
-            cache_key=emb_path)
+    _ensure_fixture(idx, lambda: ANN.write_ivfpq_index(
+        _t(spark, sf_dir, "embeddings"), idx, "vec_id", "embedding",
+        n_clusters=_ANN06_NC, m=_PQ01_M, ks=_PQ01_KS, n_iter=2,
+        cache_key=emb_path))
     queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     out = ANN.ivfpq_topk_at_rest(spark, idx, queries, "vec_id",
                                  "embedding", k=_PQ01_K,
@@ -9706,7 +9727,8 @@ def ann12_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{_ANN06_NC}c{_PQ01_M}m{_PQ01_KS}k"
         f"_{_corpus_fingerprint(emb_path)}_app")
-    if not os.path.isdir(os.path.join(idx, "corpus")):
+
+    def _build() -> None:
         emb = _t(spark, sf_dir, "embeddings")
         ANN.write_ivfpq_index(emb, idx, "vec_id", "embedding",
                               n_clusters=_ANN06_NC, m=_PQ01_M,
@@ -9716,6 +9738,8 @@ def ann12_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.transform("embedding", lambda x: -x)
                          .alias("embedding")))
         ANN.append_to_ivfpq_index(delta, idx, "vec_id", "embedding")
+
+    _ensure_fixture(idx, _build)
     queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
     out = ANN.ivfpq_topk_at_rest(spark, idx, queries, "vec_id",
                                  "embedding", k=_PQ01_K,
@@ -10123,6 +10147,52 @@ def ann13_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=_ANN03_ITER,
         cache_key=os.path.join(sf_dir, "embeddings.parquet"),
         corpus_filter=F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- ann14 — filtered ANN served from the at-rest index ---------------------
+# ann13 proved pre-filter semantics on the live path; ann14 proves the
+# AT-REST claim (ann.py ivf_topk_at_rest docstring): a vector-store user's
+# most common real query is filter+search over the STORED index, and the
+# metadata predicate must land as PushedFilters in the pruned scan beside
+# the cluster PartitionFilters (plan-asserted in tests/test_dedup_text.py)
+# — evaluated in the reader, touching no extra bytes.  The predicate here
+# is a pushable range (vec_id >= 100, a tenant/recency stand-in; ann13's
+# pmod predicate is correct but not parquet-pushable, which is exactly
+# why the at-rest query uses a pushable one).  Oracle = the ann03 full
+# k-means replay with the filter on the encoded corpus only — training
+# CTEs untouched (pre-filter semantics), same recipe as ann13.
+_ANN14_MIN_ID = 100
+
+
+def _ann14_oracle_sql() -> str:
+    base = _ann03_oracle_sql()
+    return base.replace(
+        "FROM qp q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id",
+        "FROM qp q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id "
+        f"AND a.vec_id >= {_ANN14_MIN_ID}")
+
+
+@register("ann14_filtered_at_rest", _ann14_oracle_sql())
+def ann14_filtered_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF top-5 over the persisted index (ann.write_ivf_index →
+    ann.ivf_topk_at_rest with corpus_filter): quantizer trained on the
+    full corpus at build time, only vec_id >= 100 rows eligible at
+    serve time, scan = PartitionFilters (probed clusters) +
+    PushedFilters (the metadata predicate)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = os.path.join(
+        _ANN11_ROOT,
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_ivf{_ANN03_CLUSTERS}c_{_corpus_fingerprint(emb_path)}")
+    _ensure_fixture(idx, lambda: ANN.write_ivf_index(
+        _t(spark, sf_dir, "embeddings"), idx, "vec_id", "embedding",
+        n_clusters=_ANN03_CLUSTERS, n_iter=_ANN03_ITER))
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    out = ANN.ivf_topk_at_rest(
+        spark, idx, queries, "vec_id", "embedding",
+        k=_ANN03_K, n_probe=_ANN03_PROBE,
+        corpus_filter=F.col("vec_id") >= _ANN14_MIN_ID)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

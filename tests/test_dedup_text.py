@@ -657,6 +657,56 @@ def test_ivf_at_rest_prunes_partitions(spark, tables, tmp_path):
     assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters", 1)[1][:400]
 
 
+def test_filtered_ann_at_rest_pushes_filter_and_matches_live(
+        spark, tables, tmp_path):
+    """Filtered ANN over the STORED index (the ann14 path): the metadata
+    predicate must land as PushedFilters in the pruned scan ALONGSIDE the
+    cluster PartitionFilters (the ann.py docstring's claim), with results
+    identical to the live ivf_topk_portable path under the same
+    corpus_filter (pre-filter semantics: quantizer keeps the full
+    corpus's geometry)."""
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "ivf_filt_index")
+    ANN.write_ivf_index(emb, path, "vec_id", "embedding",
+                        n_clusters=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    pred = F.col("vec_id") >= 100
+    at_rest = ANN.ivf_topk_at_rest(spark, path, queries, "vec_id",
+                                   "embedding", k=5, n_probe=3,
+                                   corpus_filter=pred)
+    live = ANN.ivf_topk_portable(emb, queries, "vec_id", "embedding",
+                                 k=5, n_clusters=8, n_probe=3, n_iter=2,
+                                 corpus_filter=pred)
+    assert (sorted(map(tuple, at_rest.collect()))
+            == sorted(map(tuple, live.collect())))
+    # every neighbor satisfies the predicate (pre-filter semantics)
+    assert all(r["neighbor_id"] >= 100 for r in at_rest.collect())
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan, "index scan must carry PartitionFilters"
+    assert "__cluster" in scan[0].split("PartitionFilters", 1)[1][:400]
+    assert ("PushedFilters" in scan[0]
+            and "vec_id" in scan[0].split("PushedFilters", 1)[1][:200]), \
+        "metadata predicate must push into the pruned scan"
+    # IVF-PQ twin accepts the same filter over the code table
+    pq_path = str(tmp_path / "ivfpq_filt_index")
+    ANN.write_ivfpq_index(emb, pq_path, "vec_id", "embedding",
+                          n_clusters=8, m=4, ks=8, n_iter=2)
+    pq = ANN.ivfpq_topk_at_rest(spark, pq_path, queries, "vec_id",
+                                "embedding", k=5, n_probe=3,
+                                corpus_filter=pred)
+    rows = pq.collect()
+    assert rows and all(r["neighbor_id"] >= 100 for r in rows)
+    pq_plan = pq._jdf.queryExecution().executedPlan().toString()
+    pq_scan = [ln for ln in pq_plan.splitlines() if "PartitionFilters" in ln]
+    # the PQ layout stores the id as neighbor_id; the user-facing filter
+    # (written against vec_id) must still push through the alias
+    assert pq_scan and "PushedFilters" in pq_scan[0] \
+        and "neighbor_id" in pq_scan[0].split("PushedFilters", 1)[1][:200]
+
+
 def test_ivfpq_at_rest_matches_portable_and_prunes(spark, tables, tmp_path):
     """The persisted IVF-PQ layout serves IDENTICAL results to the live
     ivfpq_topk_portable path with the same training params (training is
