@@ -469,27 +469,38 @@ def minhash_decontaminate(corpus: DataFrame, bench: DataFrame, id_col: str,
     its signature pass."""
     sc = minhash_signatures_portable(corpus, id_col, text_col,
                                      num_hashes, shingle_n)
-    sb = minhash_signatures_portable(bench, id_col, text_col,
-                                     num_hashes, shingle_n)
-    barr = _band_hash_array(num_hashes, bands)
-    cb = (sc.select(F.col(id_col).alias("__cid"), F.col("sig"))
-          .select("__cid", F.explode(barr).alias("__bh")))
-    bb = (sb.select(F.col(id_col).alias("__bid"), F.col("sig"))
-          .select("__bid", F.explode(barr).alias("__bh")))
-    cand = (cb.join(F.broadcast(bb), "__bh")
-            .select("__cid", "__bid").distinct())
-    a = sc.select(F.col(id_col).alias("__cid"), F.col("sig").alias("__sa"))
-    b = sb.select(F.col(id_col).alias("__bid"), F.col("sig").alias("__sb"))
-    agree = F.aggregate(
-        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
-        F.lit(0), lambda acc, v: acc + v)
-    est = F.round(agree / F.lit(float(num_hashes)), 6)
-    scored = (cand.join(a, "__cid").join(F.broadcast(b), "__bid")
-              .withColumn("est_jaccard", est)
-              .filter(F.col("est_jaccard") >= threshold))
-    return (scored.groupBy(F.col("__cid").alias(id_col))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
-                 F.max("est_jaccard").alias("max_est_jaccard")))
+    # the corpus signature frame feeds BOTH the band explode and the
+    # scoring join — persist so the dominant shingle/signature pass over
+    # the training corpus runs once (same device as
+    # minhash_dedup_pairs_portable)
+    sc = sc.persist()
+    try:
+        sb = minhash_signatures_portable(bench, id_col, text_col,
+                                         num_hashes, shingle_n)
+        barr = _band_hash_array(num_hashes, bands)
+        cb = (sc.select(F.col(id_col).alias("__cid"), F.col("sig"))
+              .select("__cid", F.explode(barr).alias("__bh")))
+        bb = (sb.select(F.col(id_col).alias("__bid"), F.col("sig"))
+              .select("__bid", F.explode(barr).alias("__bh")))
+        cand = (cb.join(F.broadcast(bb), "__bh")
+                .select("__cid", "__bid").distinct())
+        a = sc.select(F.col(id_col).alias("__cid"),
+                      F.col("sig").alias("__sa"))
+        b = sb.select(F.col(id_col).alias("__bid"),
+                      F.col("sig").alias("__sb"))
+        agree = F.aggregate(
+            F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0), lambda acc, v: acc + v)
+        est = F.round(agree / F.lit(float(num_hashes)), 6)
+        scored = (cand.join(a, "__cid").join(F.broadcast(b), "__bid")
+                  .withColumn("est_jaccard", est)
+                  .filter(F.col("est_jaccard") >= threshold))
+        return (scored.groupBy(F.col("__cid").alias(id_col))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+                     F.max("est_jaccard").alias("max_est_jaccard"))
+                .localCheckpoint())
+    finally:
+        sc.unpersist()
 
 
 def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -337,24 +337,29 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
         "poly_id", "xs", "ys",
         F.array_min("xs").alias("__x0"), F.array_max("xs").alias("__x1"),
         F.array_min("ys").alias("__y0"), F.array_max("ys").alias("__y1"))
-    px, py = F.col(x_col), F.col(y_col)
+    # alias the point coords to fixed internal names: the crossing test
+    # is an F.expr SQL string, and raw interpolation of user column
+    # names breaks (or worse, mis-resolves) on names that are not bare
+    # SQL identifiers (spaces, dots, keywords)
+    pts = points.withColumn("__px", F.col(x_col).cast("double")) \
+                .withColumn("__py", F.col(y_col).cast("double"))
+    px, py = F.col("__px"), F.col("__py")
     bbox = ((px >= F.col("__x0")) & (px <= F.col("__x1"))
             & (py >= F.col("__y0")) & (py <= F.col("__y1")))
-    n = F.size("xs")
-    crossings = F.expr(f"""aggregate(sequence(1, size(xs)), 0, (acc, i) ->
-      acc + (CASE WHEN (element_at(ys, i) > {y_col})
-                       != (element_at(ys, i % size(ys) + 1) > {y_col})
-                  AND (({x_col} - element_at(xs, i))
+    crossings = F.expr("""aggregate(sequence(1, size(xs)), 0, (acc, i) ->
+      acc + (CASE WHEN (element_at(ys, i) > __py)
+                       != (element_at(ys, i % size(ys) + 1) > __py)
+                  AND ((__px - element_at(xs, i))
                         * (element_at(ys, i % size(ys) + 1)
                            - element_at(ys, i))
                        - (element_at(xs, i % size(xs) + 1)
                           - element_at(xs, i))
-                         * ({y_col} - element_at(ys, i)))
+                         * (__py - element_at(ys, i)))
                       * (CASE WHEN element_at(ys, i % size(ys) + 1)
                                    > element_at(ys, i)
                               THEN 1.0 ELSE -1.0 END) < 0.0
              THEN 1 ELSE 0 END))""")
-    return (points.join(F.broadcast(polys), bbox)
+    return (pts.join(F.broadcast(polys), bbox)
             .withColumn("__cross", crossings)
             .filter(F.pmod(F.col("__cross"), F.lit(2)) == 1)
             .select(F.col(id_col), "poly_id"))

@@ -1466,11 +1466,21 @@ def temperature_mixture_plan(df: DataFrame, domain_col: str, budget: int,
            .when(r * r > F.col("avail_tokens"), r - 1).otherwise(r))
     base = avail.withColumn("weight", isq)
     tot = Window.partitionBy()
+    # budget·weight on DECIMAL(38,0): with weight ~ isqrt(avail_tokens),
+    # a large budget × a 100 TB-scale corpus silently wraps int64 in
+    # non-ANSI Spark while the DuckDB oracle's integer arithmetic stays
+    # exact — decimal keeps the two dialects bit-identical at any scale
     base = (base.withColumn("__W", F.sum("weight").over(tot))
-            .withColumn("__num", F.lit(int(budget)) * F.col("weight"))
-            .withColumn("__rem", F.col("__num") % F.col("__W"))
+            .withColumn("__num",
+                        F.lit(int(budget)).cast("decimal(38,0)")
+                        * F.col("weight").cast("decimal(38,0)"))
+            .withColumn("__rem",
+                        F.pmod(F.col("__num"),
+                               F.col("__W").cast("decimal(38,0)")))
             .withColumn("__base",
-                        ((F.col("__num") - F.col("__rem")) / F.col("__W"))
+                        F.call_function(
+                            "div", F.col("__num"),
+                            F.col("__W").cast("decimal(38,0)"))
                         .cast("long")))
     rk = Window.orderBy(F.desc("__rem"), F.asc("domain"))
     quota = (F.col("__base")
