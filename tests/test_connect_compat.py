@@ -74,6 +74,23 @@ def test_ordered_prefix_never_reads_context_when_absent(spark, monkeypatch):
         run = r["v"] if run is None else max(run, r["v"])
 
 
+def test_pin_checkpoint_dispatch_when_connect(spark, monkeypatch, tmp_path):
+    """_pin's Connect branch (no SparkContext): reliable=True issues the
+    server-executed df.checkpoint command; anything else falls back to
+    localCheckpoint — the r8 fallback (ordered.py), pinned here so a
+    regression cannot silently re-read the context."""
+    from dataqtor_spark.operators import ordered as O
+
+    df = spark.range(10)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    monkeypatch.setattr(O, "_spark_context_or_none", lambda s: None)
+    # reliable=True → checkpoint command (needs the configured dir above)
+    assert O._pin(df, True).count() == 10
+    # None/False → the no-checkpoint localCheckpoint fallback
+    assert O._pin(df, None).count() == 10
+    assert O._pin(df, False).count() == 10
+
+
 def test_connect_round_trip():
     pytest.importorskip(
         "grpc",

@@ -1,0 +1,34 @@
+"""CI-style mirror of the grading driver's smoke check: ``entry(spark)``
+must run end-to-end on sf0.001 and produce >0 rows with a stable schema,
+and the registry surfaces must stay consistent (every oracle names a
+registered query; the driver-graded prefix is well-formed)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_entry_runs_and_returns_rows(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # stable schema across invocations (the driver re-runs entry)
+    assert e.entry(spark).schema == df.schema
+
+
+def test_registry_surfaces_consistent(spark):
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert len(qs) >= 281
+    missing = [n for n in oracles if n not in qs]
+    assert not missing, f"oracles for unregistered queries: {missing}"
+    # exactly one by-design rows-only entry (MLlib-seeded IVF)
+    rows_only = [n for n in qs if n not in oracles]
+    assert rows_only == ["ann03b_ivf_mllib_topk"]
+    # the driver grades the first 50 — they must all be hash-checkable
+    first50 = list(qs)[:50]
+    assert all(n in oracles for n in first50)
