@@ -87,13 +87,20 @@ HEADLINE = [
     "m05_image_dedup_clusters",
     "m07_video_frame_dedup",
     "ann11_ivfpq_at_rest",
+    # round-10 adds: DSIR selection (the heaviest previously-unbenched
+    # driver-tail query, restructured to one corpus pass this round),
+    # fuzzy benchmark decontamination, and filtered ANN served from the
+    # at-rest IVF layout (PartitionFilters + PushedFilters serving cost)
+    "dsir01_importance_select",
+    "t37_fuzzy_decontaminate",
+    "ann14_filtered_at_rest",
 ]
 
 # Queries that serve from a persisted index: the first call at a given
 # SF builds the index fixture (the OFFLINE step by contract), so the
 # bench prebuilds at the timed SF during warm-up and the samples measure
 # serving only.
-AT_REST = {"ann11_ivfpq_at_rest"}
+AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest"}
 
 
 def run_full(spark, sf_dir: str, warm_dir: str, reps: int,

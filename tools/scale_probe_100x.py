@@ -74,7 +74,13 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "er03_blocking_quality", "bpe03_tokenizer_token_counts",
                "ann09_two_stage_rerank", "t35_span_scrub",
                "dsir01_importance_select", "ann11_ivfpq_at_rest",
-               "m07_video_frame_dedup"]
+               "m07_video_frame_dedup",
+               # round-10 addition: filtered ANN over the at-rest IVF
+               # layout — serving must stay flat like ann11 (the filter
+               # pushes into the pruned scan, never a post-read pass)
+               "ann14_filtered_at_rest"]
+
+AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest"}
 
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
@@ -160,7 +166,7 @@ def main() -> None:
         fn(spark, sf_dir).count()            # warm codegen at 1x
         results[name] = {}
         for k in (1, 10, 100):
-            if name == "ann11_ivfpq_at_rest":
+            if name in AT_REST:
                 fn(spark, dirs[k]).count()   # offline index build, untimed
             t0 = time.perf_counter()
             n = fn(spark, dirs[k]).count()
