@@ -632,6 +632,104 @@ def dsir_importance(df: DataFrame, target_pred: Column,
         docf.unpersist()
 
 
+def ngram_lm_score(df: DataFrame, ref_pred: Column,
+                   id_col: str = "doc_id", text_col: str = "text"
+                   ) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    train a Laplace-smoothed BIGRAM LM on an in-domain reference slice
+    (``ref_pred`` marks its rows) and score EVERY document by average
+    token log-probability — the classic "keep what looks like the
+    reference corpus" filter, where low ``avg_logprob`` (high perplexity)
+    marks gibberish/boilerplate and suspiciously high marks templated
+    text.  Returns ``(id, n_tokens, avg_logprob)``; perplexity is
+    ``exp(-avg_logprob)`` if a consumer wants it (not emitted — libm exp
+    is not cross-engine-stable, the log-space score is).
+
+    Model: position 1 scores ``ln((c(w1)+1)/(T+V))`` (unigram start),
+    positions 2..n score ``ln((c(prev,w)+1)/(c(prev)+V))`` with counts
+    from the reference slice only, V = reference vocabulary size, T =
+    reference token total.  Unseen words/bigrams fall through the +1
+    smoothing with coalesced 0 counts.
+
+    Portability: each per-position log rounds to 9 dp as DECIMAL before
+    summation (the dsir01 device — sums are exact and order-free), and
+    the final average is the EXACT integer-rational rounding of
+    ``sum_lp / n_tokens`` (functions/exact.py) — no double ever meets
+    ``round()``.
+
+    Scale shape: ONE corpus pass (tokenize → explode → per-doc gram
+    groupBy); the reference tables aggregate from the same exploded
+    stream (conditional sums — the reference is never re-scanned); doc
+    grams join the LM tables on token keys (hash joins, reference-sized
+    build sides); one per-doc sum.  Linear in corpus tokens.
+    """
+    from dataqtor_spark.functions.exact import round_ratio
+    from dataqtor_spark.session import parallelize
+
+    toks = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  ref_pred.alias("__t"),
+                                  _clean_tokens(text_col).alias("__tk")))
+            .withColumn("__n", F.size("__tk")))
+    # first-token stream (position 1) and bigram stream (positions 2..n)
+    firsts = (toks.filter(F.col("__n") >= 1)
+              .select("__id", "__t", F.element_at("__tk", 1).alias("__w")))
+    bi = (toks.filter(F.col("__n") >= 2)
+          .select("__id", "__t", F.explode(F.transform(
+              F.sequence(F.lit(1), F.col("__n") - 1),
+              lambda i: F.struct(
+                  F.element_at("__tk", i).alias("a"),
+                  F.element_at("__tk", i + 1).alias("b")))).alias("__g"))
+          .select("__id", "__t", F.col("__g.a").alias("__a"),
+                  F.col("__g.b").alias("__b")))
+    # unigram stream for the reference LM (ALL positions, not just firsts)
+    uni = toks.select("__id", "__t",
+                      F.explode("__tk").alias("__w"))
+    ref_uni = (uni.filter("__t").groupBy("__w")
+               .agg(F.count(F.lit(1)).alias("__cu"))).persist()
+    try:
+        ref_tot = ref_uni.agg(F.sum("__cu").alias("__lmT"),
+                              F.count(F.lit(1)).alias("__lmV"))
+        ref_bi = (bi.filter("__t").groupBy("__a", "__b")
+                  .agg(F.count(F.lit(1)).alias("__cb")))
+        lp9 = lambda num, den: F.round(F.log(num / den), 9) \
+            .cast("decimal(18,9)")  # noqa: E731
+        # start term per doc
+        start = (firsts.join(ref_uni, "__w", "left")
+                 .crossJoin(F.broadcast(ref_tot))
+                 .select("__id", lp9(
+                     F.coalesce(F.col("__cu"), F.lit(0)) + 1,
+                     F.col("__lmT") + F.col("__lmV")).alias("__lp"),
+                     F.lit(1).alias("__c")))
+        # bigram terms: per-doc gram counts, then LM lookups
+        docg = bi.groupBy("__id", "__a", "__b").agg(
+            F.count(F.lit(1)).alias("__c"))
+        prev = ref_uni.select(F.col("__w").alias("__a"),
+                              F.col("__cu").alias("__ca"))
+        grams = (docg.join(ref_bi, ["__a", "__b"], "left")
+                 .join(prev, "__a", "left")
+                 .crossJoin(F.broadcast(ref_tot))
+                 .select("__id", lp9(
+                     F.coalesce(F.col("__cb"), F.lit(0)) + 1,
+                     F.coalesce(F.col("__ca"), F.lit(0)) + F.col("__lmV"))
+                     .alias("__lp"), "__c"))
+        terms = start.unionByName(grams)
+        scored = (terms.groupBy("__id")
+                  .agg(F.sum(F.col("__c").cast("decimal(10,0)")
+                             * F.col("__lp")).alias("__sum"),
+                       F.sum("__c").cast("long").alias("__np")))
+        # avg = sum/n as an exact rational: sum is DECIMAL(38,9) → ·10⁹
+        # integer numerator over n·10⁹
+        out = scored.select(
+            F.col("__id").alias(id_col),
+            F.col("__np").alias("n_tokens"),
+            round_ratio((F.col("__sum") * 1000000000).cast("decimal(38,0)"),
+                        F.col("__np").cast("decimal(38,0)") * 1000000000,
+                        6).alias("avg_logprob")).localCheckpoint()
+        return out
+    finally:
+        ref_uni.unpersist()
+
+
 def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", span_tokens: int = 8,
                        min_docs: int = 2) -> DataFrame:

@@ -419,3 +419,33 @@ def test_domain_mixture_plan_invariants(spark):
     assert plan["zz"]["n_docs"] == 0 and plan["zz"]["avail_tokens"] == 0
     assert plan["zz"]["epochs"] is None
     assert plan["zz"]["shortfall_tokens"] == plan["zz"]["quota_tokens"]
+
+
+def test_ngram_lm_score_prefers_reference_like_text(spark):
+    """CCNet-style LM filter sanity: a document phrased like the
+    reference slice scores a higher avg log-prob than gibberish, the
+    single-token doc scores exactly the smoothed unigram start, and
+    zero-token docs produce no row."""
+    ref = "the cat sat on the mat . the dog sat on the rug ."
+    rows = [
+        (1, ref, "ref"),
+        (2, "the cat sat on the rug .", "train"),   # reference-like
+        (3, "zx qv wq pl mn zz kk jj", "train"),    # gibberish
+        (4, "the", "train"),                        # single token
+        (5, "   ", "train"),                        # zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           T.ngram_lm_score(df, F.col("source") == "ref").collect()}
+    assert 5 not in out, "zero-token doc must produce no row"
+    assert out[2]["n_tokens"] == 7 and out[3]["n_tokens"] == 8
+    assert out[2]["avg_logprob"] > out[3]["avg_logprob"]
+    # single token: exactly the smoothed unigram start ln((c+1)/(T+V))
+    import math
+
+    toks = ref.split()
+    T_, V = len(toks), len(set(toks))
+    c_the = toks.count("the")
+    expect = round(round(math.log((c_the + 1) / (T_ + V)), 9), 6)
+    assert out[4]["n_tokens"] == 1
+    assert abs(out[4]["avg_logprob"] - expect) < 1e-9
