@@ -94,6 +94,7 @@ HEADLINE = [
     "dsir01_importance_select",
     "t37_fuzzy_decontaminate",
     "ann14_filtered_at_rest",
+    "lm01_ngram_logprob",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -78,7 +78,8 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # round-10 addition: filtered ANN over the at-rest IVF
                # layout — serving must stay flat like ann11 (the filter
                # pushes into the pruned scan, never a post-read pass)
-               "ann14_filtered_at_rest"]
+               "ann14_filtered_at_rest",
+               "lm01_ngram_logprob"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest"}
 
