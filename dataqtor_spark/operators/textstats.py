@@ -730,6 +730,46 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
         ref_uni.unpersist()
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b0?5[0-9]{9}\b"          # TR mobile shapes (5xx…, 05xx…)
+PII_TCID_RE = r"\b[1-9][0-9]{10}\b"        # 11-digit national-ID candidates
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """PII screening over free text — the pre-release scrub pass of a
+    training-data pipeline: per document, counts of e-mail addresses,
+    TR-mobile-shaped phone numbers, 11-digit national-ID *candidates*,
+    and the subset of candidates that pass the real TCID checksum
+    (functions/checksums.py — the reference's validator applied to
+    EXTRACTED spans instead of a typed column, which kills the
+    digit-run false positives a regex-only scanner reports).
+
+    Returns ``(id, n_emails, n_phones, n_id_candidates, n_ids_valid,
+    has_pii)``.  One codegen'd projection — regex extraction and the
+    checksum arithmetic run in-row, no shuffle, no UDF; the patterns use
+    the portable regex subset (classes, bounded quantifiers, ``\\b``)
+    shared by Java regex and RE2 so the DuckDB oracle scans byte-for-byte
+    the same spans.
+    """
+    from dataqtor_spark.functions.checksums import is_valid_tcid
+
+    c = F.col(text_col).cast("string")
+    emails = F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))
+    phones = F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0))
+    ids = F.regexp_extract_all(c, F.lit(PII_TCID_RE), F.lit(0))
+    valid = F.filter(ids, lambda x: is_valid_tcid(x))
+    out = df.select(
+        F.col(id_col),
+        F.size(emails).cast("long").alias("n_emails"),
+        F.size(phones).cast("long").alias("n_phones"),
+        F.size(ids).cast("long").alias("n_id_candidates"),
+        F.size(valid).cast("long").alias("n_ids_valid"))
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ids_valid")) > 0)
+
+
 def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", span_tokens: int = 8,
                        min_docs: int = 2) -> DataFrame:

@@ -449,3 +449,26 @@ def test_ngram_lm_score_prefers_reference_like_text(spark):
     expect = round(round(math.log((c_the + 1) / (T_ + V)), 9), 6)
     assert out[4]["n_tokens"] == 1
     assert abs(out[4]["avg_logprob"] - expect) < 1e-9
+
+
+def test_pii_scan_counts_and_checksum_screening(spark):
+    """pii_scan finds planted e-mail/phone spans and screens 11-digit
+    candidates through the real TCID checksum — digit runs that fail it
+    count as candidates, never as valid IDs."""
+    # base9=123456789: odd=25, even=20 -> d10=(7*25-20)%10=5,
+    # d11=(45+5)%10=0 -> valid TCID 12345678950; ...51 fails
+    rows = [
+        (1, "yaz bana kisi1@ornek.example ya da kisi2@x.org", None),
+        (2, "tel: 05321234567 ve 5321234567 numaralari", None),
+        (3, "tc 12345678950 basvuru 12345678951 kayit 9999999999999", None),
+        (4, "hicbir sey yok burada", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, pad string")
+    out = {r["doc_id"]: r for r in T.pii_scan(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["has_pii"]
+    assert out[2]["n_phones"] == 2
+    # 13-digit run is \b-guarded out; the two 11-digit runs are candidates
+    assert out[3]["n_id_candidates"] == 2
+    assert out[3]["n_ids_valid"] == 1          # checksum screens ...51
+    assert out[4]["n_emails"] == out[4]["n_phones"] == 0
+    assert not out[4]["has_pii"]
