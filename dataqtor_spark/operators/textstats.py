@@ -770,6 +770,37 @@ def pii_scan(df: DataFrame, id_col: str = "doc_id",
         (F.col("n_emails") + F.col("n_phones") + F.col("n_ids_valid")) > 0)
 
 
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """The APPLY step of :func:`pii_scan` (the t16→t35 detect→scrub
+    pattern): e-mail and phone spans are regex-replaced with
+    ``[EMAIL]``/``[PHONE]`` placeholders, and checksum-VALID national-ID
+    candidates — extracted from the ORIGINAL text, validated per span —
+    are removed with an in-row literal-replace fold (``F.aggregate`` over
+    the bounded valid-span array → ``[ID]``).  Returns
+    ``(id, text_redacted, n_redactions)``.
+
+    One codegen'd projection, no shuffle.  Convention: the literal
+    replace of a valid ID hits every occurrence of those exact digits,
+    including inside a longer digit run that was not itself a candidate
+    — deterministic and identical across engines (privacy errs toward
+    over-redaction)."""
+    from dataqtor_spark.functions.checksums import is_valid_tcid
+
+    c = F.col(text_col).cast("string")
+    ids = F.regexp_extract_all(c, F.lit(PII_TCID_RE), F.lit(0))
+    valid = F.filter(ids, lambda x: is_valid_tcid(x))
+    n = (F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+         + F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
+         + F.size(valid))
+    t1 = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "[PHONE]")
+    t3 = F.aggregate(valid, t2,
+                     lambda acc, x: F.replace(acc, x, F.lit("[ID]")))
+    return df.select(F.col(id_col), t3.alias("text_redacted"),
+                     n.cast("long").alias("n_redactions"))
+
+
 def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", span_tokens: int = 8,
                        min_docs: int = 2) -> DataFrame:

@@ -10284,7 +10284,7 @@ _PII_D11 = f"((({' + '.join(_PII_D)}) + {_PII_D10}) % 10)"
 _PII_TCID = (f"({_PII_BASE9} || CAST({_PII_D10} AS VARCHAR)"
              f" || CAST({_PII_D11} AS VARCHAR))")
 
-_PII01_SQL = f"""WITH aug AS (
+_PII_AUG_CTE = f"""aug AS (
   SELECT doc_id, concat(text,
     CASE WHEN doc_id % 7 = 0 THEN ' iletisim: kisi'
               || CAST(doc_id % 50 AS VARCHAR) || '@ornek.example'
@@ -10296,7 +10296,9 @@ _PII01_SQL = f"""WITH aug AS (
     CASE WHEN doc_id % 17 = 0 THEN ' basvuru no ' || {_PII_BASE9} || '00'
          ELSE '' END) AS text
   FROM documents
-)
+)"""
+
+_PII01_SQL = f"""WITH {_PII_AUG_CTE}
 SELECT doc_id,
   len(regexp_extract_all(text,
       '{TX.PII_EMAIL_RE}'))::BIGINT AS n_emails,
@@ -10313,12 +10315,9 @@ SELECT doc_id,
 FROM aug"""
 
 
-@register("pii01_document_scan", _PII01_SQL)
-def pii01_document_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document PII counts (e-mails, TR phones, checksum-valid
-    national IDs) over deterministically PII-planted text
-    (textstats.pii_scan)."""
-    docs = _t(spark, sf_dir, "documents")
+def _pii_planted(docs: DataFrame) -> DataFrame:
+    """The Spark twin of _PII_AUG_CTE: documents with deterministic PII
+    appended from doc_id."""
     did = F.col("doc_id")
     base9 = (F.lit(100000000) + F.pmod(did, F.lit(900000000))).cast("string")
     d = [F.substring(base9, i, 1).cast("int") for i in range(1, 10)]
@@ -10341,7 +10340,39 @@ def pii01_document_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(blank),
         F.when(did % 17 == 0, F.concat(
             F.lit(" basvuru no "), base9, F.lit("00"))).otherwise(blank))
-    return TX.pii_scan(docs.select("doc_id", aug.alias("text")))
+    return docs.select("doc_id", aug.alias("text"))
+
+
+@register("pii01_document_scan", _PII01_SQL)
+def pii01_document_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts (e-mails, TR phones, checksum-valid
+    national IDs) over deterministically PII-planted text
+    (textstats.pii_scan)."""
+    return TX.pii_scan(_pii_planted(_t(spark, sf_dir, "documents")))
+
+
+_PII02_SQL = f"""WITH {_PII_AUG_CTE}
+SELECT doc_id,
+  list_reduce(
+    list_prepend(
+      regexp_replace(regexp_replace(text,
+          '{TX.PII_EMAIL_RE}', '[EMAIL]', 'g'),
+          '{TX.PII_PHONE_RE}', '[PHONE]', 'g'),
+      list_filter(regexp_extract_all(text, '{TX.PII_TCID_RE}'),
+                  x -> {CK.tcid_sql('x')})),
+    (acc, x) -> replace(acc, x, '[ID]')) AS text_redacted,
+  (len(regexp_extract_all(text, '{TX.PII_EMAIL_RE}'))
+   + len(regexp_extract_all(text, '{TX.PII_PHONE_RE}'))
+   + len(list_filter(regexp_extract_all(text, '{TX.PII_TCID_RE}'),
+         x -> {CK.tcid_sql('x')})))::BIGINT AS n_redactions
+FROM aug"""
+
+
+@register("pii02_redact", _PII02_SQL)
+def pii02_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply step: placeholder-redact the planted PII
+    (textstats.pii_redact)."""
+    return TX.pii_redact(_pii_planted(_t(spark, sf_dir, "documents")))
 
 
 # --- Round-10 graded-prefix rotation (VERDICT.md r9, task 2) -----------------

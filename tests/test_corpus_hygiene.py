@@ -472,3 +472,16 @@ def test_pii_scan_counts_and_checksum_screening(spark):
     assert out[3]["n_ids_valid"] == 1          # checksum screens ...51
     assert out[4]["n_emails"] == out[4]["n_phones"] == 0
     assert not out[4]["has_pii"]
+
+
+def test_pii_redact_applies_placeholders(spark):
+    rows = [
+        (1, "yaz kisi1@ornek.example tel 05321234567 tc 12345678950 son", None),
+        (2, "temiz metin", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, pad string")
+    out = {r["doc_id"]: r for r in T.pii_redact(df).collect()}
+    assert out[1]["n_redactions"] == 3
+    assert out[1]["text_redacted"] == "yaz [EMAIL] tel [PHONE] tc [ID] son"
+    assert out[2]["n_redactions"] == 0
+    assert out[2]["text_redacted"] == "temiz metin"
