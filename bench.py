@@ -95,13 +95,15 @@ HEADLINE = [
     "t37_fuzzy_decontaminate",
     "ann14_filtered_at_rest",
     "lm01_ngram_logprob",
+    "ann15_sq8_at_rest",
 ]
 
 # Queries that serve from a persisted index: the first call at a given
 # SF builds the index fixture (the OFFLINE step by contract), so the
 # bench prebuilds at the timed SF during warm-up and the samples measure
 # serving only.
-AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest"}
+AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
+           "ann15_sq8_at_rest"}
 
 
 def run_full(spark, sf_dir: str, warm_dir: str, reps: int,

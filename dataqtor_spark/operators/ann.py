@@ -988,6 +988,88 @@ def ivfpq_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
             .select("query_id", "neighbor_id", "adc_cosine", "rank"))
 
 
+def write_sq8_index(corpus: DataFrame, path: str, id_col: str,
+                    vec_col: str, n_clusters: int = 16,
+                    n_iter: int = 2, cache_key: str | None = None) -> None:
+    """Persist an IVF + SQ8 (per-vector symmetric int8) index: quantized
+    codes partitioned by coarse cluster plus the centroid sidecar — the
+    FAISS ``IVF,SQ8`` tier between the raw-vector layout
+    (:func:`write_ivf_index`, full recall, 4–8 bytes/dim) and IVF-PQ
+    (:func:`write_ivfpq_index`, sub-byte/dim, coarser).  4× smaller than
+    float32 at ≤0.4 % max per-component relative error.
+
+    Quantization is exactly :func:`embeddings.quantize_int8`'s scheme
+    (scale = round(max|v|/127, 9) per vector, q = round(v/scale)), and
+    the stored norm is ``sqrt(Σq²)`` — computed from the integer codes,
+    so it is bit-deterministic.  Cosine against a float query never needs
+    the scale: it cancels, so serving reads codes + norm only.
+    """
+    centers = train_ivf_centroids_portable(corpus, id_col, vec_col,
+                                           n_clusters, n_iter,
+                                           cache_key=cache_key or path)
+    v = _as_double(F.col(vec_col))
+    base = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                          v.alias("__v"))
+            .withColumn("__scale", F.greatest(
+                F.round(F.array_max(F.transform(F.col("__v"), F.abs))
+                        / 127.0, 9), F.lit(1e-12)))
+            .withColumn("codes", F.transform(
+                "__v",
+                lambda x: F.round(x / F.col("__scale")).cast("int")))
+            .withColumn("__rn", F.sqrt(F.aggregate(
+                "codes", F.lit(0.0).cast("double"),
+                lambda acc, q: acc + (q * q).cast("double"))))
+            .withColumn("__cluster", F.expr(_sql_nearest_cids(
+                "__v", centers, 1))[0])
+            .select("neighbor_id", "__scale", "codes", "__rn", "__cluster"))
+    (base.repartition("__cluster").write.mode("overwrite")
+     .partitionBy("__cluster").parquet(f"{path}/corpus"))
+    spark = corpus.sparkSession
+    rows = [(cid, i, x) for cid, vec in centers for i, x in enumerate(vec)]
+    (spark.createDataFrame(rows, "cid int, dim int, val double")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def sq8_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 5, n_probe: int = 3,
+                     query_id_col: str | None = None,
+                     corpus_filter: Column | None = None) -> DataFrame:
+    """Cosine top-k against a :func:`write_sq8_index` layout: probed
+    clusters prune partitions (PartitionFilters), the scan reads int8
+    codes + the stored integer-exact norm (never raw vectors), and the
+    per-candidate cosine is ``Σ(q·qv) / (sqrt(Σq²)·‖qv‖)`` — the
+    per-vector scale cancels out of cosine, so serving is pure
+    code arithmetic.  ``corpus_filter``: same pre-filter contract as
+    :func:`ivf_topk_at_rest`, written against ``id_col``."""
+    query_id_col = query_id_col or id_col
+    centers = load_ivf_centroids(spark, path)
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("__qv"))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .withColumn("__cluster", F.explode(
+             F.expr(_sql_nearest_cids("__qv", centers, n_probe)))))
+    probed = [r["__cluster"] for r in
+              q.select("__cluster").distinct().collect()]
+    c = (spark.read.parquet(f"{path}/corpus")
+         .filter(F.col("__cluster").isin(probed)))
+    if corpus_filter is not None:
+        c = (c.withColumnRenamed("neighbor_id", id_col)
+             .filter(corpus_filter)
+             .withColumnRenamed(id_col, "neighbor_id"))
+    qdot = F.aggregate(
+        F.zip_with("codes", "__qv", lambda a, b: a.cast("double") * b),
+        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+    scored = (c.join(F.broadcast(q), "__cluster")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine", F.round(
+                  qdot / (F.col("__rn") * F.col("__qn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def mips_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
               vec_col: str, k: int = 10,
               query_id_col: str | None = None) -> DataFrame:

@@ -10375,6 +10375,60 @@ def pii02_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pii_redact(_pii_planted(_t(spark, sf_dir, "documents")))
 
 
+# --- ann15 — SQ8 (int8 scalar-quantized) at-rest index -----------------------
+# The FAISS "IVF,SQ8" tier between raw-vector IVF (ann03/ann14) and
+# IVF-PQ (ann06/ann11): codes are e01's per-vector symmetric int8
+# quantization, stored partitioned by coarse cluster with the
+# integer-exact norm sqrt(Σq²); the per-vector scale CANCELS out of
+# cosine, so serving reads codes + norm only — 4× smaller than float32.
+# Oracle = the ann03 k-means replay with the scoring CTE swapped for the
+# quantized form (train/assign untouched).
+def _ann15_oracle_sql() -> str:
+    base = _ann03_oracle_sql()
+    old = """scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+  FROM qp q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id)"""
+    new = """qz AS (
+  SELECT vec_id, cid,
+         list_transform(v, x -> CAST(round(
+             x / greatest(round(list_max(list_transform(v, y -> abs(y)))
+                                / 127.0, 9), 1e-12)) AS INT)) AS q
+  FROM af),
+qd AS (
+  SELECT vec_id, cid, list_transform(q, z -> z::DOUBLE) AS qv8,
+         sqrt(list_inner_product(list_transform(q, z -> z::DOUBLE),
+                                 list_transform(q, z -> z::DOUBLE))) AS rn
+  FROM qz),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_inner_product(a.qv8, q.qv)
+               / (a.rn * sqrt(list_inner_product(q.qv, q.qv))), 6)
+           AS cosine
+  FROM qp q JOIN qd a ON a.cid = q.cid AND a.vec_id <> q.query_id)"""
+    assert old in base, "ann03 oracle shape changed"
+    return base.replace(old, new)
+
+
+@register("ann15_sq8_at_rest", _ann15_oracle_sql())
+def ann15_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 served from the SQ8 at-rest index
+    (ann.write_sq8_index → ann.sq8_topk_at_rest): partition-pruned code
+    scan, scale-free integer-code cosine."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = os.path.join(
+        _ANN11_ROOT,
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_sq8_{_ANN03_CLUSTERS}c_{_corpus_fingerprint(emb_path)}")
+    _ensure_fixture(idx, lambda: ANN.write_sq8_index(
+        _t(spark, sf_dir, "embeddings"), idx, "vec_id", "embedding",
+        n_clusters=_ANN03_CLUSTERS, n_iter=_ANN03_ITER))
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    out = ANN.sq8_topk_at_rest(spark, idx, queries, "vec_id", "embedding",
+                               k=_ANN03_K, n_probe=_ANN03_PROBE)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --- Round-10 graded-prefix rotation (VERDICT.md r9, task 2) -----------------
 # The driver grades the FIRST 50 entries of ``queries()``; 225 of 280 are
 # driver-green after nine rounds.  This prefix is t17_source_mix (hash-red

@@ -707,6 +707,42 @@ def test_filtered_ann_at_rest_pushes_filter_and_matches_live(
         and "neighbor_id" in pq_scan[0].split("PushedFilters", 1)[1][:200]
 
 
+def test_sq8_at_rest_prunes_quantizes_and_recalls(spark, tables, tmp_path):
+    """SQ8 index: the stored layout holds int8 codes + integer-exact
+    norms (no raw vectors), the probe scan partition-prunes, cosines sit
+    within the int8 quantization error of the exact raw-vector IVF path,
+    and recall@5 vs that path stays high."""
+    from dataqtor_spark.operators import ann as ANN
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "sq8_index")
+    ANN.write_sq8_index(emb, path, "vec_id", "embedding",
+                        n_clusters=8, n_iter=2)
+    stored = spark.read.parquet(f"{path}/corpus")
+    assert set(stored.columns) == {"neighbor_id", "__scale", "codes",
+                                   "__rn", "__cluster"}
+    row = stored.limit(1).collect()[0]
+    assert all(-127 <= q <= 127 for q in row["codes"])
+    queries = emb.filter(F.col("vec_id") < 8)
+    sq8 = ANN.sq8_topk_at_rest(spark, path, queries, "vec_id", "embedding",
+                               k=5, n_probe=3)
+    plan = sq8._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "__cluster" in scan[0].split("PartitionFilters", 1)[1][:400]
+    assert "codes#" in scan[0] and "embedding#" not in scan[0], \
+        "serving must read codes, never raw vectors"
+    exact = ANN.ivf_topk_portable(emb, queries, "vec_id", "embedding",
+                                  k=5, n_clusters=8, n_probe=3, n_iter=2)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+           for r in sq8.collect()}
+    overlap = len(set(ex) & set(got))
+    assert overlap >= int(0.8 * len(ex)), f"recall@5 too low: {overlap}/{len(ex)}"
+    for key in set(ex) & set(got):
+        assert abs(ex[key] - got[key]) < 0.02  # int8 error envelope
+
+
 def test_ivfpq_at_rest_matches_portable_and_prunes(spark, tables, tmp_path):
     """The persisted IVF-PQ layout serves IDENTICAL results to the live
     ivfpq_topk_portable path with the same training params (training is
