@@ -604,7 +604,7 @@ def rfm_segments(df: DataFrame, as_of, user_col: str = "user_id",
             .withColumn("f_score", tile("__rn_f"))
             .withColumn("m_score", tile("__rn_m"))
             .withColumn("monetary",
-                        F.round(F.col("__m").cast("double"), 2))
+                        F.round(F.col("__m"), 2).cast("double"))
             .withColumn("segment", F.concat_ws("", "r_score", "f_score",
                                                "m_score"))
             .select("user_id", "recency_days", "frequency", "monetary",

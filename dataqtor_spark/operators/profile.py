@@ -1416,7 +1416,7 @@ def decile_profile(df: DataFrame, value_col: str, group_col: str,
                  F.min(value_col).alias("min_v"),
                  F.max(value_col).alias("max_v"),
                  F.round(F.sum(F.col(value_col).cast("decimal(28,10)"))
-                         .cast("double"), 4).alias("total")))
+                         , 4).cast("double").alias("total")))
 
 
 # ---------------------------------------------------------------------------
@@ -1547,7 +1547,7 @@ def chi_squared_stat(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
                    / F.col("e"), 8)
     return (cells.agg(
-        F.round(F.sum(term.cast("decimal(28,8)")).cast("double"), 4)
+        F.round(F.sum(term.cast("decimal(28,8)")), 4).cast("double")
         .alias("chi2"),
         ((F.count_distinct(F.col(col_a)) - 1)
          * (F.count_distinct(F.col(col_b)) - 1)).cast("long").alias("dof")))
@@ -1570,7 +1570,7 @@ def trimmed_mean(df: DataFrame, col: str, lo: float = 0.05,
             .filter(F.col(col).between(F.col("__lo"), F.col("__hi")))
             .agg(n.cast("long").alias("n_kept"),
                  F.round((F.sum(F.col(col).cast("decimal(28,10)")) / n)
-                         .cast("double"), 6).alias("trimmed_mean")))
+                         , 6).cast("double").alias("trimmed_mean")))
 
 
 def column_modes(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -1144,7 +1144,7 @@ def bm25_search(df: DataFrame, terms: list[str], id_col: str = "doc_id",
                 .filter(sum((F.col(f"__tf{i}") for i in range(len(terms))),
                             F.lit(0)) > 0)
                 .select(F.col("__id").alias(id_col),
-                        F.round(score.cast("double"), 4).alias("score"))
+                        F.round(score, 4).cast("double").alias("score"))
                 .orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
                 .localCheckpoint())
     finally:
@@ -1716,7 +1716,7 @@ def curriculum_phases(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("__tok").cast("long").alias("n_tokens"),
                  F.round(F.sum(F.col("quality_score")
-                               .cast("decimal(18,4)")).cast("double"), 4)
+                               .cast("decimal(18,4)")), 4).cast("double")
                  .alias("sum_quality"),
                  F.min("quality_score").alias("min_quality"),
                  F.max("quality_score").alias("max_quality")))
@@ -1740,8 +1740,7 @@ def calibration_report(df: DataFrame, score: Column, label: Column,
                      label.cast("int").alias("__y"))
     return (base.groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round((F.sum("__s") / F.count(F.lit(1))).cast("double"),
-                         4).alias("avg_score"),
+                 F.round((F.sum("__s") / F.count(F.lit(1))), 4).cast("double").alias("avg_score"),
                  F.round(F.sum("__y") / F.count(F.lit(1)), 4)
                  .alias("label_rate"))
             .withColumn("abs_gap",

@@ -89,9 +89,9 @@ _DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
                            f'count({c}) * 100', 4)} AS mean,
        round(stddev_samp({c}), 4) AS std,
        CAST(min({c}) AS DOUBLE) AS min,
-       round(CAST(quantile_cont({c}, 0.25) AS DOUBLE), 4) AS q1,
-       round(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 4) AS median,
-       round(CAST(quantile_cont({c}, 0.75) AS DOUBLE), 4) AS q3,
+       CAST(round(quantile_cont({c}, 0.25), 4) AS DOUBLE) AS q1,
+       CAST(round(quantile_cont({c}, 0.5), 4) AS DOUBLE) AS median,
+       CAST(round(quantile_cont({c}, 0.75), 4) AS DOUBLE) AS q3,
        CAST(max({c}) AS DOUBLE) AS max,
        CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS sum
 FROM lineitem"""
@@ -112,9 +112,9 @@ def a05_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             XR.round_ratio(cents, F.count(col) * 100, 4).alias(f"__mean_{c}"),
             F.round(F.stddev_samp(col), 4).alias(f"__std_{c}"),
             F.min(col).cast("double").alias(f"__min_{c}"),
-            F.round(F.expr(f"percentile({c}, 0.25)").cast("double"), 4).alias(f"__q1_{c}"),
-            F.round(F.expr(f"percentile({c}, 0.5)").cast("double"), 4).alias(f"__median_{c}"),
-            F.round(F.expr(f"percentile({c}, 0.75)").cast("double"), 4).alias(f"__q3_{c}"),
+            F.round(F.expr(f"percentile({c}, 0.25)"), 4).cast("double").alias(f"__q1_{c}"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 4).cast("double").alias(f"__median_{c}"),
+            F.round(F.expr(f"percentile({c}, 0.75)"), 4).cast("double").alias(f"__q3_{c}"),
             F.max(col).cast("double").alias(f"__max_{c}"),
             dec_sum.alias(f"__sum_{c}"),
         ]
@@ -2010,7 +2010,7 @@ def _prof_num_oracle(c: str) -> str:
        {XR.round_ratio_sql(f'CAST(sum(CAST({c} AS DECIMAL(18,2))) * 100 AS HUGEINT)',
                            f'count({c}) * 100', 4)} AS mean,
        round(stddev_samp({c}), 4) AS std,
-       round(min({c})::DOUBLE, 4) AS min, round(max({c})::DOUBLE, 4) AS max,
+       (round(min({c}), 4)::DOUBLE) AS min, (round(max({c}), 4)::DOUBLE) AS max,
        (SELECT round((sum(pow({c} - m, 3)) / count({c}))
                      / pow(sum(pow({c} - m, 2)) / count({c}), 1.5), 4)
         FROM lineitem, (SELECT avg({c}) AS m FROM lineitem)) AS skewness,
@@ -3336,8 +3336,8 @@ _F12_SQL = """WITH nulled AS (
 )
 SELECT l_returnflag, count(*)::BIGINT AS n_rows,
        sum(was_null)::BIGINT AS n_imputed,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) / count(l_discount)
-                  AS DOUBLE), 6) AS mean_after
+       CAST(round(sum(CAST(l_discount AS DECIMAL(28,10))) / count(l_discount)
+                 , 6) AS DOUBLE) AS mean_after
 FROM imputed GROUP BY l_returnflag"""
 
 
@@ -3357,7 +3357,7 @@ def f12_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("was_null").alias("n_imputed"),
                  F.round((F.sum(F.col("l_discount").cast("decimal(28,10)"))
-                          / F.count("l_discount")).cast("double"), 6)
+                          / F.count("l_discount")), 6).cast("double")
                  .alias("mean_after")))
 
 
@@ -3576,18 +3576,18 @@ def b03_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _H01_SQL = """SELECT l_returnflag, l_linestatus,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_qty,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4)
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 4) AS DOUBLE)
     AS sum_base_price,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
-             AS DOUBLE), 4) AS sum_disc_price,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-                      AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_charge,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) / count(*) AS DOUBLE), 4)
+  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+            , 4) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                      AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_charge,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))) / count(*), 4) AS DOUBLE)
     AS avg_qty,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) / count(*)
-             AS DOUBLE), 4) AS avg_price,
-  round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) / count(*) AS DOUBLE), 4)
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))) / count(*)
+            , 4) AS DOUBLE) AS avg_price,
+  CAST(round(sum(CAST(l_discount AS DECIMAL(28,10))) / count(*), 4) AS DOUBLE)
     AS avg_disc,
   count(*)::BIGINT AS count_order
 FROM lineitem
@@ -3606,21 +3606,21 @@ def h01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc * (F.lit(1.0) + F.col("l_tax"))
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(dec(F.col("l_quantity")).cast("double"), 4).alias("sum_qty"),
-        F.round(dec(F.col("l_extendedprice")).cast("double"), 4)
+        F.round(dec(F.col("l_quantity")), 4).cast("double").alias("sum_qty"),
+        F.round(dec(F.col("l_extendedprice")), 4).cast("double")
         .alias("sum_base_price"),
-        F.round(dec(disc).cast("double"), 4).alias("sum_disc_price"),
-        F.round(dec(charge).cast("double"), 4).alias("sum_charge"),
-        F.round((dec(F.col("l_quantity")) / n).cast("double"), 4).alias("avg_qty"),
-        F.round((dec(F.col("l_extendedprice")) / n).cast("double"), 4)
+        F.round(dec(disc), 4).cast("double").alias("sum_disc_price"),
+        F.round(dec(charge), 4).cast("double").alias("sum_charge"),
+        F.round((dec(F.col("l_quantity")) / n), 4).cast("double").alias("avg_qty"),
+        F.round((dec(F.col("l_extendedprice")) / n), 4).cast("double")
         .alias("avg_price"),
-        F.round((dec(F.col("l_discount")) / n).cast("double"), 4).alias("avg_disc"),
+        F.round((dec(F.col("l_discount")) / n), 4).cast("double").alias("avg_disc"),
         n.cast("long").alias("count_order"))
 
 
 _H03_SQL = """SELECT l_orderkey,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
-             AS DOUBLE), 4) AS revenue,
+  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+            , 4) AS DOUBLE) AS revenue,
   o_orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -3649,7 +3649,7 @@ def h03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                         orders["o_custkey"] == cust["c_custkey"])
             .join(li, li["l_orderkey"] == orders["o_orderkey"])
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+            .agg(F.round(F.sum(disc.cast("decimal(28,10)")), 4).cast("double")
                  .alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -3657,8 +3657,8 @@ def h03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _H05_SQL = """SELECT n_name,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
-             AS DOUBLE), 4) AS revenue
+  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+            , 4) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -3697,7 +3697,7 @@ def h05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(cust, (orders["o_custkey"] == cust["c_custkey"])
                   & (cust["c_nationkey"] == supplier["s_nationkey"]))
             .groupBy("n_name")
-            .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+            .agg(F.round(F.sum(disc.cast("decimal(28,10)")), 4).cast("double")
                  .alias("revenue")))
 
 
@@ -3854,8 +3854,8 @@ def h04_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _H06_SQL = """SELECT
-  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))
-             AS DOUBLE), 4) AS revenue,
+  CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))
+            , 4) AS DOUBLE) AS revenue,
   count(*)::BIGINT AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -3877,14 +3877,14 @@ def h06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24))
     rev = F.col("l_extendedprice") * F.col("l_discount")
     return li.agg(
-        F.round(F.sum(rev.cast("decimal(28,10)")).cast("double"), 4)
+        F.round(F.sum(rev.cast("decimal(28,10)")), 4).cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"))
 
 
 _H10_SQL = """SELECT c_custkey, c_name,
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
-             AS DOUBLE), 4) AS revenue,
+  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+            , 4) AS DOUBLE) AS revenue,
   c_acctbal, n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -3916,7 +3916,7 @@ def h10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(nation),
                   cust["c_nationkey"] == nation["n_nationkey"])
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-            .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+            .agg(F.round(F.sum(disc.cast("decimal(28,10)")), 4).cast("double")
                  .alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -3951,11 +3951,11 @@ def h13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _H14_SQL = """SELECT
-  round(CAST(100.0 * sum(CAST(CASE WHEN p_type = 'PROMO'
+  CAST(round(100.0 * sum(CAST(CASE WHEN p_type = 'PROMO'
                    THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END
                    AS DECIMAL(28,10)))
         / sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
-        AS DOUBLE), 4) AS promo_revenue_pct
+       , 4) AS DOUBLE) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01'
   AND l_shipdate < TIMESTAMP '1996-10-01'"""
@@ -3975,12 +3975,12 @@ def h14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
             .agg(F.round(
                 (F.lit(100.0) * F.sum(promo.cast("decimal(28,10)"))
-                 / F.sum(disc.cast("decimal(28,10)"))).cast("double"), 4)
+                 / F.sum(disc.cast("decimal(28,10)"))), 4).cast("double")
                 .alias("promo_revenue_pct")))
 
 
 _H18_SQL = """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4)
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 4) AS DOUBLE)
     AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -4011,7 +4011,7 @@ def h18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                      "o_totalprice")
             .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)"))
-                         .cast("double"), 4).alias("total_qty"))
+                         , 4).cast("double").alias("total_qty"))
             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
             .limit(100))
 
@@ -4218,7 +4218,7 @@ def w03_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _J07_SQL = """SELECT c_mktsegment, count(*)::BIGINT AS n_events,
-  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_value
+  CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment"""
 
@@ -4237,7 +4237,7 @@ def j07_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum(F.col("value").cast("decimal(28,10)"))
-                         .cast("double"), 4).alias("total_value")))
+                         , 4).cast("double").alias("total_value")))
 
 
 # ---------------------------------------------------------------------------
@@ -4360,8 +4360,8 @@ def h11_nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _H15_SQL = """WITH rev AS (
   SELECT l_suppkey,
-         round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                             AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_revenue
+         CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(28,10))), 4) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -4382,7 +4382,7 @@ def h15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     rev = (li.groupBy("l_suppkey")
-           .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+           .agg(F.round(F.sum(disc.cast("decimal(28,10)")), 4).cast("double")
                 .alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -4477,8 +4477,8 @@ _F13_SQL = """WITH cuts AS (
 SELECT count(*)::BIGINT AS n_rows,
   sum(CASE WHEN c_acctbal < lo OR c_acctbal > hi THEN 1 ELSE 0 END)::BIGINT
     AS n_clipped,
-  round(CAST(sum(CAST(least(greatest(c_acctbal, lo), hi) AS DECIMAL(28,10)))
-             AS DOUBLE), 4) AS clipped_sum
+  CAST(round(sum(CAST(least(greatest(c_acctbal, lo), hi) AS DECIMAL(28,10)))
+            , 4) AS DOUBLE) AS clipped_sum
 FROM customer, cuts"""
 
 
@@ -4494,7 +4494,7 @@ def f13_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("c_acctbal__clipped").cast("long")).alias("n_clipped"),
         F.round(F.sum(F.col("c_acctbal").cast("decimal(28,10)"))
-                .cast("double"), 4).alias("clipped_sum"))
+                , 4).cast("double").alias("clipped_sum"))
 
 
 # ---------------------------------------------------------------------------
@@ -4724,8 +4724,8 @@ def t22_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _H19_SQL = """SELECT
-  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
-             AS DOUBLE), 4) AS revenue,
+  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+            , 4) AS DOUBLE) AS revenue,
   count(*)::BIGINT AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'BRAND#1' AND p_size BETWEEN 1 AND 10
@@ -4761,7 +4761,7 @@ def h19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(part_f),
                     li["l_partkey"] == part_f["p_partkey"])
             .filter(band)
-            .agg(F.round(F.sum(disc.cast("decimal(28,10)")).cast("double"), 4)
+            .agg(F.round(F.sum(disc.cast("decimal(28,10)")), 4).cast("double")
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
@@ -4862,7 +4862,7 @@ def h02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _H07_SQL = """SELECT supp_nation, cust_nation, l_year,
-  round(CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+  CAST(round(sum(CAST(volume AS DECIMAL(28,10))), 4) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -4907,30 +4907,36 @@ def h07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.year("l_shipdate").alias("l_year"), vol.alias("volume"))
             .groupBy("supp_nation", "cust_nation", "l_year")
             .agg(F.round(F.sum(F.col("volume").cast("decimal(28,10)"))
-                         .cast("double"), 4).alias("revenue")))
+                         , 4).cast("double").alias("revenue")))
 
 
-_H08_SQL = """SELECT o_year,
-  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
-                      THEN CAST(volume AS DECIMAL(28,10))
-                      ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
-        / CAST(sum(CAST(volume AS DECIMAL(28,10))) AS DOUBLE), 6) AS mkt_share
+_H08_SQL = f"""SELECT o_year,
+  {XR.round_ratio_sql('num', 'den', 6)} AS mkt_share
 FROM (
-  SELECT year(o_orderdate) AS o_year,
-         l_extendedprice * (1.0 - l_discount) AS volume,
-         n1.n_name AS supp_nation
-  FROM lineitem
-  JOIN part ON l_partkey = p_partkey
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation n1 ON s_nationkey = n1.n_nationkey
-  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  JOIN region ON n2.n_regionkey = r_regionkey
-  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
-    AND o_orderdate >= TIMESTAMP '1996-01-01'
-    AND o_orderdate < TIMESTAMP '1998-01-01'
-) GROUP BY o_year"""
+  SELECT o_year,
+    CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                  THEN CAST(volume AS DECIMAL(28,10))
+                  ELSE CAST(0 AS DECIMAL(28,10)) END)
+         * 10000000000 AS HUGEINT) AS num,
+    CAST(sum(CAST(volume AS DECIMAL(28,10)))
+         * 10000000000 AS HUGEINT) AS den
+  FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1.0 - l_discount) AS volume,
+           n1.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+  ) GROUP BY o_year
+)"""
 
 
 @register("h08_market_share", _H08_SQL)
@@ -4969,14 +4975,16 @@ def h08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.year("o_orderdate").alias("o_year"),
                     vol.alias("volume"), "supp_nation")
             .groupBy("o_year")
-            .agg(F.round(
+            .agg(XR.round_ratio(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3",
-                             F.col("volume")).otherwise(dec0)).cast("double")
-                / F.sum("volume").cast("double"), 6).alias("mkt_share")))
+                             F.col("volume")).otherwise(dec0))
+                * F.lit(10000000000),
+                F.sum("volume") * F.lit(10000000000), 6)
+                .alias("mkt_share")))
 
 
 _H09_SQL = """SELECT nation, o_year,
-  round(CAST(sum(CAST(amount AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_profit
+  CAST(round(sum(CAST(amount AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation, year(o_orderdate) AS o_year,
          l_extendedprice * (1.0 - l_discount)
@@ -5013,7 +5021,7 @@ def h09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     amount.alias("amount"))
             .groupBy("nation", "o_year")
             .agg(F.round(F.sum(F.col("amount").cast("decimal(28,10)"))
-                         .cast("double"), 4).alias("sum_profit")))
+                         , 4).cast("double").alias("sum_profit")))
 
 
 _H12_SQL = """SELECT l_returnflag AS ship_class,
@@ -5272,19 +5280,19 @@ def cdc02_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _X03_SQL = """SELECT 'l_quantity' AS measure, count(l_quantity)::BIGINT AS n,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 4) AS total,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 4) AS DOUBLE) AS total,
   min(l_quantity) AS min_v, max(l_quantity) AS max_v FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4),
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 4) AS DOUBLE),
   min(l_extendedprice), max(l_extendedprice) FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(l_discount)::BIGINT,
-  round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE), 4),
+  CAST(round(sum(CAST(l_discount AS DECIMAL(28,10))), 4) AS DOUBLE),
   min(l_discount), max(l_discount) FROM lineitem
 UNION ALL
 SELECT 'l_tax', count(l_tax)::BIGINT,
-  round(CAST(sum(CAST(l_tax AS DECIMAL(28,10))) AS DOUBLE), 4),
+  CAST(round(sum(CAST(l_tax AS DECIMAL(28,10))), 4) AS DOUBLE),
   min(l_tax), max(l_tax) FROM lineitem"""
 
 
@@ -5299,7 +5307,7 @@ def x03_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("measure").agg(
         F.count("value").cast("long").alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(28,10)"))
-                .cast("double"), 4).alias("total"),
+                , 4).cast("double").alias("total"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"))
 
@@ -5308,7 +5316,7 @@ _CUBE01_SQL = """SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
   CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
   count(*)::BIGINT AS n,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 4)
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 4) AS DOUBLE)
     AS total_price
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
@@ -5324,7 +5332,7 @@ def cube01_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("int").alias("g_ls"),
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
-                .cast("double"), 4).alias("total_price"))
+                , 4).cast("double").alias("total_price"))
 
 
 _BM25_TERMS = ["spark", "agg", "join"]
@@ -5353,7 +5361,7 @@ _T23_SQL = """WITH toks AS (
   FROM tf JOIN dfreq USING (token) JOIN dl USING (id) CROSS JOIN corpus
 )
 SELECT id AS doc_id,
-       round(CAST(sum(CAST(c AS DECIMAL(28,8))) AS DOUBLE), 4) AS score
+       CAST(round(sum(CAST(c AS DECIMAL(28,8))), 4) AS DOUBLE) AS score
 FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15"""
 
 
@@ -5421,7 +5429,7 @@ def gap01_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PCTL01_SQL = """SELECT c_mktsegment, tile, count(*)::BIGINT AS n,
   min(c_acctbal) AS min_v, max(c_acctbal) AS max_v,
-  round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 4) AS total
+  CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 4) AS DOUBLE) AS total
 FROM (
   SELECT c_mktsegment, c_acctbal,
          ntile(10) OVER (PARTITION BY c_mktsegment
@@ -5831,8 +5839,8 @@ _PR20_SQL = """WITH ct AS (
            * sum(o) OVER (PARTITION BY b) / sum(o) OVER () AS e
   FROM ct
 )
-SELECT round(CAST(sum(CAST(round((o - e) * (o - e) / e, 8)
-                          AS DECIMAL(28,8))) AS DOUBLE), 4) AS chi2,
+SELECT CAST(round(sum(CAST(round((o - e) * (o - e) / e, 8)
+                          AS DECIMAL(28,8))), 4) AS DOUBLE) AS chi2,
        ((SELECT count(DISTINCT a) FROM ct) - 1)::BIGINT
          * ((SELECT count(DISTINCT b) FROM ct) - 1)::BIGINT AS dof
 FROM cells"""
@@ -5873,8 +5881,8 @@ _O07_SQL = """WITH cuts AS (
   FROM customer
 )
 SELECT count(*)::BIGINT AS n_kept,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) / count(*)
-                  AS DOUBLE), 6) AS trimmed_mean
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))) / count(*)
+                 , 6) AS DOUBLE) AS trimmed_mean
 FROM customer, cuts WHERE c_acctbal BETWEEN lo AND hi"""
 
 
@@ -6016,7 +6024,7 @@ _B06_SQL = """WITH per_user AS (
   GROUP BY user_id
 )
 SELECT user_id, recency_days, frequency,
-       round(CAST(m AS DOUBLE), 2) AS monetary,
+       CAST(round(m, 2) AS DOUBLE) AS monetary,
        ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
        ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
        ntile(5) OVER (ORDER BY m ASC, user_id) AS m_score,
@@ -6078,7 +6086,7 @@ def pareto01_revenue_concentration(spark: SparkSession,
 
 # ratio-to-parent via self-joins on the rollup result (deterministic, no
 # engine-specific grouping-window interplay)
-_RR01_SQL = """WITH base AS (
+_RR01_SQL = f"""WITH base AS (
   SELECT r_name, n_name,
          CAST(GROUPING(r_name) AS INT) AS g_r,
          CAST(GROUPING(n_name) AS INT) AS g_n,
@@ -6091,9 +6099,11 @@ _RR01_SQL = """WITH base AS (
   GROUP BY ROLLUP (r_name, n_name)
 )
 SELECT b.r_name, b.n_name, b.g_r, b.g_n, b.n_orders,
-       round(CAST(b.rev AS DOUBLE), 4) AS revenue,
-       round(CAST(b.rev AS DOUBLE) / CAST(p.rev AS DOUBLE), 6)
-         AS share_of_parent
+       CAST(round(b.rev, 4) AS DOUBLE) AS revenue,
+       CASE WHEN p.rev IS NOT NULL THEN
+         {XR.round_ratio_sql('CAST(b.rev * 10000000000 AS HUGEINT)',
+                             'CAST(p.rev * 10000000000 AS HUGEINT)', 6)}
+       END AS share_of_parent
 FROM base b
 LEFT JOIN base p
   ON (b.g_n = 0 AND b.g_r = 0 AND p.g_n = 1 AND p.g_r = 0
@@ -6131,9 +6141,10 @@ def rr01_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("p_gn") == 1) & (F.col("p_gr") == 1))
     return (base.join(F.broadcast(p), nation_parent | region_parent, "left")
             .select("r_name", "n_name", "g_r", "g_n", "n_orders",
-                    F.round(F.col("rev").cast("double"), 4).alias("revenue"),
-                    F.round(F.col("rev").cast("double")
-                            / F.col("p_rev").cast("double"), 6)
+                    F.round(F.col("rev"), 4).cast("double").alias("revenue"),
+                    F.when(F.col("p_rev").isNotNull(), XR.round_ratio(
+                        F.col("rev") * F.lit(10000000000),
+                        F.col("p_rev") * F.lit(10000000000), 6))
                     .alias("share_of_parent")))
 
 
@@ -6477,8 +6488,8 @@ _CLV01_SQL = """WITH weekly AS (
   GROUP BY 1, 2
 )
 SELECT user_id, CAST(week AS INT) AS week,
-       round(CAST(sum(wk_rev) OVER (PARTITION BY user_id ORDER BY week
-                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+       CAST(round(sum(wk_rev) OVER (PARTITION BY user_id ORDER BY week
+                                    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
          AS cum_revenue
 FROM weekly"""
 
@@ -6502,7 +6513,7 @@ def clv01_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, 0))
     return weekly.select(
         "user_id", F.col("week").cast("int").alias("week"),
-        F.round(F.sum("wk_rev").over(w).cast("double"), 2)
+        F.round(F.sum("wk_rev").over(w), 2).cast("double")
         .alias("cum_revenue"))
 
 
@@ -8062,7 +8073,7 @@ def ann07_lsh_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_found"),
                     F.round(F.coalesce(F.col("dcg"), F.lit(0))
                             .cast("double")
-                            / F.col("idcg").cast("double"), 4)
+                            / F.col("idcg"), 4).cast("double")
                     .alias("ndcg")))
 
 
@@ -9425,7 +9436,7 @@ _T33_SQL = f"""WITH q AS (
 )
 SELECT phase::BIGINT AS phase, count(*)::BIGINT AS n_docs,
        sum(n_tok)::BIGINT AS n_tokens,
-       round(CAST(sum(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE), 4)
+       CAST(round(sum(CAST(quality_score AS DECIMAL(18,4))), 4) AS DOUBLE)
          AS sum_quality,
        min(quality_score) AS min_quality,
        max(quality_score) AS max_quality
@@ -9940,9 +9951,9 @@ _ML01_SQL = f"""WITH f AS (
         FROM f)
 )
 SELECT bin, count(*)::BIGINT AS n_docs,
-       round((sum(p) / count(*))::DOUBLE, 4) AS avg_score,
+       (round((sum(p) / count(*)), 4)::DOUBLE) AS avg_score,
        round(sum(y) * 1.0 / count(*), 4) AS label_rate,
-       round(abs(round((sum(p) / count(*))::DOUBLE, 4)
+       round(abs((round((sum(p) / count(*)), 4)::DOUBLE)
                  - round(sum(y) * 1.0 / count(*), 4)), 4) AS abs_gap
 FROM (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y FROM s)
 GROUP BY 1"""
