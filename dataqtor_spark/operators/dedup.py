@@ -451,6 +451,49 @@ def minhash_dedup_pairs_portable(df: DataFrame, id_col: str, text_col: str,
         sig.unpersist()
 
 
+def minhash_threshold_sensitivity(df: DataFrame, id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  thresholds_pct: tuple[int, ...] = (
+                                      25, 35, 50, 70, 90),
+                                  num_hashes: int = 64, bands: int = 16,
+                                  shingle_n: int = 3) -> DataFrame:
+    """Dedup-threshold tuning report: ONE banding + scoring pass, then
+    per candidate Jaccard threshold (integer percent — cross-engine
+    exact comparisons) the pair count and the number of distinct
+    documents those pairs touch.  The table a pipeline owner reads
+    before picking the dedup cutoff: how much of the corpus each
+    threshold would flag.
+
+    Scored candidates come from the SAME LSH banding as the production
+    pass, so thresholds far below the banding's recall curve undercount
+    by construction — the report tunes the verification threshold, not
+    the banding geometry (retune bands/rows for that).  Zero-hit
+    thresholds keep their row (left join from the threshold frame).
+    """
+    scored = minhash_dedup_pairs_portable(
+        df, id_col, text_col, threshold=0.0,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+    spark = df.sparkSession
+    th = spark.range(1).select(F.explode(F.array(
+        *[F.lit(int(t)) for t in thresholds_pct])).alias("threshold_pct"))
+    hits = th.join(scored,
+                   F.col("est_jaccard") >= F.col("threshold_pct") / 100.0)
+    pairs_agg = hits.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    docs_agg = (hits.select("threshold_pct",
+                            F.explode(F.array("id_a", "id_b")).alias("__d"))
+                .groupBy("threshold_pct")
+                .agg(F.countDistinct("__d").cast("long")
+                     .alias("n_docs_flagged")))
+    return (th.join(pairs_agg, "threshold_pct", "left")
+            .join(docs_agg, "threshold_pct", "left")
+            .select("threshold_pct",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("n_docs_flagged", F.lit(0)).cast("long")
+                    .alias("n_docs_flagged")))
+
+
 def minhash_decontaminate(corpus: DataFrame, bench: DataFrame, id_col: str,
                           text_col: str, threshold: float = 0.7,
                           num_hashes: int = 64, bands: int = 16,

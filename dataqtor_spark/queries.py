@@ -10440,6 +10440,48 @@ def ann15_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# --- d12 — dedup threshold sensitivity ---------------------------------------
+# The tuning table before picking a dedup cutoff: one banding + scoring
+# pass (d03's exact CTE chain), then per integer-percent threshold the
+# pair count and distinct flagged-doc count, zero-hit thresholds kept.
+_D12_THS = (25, 35, 50, 70, 90)
+
+
+def _d12_oracle_sql() -> str:
+    nh = _MH_HASHES
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                    for i in range(nh))
+    ths = ", ".join(str(t) for t in _D12_THS)
+    return f"""{_minhash_cte_prefix()},
+scored AS (
+  SELECT c.id_a, c.id_b, ({eq}) / {nh}.0 AS ej
+  FROM cand c JOIN sig a ON a.doc_id = c.id_a
+              JOIN sig b ON b.doc_id = c.id_b),
+th AS (SELECT unnest([{ths}]) AS threshold_pct),
+hits AS (
+  SELECT t.threshold_pct, s.id_a, s.id_b
+  FROM th t JOIN scored s ON s.ej >= t.threshold_pct / 100.0),
+pa AS (SELECT threshold_pct, count(*)::BIGINT AS n_pairs
+       FROM hits GROUP BY 1),
+da AS (SELECT threshold_pct, count(DISTINCT u.d)::BIGINT AS n_docs_flagged
+       FROM hits, unnest([id_a, id_b]) AS u(d) GROUP BY 1)
+SELECT th.threshold_pct,
+       coalesce(pa.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(da.n_docs_flagged, 0)::BIGINT AS n_docs_flagged
+FROM th LEFT JOIN pa USING (threshold_pct)
+        LEFT JOIN da USING (threshold_pct)"""
+
+
+@register("d12_threshold_sensitivity", _d12_oracle_sql())
+def d12_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cutoff tuning: pairs + flagged docs per Jaccard threshold
+    from one MinHash banding pass (dedup.minhash_threshold_sensitivity)."""
+    return DD.minhash_threshold_sensitivity(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        thresholds_pct=_D12_THS, num_hashes=_MH_HASHES,
+        bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
+
+
 # --- Round-10 graded-prefix rotation (VERDICT.md r9, task 2) -----------------
 # The driver grades the FIRST 50 entries of ``queries()``; 225 of 280 are
 # driver-green after nine rounds.  This prefix is t17_source_mix (hash-red

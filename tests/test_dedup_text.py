@@ -1142,3 +1142,22 @@ def test_filtered_ann_pre_filter_semantics(spark, tables):
         emb.filter(F.col("vec_id") % 2 == 0), queries,
         "vec_id", "embedding", k=3)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, brute.collect()))
+
+
+def test_minhash_threshold_sensitivity_monotone(spark):
+    """The tuning table is monotone non-increasing in the threshold, keeps
+    zero-hit rows, and the exact-duplicate pair survives every cutoff."""
+    from dataqtor_spark.operators import dedup as DD
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(28)) + " zz yy"
+    rows = [(1, base), (2, base), (3, near),
+            (4, " ".join(f"q{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["threshold_pct"]: r for r in DD.minhash_threshold_sensitivity(
+        df, thresholds_pct=(25, 50, 99), shingle_n=3).collect()}
+    assert set(out) == {25, 50, 99}
+    assert out[25]["n_pairs"] >= out[50]["n_pairs"] >= out[99]["n_pairs"]
+    assert out[25]["n_docs_flagged"] >= out[99]["n_docs_flagged"]
+    assert out[99]["n_pairs"] >= 1          # the exact twin (1,2)
+    assert out[99]["n_docs_flagged"] >= 2
