@@ -79,7 +79,8 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # layout — serving must stay flat like ann11 (the filter
                # pushes into the pruned scan, never a post-read pass)
                "ann14_filtered_at_rest",
-               "lm01_ngram_logprob", "ann15_sq8_at_rest"]
+               "lm01_ngram_logprob", "ann15_sq8_at_rest",
+               "d12_threshold_sensitivity"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest"}
