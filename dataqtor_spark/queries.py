@@ -10482,6 +10482,86 @@ def d12_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
 
 
+# --- ann16 — IVF n_probe recall sweep ----------------------------------------
+# The retrieval twin of d12's tuning table: recall@5 vs exact brute
+# force for n_probe in {1,2,3}, ONE row per setting — the curve an
+# operator reads before trading probe cost for recall.  Training CTEs
+# are shared across the sweep (the chain is probe-independent); only
+# the query-assignment cap and the scoring join differ per branch.
+_ANN16_PROBES = (1, 2, 3)
+
+
+def _ann16_oracle_sql() -> str:
+    base = _ann03_oracle_sql()
+    head = base[:base.index("qp AS")]
+    qp_tail = base[base.index("qp AS"):base.index("scored AS")]
+    qp_tail = qp_tail.rstrip().rstrip(",")
+    k = _ANN03_K
+    parts = [head.rstrip().rstrip(","), ",\nbrute AS (",
+             _ANN05_BRUTE_SQL, ")"]
+    rows = []
+    for p in _ANN16_PROBES:
+        qp_p = (qp_tail.replace("qp AS", f"qp{p} AS")
+                .replace(f"rn <= {_ANN03_PROBE})", f"rn <= {p})"))
+        parts.append(",\n" + qp_p)
+        parts.append(f""",
+ivf{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(a.v, q.qv), 6) DESC,
+                      a.vec_id ASC) AS rank
+    FROM qp{p} q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+  WHERE rank <= {k})""")
+        rows.append(f"""SELECT {p} AS n_probe,
+       count(*)::BIGINT AS n_brute,
+       sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       {XR.round_ratio_sql(
+           'sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)',
+           'count(*)', 4)} AS recall
+FROM brute b LEFT JOIN ivf{p} i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("ann16_nprobe_recall_sweep", _ann16_oracle_sql())
+def ann16_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 vs brute force per n_probe setting (1/2/3) — the probe
+    budget tuning curve, trained once (process-cached quantizer)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = (ANN.brute_force_topk(emb, queries, "vec_id", "embedding",
+                                  k=_ANN03_K)
+             .select("query_id", "neighbor_id"))
+    outs = []
+    for p in _ANN16_PROBES:
+        ivf = ANN.ivf_topk_portable(
+            emb, queries, "vec_id", "embedding",
+            k=_ANN03_K, n_clusters=_ANN03_CLUSTERS, n_probe=p,
+            n_iter=_ANN03_ITER,
+            cache_key=os.path.join(sf_dir, "embeddings.parquet"))
+        hit = ivf.select("query_id",
+                         F.col("neighbor_id").alias("__hit_id"))
+        j = brute.join(hit, (brute["query_id"] == hit["query_id"])
+                       & (brute["neighbor_id"] == hit["__hit_id"]),
+                       "left").select(brute["query_id"],
+                                      F.col("__hit_id"))
+        outs.append(j.agg(
+            F.lit(p).cast("int").alias("n_probe"),
+            F.count(F.lit(1)).cast("long").alias("n_brute"),
+            F.sum(F.col("__hit_id").isNotNull().cast("int")).cast("long")
+            .alias("n_hit"),
+            XR.round_ratio(
+                F.sum(F.col("__hit_id").isNotNull().cast("int")),
+                F.count(F.lit(1)), 4).alias("recall")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # --- Round-10 graded-prefix rotation (VERDICT.md r9, task 2) -----------------
 # The driver grades the FIRST 50 entries of ``queries()``; 225 of 280 are
 # driver-green after nine rounds.  This prefix is t17_source_mix (hash-red

@@ -1161,3 +1161,17 @@ def test_minhash_threshold_sensitivity_monotone(spark):
     assert out[25]["n_docs_flagged"] >= out[99]["n_docs_flagged"]
     assert out[99]["n_pairs"] >= 1          # the exact twin (1,2)
     assert out[99]["n_docs_flagged"] >= 2
+
+
+def test_ann16_recall_sweep_monotone(spark, tables):
+    """More probes never lose recall; full-probe (= n_clusters) recall
+    is 1.0 on the IVF path (every candidate scanned)."""
+    import os
+
+    from dataqtor_spark.queries import QUERIES
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    rows = {r["n_probe"]: r for r in
+            QUERIES["ann16_nprobe_recall_sweep"](spark, sf).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["recall"] <= rows[2]["recall"] <= rows[3]["recall"]
+    assert all(r["n_brute"] == 40 for r in rows.values())
