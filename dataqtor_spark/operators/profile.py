@@ -308,6 +308,50 @@ def duplicate_values(df: DataFrame, col: str) -> DataFrame:
 # P8/R13 — null-majority "useless" rows (home.py:94-97)
 # ---------------------------------------------------------------------------
 
+def profile_drift(df_a: DataFrame, df_b: DataFrame,
+                  cols: list[str] | None = None,
+                  exact_mean: tuple[int, int] | None = None) -> DataFrame:
+    """Data-drift report between two snapshots of the same table (the
+    DQ-monitoring loop: profile yesterday's load vs today's): one row
+    per column with total/null/distinct/mean from BOTH sides and the
+    exact deltas — the table an alerting rule thresholds on.
+
+    Reuses :func:`profile_columns` on each side (one aggregate pass per
+    snapshot; ``exact_distinct`` mode so the drift numbers are exact and
+    hash-comparable) and joins the two bounded per-column frames — cost
+    is two scans, the comparison itself is dimension-sized.  Null RATES
+    are exact 6-dp roundings of the count/total rationals (the
+    functions/exact.py device) — never a rounded float.
+    """
+    from dataqtor_spark.functions.exact import round_ratio
+
+    pa = profile_columns(df_a, cols, exact_distinct=True,
+                         exact_mean=exact_mean)
+    pb = profile_columns(df_b, cols, exact_distinct=True,
+                         exact_mean=exact_mean)
+    a = pa.select(F.col("column"),
+                  F.col("total_records").alias("total_a"),
+                  F.col("null_records").alias("nulls_a"),
+                  F.col("distinct_values").alias("distinct_a"),
+                  F.col("mean").alias("mean_a"))
+    b = pb.select(F.col("column"),
+                  F.col("total_records").alias("total_b"),
+                  F.col("null_records").alias("nulls_b"),
+                  F.col("distinct_values").alias("distinct_b"),
+                  F.col("mean").alias("mean_b"))
+    nr = lambda n, t: round_ratio(n, F.greatest(t, F.lit(1)), 6)  # noqa: E731
+    return (a.join(b, "column", "full")
+            .select("column", "total_a", "total_b",
+                    "distinct_a", "distinct_b",
+                    nr(F.col("nulls_a"), F.col("total_a")).alias("null_rate_a"),
+                    nr(F.col("nulls_b"), F.col("total_b")).alias("null_rate_b"),
+                    "mean_a", "mean_b",
+                    (F.col("total_b") - F.col("total_a")).cast("long")
+                    .alias("total_delta"),
+                    (F.col("distinct_b") - F.col("distinct_a")).cast("long")
+                    .alias("distinct_delta")))
+
+
 def null_majority_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Rows where more than half of the cells are NULL."""
     cols = _data_cols(df, cols)

@@ -10562,6 +10562,58 @@ def ann16_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- pr29 — profile drift between two snapshots -------------------------------
+# The DQ-monitoring loop: profile snapshot A vs snapshot B of the same
+# table and emit per-column deltas (the table an alerting rule
+# thresholds on).  Snapshots here = the deterministic even/odd event_id
+# halves; means via the exact-rational device at (0,4) — `value` is an
+# arbitrary double column and is deliberately excluded (a decimal cast
+# of a non-decimal double rounds differently across engines).
+_PR29_COLS = ["user_id", "event_type"]
+
+
+def _pr29_side_sql(alias: str, pred: str) -> str:
+    rows = []
+    for c in _PR29_COLS:
+        mean = ("CAST(NULL AS DOUBLE)" if c == "event_type" else
+                XR.round_ratio_sql(
+                    f"CAST(sum(CAST({c} AS DECIMAL(38,0))) AS HUGEINT)",
+                    f"greatest(count({c}), 1)", 4))
+        rows.append(f"""SELECT '{c}' AS col, count(*)::BIGINT AS total_{alias},
+       (count(*) - count({c}))::BIGINT AS nulls_{alias},
+       count(DISTINCT {c})::BIGINT AS distinct_{alias},
+       {mean} AS mean_{alias}
+FROM events WHERE {pred}""")
+    return "\nUNION ALL\n".join(rows)
+
+
+_PR29_SQL = f"""WITH pa AS (
+{_pr29_side_sql('a', 'event_id % 2 = 0')}
+), pb AS (
+{_pr29_side_sql('b', 'event_id % 2 = 1')}
+)
+SELECT pa.col AS "column", total_a, total_b, distinct_a, distinct_b,
+       {XR.round_ratio_sql('nulls_a', 'greatest(total_a, 1)', 6)}
+         AS null_rate_a,
+       {XR.round_ratio_sql('nulls_b', 'greatest(total_b, 1)', 6)}
+         AS null_rate_b,
+       mean_a, mean_b,
+       (total_b - total_a)::BIGINT AS total_delta,
+       (distinct_b - distinct_a)::BIGINT AS distinct_delta
+FROM pa JOIN pb ON pa.col = pb.col"""
+
+
+@register("pr29_profile_drift", _PR29_SQL)
+def pr29_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column drift report between the even/odd event_id snapshots
+    (profile.profile_drift): totals, distincts, exact null rates, exact
+    means, and the deltas an alert thresholds on."""
+    ev = _t(spark, sf_dir, "events")
+    even = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    return P.profile_drift(ev.filter(even), ev.filter(~even),
+                           _PR29_COLS, exact_mean=(0, 4))
+
+
 # --- Round-10 graded-prefix rotation (VERDICT.md r9, task 2) -----------------
 # The driver grades the FIRST 50 entries of ``queries()``; 225 of 280 are
 # driver-green after nine rounds.  This prefix is t17_source_mix (hash-red

@@ -264,3 +264,24 @@ def test_json_key_type_profile_classification(spark):
     assert (b["n_present"], b["n_bool"], b["n_string"]) == (3, 1, 2)
     assert got["missing"]["n_present"] == 0
     assert got["missing"]["coverage"] == 0.0
+
+
+def test_profile_drift_detects_planted_changes(spark):
+    """Drift between two hand-built snapshots: a new null, a lost
+    distinct value, and a mean shift all surface with exact values."""
+    from dataqtor_spark.operators import profile as P
+
+    a = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)],
+        "id long, cat string, v double")
+    b = spark.createDataFrame(
+        [(4, "x", 40.0), (5, "x", None), (6, None, 50.0)],
+        "id long, cat string, v double")
+    out = {r["column"]: r for r in
+           P.profile_drift(a, b, ["cat", "v"]).collect()}
+    assert out["cat"]["distinct_a"] == 3 and out["cat"]["distinct_b"] == 1
+    assert out["cat"]["distinct_delta"] == -2
+    assert out["cat"]["null_rate_a"] == 0.0
+    assert abs(out["cat"]["null_rate_b"] - 0.333333) < 1e-9
+    assert out["v"]["mean_a"] == 20.0 and out["v"]["mean_b"] == 45.0
+    assert out["v"]["total_delta"] == 0
