@@ -96,6 +96,9 @@ HEADLINE = [
     "ann14_filtered_at_rest",
     "lm01_ngram_logprob",
     "ann15_sq8_at_rest",
+    "d12_threshold_sensitivity",
+    "ann16_nprobe_recall_sweep",
+    "pr29_profile_drift",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

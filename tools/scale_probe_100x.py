@@ -80,7 +80,8 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # pushes into the pruned scan, never a post-read pass)
                "ann14_filtered_at_rest",
                "lm01_ngram_logprob", "ann15_sq8_at_rest",
-               "d12_threshold_sensitivity", "ann16_nprobe_recall_sweep"]
+               "d12_threshold_sensitivity", "ann16_nprobe_recall_sweep",
+               "pr29_profile_drift"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest"}
