@@ -99,6 +99,7 @@ HEADLINE = [
     "d12_threshold_sensitivity",
     "ann16_nprobe_recall_sweep",
     "pr29_profile_drift",
+    "t38_contamination_report",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

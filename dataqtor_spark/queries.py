@@ -10614,6 +10614,92 @@ def pr29_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                            _PR29_COLS, exact_mean=(0, 4))
 
 
+# --- t38 — combined contamination report (exact + fuzzy, per source) --------
+# The release-gate artifact: per training source, how much of the slice
+# the EXACT 5-gram screen (t13) and the FUZZY MinHash screen (t37) each
+# flag, their union, and the surviving clean rate — one table instead of
+# two per-doc lists.  Both screens replay their own oracle CTE chains;
+# clean_rate is an exact integer rational.
+def _t38_oracle_sql() -> str:
+    nh = _MH_HASHES
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                    for i in range(nh))
+    n = _T13_N
+    from dataqtor_spark.operators.dedup import PORTABLE_P
+    return f"""{_minhash_cte_prefix()},
+dcand AS (
+  SELECT DISTINCT l.doc_id AS cid, r.doc_id AS bid
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id % 20 <> 0 AND r.doc_id % 20 = 0),
+fscored AS (
+  SELECT c.cid, round(({eq}) / {nh}.0, 6) AS est
+  FROM dcand c JOIN sig a ON a.doc_id = c.cid
+               JOIN sig b ON b.doc_id = c.bid),
+fuzzy AS (SELECT DISTINCT cid AS doc_id FROM fscored
+          WHERE est >= {_T37_THRESHOLD}),
+xwords AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+xsh AS (
+  SELECT DISTINCT doc_id, s.sh AS sh
+  FROM xwords, unnest(CASE WHEN len(ws) < {n} THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(generate_series(1, len(ws) - {n - 1}),
+                           i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' ')) END) AS s(sh)),
+xhv AS (
+  SELECT doc_id, {_nibble_value_sql("h16")} % {PORTABLE_P} AS g
+  FROM (SELECT doc_id, md5(sh) AS h16 FROM xsh)),
+xbench AS (SELECT DISTINCT g FROM xhv WHERE doc_id % 20 = 0),
+exact AS (
+  SELECT DISTINCT xhv.doc_id
+  FROM xhv JOIN xbench USING (g) WHERE xhv.doc_id % 20 <> 0),
+base AS (
+  SELECT d.doc_id, d.source,
+         (e.doc_id IS NOT NULL) AS is_exact,
+         (f.doc_id IS NOT NULL) AS is_fuzzy
+  FROM documents d
+  LEFT JOIN exact e ON e.doc_id = d.doc_id
+  LEFT JOIN fuzzy f ON f.doc_id = d.doc_id
+  WHERE d.doc_id % 20 <> 0)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN is_exact THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       sum(CASE WHEN is_fuzzy THEN 1 ELSE 0 END)::BIGINT AS n_fuzzy,
+       sum(CASE WHEN is_exact OR is_fuzzy THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged,
+       {XR.round_ratio_sql(
+           'count(*) - sum(CASE WHEN is_exact OR is_fuzzy THEN 1 ELSE 0 END)',
+           'count(*)', 6)} AS clean_rate
+FROM base GROUP BY source"""
+
+
+@register("t38_contamination_report", _t38_oracle_sql())
+def t38_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination summary: exact 5-gram (t13) and fuzzy
+    MinHash (t37) screens against the held-out benchmark slice, their
+    union, and the exact clean rate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    ex = (TX.decontaminate(corpus, bench, "doc_id", "text",
+                           shingle_n=_T13_N)
+          .select("doc_id", F.col("contaminated").alias("__ex")))
+    fz = (DD.minhash_decontaminate(
+        corpus, bench, "doc_id", "text", threshold=_T37_THRESHOLD,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
+        .select("doc_id", F.lit(True).alias("__fz")))
+    j = (corpus.select("doc_id", "source")
+         .join(ex, "doc_id", "left").join(fz, "doc_id", "left"))
+    is_ex = F.coalesce(F.col("__ex"), F.lit(False))
+    is_fz = F.coalesce(F.col("__fz"), F.lit(False))
+    flagged = F.sum((is_ex | is_fz).cast("int"))
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(is_ex.cast("int")).cast("long").alias("n_exact"),
+                 F.sum(is_fz.cast("int")).cast("long").alias("n_fuzzy"),
+                 flagged.cast("long").alias("n_flagged"),
+                 XR.round_ratio(F.count(F.lit(1)) - flagged,
+                                F.count(F.lit(1)), 6).alias("clean_rate")))
+
+
 # --- Round-10 graded-prefix rotation (VERDICT.md r9, task 2) -----------------
 # The driver grades the FIRST 50 entries of ``queries()``; 225 of 280 are
 # driver-green after nine rounds.  This prefix is t17_source_mix (hash-red

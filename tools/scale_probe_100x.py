@@ -81,7 +81,7 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "ann14_filtered_at_rest",
                "lm01_ngram_logprob", "ann15_sq8_at_rest",
                "d12_threshold_sensitivity", "ann16_nprobe_recall_sweep",
-               "pr29_profile_drift"]
+               "pr29_profile_drift", "t38_contamination_report"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest"}
