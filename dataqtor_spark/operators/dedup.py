@@ -29,6 +29,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataqtor_spark.operators.textstats import WS_PLUS
+
 # Column trees here are large (64-hash families, 64-bit nibble extraction)
 # and deterministic given their parameters; building them costs real
 # driver-side py4j time per call (~1.5 s for the 64-agg minhash family).
@@ -159,7 +161,7 @@ def _words(col: Column | str) -> Column:
     trim, whitespace split) — word_shingles and _exploded_shingles must
     tokenize identically or their consumers silently drift apart."""
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    return F.split(F.trim(F.lower(c)), r"\s+")
+    return F.split(F.trim(F.lower(c)), WS_PLUS)
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -559,7 +561,7 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c = F.col(text_col).cast("string")
     toks = (parallelize(df.select(F.col(id_col).alias("__id"), c.alias("__txt")))
             .select("__id",
-                    F.explode(F.split(F.trim(F.lower(F.col("__txt"))), r"\s+")).alias("__t"))
+                    F.explode(F.split(F.trim(F.lower(F.col("__txt"))), WS_PLUS)).alias("__t"))
             .withColumn("__h", F.md5("__t")))
     sums = toks.groupBy("__id").agg(*_simhash_portable_aggs())
     return sums.select(F.col("__id").alias(id_col),
@@ -600,7 +602,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     c = F.col(text_col).cast("string")
     toks = (parallelize(df.select(F.col(id_col).alias("__id"), c.alias("__txt")))
-            .select("__id", F.explode(F.split(F.trim(F.lower(F.col("__txt"))), r"\s+")).alias("__t"))
+            .select("__id", F.explode(F.split(F.trim(F.lower(F.col("__txt"))), WS_PLUS)).alias("__t"))
             .withColumn("__h", F.xxhash64("__t")))
     sums = toks.groupBy("__id").agg(*_simhash_xxhash_aggs())
     return sums.select(F.col("__id").alias(id_col),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-CLEAN_RE = r"[,\-./]|\s"
+CLEAN_RE = r"[,\-./]|[ \t\n\r\f]"  # \s pinned: Java includes \x0B, RE2 does not
 
 
 def char_ngrams(col: Column | str, n: int = 3,

@@ -16,18 +16,30 @@ from pyspark.sql import functions as F
 # token counting — whitespace + a BPE-ish regex variant
 # ---------------------------------------------------------------------------
 
+# Pinned whitespace class.  Java's ``\s`` is ``[ \t\n\x0B\f\r]`` but RE2's
+# (DuckDB oracle dialect) is ``[ \t\n\f\r]`` — a document containing a
+# vertical tab would tokenize differently across engines.  Every tokenizing
+# regex that feeds a hash-compared oracle uses this explicit class (and the
+# oracle SQL uses the identical literal), so the two dialects can never
+# diverge on the whitespace set regardless of engine version.
+WS = r"[ \t\n\r\f]"
+WS_PLUS = WS + "+"
+# The same set spelled for *inside* an enclosing character class.
+WS_IN_CLASS = r" \t\n\r\f"
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (empty/blank string → 0)."""
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
     t = F.trim(c)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, WS_PLUS)))
 
 
 def subword_token_count(col: Column | str) -> Column:
     """BPE-ish upper bound: word-piece runs (letter runs, digit runs, single
     punctuation) — ``regexp_count`` over one alternation, codegen-friendly."""
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_IN_CLASS + "]"))
 
 
 def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -104,7 +116,7 @@ def lang_votes(col: Column | str) -> dict[str, Column]:
     for lang, words in LANG_MARKERS.items():
         v = F.lit(0)
         for w in words:
-            v = v + F.regexp_count(c, F.lit(rf"\s{w}\s"))
+            v = v + F.regexp_count(c, F.lit(rf"{WS}{w}{WS}"))
         votes[lang] = v
     return votes
 
@@ -133,7 +145,7 @@ def fingerprint(col: Column | str) -> Column:
     → sort → join → md5.  Word-order/duplication-insensitive near-dup key;
     fingerprint equality clusters in one groupBy (no pairwise join)."""
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    toks = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+")))
+    toks = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(c)), WS_PLUS)))
     return F.md5(F.concat_ws(" ", toks))
 
 
@@ -164,7 +176,7 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     step = max_tokens - overlap
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokens = F.split(F.trim(F.col(text_col)), WS_PLUS)
     n = F.size(tokens)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
     chunks = F.transform(starts, lambda s: F.slice(tokens, s, max_tokens))
@@ -209,7 +221,7 @@ def lang_votes_tokens(col: Column | str) -> dict[str, Column]:
     the regex consumes the shared space); both forms have exact SQL twins.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    toks = F.split(F.trim(F.lower(c)), WS_PLUS)
     votes = {}
     for lang, words in LANG_MARKERS.items():
         marker_arr = F.array(*[F.lit(w) for w in words])
@@ -311,7 +323,7 @@ def _tokens_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c = F.col(text_col).cast("string")
     return (parallelize(df.select(F.col(id_col).alias("__id"), c.alias("__txt")))
             .select("__id",
-                    F.explode(F.split(F.trim(F.lower(F.col("__txt"))), r"\s+"))
+                    F.explode(F.split(F.trim(F.lower(F.col("__txt"))), WS_PLUS))
                     .alias("token"))
             .filter(F.col("token") != ""))
 
@@ -374,7 +386,7 @@ def _clean_tokens(col: Column | str) -> Column:
     (no explode, no shuffle); the per-doc repetition stats below stay inside
     whole-stage codegen."""
     c = (F.col(col) if isinstance(col, str) else col).cast("string")
-    return F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(F.lower(c)), WS_PLUS), lambda t: t != "")
 
 
 def repetition_signals(df: DataFrame, id_col: str = "doc_id",
@@ -866,7 +878,8 @@ def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
 
 def source_mix(df: DataFrame, source_col: str = "source",
                text_col: str = "text",
-               targets: dict[str, float] | None = None) -> DataFrame:
+               targets: dict[str, float] | None = None,
+               ppm: bool = False) -> DataFrame:
     """Per-source corpus composition and mixture-reweighting factors — the
     data-mixing step of a training pipeline: measure each source's token
     share, then compute the sampling multiplier that would hit a target mix.
@@ -885,6 +898,12 @@ def source_mix(df: DataFrame, source_col: str = "source",
     single correctly-rounded IEEE division on every platform.  A source
     with zero tokens gets weight NULL (its share is exactly 0).
 
+    ``ppm=True`` skips even that final division and emits the scaled
+    integers directly as BIGINT ``token_share_ppm`` / ``weight_ppm``
+    (parts-per-million) — an all-integer output surface that no
+    engine/environment float canonicalization difference can perturb.
+    Hash-compared pipelines should prefer this form.
+
     One groupBy over (source) — partial aggregation reduces each partition
     to |sources| rows, so the shuffle is tiny no matter the corpus size; the
     grand total rides a broadcast scalar.
@@ -898,13 +917,15 @@ def source_mix(df: DataFrame, source_col: str = "source",
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     nt, tt, ns = dec(F.col("n_tokens")), dec(F.col("__tt")), dec(F.col("__ns"))
 
-    def r6(num, den):
+    def rppm(num, den):
         # (2·num·10⁶ + den) div (2·den) — `div` truncates the exact decimal
         # quotient, which for positive operands is floor, i.e. half-up.
         two = F.lit(2).cast("decimal(38,0)")
         m = F.lit(1000000).cast("decimal(38,0)")
-        q = F.call_function("div", two * num * m + den, two * den)
-        return (q / F.lit(1e6)).cast("double")
+        return F.call_function("div", two * num * m + den, two * den)
+
+    def r6(num, den):
+        return (rppm(num, den) / F.lit(1e6)).cast("double")
 
     if targets is None:
         # uniform target 1/ns → weight = tt / (ns · n_tokens)
@@ -919,6 +940,12 @@ def source_mix(df: DataFrame, source_col: str = "source",
         # target t_num/10⁹ → weight = t_num · tt / (10⁹ · n_tokens)
         w_num = t_num * tt
         w_den = F.lit(1000000000).cast("decimal(38,0)") * nt
+    if ppm:
+        return out.select(
+            "source", "n_docs", "n_tokens",
+            rppm(nt, tt).cast("long").alias("token_share_ppm"),
+            F.when(F.col("n_tokens") > 0,
+                   rppm(w_num, w_den).cast("long")).alias("weight_ppm"))
     return out.select(
         "source", "n_docs", "n_tokens",
         r6(nt, tt).alias("token_share"),
@@ -1104,7 +1131,7 @@ def bm25_search(df: DataFrame, terms: list[str], id_col: str = "doc_id",
         return df.select(F.col(id_col),
                          F.lit(0.0).alias("score")).limit(0)
     c = F.col(text_col).cast("string")
-    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"),
+    toks = F.filter(F.split(F.trim(F.lower(c)), WS_PLUS),
                     lambda x: x != "")
     base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
 
@@ -1289,7 +1316,7 @@ def c4_line_filters(df: DataFrame, id_col: str = "doc_id",
     lines = F.split(t, "\n")
     keep = F.filter(lines, lambda l: (
         F.trim(l).rlike("[.!?]$")
-        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
+        & (F.size(F.split(F.trim(l), WS_PLUS)) >= min_words)
         & ~F.lower(l).contains("javascript")))
     dropped = (F.lower(t).contains("lorem ipsum")
                | t.contains("{"))

@@ -884,8 +884,8 @@ from dataqtor_spark.operators import textstats as TX  # noqa: E402
     "t01_token_counts",
     """SELECT lang,
        sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS total_tokens,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_subword_tokens,
+                ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END)::BIGINT AS total_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]')))::BIGINT AS total_subword_tokens,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY lang""",
 )
@@ -902,15 +902,15 @@ def t01_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QF_SQL = """SELECT doc_id,
   length(text)::INT AS n_chars,
   (CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::INT AS n_tokens,
+        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END)::INT AS n_tokens,
   round(length(text) * 1.0 / greatest((CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1), 4) AS avg_token_len,
+        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END), 1), 4) AS avg_token_len,
   round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
   round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1), 4) AS digit_ratio,
   round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / greatest(length(text), 1), 4) AS upper_ratio,
   round(len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b')) * 1.0
         / greatest((CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1), 4) AS stopword_ratio
+        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END), 1), 4) AS stopword_ratio
 FROM documents"""
 
 @register("t02_quality_features", _QF_SQL)
@@ -931,7 +931,7 @@ def _langid_sql(expr: str) -> str:
     votes = {}
     for lang, words in TX.LANG_MARKERS.items():
         votes[lang] = " + ".join(
-            f"len(regexp_extract_all({padded}, '\\s{w}\\s'))" for w in words)
+            f"len(regexp_extract_all({padded}, '[ \\t\\n\\r\\f]{w}[ \\t\\n\\r\\f]'))" for w in words)
     best = "greatest(" + ", ".join(f"({votes[l]})" for l in TX.LANG_ORDER) + ")"
     whens = "".join(
         f" WHEN ({votes[l]}) = {best} THEN '{l}'" for l in TX.LANG_ORDER)
@@ -957,7 +957,7 @@ def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
        min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
 FROM (SELECT doc_id,
         md5(array_to_string(list_sort(list_distinct(
-            regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+            regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'))), ' ')) AS fp
       FROM documents)
 GROUP BY fp HAVING count(*) > 1""",
 )
@@ -994,7 +994,7 @@ _D02_PAIRS_SQL = """WITH ex AS (
   SELECT DISTINCT doc_id AS id, sh FROM (
     SELECT doc_id,
            array_to_string(words[i:i+4], ' ') AS sh
-    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+') AS words
           FROM documents),
          UNNEST(generate_series(1, len(words) - 4)) AS t(i)
   )
@@ -1039,7 +1039,7 @@ _D02B_PAIRS_SQL = f"""WITH ex0 AS (
   SELECT DISTINCT doc_id AS id, sh FROM (
     SELECT doc_id,
            array_to_string(words[i:i+4], ' ') AS sh
-    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+') AS words
           FROM documents),
          UNNEST(generate_series(1, len(words) - 4)) AS t(i)
   )
@@ -1133,7 +1133,7 @@ def _minhash_cte_prefix() -> str:
         + " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
         + " AS key FROM sig" for b in range(bands))
     return f"""WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, s.sh AS sh
   FROM words, unnest(CASE WHEN len(ws) < {n} THEN [array_to_string(ws, ' ')]
@@ -1183,7 +1183,7 @@ def _simhash_oracle_sql(max_hamming: int = 8) -> str:
     ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
     return f"""WITH toks AS (
   SELECT doc_id, md5(t.t) AS h
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents) d,
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents) d,
        unnest(d.ws) AS t(t)),
 bits AS (
   SELECT doc_id, {bitsums}
@@ -1379,7 +1379,7 @@ _A13_SQL = """WITH vals AS (
   SELECT DISTINCT p_name AS value FROM part WHERE p_name IS NOT NULL
 ), n_docs AS (SELECT count(*) AS n FROM vals),
 cleaned AS (
-  SELECT value, regexp_replace(value, '[,\\-./]|\\s', '', 'g') AS cv FROM vals
+  SELECT value, regexp_replace(value, '[,\\-./]|[ \\t\\n\\r\\f]', '', 'g') AS cv FROM vals
 ),
 grams AS (
   SELECT value, substring(cv, i, 3) AS gram, count(*) AS tf
@@ -1435,7 +1435,7 @@ def _a13_lsh_oracle_sql() -> str:
     return f"""WITH vals AS (
   SELECT DISTINCT p_name AS value FROM part WHERE p_name IS NOT NULL),
 cleaned AS (
-  SELECT value, regexp_replace(value, '[,\\-./]|\\s', '', 'g') AS cv FROM vals),
+  SELECT value, regexp_replace(value, '[,\\-./]|[ \\t\\n\\r\\f]', '', 'g') AS cv FROM vals),
 grams AS (
   SELECT DISTINCT value, substring(cv, i, 3) AS gram
   FROM cleaned, UNNEST(generate_series(1, greatest(length(cv) - 2, 1))) AS t(i)),
@@ -2136,12 +2136,12 @@ def x01_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- t05 — composite training-data pipeline --------------------------------
 
 _T05_NTOK = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
-             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
+             "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END)")
 _T05_DIGR = ("round(len(regexp_extract_all(text, '[0-9]')) * 1.0 "
              "/ greatest(length(text), 1), 4)")
 
 def _langid_tokens_sql(expr: str) -> str:
-    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    toks = f"regexp_split_to_array(trim(lower({expr})), '[ \\t\\n\\r\\f]+')"
     votes = {}
     for lang in TX.LANG_ORDER:
         words = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
@@ -2162,7 +2162,7 @@ def _langid_tokens_sql(expr: str) -> str:
 ), fp AS (
   SELECT doc_id, lang_pred,
          md5(array_to_string(list_sort(list_distinct(
-             regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+             regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'))), ' ')) AS fp
   FROM lng
 ), keep AS (
   SELECT lang_pred FROM (
@@ -2507,7 +2507,7 @@ def r06_no_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t06_chunk_documents",
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks
            FROM documents),
 c AS (SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(toks), 1) + 1, 56),
@@ -2517,7 +2517,7 @@ c AS (SELECT doc_id,
                                                 s -> s), 1) - 1 AS chunk_index
       FROM t)
 SELECT doc_id, chunk_index::INT AS chunk_index, chunk_text,
-       len(regexp_split_to_array(chunk_text, '\\s+'))::INT AS n_chunk_tokens
+       len(regexp_split_to_array(chunk_text, '[ \\t\\n\\r\\f]+'))::INT AS n_chunk_tokens
 FROM c WHERE length(chunk_text) > 0""",
 )
 def t06_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2578,10 +2578,10 @@ def d06_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-row double arithmetic is bit-identical.
 _QSCORE_SQL = """round(
   0.5 * least((CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) * 1.0 / 20.0, 1.0)
+        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END) * 1.0 / 20.0, 1.0)
 + 0.5 * least(len(regexp_extract_all(text, '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b')) * 1.0
         / greatest((CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 1) * 4.0, 1.0)
+        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END), 1) * 4.0, 1.0)
 - 0.25 * least(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1) * 5.0
              + len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1) * 2.0, 1.0),
   4)"""
@@ -2694,7 +2694,7 @@ def t09_binned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH fp AS (
   SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(
-             regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fp
+             regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'))), ' ')) AS fp
   FROM documents
 ),
 old AS (SELECT fp FROM fp WHERE doc_id < 250),
@@ -2816,7 +2816,7 @@ def pr07_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.psi_drift(o, "o_totalprice", "__period", bins=10)
 
 
-_T10_CTE = f"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+_T10_CTE = f"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS toks
            FROM documents),
 c AS (SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(toks), 1) + 1, 56),
@@ -2826,7 +2826,7 @@ c AS (SELECT doc_id,
                                                 s -> s), 1) - 1 AS chunk_index
       FROM t),
 ck AS (SELECT doc_id, chunk_index,
-              len(regexp_split_to_array(chunk_text, '\\s+')) AS n_chunk_tokens,
+              len(regexp_split_to_array(chunk_text, '[ \\t\\n\\r\\f]+')) AS n_chunk_tokens,
               CAST({_MIX_SQL.format(id='doc_id', seed=0)} % 8 AS INT) AS shard
        FROM c WHERE length(chunk_text) > 0),
 p AS (SELECT shard,
@@ -2860,7 +2860,7 @@ def t10_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whitespace tokens, blanks dropped — textstats._tokens_exploded's twin.
 _TOKS_CTE = """toks AS (
   SELECT doc_id, u.t AS token
-  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(t)
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+')) AS u(t)
   WHERE u.t <> '')"""
 
 _T11_TOPK = 100
@@ -2912,7 +2912,7 @@ def _t13_oracle_sql() -> str:
        ELSE list_transform(generate_series(1, len(ws) - {n - 1}),
                            i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' ')) END) AS s(sh))"""
     return f"""WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents),
 sh AS {shingles},
 hv AS (
   SELECT doc_id, {_nibble_value_sql("h16")} % {PORTABLE_P} AS g
@@ -2944,7 +2944,7 @@ def t13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS_CTE = """toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'), t -> t <> '') AS tk
   FROM documents
 ), base AS (
   SELECT doc_id, tk, len(tk) AS n FROM toks
@@ -3065,21 +3065,44 @@ def t16_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T17_SQL = """WITH agg AS (
   SELECT source, count(*) AS n_docs,
          sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens
+                  ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END) AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (SELECT sum(n_tokens) AS tt, count(*) AS ns FROM agg)
 SELECT source, n_docs, n_tokens,
-       ((2*n_tokens::HUGEINT*1000000 + tt) // (2*tt)) / 1e6 AS token_share,
+       ((2*n_tokens::HUGEINT*1000000 + tt) // (2*tt))::BIGINT AS token_share_ppm,
        CASE WHEN n_tokens = 0 THEN NULL ELSE
-            ((2*tt::HUGEINT*1000000 + ns*n_tokens) // (2*ns*n_tokens)) / 1e6
-       END AS weight
+            ((2*tt::HUGEINT*1000000 + ns*n_tokens) // (2*ns*n_tokens))::BIGINT
+       END AS weight_ppm
 FROM agg, tot"""
 
 
 @register("t17_source_mix", _T17_SQL)
 def t17_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token shares + uniform-target mixture reweighting."""
-    return TX.source_mix(_t(spark, sf_dir, "documents"))
+    """Per-source token shares + uniform-target mixture reweighting.
+
+    The hashed surface is ALL-INTEGER (parts-per-million BIGINT columns,
+    ``ppm=True``): rounds 9–10 proved the float form can diverge in a
+    foreign driver environment even when computed from exact integer
+    rationals, so the division back to DOUBLE is simply not emitted."""
+    return TX.source_mix(_t(spark, sf_dir, "documents"), ppm=True)
+
+
+_T17B_SQL = """SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END)::BIGINT
+         AS n_tokens
+FROM documents GROUP BY source"""
+
+
+@register("t17b_source_mix_diag", _T17B_SQL)
+def t17b_source_mix_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic split of t17: raw per-source doc/token counts only — no
+    derived ratios at all.  If t17 is ever red while t17b is green the
+    divergence is in ratio hashing; if both are red it is tokenization."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(TX.token_count("text").cast("long")).alias("n_tokens")))
 
 
 _T18_QUOTA = 10
@@ -3249,7 +3272,7 @@ def pr10_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T19_SQL = """WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         unnest(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                             t -> t <> '')) AS token
   FROM documents
 ), tf AS (
@@ -4117,7 +4140,7 @@ _T20_CHUNK = 10
 
 _T20_SQL = f"""WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                      t -> t <> '') AS tk
   FROM documents
 ),
@@ -4667,7 +4690,7 @@ def _t22_vec_sql(text_expr: str) -> str:
 def _t22_oracle_sql() -> str:
     q = _T22_QUERY
     return f"""WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS tk FROM documents
 ), ch AS (
   SELECT doc_id, CAST((s.s - 1) // {_T22_CHUNK} AS INT) AS chunk_index,
          array_to_string(list_slice(tk, s.s, s.s + {_T22_CHUNK - 1}), ' ') AS chunk
@@ -5339,7 +5362,7 @@ _BM25_TERMS = ["spark", "agg", "join"]
 
 _T23_SQL = """WITH toks AS (
   SELECT doc_id AS id,
-         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
                             x -> x <> '')) AS token
   FROM documents
 ), dl AS (
@@ -5376,7 +5399,7 @@ def t23_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T24_SQL = """WITH toks AS (
   SELECT source,
-         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
                             x -> x <> '')) AS token
   FROM documents
 ), voc AS (
@@ -5711,7 +5734,7 @@ def sg01_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE01_SQL = """WITH t AS (
-  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
                      x -> x <> '') AS l
   FROM documents
 ), p AS (
@@ -6683,7 +6706,7 @@ def r20_violation_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _T25_SQL = """WITH toks AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
                             x -> x <> '')) AS token
   FROM documents
 ), voc AS (
@@ -6938,7 +6961,7 @@ def t26_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T27_NIBBLE = _nibble_value_sql(
     "md5(concat('split:', md5(array_to_string(list_sort(list_distinct("
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'), "
     "x -> x <> ''))), ' '))))")
 
 _T27_SQL = f"""WITH s AS (
@@ -6994,7 +7017,7 @@ _T28_CTES = """WITH src AS (
   SELECT doc_id, doc_dropped, len(ls)::INT AS n_lines,
          list_filter(ls, l ->
            regexp_matches(trim(l), '[.!?]$')
-           AND len(string_split_regex(trim(l), '\\s+')) >= 3
+           AND len(string_split_regex(trim(l), '[ \\t\\n\\r\\f]+')) >= 3
            AND NOT contains(lower(l), 'javascript')) AS kept
   FROM f
 )"""
@@ -7036,7 +7059,7 @@ def t28_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T29_NIBBLE = _nibble_value_sql(
     "md5(concat('split:', md5(array_to_string(list_sort(list_distinct("
-    "list_filter(regexp_split_to_array(lower(trim(cleaned)), '\\s+'), "
+    "list_filter(regexp_split_to_array(lower(trim(cleaned)), '[ \\t\\n\\r\\f]+'), "
     "x -> x <> ''))), ' '))))")
 
 _T29_SQL = _T28_CTES + f""",
@@ -7747,7 +7770,7 @@ def t30_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- t31 — model-based quality filter (fixed-weight linear classifier) -----
 _T31_NT = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
-           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
+           "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END)")
 _T31_STOP_NUM = ("len(regexp_extract_all(text,"
                  " '(?i)\\b(the|a|and|of|to|in|is|that|it|for)\\b'))::HUGEINT"
                  " * 10000")
@@ -8714,7 +8737,7 @@ _BPE_ROUNDS = 8
 def _bpe_cte_chain(rounds: int) -> str:
     sql = """WITH w AS (
   SELECT tok AS word, count(*)::BIGINT AS cnt FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
                               x -> x <> '')) AS tok
     FROM documents) WHERE regexp_matches(tok, '^[a-z]+$')
   GROUP BY 1
@@ -8769,7 +8792,7 @@ _BPE03_SQL = (_bpe_cte_chain(_BPE_ROUNDS) + f""", wl AS (
 ), d AS (
   SELECT source, tok FROM (
     SELECT source,
-           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
                               x -> x <> '')) AS tok
     FROM documents) WHERE regexp_matches(tok, '^[a-z]+$')
 )
@@ -8796,7 +8819,7 @@ def bpe03_tokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataqtor_spark.session import parallelize
     d = (parallelize(docs.select(
             F.col("source"),
-            F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            F.filter(F.split(F.trim(F.lower(F.col("text"))), TX.WS_PLUS),
                      lambda t: t != "").alias("__toks")))
          .select("source", F.explode("__toks").alias("word"))
          .filter(F.col("word").rlike("^[a-z]+$")))
@@ -8982,7 +9005,7 @@ def hilbert01_curve_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the remainder ranking actually engages.  One corpus-sized groupBy; all
 # quota math on the 6-row domain frame.
 _MIX01_TOKENS = ("sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
-                 "ELSE len(regexp_split_to_array(trim(text), '\\s+')) "
+                 "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) "
                  "END)::BIGINT")
 _MIX01_SQL = f"""WITH avail AS (
   SELECT lang AS domain, count(*)::BIGINT AS n_docs,
@@ -9426,7 +9449,7 @@ def s18_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly.  Quality sums ride DECIMAL so no float summation order leaks
 # into the hash.
 _T33_TOK = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)")
+            "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END)")
 _T33_SQL = f"""WITH q AS (
   SELECT doc_id, {_T33_TOK} AS n_tok, {_QSCORE_SQL} AS quality_score
   FROM documents
@@ -9509,7 +9532,7 @@ _DSIR_K = 50
 
 _DSIR_SQL = f"""WITH toks AS (
   SELECT doc_id, (source = 'src0') AS t,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                      x -> x <> '') AS tk
   FROM documents
 ), tkn AS (
@@ -10215,7 +10238,7 @@ def ann14_filtered_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounding.  Zero-token docs produce no row (nothing to score).
 _LM01_SQL = f"""WITH toks AS (
   SELECT doc_id, (source = 'src0') AS t,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                      x -> x <> '') AS tk
   FROM documents
 ), tkn AS (
@@ -10638,7 +10661,7 @@ fscored AS (
 fuzzy AS (SELECT DISTINCT cid AS doc_id FROM fscored
           WHERE est >= {_T37_THRESHOLD}),
 xwords AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws
   FROM documents),
 xsh AS (
   SELECT DISTINCT doc_id, s.sh AS sh

@@ -107,6 +107,11 @@ def test_source_mix_targets_and_uniform(spark):
            T.source_mix(df, targets={"s1": 0.75, "s2": 0.25}).collect()}
     assert tgt["s1"]["weight"] == 1.5
     assert tgt["s2"]["weight"] == 0.5
+    # ppm mode: same quantities as scaled BIGINTs, no double column at all
+    ppm = {r["source"]: r for r in T.source_mix(df, ppm=True).collect()}
+    assert ppm["s1"]["token_share_ppm"] == 500000
+    assert ppm["s1"]["weight_ppm"] == 1000000
+    assert dict(T.source_mix(df, ppm=True).dtypes)["weight_ppm"] == "bigint"
 
 
 def test_stratified_sample_quota_and_determinism(spark):
