@@ -1133,7 +1133,7 @@ def _minhash_cte_prefix() -> str:
         + " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
         + " AS key FROM sig" for b in range(bands))
     return f"""WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents),
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, s.sh AS sh
   FROM words, unnest(CASE WHEN len(ws) < {n} THEN [array_to_string(ws, ' ')]
@@ -1183,7 +1183,7 @@ def _simhash_oracle_sql(max_hamming: int = 8) -> str:
     ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
     return f"""WITH toks AS (
   SELECT doc_id, md5(t.t) AS h
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents) d,
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents) d,
        unnest(d.ws) AS t(t)),
 bits AS (
   SELECT doc_id, {bitsums}
@@ -2860,7 +2860,7 @@ def t10_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whitespace tokens, blanks dropped — textstats._tokens_exploded's twin.
 _TOKS_CTE = """toks AS (
   SELECT doc_id, u.t AS token
-  FROM documents, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+')) AS u(t)
+  FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+')) AS u(t)
   WHERE u.t <> '')"""
 
 _T11_TOPK = 100
@@ -2912,7 +2912,7 @@ def _t13_oracle_sql() -> str:
        ELSE list_transform(generate_series(1, len(ws) - {n - 1}),
                            i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' ')) END) AS s(sh))"""
     return f"""WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents),
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws FROM documents),
 sh AS {shingles},
 hv AS (
   SELECT doc_id, {_nibble_value_sql("h16")} % {PORTABLE_P} AS g
@@ -2944,7 +2944,7 @@ def t13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS_CTE = """toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'), t -> t <> '') AS tk
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+'), t -> t <> '') AS tk
   FROM documents
 ), base AS (
   SELECT doc_id, tk, len(tk) AS n FROM toks
@@ -3065,7 +3065,7 @@ def t16_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T17_SQL = """WITH agg AS (
   SELECT source, count(*) AS n_docs,
          sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END) AS n_tokens
+                  ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END) AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (SELECT sum(n_tokens) AS tt, count(*) AS ns FROM agg)
 SELECT source, n_docs, n_tokens,
@@ -3089,7 +3089,7 @@ def t17_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T17B_SQL = """SELECT source, count(*)::BIGINT AS n_docs,
        sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END)::BIGINT
+                ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END)::BIGINT
          AS n_tokens
 FROM documents GROUP BY source"""
 
@@ -3103,6 +3103,74 @@ def t17b_source_mix_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(TX.token_count("text").cast("long")).alias("n_tokens")))
+
+
+# t17c/t17d — the other two arms of the t17 driver-environment bisect.
+#
+# Background: t17_source_mix has been hash-red at the driver for three
+# rounds while bit-exact against DuckDB locally, INCLUDING on an
+# all-integer (ppm) output surface.  mix01_domain_mixture is driver-GREEN
+# while hashing raw per-domain token sums computed with the byte-identical
+# expression EXCEPT it spells the split function `regexp_split_to_array`
+# where t17's oracle spelled it `string_split_regex` (aliases of the same
+# function in DuckDB 1.0.0, verified locally).  mb03 (driver-green) uses
+# t17's exact HUGEINT `//` ppm shape.  Hypothesis: the driver's DuckDB
+# build treats the aliases differently (e.g. trailing-empty-segment
+# handling changed for one alias in a newer release).  Round 12 therefore
+# (a) rewrites every oracle to the provably-green `regexp_split_to_array`
+# spelling, and (b) grades these two single-variable diagnostics beside
+# t17/t17b:
+#   t17c — raw token sums spelled with `string_split_regex` ONLY.  If the
+#          alias is the divergence, t17c is the lone red of the family.
+#   t17d — t17's full ppm ratio arithmetic over n_docs (no tokenization
+#          anywhere).  If the integer-division path is the divergence,
+#          t17d is red with t17.
+
+_T17C_SQL = """SELECT source,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END)::BIGINT
+         AS n_tokens_ssr
+FROM documents GROUP BY source"""
+
+
+@register("t17c_source_mix_ssr_diag", _T17C_SQL)
+def t17c_source_mix_ssr_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic: t17b's raw token sums with the oracle deliberately
+    spelled ``string_split_regex`` (every other oracle now uses the
+    ``regexp_split_to_array`` alias).  Red here + green t17b = the driver's
+    DuckDB distinguishes the aliases."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.sum(TX.token_count("text").cast("long"))
+                 .alias("n_tokens_ssr")))
+
+
+_T17D_SQL = """WITH agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+), tot AS (SELECT sum(n_docs) AS td, count(*) AS ns FROM agg)
+SELECT source, n_docs,
+       ((2*n_docs::HUGEINT*1000000 + td) // (2*td))::BIGINT AS doc_share_ppm,
+       ((2*td::HUGEINT*1000000 + ns*n_docs) // (2*ns*n_docs))::BIGINT
+         AS weight_ppm
+FROM agg, tot"""
+
+
+@register("t17d_source_share_ppm_diag", _T17D_SQL)
+def t17d_source_share_ppm_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic: t17's exact ppm arithmetic (decimal ``div`` vs HUGEINT
+    ``//``) applied to per-source DOC counts — a quantity no tokenizer can
+    perturb.  Red here = the integer-division path itself diverges in the
+    driver environment."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = agg.agg(F.sum("n_docs").alias("__td"), F.count(F.lit(1)).alias("__ns"))
+    out = agg.crossJoin(F.broadcast(tot))
+    return out.select(
+        "source", "n_docs",
+        XR.round_ratio_int(F.col("n_docs"), F.col("__td"), 6)
+        .cast("long").alias("doc_share_ppm"),
+        XR.round_ratio_int(F.col("__td"), F.col("__ns") * F.col("n_docs"), 6)
+        .cast("long").alias("weight_ppm"))
 
 
 _T18_QUOTA = 10
@@ -3272,7 +3340,7 @@ def pr10_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T19_SQL = """WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                             t -> t <> '')) AS token
   FROM documents
 ), tf AS (
@@ -4140,7 +4208,7 @@ _T20_CHUNK = 10
 
 _T20_SQL = f"""WITH base AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                      t -> t <> '') AS tk
   FROM documents
 ),
@@ -4690,7 +4758,7 @@ def _t22_vec_sql(text_expr: str) -> str:
 def _t22_oracle_sql() -> str:
     q = _T22_QUERY
     return f"""WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS tk FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+') AS tk FROM documents
 ), ch AS (
   SELECT doc_id, CAST((s.s - 1) // {_T22_CHUNK} AS INT) AS chunk_index,
          array_to_string(list_slice(tk, s.s, s.s + {_T22_CHUNK - 1}), ' ') AS chunk
@@ -7017,7 +7085,7 @@ _T28_CTES = """WITH src AS (
   SELECT doc_id, doc_dropped, len(ls)::INT AS n_lines,
          list_filter(ls, l ->
            regexp_matches(trim(l), '[.!?]$')
-           AND len(string_split_regex(trim(l), '[ \\t\\n\\r\\f]+')) >= 3
+           AND len(regexp_split_to_array(trim(l), '[ \\t\\n\\r\\f]+')) >= 3
            AND NOT contains(lower(l), 'javascript')) AS kept
   FROM f
 )"""
@@ -9532,7 +9600,7 @@ _DSIR_K = 50
 
 _DSIR_SQL = f"""WITH toks AS (
   SELECT doc_id, (source = 'src0') AS t,
-         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                      x -> x <> '') AS tk
   FROM documents
 ), tkn AS (
@@ -10238,7 +10306,7 @@ def ann14_filtered_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounding.  Zero-token docs produce no row (nothing to score).
 _LM01_SQL = f"""WITH toks AS (
   SELECT doc_id, (source = 'src0') AS t,
-         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                      x -> x <> '') AS tk
   FROM documents
 ), tkn AS (
@@ -10661,7 +10729,7 @@ fscored AS (
 fuzzy AS (SELECT DISTINCT cid AS doc_id FROM fscored
           WHERE est >= {_T37_THRESHOLD}),
 xwords AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+') AS ws
   FROM documents),
 xsh AS (
   SELECT DISTINCT doc_id, s.sh AS sh
@@ -10761,4 +10829,56 @@ assert not _missing, f"r10 prefix references unknown queries: {_missing}"
 assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50
 QUERIES = {**{n: QUERIES[n] for n in _R10_PREFIX},
            **{n: f for n, f in QUERIES.items() if n not in _R10_PREFIX}}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# Round-12 graded-prefix rotation.  The driver grades only the FIRST 50
+# registry entries each round; rounds 10–11 regraded the same 50, leaving
+# 14 queries never driver-graded and the t17 bisect diagnostics outside
+# the graded window.  This prefix = the full t17 bisect family (4), every
+# never-driver-graded hash-checkable query (14, set-diff of the registry
+# against CORRECTNESS_r01–r11 keys; the rows-only ann03b stays out), the
+# queries modified this round (ann06, dsir01), five driver-green CONTROLS
+# that share t17's machinery (mix01/mb03/h08 = HUGEINT `//` and raw token
+# sums, t31/ts06 = round_ratio, dsir01 doubles as the string-split
+# control), the nine queries whose oracle text changed in this round's
+# `string_split_regex` → `regexp_split_to_array` sweep, and flagship §2
+# coverage for the rest.
+_R12_PREFIX = [
+    # t17 driver-red bisect: all four arms must be graded TOGETHER
+    "t17_source_mix", "t17b_source_mix_diag",
+    "t17c_source_mix_ssr_diag", "t17d_source_share_ppm_diag",
+    # never driver-graded (rounds 1-11)
+    "ml01_calibration_report", "pr28_theils_u", "x04_json_type_profile",
+    "t37_fuzzy_decontaminate", "ann13_filtered_topk",
+    "ann14_filtered_at_rest", "lm01_ngram_logprob", "pii01_document_scan",
+    "pii02_redact", "ann15_sq8_at_rest", "d12_threshold_sensitivity",
+    "ann16_nprobe_recall_sweep", "pr29_profile_drift",
+    "t38_contamination_report",
+    # modified this round
+    "ann06_ivfpq_topk", "dsir01_importance_select",
+    # driver-green controls sharing t17's machinery
+    "mix01_domain_mixture", "mb03_cooccurrence_recs",
+    "t31_quality_logistic", "ts06_seasonal_decompose", "h08_market_share",
+    # oracle text changed by the alias sweep — regrade
+    "d03_minhash_pairs", "d04_simhash_pairs", "t11_vocab_topk",
+    "t13_decontaminate", "t14_repetition_signals", "t19_top_terms",
+    "t20_paragraph_dedup", "t22_semantic_search", "t28_c4_line_filters",
+    # flagship §2 coverage
+    "a00_full_profile_lineitem", "a03_null_profile_customer",
+    "h01_pricing_summary", "h03_shipping_priority",
+    "h09_product_type_profit", "d01_exact_dedup",
+    "d02_ngram_jaccard_pairs", "a19_levenshtein_pairs",
+    "j05_asof_join_events", "j07_salted_skew_join",
+    "r01_numeric_rule_violations", "sg01_suggest_constraints",
+    "ann03_ivf_topk", "m04_image_phash_pairs",
+    "bpe03_tokenizer_token_counts", "mix02_temperature_mixture",
+]
+_missing12 = [n for n in _R12_PREFIX if n not in QUERIES]
+assert not _missing12, f"r12 prefix references unknown queries: {_missing12}"
+assert len(_R12_PREFIX) == 50 and len(set(_R12_PREFIX)) == 50
+assert all(n in ORACLES for n in _R12_PREFIX)  # first 50 stay hash-checkable
+QUERIES = {**{n: QUERIES[n] for n in _R12_PREFIX},
+           **{n: f for n, f in QUERIES.items() if n not in _R12_PREFIX}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
