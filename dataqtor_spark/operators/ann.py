@@ -228,13 +228,20 @@ def _sql_nearest_cids(vec_sql: str, centers: list[tuple[int, list[float]]],
     py4j round-trip instead of k × dim ``F.lit`` calls, which for 16 × 64
     literals costs real driver time per invocation.
     """
-    entries = []
-    for cid, c in centers:
-        arr = "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-        d = (f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> (x - y) * (x - y)), "
-             f"cast(0.0 as double), (a, x) -> a + x)")
-        entries.append(f"struct(round({d}, 9) AS dist, {cid} AS cid)")
-    ranked = f"array_sort(array({','.join(entries)}))"
+    cents = "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        for _cid, c in centers) + ")"
+    cids = "array(" + ",".join(str(cid) for cid, _c in centers) + ")"
+    # Per-centroid arithmetic is IDENTICAL to the former unrolled form
+    # (same zip_with square-diff, same left fold, same 9 dp round, same
+    # lexicographic struct sort), but the vector expression and the HOF
+    # machinery appear ONCE instead of once per centroid — the expression
+    # tree is O(k·dim) literals + O(1) operators, which cuts the per-call
+    # Catalyst analysis cost that dominated ann06's bench number.
+    d = (f"round(aggregate(zip_with({vec_sql}, c, (x, y) -> (x - y) * (x - y)), "
+         f"cast(0.0 as double), (a, x) -> a + x), 9)")
+    ranked = (f"array_sort(zip_with(transform({cents}, c -> {d}), {cids}, "
+              f"(d, i) -> struct(d AS dist, i AS cid)))")
     return f"transform(slice({ranked}, 1, {n}), s -> s.cid)"
 
 
@@ -270,9 +277,17 @@ def train_ivf_centroids_portable(corpus: DataFrame, id_col: str, vec_col: str,
     dim = len(centers[0][1])
     vecs = base.select("__v")
     for _ in range(n_iter):
-        assigned = vecs.withColumn(
-            "__c", F.expr(_sql_nearest_cids("__v", centers, 1))[0])
-        rows = (assigned.select("__c", F.posexplode("__v"))
+        # The assignment is bound as a LAMBDA VARIABLE around the per-dim
+        # explosion: a plain select(__c, posexplode(__v)) lets
+        # CollapseProject inline the k·dim nearest-centroid expression
+        # into the post-explode project, re-evaluating it dim× per row.
+        # transform(array(<nearest>), c -> …) pins one evaluation per row.
+        exploded = vecs.select(F.expr(
+            f"inline(flatten(transform(array("
+            f"{_sql_nearest_cids('__v', centers, 1)}[0]), c -> "
+            f"zip_with(__v, sequence(0, {dim - 1}), (v, p) -> "
+            f"struct(c AS __c, p AS pos, v AS col)))))"))
+        rows = (exploded
                 .groupBy("__c", "pos").agg(F.round(F.avg("col"), 6).alias("m"))
                 .collect())
         by_cid: dict[int, dict[int, float]] = {}
@@ -378,16 +393,19 @@ def train_pq_codebooks_portable(corpus: DataFrame, id_col: str, vec_col: str,
     books = [[(i, [float(x) for x in r["__v"][j * sub:(j + 1) * sub]])
               for i, r in enumerate(seeds)] for j in range(m)]
     for _ in range(n_iter):
-        cids = F.array(*[
-            F.expr(_sql_nearest_cids(f"slice(__v, {j * sub + 1}, {sub})",
-                                     books[j], 1))[0] for j in range(m)])
-        rows = (base.select(cids.alias("__cs"), F.posexplode("__v"))
-                .select((F.col("pos") / sub).cast("int").alias("__j"),
-                        F.element_at(
-                            "__cs",
-                            ((F.col("pos") / sub).cast("int") + 1)
-                            .cast("int")).alias("__c"),
-                        F.pmod("pos", F.lit(sub)).alias("__p"), "col")
+        # Same CollapseProject hazard as the IVF trainer: bind the m
+        # subspace assignments once per row via a lambda variable instead
+        # of a project column that would be inlined dim× past posexplode.
+        cids_sql = "array(" + ",".join(
+            _sql_nearest_cids(f"slice(__v, {j * sub + 1}, {sub})",
+                              books[j], 1) + "[0]" for j in range(m)) + ")"
+        exploded = base.select(F.expr(
+            f"inline(flatten(transform(array({cids_sql}), cs -> "
+            f"zip_with(__v, sequence(0, {dim - 1}), (v, p) -> "
+            f"struct(cast(p / {sub} as int) AS __j, "
+            f"element_at(cs, cast(p / {sub} as int) + 1) AS __c, "
+            f"pmod(p, {sub}) AS __p, v AS col)))))"))
+        rows = (exploded
                 .groupBy("__j", "__c", "__p")
                 .agg(F.round(F.avg("col"), 6).alias("m")).collect())
         acc: list[dict[int, dict[int, float]]] = [{} for _ in range(m)]
@@ -527,40 +545,57 @@ def ivfpq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
                    else cache_key))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("__cv"))
-    c = c.withColumn("__cluster",
-                     F.expr(_sql_nearest_cids("__cv", coarse, 1))[0])
-    enc_vec = "__cv"
     if residual:
+        c = c.withColumn("__cluster",
+                         F.expr(_sql_nearest_cids("__cv", coarse, 1))[0])
         c = c.withColumn("__rv", F.expr(
             f"zip_with(__cv, element_at({coarse_arr_sql}, "
             f"cast(array_position(array({','.join(str(cc) for cc, _ in coarse)}), "
             f"__cluster) as int)), (x, cc) -> x - cc)"))
-        enc_vec = "__rv"
-    codes = F.array(*[
-        F.expr(_sql_nearest_cids(f"slice({enc_vec}, {j * sub + 1}, {sub})",
-                                 books[j], 1))[0] for j in range(m)])
-    c = c.withColumn("codes", codes)
-    if residual:
+        c = c.withColumn("codes", F.array(*[
+            F.expr(_sql_nearest_cids(f"slice(__rv, {j * sub + 1}, {sub})",
+                                     books[j], 1))[0] for j in range(m)]))
         return _ivfpq_residual_score(c, queries, coarse, sub, books, m,
                                      n_probe, k, query_id_col, vec_col)
 
+    # Single-pass plan construction: every DataFrame transformation
+    # re-analyzes the (large-literal) tree eagerly, so the serving plan is
+    # assembled in as few select() calls as possible and the per-query LUTs
+    # are ONE transform-over-literal-codebook expression per subspace
+    # instead of ks python-built dot columns — this is what brings the
+    # per-call fixed cost down (the plan is compile-bound at bench SFs; at
+    # scale the executed operators are unchanged).
+    codes = F.array(*[
+        F.expr(_sql_nearest_cids(f"slice(__cv, {j * sub + 1}, {sub})",
+                                 books[j], 1))[0] for j in range(m)])
+    c = c.select("neighbor_id",
+                 F.expr(_sql_nearest_cids("__cv", coarse, 1))[0]
+                 .alias("__cluster"),
+                 codes.alias("codes"))
     norm_arrs = _pq_norm_arrays(books, m)
-    c = c.withColumn("__rn", F.sqrt(sum(
-        F.element_at(norm_arrs[j], F.col("codes")[j] + 1)
-        for j in range(m)))).drop("__cv")
-    q = (queries.select(F.col(query_id_col).alias("query_id"),
-                        _as_double(F.col(vec_col)).alias("__qv"))
-         .withColumn("__qn", l2_norm(F.col("__qv")))
-         .withColumn("__cluster", F.explode(
-             F.expr(_sql_nearest_cids("__qv", coarse, n_probe)))))
+    c = c.select("neighbor_id", "__cluster", "codes",
+                 F.sqrt(sum(F.element_at(norm_arrs[j], F.col("codes")[j] + 1)
+                            for j in range(m))).alias("__rn"))
     zeros = [0.0] * sub
+    luts = []
     for j in range(m):
-        qsub = F.slice("__qv", j * sub + 1, sub)
         cid_centers = dict(books[j])
-        q = q.withColumn(f"__l{j}", F.array(*[
-            dot(qsub, F.array(*[F.lit(x).cast("double")
-                                for x in cid_centers.get(i, zeros)]))
-            for i in range(max(cid_centers) + 1)]))
+        book = "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D"
+                                for x in cid_centers.get(i, zeros)) + ")"
+            for i in range(max(cid_centers) + 1)) + ")"
+        # identical numerics to dot(slice(__qv,…), literal): same zip_with
+        # product order, same sequential left fold
+        luts.append(F.expr(
+            f"transform({book}, b -> aggregate(zip_with("
+            f"slice(__qv, {j * sub + 1}, {sub}), b, (x, y) -> x * y), "
+            f"cast(0.0 as double), (a, x) -> a + x))").alias(f"__l{j}"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("__qv"))
+    q = q.select("query_id", "__qv", l2_norm(F.col("__qv")).alias("__qn"),
+                 F.explode(F.expr(_sql_nearest_cids("__qv", coarse,
+                                                    n_probe)))
+                 .alias("__cluster"), *luts)
     adc_dot = sum(F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
                   for j in range(m))
     scored = (c.join(F.broadcast(q.drop("__qv")), "__cluster")
