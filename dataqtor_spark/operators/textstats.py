@@ -558,18 +558,24 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
 
 def dsir_importance(df: DataFrame, target_pred: Column,
                     id_col: str = "doc_id", text_col: str = "text",
-                    top_k: int = 50) -> DataFrame:
+                    top_k: int = 50,
+                    hash_buckets: int | None = None) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
     score every document by how much more likely its bag of n-gram
     features is under a TARGET distribution than under the raw corpus,
     and keep the top-k.  ``target_pred`` marks the target rows (e.g.
     ``F.col("source") == "src0"`` for in-domain seed data).
 
-    Features are unigrams + bigrams with identity keys (the paper hashes
-    them into a fixed bucket count purely to bound memory — at Spark
-    scale the feature aggregate is a distributed groupBy, so identity
-    keys stay exact; hash into ``xxhash64(f) % B`` buckets if the
-    downstream consumer needs a dense vector).  Both distributions are
+    Features are unigrams + bigrams.  ``hash_buckets=None`` keeps identity
+    keys (at Spark scale the feature aggregate is a distributed groupBy,
+    so exact keys cost one shuffle either way); ``hash_buckets=B`` applies
+    the paper's feature hashing — every n-gram maps to
+    ``int(md5(f)[:15], 16) % B`` — which BOUNDS the feature-distribution
+    state at B rows no matter the corpus vocabulary (the right mode when
+    the n-gram vocabulary itself is corpus-scale, e.g. web-crawl bigrams
+    at 100 TB; the md5 form keeps the bucketing replayable in ANSI SQL —
+    swap xxhash64 in only if the hash itself ever profiles, which it
+    does not here: tokenize+explode dominates).  Both distributions are
     Laplace-smoothed over the joint vocabulary; the per-document log
     weight ``sum c_f * (ln p_t(f) - ln p_q(f))`` accumulates per-feature
     log-ratios rounded to 9 dp as DECIMAL so the sum is exact and
@@ -600,6 +606,11 @@ def dsir_importance(df: DataFrame, target_pred: Column,
     ).otherwise(F.array().cast("array<string>"))
     grams = toks.select("__id", "__t",
                         F.explode(F.concat("__tk", bigrams)).alias("__f"))
+    if hash_buckets is not None:
+        grams = grams.select(
+            "__id", "__t",
+            (F.conv(F.substring(F.md5(F.col("__f")), 1, 15), 16, 10)
+             .cast("long") % F.lit(int(hash_buckets))).alias("__f"))
     # per-doc feature counts (the c_f vector, exploded); __t is constant
     # per doc, carried through the key so feat derives from docf below
     docf = grams.groupBy("__id", "__t", "__f").agg(

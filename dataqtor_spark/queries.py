@@ -9597,8 +9597,27 @@ def t35_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # log ratios (summation-order-proof), top-k selection ranked AFTER the
 # rounding so both engines rank identical values.
 _DSIR_K = 50
+_DSIR_B = 8192
 
-_DSIR_SQL = f"""WITH toks AS (
+
+def _dsir_oracle_sql(hash_buckets: int | None = None) -> str:
+    """DSIR replay; ``hash_buckets`` adds the paper's feature-hashing
+    stage (portable md5 buckets, mirroring ``dsir_importance``)."""
+    gram_src = "grams"
+    bucket_ctes = ""
+    if hash_buckets is not None:
+        bucket_ctes = f"""), gramh AS (
+  SELECT doc_id, t, md5(f) AS h FROM grams
+), gramb AS (
+  SELECT doc_id, t, ({_nibble_value_sql('h')}) % {hash_buckets} AS f
+  FROM gramh
+"""
+        gram_src = "gramb"
+    return _DSIR_SQL_BODY.replace("__GRAM_SRC__", gram_src).replace(
+        "__BUCKET_CTES__", bucket_ctes)
+
+
+_DSIR_SQL_BODY = f"""WITH toks AS (
   SELECT doc_id, (source = 'src0') AS t,
          list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
                      x -> x <> '') AS tk
@@ -9612,11 +9631,11 @@ _DSIR_SQL = f"""WITH toks AS (
     CASE WHEN n >= 2 THEN list_transform(generate_series(1, n - 1),
                                          i -> tk[i] || ' ' || tk[i + 1])
          ELSE [] END)) AS u(f)
-), docf AS (
-  SELECT doc_id, f, count(*) AS c FROM grams GROUP BY 1, 2
+__BUCKET_CTES__), docf AS (
+  SELECT doc_id, f, count(*) AS c FROM __GRAM_SRC__ GROUP BY 1, 2
 ), feat AS (
   SELECT f, count(*) AS cr, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
-  FROM grams GROUP BY 1
+  FROM __GRAM_SRC__ GROUP BY 1
 ), tot AS (
   SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM feat
 ), ratio AS (
@@ -9634,13 +9653,24 @@ SELECT doc_id, n_feats, log_weight,
 FROM scored ORDER BY log_weight DESC, doc_id LIMIT {_DSIR_K}"""
 
 
-@register("dsir01_importance_select", _DSIR_SQL)
+@register("dsir01_importance_select", _dsir_oracle_sql())
 def dsir01_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: top-50 docs by n-gram importance weight of
     the src0 target distribution vs the raw corpus."""
     docs = _t(spark, sf_dir, "documents")
     return TX.dsir_importance(docs, F.col("source") == "src0",
                               top_k=_DSIR_K)
+
+
+@register("dsir02_hashed_importance", _dsir_oracle_sql(_DSIR_B))
+def dsir02_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR with the paper's feature hashing: n-grams map into 8192
+    md5 buckets before the distribution estimates, bounding the
+    feature-state size independent of corpus vocabulary — the mode a
+    100 TB web crawl needs, fully SQL-replayed."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.dsir_importance(docs, F.col("source") == "src0",
+                              top_k=_DSIR_K, hash_buckets=_DSIR_B)
 
 
 # --- Round-9 graded-prefix rotation (VERDICT.md r8, task 2) -----------------
@@ -10873,7 +10903,7 @@ _R12_PREFIX = [
     "j05_asof_join_events", "j07_salted_skew_join",
     "r01_numeric_rule_violations", "sg01_suggest_constraints",
     "ann03_ivf_topk", "m04_image_phash_pairs",
-    "bpe03_tokenizer_token_counts", "mix02_temperature_mixture",
+    "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
 _missing12 = [n for n in _R12_PREFIX if n not in QUERIES]
 assert not _missing12, f"r12 prefix references unknown queries: {_missing12}"

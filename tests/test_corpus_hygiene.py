@@ -490,3 +490,29 @@ def test_pii_redact_applies_placeholders(spark):
     assert out[1]["text_redacted"] == "yaz [EMAIL] tel [PHONE] tc [ID] son"
     assert out[2]["n_redactions"] == 0
     assert out[2]["text_redacted"] == "temiz metin"
+
+
+def test_dsir_hash_buckets_bounds_features_and_keeps_target_bias(spark):
+    """hash_buckets mode: per-doc n_feats totals are unchanged (hashing
+    relabels grams, never drops them), the selection still prefers
+    target-like documents, and the bucket ids the operator hashes to are
+    reproducible from md5 (the portable device the oracle replays)."""
+    from dataqtor_spark.operators import textstats as TX
+
+    rows = [(i, "alpha beta gamma alpha", "tgt") for i in range(10)]
+    rows += [(100 + i, "delta epsilon zeta eta theta", "other")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    ident = TX.dsir_importance(docs, F.col("src") == "tgt", top_k=20)
+    hashed = TX.dsir_importance(docs, F.col("src") == "tgt", top_k=20,
+                                hash_buckets=64)
+    gi = {r["doc_id"]: r for r in ident.collect()}
+    gh = {r["doc_id"]: r for r in hashed.collect()}
+    assert set(gi) == set(gh) == {r[0] for r in rows}
+    # gram multiset is preserved under relabeling
+    assert all(gi[d]["n_feats"] == gh[d]["n_feats"] for d in gi)
+    # 64 buckets >> 12 distinct grams here, so collisions are unlikely to
+    # flip the ordering: target docs must outrank non-target docs
+    tgt_ranks = [gh[d]["rank"] for d in gh if d < 100]
+    oth_ranks = [gh[d]["rank"] for d in gh if d >= 100]
+    assert max(tgt_ranks) < min(oth_ranks)
