@@ -1050,7 +1050,11 @@ def write_sq8_index(corpus: DataFrame, path: str, id_col: str,
                         / 127.0, 9), F.lit(1e-12)))
             .withColumn("codes", F.transform(
                 "__v",
-                lambda x: F.round(x / F.col("__scale")).cast("int")))
+                # ±127 clamp: a 9dp-rounded-DOWN scale can push
+                # round(max|v|/scale) to ±128, outside int8
+                lambda x: F.greatest(F.lit(-127.0), F.least(
+                    F.lit(127.0),
+                    F.round(x / F.col("__scale")))).cast("int")))
             .withColumn("__rn", F.sqrt(F.aggregate(
                 "codes", F.lit(0.0).cast("double"),
                 lambda acc, q: acc + (q * q).cast("double"))))

@@ -44,11 +44,15 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str,
     # reintroduce the zero-vector division it exists to prevent
     scale = F.greatest(F.round(F.array_max(F.transform(v, F.abs)) / 127.0, 9),
                        F.lit(eps))
+    # clamp to the int8 range: when the 9dp round takes scale DOWN,
+    # max|v|/scale lands a hair above 127 and round() can emit ±128
     return (df.select(F.col(id_col), v.alias("__v"),
                       scale.alias("scale"))
             .select(id_col, "scale", F.posexplode("__v").alias("dim", "__x"))
             .select(id_col, "scale", "dim",
-                    F.round(F.col("__x") / F.col("scale"))
+                    F.greatest(F.lit(-127.0), F.least(
+                        F.lit(127.0),
+                        F.round(F.col("__x") / F.col("scale"))))
                     .cast("int").alias("q")))
 
 

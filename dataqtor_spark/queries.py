@@ -2762,7 +2762,8 @@ s AS (
   SELECT vec_id, v,
          greatest(round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9), 1e-12) AS scale
   FROM c)
-SELECT vec_id, scale, (t.i - 1)::INT AS dim, round(v[t.i] / scale)::INT AS q
+SELECT vec_id, scale, (t.i - 1)::INT AS dim,
+       greatest(-127.0, least(127.0, round(v[t.i] / scale)))::INT AS q
 FROM s, unnest(generate_series(1, 64)) AS t(i)"""
 
 
@@ -10523,9 +10524,9 @@ def _ann15_oracle_sql() -> str:
   FROM qp q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id)"""
     new = """qz AS (
   SELECT vec_id, cid,
-         list_transform(v, x -> CAST(round(
+         list_transform(v, x -> CAST(greatest(-127.0, least(127.0, round(
              x / greatest(round(list_max(list_transform(v, y -> abs(y)))
-                                / 127.0, 9), 1e-12)) AS INT)) AS q
+                                / 127.0, 9), 1e-12)))) AS INT)) AS q
   FROM af),
 qd AS (
   SELECT vec_id, cid, list_transform(q, z -> z::DOUBLE) AS qv8,
@@ -10551,7 +10552,7 @@ def ann15_sq8_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(
         _ANN11_ROOT,
         f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_sq8_{_ANN03_CLUSTERS}c_{_corpus_fingerprint(emb_path)}")
+        f"_sq8v2_{_ANN03_CLUSTERS}c_{_corpus_fingerprint(emb_path)}")
     _ensure_fixture(idx, lambda: ANN.write_sq8_index(
         _t(spark, sf_dir, "embeddings"), idx, "vec_id", "embedding",
         n_clusters=_ANN03_CLUSTERS, n_iter=_ANN03_ITER))
@@ -10622,6 +10623,10 @@ def _ann16_oracle_sql() -> str:
              _ANN05_BRUTE_SQL, ")"]
     rows = []
     for p in _ANN16_PROBES:
+        # assert-before-replace: a silent no-op here would emit an SQL
+        # that runs but sweeps the SAME n_probe for every row
+        assert "qp AS" in qp_tail and f"rn <= {_ANN03_PROBE})" in qp_tail, \
+            "ann03 oracle qp shape changed — ann16 re-parametrization broken"
         qp_p = (qp_tail.replace("qp AS", f"qp{p} AS")
                 .replace(f"rn <= {_ANN03_PROBE})", f"rn <= {p})"))
         parts.append(",\n" + qp_p)

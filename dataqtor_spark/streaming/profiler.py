@@ -471,9 +471,16 @@ def _pruned_band_read(spark, path: str, bp_values: list[int]) -> DataFrame:
     can actually join — the filter is on the PARTITION column, so the scan
     shows PartitionFilters and prunes directories instead of reading the
     whole index (the 100 TB story for the streaming sinks; bp_values is
-    bounded by N_BAND_PARTS)."""
-    return (spark.read.parquet(f"{path}/bands")
-            .filter(F.col("__bp").isin(bp_values)))
+    bounded by N_BAND_PARTS).
+
+    Backward-compat probe: a band index written before the ``__bp``
+    layout has no such column — filtering on it would throw
+    UNRESOLVED_COLUMN on an otherwise-valid index, so fall back to the
+    unpruned scan (correct, just not directory-pruned)."""
+    bands = spark.read.parquet(f"{path}/bands")
+    if "__bp" not in bands.columns:
+        return bands
+    return bands.filter(F.col("__bp").isin(bp_values))
 
 
 def stream_near_dup_sink(stream: DataFrame, id_col: str, text_col: str,

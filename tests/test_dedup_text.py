@@ -1175,3 +1175,32 @@ def test_ann16_recall_sweep_monotone(spark, tables):
     assert set(rows) == {1, 2, 3}
     assert rows[1]["recall"] <= rows[2]["recall"] <= rows[3]["recall"]
     assert all(r["n_brute"] == 40 for r in rows.values())
+
+
+def test_quantize_int8_clamps_codes_to_int8_range(spark):
+    """When round(max|v|/127, 9) rounds the scale DOWN, v/scale can land
+    above 127 — codes must clamp to ±127, never emit ±128.  max=1.6e-7:
+    scale_raw=1.2598e-9 → 9dp round → 1e-9, and 1.6e-7/1e-9 = 160."""
+    from dataqtor_spark.operators import embeddings as EB
+
+    df = spark.createDataFrame(
+        [(1, [1.6e-7, -1.6e-7, 0.0, 8e-8])],
+        "vec_id long, embedding array<double>")
+    got = {r["dim"]: r for r in
+           EB.quantize_int8(df, "vec_id", "embedding").collect()}
+    assert got[0]["scale"] == pytest.approx(1e-9)
+    assert got[0]["q"] == 127 and got[1]["q"] == -127
+    assert all(-127 <= r["q"] <= 127 for r in got.values())
+
+
+def test_sq8_index_codes_clamped(spark, tmp_path):
+    """write_sq8_index applies the same ±127 clamp as quantize_int8."""
+    df = spark.createDataFrame(
+        [(i, [1.6e-7 if i % 2 else 1.0, -1.6e-7, 0.0, 8e-8])
+         for i in range(8)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "sq8clamp")
+    A.write_sq8_index(df, path, "vec_id", "embedding", n_clusters=2)
+    codes = spark.read.parquet(f"{path}/corpus").select(
+        F.explode("codes").alias("q")).collect()
+    assert codes and all(-127 <= r["q"] <= 127 for r in codes)

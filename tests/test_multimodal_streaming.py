@@ -1626,3 +1626,15 @@ def test_late_arrival_audit_hand_sequence(spark):
         df, watermark="1 hour", scope="per_key").collect()}
     assert (per_key["b"]["n_events"], per_key["b"]["n_late"]) == (3, 1)
     assert per_key["b"]["late_frac"] == 0.3333
+
+
+def test_pruned_band_read_falls_back_on_pre_bp_index(spark, tmp_path):
+    """A band index written before the __bp partition layout has no __bp
+    column; _pruned_band_read must fall back to the unpruned scan instead
+    of throwing UNRESOLVED_COLUMN."""
+    idx = str(tmp_path / "oldidx")
+    spark.createDataFrame(
+        [(1, "k1"), (2, "k2")], "doc_id long, bhash string"
+    ).write.parquet(f"{idx}/bands")
+    got = SP._pruned_band_read(spark, idx, [0, 1]).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
