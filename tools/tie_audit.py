@@ -183,8 +183,53 @@ def run(sf_dir: str) -> tuple[int, int, list[str]]:
     return n_ok, n_skip, flagged
 
 
+def census(sf_dir: str) -> dict[str, list[str]]:
+    """Float-OUTPUT census: every hashed oracle column typed
+    DOUBLE/FLOAT/REAL, per query.  The round()-input audit above sees
+    values flowing through round() calls; this census enumerates the
+    complementary exposure — which queries put ANY float in the hashed
+    surface at all (each one is a place a future edit could drop the
+    rounding, or an engine could canonicalize a double differently).
+    ``DESCRIBE`` infers the schema without executing, so the census is
+    instant at any SF."""
+    import duckdb
+
+    from dataqtor_spark import queries as Q
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out: dict[str, list[str]] = {}
+    n_int_only = 0
+    for name, sql in Q.ORACLES.items():
+        try:
+            rows = con.execute("DESCRIBE " + sql).fetchall()
+        except Exception as e:
+            print(f"SKIP  {name}: {str(e).splitlines()[0][:120]}")
+            continue
+        dbls = [r[0] for r in rows if r[1] in ("DOUBLE", "FLOAT", "REAL")]
+        if dbls:
+            out[name] = dbls
+            print(f"FLOAT {name}: {', '.join(dbls)}")
+        else:
+            n_int_only += 1
+    print(f"--- {n_int_only} queries expose no float column; "
+          f"{len(out)} expose {sum(len(v) for v in out.values())} "
+          f"float column(s) (each must round at a pinned scale in BOTH "
+          f"dialects, or be migrated to a scaled-integer surface like "
+          f"t17's ppm)")
+    return out
+
+
 def main() -> int:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    args = [a for a in sys.argv[1:] if a != "--census"]
+    if "--census" in sys.argv[1:]:
+        census(args[0] if args else "/root/testdata/sf0.001")
+        return 0
+    sf_dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
     bad = False
     for sf in sf_dirs:
         print(f"=== {sf} ===")
