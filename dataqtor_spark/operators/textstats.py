@@ -1189,6 +1189,59 @@ def bm25_search(df: DataFrame, terms: list[str], id_col: str = "doc_id",
         per_doc.unpersist()
 
 
+def hybrid_rrf_search(docs: DataFrame, emb: DataFrame, terms: list[str],
+                      query_vec_id: int, id_col: str = "doc_id",
+                      text_col: str = "text", vec_id_col: str = "vec_id",
+                      vec_col: str = "embedding", k_each: int = 20,
+                      top_k: int = 10, rrf_k: int = 60) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking + brute cosine semantic
+    ranking, fused with Reciprocal Rank Fusion (Cormack et al. 2009) —
+    ``rrf(d) = Σ_lists 1/(rrf_k + rank_list(d))``.
+
+    The fused score is emitted as an EXACT scaled integer ``rrf_e12 =
+    floor(num·10¹² / den)`` where num/den is the rational sum of the one
+    or two reciprocal terms (ranks ≤ rrf_k + k_each, so den ≤ ~6400 and
+    distinct rationals differ by ≥ 1/den² ≈ 2.4e-8 ≫ 1e-12 — the integer
+    preserves the exact RRF order and no float ever enters the hashed
+    surface).  Each leg reuses its proven engine: :func:`bm25_search`
+    (zero token-shuffle) and :func:`ann.brute_force_topk` (6-dp cosine);
+    both lists are ≤ ``k_each`` rows, so the fusion join, window, and
+    output are driver-trivial no matter the corpus size — at 100 TB the
+    cost is the two retrieval legs, which scale independently (swap the
+    brute leg for ``ivfpq_topk_portable`` when the corpus outgrows it).
+    Returns (id, rank_lex, rank_sem, rrf_e12, rank) for the top
+    ``top_k``; a doc missing from one list gets NULL for that rank.
+    """
+    from pyspark.sql.window import Window
+
+    from dataqtor_spark.operators import ann as ANN
+
+    lex = bm25_search(docs, terms, id_col=id_col, text_col=text_col,
+                      top_k=k_each)
+    wl = Window.orderBy(F.desc("score"), F.asc(id_col))  # ≤ k_each rows
+    lex = lex.select(F.col(id_col).alias("__id"),
+                     F.row_number().over(wl).cast("long").alias("rank_lex"))
+    q = emb.filter(F.col(vec_id_col) == int(query_vec_id))
+    sem = (ANN.brute_force_topk(emb, q, vec_id_col, vec_col, k=k_each)
+           .select(F.col("neighbor_id").alias("__id"),
+                   F.col("rank").cast("long").alias("rank_sem")))
+    j = lex.join(sem, "__id", "full_outer")
+    a = F.lit(int(rrf_k)) + F.col("rank_lex")
+    b = F.lit(int(rrf_k)) + F.col("rank_sem")
+    both = F.col("rank_lex").isNotNull() & F.col("rank_sem").isNotNull()
+    num = F.when(both, a + b).otherwise(F.lit(1)).cast("decimal(38,0)")
+    den = (F.when(both, a * b).otherwise(F.coalesce(a, b))
+           .cast("decimal(38,0)"))
+    e12 = F.call_function(
+        "div", num * F.lit(10 ** 12).cast("decimal(38,0)"), den)
+    scored = j.select(F.col("__id").alias(id_col), "rank_lex", "rank_sem",
+                      e12.cast("long").alias("rrf_e12"))
+    wr = Window.orderBy(F.desc("rrf_e12"), F.asc(id_col))  # ≤ 2·k_each
+    return (scored.withColumn("rank",
+                              F.row_number().over(wr).cast("long"))
+            .filter(F.col("rank") <= top_k))
+
+
 def oov_rate(df: DataFrame, vocab_size: int, id_col: str = "doc_id",
              text_col: str = "text",
              group_col: str = "source") -> DataFrame:

@@ -5466,6 +5466,65 @@ def t23_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                          top_k=15)
 
 
+# --- rrf01 — hybrid retrieval (BM25 + cosine, Reciprocal Rank Fusion) -------
+# The fused score is an exact scaled integer floor(num·10¹²/den) over the
+# rational 1/(60+r) sums, so the hashed surface is all-integer; the legs
+# reuse the t23 BM25 chain and the ann01 6-dp cosine device verbatim.
+
+_RRF_K, _RRF_EACH, _RRF_TOP, _RRF_QVEC = 60, 20, 10, 3
+
+_RRF_HEAD_SPLIT = "SELECT id AS doc_id"
+assert _RRF_HEAD_SPLIT in _T23_SQL, "t23 oracle shape changed — rrf01 broken"
+_RRF01_SQL = _T23_SQL[:_T23_SQL.index(_RRF_HEAD_SPLIT)].rstrip() + f""",
+lexs AS (
+  SELECT id, CAST(round(sum(CAST(c AS DECIMAL(28,8))), 4) AS DOUBLE) AS score
+  FROM scored GROUP BY 1 ORDER BY score DESC, id LIMIT {_RRF_EACH}
+), lex AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_lex
+  FROM lexs
+), sem AS (
+  SELECT neighbor_id AS id, rank AS rank_sem FROM (
+    SELECT c.vec_id AS neighbor_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(
+                 c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                 c.vec_id ASC) AS rank
+    FROM embeddings c, embeddings q
+    WHERE q.vec_id = {_RRF_QVEC} AND c.vec_id <> q.vec_id)
+  WHERE rank <= {_RRF_EACH}
+), fused AS (
+  SELECT coalesce(l.id, s.id) AS doc_id, rank_lex, rank_sem,
+         CASE WHEN rank_lex IS NOT NULL AND rank_sem IS NOT NULL
+              THEN {2 * _RRF_K} + rank_lex + rank_sem ELSE 1 END AS num,
+         CASE WHEN rank_lex IS NOT NULL AND rank_sem IS NOT NULL
+              THEN ({_RRF_K} + rank_lex) * ({_RRF_K} + rank_sem)
+              ELSE coalesce({_RRF_K} + rank_lex, {_RRF_K} + rank_sem)
+         END AS den
+  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf_e12, rank FROM (
+  SELECT doc_id, rank_lex, rank_sem,
+         (num::HUGEINT * 1000000000000 // den)::BIGINT AS rrf_e12,
+         row_number() OVER (
+           ORDER BY (num::HUGEINT * 1000000000000 // den) DESC,
+                    doc_id)::BIGINT AS rank
+  FROM fused)
+WHERE rank <= {_RRF_TOP}"""
+
+
+@register("rrf01_hybrid_search", _RRF01_SQL)
+def rrf01_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 + brute-cosine top-20 for query
+    vector 3, fused by Reciprocal Rank Fusion on an exact integer
+    surface."""
+    from dataqtor_spark.operators import textstats as T
+
+    return T.hybrid_rrf_search(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings"),
+        _BM25_TERMS, query_vec_id=_RRF_QVEC, k_each=_RRF_EACH,
+        top_k=_RRF_TOP, rrf_k=_RRF_K)
+
+
 _T24_SQL = """WITH toks AS (
   SELECT source,
          unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\r\\f]+'),
@@ -10904,7 +10963,7 @@ _R12_PREFIX = [
     "a00_full_profile_lineitem", "a03_null_profile_customer",
     "h01_pricing_summary", "h03_shipping_priority",
     "h09_product_type_profit", "d01_exact_dedup",
-    "d02_ngram_jaccard_pairs", "a19_levenshtein_pairs",
+    "d02_ngram_jaccard_pairs", "rrf01_hybrid_search",
     "j05_asof_join_events", "j07_salted_skew_join",
     "r01_numeric_rule_violations", "sg01_suggest_constraints",
     "ann03_ivf_topk", "m04_image_phash_pairs",
