@@ -100,6 +100,10 @@ HEADLINE = [
     "ann16_nprobe_recall_sweep",
     "pr29_profile_drift",
     "t38_contamination_report",
+    # round-12 adds: bucketed DSIR (the bounded-state scale mode) and
+    # hybrid BM25+cosine RRF retrieval
+    "dsir02_hashed_importance",
+    "rrf01_hybrid_search",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -2022,3 +2022,70 @@ def null_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
                         F.col(f"__nc_{i}_{j}").alias("null_corr"))
                for i, j in pairs]
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def psi_drift(base: DataFrame, curr: DataFrame, col: str,
+              bins: int = 10) -> DataFrame:
+    """Population Stability Index between two populations of a 2-dp
+    numeric column (prices, balances) — the standard model-monitoring
+    drift metric: ``PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)`` over
+    ``bins`` equi-width bins spanning the UNION's [min, max], with +1
+    smoothing so empty bins stay defined (p_i = (n_i+1)/(N+bins)).
+
+    Exactness: values bin as integer CENTS (DECIMAL(18,2)·100 — exact for
+    2-dp data), bin = (c − lo)·bins div (hi − lo + 1) in integer
+    arithmetic, and each bin's contribution is emitted as the scaled
+    integer ``contrib_e9 = round((p−q)·lr, 9)·10⁹`` where the only float
+    is the 9-dp-rounded ``ln`` of a ratio of exact integers (the dsir
+    device) — p−q rides the exact rational c_i/D.  ``psi_e9`` is the
+    integer sum of the per-bin contributions.
+
+    Scale shape: equi-width binning is inherently two passes (one min/max
+    aggregate riding a broadcast scalar, one binning groupBy whose key
+    space is ``bins``); every frame after the groupBys is ≤ ``bins`` rows.
+    Precision note: the decimal(38,0) intermediates saturate around
+    N·M ≈ 10²⁸ — fine to ~10¹³ rows a side.
+    """
+    from dataqtor_spark.functions import exact as XR
+
+    B = int(bins)
+    cents = (F.col(col).cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    b = base.select(cents.alias("__c"))
+    c = curr.select(cents.alias("__c"))
+    mm = b.unionByName(c).agg(F.min("__c").alias("__lo"),
+                              F.max("__c").alias("__hi"))
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        return (df.crossJoin(F.broadcast(mm))
+                .select(F.call_function(
+                    "div", (F.col("__c") - F.col("__lo")) * F.lit(B),
+                    F.col("__hi") - F.col("__lo") + 1).alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
+
+    grid = base.sparkSession.range(B).select(F.col("id").alias("bin"))
+    j = (grid.join(binned(b, "n_base"), "bin", "left")
+         .join(binned(c, "n_curr"), "bin", "left")
+         .select("bin",
+                 F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                 F.coalesce("n_curr", F.lit(0)).alias("n_curr")))
+    tot = j.agg(F.sum("n_base").alias("__N"), F.sum("n_curr").alias("__M"))
+    out = j.crossJoin(F.broadcast(tot))
+    dec = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    pnum = dec(F.col("n_base") + 1)
+    qnum = dec(F.col("n_curr") + 1)
+    pden = dec(F.col("__N") + B)
+    qden = dec(F.col("__M") + B)
+    lr = F.round(F.log((pnum * qden).cast("double")
+                       / (qnum * pden).cast("double")), 9)
+    lr9 = (lr.cast("decimal(29,9)") * F.lit(10 ** 9)).cast("decimal(38,0)")
+    ci = pnum * qden - qnum * pden
+    contrib = XR.round_ratio_int(
+        ci * lr9, pden * qden * F.lit(10 ** 9).cast("decimal(38,0)"), 9)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()  # bounded: exactly `bins` rows
+    return (out.select("bin",
+                       F.col("n_base").cast("long").alias("n_base"),
+                       F.col("n_curr").cast("long").alias("n_curr"),
+                       contrib.cast("long").alias("contrib_e9"))
+            .withColumn("psi_e9", F.sum("contrib_e9").over(w).cast("long")))

@@ -10799,6 +10799,67 @@ def pr29_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                            _PR29_COLS, exact_mean=(0, 4))
 
 
+# --- pr30 — Population Stability Index drift -------------------------------
+# The industry-standard distribution-shift metric, complementing pr29's
+# per-statistic deltas: equi-width cent-integer bins over the union range,
+# +1-smoothed shares, contribution = (p−q)·ln(p/q) with the only float a
+# 9dp-rounded ln of an exact integer ratio (the dsir device); the hashed
+# surface is all-integer (contrib_e9 / psi_e9).
+
+_PR30_BINS = 10
+_PR30_PIVOT = "1998-07-01"
+
+_PR30_SQL = f"""WITH src AS (
+  SELECT (o_totalprice::DECIMAL(18,2) * 100)::HUGEINT AS c,
+         (o_orderdate < TIMESTAMP '{_PR30_PIVOT}') AS is_base
+  FROM orders
+), mm AS (SELECT min(c) AS lo, max(c) AS hi FROM src
+), cnt AS (
+  SELECT ((c - lo) * {_PR30_BINS}) // (hi - lo + 1) AS bin,
+         count(*) FILTER (is_base) AS n_base,
+         count(*) FILTER (NOT is_base) AS n_curr
+  FROM src, mm GROUP BY 1
+), grid AS (
+  SELECT u.b AS bin, coalesce(n_base, 0) AS n_base,
+         coalesce(n_curr, 0) AS n_curr
+  FROM unnest(generate_series(0, {_PR30_BINS - 1})) AS u(b)
+  LEFT JOIN cnt ON cnt.bin = u.b
+), tot AS (SELECT sum(n_base) AS N, sum(n_curr) AS M FROM grid
+), term AS (
+  SELECT bin, n_base, n_curr,
+         (n_base + 1)::HUGEINT AS pnum, (n_curr + 1)::HUGEINT AS qnum,
+         (N + {_PR30_BINS})::HUGEINT AS pden,
+         (M + {_PR30_BINS})::HUGEINT AS qden
+  FROM grid, tot
+), lr AS (
+  SELECT bin, n_base, n_curr, pnum, qnum, pden, qden,
+         (round(ln((pnum * qden)::DOUBLE / (qnum * pden)::DOUBLE), 9)
+          ::DECIMAL(18,9) * 1000000000)::HUGEINT AS lr9
+  FROM term
+), contrib AS (
+  SELECT bin, n_base::BIGINT AS n_base, n_curr::BIGINT AS n_curr,
+         {XR.round_ratio_int_sql(
+             '(pnum * qden - qnum * pden) * lr9',
+             'pden * qden * 1000000000', 9)}::BIGINT AS contrib_e9
+  FROM lr
+)
+SELECT bin::BIGINT AS bin, n_base, n_curr, contrib_e9,
+       sum(contrib_e9) OVER ()::BIGINT AS psi_e9
+FROM contrib"""
+
+
+@register("pr30_psi_drift", _PR30_SQL)
+def pr30_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between pre/post-{_PR30_PIVOT} order totals, 10 equi-width
+    bins — all-integer hashed surface."""
+    o = _t(spark, sf_dir, "orders")
+    pivot = F.lit(_PR30_PIVOT).cast("timestamp")
+    return P.psi_drift(o.filter(F.col("o_orderdate") < pivot),
+                       o.filter(~(F.col("o_orderdate") < pivot)),
+                       "o_totalprice", bins=_PR30_BINS).withColumn(
+        "bin", F.col("bin").cast("long"))
+
+
 # --- t38 — combined contamination report (exact + fuzzy, per source) --------
 # The release-gate artifact: per training source, how much of the slice
 # the EXACT 5-gram screen (t13) and the FUZZY MinHash screen (t37) each

@@ -81,7 +81,12 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "ann14_filtered_at_rest",
                "lm01_ngram_logprob", "ann15_sq8_at_rest",
                "d12_threshold_sensitivity", "ann16_nprobe_recall_sweep",
-               "pr29_profile_drift", "t38_contamination_report"]
+               "pr29_profile_drift", "t38_contamination_report",
+               # round-12 additions: bucketed DSIR (feature state bounded
+               # at B buckets — the groupBy key space stops growing with
+               # vocabulary) and hybrid RRF retrieval (fusion cost is
+               # fixed at 2*k_each rows; the probe measures the two legs)
+               "dsir02_hashed_importance", "rrf01_hybrid_search"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest"}
