@@ -2024,9 +2024,10 @@ def null_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
-def psi_drift(base: DataFrame, curr: DataFrame, col: str,
-              bins: int = 10) -> DataFrame:
-    """Population Stability Index between two populations of a 2-dp
+def psi_drift_report(base: DataFrame, curr: DataFrame, col: str,
+                     bins: int = 10) -> DataFrame:
+    """Per-bin Population Stability Index report between two populations
+    of a 2-dp
     numeric column (prices, balances) — the standard model-monitoring
     drift metric: ``PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)`` over
     ``bins`` equi-width bins spanning the UNION's [min, max], with +1

@@ -10799,9 +10799,11 @@ def pr29_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                            _PR29_COLS, exact_mean=(0, 4))
 
 
-# --- pr30 — Population Stability Index drift -------------------------------
-# The industry-standard distribution-shift metric, complementing pr29's
-# per-statistic deltas: equi-width cent-integer bins over the union range,
+# --- pr30 — Population Stability Index drift, per-bin integer report --------
+# pr07 already emits the scalar PSI through a float pipeline (double bins,
+# float shares, round(sum(double),6) — the exact shape the tie census
+# flags); pr30 is the hash-robust replacement surface: per-bin counts and
+# contributions with equi-width cent-integer bins over the union range,
 # +1-smoothed shares, contribution = (p−q)·ln(p/q) with the only float a
 # 9dp-rounded ln of an exact integer ratio (the dsir device); the hashed
 # surface is all-integer (contrib_e9 / psi_e9).
@@ -10854,7 +10856,7 @@ def pr30_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins — all-integer hashed surface."""
     o = _t(spark, sf_dir, "orders")
     pivot = F.lit(_PR30_PIVOT).cast("timestamp")
-    return P.psi_drift(o.filter(F.col("o_orderdate") < pivot),
+    return P.psi_drift_report(o.filter(F.col("o_orderdate") < pivot),
                        o.filter(~(F.col("o_orderdate") < pivot)),
                        "o_totalprice", bins=_PR30_BINS).withColumn(
         "bin", F.col("bin").cast("long"))
