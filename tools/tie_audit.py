@@ -43,7 +43,11 @@ TIE_EPS = 1e-9
 # argument, manufacturing a near-tie artifact.  Hits here are accepted
 # ONLY if _is_decimal_tie() verifies the double is the cast of a ≤12-digit
 # decimal sitting exactly ON the tie; anything else still flags.
-DECIMAL_SPACE_ROUNDS = {"dsir01_importance_select"}
+DECIMAL_SPACE_ROUNDS = {"dsir01_importance_select",
+                        # same final round(sum(DECIMAL c·lr), 6) as dsir01
+                        # — bucketing changes the feature keys, not the
+                        # decimal-space accumulation
+                        "dsir02_hashed_importance"}
 
 _hits: list[tuple[float, int, float]] = []  # (value, scale, exact_tie_dist)
 _true_ties = 0  # exact rational ties — provably portable, see below
