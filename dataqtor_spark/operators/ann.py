@@ -1193,3 +1193,77 @@ def rerank_topk(shortlist: DataFrame, corpus: DataFrame, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _sign_words_sql(vec_sql: str, dim: int) -> str:
+    """Spark-SQL expression: the vector's sign bits (1 iff component ≥ 0)
+    packed into ceil(dim/32) BIGINT words, 32 bits per word — 32 (not 64)
+    so no word ever touches the BIGINT sign bit, which keeps the identical
+    arithmetic legal in engines that reject ``1 << 63`` (DuckDB)."""
+    words = []
+    for w in range(0, dim, 32):
+        n = min(32, dim - w)
+        words.append(
+            f"aggregate(transform(sequence(0, {n - 1}), i -> "
+            f"CASE WHEN element_at({vec_sql}, {w} + i + 1) >= 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), i) "
+            f"ELSE CAST(0 AS BIGINT) END), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)")
+    return "array(" + ",".join(words) + ")"
+
+
+def binary_sign_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                     vec_col: str, dim: int, k: int = 5,
+                     rerank_from: int | None = None,
+                     query_id_col: str | None = None) -> DataFrame:
+    """1-bit (sign) embedding retrieval — the smallest rung of the
+    compression ladder (float32 → SQ8 int8 → PQ sub-byte → 1 bit/dim):
+    each vector collapses to its sign bitmap (64 dims = 8 bytes), distance
+    is the Hamming distance ``Σ_words bit_count(a XOR b)``, and the scan
+    is pure integer ops over dim/8 bytes per row — ~32× less I/O and no
+    float anywhere in the shortlist stage.  Zero-centered embeddings are
+    assumed (sign-at-0 is the standard binary-quantization threshold).
+
+    ``rerank_from=R`` applies the production two-stage pattern: Hamming
+    shortlists R candidates per query (ties by id), exact 6-dp cosine
+    re-scores ONLY those — stage-two cost is queries × R, independent of
+    corpus size.  Without it the ranking is raw Hamming.
+
+    Plan shape: the corpus packs in-row and never shuffles; queries (with
+    their packed words) broadcast; shortlist + rerank ride one bounded
+    per-query window.  Returns (query_id, neighbor_id, hamming, cosine,
+    rank) — cosine NULL when reranking is off."""
+    query_id_col = query_id_col or id_col
+    wsql = _sign_words_sql(
+        f"transform({vec_col}, x -> cast(x as double))", dim)
+    nw = (dim + 31) // 32
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("__cv"),
+                      F.expr(wsql).alias("__cw"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("__qv"),
+                       F.expr(wsql).alias("__qw"))
+    ham = F.expr(" + ".join(
+        f"bit_count(element_at(__cw, {i + 1}) ^ element_at(__qw, {i + 1}))"
+        for i in range(nw))).cast("long")
+    pairs = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("hamming", ham))
+    wh = Window.partitionBy("query_id").orderBy(F.asc("hamming"),
+                                                F.asc("neighbor_id"))
+    if rerank_from is None:
+        return (pairs.withColumn("rank", F.row_number().over(wh))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "hamming",
+                        F.lit(None).cast("double").alias("cosine"),
+                        F.col("rank").cast("long")))
+    short = (pairs.withColumn("__rh", F.row_number().over(wh))
+             .filter(F.col("__rh") <= int(rerank_from))
+             .withColumn("cosine", F.round(
+                 dot(F.col("__cv"), F.col("__qv"))
+                 / (l2_norm(F.col("__cv")) * l2_norm(F.col("__qv"))), 6)))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (short.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "hamming", "cosine",
+                    F.col("rank").cast("long")))

@@ -10747,6 +10747,55 @@ def ann16_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- ann17 — 1-bit (sign) embedding retrieval + exact rerank -----------------
+# The smallest rung of the compression ladder: 64 dims → two 32-bit words
+# (8 bytes), Hamming shortlist via bit_count(xor), exact 6-dp cosine
+# re-scores only the shortlist.  Packing uses 32-bit words so the bit
+# arithmetic is identical in engines that reject 1<<63 (DuckDB).
+
+_ANN17_K, _ANN17_RERANK = 5, 20
+
+
+def _ann17_oracle_sql() -> str:
+    word = (lambda w: "list_sum(list_transform(range(0, 32), i -> "
+            f"CASE WHEN embedding[{w} + i + 1] >= 0 "
+            "THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT")
+    return f"""WITH pk AS (
+  SELECT vec_id, embedding, [{word(0)}, {word(32)}] AS wds
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (bit_count(xor(c.wds[1], q.wds[1]))
+          + bit_count(xor(c.wds[2], q.wds[2])))::BIGINT AS hamming,
+         round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS cosine
+  FROM pk c, pk q WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+), short AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, hamming, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id) AS rh
+    FROM pairs) WHERE rh <= {_ANN17_RERANK}
+)
+SELECT query_id, neighbor_id, hamming, cosine, rank FROM (
+  SELECT query_id, neighbor_id, hamming, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id)::BIGINT
+           AS rank
+  FROM short) WHERE rank <= {_ANN17_K}"""
+
+
+@register("ann17_binary_rerank", _ann17_oracle_sql())
+def ann17_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: Hamming-shortlist 20 on packed sign
+    bits (8 bytes/vector), exact-cosine rerank to top-5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ANN.binary_sign_topk(emb, queries, "vec_id", "embedding",
+                                dim=64, k=_ANN17_K,
+                                rerank_from=_ANN17_RERANK)
+
+
 # --- pr29 — profile drift between two snapshots -------------------------------
 # The DQ-monitoring loop: profile snapshot A vs snapshot B of the same
 # table and emit per-column deltas (the table an alerting rule

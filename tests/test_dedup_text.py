@@ -1204,3 +1204,38 @@ def test_sq8_index_codes_clamped(spark, tmp_path):
     codes = spark.read.parquet(f"{path}/corpus").select(
         F.explode("codes").alias("q")).collect()
     assert codes and all(-127 <= r["q"] <= 127 for r in codes)
+
+
+def test_binary_sign_topk_packs_and_ranks(spark):
+    """Sign-bit packing matches a Python recomputation; Hamming of a
+    vector against itself is 0 (self excluded from results); rerank
+    output is the exact-cosine order of the Hamming shortlist."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = A.binary_sign_topk(df, df.filter(F.col("vec_id") < 2),
+                             "vec_id", "embedding", dim=64, k=3,
+                             rerank_from=10).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    vecs = dict(rows)
+
+    def words(v):
+        ws = []
+        for w in range(0, 64, 32):
+            ws.append(sum(1 << i for i in range(32) if v[w + i] >= 0))
+        return ws
+
+    for r in out:
+        a, b = words(vecs[r["query_id"]]), words(vecs[r["neighbor_id"]])
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        assert r["hamming"] == ham
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 3 and r["cosine"] is not None
+    # per query, ranks ordered by cosine desc
+    for qid in (0, 1):
+        rs = sorted((r for r in out if r["query_id"] == qid),
+                    key=lambda r: r["rank"])
+        assert all(rs[i]["cosine"] >= rs[i + 1]["cosine"]
+                   for i in range(len(rs) - 1))
