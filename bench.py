@@ -100,10 +100,13 @@ HEADLINE = [
     "ann16_nprobe_recall_sweep",
     "pr29_profile_drift",
     "t38_contamination_report",
-    # round-12 adds: bucketed DSIR (the bounded-state scale mode) and
-    # hybrid BM25+cosine RRF retrieval
+    # round-12 adds: bucketed DSIR (the bounded-state scale mode), hybrid
+    # BM25+cosine RRF retrieval, the 1-bit Hamming+rerank tier, and the
+    # per-bin integer PSI report
     "dsir02_hashed_importance",
     "rrf01_hybrid_search",
+    "ann17_binary_rerank",
+    "pr30_psi_drift",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

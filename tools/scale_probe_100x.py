@@ -86,7 +86,10 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # at B buckets — the groupBy key space stops growing with
                # vocabulary) and hybrid RRF retrieval (fusion cost is
                # fixed at 2*k_each rows; the probe measures the two legs)
-               "dsir02_hashed_importance", "rrf01_hybrid_search"]
+               "dsir02_hashed_importance", "rrf01_hybrid_search",
+               # 1-bit Hamming shortlist + exact rerank: the 8-byte scan
+               # should grow ~linearly, the rerank stays queries×R flat
+               "ann17_binary_rerank"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest"}
