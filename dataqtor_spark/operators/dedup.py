@@ -888,11 +888,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                        F.least(F.col("label"),
                                F.coalesce(F.col("__grand"), F.col("label")))
                        .alias("label")))
-        new.write.mode("overwrite").parquet(f"{d}/labels_{it + 1}")
+        # the convergence sum rides the write action as an Observation
+        # metric — no separate aggregate job per round
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_sum_{it}")
+        (new.observe(obs, F.sum(F.col("label").cast("decimal(38,0)"))
+                     .alias("s"))
+         .write.mode("overwrite").parquet(f"{d}/labels_{it + 1}"))
+        s = obs.get["s"]
         labels = spark.read.parquet(f"{d}/labels_{it + 1}")
         shutil.rmtree(f"{d}/labels_{it}", ignore_errors=True)
-        s = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if s == prev_sum:
             return labels.select(F.col("id"), F.col("label").alias("component"))
         prev_sum = s

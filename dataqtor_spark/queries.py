@@ -9303,8 +9303,6 @@ def d11_multimodal_dedup_report(spark: SparkSession,
 
     # text
     tp = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
-    text_row = row("text", docs.agg(F.count(F.lit(1)).alias("n_items")),
-                   DD.connected_components(tp))
     # image (the m04 planted fake-tier device)
     idocs = docs.filter(F.col("doc_id") < 300).select(
         F.col("doc_id").alias("media_id"),
@@ -9316,10 +9314,6 @@ def d11_multimodal_dedup_report(spark: SparkSession,
         (F.col("media_id") * 2).alias("media_id"), "phash").unionByName(
         isig.select((F.col("media_id") * 2 + 1).alias("media_id"),
                     F.col("phash").bitwiseXOR(iflip).alias("phash")))
-    image_row = row(
-        "image", iplanted.agg(F.count(F.lit(1)).alias("n_items")),
-        DD.connected_components(MM.phash_near_pairs(iplanted,
-                                                    max_hamming=3)))
     # audio (the m06 device)
     adocs = docs.filter(
         (F.col("doc_id") >= 300) & (F.col("doc_id") < 550)).select(
@@ -9333,10 +9327,24 @@ def d11_multimodal_dedup_report(spark: SparkSession,
         (F.col("media_id") * 2).alias("media_id"), "afp").unionByName(
         asig.select((F.col("media_id") * 2 + 1).alias("media_id"),
                     F.col("afp").bitwiseXOR(aflip).alias("afp")))
-    audio_row = row(
-        "audio", aplanted.agg(F.count(F.lit(1)).alias("n_items")),
-        DD.connected_components(MM.afp_near_pairs(aplanted,
-                                                  max_hamming=3)))
+    # the three connected-components loops are driver-side iterations
+    # (a few jobs per round each); submitting them from threads lets the
+    # scheduler overlap the three modalities' rounds — same results,
+    # ~wall-clock of the slowest loop instead of the sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    pair_frames = [tp, MM.phash_near_pairs(iplanted, max_hamming=3),
+                   MM.afp_near_pairs(aplanted, max_hamming=3)]
+    with ThreadPoolExecutor(3) as ex:
+        comps = list(ex.map(DD.connected_components, pair_frames))
+    text_row = row("text", docs.agg(F.count(F.lit(1)).alias("n_items")),
+                   comps[0])
+    image_row = row("image",
+                    iplanted.agg(F.count(F.lit(1)).alias("n_items")),
+                    comps[1])
+    audio_row = row("audio",
+                    aplanted.agg(F.count(F.lit(1)).alias("n_items")),
+                    comps[2])
     return text_row.unionByName(image_row).unionByName(audio_row)
 
 
