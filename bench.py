@@ -107,6 +107,7 @@ HEADLINE = [
     "rrf01_hybrid_search",
     "ann17_binary_rerank",
     "pr30_psi_drift",
+    "ann18_binary_at_rest",
 ]
 
 # Queries that serve from a persisted index: the first call at a given
@@ -114,7 +115,7 @@ HEADLINE = [
 # bench prebuilds at the timed SF during warm-up and the samples measure
 # serving only.
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
-           "ann15_sq8_at_rest"}
+           "ann15_sq8_at_rest", "ann18_binary_at_rest"}
 
 
 def run_full(spark, sf_dir: str, warm_dir: str, reps: int,

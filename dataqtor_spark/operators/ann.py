@@ -1267,3 +1267,87 @@ def binary_sign_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "hamming", "cosine",
                     F.col("rank").cast("long")))
+
+
+def write_binary_index(corpus: DataFrame, path: str, id_col: str,
+                       vec_col: str, dim: int, n_clusters: int = 16,
+                       n_iter: int = 2, cache_key: str | None = None) -> None:
+    """Persist an IVF + 1-bit index: sign-bit words (8 bytes per 64 dims)
+    partitioned by coarse cluster, plus the raw vectors FOR RERANK ONLY
+    and the centroid sidecar.  The serving scan's stage one reads just
+    (id, words) — column pruning keeps the raw vectors on disk until the
+    bounded rerank join asks for them.  Same directory contract as
+    :func:`write_ivf_index` (probing = partition pruning)."""
+    centers = train_ivf_centroids_portable(corpus, id_col, vec_col,
+                                           n_clusters, n_iter,
+                                           cache_key=cache_key or path)
+    v = f"transform({vec_col}, x -> cast(x as double))"
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_sign_words_sql(v, dim)).alias("wds"),
+        F.expr(v).alias("vec"),
+        F.expr(_sql_nearest_cids(v, centers, 1))[0].alias("__cluster"))
+    (base.repartition("__cluster")
+     .write.mode("overwrite").partitionBy("__cluster")
+     .parquet(f"{path}/corpus"))
+    spark = corpus.sparkSession
+    rows = [(cid, i, x) for cid, vec in centers for i, x in enumerate(vec)]
+    (spark.createDataFrame(rows, "cid int, dim int, val double")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def binary_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
+                        vec_col: str, dim: int, k: int = 5,
+                        n_probe: int = 3, rerank_from: int = 20,
+                        query_id_col: str | None = None) -> DataFrame:
+    """Two-stage serving from a :func:`write_binary_index` layout: probed
+    clusters prune partitions, stage one Hamming-shortlists
+    ``rerank_from`` per query reading ONLY (id, words) — dim/8 bytes per
+    candidate — and stage two re-scores the bounded shortlist with exact
+    6-dp cosine via a second pruned scan of the vec column joined to the
+    broadcast shortlist.  Returns (query_id, neighbor_id, hamming,
+    cosine, rank ≤ k)."""
+    query_id_col = query_id_col or id_col
+    centers = load_ivf_centroids(spark, path)
+    nw = (dim + 31) // 32
+    wsql = _sign_words_sql(
+        f"transform({vec_col}, x -> cast(x as double))", dim)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("__qv"),
+                       F.expr(wsql).alias("__qw"))
+    q = q.select("query_id", "__qv", "__qw",
+                 l2_norm(F.col("__qv")).alias("__qn"),
+                 F.explode(F.expr(_sql_nearest_cids("__qv", centers,
+                                                    n_probe)))
+                 .alias("__cluster"))
+    probed = [r["__cluster"] for r in
+              q.select("__cluster").distinct().collect()]
+    idx = spark.read.parquet(f"{path}/corpus")
+    s1 = (idx.select("neighbor_id", "wds", "__cluster")
+          .filter(F.col("__cluster").isin(probed)))
+    ham = F.expr(" + ".join(
+        f"bit_count(element_at(wds, {i + 1}) ^ element_at(__qw, {i + 1}))"
+        for i in range(nw))).cast("long")
+    wh = Window.partitionBy("query_id").orderBy(F.asc("hamming"),
+                                                F.asc("neighbor_id"))
+    short = (s1.join(F.broadcast(q.drop("__qv")), "__cluster")
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("hamming", ham)
+             .withColumn("__rh", F.row_number().over(wh))
+             .filter(F.col("__rh") <= int(rerank_from))
+             .select("query_id", "neighbor_id", "hamming"))
+    vecs = (idx.select("neighbor_id", "vec", "__cluster")
+            .filter(F.col("__cluster").isin(probed))
+            .select("neighbor_id", "vec"))
+    qv = q.select("query_id", "__qv", "__qn").distinct()
+    re = (vecs.join(F.broadcast(short), "neighbor_id")
+          .join(F.broadcast(qv), "query_id")
+          .withColumn("cosine", F.round(
+              dot(F.col("vec"), F.col("__qv"))
+              / (l2_norm(F.col("vec")) * F.col("__qn")), 6)))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (re.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "hamming", "cosine",
+                    F.col("rank").cast("long")))

@@ -10804,6 +10804,78 @@ def ann17_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 rerank_from=_ANN17_RERANK)
 
 
+# --- ann18 — 1-bit index at rest (partition-pruned Hamming + rerank) --------
+# ann17's serving plan against a persisted IVF + sign-bit layout: stage
+# one reads only (id, words) from the probed cluster partitions (8
+# bytes/candidate), stage two re-reads just the shortlist's raw vectors
+# through the same pruned scan.  Oracle = ann03's full training replay
+# with the scored CTE swapped for pack → Hamming shortlist → rerank.
+
+
+def _ann18_oracle_sql() -> str:
+    base = _ann03_oracle_sql()
+    old = """scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+  FROM qp q JOIN af a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 5"""
+    assert old in base, "ann03 oracle shape changed — ann18 swap broken"
+
+    def word(src: str, w: int) -> str:
+        return ("list_sum(list_transform(range(0, 32), i -> "
+                f"CASE WHEN {src}[{w} + i + 1] >= 0 "
+                "THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT")
+
+    new = f"""pw AS (
+  SELECT vec_id, v, cid, [{word('v', 0)}, {word('v', 32)}] AS wds FROM af),
+qw AS (
+  SELECT query_id, qv, cid,
+         [{word('qv', 0)}, {word('qv', 32)}] AS qwds FROM qp),
+short AS (
+  SELECT query_id, neighbor_id, v, qv, hamming FROM (
+    SELECT query_id, neighbor_id, v, qv, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id) AS rh
+    FROM (SELECT q.query_id, a.vec_id AS neighbor_id, a.v, q.qv,
+                 (bit_count(xor(a.wds[1], q.qwds[1]))
+                  + bit_count(xor(a.wds[2], q.qwds[2])))::BIGINT AS hamming
+          FROM qw q JOIN pw a ON a.cid = q.cid
+                              AND a.vec_id <> q.query_id))
+  WHERE rh <= {_ANN17_RERANK})
+SELECT query_id, neighbor_id, hamming, cosine, rank FROM (
+  SELECT query_id, neighbor_id, hamming,
+         round(list_cosine_similarity(v, qv), 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+                    neighbor_id)::BIGINT AS rank
+  FROM short) WHERE rank <= {_ANN17_K}"""
+    return base.replace(old, new)
+
+
+@register("ann18_binary_at_rest", _ann18_oracle_sql())
+def ann18_binary_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming shortlist + exact rerank served from the persisted 1-bit
+    index (ann.write_binary_index → ann.binary_topk_at_rest):
+    partition-pruned 8-byte-per-candidate stage one, bounded rerank."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = os.path.join(
+        _ANN11_ROOT,
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_bin_{_ANN03_CLUSTERS}c_{_corpus_fingerprint(emb_path)}")
+    _ensure_fixture(idx, lambda: ANN.write_binary_index(
+        _t(spark, sf_dir, "embeddings"), idx, "vec_id", "embedding",
+        dim=64, n_clusters=_ANN03_CLUSTERS, n_iter=_ANN03_ITER))
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return ANN.binary_topk_at_rest(
+        spark, idx, queries, "vec_id", "embedding", dim=64, k=_ANN17_K,
+        n_probe=_ANN03_PROBE, rerank_from=_ANN17_RERANK)
+
+
 # --- pr29 — profile drift between two snapshots -------------------------------
 # The DQ-monitoring loop: profile snapshot A vs snapshot B of the same
 # table and emit per-column deltas (the table an alerting rule

@@ -1239,3 +1239,27 @@ def test_binary_sign_topk_packs_and_ranks(spark):
                     key=lambda r: r["rank"])
         assert all(rs[i]["cosine"] >= rs[i + 1]["cosine"]
                    for i in range(len(rs) - 1))
+
+
+def test_binary_at_rest_matches_brute_binary(spark, tmp_path):
+    """The at-rest binary tier returns exactly the in-memory
+    binary_sign_topk result when every cluster is probed, and its stage
+    one reads partition-pruned (PartitionFilters on __cluster)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "binidx")
+    A.write_binary_index(df, path, "vec_id", "embedding", dim=64,
+                         n_clusters=4)
+    q = df.filter(F.col("vec_id") < 2)
+    at_rest = A.binary_topk_at_rest(spark, path, q, "vec_id", "embedding",
+                                    dim=64, k=3, n_probe=4, rerank_from=10)
+    brute = A.binary_sign_topk(df, q, "vec_id", "embedding", dim=64, k=3,
+                               rerank_from=10)
+    ar = sorted(map(tuple, at_rest.collect()))
+    br = sorted(map(tuple, brute.collect()))
+    assert ar == br
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cluster" in plan
