@@ -1020,3 +1020,36 @@ def late_arrival_audit(df: DataFrame, ts_col: str = "ts",
                  F.sum("__late").cast("long").alias("n_late"),
                  F.round(F.sum("__late")
                          / F.count(F.lit(1)), 4).alias("late_frac")))
+
+
+def stream_psi_sink(stream: DataFrame, value_col: str, baseline_path: str,
+                    path: str, checkpoint: str, bins: int = 10):
+    """Streaming drift monitor: every micro-batch's ``value_col``
+    population is PSI-compared against a FIXED baseline parquet (written
+    offline — last release's distribution, the training snapshot, …) and
+    the per-bin integer report (:func:`profile.psi_drift_report` —
+    all-integer hashed surface) lands under ``<path>/drift`` partitioned
+    by ``__batch``.  An alerting rule thresholds ``psi_e9`` (industry
+    folklore: 0.1 = drifting, 0.25 = act ⇒ 10⁸ and 2.5·10⁸ at e9 scale).
+
+    Replay-safe: the batch id is the partition key and a replayed batch
+    dynamically overwrites ITS OWN partition only — idempotent without an
+    epoch ledger.  Per batch: one min/max pass over baseline ∪ batch and
+    two `bins`-key groupBys; the baseline re-reads per batch (cache it
+    upstream if it is large)."""
+    from dataqtor_spark.operators.profile import psi_drift_report
+
+    def _one(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        base = spark.read.parquet(baseline_path)
+        rep = psi_drift_report(base, batch, value_col, bins=bins)
+        (rep.withColumn("__batch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__batch").parquet(f"{path}/drift"))
+
+    return (stream.writeStream.foreachBatch(_one)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

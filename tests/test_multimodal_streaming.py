@@ -1638,3 +1638,33 @@ def test_pruned_band_read_falls_back_on_pre_bp_index(spark, tmp_path):
     ).write.parquet(f"{idx}/bands")
     got = SP._pruned_band_read(spark, idx, [0, 1]).collect()
     assert {r["doc_id"] for r in got} == {1, 2}
+
+
+def test_stream_psi_sink_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """Per-batch PSI report == the batch psi_drift_report against the
+    same baseline; replaying a batch overwrites only its own partition."""
+    from dataqtor_spark.operators.profile import psi_drift_report
+
+    base = spark.createDataFrame([(float(100 + i),) for i in range(50)],
+                                 "price double")
+    bpath = str(tmp_path / "baseline")
+    base.write.parquet(bpath)
+    batch = spark.createDataFrame([(float(120 + i),) for i in range(40)],
+                                  "price double")
+    src = str(tmp_path / "psi_src")
+    batch.write.parquet(src)
+    out = str(tmp_path / "psi_out")
+    for ck in ("psi_ck", "psi_ck_replay"):
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = SP.stream_psi_sink(stream, "price", bpath, out,
+                               str(tmp_path / ck), bins=8)
+        q.awaitTermination()
+    got = spark.read.parquet(f"{out}/drift")
+    assert got.select("__batch").distinct().count() == 1  # replay overwrote
+    want = {r["bin"]: r for r in
+            psi_drift_report(base, batch, "price", bins=8).collect()}
+    for r in got.collect():
+        w = want[r["bin"]]
+        assert (r["n_base"], r["n_curr"], r["contrib_e9"], r["psi_e9"]) == \
+            (w["n_base"], w["n_curr"], w["contrib_e9"], w["psi_e9"])
+    assert len(want) == got.count() == 8
