@@ -1040,3 +1040,57 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
             .select(F.col("__id").alias(id_col),
                     F.col("__cluster").alias("cluster"),
                     F.col("__rm").isNull().alias("keep")))
+
+
+def split_leakage_repair(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", threshold: float = 0.35,
+                         num_hashes: int = 64, bands: int = 16,
+                         shingle_n: int = 5, val_mod: int = 10) -> DataFrame:
+    """Contamination-aware train/val split audit + repair: docs split by
+    the deterministic Knuth-hash rule ``((id·2654435761) mod 2³²) mod
+    val_mod == 0`` (≈ 1/val_mod held out), near-duplicate pairs come from
+    the banded MinHash screen, and every pair CROSSING the split boundary
+    is leakage — its val-side member is quarantined back to train, so the
+    held-out set shares no near-dup with training data (the leakage that
+    silently inflates eval numbers).  Returns the two-row repair report
+    ``(split, n_before, n_after, n_moved, leaked_pairs)``.
+
+    Scale shape: the pair screen is the banded LSH join (never
+    all-pairs); the split map is a pure projection joined twice on id;
+    everything after the leak join is a scalar aggregate riding broadcast
+    crossJoins.  All-integer output."""
+    pairs = minhash_dedup_pairs_portable(
+        df, id_col, text_col, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n).select("id_a", "id_b")
+    is_val = (F.pmod(F.pmod(F.col(id_col).cast("long")
+                            * F.lit(2654435761).cast("long"),
+                            F.lit(4294967296).cast("long")),
+                     F.lit(int(val_mod))) == 0)
+    spl = df.select(F.col(id_col).alias("__id"), is_val.alias("is_val"))
+    sa = spl.select(F.col("__id").alias("id_a"),
+                    F.col("is_val").alias("__va"))
+    sb = spl.select(F.col("__id").alias("id_b"),
+                    F.col("is_val").alias("__vb"))
+    leak = (pairs.join(sa, "id_a").join(sb, "id_b")
+            .filter(F.col("__va") != F.col("__vb")))
+    moved = (leak.select(F.when(F.col("__va"), F.col("id_a"))
+                         .otherwise(F.col("id_b")).alias("__id"))
+             .distinct())
+    lt = leak.agg(F.count(F.lit(1)).alias("leaked_pairs"))
+    mt = moved.agg(F.count(F.lit(1)).alias("n_moved"))
+    st = spl.agg(F.sum(F.col("is_val").cast("long")).alias("__nv"),
+                 F.sum((~F.col("is_val")).cast("long")).alias("__nt"))
+    tot = st.crossJoin(F.broadcast(lt)).crossJoin(F.broadcast(mt))
+    train = tot.select(
+        F.lit("train").alias("split"),
+        F.col("__nt").cast("long").alias("n_before"),
+        (F.col("__nt") + F.col("n_moved")).cast("long").alias("n_after"),
+        F.col("n_moved").cast("long").alias("n_moved"),
+        F.col("leaked_pairs").cast("long").alias("leaked_pairs"))
+    val = tot.select(
+        F.lit("val").alias("split"),
+        F.col("__nv").cast("long").alias("n_before"),
+        (F.col("__nv") - F.col("n_moved")).cast("long").alias("n_after"),
+        F.col("n_moved").cast("long").alias("n_moved"),
+        F.col("leaked_pairs").cast("long").alias("leaked_pairs"))
+    return train.unionByName(val)

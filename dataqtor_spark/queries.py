@@ -1169,6 +1169,61 @@ def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
 
 
+# --- d13 — train/val split leakage audit + repair ---------------------------
+# Near-dup pairs CROSSING the deterministic train/val boundary are the
+# leakage that inflates eval numbers; the val-side member of each leaking
+# pair is quarantined back to train.  Pair screen = the d03 banded
+# MinHash chain; all-integer two-row report.
+
+def _d13_oracle_sql() -> str:
+    nh, thr = _MH_HASHES, _MH_THRESHOLD
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                    for i in range(nh))
+    return f"""{_minhash_cte_prefix()},
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b, ({eq}) / {nh}.0 AS est_jaccard
+    FROM cand c JOIN sig a ON a.doc_id = c.id_a
+                JOIN sig b ON b.doc_id = c.id_b)
+  WHERE est_jaccard >= {thr}
+), spl AS (
+  SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 10 = 0 AS is_val
+  FROM documents
+), leak AS (
+  SELECT sa.is_val AS va, p.id_a, p.id_b
+  FROM pairs p JOIN spl sa ON sa.doc_id = p.id_a
+               JOIN spl sb ON sb.doc_id = p.id_b
+  WHERE sa.is_val <> sb.is_val
+), moved AS (
+  SELECT DISTINCT CASE WHEN va THEN id_a ELSE id_b END AS doc_id FROM leak
+), tot AS (
+  SELECT (SELECT count(*) FROM leak) AS leaked_pairs,
+         (SELECT count(*) FROM moved) AS n_moved,
+         (SELECT count(*) FROM spl WHERE is_val) AS n_val,
+         (SELECT count(*) FROM spl WHERE NOT is_val) AS n_train
+)
+SELECT * FROM (
+  SELECT 'train' AS split, n_train::BIGINT AS n_before,
+         (n_train + n_moved)::BIGINT AS n_after,
+         n_moved::BIGINT AS n_moved, leaked_pairs::BIGINT AS leaked_pairs
+  FROM tot
+  UNION ALL
+  SELECT 'val', n_val::BIGINT, (n_val - n_moved)::BIGINT,
+         n_moved::BIGINT, leaked_pairs::BIGINT
+  FROM tot)"""
+
+
+@register("d13_split_leakage", _d13_oracle_sql())
+def d13_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage repair report: ~10% of docs held out by Knuth hash,
+    MinHash near-dup pairs crossing the boundary quarantine their val
+    member back to train."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.split_leakage_repair(
+        docs, "doc_id", "text", threshold=_MH_THRESHOLD,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
+
+
 def _simhash_oracle_sql(max_hamming: int = 8) -> str:
     bitsums = ",\n       ".join(
         f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
