@@ -108,6 +108,7 @@ HEADLINE = [
     "ann17_binary_rerank",
     "pr30_psi_drift",
     "ann18_binary_at_rest",
+    "d13_split_leakage",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

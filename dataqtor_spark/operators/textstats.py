@@ -272,6 +272,29 @@ def assign_shards(df: DataFrame, id_col: str, n_shards: int,
                          .cast("int"))
 
 
+def shard_manifest(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n_shards: int = 16,
+                   seed: int = 0) -> DataFrame:
+    """Per-shard reproducibility manifest — the artifact a training-data
+    release publishes beside the shards (WebDataset/streaming-loader
+    practice): for each shard of :func:`assign_shards`' deterministic
+    layout, row count, token count, and an ORDER-INDEPENDENT content
+    checksum ``bit_xor`` of a portable per-doc 60-bit md5 hash — any
+    consumer (or any engine) can re-derive it from the shard's rows in
+    any order, so a flipped byte or a lost row is one integer comparison
+    away.  One groupBy(shard); partial aggregation means the shuffle
+    carries n_shards rows per partition."""
+    h = (F.conv(F.substring(F.md5(F.col(text_col).cast("string")), 1, 15),
+                16, 10).cast("long"))
+    base = (assign_shards(df, id_col, n_shards=n_shards, seed=seed)
+            .select("shard", token_count(text_col).alias("__tok"),
+                    h.alias("__h")))
+    return (base.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__tok").cast("long").alias("n_tokens"),
+                 F.expr("bit_xor(__h)").alias("content_checksum")))
+
+
 def sample_by_bin(df: DataFrame, bin_col: Column, rates: dict[str, int],
                   id_col: str = "doc_id", seed: int = 0) -> DataFrame:
     """Deterministic per-bin subsampling: keep a row iff

@@ -2716,6 +2716,29 @@ def t08_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("max_id")))
 
 
+_T39_TOK = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) "
+            "END")
+
+_T39_SQL = f"""WITH s AS (
+  SELECT CAST({_MIX_SQL.format(id='doc_id', seed=0)} % 16 AS INT) AS shard,
+         md5(text) AS hx, {_T39_TOK} AS tok
+  FROM documents
+)
+SELECT shard, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens,
+       bit_xor({_nibble_value_sql('hx')})::BIGINT AS content_checksum
+FROM s GROUP BY 1"""
+
+
+@register("t39_shard_manifest", _T39_SQL)
+def t39_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard reproducibility manifest: rows, tokens, and an
+    order-independent bit_xor content checksum over the deterministic
+    16-shard layout."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.shard_manifest(docs, "doc_id", "text", n_shards=16)
+
+
 @register(
     "t09_quality_binned_sample",
     f"""WITH q AS (

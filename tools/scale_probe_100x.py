@@ -89,7 +89,10 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "dsir02_hashed_importance", "rrf01_hybrid_search",
                # 1-bit Hamming shortlist + exact rerank: the 8-byte scan
                # should grow ~linearly, the rerank stays queries×R flat
-               "ann17_binary_rerank", "ann18_binary_at_rest"]
+               "ann17_binary_rerank", "ann18_binary_at_rest",
+               # split-leakage repair: the banded-LSH pair screen is the
+               # cost driver; the repair itself is scalar aggregates
+               "d13_split_leakage"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
