@@ -3252,6 +3252,28 @@ def t17d_source_share_ppm_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("weight_ppm"))
 
 
+_T17E_SQL = """SELECT source,
+       sum(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'),
+                           x -> x <> '')))::BIGINT AS n_tokens_f
+FROM documents GROUP BY source"""
+
+
+@register("t17e_source_mix_filtered_diag", _T17E_SQL)
+def t17e_source_mix_filtered_diag(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Diagnostic: per-source counts of NON-EMPTY split segments — the
+    tokenization t17's raw form would adopt if the driver divergence
+    turns out to be empty-segment handling (text ending in non-space
+    whitespace yields a trailing '' that `trim` cannot strip; engines
+    could legitimately differ on keeping it).  t17b red + t17e green =
+    switch t17 to filtered semantics next round."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.filter(F.split(F.trim(F.col("text").cast("string")),
+                                TX.WS_PLUS), lambda t: t != ""))
+    return (d.groupBy("source")
+            .agg(F.sum(n.cast("long")).alias("n_tokens_f")))
+
+
 _T18_QUOTA = 10
 
 _T18_SQL = f"""SELECT doc_id, source FROM (
@@ -11213,6 +11235,7 @@ _R12_PREFIX = [
     # t17 driver-red bisect: all four arms must be graded TOGETHER
     "t17_source_mix", "t17b_source_mix_diag",
     "t17c_source_mix_ssr_diag", "t17d_source_share_ppm_diag",
+    "t17e_source_mix_filtered_diag",
     # never driver-graded (rounds 1-11)
     "ml01_calibration_report", "pr28_theils_u", "x04_json_type_profile",
     "t37_fuzzy_decontaminate", "ann13_filtered_topk",
@@ -11235,7 +11258,7 @@ _R12_PREFIX = [
     "h09_product_type_profit", "d01_exact_dedup",
     "d02_ngram_jaccard_pairs", "rrf01_hybrid_search",
     "j05_asof_join_events", "j07_salted_skew_join",
-    "r01_numeric_rule_violations", "sg01_suggest_constraints",
+    "r01_numeric_rule_violations",
     "ann03_ivf_topk", "m04_image_phash_pairs",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
