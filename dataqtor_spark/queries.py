@@ -11252,13 +11252,14 @@ _R12_PREFIX = [
     "d03_minhash_pairs", "d04_simhash_pairs", "t11_vocab_topk",
     "t13_decontaminate", "t14_repetition_signals", "t19_top_terms",
     "t20_paragraph_dedup", "t22_semantic_search", "t28_c4_line_filters",
+    # queries added this round after the initial rotation — never graded
+    "d13_split_leakage", "t39_shard_manifest", "ann17_binary_rerank",
+    "ann18_binary_at_rest", "pr30_psi_drift",
     # flagship §2 coverage
     "a00_full_profile_lineitem", "a03_null_profile_customer",
-    "h01_pricing_summary", "h03_shipping_priority",
-    "h09_product_type_profit", "d01_exact_dedup",
+    "h01_pricing_summary",
     "d02_ngram_jaccard_pairs", "rrf01_hybrid_search",
-    "j05_asof_join_events", "j07_salted_skew_join",
-    "r01_numeric_rule_violations",
+    "j05_asof_join_events",
     "ann03_ivf_topk", "m04_image_phash_pairs",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
