@@ -11218,6 +11218,106 @@ QUERIES = {**{n: QUERIES[n] for n in _R10_PREFIX},
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
 
 
+# --- sel01 — greedy k-center diversity selection ----------------------------
+# Coverage-driven subset selection (Gonzalez 1985 greedy 2-approx): pick
+# the k mutually-most-distant embeddings — the diversity primitive for
+# annotation batches, curriculum seeds, and coresets.  k bounded rounds,
+# each one corpus scan + TakeOrdered(1); the oracle replays the greedy
+# loop as an incremental-least CTE chain (distances round to 6 dp before
+# every comparison, ties break on ascending vec_id — the ann01 device).
+_SEL01_K = 6
+
+
+def _sel01_oracle_sql(k: int = _SEL01_K) -> str:
+    sql = """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1
+), t1 AS (
+  SELECT e.vec_id, e.v,
+         1 - round(list_cosine_similarity(e.v, c0.v), 6) AS md
+  FROM e, c0
+)"""
+    for r in range(1, k):
+        not_in = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{i}" for i in range(r))
+        sql += f""", c{r} AS (
+  SELECT vec_id, v, md FROM t{r}
+  WHERE vec_id NOT IN ({not_in})
+  ORDER BY md DESC, vec_id LIMIT 1
+)"""
+        if r < k - 1:
+            sql += f""", t{r + 1} AS (
+  SELECT t.vec_id, t.v,
+         least(t.md, 1 - round(list_cosine_similarity(t.v, c.v), 6)) AS md
+  FROM t{r} t, c{r} c
+)"""
+    parts = ["SELECT CAST(0 AS INT) AS rank, vec_id,"
+             " CAST(NULL AS DOUBLE) AS maximin_dist FROM c0"]
+    parts += [f"SELECT CAST({r} AS INT) AS rank, vec_id,"
+              f" md AS maximin_dist FROM c{r}" for r in range(1, k)]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("sel01_kcenter_diversity", _sel01_oracle_sql())
+def sel01_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center over the embeddings table: the k most mutually
+    distant vectors with the maximin-radius sequence."""
+    from dataqtor_spark.operators import selection as SEL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return SEL.kcenter_select(emb, "vec_id", "embedding", k=_SEL01_K)
+
+
+# --- lm02 — perplexity gate (per-source LM-filter funnel) --------------------
+# The deployment form of lm01's CCNet scoring: gate every document on its
+# bigram-LM avg token log-probability (threshold −3.5, a real split at
+# every SF) and report the per-source funnel — docs and tokens in, docs
+# and tokens kept, kept fraction in exact ppm (no float ratio ever meets
+# round(): the t17 lesson).  The oracle nests the full lm01 replay as a
+# CTE, so the gate is differentially checked end-to-end, scores included.
+_LM02_THRESH = -3.5
+
+_LM02_SQL = f"""WITH lm AS (
+{_LM01_SQL}
+), j AS (
+  SELECT d.source, lm.n_tokens,
+         CASE WHEN lm.avg_logprob >= {_LM02_THRESH} THEN 1 ELSE 0 END AS kept
+  FROM lm JOIN documents d USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(kept)::BIGINT AS n_kept,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)::BIGINT
+         AS kept_tokens,
+       CAST({XR.round_ratio_int_sql('sum(kept)::HUGEINT * 1000000',
+                                    'count(*)', 0)} AS BIGINT) AS kept_ppm
+FROM j GROUP BY source"""
+
+
+@register("lm02_perplexity_gate", _LM02_SQL)
+def lm02_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity-filter funnel: train the lm01 bigram LM on
+    src0, gate every scored document at avg_logprob ≥ −3.5, report
+    docs/tokens in and kept plus the kept fraction in exact ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = TX.ngram_lm_score(docs, F.col("source") == "src0")
+    kept = F.when(F.col("avg_logprob") >= F.lit(_LM02_THRESH), 1) \
+        .otherwise(0)
+    j = (scores.join(docs.select("doc_id", "source"), "doc_id")
+         .select("source", "n_tokens", kept.alias("kept")))
+    return (j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_tokens"))
+              .otherwise(F.lit(0))).cast("long").alias("kept_tokens"),
+        XR.round_ratio_int(F.sum("kept") * F.lit(1000000),
+                           F.count(F.lit(1)), 0)
+        .cast("long").alias("kept_ppm")))
+
+
 # ---------------------------------------------------------------------------
 # Round-12 graded-prefix rotation.  The driver grades only the FIRST 50
 # registry entries each round; rounds 10–11 regraded the same 50, leaving
@@ -11255,11 +11355,10 @@ _R12_PREFIX = [
     # queries added this round after the initial rotation — never graded
     "d13_split_leakage", "t39_shard_manifest", "ann17_binary_rerank",
     "ann18_binary_at_rest", "pr30_psi_drift",
+    "sel01_kcenter_diversity", "lm02_perplexity_gate",
     # flagship §2 coverage
     "a00_full_profile_lineitem", "a03_null_profile_customer",
-    "h01_pricing_summary",
-    "d02_ngram_jaccard_pairs", "rrf01_hybrid_search",
-    "j05_asof_join_events",
+    "h01_pricing_summary", "rrf01_hybrid_search",
     "ann03_ivf_topk", "m04_image_phash_pairs",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
