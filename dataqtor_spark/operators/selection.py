@@ -24,10 +24,11 @@ bit-exact against the SQL oracle's incremental-`least` replay.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from dataqtor_spark.operators.ann import _as_double, cosine
+from dataqtor_spark.operators.ann import _as_double, brute_force_topk, cosine
 
 
 def kcenter_select(df: DataFrame, id_col: str = "vec_id",
@@ -66,3 +67,75 @@ def kcenter_select(df: DataFrame, id_col: str = "vec_id",
     out_rows = [(r, cid, mdv) for r, (cid, _, mdv) in enumerate(centers)]
     return spark.createDataFrame(
         out_rows, f"rank int, {id_col} long, maximin_dist double")
+
+
+def mmr_select(corpus: DataFrame, queries: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               k: int = 5, shortlist: int = 12, lam: float = 0.5,
+               query_id_col: str | None = None) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): per query, take the cosine top-``shortlist`` then greedily
+    pick ``k`` results maximizing ``lam·rel − (1−lam)·max_sim_to_
+    already_selected`` — the standard relevance-plus-diversity serving
+    re-rank.
+
+    Fully distributed: EVERY query advances one MMR round per
+    iteration, so the driver never sees candidate rows — rounds are
+    bounded (k), per-round work is a candidate-set join + window pick,
+    and per-query candidate state is shortlist-sized regardless of
+    corpus scale.  ``localCheckpoint`` truncates the per-round lineage
+    (the IVF-trainer device), keeping the final plan k-independent.
+
+    Returns ``(query_id, rank INT, neighbor_id, rel DOUBLE, mmr_score
+    DOUBLE)``.  Determinism: rel and pairwise sims round to 6 dp before
+    scoring, picks tie-break on ascending neighbor id.
+    """
+    sl = brute_force_topk(corpus, queries, id_col, vec_col,
+                          k=shortlist, query_id_col=query_id_col)
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         _as_double(F.col(vec_col)).alias("__v"))
+    cand = (sl.join(vecs, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    F.col("cosine").alias("rel"), "__v")
+            .localCheckpoint())
+    a = cand.select("query_id", F.col("neighbor_id").alias("__a"),
+                    F.col("__v").alias("__va"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("__b"),
+                    F.col("__v").alias("__vb"))
+    pairs = (a.join(b, "query_id")
+             .filter(F.col("__a") != F.col("__b"))
+             .select("query_id", "__a", "__b",
+                     F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                     .alias("__sim"))
+             .localCheckpoint())
+    base = cand.select("query_id", "neighbor_id", "rel")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__score"), F.asc("neighbor_id"))
+    sel = None
+    for r in range(1, k + 1):
+        if sel is None:
+            scored = base.withColumn(
+                "__score", F.lit(lam) * F.col("rel") - F.lit(1 - lam)
+                * F.lit(0.0))
+        else:
+            ms = (pairs.join(sel.select("query_id",
+                                        F.col("neighbor_id").alias("__b")),
+                             ["query_id", "__b"])
+                  .groupBy("query_id", "__a")
+                  .agg(F.max("__sim").alias("__ms")))
+            scored = (base.join(sel.select("query_id", "neighbor_id"),
+                                ["query_id", "neighbor_id"], "left_anti")
+                      .join(ms.withColumnRenamed("__a", "neighbor_id"),
+                            ["query_id", "neighbor_id"], "left")
+                      .withColumn("__score",
+                                  F.lit(lam) * F.col("rel")
+                                  - F.lit(1 - lam)
+                                  * F.coalesce(F.col("__ms"), F.lit(0.0))))
+        pick = (scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("query_id", F.lit(r).cast("int").alias("rank"),
+                        "neighbor_id", "rel",
+                        F.col("__score").alias("mmr_score")))
+        sel = pick if sel is None else sel.unionByName(pick)
+        sel = sel.localCheckpoint()
+    return sel

@@ -11269,6 +11269,80 @@ def sel01_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEL.kcenter_select(emb, "vec_id", "embedding", k=_SEL01_K)
 
 
+# --- sel02 — Maximal Marginal Relevance re-ranking ---------------------------
+# The relevance-plus-diversity serving re-rank (Carbonell & Goldstein
+# 1998): cosine top-12 shortlist per query, then 5 greedy rounds of
+# argmax(0.5·rel − 0.5·max_sim_to_selected).  The Spark side advances
+# ALL queries one round per iteration (no driver-side candidate rows);
+# the oracle unrolls the same greedy rounds as anti-join CTEs.
+_SEL02_K, _SEL02_SHORTLIST, _SEL02_NQ = 5, 12, 4  # lam = 0.5
+
+
+def _sel02_oracle_sql(k: int = _SEL02_K,
+                      shortlist: int = _SEL02_SHORTLIST) -> str:
+    sql = f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sl AS (
+  SELECT qid, cid, rel FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           round(list_cosine_similarity(c.v, q.v), 6) AS rel,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC,
+                      c.vec_id ASC) AS rn
+    FROM e c, e q WHERE q.vec_id < {_SEL02_NQ} AND c.vec_id <> q.vec_id)
+  WHERE rn <= {shortlist}
+), cv AS (
+  SELECT sl.qid, sl.cid, sl.rel, e.v FROM sl JOIN e ON e.vec_id = sl.cid
+), p AS (
+  SELECT x.qid, x.cid AS a, y.cid AS b,
+         round(list_cosine_similarity(x.v, y.v), 6) AS sim
+  FROM cv x JOIN cv y ON x.qid = y.qid AND x.cid <> y.cid
+), sel1 AS (
+  SELECT qid, cid, rel, score FROM (
+    SELECT qid, cid, rel, 0.5 * rel - 0.5 * 0.0 AS score,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, cid ASC) AS rn
+    FROM cv)
+  WHERE rn = 1
+)"""
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT qid, cid FROM sel{i}" for i in range(1, r))
+        sql += f""", ms{r} AS (
+  SELECT p.qid, p.a AS cid, max(p.sim) AS ms
+  FROM p JOIN ({prev}) s ON p.qid = s.qid AND p.b = s.cid
+  GROUP BY 1, 2
+), sel{r} AS (
+  SELECT qid, cid, rel, score FROM (
+    SELECT cv.qid, cv.cid, cv.rel,
+           0.5 * cv.rel - 0.5 * coalesce(m.ms, 0.0) AS score,
+           row_number() OVER (PARTITION BY cv.qid
+             ORDER BY 0.5 * cv.rel - 0.5 * coalesce(m.ms, 0.0) DESC,
+                      cv.cid ASC) AS rn
+    FROM cv LEFT JOIN ms{r} m ON m.qid = cv.qid AND m.cid = cv.cid
+    WHERE NOT EXISTS (SELECT 1 FROM ({prev}) s
+                      WHERE s.qid = cv.qid AND s.cid = cv.cid))
+  WHERE rn = 1
+)"""
+    parts = [f"SELECT qid AS query_id, CAST({r} AS INT) AS rank,"
+             f" cid AS neighbor_id, rel, score AS mmr_score FROM sel{r}"
+             for r in range(1, k + 1)]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
+@register("sel02_mmr_rerank", _sel02_oracle_sql())
+def sel02_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank of the cosine top-12 shortlist for 4 query vectors:
+    5 greedy diversity-aware picks per query, all queries advancing in
+    parallel (selection.mmr_select)."""
+    from dataqtor_spark.operators import selection as SEL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _SEL02_NQ)
+    return SEL.mmr_select(emb, queries, "vec_id", "embedding",
+                          k=_SEL02_K, shortlist=_SEL02_SHORTLIST, lam=0.5)
+
+
 # --- lm02 — perplexity gate (per-source LM-filter funnel) --------------------
 # The deployment form of lm01's CCNet scoring: gate every document on its
 # bigram-LM avg token log-probability (threshold −3.5, a real split at
@@ -11355,11 +11429,11 @@ _R12_PREFIX = [
     # queries added this round after the initial rotation — never graded
     "d13_split_leakage", "t39_shard_manifest", "ann17_binary_rerank",
     "ann18_binary_at_rest", "pr30_psi_drift",
-    "sel01_kcenter_diversity", "lm02_perplexity_gate",
+    "sel01_kcenter_diversity", "sel02_mmr_rerank", "lm02_perplexity_gate",
     # flagship §2 coverage
     "a00_full_profile_lineitem", "a03_null_profile_customer",
     "h01_pricing_summary", "rrf01_hybrid_search",
-    "ann03_ivf_topk", "m04_image_phash_pairs",
+    "m04_image_phash_pairs",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
 _missing12 = [n for n in _R12_PREFIX if n not in QUERIES]

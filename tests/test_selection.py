@@ -64,6 +64,80 @@ def test_kcenter_k_larger_than_n(tables):
     assert {r["vec_id"] for r in res} == {0, 1, 2}
 
 
+def _numpy_mmr(ids, vecs, qids, k, shortlist, lam=0.5):
+    """Reference replay: per query, top-shortlist by 6dp-rounded cosine
+    (ties → min id), then greedy MMR with min-id tie-breaks."""
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    pos = {int(i): n for n, i in enumerate(ids)}
+    out = {}
+    for q in qids:
+        sims = np.round(vecs @ vecs[pos[q]], 6)
+        order = sorted((int(i) for i in ids if int(i) != q),
+                       key=lambda i: (-sims[pos[i]], i))
+        cand = order[:shortlist]
+        sel, picks = [], []
+        for r in range(1, k + 1):
+            best = None
+            for c in cand:
+                if c in sel:
+                    continue
+                ms = max((np.round(vecs[pos[c]] @ vecs[pos[s]], 6)
+                          for s in sel), default=0.0)
+                score = lam * sims[pos[c]] - (1 - lam) * ms
+                if best is None or score > best[0] or \
+                        (score == best[0] and c < best[1]):
+                    best = (score, c)
+            sel.append(best[1])
+            picks.append((r, best[1], float(best[0])))
+        out[q] = picks
+    return out
+
+
+def test_mmr_matches_numpy_replay(tables):
+    from dataqtor_spark.operators.selection import mmr_select
+
+    emb = tables["embeddings"].filter(F.col("vec_id") < 60)
+    queries = emb.filter(F.col("vec_id") < 3)
+    res = mmr_select(emb, queries, k=4, shortlist=8).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    want = _numpy_mmr(ids, vecs, [0, 1, 2], k=4, shortlist=8)
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["mmr_score"]))
+    assert set(got) == {0, 1, 2}
+    for q, picks in want.items():
+        gq = sorted(got[q])
+        assert [(r, n) for r, n, _ in gq] == [(r, n) for r, n, _ in picks]
+        for (_, _, gs), (_, _, ws) in zip(gq, picks):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_mmr_pick_scores_non_increasing(tables):
+    from dataqtor_spark.operators.selection import mmr_select
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 4)
+    res = mmr_select(emb, queries, k=5, shortlist=12).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["mmr_score"], r["neighbor_id"]))
+    assert len(per_q) == 4
+    for q, picks in per_q.items():
+        picks.sort()
+        assert len(picks) == 5
+        assert len({n for _, _, n in picks}) == 5
+        # monotone non-increasing from rank 2 on (per-candidate max-sim
+        # to the selected set only grows as the set grows).  rank 1 is
+        # excluded: its score uses ms=0 by convention, which undershoots
+        # when sims to the first pick are negative.
+        scores = [s for _, s, _ in picks[1:]]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
 def test_lm02_gate_funnel_consistent(spark, tables):
     from dataqtor_spark.queries import QUERIES
     from tests.conftest import SF_DIR
