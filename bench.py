@@ -109,6 +109,11 @@ HEADLINE = [
     "pr30_psi_drift",
     "ann18_binary_at_rest",
     "d13_split_leakage",
+    # selection family: greedy k-center diversity (k bounded scans) and
+    # distributed MMR re-rank; lm02 = the lm01 LM as a filter funnel
+    "sel01_kcenter_diversity",
+    "sel02_mmr_rerank",
+    "lm02_perplexity_gate",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -92,7 +92,13 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "ann17_binary_rerank", "ann18_binary_at_rest",
                # split-leakage repair: the banded-LSH pair screen is the
                # cost driver; the repair itself is scalar aggregates
-               "d13_split_leakage"]
+               "d13_split_leakage",
+               # selection family: k-center = k bounded corpus scans
+               # (expect ~linear), MMR = brute shortlist scan + fixed
+               # per-query candidate work; lm02 = lm01's LM replayed as
+               # a gate (linear in corpus tokens)
+               "sel01_kcenter_diversity", "sel02_mmr_rerank",
+               "lm02_perplexity_gate"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
