@@ -113,6 +113,7 @@ HEADLINE = [
     # distributed MMR re-rank; lm02 = the lm01 LM as a filter funnel
     "sel01_kcenter_diversity",
     "sel02_mmr_rerank",
+    "sel03_cluster_balanced_sample",
     "lm02_perplexity_gate",
 ]
 

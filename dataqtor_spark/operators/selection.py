@@ -69,6 +69,45 @@ def kcenter_select(df: DataFrame, id_col: str = "vec_id",
         out_rows, f"rank int, {id_col} long, maximin_dist double")
 
 
+def cluster_balanced_sample(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_clusters: int = 8, n_iter: int = 2,
+                            per_cluster: int = 10,
+                            cache_key: str | None = None) -> DataFrame:
+    """Cluster-balanced coreset sampling: coarse-cluster the embedding
+    space with the engine's portable deterministic Lloyd k-means, then
+    keep ``per_cluster`` items from EVERY cluster, picked by the
+    md5-of-id pseudo-random order — the "equal representation across
+    semantic regions" sampler (the balancing step of SemDeDup-style
+    curation: a uniform sample over-represents dense regions; this one
+    cannot).
+
+    Returns ``(id, cluster, pick_rank)`` for the kept rows.
+
+    Scale shape: the quantizer trains on driver-bounded state
+    (``ann.train_ivf_centroids_portable`` — sample-train at 100 TB);
+    assignment is a pure column expression (no shuffle); the pick is one
+    window over the cluster partitioning — a single hash exchange on
+    cluster id, top-``per_cluster`` per partition.  Deterministic: the
+    md5 order is engine-portable, ties break on ascending id.
+    """
+    from dataqtor_spark.operators import ann as ANN
+
+    centers = ANN.train_ivf_centroids_portable(
+        df, id_col, vec_col, n_clusters, n_iter, cache_key=cache_key)
+    c = (df.select(F.col(id_col).alias("__id"),
+                   _as_double(F.col(vec_col)).alias("__v"))
+         .withColumn("__cluster",
+                     F.expr(ANN._sql_nearest_cids("__v", centers, 1))[0]))
+    w = Window.partitionBy("__cluster").orderBy(
+        F.md5(F.col("__id").cast("string")), F.asc("__id"))
+    return (c.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("pick_rank") <= per_cluster)
+            .select(F.col("__id").alias(id_col),
+                    F.col("__cluster").cast("int").alias("cluster"),
+                    "pick_rank"))
+
+
 def mmr_select(corpus: DataFrame, queries: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
                k: int = 5, shortlist: int = 12, lam: float = 0.5,

@@ -11269,6 +11269,63 @@ def sel01_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEL.kcenter_select(emb, "vec_id", "embedding", k=_SEL01_K)
 
 
+# --- sel03 — cluster-balanced coreset sampling -------------------------------
+# Equal representation across semantic regions: the d09 portable k-means
+# replay assigns every vector a cluster, then md5-of-id order keeps
+# per_cluster items from EACH cluster — the balancing sampler a uniform
+# draw can't provide (dense regions would dominate).  Oracle = the full
+# 2-round Lloyd chain (the d09 device) + one window per cluster.
+_SEL03_CLUSTERS, _SEL03_ITER, _SEL03_PER, _SEL03_DIM = 8, 2, 10, 64
+
+
+def _sel03_oracle_sql() -> str:
+    nc, dim, m = _SEL03_CLUSTERS, _SEL03_DIM, _SEL03_PER
+
+    def assign_cte(src: str, cents: str) -> str:
+        return f"""(
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, s.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY round(pow(list_distance(x.v, s.v), 2), 9), s.cid) AS rn
+    FROM {src} x, {cents} s) WHERE rn = 1)"""
+
+    def recenter_cte(assigned: str) -> str:
+        return f"""(
+  SELECT cid, list(val ORDER BY i) AS v FROM (
+    SELECT a.cid, t.i, round(avg(a.v[t.i]), 6) AS val
+    FROM {assigned} a, unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY a.cid, t.i) GROUP BY cid)"""
+
+    return f"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid, v
+  FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {nc}),
+a1 AS {assign_cte("c", "seeds")},
+cent1 AS {recenter_cte("a1")},
+a2 AS {assign_cte("c", "cent1")},
+cent2 AS {recenter_cte("a2")},
+af AS {assign_cte("c", "cent2")}
+SELECT vec_id, cluster, pick_rank FROM (
+  SELECT vec_id, cid::INT AS cluster,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT AS pick_rank
+  FROM af)
+WHERE pick_rank <= {m}"""
+
+
+@register("sel03_cluster_balanced_sample", _sel03_oracle_sql())
+def sel03_cluster_balanced_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset: portable k-means clusters + md5-ordered
+    top-10 per cluster (selection.cluster_balanced_sample)."""
+    from dataqtor_spark.operators import selection as SEL
+
+    return SEL.cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_clusters=_SEL03_CLUSTERS, n_iter=_SEL03_ITER,
+        per_cluster=_SEL03_PER, cache_key="sel03")
+
+
 # --- sel02 — Maximal Marginal Relevance re-ranking ---------------------------
 # The relevance-plus-diversity serving re-rank (Carbonell & Goldstein
 # 1998): cosine top-12 shortlist per query, then 5 greedy rounds of
@@ -11429,11 +11486,11 @@ _R12_PREFIX = [
     # queries added this round after the initial rotation — never graded
     "d13_split_leakage", "t39_shard_manifest", "ann17_binary_rerank",
     "ann18_binary_at_rest", "pr30_psi_drift",
-    "sel01_kcenter_diversity", "sel02_mmr_rerank", "lm02_perplexity_gate",
+    "sel01_kcenter_diversity", "sel02_mmr_rerank",
+    "sel03_cluster_balanced_sample", "lm02_perplexity_gate",
     # flagship §2 coverage
     "a00_full_profile_lineitem", "a03_null_profile_customer",
     "h01_pricing_summary", "rrf01_hybrid_search",
-    "m04_image_phash_pairs",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
 _missing12 = [n for n in _R12_PREFIX if n not in QUERIES]

@@ -138,6 +138,33 @@ def test_mmr_pick_scores_non_increasing(tables):
         assert all(a >= b for a, b in zip(scores, scores[1:]))
 
 
+def test_cluster_balanced_sample_properties(tables):
+    from dataqtor_spark.operators.selection import cluster_balanced_sample
+
+    emb = tables["embeddings"]
+    out = cluster_balanced_sample(emb, n_clusters=8, per_cluster=10,
+                                  cache_key="t-sel03").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["cluster"], []).append(
+            (r["pick_rank"], r["vec_id"]))
+    # every cluster contributes at most per_cluster, ranks are 1..m dense
+    for c, picks in per.items():
+        picks.sort()
+        assert len(picks) <= 10
+        assert [p[0] for p in picks] == list(range(1, len(picks) + 1))
+    # ids unique across the sample
+    assert len({r["vec_id"] for r in out}) == len(out)
+    # deterministic under row-order perturbation
+    shuffled = emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+    again = {(r["cluster"], r["pick_rank"], r["vec_id"])
+             for r in cluster_balanced_sample(
+                 shuffled, n_clusters=8, per_cluster=10,
+                 cache_key="t-sel03b").collect()}
+    assert again == {(r["cluster"], r["pick_rank"], r["vec_id"])
+                     for r in out}
+
+
 def test_lm02_gate_funnel_consistent(spark, tables):
     from dataqtor_spark.queries import QUERIES
     from tests.conftest import SF_DIR
