@@ -11453,15 +11453,16 @@ def lm02_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-12 graded-prefix rotation.  The driver grades only the FIRST 50
 # registry entries each round; rounds 10–11 regraded the same 50, leaving
 # 14 queries never driver-graded and the t17 bisect diagnostics outside
-# the graded window.  This prefix = the full t17 bisect family (4), every
-# never-driver-graded hash-checkable query (14, set-diff of the registry
-# against CORRECTNESS_r01–r11 keys; the rows-only ann03b stays out), the
-# queries modified this round (ann06, dsir01), five driver-green CONTROLS
-# that share t17's machinery (mix01/mb03/h08 = HUGEINT `//` and raw token
-# sums, t31/ts06 = round_ratio, dsir01 doubles as the string-split
-# control), the nine queries whose oracle text changed in this round's
-# `string_split_regex` → `regexp_split_to_array` sweep, and flagship §2
-# coverage for the rest.
+# the graded window.  This prefix = the full t17 bisect family (5 arms),
+# every never-driver-graded hash-checkable query (the round-1–11 14 by
+# set-diff against CORRECTNESS_r01–r11 keys, plus everything registered
+# this round: d13/t39/ann17/ann18/pr30/rrf01/dsir02 and the new
+# sel01/sel02/sel03/lm02 selection family; the rows-only ann03b stays
+# out), the queries modified this round (ann06, dsir01), five
+# driver-green CONTROLS that share t17's machinery (mix01/mb03/h08 =
+# HUGEINT `//` and raw token sums, t31/ts06 = round_ratio), the nine
+# queries whose oracle text changed in this round's `string_split_regex`
+# → `regexp_split_to_array` sweep, and flagship §2 coverage for the rest.
 _R12_PREFIX = [
     # t17 driver-red bisect: all four arms must be graded TOGETHER
     "t17_source_mix", "t17b_source_mix_diag",
