@@ -122,8 +122,9 @@ def mmr_select(corpus: DataFrame, queries: DataFrame,
     iteration, so the driver never sees candidate rows — rounds are
     bounded (k), per-round work is a candidate-set join + window pick,
     and per-query candidate state is shortlist-sized regardless of
-    corpus scale.  ``localCheckpoint`` truncates the per-round lineage
-    (the IVF-trainer device), keeping the final plan k-independent.
+    corpus scale.  lazy ``localCheckpoint`` truncates the per-round lineage
+    (the d09 device) without a per-round driver barrier, keeping the
+    final plan k-independent.
 
     Returns ``(query_id, rank INT, neighbor_id, rel DOUBLE, mmr_score
     DOUBLE)``.  Determinism: rel and pairwise sims round to 6 dp before
@@ -136,7 +137,7 @@ def mmr_select(corpus: DataFrame, queries: DataFrame,
     cand = (sl.join(vecs, "neighbor_id")
             .select("query_id", "neighbor_id",
                     F.col("cosine").alias("rel"), "__v")
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     a = cand.select("query_id", F.col("neighbor_id").alias("__a"),
                     F.col("__v").alias("__va"))
     b = cand.select("query_id", F.col("neighbor_id").alias("__b"),
@@ -146,7 +147,7 @@ def mmr_select(corpus: DataFrame, queries: DataFrame,
              .select("query_id", "__a", "__b",
                      F.round(cosine(F.col("__va"), F.col("__vb")), 6)
                      .alias("__sim"))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     base = cand.select("query_id", "neighbor_id", "rel")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__score"), F.asc("neighbor_id"))
@@ -176,5 +177,5 @@ def mmr_select(corpus: DataFrame, queries: DataFrame,
                         "neighbor_id", "rel",
                         F.col("__score").alias("mmr_score")))
         sel = pick if sel is None else sel.unionByName(pick)
-        sel = sel.localCheckpoint()
+        sel = sel.localCheckpoint(eager=False)
     return sel
