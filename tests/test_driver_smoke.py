@@ -32,3 +32,20 @@ def test_registry_surfaces_consistent(spark):
     # the driver grades the first 50 — they must all be hash-checkable
     first50 = list(qs)[:50]
     assert all(n in oracles for n in first50)
+
+
+def test_bench_and_probe_lists_name_registered_queries():
+    import bench
+    from tools.scale_probe_100x import AT_REST as PROBE_AT_REST
+    from tools.scale_probe_100x import QUERY_NAMES
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench.HEADLINE names unknown queries: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert bench.AT_REST <= set(bench.HEADLINE)
+    missing = [n for n in QUERY_NAMES if n not in qs]
+    assert not missing, f"probe list names unknown queries: {missing}"
+    assert PROBE_AT_REST <= set(QUERY_NAMES)
