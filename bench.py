@@ -115,6 +115,7 @@ HEADLINE = [
     "sel02_mmr_rerank",
     "sel03_cluster_balanced_sample",
     "lm02_perplexity_gate",
+    "s19_cms_heavy_hitters",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

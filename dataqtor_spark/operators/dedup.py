@@ -399,16 +399,18 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 PORTABLE_P = 1_000_000_007  # modulus for the universal hash family
 
 
-def portable_hash_constants(num_hashes: int) -> list[tuple[int, int]]:
+def portable_hash_constants(num_hashes: int,
+                            salt: str = "mh") -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) pairs for h_i(v) = (a_i·v + b_i) mod P,
     derived from md5 so any engine (or the oracle generator) can recompute
-    them."""
+    them.  ``salt`` names the family, so independent consumers (MinHash
+    vs the count-min sketch) draw independent constants."""
     import hashlib
 
     out = []
     for i in range(num_hashes):
-        a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:15], 16) % (PORTABLE_P - 1) + 1
-        b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:15], 16) % PORTABLE_P
+        a = int(hashlib.md5(f"{salt}:a:{i}".encode()).hexdigest()[:15], 16) % (PORTABLE_P - 1) + 1
+        b = int(hashlib.md5(f"{salt}:b:{i}".encode()).hexdigest()[:15], 16) % PORTABLE_P
         out.append((a, b))
     return out
 

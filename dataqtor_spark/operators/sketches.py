@@ -130,3 +130,79 @@ def kll_quantile_rollup(df: DataFrame, value_col: str, group_col: str,
     return (both.select("group", F.explode(F.array(*rows)).alias("s"))
             .select("group", F.col("s.q").alias("q"),
                     F.col("s.value").alias("value")))
+
+
+def _cms_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    from dataqtor_spark.operators.dedup import portable_string_hash
+    from dataqtor_spark.operators.textstats import _clean_tokens
+
+    return (df.select(F.explode(_clean_tokens(text_col)).alias("__t"))
+            .withColumn("__v", portable_string_hash(F.col("__t"))))
+
+
+def _cms_bucket_exprs(depth: int, width: int):
+    """array<long> of the depth bucket ids for the __v hash column."""
+    from dataqtor_spark.operators.dedup import (
+        PORTABLE_P, portable_hash_constants)
+
+    consts = portable_hash_constants(depth, salt="cms")
+    return F.array(*[(F.lit(a) * F.col("__v") + F.lit(b))
+                     % PORTABLE_P % width for a, b in consts])
+
+
+def cms_cells(df: DataFrame, text_col: str = "text", depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """The raw depth×width counter grid ``(row, bucket, count)`` — the
+    shippable/mergeable artifact: grids from different shards, days, or
+    streams combine by cell-wise SUM (tested), and any consumer with the
+    same salt re-derives probe cells from a token alone."""
+    toks = _cms_tokens(df, text_col)
+    return (toks.select(F.posexplode(_cms_bucket_exprs(depth, width))
+                        .alias("__i", "__b"))
+            .groupBy("__i", "__b")
+            .agg(F.count(F.lit(1)).alias("__c")))
+
+
+def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
+                      depth: int = 4, width: int = 256,
+                      top_k: int = 10) -> DataFrame:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    over the corpus token stream, validated against exact counts.
+
+    The sketch is depth×width counters: token t increments cell
+    ``(i, h_i(t))`` for each of ``depth`` independent hashes;
+    ``est(t) = min_i cells[i][h_i(t)]`` always OVER-estimates, by at most
+    ``e/width · T`` (T = total tokens) with probability ``1 − e^-depth``.
+    Returns the exact top-``top_k`` tokens as ``(token, exact_cnt,
+    cms_est, overcount)`` — overcount ≥ 0 by construction, so the sketch
+    is differentially checkable, not just plausible.
+
+    Scale shape: the CMS build is the 100 TB path — tokens map to
+    (row, bucket) pairs in a projection and aggregate into AT MOST
+    depth·width cells (map-side partial aggregation means each task
+    emits ≤ depth·width rows no matter how many tokens it saw), and cell
+    grids from different shards/days/streams MERGE by cell-wise sum —
+    the same algebraic contract as the theta/KLL operators above.  The
+    exact side (one token groupBy) exists only to validate; a production
+    pipeline ships the 1 024-cell grid instead of the unbounded token
+    table.  Determinism: the md5-derived ``cms``-salted hash family
+    (dedup.portable_hash_constants) is bit-identical in Spark, DuckDB,
+    and hashlib, so estimates — not just exact counts — replay in SQL.
+    """
+    toks = _cms_tokens(df, text_col)
+    cells = cms_cells(df, text_col, depth=depth, width=width)
+    bucket = _cms_bucket_exprs(depth, width)
+    exact = (toks.groupBy("__t", "__v")
+             .agg(F.count(F.lit(1)).alias("__cnt"))
+             .orderBy(F.desc("__cnt"), F.asc("__t"))
+             .limit(top_k))
+    probes = exact.select(
+        "__t", "__cnt", F.posexplode(bucket).alias("__i", "__b"))
+    return (probes.join(cells, ["__i", "__b"])
+            .groupBy("__t", "__cnt")
+            .agg(F.min("__c").alias("__est"))
+            .select(F.col("__t").alias("token"),
+                    F.col("__cnt").cast("long").alias("exact_cnt"),
+                    F.col("__est").cast("long").alias("cms_est"),
+                    (F.col("__est") - F.col("__cnt")).cast("long")
+                    .alias("overcount")))

@@ -11269,6 +11269,67 @@ def sel01_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SEL.kcenter_select(emb, "vec_id", "embedding", k=_SEL01_K)
 
 
+# --- s19 — count-min sketch heavy hitters ------------------------------------
+# The bounded-state frequency sketch beside HLL (s13) and KLL (s14):
+# depth×width counter cells built in ONE projection+groupBy (each task
+# emits ≤ depth·width rows — mergeable across shards/streams by
+# cell-wise sum), estimates validated against the exact top-k.  The
+# md5-derived "cms"-salted hash family replays bit-identically in
+# DuckDB, so the ESTIMATES are hash-checked, not just the exact counts.
+_S19_DEPTH, _S19_WIDTH, _S19_TOPK = 4, 256, 10
+
+
+def _s19_oracle_sql() -> str:
+    from dataqtor_spark.operators.dedup import (
+        PORTABLE_P, portable_hash_constants)
+
+    consts = portable_hash_constants(_S19_DEPTH, salt="cms")
+    w = _S19_WIDTH
+    nib = _nibble_value_sql("md5(t)")
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, ({a} * v + {b}) % {PORTABLE_P} % {w} AS b,"
+        f" cnt FROM tv"
+        for i, (a, b) in enumerate(consts))
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT t, cnt, {i} AS i,"
+        f" ({a} * v + {b}) % {PORTABLE_P} % {w} AS b FROM topk"
+        for i, (a, b) in enumerate(consts))
+    return f"""WITH toks AS (
+  SELECT u.t FROM (
+    SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+                       '[ \\t\\n\\r\\f]+'), x -> x <> '') AS tk
+    FROM documents) d, unnest(d.tk) AS u(t)
+), tv AS (
+  SELECT t, {nib} % {PORTABLE_P} AS v, count(*)::BIGINT AS cnt
+  FROM toks GROUP BY 1
+), cells AS (
+  SELECT i, b, sum(cnt)::BIGINT AS c FROM (
+{cell_rows}
+  ) GROUP BY 1, 2
+), topk AS (
+  SELECT t, v, cnt FROM tv ORDER BY cnt DESC, t LIMIT {_S19_TOPK}
+), probes AS (
+{probe_rows}
+)
+SELECT p.t AS token, p.cnt AS exact_cnt,
+       min(c.c)::BIGINT AS cms_est,
+       (min(c.c) - p.cnt)::BIGINT AS overcount
+FROM probes p JOIN cells c ON c.i = p.i AND c.b = p.b
+GROUP BY p.t, p.cnt"""
+
+
+@register("s19_cms_heavy_hitters", _s19_oracle_sql())
+def s19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: exact top-10
+    tokens with their CMS estimates and overcounts
+    (sketches.cms_heavy_hitters)."""
+    from dataqtor_spark.operators import sketches as SK
+
+    return SK.cms_heavy_hitters(_t(spark, sf_dir, "documents"),
+                                depth=_S19_DEPTH, width=_S19_WIDTH,
+                                top_k=_S19_TOPK)
+
+
 # --- sel03 — cluster-balanced coreset sampling -------------------------------
 # Equal representation across semantic regions: the d09 portable k-means
 # replay assigns every vector a cluster, then md5-of-id order keeps
@@ -11489,8 +11550,9 @@ _R12_PREFIX = [
     "ann18_binary_at_rest", "pr30_psi_drift",
     "sel01_kcenter_diversity", "sel02_mmr_rerank",
     "sel03_cluster_balanced_sample", "lm02_perplexity_gate",
+    "s19_cms_heavy_hitters",
     # flagship §2 coverage
-    "a00_full_profile_lineitem", "a03_null_profile_customer",
+    "a03_null_profile_customer",
     "h01_pricing_summary", "rrf01_hybrid_search",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]

@@ -98,7 +98,11 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # per-query candidate work; lm02 = lm01's LM replayed as
                # a gate (linear in corpus tokens)
                "sel01_kcenter_diversity", "sel02_mmr_rerank",
-               "sel03_cluster_balanced_sample", "lm02_perplexity_gate"]
+               "sel03_cluster_balanced_sample", "lm02_perplexity_gate",
+               # CMS heavy hitters: the grid aggregate is bounded at
+               # depth×width cells; the exact-validation side is the
+               # linear term
+               "s19_cms_heavy_hitters"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
