@@ -390,6 +390,8 @@ def interarrival_stats(df: DataFrame, user_col: str = "user_id",
     and exact interpolated percentile — with one division to seconds at
     the very end, so results are bit-portable across engines.
     """
+    from dataqtor_spark.functions.exact import round_ratio
+
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
                                              F.col(tiebreak_col))
     # cast("timestamp") accepts both TIMESTAMP and TIMESTAMP_NTZ inputs
@@ -402,8 +404,8 @@ def interarrival_stats(df: DataFrame, user_col: str = "user_id",
     n = F.count(F.lit(1))
     return gaps.groupBy("etype").agg(
         n.cast("long").alias("n_gaps"),
-        F.round((F.sum(F.col("__g").cast("decimal(28,0)")) / n)
-                .cast("double") / 1e6, 4).alias("avg_gap_s"),
+        round_ratio(F.sum(F.col("__g").cast("decimal(28,0)")),
+                    n * 1000000, 4).alias("avg_gap_s"),
         F.round(F.expr("percentile(__g, 0.5)") / 1e6, 4).alias("p50_gap_s"),
         F.round(F.max("__g") / F.lit(1e6), 4).alias("max_gap_s"))
 

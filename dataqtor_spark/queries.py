@@ -3946,15 +3946,15 @@ def pr15_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.mad_outliers(_t(spark, sf_dir, "customer"), "c_acctbal")
 
 
-_TS01_SQL = """WITH g AS (
+_TS01_SQL = f"""WITH g AS (
   SELECT event_type AS etype,
          epoch_us(ts) - epoch_us(lag(ts) OVER (
            PARTITION BY user_id ORDER BY ts, event_id)) AS gap
   FROM events
 )
 SELECT etype, count(*)::BIGINT AS n_gaps,
-       round(CAST(sum(CAST(gap AS DECIMAL(28,0))) / count(*) AS DOUBLE)
-             / 1000000.0, 4) AS avg_gap_s,
+       {XR.round_ratio_sql('sum(CAST(gap AS DECIMAL(28,0)))::HUGEINT',
+                           'count(*)::HUGEINT * 1000000', 4)} AS avg_gap_s,
        round(quantile_cont(gap, 0.5) / 1000000.0, 4) AS p50_gap_s,
        round(max(gap) / 1000000.0, 4) AS max_gap_s
 FROM g WHERE gap IS NOT NULL GROUP BY 1"""
@@ -5250,14 +5250,14 @@ def h12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("low_line_count")))
 
 
-_H17_SQL = """WITH pa AS (
+_H17_SQL = f"""WITH pa AS (
   SELECT l_partkey AS ak,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          count(*)::BIGINT AS cnt
   FROM lineitem GROUP BY 1
 )
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
-             / 7.0, 4) AS avg_yearly
+SELECT {XR.round_ratio_sql('CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) * 100 AS HUGEINT)',
+                           '7::HUGEINT * 100', 4)} AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN pa ON ak = l_partkey
@@ -5284,8 +5284,10 @@ def h17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(pa), F.col("ak") == li["l_partkey"])
             .filter(F.lit(5.0) * F.col("l_quantity") * F.col("cnt")
                     < F.col("sum_qty"))
-            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
-                         .cast("double") / F.lit(7.0), 4).alias("avg_yearly")))
+            .agg(XR.round_ratio(
+                (F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                 * 100).cast("decimal(38,0)"),
+                F.lit(700).cast("decimal(38,0)"), 4).alias("avg_yearly")))
 
 
 _H20_SQL = """WITH shipped AS (
@@ -7011,15 +7013,15 @@ def pr21_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.sum("n").over(Window.partitionBy()), 4))
 
 
-_E04_SQL = """WITH pairs AS (
+_E04_SQL = f"""WITH pairs AS (
   SELECT a.vec_id,
          round(list_cosine_similarity(a.embedding::DOUBLE[],
                                       b.embedding::DOUBLE[]), 6) AS cos
   FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
 )
 SELECT count(*)::BIGINT AS n_pairs,
-       round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*), 6) AS mean_cosine,
+       {XR.round_ratio_sql('CAST(sum(CAST(cos AS DECIMAL(18,6))) * 1000000 AS HUGEINT)',
+                           'count(*)::HUGEINT * 1000000', 6)} AS mean_cosine,
        round(min(cos), 6) AS min_cosine,
        round(max(cos), 6) AS max_cosine
 FROM pairs"""
@@ -7043,8 +7045,10 @@ def e04_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "vec_id").select(cos.alias("cos"))
     return pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.round(F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)), 6).alias("mean_cosine"),
+        XR.round_ratio((F.sum(F.col("cos").cast("decimal(18,6)"))
+                        * 1000000).cast("decimal(38,0)"),
+                       F.count(F.lit(1)) * 1000000, 6)
+        .alias("mean_cosine"),
         F.round(F.min("cos"), 6).alias("min_cosine"),
         F.round(F.max("cos"), 6).alias("max_cosine"))
 
@@ -9026,7 +9030,8 @@ _BPE03_SQL = (_bpe_cte_chain(_BPE_ROUNDS) + f""", wl AS (
 )
 SELECT source, count(*)::BIGINT AS n_words,
        sum(n_sub)::BIGINT AS n_bpe_tokens,
-       round(CAST(sum(n_sub) AS DOUBLE) / count(*), 6) AS subwords_per_word
+       {XR.round_ratio_sql('sum(n_sub)::HUGEINT', 'count(*)', 6)}
+         AS subwords_per_word
 FROM d JOIN wl ON d.tok = wl.word
 GROUP BY source""")
 
@@ -9056,8 +9061,8 @@ def bpe03_tokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
                  F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
             .withColumn("subwords_per_word",
-                        F.round(F.col("n_bpe_tokens")
-                                / F.col("n_words"), 6)))
+                        XR.round_ratio(F.col("n_bpe_tokens"),
+                                       F.col("n_words"), 6)))
 
 
 @register(
