@@ -116,6 +116,7 @@ HEADLINE = [
     "sel03_cluster_balanced_sample",
     "lm02_perplexity_gate",
     "s19_cms_heavy_hitters",
+    "ab02_welch_t_test",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -8096,6 +8096,94 @@ def ab01_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (term > 3.841).alias("srm_flag_half")))
 
 
+# --- ab02 — Welch two-sample t-test over the A/B arms ------------------------
+# The metric read behind ab01's assignment: per-user event counts
+# (integer, so every moment is exact), Welch's unequal-variance t.
+# Portability ladder: means and variances are exact integer rationals
+# 9dp-rounded (round_ratio — no float meets round()); the remaining
+# chain is IEEE-deterministic on identical doubles (x/int division,
+# addition, sqrt — sqrt is CORRECTLY ROUNDED by IEEE 754, unlike ln);
+# only the final round(·, 6)/round(·, 4) carries the audited tie risk.
+_AB02_SQL = f"""WITH arms AS (
+  SELECT CASE WHEN ({_AB01_MIX}) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT arm, count(*)::BIGINT AS n, sum(cnt)::BIGINT AS s,
+         sum(cnt * cnt)::BIGINT AS ssq
+  FROM arms GROUP BY arm
+), w AS (
+  SELECT
+    max(CASE WHEN arm = 'A' THEN n END) AS na,
+    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+    max(CASE WHEN arm = 'A' THEN
+      {XR.round_ratio_sql('s', 'n', 9)} END) AS ma,
+    max(CASE WHEN arm = 'B' THEN
+      {XR.round_ratio_sql('s', 'n', 9)} END) AS mb,
+    max(CASE WHEN arm = 'A' THEN
+      {XR.round_ratio_sql('n::HUGEINT * ssq - s::HUGEINT * s',
+                          'n::HUGEINT * (n - 1)', 9)} END) AS va,
+    max(CASE WHEN arm = 'B' THEN
+      {XR.round_ratio_sql('n::HUGEINT * ssq - s::HUGEINT * s',
+                          'n::HUGEINT * (n - 1)', 9)} END) AS vb
+  FROM m
+), t AS (
+  SELECT na, nb, ma, mb, va, vb,
+         va / na + vb / nb AS se2
+  FROM w
+)
+SELECT na AS n_a, nb AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(se2), 6) AS t_stat,
+       round(se2 * se2 / ((va / na) * (va / na) / (na - 1)
+                          + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS df,
+       abs(round((ma - mb) / sqrt(se2), 6)) > 1.96 AS significant
+FROM t"""
+
+
+@register("ab02_welch_t_test", _AB02_SQL)
+def ab02_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t over per-user event counts between ab01's
+    deterministic A/B arms: one per-user shuffle, one 2-row arm
+    aggregate, the statistic assembled on a 1-row frame."""
+    from dataqtor_spark.operators.textstats import shuffle_key
+
+    ev = _t(spark, sf_dir, "events")
+    arm = F.when(F.pmod(shuffle_key("user_id", 11), F.lit(2)) == 0,
+                 F.lit("A")).otherwise(F.lit("B"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select(arm.alias("arm"), "cnt"))
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"))
+    mean9 = XR.round_ratio(F.col("s"), F.col("n"), 9)
+    var9 = XR.round_ratio(
+        (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+        .cast("decimal(38,0)"),
+        (F.col("n") * (F.col("n") - 1)).cast("decimal(38,0)"), 9)
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, c))  # noqa: E731
+    w = m.agg(pick("A", F.col("n")).alias("na"),
+              pick("B", F.col("n")).alias("nb"),
+              pick("A", mean9).alias("ma"), pick("B", mean9).alias("mb"),
+              pick("A", var9).alias("va"), pick("B", var9).alias("vb"))
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    tstat = F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6)
+    df_w = F.round(
+        se2 * se2 / ((F.col("va") / F.col("na")) * (F.col("va") / F.col("na"))
+                     / (F.col("na") - 1)
+                     + (F.col("vb") / F.col("nb"))
+                     * (F.col("vb") / F.col("nb")) / (F.col("nb") - 1)), 4)
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma"), 6).alias("mean_a"),
+        F.round(F.col("mb"), 6).alias("mean_b"),
+        tstat.alias("t_stat"), df_w.alias("df"),
+        (F.abs(tstat) > 1.96).alias("significant"))
+
+
 # --- s14 — windowed KLL quantile sketch (streaming mergeable state) ---------
 _S14_QS = (0.5, 0.95)
 _S14_SQL = "\nUNION ALL\n".join(f"""SELECT
@@ -11555,10 +11643,10 @@ _R12_PREFIX = [
     "ann18_binary_at_rest", "pr30_psi_drift",
     "sel01_kcenter_diversity", "sel02_mmr_rerank",
     "sel03_cluster_balanced_sample", "lm02_perplexity_gate",
-    "s19_cms_heavy_hitters",
+    "s19_cms_heavy_hitters", "ab02_welch_t_test",
     # flagship §2 coverage
     "a03_null_profile_customer",
-    "h01_pricing_summary", "rrf01_hybrid_search",
+    "rrf01_hybrid_search",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
 _missing12 = [n for n in _R12_PREFIX if n not in QUERIES]
