@@ -50,3 +50,14 @@ def test_cms_cells_merge_by_sum(tables):
     for k, v in gr.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_cms_tiny_width_still_overestimates(spark):
+    # adversarial width=2: heavy collisions everywhere — the estimate
+    # must still never undercount (the CMS guarantee is one-sided)
+    rows = [(i, f"w{i % 11} filler common") for i in range(110)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = cms_heavy_hitters(df, depth=4, width=2, top_k=10).collect()
+    assert out
+    for r in out:
+        assert r["cms_est"] >= r["exact_cnt"]

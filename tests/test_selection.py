@@ -183,3 +183,22 @@ def test_lm02_gate_funnel_consistent(spark, tables):
     total_kept = sum(r["n_kept"] for r in out)
     total_docs = sum(r["n_docs"] for r in out)
     assert 0 < total_kept < total_docs
+
+
+def test_kcenter_duplicate_points_tie_break(spark):
+    # two exact duplicates of the seed: dist 0 to the chosen set, never
+    # picked while any distinct point remains; k > n_distinct stops at
+    # the id-ordered duplicates deterministically
+    vecs = {0: [1.0, 0.0], 1: [1.0, 0.0], 2: [0.0, 1.0], 3: [0.7, 0.7]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    res = sorted(SEL.kcenter_select(df, k=4).collect(),
+                 key=lambda r: r["rank"])
+    ids = [r["vec_id"] for r in res]
+    assert ids[0] == 0          # min-id seed
+    assert ids[1] == 2          # orthogonal point is farthest
+    assert set(ids) == {0, 1, 2, 3}
+    # the duplicate (vec_id 1, distance 0 to the seed) is picked LAST
+    assert ids[3] == 1
+    assert res[3]["maximin_dist"] == 0.0
