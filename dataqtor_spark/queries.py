@@ -3147,7 +3147,7 @@ _T17_SQL = """WITH agg AS (
                   ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+')) END) AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (SELECT sum(n_tokens) AS tt, count(*) AS ns FROM agg)
-SELECT source, n_docs, n_tokens,
+SELECT source, n_docs, n_tokens::BIGINT AS n_tokens,
        ((2*n_tokens::HUGEINT*1000000 + tt) // (2*tt))::BIGINT AS token_share_ppm,
        CASE WHEN n_tokens = 0 THEN NULL ELSE
             ((2*tt::HUGEINT*1000000 + ns*n_tokens) // (2*ns*n_tokens))::BIGINT
