@@ -3184,96 +3184,6 @@ def t17b_source_mix_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(TX.token_count("text").cast("long")).alias("n_tokens")))
 
 
-# t17c/t17d — the other two arms of the t17 driver-environment bisect.
-#
-# Background: t17_source_mix has been hash-red at the driver for three
-# rounds while bit-exact against DuckDB locally, INCLUDING on an
-# all-integer (ppm) output surface.  mix01_domain_mixture is driver-GREEN
-# while hashing raw per-domain token sums computed with the byte-identical
-# expression EXCEPT it spells the split function `regexp_split_to_array`
-# where t17's oracle spelled it `string_split_regex` (aliases of the same
-# function in DuckDB 1.0.0, verified locally).  mb03 (driver-green) uses
-# t17's exact HUGEINT `//` ppm shape.  Hypothesis: the driver's DuckDB
-# build treats the aliases differently (e.g. trailing-empty-segment
-# handling changed for one alias in a newer release).  Round 12 therefore
-# (a) rewrites every oracle to the provably-green `regexp_split_to_array`
-# spelling, and (b) grades these two single-variable diagnostics beside
-# t17/t17b:
-#   t17c — raw token sums spelled with `string_split_regex` ONLY.  If the
-#          alias is the divergence, t17c is the lone red of the family.
-#   t17d — t17's full ppm ratio arithmetic over n_docs (no tokenization
-#          anywhere).  If the integer-division path is the divergence,
-#          t17d is red with t17.
-
-_T17C_SQL = """SELECT source,
-       sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END)::BIGINT
-         AS n_tokens_ssr
-FROM documents GROUP BY source"""
-
-
-@register("t17c_source_mix_ssr_diag", _T17C_SQL)
-def t17c_source_mix_ssr_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic: t17b's raw token sums with the oracle deliberately
-    spelled ``string_split_regex`` (every other oracle now uses the
-    ``regexp_split_to_array`` alias).  Red here + green t17b = the driver's
-    DuckDB distinguishes the aliases."""
-    d = _t(spark, sf_dir, "documents")
-    return (d.groupBy("source")
-            .agg(F.sum(TX.token_count("text").cast("long"))
-                 .alias("n_tokens_ssr")))
-
-
-_T17D_SQL = """WITH agg AS (
-  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
-), tot AS (SELECT sum(n_docs) AS td, count(*) AS ns FROM agg)
-SELECT source, n_docs,
-       ((2*n_docs::HUGEINT*1000000 + td) // (2*td))::BIGINT AS doc_share_ppm,
-       ((2*td::HUGEINT*1000000 + ns*n_docs) // (2*ns*n_docs))::BIGINT
-         AS weight_ppm
-FROM agg, tot"""
-
-
-@register("t17d_source_share_ppm_diag", _T17D_SQL)
-def t17d_source_share_ppm_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diagnostic: t17's exact ppm arithmetic (decimal ``div`` vs HUGEINT
-    ``//``) applied to per-source DOC counts — a quantity no tokenizer can
-    perturb.  Red here = the integer-division path itself diverges in the
-    driver environment."""
-    d = _t(spark, sf_dir, "documents")
-    agg = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = agg.agg(F.sum("n_docs").alias("__td"), F.count(F.lit(1)).alias("__ns"))
-    out = agg.crossJoin(F.broadcast(tot))
-    return out.select(
-        "source", "n_docs",
-        XR.round_ratio_int(F.col("n_docs"), F.col("__td"), 6)
-        .cast("long").alias("doc_share_ppm"),
-        XR.round_ratio_int(F.col("__td"), F.col("__ns") * F.col("n_docs"), 6)
-        .cast("long").alias("weight_ppm"))
-
-
-_T17E_SQL = """SELECT source,
-       sum(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'),
-                           x -> x <> '')))::BIGINT AS n_tokens_f
-FROM documents GROUP BY source"""
-
-
-@register("t17e_source_mix_filtered_diag", _T17E_SQL)
-def t17e_source_mix_filtered_diag(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
-    """Diagnostic: per-source counts of NON-EMPTY split segments — the
-    tokenization t17's raw form would adopt if the driver divergence
-    turns out to be empty-segment handling (text ending in non-space
-    whitespace yields a trailing '' that `trim` cannot strip; engines
-    could legitimately differ on keeping it).  t17b red + t17e green =
-    switch t17 to filtered semantics next round."""
-    d = _t(spark, sf_dir, "documents")
-    n = F.size(F.filter(F.split(F.trim(F.col("text").cast("string")),
-                                TX.WS_PLUS), lambda t: t != ""))
-    return (d.groupBy("source")
-            .agg(F.sum(n.cast("long")).alias("n_tokens_f")))
-
-
 _T18_QUOTA = 10
 
 _T18_SQL = f"""SELECT doc_id, source FROM (
@@ -11649,10 +11559,75 @@ _R12_PREFIX = [
     "rrf01_hybrid_search",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
-_missing12 = [n for n in _R12_PREFIX if n not in QUERIES]
-assert not _missing12, f"r12 prefix references unknown queries: {_missing12}"
-assert len(_R12_PREFIX) == 50 and len(set(_R12_PREFIX)) == 50
-assert all(n in ORACLES for n in _R12_PREFIX)  # first 50 stay hash-checkable
+_R12_PREFIX = [n for n in _R12_PREFIX if n in QUERIES]  # r13: bisect arms retired
 QUERIES = {**{n: QUERIES[n] for n in _R12_PREFIX},
            **{n: f for n, f in QUERIES.items() if n not in _R12_PREFIX}}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+# ---------------------------------------------------------------------------
+# Round-13 graded-prefix rotation.  Coverage is closed (every
+# hash-checkable query driver-graded at least once by round 12), so this
+# rotation targets FRESHNESS: the 48 stalest-graded queries (last graded
+# rounds 2-6 per CORRECTNESS_r01-r12 set-diff), pinned behind the t17 fix
+# confirmation pair (t17 carries the new n_tokens::BIGINT oracle cast;
+# t17b stays as the permanent tokenization-hash canary; the t17c/d/e
+# bisect arms are retired -- the bisect concluded in round 12).
+_R13_PREFIX = [
+    "t17_source_mix",
+    "t17b_source_mix_diag",
+    "a02_duplicate_rows_lineitem",
+    "a06_string_stats_pname",
+    "a08_bottomk_eventtype",
+    "a09_rare_values_nationkey",
+    "a10_sign_histogram_acctbal",
+    "a13_similar_strings_lsh",
+    "a16_overall_dq_score",
+    "f05_replace_count",
+    "f06_strip_leading_zero",
+    "f07_cell_update",
+    "f08_value_remap",
+    "f09_delete_matching",
+    "o01_sort_topk",
+    "r02_date_rule_violations",
+    "r10_taxnum_checksum",
+    "r11_domain_rule_nation",
+    "s01_window_agg_events",
+    "s02_windowed_rule_scores",
+    "t04_fingerprint_clusters",
+    "ann01_brute_topk",
+    "ann02_lsh_topk",
+    "ann03_ivf_topk",
+    "t01_token_counts",
+    "t02_quality_features",
+    "t03_langid_confusion",
+    "a00_full_profile_lineitem",
+    "a01_table_summary_lineitem",
+    "a05_describe_lineitem",
+    "a07_frequency_mktsegment",
+    "a08_topk_orderpriority",
+    "a11_pattern_profile_cname",
+    "a12_duplicate_values_custkey",
+    "a13_similar_strings",
+    "a19_levenshtein_pairs",
+    "d01_exact_dedup",
+    "d02_ngram_jaccard_pairs",
+    "d02b_ngram_jaccard_cut",
+    "d05_embedding_near_dup",
+    "d06_dedup_clusters",
+    "d09_semantic_dedup",
+    "f02_string_repairs_part",
+    "f05_find_replace",
+    "f10_age_enrich",
+    "f11_date_parts",
+    "h01_pricing_summary",
+    "h03_shipping_priority",
+    "h05_local_supplier_volume",
+    "h07_volume_shipping",
+]
+_missing13 = [n for n in _R13_PREFIX if n not in QUERIES]
+assert not _missing13, f"r13 prefix references unknown queries: {_missing13}"
+assert len(_R13_PREFIX) == 50 and len(set(_R13_PREFIX)) == 50
+assert all(n in ORACLES for n in _R13_PREFIX)  # first 50 stay hash-checkable
+QUERIES = {**{n: QUERIES[n] for n in _R13_PREFIX},
+           **{n: f for n, f in QUERIES.items() if n not in _R13_PREFIX}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
