@@ -45,11 +45,21 @@ def kcenter_select(df: DataFrame, id_col: str = "vec_id",
     spark = df.sparkSession
     pts = df.select(F.col(id_col).alias("__id"),
                     _as_double(F.col(vec_col)).alias("__v"))
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+    out_schema = StructType([
+        StructField("rank", IntegerType()),
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("maximin_dist", DoubleType()),
+    ])
 
     def lit_vec(vals: list[float]):
         return F.array(*[F.lit(float(x)).cast("double") for x in vals])
 
-    seed = pts.orderBy(F.asc("__id")).limit(1).collect()[0]
+    seed_rows = pts.orderBy(F.asc("__id")).limit(1).collect()
+    if not seed_rows:  # empty corpus -> empty selection, declared schema
+        return spark.createDataFrame([], out_schema)
+    seed = seed_rows[0]
     centers = [(seed["__id"], list(seed["__v"]), None)]
     for _ in range(1, k):
         dists = [F.lit(1.0) - F.round(cosine(F.col("__v"), lit_vec(v)), 6)
@@ -65,8 +75,7 @@ def kcenter_select(df: DataFrame, id_col: str = "vec_id",
         row = top[0]
         centers.append((row["__id"], list(row["__v"]), row["__md"]))
     out_rows = [(r, cid, mdv) for r, (cid, _, mdv) in enumerate(centers)]
-    return spark.createDataFrame(
-        out_rows, f"rank int, {id_col} long, maximin_dist double")
+    return spark.createDataFrame(out_rows, out_schema)
 
 
 def cluster_balanced_sample(df: DataFrame, id_col: str = "vec_id",

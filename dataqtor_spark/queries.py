@@ -8032,22 +8032,27 @@ _AB02_SQL = f"""WITH arms AS (
       {XR.round_ratio_sql('s', 'n', 9)} END) AS mb,
     max(CASE WHEN arm = 'A' THEN
       {XR.round_ratio_sql('n::HUGEINT * ssq - s::HUGEINT * s',
-                          'n::HUGEINT * (n - 1)', 9)} END) AS va,
+                          'greatest(n::HUGEINT * (n - 1), 1)', 9)} END) AS va,
     max(CASE WHEN arm = 'B' THEN
       {XR.round_ratio_sql('n::HUGEINT * ssq - s::HUGEINT * s',
-                          'n::HUGEINT * (n - 1)', 9)} END) AS vb
+                          'greatest(n::HUGEINT * (n - 1), 1)', 9)} END) AS vb
   FROM m
 ), t AS (
   SELECT na, nb, ma, mb, va, vb,
-         va / na + vb / nb AS se2
+         va / na + vb / nb AS se2,
+         (na > 1 AND nb > 1 AND va / na + vb / nb > 0) AS ok
   FROM w
 )
 SELECT na AS n_a, nb AS n_b,
        round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
-       round((ma - mb) / sqrt(se2), 6) AS t_stat,
-       round(se2 * se2 / ((va / na) * (va / na) / (na - 1)
-                          + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS df,
-       abs(round((ma - mb) / sqrt(se2), 6)) > 1.96 AS significant
+       CASE WHEN ok THEN round((ma - mb) / sqrt(se2), 6) END AS t_stat,
+       CASE WHEN ok THEN
+         round(se2 * se2 / ((va / na) * (va / na) / (na - 1)
+                            + (vb / nb) * (vb / nb) / (nb - 1)), 4)
+       END AS df,
+       CASE WHEN ok THEN
+         abs(round((ma - mb) / sqrt(se2), 6)) > 1.96
+       END AS significant
 FROM t"""
 
 
@@ -8069,16 +8074,25 @@ def ab02_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("s"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"))
     mean9 = XR.round_ratio(F.col("s"), F.col("n"), 9)
+    # moments cast to DECIMAL(38,0) BEFORE the multiply: n*ssq and s*s in
+    # 64-bit LONG silently wrap past 2^63 with ANSI off (the DuckDB twin
+    # computes the same expression in HUGEINT) — plausible at 100 TB count
+    # shapes, so the whole numerator/denominator is decimal end-to-end.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     var9 = XR.round_ratio(
-        (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
-        .cast("decimal(38,0)"),
-        (F.col("n") * (F.col("n") - 1)).cast("decimal(38,0)"), 9)
+        dec(F.col("n")) * dec(F.col("ssq")) - dec(F.col("s")) * dec(F.col("s")),
+        F.greatest(dec(F.col("n")) * dec(F.col("n") - 1),
+                   F.lit(1).cast("decimal(38,0)")), 9)
     pick = lambda a, c: F.max(F.when(F.col("arm") == a, c))  # noqa: E731
     w = m.agg(pick("A", F.col("n")).alias("na"),
               pick("B", F.col("n")).alias("nb"),
               pick("A", mean9).alias("ma"), pick("B", mean9).alias("mb"),
               pick("A", var9).alias("va"), pick("B", var9).alias("vb"))
     se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    # degenerate arms (n<=1, or zero pooled variance) yield NULL stats in
+    # BOTH dialects — Spark's NULL-on-div-by-zero and DuckDB's raise would
+    # otherwise diverge on tiny/skewed inputs.
+    ok = (F.col("na") > 1) & (F.col("nb") > 1) & (se2 > 0)
     tstat = F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6)
     df_w = F.round(
         se2 * se2 / ((F.col("va") / F.col("na")) * (F.col("va") / F.col("na"))
@@ -8090,8 +8104,9 @@ def ab02_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_b"),
         F.round(F.col("ma"), 6).alias("mean_a"),
         F.round(F.col("mb"), 6).alias("mean_b"),
-        tstat.alias("t_stat"), df_w.alias("df"),
-        (F.abs(tstat) > 1.96).alias("significant"))
+        F.when(ok, tstat).alias("t_stat"),
+        F.when(ok, df_w).alias("df"),
+        F.when(ok, F.abs(tstat) > 1.96).alias("significant"))
 
 
 # --- s14 — windowed KLL quantile sketch (streaming mergeable state) ---------

@@ -202,3 +202,27 @@ def test_kcenter_duplicate_points_tie_break(spark):
     # the duplicate (vec_id 1, distance 0 to the seed) is picked LAST
     assert ids[3] == 1
     assert res[3]["maximin_dist"] == 0.0
+
+
+def test_kcenter_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    res = SEL.kcenter_select(df, k=3)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == \
+        ["rank", "vec_id", "maximin_dist"]
+
+
+def test_kcenter_string_and_int_id_types(spark):
+    # id schema follows the input column type instead of hardcoded long
+    rows = [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.7, 0.7])]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    res = SEL.kcenter_select(df, id_col="doc", k=2)
+    assert dict(res.dtypes)["doc"] == "string"
+    got = sorted(res.collect(), key=lambda r: r["rank"])
+    assert got[0]["doc"] == "a" and got[1]["doc"] == "b"
+
+    df_i = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                 "vec_id int, embedding array<double>")
+    res_i = SEL.kcenter_select(df_i, k=2)
+    assert dict(res_i.dtypes)["vec_id"] == "int"
+    assert res_i.count() == 2

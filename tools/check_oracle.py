@@ -30,6 +30,31 @@ def normalize(df, float_exact=True):
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_problems(sdf_pd, odf_pd):
+    """Post-materialization dtype drift between ``toPandas()`` and
+    ``fetchdf()`` — the class of divergence a value-equality compare hides
+    (``3.0 == 3`` is True) but a dtype-sensitive driver hash does not.
+
+    The four-round t17_source_mix driver-red came down to exactly this: a
+    DuckDB ``sum()`` is HUGEINT, which ``fetchdf()`` materializes as
+    float64 against Spark's int64.  Flag any column whose numpy *kind*
+    differs across the two frames (int/uint unified; pairs involving
+    ``object`` are skipped — strings, Decimals, dates and lists all
+    legitimately materialize as object on one side only).
+    """
+    problems = []
+    for c in sorted(set(sdf_pd.columns) & set(odf_pd.columns)):
+        ka = sdf_pd[c].dtype.kind
+        kb = odf_pd[c].dtype.kind
+        ka = "i" if ka == "u" else ka
+        kb = "i" if kb == "u" else kb
+        if ka != kb and "O" not in (ka, kb):
+            problems.append(
+                f"dtype diff col={c}: spark={sdf_pd[c].dtype} "
+                f"oracle={odf_pd[c].dtype} (driver hash would mismatch)")
+    return problems
+
+
 def compare(name, sdf_pd, odf_pd):
     problems = []
     if len(sdf_pd) != len(odf_pd):
@@ -38,6 +63,7 @@ def compare(name, sdf_pd, odf_pd):
     if sc != oc:
         problems.append(f"columns: spark={sc} oracle={oc}")
         return problems
+    problems.extend(dtype_problems(sdf_pd, odf_pd))
     if problems:
         return problems
     s, o = normalize(sdf_pd), normalize(odf_pd)

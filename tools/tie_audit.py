@@ -228,6 +228,54 @@ def census(sf_dir: str) -> dict[str, list[str]]:
     return out
 
 
+# DECIMAL output columns whose Spark twin mirrors the exact type/scale so
+# both clients materialize identically (verified driver-green).  Any OTHER
+# DECIMAL — and any HUGEINT at all — is a gate failure: DuckDB's
+# ``fetchdf()`` hands HUGEINT to the driver as float64 while Spark emits
+# int64, so the hash mismatches even when every value compares equal
+# (the four-round t17_source_mix red, root-caused in round 12).
+DTYPE_DECIMAL_ALLOW = {
+    "b08_touch_attribution": {"revenue"},      # DECIMAL(38,2), Spark twin decimal(38,2)
+    "s14_windowed_quantile_sketch": {"q"},     # DECIMAL(3,2) literal quantile labels
+    "kll01_quantile_rollup": {"q"},            # DECIMAL(3,2) literal quantile labels
+}
+
+
+def dtype_gate(sf_dir: str) -> list[str]:
+    """Hard gate: no oracle output column may be HUGEINT, and DECIMAL
+    outputs must be allowlisted (= proven to mirror Spark's DECIMAL).
+    ``DESCRIBE`` infers the schema without executing, so this is instant.
+    """
+    import duckdb
+
+    from dataqtor_spark import queries as Q
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    violations: list[str] = []
+    for name, sql in Q.ORACLES.items():
+        try:
+            rows = con.execute("DESCRIBE " + sql).fetchall()
+        except Exception as e:
+            violations.append(f"{name}: DESCRIBE failed: "
+                              f"{str(e).splitlines()[0][:120]}")
+            continue
+        for col, typ in ((r[0], r[1]) for r in rows):
+            if typ == "HUGEINT":
+                violations.append(
+                    f"{name}.{col}: HUGEINT output (fetchdf() -> float64 "
+                    f"vs Spark int64 — cast ::BIGINT in the oracle)")
+            elif typ.startswith("DECIMAL") and                     col not in DTYPE_DECIMAL_ALLOW.get(name, ()):  
+                violations.append(
+                    f"{name}.{col}: unallowlisted {typ} output (verify the "
+                    f"Spark twin mirrors it, then allowlist)")
+    return violations
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--census"]
     if "--census" in sys.argv[1:]:
@@ -235,6 +283,11 @@ def main() -> int:
         return 0
     sf_dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
     bad = False
+    viol = dtype_gate(sf_dirs[0])
+    for v in viol:
+        print(f"DTYPE {v}")
+    print(f"dtype census: {len(viol)} violation(s)")
+    bad |= bool(viol)
     for sf in sf_dirs:
         print(f"=== {sf} ===")
         n_ok, n_skip, flagged = run(sf)
