@@ -471,7 +471,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 # ---------------------------------------------------------------------------
 
 def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
-                     top_k: int = 20) -> DataFrame:
+                     top_k: int = 20, basket_cap: int | None = None,
+                     unbounded: bool = False) -> DataFrame:
     """Top co-occurring item pairs across baskets (market-basket support
     counts): (item_a, item_b, n_baskets) with item_a < item_b.
 
@@ -479,20 +480,34 @@ def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
     items per basket, pairs expand in-row from the sorted distinct item
     array (no self-join — a self-join would exchange the full item×basket
     relation twice), and only (pair, 1) rows shuffle into the count.
-    Per-basket blowup is |basket|²/2 — bound wide baskets upstream if the
-    domain allows them (retail baskets are short; a pathological basket
-    is itself a data-quality finding).
+
+    Per-basket blowup is |basket|²/2, so a pathological hot basket (one
+    "order" with 10^5 items from an ingest bug or a shared cart id) is a
+    stage-sinker at 100 TB exactly like an uncapped LSH bucket.  By
+    default the same deferred in-plan skew guard as the dedup posting
+    lists applies: baskets wider than ``max(1024, isqrt(n_rows))`` are
+    skipped (and the engagement logged) once the input exceeds the
+    ``AUTO_GUARD_MIN_DOCS`` corpus threshold — a dropped hot basket is
+    itself a data-quality finding, not signal.  Pass an explicit
+    ``basket_cap`` to pin the bound, or ``unbounded=True`` to opt out.
     """
-    pairs = (df.select(F.col(basket_col).alias("__b"),
-                       F.col(item_col).alias("__i"))
-             .filter(F.col("__i").isNotNull())
-             .groupBy("__b")
-             .agg(F.sort_array(F.collect_set("__i")).alias("items"))
-             .filter(F.size("items") > 1)
-             .select(F.explode(F.expr(
+    from dataqtor_spark.operators import dedup as DD
+
+    src = (df.select(F.col(basket_col).alias("__b"),
+                     F.col(item_col).alias("__i"))
+           .filter(F.col("__i").isNotNull()))
+    grouped = (src.groupBy("__b")
+               .agg(F.sort_array(F.collect_set("__i")).alias("items"))
+               .filter(F.size("items") > 1))
+    if basket_cap is not None:
+        grouped = grouped.filter(F.size("items") <= basket_cap)
+    elif not unbounded:
+        grouped = DD._filter_by_deferred_auto_cap(
+            grouped, src, None, size_col="items")
+    pairs = grouped.select(F.explode(F.expr(
                  "flatten(transform(items, (x, i) -> "
                  "transform(slice(items, i + 2, size(items)), "
-                 "y -> struct(x as a, y as b))))")).alias("p")))
+                 "y -> struct(x as a, y as b))))")).alias("p"))
     return (pairs.groupBy(F.col("p.a").alias("item_a"),
                           F.col("p.b").alias("item_b"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))

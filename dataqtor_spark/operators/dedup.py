@@ -91,7 +91,8 @@ def _engage_auto_cap(n_docs: int, min_docs: int | None, what: str) -> int | None
 
 
 def _filter_by_deferred_auto_cap(grouped: DataFrame, count_src: DataFrame,
-                                 min_docs: int | None) -> DataFrame:
+                                 min_docs: int | None,
+                                 size_col: str = "ids") -> DataFrame:
     """Apply ``resolve_auto_cap`` semantics WITHOUT an eager count: the
     corpus total is a 1-row aggregate broadcast-cross-joined into the
     bucket/posting-list frame, and the cap becomes a filter the optimizer
@@ -118,7 +119,7 @@ def _filter_by_deferred_auto_cap(grouped: DataFrame, count_src: DataFrame,
     isq = (F.when((r + 1) * (r + 1) <= F.col("__n_docs"), r + 1)
            .when(r * r > F.col("__n_docs"), r - 1).otherwise(r))
     cap = F.greatest(F.lit(AUTO_GUARD_CAP_FLOOR).cast("long"), isq)
-    keep = (F.col("__n_docs") < F.lit(min_docs)) | (F.size("ids") <= cap)
+    keep = (F.col("__n_docs") < F.lit(min_docs)) | (F.size(size_col) <= cap)
     return (grouped.crossJoin(F.broadcast(total))
             .filter(keep).drop("__n_docs"))
 

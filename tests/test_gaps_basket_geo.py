@@ -374,3 +374,36 @@ def test_point_in_polygon_hand_geometry(spark):
     got = {r["pt_id"] for r in
            E.point_in_polygon_join(pts, polys).collect()}
     assert got == {1, 3, 4, 6}, got
+
+
+def test_copurchase_hot_basket_guard(spark, monkeypatch):
+    """The deferred skew guard on per-basket item lists: a planted hot
+    basket is skipped once the corpus crosses the auto-guard threshold;
+    explicit cap and unbounded=True override it."""
+    from dataqtor_spark.operators import dedup as DD
+
+    rows = [(b, i) for b in range(1, 5) for i in (10, 20, 30)]
+    rows += [(99, i) for i in range(200, 220)]        # the hot basket
+    df = spark.createDataFrame(rows, "basket long, item long")
+
+    # below the corpus threshold: unguarded, the hot basket contributes
+    full = B.copurchase_pairs(df, "basket", "item", top_k=500)
+    assert full.filter(F.col("item_a") >= 200).count() == 20 * 19 // 2
+
+    # force the guard to engage: corpus threshold 1, cap floor 5
+    monkeypatch.setattr(DD, "AUTO_GUARD_MIN_DOCS", 1)
+    monkeypatch.setattr(DD, "AUTO_GUARD_CAP_FLOOR", 5)
+    capped = B.copurchase_pairs(df, "basket", "item", top_k=500)
+    assert capped.filter(F.col("item_a") >= 200).count() == 0
+    # the short baskets are untouched
+    assert capped.filter(F.col("item_a") < 200).count() == 3
+
+    # explicit cap pins the bound regardless of corpus size
+    pinned = B.copurchase_pairs(df, "basket", "item", top_k=500,
+                                basket_cap=3)
+    assert pinned.filter(F.col("item_a") >= 200).count() == 0
+
+    # opt-out restores the exact quadratic behavior
+    ub = B.copurchase_pairs(df, "basket", "item", top_k=500,
+                            unbounded=True)
+    assert ub.filter(F.col("item_a") >= 200).count() == 20 * 19 // 2
