@@ -710,7 +710,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         max_doc_freq: int | str | None = "auto",
                         auto_guard_min_docs: int | None = None,
                         unbounded: bool = False,
-                        n_docs: int | None = None) -> DataFrame:
+                        n_docs: int | None = None,
+                        materialize: bool = True) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via inverted-index
     self-join.  ``max_doc_freq`` drops shingles shared by more than that
     many docs (stop-shingle cut) — at scale this bounds the quadratic
@@ -739,6 +740,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             deferred_auto = True
             max_doc_freq = None
     ex = _exploded_shingles(df, id_col, text_col, n)
+    if not materialize:
+        # LAZY form for callers that immediately rematerialize the pairs
+        # themselves (connected_components writes its edge list to
+        # parquet): the eager localCheckpoint below would be a second
+        # materialization of the same rows.  The posts subplan feeds two
+        # consumers (sizes, pair expansion) but shares ONE shuffle —
+        # Catalyst's ReuseExchange computes it once per action, so no
+        # persist is needed either.
+        return _ngram_pairs_plan(ex, max_doc_freq, deferred_auto,
+                                 df.select(id_col), auto_guard_min_docs,
+                                 threshold)
     # Posting lists FIRST: the one heavy exchange (exploded (id, hash) rows
     # hash-partitioned on the shingle) happens exactly once, and everything
     # else derives from the much smaller posting-list table:
@@ -750,37 +762,59 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     #   * pairs are expanded in-row from each list — per-shingle blowup is
     #     |df|²/2, bounded by the cut — and only pair rows shuffle again.
     # The self-join form exchanged the full inverted index twice and joined.
+    posts = _ngram_posts(ex, max_doc_freq, deferred_auto,
+                         df.select(id_col), auto_guard_min_docs)
+    # two consumers (sizes, pair expansion): persist the compact lists
+    posts = posts.persist()
+    try:
+        return _ngram_pairs_from_posts(posts, threshold).localCheckpoint()
+    finally:
+        posts.unpersist()
+
+
+def _ngram_posts(ex: DataFrame, max_doc_freq, deferred_auto: bool,
+                 count_src: DataFrame,
+                 auto_guard_min_docs: int | None) -> DataFrame:
     posts = (ex.groupBy("__sh")
              .agg(F.sort_array(F.collect_list("__id")).alias("ids")))
     if deferred_auto:
         posts = _filter_by_deferred_auto_cap(
-            posts, df.select(id_col), auto_guard_min_docs)
+            posts, count_src, auto_guard_min_docs)
     elif max_doc_freq is not None:
         posts = posts.filter(F.size("ids") <= max_doc_freq)
-    # two consumers (sizes, pair expansion): persist the compact lists
-    posts = posts.persist()
-    try:
-        sizes = (posts.select(F.explode("ids").alias("__id"))
-                 .groupBy("__id").agg(F.count(F.lit(1)).alias("__n")))
-        inter = (posts.filter(F.size("ids") > 1)
-                 .select(F.explode(F.expr(
-                     "flatten(transform(ids, (x, i) -> "
-                     "transform(slice(ids, i + 2, size(ids)), "
-                     "y -> struct(x as a, y as b))))")).alias("p"))
-                 .groupBy(F.col("p.a").alias("id_a"),
-                          F.col("p.b").alias("id_b"))
-                 .agg(F.count(F.lit(1)).alias("n_common")))
-        sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
-        sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
-        return (inter.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("jaccard",
-                            F.round(F.col("n_common")
-                                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-                .filter(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard")
-                .localCheckpoint())
-    finally:
-        posts.unpersist()
+    return posts
+
+
+def _ngram_pairs_from_posts(posts: DataFrame, threshold: float) -> DataFrame:
+    sizes = (posts.select(F.explode("ids").alias("__id"))
+             .groupBy("__id").agg(F.count(F.lit(1)).alias("__n")))
+    inter = (posts.filter(F.size("ids") > 1)
+             .select(F.explode(F.expr(
+                 "flatten(transform(ids, (x, i) -> "
+                 "transform(slice(ids, i + 2, size(ids)), "
+                 "y -> struct(x as a, y as b))))")).alias("p"))
+             .groupBy(F.col("p.a").alias("id_a"),
+                      F.col("p.b").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def _ngram_pairs_plan(ex: DataFrame, max_doc_freq, deferred_auto: bool,
+                      count_src: DataFrame, auto_guard_min_docs: int | None,
+                      threshold: float) -> DataFrame:
+    """Fully lazy n-gram Jaccard pair plan (no persist, no checkpoint) —
+    the posts shuffle is shared across its two consumers by Catalyst's
+    exchange reuse when one action consumes the whole plan."""
+    posts = _ngram_posts(ex, max_doc_freq, deferred_auto, count_src,
+                         auto_guard_min_docs)
+    return _ngram_pairs_from_posts(posts, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -868,10 +902,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
          .distinct())
     e.write.mode("overwrite").parquet(f"{d}/edges")
     e = spark.read.parquet(f"{d}/edges")
-    (e.select(F.col("src").alias("id")).distinct()
-     .withColumn("label", F.col("id"))
-     .write.mode("overwrite").parquet(f"{d}/labels_0"))
-    labels = spark.read.parquet(f"{d}/labels_0")
+    # round-0 labels stay LAZY (label = own id, derived from the edges
+    # parquet): round 1 is the only consumer, so a separate labels_0
+    # write job would buy nothing — every later round reads the previous
+    # round's parquet as before
+    labels = (e.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
     prev_sum = None
     for it in range(max_iter):
         nb = (e.join(labels, e["dst"] == labels["id"])

@@ -9403,24 +9403,6 @@ def d11_multimodal_dedup_report(spark: SparkSession,
     clusters, survivor rate in one table."""
     docs = _t(spark, sf_dir, "documents")
 
-    def row(modality: str, n_items_df: DataFrame,
-            comp: DataFrame) -> DataFrame:
-        stats = comp.agg(
-            F.count(F.lit(1)).alias("n_dup_items"),
-            F.countDistinct("component").alias("n_clusters"))
-        return (n_items_df.crossJoin(F.broadcast(stats))
-                .select(F.lit(modality).alias("modality"),
-                        F.col("n_items").cast("long").alias("n_items"),
-                        F.col("n_dup_items").cast("long")
-                        .alias("n_dup_items"),
-                        F.col("n_clusters").cast("long").alias("n_clusters"),
-                        F.round((F.col("n_items") - F.col("n_dup_items")
-                                 + F.col("n_clusters")) * 1.0
-                                / F.col("n_items"), 4)
-                        .alias("survivor_rate")))
-
-    # text
-    tp = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
     # image (the m04 planted fake-tier device)
     idocs = docs.filter(F.col("doc_id") < 300).select(
         F.col("doc_id").alias("media_id"),
@@ -9445,25 +9427,56 @@ def d11_multimodal_dedup_report(spark: SparkSession,
         (F.col("media_id") * 2).alias("media_id"), "afp").unionByName(
         asig.select((F.col("media_id") * 2 + 1).alias("media_id"),
                     F.col("afp").bitwiseXOR(aflip).alias("afp")))
-    # the three connected-components loops are driver-side iterations
-    # (a few jobs per round each); submitting them from threads lets the
-    # scheduler overlap the three modalities' rounds — same results,
-    # ~wall-clock of the slowest loop instead of the sum
+    # each modality's WHOLE leg — pair materialization AND the
+    # connected-components driver loop — runs in its own thread: the
+    # text leg's n-gram pair job (ngram_jaccard_pairs materializes
+    # eagerly via localCheckpoint) overlaps the image/audio legs' CC
+    # rounds instead of serializing in front of them — same results,
+    # ~wall-clock of the slowest leg instead of the sum
     from concurrent.futures import ThreadPoolExecutor
 
-    pair_frames = [tp, MM.phash_near_pairs(iplanted, max_hamming=3),
-                   MM.afp_near_pairs(aplanted, max_hamming=3)]
+    legs = [
+        lambda: DD.connected_components(
+            DD.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                   n=5, threshold=0.2,
+                                   materialize=False)),
+        lambda: DD.connected_components(
+            MM.phash_near_pairs(iplanted, max_hamming=3)),
+        lambda: DD.connected_components(
+            MM.afp_near_pairs(aplanted, max_hamming=3)),
+    ]
     with ThreadPoolExecutor(3) as ex:
-        comps = list(ex.map(DD.connected_components, pair_frames))
-    text_row = row("text", docs.agg(F.count(F.lit(1)).alias("n_items")),
-                   comps[0])
-    image_row = row("image",
-                    iplanted.agg(F.count(F.lit(1)).alias("n_items")),
-                    comps[1])
-    audio_row = row("audio",
-                    aplanted.agg(F.count(F.lit(1)).alias("n_items")),
-                    comps[2])
-    return text_row.unionByName(image_row).unionByName(audio_row)
+        comps = list(ex.map(lambda leg: leg(), legs))
+    # assembly in TWO jobs, not nine: the three comp frames union under a
+    # modality tag into one groupBy, and the three n_items counts fuse
+    # into ONE documents scan of conditional aggregates (the planted
+    # frames are by construction exactly 2 rows per source doc, so no
+    # signature mapInPandas re-runs just to count rows).  A modality with
+    # zero dup pairs contributes no stats row -> coalesce to 0.
+    tagged = (comps[0].withColumn("modality", F.lit("text"))
+              .unionByName(comps[1].withColumn("modality", F.lit("image")))
+              .unionByName(comps[2].withColumn("modality", F.lit("audio"))))
+    stats = tagged.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_dup_items"),
+        F.countDistinct("component").alias("n_clusters"))
+    items = docs.agg(
+        F.count(F.lit(1)).alias("text"),
+        (F.count(F.when(F.col("doc_id") < 300, 1)) * 2).alias("image"),
+        (F.count(F.when((F.col("doc_id") >= 300)
+                        & (F.col("doc_id") < 550), 1)) * 2).alias("audio"))
+    per_mod = items.selectExpr(
+        "stack(3, 'text', text, 'image', image, 'audio', audio) "
+        "AS (modality, n_items)")
+    return (per_mod.join(F.broadcast(stats), "modality", "left")
+            .select("modality",
+                    F.col("n_items").cast("long").alias("n_items"),
+                    F.coalesce(F.col("n_dup_items"), F.lit(0))
+                    .cast("long").alias("n_dup_items"),
+                    F.coalesce(F.col("n_clusters"), F.lit(0))
+                    .cast("long").alias("n_clusters"),
+                    F.round((F.col("n_items") - F.coalesce("n_dup_items", F.lit(0))
+                             + F.coalesce("n_clusters", F.lit(0))) * 1.0
+                            / F.col("n_items"), 4).alias("survivor_rate")))
 
 
 # --- ann09 — two-stage retrieval (IVF-PQ shortlist → exact rerank) ---------
