@@ -117,6 +117,10 @@ HEADLINE = [
     "lm02_perplexity_gate",
     "s19_cms_heavy_hitters",
     "ab02_welch_t_test",
+    # round-13 adds: concat-and-chunk sequence packing (distributed
+    # prefix-sum layout) and the RAG character chunker
+    "pack01_sequence_packing",
+    "chunk01_doc_chunks",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -1860,3 +1860,87 @@ def calibration_report(df: DataFrame, score: Column, label: Column,
             .withColumn("abs_gap",
                         F.round(F.abs(F.col("avg_score")
                                       - F.col("label_rate")), 4)))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + chunking — the layout step between a curated corpus
+# and a training/embedding job
+# ---------------------------------------------------------------------------
+
+def concat_chunk_packing(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         seq_len: int = 512) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training
+    layout): documents are laid end-to-end in ascending-id order into one
+    token stream, which is cut into fixed ``seq_len`` blocks; a document
+    spanning a block boundary is split across blocks.  Returns each
+    document's placement::
+
+        (doc_id, n_tokens, tok_start, first_block, last_block,
+         n_blocks, is_split)
+
+    with NULL block columns and ``n_blocks = 0`` for empty documents.
+
+    The token-space offsets are a global prefix sum in id order —
+    computed with the distributed total-order primitive
+    (:func:`dataqtor_spark.operators.ordered.ordered_prefix`), so there
+    is no single-partition window: a billion-document corpus lays out at
+    full parallelism, and the result depends only on the id order, never
+    on partitioning.  Block indexes use exact integer division (the
+    ``div`` function), not float floor — offsets past 2^53 would
+    misround through a double."""
+    from dataqtor_spark.operators.ordered import ordered_prefix
+
+    toks = df.select(F.col(id_col),
+                     token_count(text_col).cast("long").alias("n_tokens"))
+    cum = ordered_prefix(toks, [F.col(id_col)],
+                         sums={"__cum": F.col("n_tokens")})
+    start = (F.col("__cum") - F.col("n_tokens")).cast("long")
+    L = F.lit(int(seq_len)).cast("long")
+    first = F.call_function("div", start, L)
+    last = F.call_function("div", (F.col("__cum") - 1).cast("long"), L)
+    has = F.col("n_tokens") > 0
+    return (cum.select(
+        F.col(id_col), F.col("n_tokens"),
+        start.alias("tok_start"),
+        F.when(has, first).cast("long").alias("first_block"),
+        F.when(has, last).cast("long").alias("last_block"),
+        F.when(has, last - first + 1).otherwise(F.lit(0))
+        .cast("long").alias("n_blocks"),
+        F.when(has, last != first).alias("is_split")))
+
+
+def doc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", chunk_len: int = 1000,
+               overlap: int = 200) -> DataFrame:
+    """Overlapping fixed-width character chunks with offsets — the RAG /
+    embedding-indexing splitter.  Chunk k of a document starts at
+    ``k * (chunk_len - overlap)`` and carries ``chunk_len`` characters
+    (shorter at the tail); every character position of a non-empty
+    document is covered, empty documents produce no chunks.  Returns::
+
+        (doc_id, chunk_idx, char_start, chunk_chars, chunk_md5)
+
+    ``chunk_md5`` fingerprints the chunk text (md5 of its UTF-8 bytes)
+    so downstream chunk-level dedup/audit never ships the text itself.
+    One projection + explode — no shuffle, no Python; chunk counts per
+    document are ~len/stride, so output size tracks corpus size
+    linearly."""
+    stride = int(chunk_len) - int(overlap)
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_len")
+    c = F.col(text_col).cast("string")
+    starts = F.when(
+        F.length(c) > 0,
+        F.sequence(F.lit(0), F.length(c) - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = df.select(F.col(id_col), c.alias("__t"),
+                   F.posexplode(starts).alias("chunk_idx", "char_start"))
+    sub = F.substring(F.col("__t"), F.col("char_start") + 1,
+                      F.lit(int(chunk_len)))
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("char_start").cast("long").alias("char_start"),
+        F.length(sub).cast("long").alias("chunk_chars"),
+        F.md5(F.encode(sub, "UTF-8")).alias("chunk_md5"))

@@ -11541,6 +11541,73 @@ def lm02_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("kept_ppm")))
 
 
+# --- pack01/chunk01 — corpus layout: sequence packing + RAG chunking --------
+# The step between a curated corpus and the training/embedding job it
+# feeds: pack01 lays documents end-to-end into fixed-length token blocks
+# (concat-and-chunk, the GPT pre-training layout) via the distributed
+# total-order prefix sum — no single-partition window anywhere; chunk01
+# splits documents into overlapping character windows with offsets and a
+# content fingerprint — the embedding-indexing splitter.
+_PACK01_L = 512
+
+_PACK01_SQL = f"""WITH t AS (
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f]+')) END
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       (cum - n_tokens)::BIGINT AS tok_start,
+       CASE WHEN n_tokens > 0
+            THEN ((cum - n_tokens) // {_PACK01_L})::BIGINT END AS first_block,
+       CASE WHEN n_tokens > 0
+            THEN ((cum - 1) // {_PACK01_L})::BIGINT END AS last_block,
+       CASE WHEN n_tokens > 0
+            THEN ((cum - 1) // {_PACK01_L}
+                  - (cum - n_tokens) // {_PACK01_L} + 1)::BIGINT
+            ELSE 0 END AS n_blocks,
+       CASE WHEN n_tokens > 0
+            THEN ((cum - 1) // {_PACK01_L})
+                 <> ((cum - n_tokens) // {_PACK01_L}) END AS is_split
+FROM c"""
+
+
+@register("pack01_sequence_packing", _PACK01_SQL)
+def pack01_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of documents into 512-token training
+    blocks: per-doc token offset, first/last block, span and split flag —
+    the global token-space layout computed as a distributed prefix sum."""
+    return TX.concat_chunk_packing(_t(spark, sf_dir, "documents"),
+                                   seq_len=_PACK01_L)
+
+
+_CHUNK01_LEN, _CHUNK01_OVERLAP = 1000, 200
+_CHUNK01_STRIDE = _CHUNK01_LEN - _CHUNK01_OVERLAP
+
+_CHUNK01_SQL = f"""SELECT d.doc_id,
+       (s.g // {_CHUNK01_STRIDE})::BIGINT AS chunk_idx,
+       s.g::BIGINT AS char_start,
+       length(substr(d.text, s.g + 1, {_CHUNK01_LEN}))::BIGINT AS chunk_chars,
+       md5(substr(d.text, s.g + 1, {_CHUNK01_LEN})) AS chunk_md5
+FROM documents d,
+     unnest(generate_series(0, length(d.text) - 1, {_CHUNK01_STRIDE}))
+       AS s(g)
+WHERE length(d.text) > 0"""
+
+
+@register("chunk01_doc_chunks", _CHUNK01_SQL)
+def chunk01_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1000-char chunks (stride 800) with offsets and md5
+    content fingerprints — the RAG/embedding splitter; one projection +
+    explode, no shuffle."""
+    return TX.doc_chunks(_t(spark, sf_dir, "documents"),
+                         chunk_len=_CHUNK01_LEN, overlap=_CHUNK01_OVERLAP)
+
+
 # ---------------------------------------------------------------------------
 # Round-12 graded-prefix rotation.  The driver grades only the FIRST 50
 # registry entries each round; rounds 10–11 regraded the same 50, leaving
@@ -11599,7 +11666,9 @@ ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
 # rounds 2-6 per CORRECTNESS_r01-r12 set-diff), pinned behind the t17 fix
 # confirmation pair (t17 carries the new n_tokens::BIGINT oracle cast;
 # t17b stays as the permanent tokenization-hash canary; the t17c/d/e
-# bisect arms are retired -- the bisect concluded in round 12).
+# bisect arms are retired -- the bisect concluded in round 12).  The two
+# queries REGISTERED this round (pack01/chunk01) take the last two slots
+# -- new registrations must always sit inside the graded window.
 _R13_PREFIX = [
     "t17_source_mix",
     "t17b_source_mix_diag",
@@ -11649,8 +11718,8 @@ _R13_PREFIX = [
     "f11_date_parts",
     "h01_pricing_summary",
     "h03_shipping_priority",
-    "h05_local_supplier_volume",
-    "h07_volume_shipping",
+    "pack01_sequence_packing",
+    "chunk01_doc_chunks",
 ]
 _missing13 = [n for n in _R13_PREFIX if n not in QUERIES]
 assert not _missing13, f"r13 prefix references unknown queries: {_missing13}"
