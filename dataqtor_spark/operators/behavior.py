@@ -504,13 +504,22 @@ def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
     elif not unbounded:
         grouped = DD._filter_by_deferred_auto_cap(
             grouped, src, None, size_col="items")
-    pairs = grouped.select(F.explode(F.expr(
+    # dedup basket CONTENTS before the quadratic expansion: identical
+    # item sets (single-item carts, the handful of common 2-3 item
+    # combos) recur heavily in real basket data, and each distinct
+    # content needs its |items|²/2 pairs expanded exactly once with a
+    # multiplicity weight.  Worst case (all contents unique) this is one
+    # extra shuffle of the already-grouped rows; at 100x replication the
+    # expansion input shrinks 100x (SCALE_PROBE.md).
+    contents = grouped.groupBy("items").agg(
+        F.count(F.lit(1)).alias("__m"))
+    pairs = contents.select(F.col("__m"), F.explode(F.expr(
                  "flatten(transform(items, (x, i) -> "
                  "transform(slice(items, i + 2, size(items)), "
                  "y -> struct(x as a, y as b))))")).alias("p"))
     return (pairs.groupBy(F.col("p.a").alias("item_a"),
                           F.col("p.b").alias("item_b"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+            .agg(F.sum("__m").cast("long").alias("n_baskets"))
             .orderBy(F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b"))
             .limit(top_k))
 
