@@ -121,6 +121,7 @@ HEADLINE = [
     # prefix-sum layout) and the RAG character chunker
     "pack01_sequence_packing",
     "chunk01_doc_chunks",
+    "pack02_length_buckets",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -1944,3 +1944,47 @@ def doc_chunks(df: DataFrame, id_col: str = "doc_id",
         F.col("char_start").cast("long").alias("char_start"),
         F.length(sub).cast("long").alias("chunk_chars"),
         F.md5(F.encode(sub, "UTF-8")).alias("chunk_md5"))
+
+
+def length_bucket_report(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Length-bucketed batching efficiency: documents bucket by
+    ``floor(log2(n_tokens))`` (the standard power-of-two length bucketing
+    that keeps batch shapes near-uniform), and each bucket reports the
+    padding a batcher pays when every member pads to the bucket's actual
+    longest document::
+
+        (bucket, min_tokens, max_tokens, n_docs, sum_tokens,
+         pad_waste, waste_ppm)
+
+    ``pad_waste = n_docs·max_tokens − sum_tokens`` (tokens of padding);
+    ``waste_ppm`` is the exact parts-per-million share of the padded
+    volume that is padding.  Empty documents report as bucket −1 with
+    zero waste.  The bucket index is computed as ``length(bin(n)) − 1``
+    — exact integer bit-length, identical in both engines, where a float
+    ``log2`` could misround at bucket boundaries.  One projection + one
+    bounded groupBy (≤ ~40 buckets), nothing else."""
+    from dataqtor_spark.functions import exact as XR
+
+    n = token_count(text_col).cast("long")
+    bucket = F.when(n > 0, F.length(F.bin(n)) - 1).otherwise(F.lit(-1))
+    base = df.select(bucket.cast("long").alias("bucket"),
+                     n.alias("__n"))
+    return (base.groupBy("bucket")
+            .agg(F.min("__n").alias("min_tokens"),
+                 F.max("__n").alias("max_tokens"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__n").alias("sum_tokens"))
+            .select("bucket",
+                    F.col("min_tokens").cast("long").alias("min_tokens"),
+                    F.col("max_tokens").cast("long").alias("max_tokens"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("sum_tokens").cast("long").alias("sum_tokens"),
+                    (F.col("n_docs") * F.col("max_tokens")
+                     - F.col("sum_tokens")).cast("long").alias("pad_waste"),
+                    XR.round_ratio_int(
+                        (F.col("n_docs") * F.col("max_tokens")
+                         - F.col("sum_tokens")) * F.lit(1000000),
+                        F.greatest(F.col("n_docs") * F.col("max_tokens"),
+                                   F.lit(1)), 0)
+                    .cast("long").alias("waste_ppm")))

@@ -101,3 +101,22 @@ def test_chunking_non_ascii_md5(spark):
     assert [x["chunk_md5"] for x in
             sorted(r, key=lambda x: x["chunk_idx"])] == \
         [hashlib.md5(s.encode("utf-8")).hexdigest() for s in subs]
+
+
+def test_length_buckets_replay(spark):
+    rows = [(1, "a"), (2, "a b c"), (3, ""), (4, "w " * 7), (5, "w " * 8),
+            (6, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in
+           TX.length_bucket_report(df).collect()}
+    # tokens: 1,3,0,7,8,2 -> buckets 0,1,-1,2,3,1
+    assert set(out) == {-1, 0, 1, 2, 3}
+    assert out[-1]["n_docs"] == 1 and out[-1]["pad_waste"] == 0
+    assert out[-1]["waste_ppm"] == 0
+    b1 = out[1]
+    assert (b1["n_docs"], b1["min_tokens"], b1["max_tokens"]) == (2, 2, 3)
+    assert b1["sum_tokens"] == 5 and b1["pad_waste"] == 2 * 3 - 5
+    assert b1["waste_ppm"] == round(1 / 6 * 1e6)
+    for b, r in out.items():
+        if b >= 0:
+            assert 2 ** b <= r["min_tokens"] and r["max_tokens"] < 2 ** (b + 1)

@@ -105,7 +105,8 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "s19_cms_heavy_hitters",
                # r13: packing = distributed prefix sum (linear term) over
                # per-doc token counts; chunking = stateless explode
-               "pack01_sequence_packing", "chunk01_doc_chunks"]
+               "pack01_sequence_packing", "chunk01_doc_chunks",
+               "pack02_length_buckets"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
