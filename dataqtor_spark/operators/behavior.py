@@ -502,8 +502,13 @@ def copurchase_pairs(df: DataFrame, basket_col: str, item_col: str,
     if basket_cap is not None:
         grouped = grouped.filter(F.size("items") <= basket_cap)
     elif not unbounded:
+        # guard scale = the RAW input row count (nulls included): the
+        # unfiltered unprojected count reads zero columns (parquet
+        # footer row counts), where counting `src` would re-scan the
+        # item column just to apply isNotNull; over-counting only ever
+        # RAISES the isqrt cap / engages the guard earlier — both safe.
         grouped = DD._filter_by_deferred_auto_cap(
-            grouped, src, None, size_col="items")
+            grouped, df, None, size_col="items")
     # dedup basket CONTENTS before the quadratic expansion: identical
     # item sets (single-item carts, the handful of common 2-3 item
     # combos) recur heavily in real basket data, and each distinct
