@@ -42,9 +42,16 @@ def kcenter_select(df: DataFrame, id_col: str = "vec_id",
     non-increasing).  The seed (rank 0) has no previous set, so its
     ``maximin_dist`` is NULL.
     """
+    from pyspark.storagelevel import StorageLevel
+
     spark = df.sparkSession
+    # the greedy loop scans the SAME (id, vec) projection k times; pin it
+    # once (memory-and-disk — the standard iterative-algorithm cache, the
+    # same device Lloyd/k-means uses) so rounds 2..k read cached blocks
+    # instead of re-reading and re-normalizing the parquet every round
     pts = df.select(F.col(id_col).alias("__id"),
-                    _as_double(F.col(vec_col)).alias("__v"))
+                    _as_double(F.col(vec_col)).alias("__v")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     from pyspark.sql.types import (DoubleType, IntegerType, StructField,
                                    StructType)
     out_schema = StructType([
@@ -53,27 +60,44 @@ def kcenter_select(df: DataFrame, id_col: str = "vec_id",
         StructField("maximin_dist", DoubleType()),
     ])
 
-    def lit_vec(vals: list[float]):
-        return F.array(*[F.lit(float(x)).cast("double") for x in vals])
+    from pyspark.sql.types import ArrayType
 
-    seed_rows = pts.orderBy(F.asc("__id")).limit(1).collect()
-    if not seed_rows:  # empty corpus -> empty selection, declared schema
-        return spark.createDataFrame([], out_schema)
-    seed = seed_rows[0]
-    centers = [(seed["__id"], list(seed["__v"]), None)]
-    for _ in range(1, k):
-        dists = [F.lit(1.0) - F.round(cosine(F.col("__v"), lit_vec(v)), 6)
-                 for _, v, _ in centers]
-        md = F.least(*dists) if len(dists) > 1 else dists[0]
-        chosen_ids = [cid for cid, _, _ in centers]
-        top = (pts.filter(~F.col("__id").isin(chosen_ids))
-               .select("__id", "__v", md.alias("__md"))
-               .orderBy(F.desc("__md"), F.asc("__id"))
-               .limit(1).collect())
-        if not top:  # fewer than k points
-            break
-        row = top[0]
-        centers.append((row["__id"], list(row["__v"]), row["__md"]))
+    id_type = df.schema[id_col].dataType
+    round_schema = StructType([
+        StructField("__cs", ArrayType(ArrayType(DoubleType()))),
+        StructField("__cids", ArrayType(id_type)),
+    ])
+
+    try:
+        seed_rows = pts.orderBy(F.asc("__id")).limit(1).collect()
+        if not seed_rows:  # empty corpus -> empty selection, declared schema
+            return spark.createDataFrame([], out_schema)
+        seed = seed_rows[0]
+        centers = [(seed["__id"], list(seed["__v"]), None)]
+        for _ in range(1, k):
+            # the chosen centers ride a 1-row broadcast (the scalar-
+            # broadcast device), NOT literal vectors: every round then
+            # compiles the SAME generated code (Janino caches on source,
+            # and literals embed in it), so rounds 2..k pay only the
+            # cached scan — identical maximin semantics (per-center 6dp
+            # rounding, min, id tiebreak)
+            state = spark.createDataFrame(
+                [([v for _, v, _ in centers],
+                  [cid for cid, _, _ in centers])], round_schema)
+            md = F.array_min(F.transform(
+                F.col("__cs"),
+                lambda c: F.lit(1.0) - F.round(cosine(F.col("__v"), c), 6)))
+            top = (pts.crossJoin(F.broadcast(state))
+                   .filter(~F.array_contains(F.col("__cids"), F.col("__id")))
+                   .select("__id", "__v", md.alias("__md"))
+                   .orderBy(F.desc("__md"), F.asc("__id"))
+                   .limit(1).collect())
+            if not top:  # fewer than k points
+                break
+            row = top[0]
+            centers.append((row["__id"], list(row["__v"]), row["__md"]))
+    finally:
+        pts.unpersist()
     out_rows = [(r, cid, mdv) for r, (cid, _, mdv) in enumerate(centers)]
     return spark.createDataFrame(out_rows, out_schema)
 
