@@ -120,3 +120,89 @@ def test_length_buckets_replay(spark):
     for b, r in out.items():
         if b >= 0:
             assert 2 ** b <= r["min_tokens"] and r["max_tokens"] < 2 ** (b + 1)
+
+
+# --- property tests (hypothesis): layout invariants -------------------------
+
+import os
+
+from hypothesis import given, settings, strategies as st
+
+_SETTINGS = dict(max_examples=int(os.environ.get("HYP_EXAMPLES", "6")),
+                 deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=12),
+       st.integers(min_value=1, max_value=16))
+def test_packing_token_space_partition_property(spark, sizes, L):
+    """For ANY token-count sequence and block size: offsets are the exact
+    prefix sums in id order, block spans tile the stream, and block
+    indexes agree with integer division."""
+    rows = [(i, "w " * n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           TX.concat_chunk_packing(df, seq_len=L).collect()}
+    cum = 0
+    for i, n in enumerate(sizes):
+        r = out[i]
+        assert r["n_tokens"] == n and r["tok_start"] == cum
+        if n:
+            assert r["first_block"] == cum // L
+            assert r["last_block"] == (cum + n - 1) // L
+            assert r["n_blocks"] == r["last_block"] - r["first_block"] + 1
+        else:
+            assert r["n_blocks"] == 0 and r["first_block"] is None
+        cum += n
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=600),
+       st.integers(min_value=2, max_value=50),
+       st.integers(min_value=1, max_value=40))
+def test_chunking_cover_and_stride_property(spark, n_chars, chunk_len,
+                                            overlap):
+    """Every character of a non-empty document is covered, chunk starts
+    advance by exactly the stride, and no chunk is empty."""
+    if overlap >= chunk_len:
+        return
+    df = spark.createDataFrame([(1, "z" * n_chars)],
+                               "doc_id long, text string")
+    rows = sorted(TX.doc_chunks(df, chunk_len=chunk_len, overlap=overlap)
+                  .collect(), key=lambda r: r["chunk_idx"])
+    if n_chars == 0:
+        assert rows == []
+        return
+    stride = chunk_len - overlap
+    starts = [r["char_start"] for r in rows]
+    assert starts == list(range(0, n_chars, stride))
+    covered = set()
+    for r in rows:
+        assert r["chunk_chars"] >= 1
+        covered.update(range(r["char_start"],
+                             r["char_start"] + r["chunk_chars"]))
+    assert covered == set(range(n_chars))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=5000), min_size=1,
+                max_size=15))
+def test_length_bucket_conservation_property(spark, sizes):
+    """Bucket counts and token sums are conserved, every doc lands in
+    exactly the bit-length bucket of its token count, and pad_waste is
+    non-negative and bounded by the bucket width."""
+    rows = [(i, "w " * n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.length_bucket_report(df).collect()
+    assert sum(r["n_docs"] for r in out) == len(sizes)
+    assert sum(r["sum_tokens"] for r in out) == sum(sizes)
+    import math
+    for r in out:
+        b = r["bucket"]
+        if b < 0:
+            assert r["min_tokens"] == r["max_tokens"] == 0
+            continue
+        assert 2 ** b <= r["min_tokens"] <= r["max_tokens"] < 2 ** (b + 1)
+        assert 0 <= r["pad_waste"] <= r["n_docs"] * (2 ** b - 1)
+        assert 0 <= r["waste_ppm"] <= 1_000_000
