@@ -206,3 +206,13 @@ def test_length_bucket_conservation_property(spark, sizes):
         assert 2 ** b <= r["min_tokens"] <= r["max_tokens"] < 2 ** (b + 1)
         assert 0 <= r["pad_waste"] <= r["n_docs"] * (2 ** b - 1)
         assert 0 <= r["waste_ppm"] <= 1_000_000
+
+
+def test_connected_components_empty_graph(spark):
+    # the lazy round-0 labels path must handle zero edges (sum over an
+    # empty frame is NULL == initial prev_sum -> immediate converged exit)
+    from dataqtor_spark.operators import dedup as DD
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    out = DD.connected_components(e)
+    assert out.count() == 0
+    assert out.columns == ["id", "component"]
