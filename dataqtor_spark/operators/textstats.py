@@ -1614,11 +1614,25 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").cast("long").alias("n")))
 
 
-# (merges, words-plan) per cache key — the ann trainer-cache device:
+# trained merge tables per cache key — the ann trainer-cache device:
 # training is the OFFLINE step by contract, so serving-path consumers
 # (bpe03 token counts) pass a key and retrain once per process while
-# bpe02 (the training benchmark itself) never passes one.
+# bpe02 (the training benchmark itself) never passes one.  Only the
+# DRIVER-SIDE merges list is memoized (a live DataFrame would outlive
+# its SparkSession); the segmented-vocabulary plan is rebuilt from the
+# caller's CURRENT frame, which is also the apply-trained-tokenizer-to-
+# new-data semantic.
 _BPE_TRAIN_CACHE: dict = {}
+
+
+def _bpe_words_from_merges(df: DataFrame, merges: list, text_col: str,
+                           word_pattern: str) -> DataFrame:
+    words = (bpe_word_counts(df, text_col, word_pattern)
+             .withColumn("seq", _bpe_char_seq(F.col("word"))))
+    for m in merges:
+        words = words.withColumn(
+            "seq", _bpe_merge_seq(F.col("seq"), m["sym_a"], m["sym_b"]))
+    return words
 
 
 def bpe_train(df: DataFrame, text_col: str = "text", rounds: int = 8,
@@ -1641,7 +1655,8 @@ def bpe_train(df: DataFrame, text_col: str = "text", rounds: int = 8,
         memo_key = (cache_key, text_col, rounds, word_pattern)
         hit = _BPE_TRAIN_CACHE.get(memo_key)
         if hit is not None:
-            return hit
+            return hit, _bpe_words_from_merges(df, hit, text_col,
+                                               word_pattern)
     words = (bpe_word_counts(df, text_col, word_pattern)
              .withColumn("seq", _bpe_char_seq(F.col("word"))))
     cached = words.cache()
@@ -1662,7 +1677,7 @@ def bpe_train(df: DataFrame, text_col: str = "text", rounds: int = 8,
     finally:
         cached.unpersist()
     if memo_key is not None:
-        _BPE_TRAIN_CACHE[memo_key] = (merges, words)
+        _BPE_TRAIN_CACHE[memo_key] = merges
     return merges, words
 
 
@@ -1986,6 +2001,7 @@ def length_bucket_report(df: DataFrame, id_col: str = "doc_id",
     bucket = F.when(n > 0, F.length(F.bin(n)) - 1).otherwise(F.lit(-1))
     base = df.select(bucket.cast("long").alias("bucket"),
                      n.alias("__n"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return (base.groupBy("bucket")
             .agg(F.min("__n").alias("min_tokens"),
                  F.max("__n").alias("max_tokens"),
@@ -1998,9 +2014,14 @@ def length_bucket_report(df: DataFrame, id_col: str = "doc_id",
                     F.col("sum_tokens").cast("long").alias("sum_tokens"),
                     (F.col("n_docs") * F.col("max_tokens")
                      - F.col("sum_tokens")).cast("long").alias("pad_waste"),
+                    # k=6 scales by 10^6 INSIDE round_ratio_int's decimal
+                    # arithmetic — a 64-bit `waste * 1_000_000` would wrap
+                    # past 2^63 at 100 TB count shapes (the ab02 class)
+                    # while the HUGEINT oracle stays exact
                     XR.round_ratio_int(
-                        (F.col("n_docs") * F.col("max_tokens")
-                         - F.col("sum_tokens")) * F.lit(1000000),
-                        F.greatest(F.col("n_docs") * F.col("max_tokens"),
-                                   F.lit(1)), 0)
+                        dec(F.col("n_docs")) * dec(F.col("max_tokens"))
+                        - dec(F.col("sum_tokens")),
+                        F.greatest(dec(F.col("n_docs"))
+                                   * dec(F.col("max_tokens")),
+                                   F.lit(1).cast("decimal(38,0)")), 6)
                     .cast("long").alias("waste_ppm")))

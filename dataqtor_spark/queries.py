@@ -9323,6 +9323,10 @@ def mix01_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three dedup passes ship together.  Composes the d02 pair pass and the
 # m04/m06 banded fake-tier pairs with connected components per modality;
 # every branch replays in SQL (three recursive CCs under one WITH).
+# planted-modality id bounds — used by BOTH the oracle SQL below and the
+# Spark body's signature frames / n_items counts
+_D11_IMG_MAX, _D11_AUD_LO, _D11_AUD_HI = 300, 300, 550
+
 _D11_SQL = f"""WITH RECURSIVE pairs_t AS ({_D02_PAIRS_SQL}),
 edges_t AS (
   SELECT id_a AS src, id_b AS dst FROM pairs_t
@@ -9419,8 +9423,11 @@ def d11_multimodal_dedup_report(spark: SparkSession,
     clusters, survivor rate in one table."""
     docs = _t(spark, sf_dir, "documents")
 
-    # image (the m04 planted fake-tier device)
-    idocs = docs.filter(F.col("doc_id") < 300).select(
+    # image (the m04 planted fake-tier device); the planted-modality
+    # bounds are shared between the signature frames and the n_items
+    # conditional counts below so they cannot drift apart
+    img_max, aud_lo, aud_hi = _D11_IMG_MAX, _D11_AUD_LO, _D11_AUD_HI
+    idocs = docs.filter(F.col("doc_id") < img_max).select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
     isig = MM.image_phash(idocs, use_codec=False)
@@ -9432,7 +9439,7 @@ def d11_multimodal_dedup_report(spark: SparkSession,
                     F.col("phash").bitwiseXOR(iflip).alias("phash")))
     # audio (the m06 device)
     adocs = docs.filter(
-        (F.col("doc_id") >= 300) & (F.col("doc_id") < 550)).select(
+        (F.col("doc_id") >= aud_lo) & (F.col("doc_id") < aud_hi)).select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
     asig = MM.audio_fingerprint(adocs, use_codec=False)
@@ -9477,9 +9484,9 @@ def d11_multimodal_dedup_report(spark: SparkSession,
         F.countDistinct("component").alias("n_clusters"))
     items = docs.agg(
         F.count(F.lit(1)).alias("text"),
-        (F.count(F.when(F.col("doc_id") < 300, 1)) * 2).alias("image"),
-        (F.count(F.when((F.col("doc_id") >= 300)
-                        & (F.col("doc_id") < 550), 1)) * 2).alias("audio"))
+        (F.count(F.when(F.col("doc_id") < img_max, 1)) * 2).alias("image"),
+        (F.count(F.when((F.col("doc_id") >= aud_lo)
+                        & (F.col("doc_id") < aud_hi), 1)) * 2).alias("audio"))
     per_mod = items.selectExpr(
         "stack(3, 'text', text, 'image', image, 'audio', audio) "
         "AS (modality, n_items)")

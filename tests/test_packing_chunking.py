@@ -216,3 +216,26 @@ def test_connected_components_empty_graph(spark):
     out = DD.connected_components(e)
     assert out.count() == 0
     assert out.columns == ["id", "component"]
+
+
+def test_bpe_trainer_cache_memoizes_merges_only(spark):
+    # the memo stores the driver-side merge table, never a live DataFrame
+    # (a cached frame would outlive its SparkSession); a hit rebuilds the
+    # segmentation plan from the CALLER's frame and matches a fresh train
+    from dataqtor_spark.operators import textstats as TX2
+
+    rows = [(i, t) for i, t in enumerate(
+        ["the cat sat", "the cat ran", "a cat sat down", "the dog sat"] * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = "test-bpe-cache"
+    TX2._BPE_TRAIN_CACHE.clear()
+    m1, w1 = TX2.bpe_train(df, rounds=3, cache_key=key)
+    assert isinstance(
+        TX2._BPE_TRAIN_CACHE[(key, "text", 3, "^[a-z]+$")], list)
+    m2, w2 = TX2.bpe_train(df, rounds=3, cache_key=key)   # memo hit
+    assert m2 == m1
+    assert sorted(w2.collect()) == sorted(w1.collect())
+    fresh_m, fresh_w = TX2.bpe_train(df, rounds=3)        # no key: retrain
+    assert fresh_m == m1
+    assert sorted(fresh_w.collect()) == sorted(w1.collect())
+    TX2._BPE_TRAIN_CACHE.clear()

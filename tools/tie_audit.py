@@ -269,7 +269,8 @@ def dtype_gate(sf_dir: str) -> list[str]:
                 violations.append(
                     f"{name}.{col}: HUGEINT output (fetchdf() -> float64 "
                     f"vs Spark int64 — cast ::BIGINT in the oracle)")
-            elif typ.startswith("DECIMAL") and                     col not in DTYPE_DECIMAL_ALLOW.get(name, ()):  
+            elif (typ.startswith("DECIMAL")
+                  and col not in DTYPE_DECIMAL_ALLOW.get(name, ())):
                 violations.append(
                     f"{name}.{col}: unallowlisted {typ} output (verify the "
                     f"Spark twin mirrors it, then allowlist)")
