@@ -2,8 +2,11 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same parquet tables, then compares row count, sorted column names,
-and the order-insensitive multiset of row values (exact; floats reported
-with max-abs-diff diagnostics when not bit-equal).
+POST-MATERIALIZATION DTYPES (``toPandas()`` vs ``fetchdf()`` numpy kinds —
+the class a value-equality compare hides but a dtype-sensitive driver hash
+does not; see the four-round t17 HUGEINT red), and the order-insensitive
+multiset of row values (exact; floats reported with max-abs-diff
+diagnostics when not bit-equal).
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
