@@ -239,3 +239,41 @@ def test_bpe_trainer_cache_memoizes_merges_only(spark):
     assert fresh_m == m1
     assert sorted(fresh_w.collect()) == sorted(w1.collect())
     TX2._BPE_TRAIN_CACHE.clear()
+
+
+def test_chunking_and_packing_null_text(spark, tmp_path):
+    # NULL text: the chunker emits no rows, and the packer/bucketer carry
+    # NULL token counts through — in BOTH engines identically (NULL-falsy
+    # CASE/when branches; window sums skip NULLs, so later docs\' offsets
+    # are unaffected).  Pinned by running the registered oracles against
+    # the same parquet.
+    import duckdb
+    import pandas as pd
+
+    from dataqtor_spark.queries import ORACLES
+    from tools.check_oracle import compare
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": [None, "a b", "c d e"],
+                         "lang": ["en"] * 3, "source": ["s"] * 3,
+                         "n_chars": [0, 3, 5]})
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    assert TX.doc_chunks(
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+    ).filter("doc_id = 1").count() == 0
+
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW documents AS SELECT *
+                    FROM read_parquet('{tmp_path}/documents.parquet')""")
+    from dataqtor_spark.queries import QUERIES
+    for name in ["pack01_sequence_packing", "chunk01_doc_chunks",
+                 "pack02_length_buckets"]:
+        sdf = QUERIES[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(ORACLES[name]).fetchdf()
+        assert compare(name, sdf, odf) == [], name
+    # the NULL-text doc: NULL tokens/blocks, but doc 2/3 offsets intact
+    out = {r["doc_id"]: r for r in
+           QUERIES["pack01_sequence_packing"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_tokens"] is None and out[1]["n_blocks"] == 0
+    assert out[2]["tok_start"] == 0 and out[3]["tok_start"] == 2
