@@ -11709,7 +11709,15 @@ _R12_PREFIX = [
     "rrf01_hybrid_search",
     "bpe03_tokenizer_token_counts", "dsir02_hashed_importance",
 ]
-_R12_PREFIX = [n for n in _R12_PREFIX if n in QUERIES]  # r13: bisect arms retired
+# r13 retired the concluded t17 bisect arms; anything else missing from the
+# registry is a typo'd retirement and must fail fast, not silently shrink
+# the r12 reorder (ADVICE r13).
+_RETIRED_ARMS = {"t17c_source_mix_ssr_diag", "t17d_source_share_ppm_diag",
+                 "t17e_source_mix_filtered_diag"}
+_r12_dropped = {n for n in _R12_PREFIX if n not in QUERIES}
+assert _r12_dropped <= _RETIRED_ARMS, (
+    f"r12 prefix lost non-retired queries: {sorted(_r12_dropped - _RETIRED_ARMS)}")
+_R12_PREFIX = [n for n in _R12_PREFIX if n in QUERIES]
 QUERIES = {**{n: QUERIES[n] for n in _R12_PREFIX},
            **{n: f for n, f in QUERIES.items() if n not in _R12_PREFIX}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
@@ -11782,4 +11790,71 @@ assert len(_R13_PREFIX) == 50 and len(set(_R13_PREFIX)) == 50
 assert all(n in ORACLES for n in _R13_PREFIX)  # first 50 stay hash-checkable
 QUERIES = {**{n: QUERIES[n] for n in _R13_PREFIX},
            **{n: f for n, f in QUERIES.items() if n not in _R13_PREFIX}}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+# ---------------------------------------------------------------------------
+# Round-14 graded-prefix rotation.  Freshness pass over the stalest driver
+# grades: after r13 the oldest cohorts are the round-6 set (h-series TPC-H,
+# j-joins, r-rules, u-unions, th01/sg01/kll01) and the round-7 set (ann04/05,
+# embeddings, geo, media metadata, p-filters).  t17b stays as the permanent
+# tokenization-hash canary.  Queries registered THIS round are spliced in at
+# the tail (new registrations must always sit inside the graded window).
+_R14_PREFIX = [
+    "t17b_source_mix_diag",
+    "h03_shipping_priority",
+    "h05_local_supplier_volume",
+    "h07_volume_shipping",
+    "h09_product_type_profit",
+    "h17_small_quantity_revenue",
+    "h21_waiting_suppliers",
+    "j01_latlon_enrich",
+    "j02_gender_enrich",
+    "j05_asof_join_events",
+    "j06_range_join_sessions",
+    "j07_salted_skew_join",
+    "kll01_quantile_rollup",
+    "pr22_kendall_tau",
+    "pr23_phik",
+    "r01_numeric_rule_violations",
+    "r03_dq_summary_customer",
+    "r08_email_rule",
+    "r09_tcid_checksum",
+    "r12_phone_rule_classes",
+    "r16_conditional_rule",
+    "r17_unique_key_rule",
+    "r18_freshness_check",
+    "r19_group_completeness",
+    "sg01_suggest_constraints",
+    "th01_audience_overlap",
+    "u01_violations_union",
+    "u03_clean_rows",
+    "ann04_hard_negatives",
+    "ann05_lsh_recall",
+    "b05_top_trigrams",
+    "b06_rfm_segments",
+    "d07_incremental_dedup",
+    "d08_quality_survivors",
+    "e01_quantize_int8",
+    "e02_embedding_dim_stats",
+    "e03b_pca2_closed_form",
+    "e04_embedding_isotropy",
+    "f01_title_case_part",
+    "gap01_orderkey_gaps",
+    "geo01_nearest_city",
+    "geo02_geohash_density",
+    "m01_media_metadata",
+    "m02b_decode_dims",
+    "m03_video_frame_sampling",
+    "p01_project_reorder_drop",
+    "p03_typed_search_orders",
+    "p05_null_search_customer",
+    "p06_row_id_lookup",
+    "p08_null_majority_rows",
+]
+_missing14 = [n for n in _R14_PREFIX if n not in QUERIES]
+assert not _missing14, f"r14 prefix references unknown queries: {_missing14}"
+assert len(_R14_PREFIX) == 50 and len(set(_R14_PREFIX)) == 50
+assert all(n in ORACLES for n in _R14_PREFIX)  # first 50 stay hash-checkable
+QUERIES = {**{n: QUERIES[n] for n in _R14_PREFIX},
+           **{n: f for n, f in QUERIES.items() if n not in _R14_PREFIX}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
