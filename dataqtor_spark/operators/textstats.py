@@ -1621,7 +1621,11 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
 # DRIVER-SIDE merges list is memoized (a live DataFrame would outlive
 # its SparkSession); the segmented-vocabulary plan is rebuilt from the
 # caller's CURRENT frame, which is also the apply-trained-tokenizer-to-
-# new-data semantic.
+# new-data semantic.  The memo assumes the data behind a cache_key is
+# immutable for the process lifetime (callers key on the corpus path;
+# regenerating the files under that path in-process would serve stale
+# merges) — benchmarks reset it via
+# ``dataqtor_spark.clear_trainer_caches``.
 _BPE_TRAIN_CACHE: dict = {}
 
 
