@@ -8511,9 +8511,15 @@ def er03_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b")
 
     def _cand():
+        # eager localCheckpoint: cand feeds TWO consumers (the candidate
+        # count and the hit join) — lazy, each would recompute the full
+        # signature + banding pipeline; materialized, the corpus-sized
+        # signature pass runs exactly once (candidate pairs are bounded
+        # by true-duplicate density, not corpus size, so the pin is small)
         sig = DD.minhash_signatures_portable(docs, "doc_id", "text",
                                              _MH_HASHES, _MH_SHINGLE)
-        return DD.minhash_candidates(sig, "doc_id", _MH_HASHES, _MH_BANDS)
+        return DD.minhash_candidates(sig, "doc_id", _MH_HASHES,
+                                     _MH_BANDS).localCheckpoint()
 
     with ThreadPoolExecutor(2) as ex:
         truth_f, cand_f = ex.submit(_truth), ex.submit(_cand)
