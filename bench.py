@@ -122,6 +122,8 @@ HEADLINE = [
     "pack01_sequence_packing",
     "chunk01_doc_chunks",
     "pack02_length_buckets",
+    # round-14 adds: exact-substring scrub (the removal complement of t16)
+    "t40_exact_substring_scrub",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

