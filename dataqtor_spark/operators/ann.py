@@ -30,6 +30,31 @@ def dot(a: Column, b: Column) -> Column:
                        F.lit(0.0).cast("double"), lambda acc, x: acc + x)
 
 
+def _sql_pq_lut_cols(books, sub: int) -> list[Column]:
+    """Per-subspace ADC lookup tables over a ``__qv`` query vector, each
+    built as ONE SQL expression string (the :func:`_sql_nearest_cids`
+    device): ``__l{j}[cid+1]`` = dot(q's j-th slice, codebook-j centroid
+    cid).  Identical numerics to the unrolled dot(slice, literal-array)
+    form — same zip_with product order, same sequential left fold — but
+    O(1) py4j round-trips instead of O(ks·sub) ``F.lit`` trees per
+    subspace, which cost ~2 s of driver-side Column construction per
+    probe batch in the at-rest serving path.  Vanished cids (emptied
+    Lloyd clusters) keep a dead 0.0 slot no code can select."""
+    zeros = [0.0] * sub
+    cols = []
+    for j, book in enumerate(books):
+        cid_centers = dict(book)
+        arr = "array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D"
+                                for x in cid_centers.get(i, zeros)) + ")"
+            for i in range(max(cid_centers) + 1)) + ")"
+        cols.append(F.expr(
+            f"transform({arr}, b -> aggregate(zip_with("
+            f"slice(__qv, {j * sub + 1}, {sub}), b, (x, y) -> x * y), "
+            f"cast(0.0 as double), (a, x) -> a + x))").alias(f"__l{j}"))
+    return cols
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
                               lambda acc, x: acc + x * x))
@@ -468,15 +493,8 @@ def pq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
     enc = enc.withColumn("__rn", recon_n)
     q = (queries.select(F.col(query_id_col).alias("query_id"),
                         _as_double(F.col(vec_col)).alias("__qv"))
-         .withColumn("__qn", l2_norm(F.col("__qv"))))
-    zeros = [0.0] * sub
-    for j in range(m):
-        qsub = F.slice("__qv", j * sub + 1, sub)
-        cid_centers = dict(books[j])
-        q = q.withColumn(f"__l{j}", F.array(*[
-            dot(qsub, F.array(*[F.lit(x).cast("double")
-                                for x in cid_centers.get(i, zeros)]))
-            for i in range(max(cid_centers) + 1)]))
+         .withColumn("__qn", l2_norm(F.col("__qv")))
+         .select("*", *_sql_pq_lut_cols(books, sub)))
     adc_dot = sum(F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
                   for j in range(m))
     scored = (enc.crossJoin(F.broadcast(q.drop("__qv")))
@@ -576,20 +594,7 @@ def ivfpq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
     c = c.select("neighbor_id", "__cluster", "codes",
                  F.sqrt(sum(F.element_at(norm_arrs[j], F.col("codes")[j] + 1)
                             for j in range(m))).alias("__rn"))
-    zeros = [0.0] * sub
-    luts = []
-    for j in range(m):
-        cid_centers = dict(books[j])
-        book = "array(" + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D"
-                                for x in cid_centers.get(i, zeros)) + ")"
-            for i in range(max(cid_centers) + 1)) + ")"
-        # identical numerics to dot(slice(__qv,…), literal): same zip_with
-        # product order, same sequential left fold
-        luts.append(F.expr(
-            f"transform({book}, b -> aggregate(zip_with("
-            f"slice(__qv, {j * sub + 1}, {sub}), b, (x, y) -> x * y), "
-            f"cast(0.0 as double), (a, x) -> a + x))").alias(f"__l{j}"))
+    luts = _sql_pq_lut_cols(books, sub)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("__qv"))
     q = q.select("query_id", "__qv", l2_norm(F.col("__qv")).alias("__qn"),
@@ -666,14 +671,7 @@ def _ivfpq_residual_score(c: DataFrame, queries: DataFrame,
     # shared per (query, probed cluster): dot(q, coarse_g)
     q = q.withColumn("__qc", dot(F.col("__qv"),
                                  F.element_at(coarse_arr, F.col("__gpq"))))
-    zeros = [0.0] * sub
-    for j in range(m):
-        qsub = F.slice("__qv", j * sub + 1, sub)
-        cid_centers = dict(books[j])
-        q = q.withColumn(f"__l{j}", F.array(*[
-            dot(qsub, F.array(*[F.lit(x).cast("double")
-                                for x in cid_centers.get(i, zeros)]))
-            for i in range(max(cid_centers) + 1)]))
+    q = q.select("*", *_sql_pq_lut_cols(books, sub))
     adc_dot = F.col("__qc") + sum(
         F.element_at(F.col(f"__l{j}"), F.col("codes")[j] + 1)
         for j in range(m))
@@ -993,15 +991,8 @@ def ivfpq_topk_at_rest(spark, path: str, queries: DataFrame, id_col: str,
                         _as_double(F.col(vec_col)).alias("__qv"))
          .withColumn("__qn", l2_norm(F.col("__qv")))
          .withColumn("__cluster", F.explode(
-             F.expr(_sql_nearest_cids("__qv", coarse, n_probe)))))
-    zeros = [0.0] * sub
-    for j in range(m):
-        qsub = F.slice("__qv", j * sub + 1, sub)
-        cid_centers = dict(books[j])
-        q = q.withColumn(f"__l{j}", F.array(*[
-            dot(qsub, F.array(*[F.lit(x).cast("double")
-                                for x in cid_centers.get(i, zeros)]))
-            for i in range(max(cid_centers) + 1)]))
+             F.expr(_sql_nearest_cids("__qv", coarse, n_probe))))
+         .select("*", *_sql_pq_lut_cols(books, sub)))
     probed = [r["__cluster"] for r in q.select("__cluster").distinct().collect()]
     c = (spark.read.parquet(f"{path}/corpus")
          .filter(F.col("__cluster").isin(probed)))
