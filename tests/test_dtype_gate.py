@@ -107,3 +107,24 @@ def test_decimal_allowlist_is_tight():
     from dataqtor_spark import queries as Q
     for name in DTYPE_DECIMAL_ALLOW:
         assert name in Q.ORACLES, name
+
+
+# ---------------------------------------------------------------------------
+# check_oracle pre-flight — a failing census must block the compare run
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="testdata missing")
+def test_failing_census_blocks_check_oracle(monkeypatch):
+    """check_oracle.main() must refuse to run (named SystemExit, before any
+    Spark work) when the dtype census has violations — a future uncast
+    sum() can't even register a compare result."""
+    import sys as _sys
+
+    from tools import check_oracle as CO
+    from tools import tie_audit as TA
+    monkeypatch.setattr(
+        TA, "dtype_gate",
+        lambda sf_dir: ["__planted.n: HUGEINT output (planted)"])
+    monkeypatch.setattr(_sys, "argv", ["check_oracle.py", SF])
+    with pytest.raises(SystemExit, match="DTYPE-CENSUS-GATE"):
+        CO.main()

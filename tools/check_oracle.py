@@ -108,6 +108,19 @@ def main():
 
     import __spark_entry__ as entrymod
     from dataqtor_spark.session import get_spark
+    from tools.tie_audit import dtype_gate
+
+    # pre-flight: the HUGEINT/DECIMAL census is a hard gate — an uncast
+    # sum() in any oracle would hash-mismatch at the driver even when
+    # every value compares equal, so it must not even be runnable here
+    gate = dtype_gate(sf_dir)
+    if gate:
+        for v in gate:
+            print(f"  {v}", file=sys.stderr)
+        raise SystemExit(
+            f"DTYPE-CENSUS-GATE: {len(gate)} violation(s) — fix the "
+            f"oracle casts (tools/tie_audit.py) before running the "
+            f"oracle compare")
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()
