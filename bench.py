@@ -122,8 +122,11 @@ HEADLINE = [
     "pack01_sequence_packing",
     "chunk01_doc_chunks",
     "pack02_length_buckets",
-    # round-14 adds: exact-substring scrub (the removal complement of t16)
+    # round-14 adds: exact-substring scrub (the removal complement of
+    # t16), within-doc repeat collapse, embedding-drift report
     "t40_exact_substring_scrub",
+    "t41_within_doc_collapse",
+    "e05_embedding_drift",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -70,6 +70,76 @@ def dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
                  F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0)).alias("n_zero")))
 
 
+def embedding_drift(df: DataFrame, split: Column, id_col: str,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift report between two corpus snapshots (the
+    ``split`` boolean: True = snapshot A, False = B) — what a training
+    pipeline monitors between crawl refreshes before trusting a frozen
+    ANN index or quantizer on the new data.  One row:
+
+    - ``n_a``/``n_b``: rows per snapshot;
+    - ``centroid_cosine``: cosine between the per-snapshot centroids
+      (1.0 = no mean shift; the first number that degrades when a new
+      crawl changes domain mix);
+    - ``cohesion_a``/``cohesion_b``: mean cosine of each vector to its
+      OWN snapshot centroid (anisotropy/concentration change);
+    - ``norm_mean_a``/``norm_mean_b``: mean vector L2 norm (scale drift
+      — the quantizer-killing failure mode).
+
+    Scale shape: one posexplode + groupBy(dim) for the centroids (the
+    shuffle carries partitions × dims rows), a broadcast join of the
+    dim-row centroid table back onto the exploded view for the per-row
+    dot, one final 1-row aggregate.  Determinism: centroids round to
+    6 dp before any downstream arithmetic; per-row cosines round to 6 dp
+    and are mean'd through exact DECIMAL sums (the e04 device), so the
+    report replays bit-identically in ANSI SQL."""
+    from dataqtor_spark.functions.exact import round_ratio
+
+    ex = df.select(F.col(id_col).alias("__id"), split.alias("__a"),
+                   F.posexplode(_dbl(F.col(vec_col))).alias("__dim", "__x"))
+    cent = (ex.groupBy("__dim")
+            .agg(F.round(F.avg(F.when(F.col("__a"), F.col("__x"))), 6)
+                 .alias("ma"),
+                 F.round(F.avg(F.when(~F.col("__a"), F.col("__x"))), 6)
+                 .alias("mb")))
+    cs = cent.agg(
+        F.round(F.sum(F.col("ma") * F.col("mb")), 6).alias("__dotab"),
+        F.sum(F.col("ma") * F.col("ma")).alias("__na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("__nb2"))
+    per = (ex.join(F.broadcast(cent), "__dim")
+           .groupBy("__id", "__a")
+           .agg(F.sum(F.col("__x") * F.when(F.col("__a"), F.col("ma"))
+                      .otherwise(F.col("mb"))).alias("__dotc"),
+                F.sum(F.col("__x") * F.col("__x")).alias("__nv2")))
+    pc = (per.crossJoin(F.broadcast(cs))
+          .select("__a",
+                  F.round(F.col("__dotc")
+                          / (F.sqrt("__nv2")
+                             * F.sqrt(F.when(F.col("__a"), F.col("__na2"))
+                                      .otherwise(F.col("__nb2")))), 6)
+                  .alias("__cos"),
+                  F.round(F.sqrt("__nv2"), 6).alias("__vn")))
+
+    def _dec_mean(col: str, cond: Column, n: Column) -> Column:
+        s = F.sum(F.when(cond, F.col(col).cast("decimal(18,6)")))
+        return round_ratio((s * 1000000).cast("decimal(38,0)"),
+                           F.greatest(n, F.lit(1)) * 1000000, 6)
+
+    n_a = F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long")
+    n_b = F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long")
+    rep = pc.agg(n_a.alias("n_a"), n_b.alias("n_b"),
+                 _dec_mean("__cos", F.col("__a"), n_a).alias("cohesion_a"),
+                 _dec_mean("__cos", ~F.col("__a"), n_b).alias("cohesion_b"),
+                 _dec_mean("__vn", F.col("__a"), n_a).alias("norm_mean_a"),
+                 _dec_mean("__vn", ~F.col("__a"), n_b).alias("norm_mean_b"))
+    cc = cs.select(F.round(F.col("__dotab")
+                           / (F.sqrt("__na2") * F.sqrt("__nb2")), 6)
+                   .alias("centroid_cosine"))
+    return rep.crossJoin(F.broadcast(cc)).select(
+        "n_a", "n_b", "centroid_cosine", "cohesion_a", "cohesion_b",
+        "norm_mean_a", "norm_mean_b")
+
+
 def hash_embedding(col, dims: int = 8):
     """Deterministic pseudo-embedding of a string: dim i =
     scaled md5-derived value of ``text:i`` in [-1, 1).

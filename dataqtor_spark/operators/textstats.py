@@ -910,6 +910,66 @@ def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("cleaned_text")))
 
 
+def collapse_repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            span_tokens: int = 8) -> DataFrame:
+    """WITHIN-document exact-substring collapse — the self-repeat half of
+    Lee et al. 2022 ExactSubstr (:func:`scrub_shared_spans` handles the
+    cross-document half): every ``span_tokens``-token window whose text
+    already occurred EARLIER in the same document is a duplicate
+    occurrence, and the tokens it covers are removed; the first
+    occurrence always survives.  Returns per-doc
+    ``(id, n_tokens, n_removed, cleaned_text)`` with NULL cleaned_text
+    when nothing survives (cross-engine canonical empty join).
+
+    The degenerate loop ("a a a a ...") collapses to its first token;
+    templated boilerplate repeated mid-document keeps one copy.
+
+    Scale shape: ZERO shuffle — everything is per-row array expressions
+    (window hashes, first-occurrence test via ``array_position``, the
+    same in-row coverage filter as :func:`scrub_shared_spans`).  The
+    first-occurrence scan is O(windows²) per DOCUMENT in the worst case
+    — bounded by document length, never corpus size, the same class as
+    the cross-doc op's coverage test."""
+    from dataqtor_spark.session import parallelize
+
+    base = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  _clean_tokens(text_col).alias("__tk")))
+            .withColumn("__n", F.size("__tk")))
+    span = F.lit(span_tokens)
+    hashes = F.when(
+        F.col("__n") >= span_tokens,
+        F.transform(F.sequence(F.lit(1), F.col("__n") - (span_tokens - 1)),
+                    lambda s: F.xxhash64(F.concat_ws(
+                        " ", F.slice(F.col("__tk"), s, span_tokens))))
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = base.withColumn("__hs", hashes)
+    # duplicate-occurrence starts: windows whose hash first occurs
+    # earlier.  Guard: sequence(1, 0) counts DOWN, so a window-less doc
+    # must short-circuit to an empty start list (the t20 device).
+    base = base.withColumn("__ss", F.expr(
+        "CASE WHEN size(__hs) > 0 THEN "
+        "filter(sequence(1, size(__hs)), "
+        "s -> array_position(__hs, element_at(__hs, s)) < s) "
+        "ELSE array() END"))
+    ss = F.col("__ss")
+    covered = lambda i: F.exists(  # noqa: E731 — bound per-row, not stored
+        ss, lambda s: (i >= s) & (i <= s + (span - 1)))
+    kept = F.when(
+        F.col("__n") > 0,
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.col("__n")),
+                     lambda i: ~covered(i)),
+            lambda i: F.element_at("__tk", i)),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(F.col("__id").alias(id_col),
+                       F.col("__n").cast("long").alias("n_tokens"),
+                       (F.col("__n") - F.size(kept)).cast("long")
+                       .alias("n_removed"),
+                       F.when(F.size(kept) > 0, F.concat_ws(" ", kept))
+                       .alias("cleaned_text"))
+
+
 def source_mix(df: DataFrame, source_col: str = "source",
                text_col: str = "text",
                targets: dict[str, float] | None = None,

@@ -3180,6 +3180,95 @@ SELECT b.doc_id, b.n::BIGINT AS n_tokens,
 FROM base b LEFT JOIN agg a USING (doc_id)"""
 
 
+# t41 — within-doc repeat collapse (the self-repeat half of ExactSubstr;
+# t40 is the cross-document half).  A window is a duplicate OCCURRENCE
+# iff an equal-text window starts earlier in the SAME document; covered
+# tokens of duplicate occurrences are removed, first occurrences survive.
+# The synthetic corpus has no natural self-repeats, so the registration
+# PLANTS them (the m04/pii01 device): every 5th document re-appends its
+# own first 12 tokens, creating seam-crossing duplicate windows the
+# collapse must scrub — replayed bit-identically in the oracle.
+_T41_PLANT_MOD, _T41_PLANT_TOKENS = 5, 12
+
+_T41_SQL = f"""WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_T41_PLANT_MOD} = 0 THEN
+           text || ' ' || array_to_string(list_slice(
+             list_filter(regexp_split_to_array(trim(lower(text)),
+                                               '[ \\t\\n\\r\\f]+'),
+                         t -> t <> ''), 1, {_T41_PLANT_TOKENS}), ' ')
+         ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)),
+                                           '[ \\t\\n\\r\\f]+'),
+                     t -> t <> '') AS tk
+  FROM docs2
+), base AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks
+),
+toks2 AS (
+  SELECT doc_id, t.i AS pos, tk[t.i] AS token
+  FROM base, unnest(generate_series(1, n)) AS t(i)
+  WHERE n > 0
+),
+wins AS (
+  SELECT doc_id, i AS s,
+         array_to_string(list_slice(tk, i, i + {_T40_SPAN - 1}), ' ') AS sp
+  FROM base, unnest(generate_series(1, n - {_T40_SPAN - 1})) AS t(i)
+  WHERE n >= {_T40_SPAN}
+),
+firsts AS (
+  SELECT doc_id, sp, min(s) AS s0 FROM wins GROUP BY doc_id, sp
+),
+dupw AS (
+  SELECT w.doc_id, w.s FROM wins w
+  JOIN firsts f ON f.doc_id = w.doc_id AND f.sp = w.sp AND w.s > f.s0
+),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.s + t.j AS pos
+  FROM dupw d, unnest(generate_series(0, {_T40_SPAN - 1})) AS t(j)
+),
+m AS (
+  SELECT t.doc_id, t.pos, t.token, (c.pos IS NOT NULL) AS covered
+  FROM toks2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN covered THEN 1 ELSE 0 END) AS nr,
+         string_agg(CASE WHEN NOT covered THEN token END,
+                    ' ' ORDER BY pos) AS clean
+  FROM m GROUP BY doc_id
+)
+SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+       coalesce(a.nr, 0)::BIGINT AS n_removed,
+       a.clean AS cleaned_text
+FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
+@register("t41_within_doc_collapse", _T41_SQL)
+def t41_within_doc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document exact-substring collapse: tokens covered by any
+    8-token window whose text already occurred earlier in the SAME
+    document are removed (first occurrence survives) — the self-repeat
+    half of ExactSubstr; zero-shuffle array expressions.  Self-repeats
+    are planted (every 5th doc re-appends its first 12 tokens) since the
+    synthetic corpus has none naturally."""
+    from dataqtor_spark.operators.textstats import _clean_tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % _T41_PLANT_MOD == 0,
+               F.concat_ws(" ", F.col("text"),
+                           F.concat_ws(" ", F.slice(
+                               _clean_tokens("text"), 1,
+                               _T41_PLANT_TOKENS))))
+        .otherwise(F.col("text")).alias("text"))
+    return TX.collapse_repeated_spans(docs, span_tokens=_T40_SPAN)
+
+
 @register("t40_exact_substring_scrub", _T40_SQL)
 def t40_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup removal (Lee et al. 2022 ExactSubstr,
@@ -6998,6 +7087,59 @@ SELECT count(*)::BIGINT AS n_pairs,
        round(min(cos), 6) AS min_cosine,
        round(max(cos), 6) AS max_cosine
 FROM pairs"""
+
+
+def _e05_dec_mean_sql(col: str, cond: str) -> str:
+    return XR.round_ratio_sql(
+        f"CAST(sum(CASE WHEN {cond} THEN CAST({col} AS DECIMAL(18,6)) END)"
+        f" * 1000000 AS HUGEINT)",
+        f"greatest(sum(CASE WHEN {cond} THEN 1 ELSE 0 END), 1)::HUGEINT"
+        f" * 1000000", 6)
+
+
+_E05_SQL = f"""WITH ex AS (
+  SELECT vec_id, vec_id % 2 = 0 AS a, t.i - 1 AS dim, v[t.i] AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       unnest(generate_series(1, 64)) AS t(i)
+), cent AS (
+  SELECT dim, round(avg(CASE WHEN a THEN x END), 6) AS ma,
+         round(avg(CASE WHEN NOT a THEN x END), 6) AS mb
+  FROM ex GROUP BY dim
+), cs AS (
+  SELECT round(sum(ma * mb), 6) AS dotab,
+         sum(ma * ma) AS na2, sum(mb * mb) AS nb2
+  FROM cent
+), per AS (
+  SELECT e.vec_id, e.a,
+         sum(e.x * CASE WHEN e.a THEN c.ma ELSE c.mb END) AS dotc,
+         sum(e.x * e.x) AS nv2
+  FROM ex e JOIN cent c USING (dim) GROUP BY 1, 2
+), pc AS (
+  SELECT a,
+         round(dotc / (sqrt(nv2)
+               * sqrt(CASE WHEN a THEN cs.na2 ELSE cs.nb2 END)), 6) AS cos,
+         round(sqrt(nv2), 6) AS vn
+  FROM per, cs
+)
+SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       (SELECT round(dotab / (sqrt(na2) * sqrt(nb2)), 6) FROM cs)
+         AS centroid_cosine,
+       {_e05_dec_mean_sql('cos', 'a')} AS cohesion_a,
+       {_e05_dec_mean_sql('cos', 'NOT a')} AS cohesion_b,
+       {_e05_dec_mean_sql('vn', 'a')} AS norm_mean_a,
+       {_e05_dec_mean_sql('vn', 'NOT a')} AS norm_mean_b
+FROM pc"""
+
+
+@register("e05_embedding_drift", _E05_SQL)
+def e05_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots (vec_id parity
+    as the accretion split): centroid cosine, per-snapshot cohesion, and
+    mean-norm scale drift — the refresh gate a pipeline checks before
+    trusting a frozen quantizer/ANN index on a new crawl."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return EB.embedding_drift(emb, F.col("vec_id") % 2 == 0, "vec_id")
 
 
 @register("e04_embedding_isotropy", _E04_SQL)
@@ -11917,10 +12059,11 @@ _R14_PREFIX = [
     "m03_video_frame_sampling",
     "p01_project_reorder_drop",
     "p03_typed_search_orders",
-    "p05_null_search_customer",
-    "p06_row_id_lookup",
     # registered this round — must sit inside the graded window
+    # (p05/p06, last graded r7, got bumped to make room)
     "t40_exact_substring_scrub",
+    "t41_within_doc_collapse",
+    "e05_embedding_drift",
 ]
 _missing14 = [n for n in _R14_PREFIX if n not in QUERIES]
 assert not _missing14, f"r14 prefix references unknown queries: {_missing14}"

@@ -95,6 +95,30 @@ def test_scrub_shared_spans_removes_boilerplate(spark):
     assert out[5]["n_removed"] == 9 and out[5]["cleaned_text"] is None
 
 
+def test_collapse_repeated_spans_within_doc(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    df = _docs(spark, [
+        (1, base + " filler one two " + base),   # self-repeat later in doc
+        (2, base),                                # single occurrence
+        (3, " ".join(["loop"] * 20)),             # degenerate full repeat
+        (4, "tiny"),                              # shorter than span
+    ])
+    out = {r["doc_id"]: r for r in
+           T.collapse_repeated_spans(df, span_tokens=8).collect()}
+    # doc 1: the second 8-token copy (positions 12..19) is scrubbed;
+    # the first copy and the filler survive
+    assert out[1]["n_removed"] == 8
+    assert out[1]["cleaned_text"] == base + " filler one two"
+    # single occurrence untouched
+    assert out[2]["n_removed"] == 0 and out[2]["cleaned_text"] == base
+    # degenerate loop: every window equals the first -> only the tokens
+    # no duplicate window covers survive (positions 2..20 are covered)
+    assert out[3]["n_tokens"] == 20 and out[3]["n_removed"] == 19
+    assert out[3]["cleaned_text"] == "loop"
+    # sub-span doc has no windows
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny"
+
+
 def test_source_mix_targets_and_uniform(spark):
     df = spark.createDataFrame(
         [(1, "a b c d", "s1"), (2, "e f", "s1"), (3, "g h i j k l", "s2")],

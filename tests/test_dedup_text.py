@@ -635,6 +635,33 @@ def test_embedding_dim_stats(spark):
     assert st[0]["std"] == 1.0
 
 
+def test_embedding_drift_detects_planted_shift(spark):
+    import pyspark.sql.functions as F
+
+    from dataqtor_spark.operators import embeddings as EB
+
+    # snapshot A along +x, snapshot B along +y, B at 3x the norm:
+    # centroid cosine collapses to 0, norm means split 1 vs 3
+    rows = [(i, [1.0, 0.0]) for i in range(4)] + \
+           [(10 + i, [0.0, 3.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = EB.embedding_drift(df, F.col("vec_id") < 10, "vec_id").collect()[0]
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert r["centroid_cosine"] == 0.0
+    assert r["norm_mean_a"] == 1.0 and r["norm_mean_b"] == 3.0
+    # every vector IS its snapshot centroid direction
+    assert r["cohesion_a"] == 1.0 and r["cohesion_b"] == 1.0
+
+    # no drift: identical snapshots agree on every number
+    same = [(i, [0.6, 0.8]) for i in range(6)]
+    df2 = spark.createDataFrame(same, "vec_id long, embedding array<double>")
+    r2 = EB.embedding_drift(df2, F.col("vec_id") % 2 == 0, "vec_id") \
+        .collect()[0]
+    assert r2["centroid_cosine"] == 1.0
+    assert r2["cohesion_a"] == 1.0 and r2["cohesion_b"] == 1.0
+    assert r2["norm_mean_a"] == 1.0 and r2["norm_mean_b"] == 1.0
+
+
 def test_ivf_at_rest_prunes_partitions(spark, tables, tmp_path):
     from dataqtor_spark.operators import ann as ANN
 

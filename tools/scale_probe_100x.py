@@ -108,8 +108,12 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "pack01_sequence_packing", "chunk01_doc_chunks",
                "pack02_length_buckets",
                # r14: substring scrub = t16's window-hash analytic plus a
-               # bounded shared-starts join; linear in corpus tokens
-               "t40_exact_substring_scrub"]
+               # bounded shared-starts join (linear in corpus tokens);
+               # within-doc collapse = zero-shuffle array expressions;
+               # embedding drift = dim-bounded centroid shuffle + one
+               # broadcast join over the exploded view
+               "t40_exact_substring_scrub", "t41_within_doc_collapse",
+               "e05_embedding_drift"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
