@@ -136,6 +136,24 @@ HEADLINE = [
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
 
+# Queries whose output is a per-input-row rebuild behind a row-count-
+# preserving left join: ``count()`` lets Catalyst prune the whole
+# computed subtree (the t40 plan drops from 19 s to 1.2 s at 100x), so
+# these are timed through the noop sink, which materializes every
+# column without writing.  ``count()`` stays the action everywhere else
+# for round-over-round comparability.
+MATERIALIZE = {"t40_exact_substring_scrub", "t41_within_doc_collapse"}
+
+
+def run_query(name, df) -> int:
+    """Execute a benchmark query with the honest action for its shape;
+    returns the row count (computed untimed-cheap for noop-sink names —
+    callers time this function, and the pruned count costs ~nothing
+    relative to the materialization)."""
+    if name in MATERIALIZE:
+        df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
 
 def run_full(spark, sf_dir: str, warm_dir: str, reps: int,
              out_path: str, sf) -> None:
@@ -148,7 +166,7 @@ def run_full(spark, sf_dir: str, warm_dir: str, reps: int,
     from dataqtor_spark.queries import QUERIES
 
     for name in HEADLINE:                      # one untimed warm pass
-        QUERIES[name](spark, warm_dir).count()
+        run_query(name, QUERIES[name](spark, warm_dir))
         if name in AT_REST:                    # build the index fixture
             QUERIES[name](spark, sf_dir).count()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -157,7 +175,7 @@ def run_full(spark, sf_dir: str, warm_dir: str, reps: int,
         for name in HEADLINE:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            rows[name] = QUERIES[name](spark, sf_dir).count()
+            rows[name] = run_query(name, QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
         print(f"# pass {rep + 1}/{reps} done", file=sys.stderr)
 
@@ -244,21 +262,21 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        fn(spark, warm_dir).count()        # codegen warm at tiny SF
+        run_query(name, fn(spark, warm_dir))   # codegen warm at tiny SF
         if name in AT_REST:
             fn(spark, sf_dir).count()      # build index fixture (offline)
         else:
             clear_trainer_caches()
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        n = run_query(name, fn(spark, sf_dir))
         firsts[name] = round(time.perf_counter() - t0, 3)
         samples: list[float] = []
         while len(samples) < (2 if not samples or min(samples) >= 0.5 else 5):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            n = run_query(name, df)
             samples.append(time.perf_counter() - t0)
         best = min(samples)
         mean = sum(samples) / len(samples)

@@ -196,16 +196,18 @@ def main() -> None:
         build_dir(spark, sf_dir, d, k)
         dirs[k] = d
 
+    from bench import run_query
+
     results: dict[str, dict[int, tuple[float, int]]] = {}
     for name in QUERY_NAMES:
         fn = QUERIES[name]
-        fn(spark, sf_dir).count()            # warm codegen at 1x
+        run_query(name, fn(spark, sf_dir))   # warm codegen at 1x
         results[name] = {}
         for k in (1, 10, 100):
             if name in AT_REST:
                 fn(spark, dirs[k]).count()   # offline index build, untimed
             t0 = time.perf_counter()
-            n = fn(spark, dirs[k]).count()
+            n = run_query(name, fn(spark, dirs[k]))
             dt = time.perf_counter() - t0
             results[name][k] = (dt, n)
             print(f"{name} @{k}x: {dt:.2f}s rows={n:,}", file=sys.stderr)
