@@ -735,8 +735,6 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
     try:
         ref_tot = ref_uni.agg(F.sum("__cu").alias("__lmT"),
                               F.count(F.lit(1)).alias("__lmV"))
-        ref_bi = (bi.filter("__t").groupBy("__a", "__b")
-                  .agg(F.count(F.lit(1)).alias("__cb")))
         lp9 = lambda num, den: F.round(F.log(num / den), 9) \
             .cast("decimal(18,9)")  # noqa: E731
         # start term per doc
@@ -746,9 +744,16 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
                      F.coalesce(F.col("__cu"), F.lit(0)) + 1,
                      F.col("__lmT") + F.col("__lmV")).alias("__lp"),
                      F.lit(1).alias("__c")))
-        # bigram terms: per-doc gram counts, then LM lookups
-        docg = bi.groupBy("__id", "__a", "__b").agg(
-            F.count(F.lit(1)).alias("__c"))
+        # bigram terms: ONE explode feeds the per-doc gram counts, and the
+        # reference bigram LM re-aggregates the (much smaller) per-doc
+        # table instead of re-exploding the corpus — __t is constant per
+        # doc, so carrying it through the groupBy costs nothing
+        docg_t = (bi.groupBy("__id", "__t", "__a", "__b")
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .localCheckpoint(eager=False))
+        ref_bi = (docg_t.filter("__t").groupBy("__a", "__b")
+                  .agg(F.sum("__c").cast("long").alias("__cb")))
+        docg = docg_t.drop("__t")
         prev = ref_uni.select(F.col("__w").alias("__a"),
                               F.col("__cu").alias("__ca"))
         grams = (docg.join(ref_bi, ["__a", "__b"], "left")
