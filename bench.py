@@ -127,6 +127,7 @@ HEADLINE = [
     "t40_exact_substring_scrub",
     "t41_within_doc_collapse",
     "e05_embedding_drift",
+    "t42_token_budget",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -915,6 +915,55 @@ def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("cleaned_text")))
 
 
+def token_budget(df: DataFrame, budget: int, source_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Training-token budget planner: per source, how many EPOCHS over
+    its exact-deduped corpus a uniform ``budget`` split implies — the
+    number a mixture owner reads before committing to target weights
+    (>1e6 ppm = that source repeats; ≫1e6 = it memorizes).
+
+    Per source: raw/unique doc counts (exact dedup on md5(text)),
+    raw/unique token totals, ``dup_token_ppm`` (fraction of tokens that
+    are duplicate copies, exact ppm), and ``epochs_ppm`` =
+    round(budget / n_sources / unique_tokens · 10⁶) on the same exact
+    integer surface as :func:`source_mix` (half-up via decimal ``div`` —
+    no float meets a round).  Degenerate zero-token sources yield NULL
+    ratios, the engine-identical convention.
+
+    Scale shape: one groupBy (source, md5) — the exact-dedup pass, with
+    map-side partial aggregation — then a |sources|-row re-aggregate
+    and a broadcast 1-row total.  Token counts ride the dedup groupBy
+    (identical across copies, ``min`` picks deterministically), so the
+    corpus is scanned once."""
+    per_text = (df.groupBy(F.col(source_col).alias("source"),
+                           F.md5(F.col(text_col).cast("string"))
+                           .alias("__h"))
+                .agg(F.count(F.lit(1)).alias("__dups"),
+                     F.min(token_count(text_col)).alias("__tok")))
+    agg = per_text.groupBy("source").agg(
+        F.sum("__dups").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_docs"),
+        F.sum(F.col("__dups") * F.col("__tok")).cast("long")
+        .alias("n_tokens"),
+        F.sum("__tok").cast("long").alias("n_unique_tokens"))
+    tot = agg.agg(F.count(F.lit(1)).alias("__ns"))
+    out = agg.crossJoin(F.broadcast(tot))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    two = F.lit(2).cast("decimal(38,0)")
+    m = F.lit(1000000).cast("decimal(38,0)")
+    b = F.lit(int(budget)).cast("decimal(38,0)")
+    ns, nt = dec(F.col("__ns")), dec(F.col("n_tokens"))
+    ut = dec(F.col("n_unique_tokens"))
+    dup_ppm = F.when(F.col("n_tokens") > 0, F.call_function(
+        "div", two * (nt - ut) * m + nt, two * nt).cast("long"))
+    ep_ppm = F.when(F.col("n_unique_tokens") > 0, F.call_function(
+        "div", two * b * m + ns * ut, two * ns * ut).cast("long"))
+    return out.select("source", "n_docs", "n_unique_docs", "n_tokens",
+                      "n_unique_tokens",
+                      dup_ppm.alias("dup_token_ppm"),
+                      ep_ppm.alias("epochs_ppm"))
+
+
 def collapse_repeated_spans(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             span_tokens: int = 8) -> DataFrame:

@@ -3248,6 +3248,42 @@ SELECT b.doc_id, b.n::BIGINT AS n_tokens,
 FROM base b LEFT JOIN agg a USING (doc_id)"""
 
 
+# t42 — training-token budget planner (epochs per source after exact
+# dedup under a uniform budget split; the t17 integer-ppm surface)
+_T42_BUDGET = 1_000_000
+
+_T42_SQL = f"""WITH per_text AS (
+  SELECT source, md5(text) AS h, count(*) AS dups,
+         min(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text),
+                                                 '[ \\t\\n\\r\\f]+')) END)
+           AS tok
+  FROM documents GROUP BY 1, 2
+), agg AS (
+  SELECT source, sum(dups)::BIGINT AS n_docs,
+         count(*)::BIGINT AS n_unique_docs,
+         sum(dups * tok)::BIGINT AS n_tokens,
+         sum(tok)::BIGINT AS n_unique_tokens
+  FROM per_text GROUP BY 1
+), tot AS (SELECT count(*) AS ns FROM agg)
+SELECT source, n_docs, n_unique_docs, n_tokens, n_unique_tokens,
+       CASE WHEN n_tokens = 0 THEN NULL ELSE
+         ((2*(n_tokens - n_unique_tokens)::HUGEINT*1000000 + n_tokens)
+          // (2*n_tokens))::BIGINT END AS dup_token_ppm,
+       CASE WHEN n_unique_tokens = 0 THEN NULL ELSE
+         ((2*{_T42_BUDGET}::HUGEINT*1000000 + ns*n_unique_tokens)
+          // (2*ns*n_unique_tokens))::BIGINT END AS epochs_ppm
+FROM agg, tot"""
+
+
+@register("t42_token_budget", _T42_SQL)
+def t42_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epochs under a uniform 1M-token budget after exact
+    dedup — the repeat-rate planning table behind mixture weights
+    (textstats.token_budget; all-integer ppm surface)."""
+    return TX.token_budget(_t(spark, sf_dir, "documents"), _T42_BUDGET)
+
+
 @register("t41_within_doc_collapse", _T41_SQL)
 def t41_within_doc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document exact-substring collapse: tokens covered by any
@@ -12058,12 +12094,12 @@ _R14_PREFIX = [
     "m02b_decode_dims",
     "m03_video_frame_sampling",
     "p01_project_reorder_drop",
-    "p03_typed_search_orders",
     # registered this round — must sit inside the graded window
-    # (p05/p06, last graded r7, got bumped to make room)
+    # (p03/p05/p06, last graded r7, got bumped to make room)
     "t40_exact_substring_scrub",
     "t41_within_doc_collapse",
     "e05_embedding_drift",
+    "t42_token_budget",
 ]
 _missing14 = [n for n in _R14_PREFIX if n not in QUERIES]
 assert not _missing14, f"r14 prefix references unknown queries: {_missing14}"

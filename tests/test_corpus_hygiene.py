@@ -119,6 +119,25 @@ def test_collapse_repeated_spans_within_doc(spark):
     assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny"
 
 
+def test_token_budget_epochs_and_dup_ppm(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b c d", "s1"),    # exact dup pair
+         (3, "e f", "s1"),
+         (4, "g h i j k l", "s2")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           T.token_budget(df, budget=12).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["n_unique_docs"] == 2
+    assert s1["n_tokens"] == 10 and s1["n_unique_tokens"] == 6
+    assert s1["dup_token_ppm"] == 400000           # 4 of 10 tokens are copies
+    # budget 12 over 2 sources = 6 tokens/source; s1 unique = 6 -> 1 epoch
+    assert s1["epochs_ppm"] == 1000000
+    assert out["s2"]["dup_token_ppm"] == 0
+    assert out["s2"]["epochs_ppm"] == 1000000      # 6 / 6
+    assert dict(T.token_budget(df, budget=12).dtypes)["epochs_ppm"] == "bigint"
+
+
 def test_source_mix_targets_and_uniform(spark):
     df = spark.createDataFrame(
         [(1, "a b c d", "s1"), (2, "e f", "s1"), (3, "g h i j k l", "s2")],

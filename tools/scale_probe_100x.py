@@ -113,7 +113,10 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # embedding drift = dim-bounded centroid shuffle + one
                # broadcast join over the exploded view
                "t40_exact_substring_scrub", "t41_within_doc_collapse",
-               "e05_embedding_drift"]
+               "e05_embedding_drift",
+               # budget planner = the exact-dedup groupBy (map-side
+               # combinable) + a |sources|-row re-aggregate
+               "t42_token_budget"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
