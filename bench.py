@@ -137,13 +137,19 @@ HEADLINE = [
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
 
-# Queries whose output is a per-input-row rebuild behind a row-count-
-# preserving left join: ``count()`` lets Catalyst prune the whole
-# computed subtree (the t40 plan drops from 19 s to 1.2 s at 100x), so
-# these are timed through the noop sink, which materializes every
-# column without writing.  ``count()`` stays the action everywhere else
-# for round-over-round comparability.
-MATERIALIZE = {"t40_exact_substring_scrub", "t41_within_doc_collapse"}
+# Queries whose output is a per-input-row rebuild / computed projection
+# that ``count()`` lets Catalyst prune away (the t40 plan drops from
+# 19 s to 1.2 s at 100x; f02's string repairs vanish entirely, 0.22 s
+# vs 1.35 s real): these are timed through the noop sink, which
+# materializes every column without writing.  ``count()`` stays the
+# action everywhere else for round-over-round comparability — a count-
+# vs-noop sweep over the projection-shaped headliners found only
+# sub-2x gaps elsewhere (j01 1.6x, t02 1.8x — count still executes
+# their joins/filters, only the final computed columns are skipped;
+# kept on count() and noted here so the gap is a recorded trade, not
+# an oversight).
+MATERIALIZE = {"t40_exact_substring_scrub", "t41_within_doc_collapse",
+               "f02_string_repairs_part", "x01_json_extract_props"}
 
 
 def run_query(name, df) -> int:
