@@ -128,6 +128,7 @@ HEADLINE = [
     "t41_within_doc_collapse",
     "e05_embedding_drift",
     "t42_token_budget",
+    "t43_ngram_novelty",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -915,6 +915,51 @@ def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("cleaned_text")))
 
 
+def ngram_novelty(df: DataFrame, ref_pred: Column, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Reference-vocabulary novelty score: per document, the fraction of
+    its distinct word ``n``-gram shingles that do NOT occur anywhere in
+    the reference slice (``ref_pred`` marks its rows) — the
+    vocabulary-overlap signal between exact decontamination (t13, full
+    text match) and fuzzy decontamination (t37, LSH): high novelty =
+    out-of-domain or gibberish, ~0 = the reference corpus already covers
+    it (reference rows score 0 by construction, a built-in sanity row).
+
+    Returns ``(id, n_shingles, n_seen, novelty_ppm)`` with novelty as an
+    exact half-up ppm (the t17 integer surface).  Sub-``n``-word docs
+    contribute their whole text as one shingle (the
+    :func:`dedup.word_shingles` convention), so ``n_shingles >= 1``
+    always and no division guard is needed.
+
+    Scale shape: ONE corpus pass (shingle explode, 8-byte xxhash64 rows
+    — shingle text never shuffles); the reference set derives from the
+    same exploded stream by a conditional filter (never re-scanned, the
+    lm01 device), is reference-sized, and joins back as a hash join AQE
+    can broadcast."""
+    from dataqtor_spark.operators.dedup import word_shingles
+    from dataqtor_spark.session import parallelize
+
+    ex = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                ref_pred.alias("__t"),
+                                word_shingles(text_col, n).alias("__sh")))
+          .select("__id", "__t", F.explode("__sh").alias("__s"))
+          .select("__id", "__t", F.xxhash64("__s").alias("__h")))
+    ref = ex.filter("__t").select("__h").distinct() \
+        .withColumn("__seen", F.lit(True))
+    agg = (ex.join(ref, "__h", "left")
+           .groupBy("__id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum(F.coalesce(F.col("__seen"), F.lit(False))
+                      .cast("long")).cast("long").alias("n_seen")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    two = F.lit(2).cast("decimal(38,0)")
+    m = F.lit(1000000).cast("decimal(38,0)")
+    ns, seen = dec(F.col("n_shingles")), dec(F.col("n_seen"))
+    nov = F.call_function("div", two * (ns - seen) * m + ns, two * ns)
+    return agg.select(F.col("__id").alias(id_col), "n_shingles", "n_seen",
+                      nov.cast("long").alias("novelty_ppm"))
+
+
 def token_budget(df: DataFrame, budget: int, source_col: str = "source",
                  text_col: str = "text") -> DataFrame:
     """Training-token budget planner: per source, how many EPOCHS over

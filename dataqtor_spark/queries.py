@@ -3248,6 +3248,43 @@ SELECT b.doc_id, b.n::BIGINT AS n_tokens,
 FROM base b LEFT JOIN agg a USING (doc_id)"""
 
 
+# t43 — reference-vocabulary novelty (distinct word 3-gram overlap with
+# the src0 slice — the signal between t13 exact and t37 fuzzy decon)
+_T43_N = 3
+
+_T43_SQL = f"""WITH w AS (
+  SELECT doc_id, source = 'src0' AS t,
+         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+') AS words
+  FROM documents
+), ex AS (
+  SELECT DISTINCT doc_id, t, array_to_string(words[i:i+{_T43_N - 1}], ' ') AS sh
+  FROM w, UNNEST(generate_series(1, len(words) - {_T43_N - 1})) AS t2(i)
+  WHERE len(words) >= {_T43_N}
+  UNION
+  SELECT doc_id, t, array_to_string(words, ' ') AS sh
+  FROM w WHERE len(words) < {_T43_N}
+), ref AS (
+  SELECT DISTINCT sh FROM ex WHERE t
+), agg AS (
+  SELECT e.doc_id, count(*) AS ns,
+         sum(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END) AS seen
+  FROM ex e LEFT JOIN ref r ON e.sh = r.sh GROUP BY 1
+)
+SELECT doc_id, ns::BIGINT AS n_shingles, seen::BIGINT AS n_seen,
+       ((2*(ns - seen)::HUGEINT*1000000 + ns) // (2*ns))::BIGINT
+         AS novelty_ppm
+FROM agg"""
+
+
+@register("t43_ngram_novelty", _T43_SQL)
+def t43_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct word 3-grams unseen in the src0
+    reference slice (textstats.ngram_novelty) — the vocabulary-overlap
+    decontamination/domain signal; exact half-up ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.ngram_novelty(docs, F.col("source") == "src0", n=_T43_N)
+
+
 # t42 — training-token budget planner (epochs per source after exact
 # dedup under a uniform budget split; the t17 integer-ppm surface)
 _T42_BUDGET = 1_000_000
@@ -12093,13 +12130,13 @@ _R14_PREFIX = [
     "m01_media_metadata",
     "m02b_decode_dims",
     "m03_video_frame_sampling",
-    "p01_project_reorder_drop",
     # registered this round — must sit inside the graded window
-    # (p03/p05/p06, last graded r7, got bumped to make room)
+    # (p01/p03/p05/p06, last graded r7, got bumped to make room)
     "t40_exact_substring_scrub",
     "t41_within_doc_collapse",
     "e05_embedding_drift",
     "t42_token_budget",
+    "t43_ngram_novelty",
 ]
 _missing14 = [n for n in _R14_PREFIX if n not in QUERIES]
 assert not _missing14, f"r14 prefix references unknown queries: {_missing14}"

@@ -119,6 +119,25 @@ def test_collapse_repeated_spans_within_doc(spark):
     assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny"
 
 
+def test_ngram_novelty_reference_overlap(spark):
+    ref = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, ref, True),
+         (2, ref, False),                       # verbatim copy: 0 novelty
+         (3, "totally different words entirely here now", False),
+         (4, "hi", False)],                     # sub-3-word doc
+        "doc_id long, text string, is_ref boolean")
+    out = {r["doc_id"]: r for r in
+           T.ngram_novelty(df, F.col("is_ref"), n=3).collect()}
+    assert out[1]["novelty_ppm"] == 0          # ref scores 0 by construction
+    assert out[2]["novelty_ppm"] == 0 and out[2]["n_seen"] == out[2]["n_shingles"]
+    assert out[3]["novelty_ppm"] == 1000000 and out[3]["n_seen"] == 0
+    # whole-text shingle convention: one shingle, unseen
+    assert out[4]["n_shingles"] == 1 and out[4]["novelty_ppm"] == 1000000
+    # 9 words -> 7 windows, one repeated ("the") dedups nothing at 3-gram
+    assert out[1]["n_shingles"] == 7
+
+
 def test_token_budget_epochs_and_dup_ppm(spark):
     df = spark.createDataFrame(
         [(1, "a b c d", "s1"), (2, "a b c d", "s1"),    # exact dup pair

@@ -116,7 +116,10 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "e05_embedding_drift",
                # budget planner = the exact-dedup groupBy (map-side
                # combinable) + a |sources|-row re-aggregate
-               "t42_token_budget"]
+               "t42_token_budget",
+               # novelty = one 8-byte shingle-hash explode + a
+               # reference-sized hash join
+               "t43_ngram_novelty"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
