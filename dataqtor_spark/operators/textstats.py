@@ -931,21 +931,24 @@ def ngram_novelty(df: DataFrame, ref_pred: Column, id_col: str = "doc_id",
     :func:`dedup.word_shingles` convention), so ``n_shingles >= 1``
     always and no division guard is needed.
 
-    Scale shape: ONE corpus pass (shingle explode, 8-byte xxhash64 rows
-    — shingle text never shuffles); the reference set derives from the
-    same exploded stream by a conditional filter (never re-scanned, the
-    lm01 device), is reference-sized, and joins back as a hash join AQE
-    can broadcast."""
+    Scale shape: the full corpus is shingle-exploded ONCE (8-byte
+    xxhash64 rows — shingle text never shuffles); the reference set
+    comes from its OWN scan with ``ref_pred`` pushed down to the source
+    (reads only the reference slice, not a second full-corpus pass —
+    deriving it from the shared exploded stream would recompute the
+    whole explode for each consumer), is reference-sized after the
+    distinct, and joins back as a hash join AQE can broadcast."""
     from dataqtor_spark.operators.dedup import word_shingles
     from dataqtor_spark.session import parallelize
 
     ex = (parallelize(df.select(F.col(id_col).alias("__id"),
-                                ref_pred.alias("__t"),
                                 word_shingles(text_col, n).alias("__sh")))
-          .select("__id", "__t", F.explode("__sh").alias("__s"))
-          .select("__id", "__t", F.xxhash64("__s").alias("__h")))
-    ref = ex.filter("__t").select("__h").distinct() \
-        .withColumn("__seen", F.lit(True))
+          .select("__id", F.explode("__sh").alias("__s"))
+          .select("__id", F.xxhash64("__s").alias("__h")))
+    ref = (df.filter(ref_pred)
+           .select(F.explode(word_shingles(text_col, n)).alias("__s"))
+           .select(F.xxhash64("__s").alias("__h"))
+           .distinct().withColumn("__seen", F.lit(True)))
     agg = (ex.join(ref, "__h", "left")
            .groupBy("__id")
            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
