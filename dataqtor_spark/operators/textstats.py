@@ -931,23 +931,21 @@ def ngram_novelty(df: DataFrame, ref_pred: Column, id_col: str = "doc_id",
     :func:`dedup.word_shingles` convention), so ``n_shingles >= 1``
     always and no division guard is needed.
 
-    Scale shape: the full corpus is shingle-exploded ONCE (8-byte
-    xxhash64 rows — shingle text never shuffles); the reference set
-    comes from its OWN scan with ``ref_pred`` pushed down to the source
-    (reads only the reference slice, not a second full-corpus pass —
-    deriving it from the shared exploded stream would recompute the
-    whole explode for each consumer), is reference-sized after the
-    distinct, and joins back as a hash join AQE can broadcast."""
-    from dataqtor_spark.operators.dedup import word_shingles
-    from dataqtor_spark.session import parallelize
+    Scale shape: the full corpus is shingle-exploded ONCE through
+    :func:`dedup._exploded_shingles` (word hashes computed once per row,
+    per-shingle cost = n array reads + one fixed-arity hash, 8-byte rows
+    — shingle STRINGS are never even allocated, the device that keeps
+    d02's posting lists cheap); the reference set comes from its OWN
+    scan with ``ref_pred`` pushed down to the source (reads only the
+    reference slice, not a second full-corpus pass), is reference-sized
+    after the distinct, and joins back as a hash join AQE can
+    broadcast."""
+    from dataqtor_spark.operators.dedup import _exploded_shingles
 
-    ex = (parallelize(df.select(F.col(id_col).alias("__id"),
-                                word_shingles(text_col, n).alias("__sh")))
-          .select("__id", F.explode("__sh").alias("__s"))
-          .select("__id", F.xxhash64("__s").alias("__h")))
-    ref = (df.filter(ref_pred)
-           .select(F.explode(word_shingles(text_col, n)).alias("__s"))
-           .select(F.xxhash64("__s").alias("__h"))
+    ex = _exploded_shingles(df, id_col, text_col, n) \
+        .select(F.col("__id"), F.col("__sh").alias("__h"))
+    ref = (_exploded_shingles(df.filter(ref_pred), id_col, text_col, n)
+           .select(F.col("__sh").alias("__h"))
            .distinct().withColumn("__seen", F.lit(True)))
     agg = (ex.join(ref, "__h", "left")
            .groupBy("__id")
