@@ -732,6 +732,7 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
                       F.explode("__tk").alias("__w"))
     ref_uni = (uni.filter("__t").groupBy("__w")
                .agg(F.count(F.lit(1)).alias("__cu"))).persist()
+    docg_t = None
     try:
         ref_tot = ref_uni.agg(F.sum("__cu").alias("__lmT"),
                               F.count(F.lit(1)).alias("__lmV"))
@@ -747,10 +748,12 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
         # bigram terms: ONE explode feeds the per-doc gram counts, and the
         # reference bigram LM re-aggregates the (much smaller) per-doc
         # table instead of re-exploding the corpus — __t is constant per
-        # doc, so carrying it through the groupBy costs nothing
+        # doc, so carrying it through the groupBy costs nothing.
+        # persist (released in the finally, the ref_uni pattern) rather
+        # than a lazy localCheckpoint, which would pin an
+        # O(corpus-grams) block until Python GC drops the frame
         docg_t = (bi.groupBy("__id", "__t", "__a", "__b")
-                  .agg(F.count(F.lit(1)).alias("__c"))
-                  .localCheckpoint(eager=False))
+                  .agg(F.count(F.lit(1)).alias("__c"))).persist()
         ref_bi = (docg_t.filter("__t").groupBy("__a", "__b")
                   .agg(F.sum("__c").cast("long").alias("__cb")))
         docg = docg_t.drop("__t")
@@ -779,6 +782,8 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
         return out
     finally:
         ref_uni.unpersist()
+        if docg_t is not None:
+            docg_t.unpersist()
 
 
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

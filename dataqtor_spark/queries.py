@@ -3175,7 +3175,8 @@ agg AS (
   FROM m GROUP BY doc_id
 )
 SELECT b.doc_id, b.n::BIGINT AS n_tokens,
-       coalesce(a.nr, 0)::BIGINT AS n_removed,
+       CASE WHEN b.n IS NULL THEN NULL
+            ELSE coalesce(a.nr, 0) END::BIGINT AS n_removed,
        a.clean AS cleaned_text
 FROM base b LEFT JOIN agg a USING (doc_id)"""
 
@@ -3243,7 +3244,8 @@ agg AS (
   FROM m GROUP BY doc_id
 )
 SELECT b.doc_id, b.n::BIGINT AS n_tokens,
-       coalesce(a.nr, 0)::BIGINT AS n_removed,
+       CASE WHEN b.n IS NULL THEN NULL
+            ELSE coalesce(a.nr, 0) END::BIGINT AS n_removed,
        a.clean AS cleaned_text
 FROM base b LEFT JOIN agg a USING (doc_id)"""
 
@@ -3333,7 +3335,11 @@ def t41_within_doc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(F.col("doc_id") % _T41_PLANT_MOD == 0,
+        # isNotNull guard: concat_ws silently coerces NULL to '' while
+        # the SQL plant's `text || ...` keeps NULL — a NULL-text doc
+        # must stay NULL on both sides
+        F.when((F.col("doc_id") % _T41_PLANT_MOD == 0)
+               & F.col("text").isNotNull(),
                F.concat_ws(" ", F.col("text"),
                            F.concat_ws(" ", F.slice(
                                _clean_tokens("text"), 1,

@@ -119,6 +119,36 @@ def test_collapse_repeated_spans_within_doc(spark):
     assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny"
 
 
+def test_scrub_collapse_null_text_oracle_parity(spark, tmp_path):
+    # NULL text: both scrub operators emit (NULL, NULL, NULL); the
+    # oracles must NOT coalesce n_removed to 0 for those rows, and the
+    # t41 plant must not let concat_ws coerce a NULL into '' (the
+    # pack01/chunk01 NULL-parity device, applied to the t40/t41 pair —
+    # doc_id 5 also exercises the plant's %5==0 branch on a NULL).
+    import duckdb
+    import pandas as pd
+
+    from dataqtor_spark.queries import ORACLES, QUERIES
+    from tools.check_oracle import compare
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 5],
+        "text": [None, "one two three four five six seven eight nine", None],
+        "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [0, 44, 0]})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW documents AS SELECT *
+                    FROM read_parquet('{tmp_path}/documents.parquet')""")
+    for name in ["t40_exact_substring_scrub", "t41_within_doc_collapse"]:
+        sdf = QUERIES[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(ORACLES[name]).fetchdf()
+        assert compare(name, sdf, odf) == [], name
+    out = {r["doc_id"]: r for r in
+           QUERIES["t41_within_doc_collapse"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_tokens"] is None and out[1]["n_removed"] is None
+    assert out[5]["cleaned_text"] is None    # planted branch on NULL text
+
+
 def test_ngram_novelty_reference_overlap(spark):
     ref = "the quick brown fox jumps over the lazy dog"
     df = spark.createDataFrame(

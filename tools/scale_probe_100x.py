@@ -202,7 +202,7 @@ def main() -> None:
         build_dir(spark, sf_dir, d, k)
         dirs[k] = d
 
-    from bench import run_query
+    from bench import row_count, run_query
 
     results: dict[str, dict[int, tuple[float, int]]] = {}
     for name in QUERY_NAMES:
@@ -215,6 +215,8 @@ def main() -> None:
             t0 = time.perf_counter()
             n = run_query(name, fn(spark, dirs[k]))
             dt = time.perf_counter() - t0
+            if n is None:                    # MATERIALIZE: count untimed
+                n = row_count(name, fn(spark, dirs[k]))
             results[name][k] = (dt, n)
             print(f"{name} @{k}x: {dt:.2f}s rows={n:,}", file=sys.stderr)
 
