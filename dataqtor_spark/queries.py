@@ -12151,3 +12151,72 @@ assert all(n in ORACLES for n in _R14_PREFIX)  # first 50 stay hash-checkable
 QUERIES = {**{n: QUERIES[n] for n in _R14_PREFIX},
            **{n: f for n, f in QUERIES.items() if n not in _R14_PREFIX}}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+# ---------------------------------------------------------------------------
+# Round-15 graded-prefix rotation.  Freshness pass over the stalest driver
+# grades: after r14 the oldest cohorts are the round-7 set (p-filters,
+# pr-profiler stats, text pipeline t05-t29, x01) — all 27 of them — plus the
+# first 22 of the round-8 set (a-diagnostics, behavior funnels, cdc, cube,
+# er01, fd, graph, market-basket, o-aggregates, percentiles).  t17b stays as
+# the permanent tokenization-hash canary.  Queries registered THIS round are
+# spliced in at the tail (new registrations must always sit inside the
+# graded window).
+_R15_PREFIX = [
+    "t17b_source_mix_diag",
+    "p01_project_reorder_drop",
+    "p03_typed_search_orders",
+    "p05_null_search_customer",
+    "p06_row_id_lookup",
+    "p08_null_majority_rows",
+    "pareto01_revenue_concentration",
+    "pr07_psi_drift",
+    "pr08_outlier_iqr",
+    "pr10_equi_depth_histogram",
+    "pr11_ks_drift",
+    "pr12_benford_extendedprice",
+    "pr14_key_skew_user",
+    "pr16_incremental_distinct_users",
+    "pr18_entropy_mi_orders",
+    "pr20_chi2_status_priority",
+    "r06_no_spaces_rule",
+    "r08b_email_subrule_counts",
+    "s13_windowed_distinct_sketch",
+    "t05_training_pipeline",
+    "t06_chunk_documents",
+    "t07_pii_scrub",
+    "t08_shard_assignment",
+    "t15_gopher_flags",
+    "t23_bm25_search",
+    "t29_curation_funnel",
+    "ts03_autocorrelation",
+    "x01_json_extract_props",
+    "a01b_catalog_summary",
+    "a18_pivot_status_priority",
+    "a20_column_modes",
+    "a21_duplicate_columns",
+    "ann04_label_centroids",
+    "b01_funnel_events",
+    "b07_time_to_convert",
+    "bpe01_merge_candidates",
+    "cdc01_snapshot_diff",
+    "cdc02_latest_per_key",
+    "cep01_sequence_match",
+    "cube01_returnflag_status",
+    "er01_entity_resolution",
+    "fd01_functional_deps_orders",
+    "fd02_inclusion_dependencies",
+    "g01_pagerank_transitions",
+    "g02_triangle_count",
+    "m02_image_decode_features",
+    "mb01_copurchase_pairs",
+    "o05_topk_per_group",
+    "o07_trimmed_mean_acctbal",
+    "pctl01_acctbal_deciles",
+]
+_missing15 = [n for n in _R15_PREFIX if n not in QUERIES]
+assert not _missing15, f"r15 prefix references unknown queries: {_missing15}"
+assert len(_R15_PREFIX) == 50 and len(set(_R15_PREFIX)) == 50
+assert all(n in ORACLES for n in _R15_PREFIX)  # first 50 stay hash-checkable
+QUERIES = {**{n: QUERIES[n] for n in _R15_PREFIX},
+           **{n: f for n, f in QUERIES.items() if n not in _R15_PREFIX}}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
