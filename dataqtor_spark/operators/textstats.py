@@ -534,10 +534,20 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
     the fraction of a document covered by cross-document boilerplate.
 
     Scale shape: one posexplode of xxhash64'd windows (8-byte rows, window
-    text never shuffles), one groupBy(hash) for the document-frequency
-    table, one hash-join back + per-doc count.  Cost is linear in corpus
-    tokens; the df(hash) table is bounded by total windows, and AQE
-    broadcasts it when the shared set is small.
+    text never shuffles), pre-aggregated per (hash, doc) — a hash
+    aggregate with MAP-SIDE PARTIAL aggregation, so a boilerplate span
+    present in millions of documents (license headers: the hot-key shape
+    of real web corpora at 100 TB) collapses to one row per (hash, doc)
+    per map task before anything shuffles, and AQE splits any residual
+    skewed reduce partition.  [An earlier shape marked shared windows with
+    ``Window.partitionBy(hash)``: a window function cannot partially
+    aggregate and AQE cannot split a window partition, so one task had to
+    buffer every occurrence of the hottest span — the exact failure mode
+    boilerplate creates.]  The shared-hash set derived from the deduped
+    frame is bounded by distinct shared windows and joins back as a hash
+    semi-join AQE broadcasts when small and skew-splits when not; the
+    (hash, doc) frame is pinned (lazy ``localCheckpoint``) so the explode
+    feeding it runs once across both consumers.
     """
     from dataqtor_spark.session import parallelize
 
@@ -549,22 +559,25 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
         F.transform(F.sequence(F.lit(1), F.col("__n") - (span_tokens - 1)),
                     lambda s: F.xxhash64(F.concat_ws(
                         " ", F.slice(F.col("__tk"), s, span_tokens)))))
-    from pyspark.sql.window import Window
-
     ex = base.select("__id", F.explode(wins_expr).alias("__h"))
-    # one analytic pass over the hash partitioning marks shared windows
-    # in place — the exploded frame is computed ONCE and never self-joined
-    # (the naive shared-hash-table ⋈ windows join re-ran the whole explode
-    # for each consumer).  "≥2 distinct docs" for the default min_docs=2 is
-    # just min(id) ≠ max(id): two agg buffers, no per-group distinct table.
-    wh = Window.partitionBy("__h")
+    # per-(hash, doc) occurrence counts first: partial-agg, skew-immune
+    hd = (ex.groupBy("__h", "__id")
+          .agg(F.count(F.lit(1)).alias("__occ"))
+          .localCheckpoint(eager=False))
+    # "shared" per hash from the deduped frame.  min(id) ≠ max(id) covers
+    # the default min_docs=2 with two agg buffers; hd rows are distinct
+    # (hash, doc) pairs, so count(*) IS the distinct-doc count for the
+    # general case — no per-group distinct table, no collect_set.
     if min_docs == 2:
-        multi = F.min("__id").over(wh) != F.max("__id").over(wh)
+        sh = (hd.groupBy("__h")
+              .agg((F.min("__id") != F.max("__id")).alias("__m")))
     else:
-        multi = F.size(F.collect_set("__id").over(wh)) >= min_docs
-    per = (ex.withColumn("__multi", multi)
+        sh = (hd.groupBy("__h")
+              .agg((F.count(F.lit(1)) >= min_docs).alias("__m")))
+    shared = sh.filter("__m").select("__h")
+    per = (hd.join(shared, "__h", "left_semi")
            .groupBy("__id")
-           .agg(F.sum(F.col("__multi").cast("long")).alias("__shared")))
+           .agg(F.sum("__occ").alias("__shared")))
     tot = base.select("__id",
                       F.when(F.col("__n") >= span_tokens,
                              F.col("__n") - (span_tokens - 1))
@@ -870,16 +883,21 @@ def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
     whole document was boilerplate — the cross-engine canonical form of
     "empty join").
 
-    Scale shape: one posexplode of xxhash64'd windows (8 bytes/row),
-    one analytic pass over the hash partitioning to mark shared windows
-    (no self-join, no second explode), one groupBy(doc) collecting the
-    bounded list of shared start offsets, one hash-join back to the
-    token arrays.  The in-row coverage test is O(doc_tokens x shared
-    starts) — bounded by document length, never by corpus size, so the
-    whole op is linear in corpus tokens at 100 TB.
+    Scale shape: one posexplode of xxhash64'd windows (8 bytes/row,
+    pinned via lazy ``localCheckpoint`` so it materializes once for its
+    two consumers), a skew-immune shared-hash derivation — groupBy(hash)
+    with min/max agg buffers (map-side partials; a license-header span in
+    millions of docs collapses per map task, and AQE splits any residual
+    hot reduce partition — the shape a ``Window.partitionBy(hash)`` marker
+    cannot achieve, since window partitions can neither partially
+    aggregate nor be split), a semi-join back on the bounded shared set
+    (AQE broadcasts it when small), one groupBy(doc) collecting the
+    bounded list of shared start offsets, one hash-join back to the token
+    arrays.  The in-row coverage test is O(doc_tokens x shared starts) —
+    bounded by document length, never by corpus size, so the whole op is
+    linear in corpus tokens at 100 TB.
     """
     from dataqtor_spark.session import parallelize
-    from pyspark.sql.window import Window
 
     base = (parallelize(df.select(F.col(id_col).alias("__id"),
                                   _clean_tokens(text_col).alias("__tk")))
@@ -889,14 +907,20 @@ def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
         F.transform(F.sequence(F.lit(1), F.col("__n") - (span_tokens - 1)),
                     lambda s: F.xxhash64(F.concat_ws(
                         " ", F.slice(F.col("__tk"), s, span_tokens)))))
-    ex = base.select("__id", F.posexplode(wins_expr).alias("__p", "__h"))
-    wh = Window.partitionBy("__h")
+    ex = (base.select("__id", F.posexplode(wins_expr).alias("__p", "__h"))
+          .localCheckpoint(eager=False))
+    # shared-hash set: min(id) ≠ max(id) for the default min_docs=2 (two
+    # agg buffers, partial-agg); exact distinct-doc count otherwise —
+    # Spark plans count(DISTINCT id) as the two-stage (hash, id) partial
+    # dedupe, the same skew-immune shape.
     if min_docs == 2:
-        multi = F.min("__id").over(wh) != F.max("__id").over(wh)
+        sh = (ex.groupBy("__h")
+              .agg((F.min("__id") != F.max("__id")).alias("__m")))
     else:
-        multi = F.size(F.collect_set("__id").over(wh)) >= min_docs
-    starts = (ex.withColumn("__multi", multi)
-              .filter("__multi")
+        sh = (ex.groupBy("__h")
+              .agg((F.count_distinct("__id") >= min_docs).alias("__m")))
+    shared = sh.filter("__m").select("__h")
+    starts = (ex.join(shared, "__h", "left_semi")
               .groupBy("__id")
               # posexplode is 0-based; token offsets below are 1-based
               .agg(F.collect_list(F.col("__p") + 1).alias("__ss")))
@@ -1249,16 +1273,21 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
 
     Returns ``(id, n_chunks, n_dropped, clean_text)``.
 
-    Scale shape: one explode of (id, chunk_no, md5) rows — chunk *text*
-    stays out of the shuffle except for the surviving chunks that are
-    re-aggregated; the df(hash) table is a map-side-combinable groupBy.
-    The in-order rebuild is sort_array over per-doc collected
-    (chunk_no, chunk) structs — bounded by document length, never a global
-    sort.  md5 (not xxhash64) keeps the hash replayable in the ANSI-SQL
-    oracle; swap for xxhash64 when differential checkability is not needed.
+    Scale shape: one explode of (id, chunk_no, chunk, md5) rows, pinned
+    (lazy ``localCheckpoint``) so it materializes once for its two
+    consumers.  The shared-hash derivation is a groupBy(hash) over min/max
+    agg buffers (count(DISTINCT id) for ``max_df`` > 1) — map-side partial
+    aggregation, so a boilerplate chunk shared by millions of documents
+    collapses per map task and AQE splits any residual hot reduce
+    partition (the previous ``Window.partitionBy(hash)`` marker shuffled
+    chunk TEXT by hash and pinned every occurrence of the hottest chunk
+    in one window partition no runtime could split); the bounded shared
+    set joins back as a hash join AQE broadcasts.  The in-order rebuild
+    is sort_array over per-doc collected (chunk_no, chunk) structs —
+    bounded by document length, never a global sort.  md5 (not xxhash64)
+    keeps the hash replayable in the ANSI-SQL oracle; swap for xxhash64
+    when differential checkability is not needed.
     """
-    from pyspark.sql.window import Window
-
     base = df.select(F.col(id_col).alias("__id"),
                      _clean_tokens(text_col).alias("__tk"))
     nchunks = F.ceil(F.size("__tk") / chunk_tokens).cast("int")
@@ -1275,13 +1304,19 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     chunks = (base.select(
         "__id",
         F.posexplode(chunk_arr).alias("__cno", "__chunk"))
-        .withColumn("__h", F.md5(F.col("__chunk"))))
-    wh = Window.partitionBy("__h")
+        .withColumn("__h", F.md5(F.col("__chunk")))
+        .localCheckpoint(eager=False))
     if max_df == 1:
-        shared = F.min("__id").over(wh) != F.max("__id").over(wh)
+        sh = (chunks.groupBy("__h")
+              .agg((F.min("__id") != F.max("__id")).alias("__m")))
     else:
-        shared = F.size(F.collect_set("__id").over(wh)) > max_df
-    marked = chunks.withColumn("__shared", shared)
+        sh = (chunks.groupBy("__h")
+              .agg((F.count_distinct("__id") > max_df).alias("__m")))
+    shared = (sh.filter("__m").select("__h")
+              .withColumn("__sh_flag", F.lit(True)))
+    marked = (chunks.join(shared, "__h", "left")
+              .withColumn("__shared",
+                          F.coalesce(F.col("__sh_flag"), F.lit(False))))
     return (marked.groupBy("__id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
                  F.sum(F.col("__shared").cast("long")).alias("n_dropped"),
