@@ -198,8 +198,10 @@ def run_full(spark, sf_dir: str, warm_dir: str, reps: int,
             t0 = time.perf_counter()
             n = run_query(name, QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
-            rows[name] = (n if n is not None else
-                          row_count(name, QUERIES[name](spark, sf_dir)))
+            if n is not None:
+                rows[name] = n
+            elif name not in rows:   # MATERIALIZE: identical every rep,
+                rows[name] = row_count(name, QUERIES[name](spark, sf_dir))
         print(f"# pass {rep + 1}/{reps} done", file=sys.stderr)
 
     def med(xs: list[float]) -> float:
@@ -326,6 +328,30 @@ def main() -> None:
         "stddev": spreads,
         "sf": sf_val,
     }))
+    # The driver's bench capture keeps only the last ~2000 chars of
+    # stdout, which truncates the full dict above mid-"queries" and loses
+    # the cold-run totals entirely (round-14's first_sec honesty feature
+    # never reached BENCH_r14.json).  Emit a compact summary as the LAST
+    # line, sized well under the tail window, so the graded artifact
+    # always carries both totals and the slowest movers.
+    slowest = sorted(timings, key=timings.get, reverse=True)[:10]
+    compact = {
+        "metric": "headline_totals_compact",
+        "unit": "sec",
+        "total_warm": total,
+        "total_first": round(sum(firsts.values()), 3),
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "slowest_warm": {n: timings[n] for n in slowest},
+        "slowest_first": {n: firsts[n] for n in sorted(
+            firsts, key=firsts.get, reverse=True)[:10]},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1500 and compact["slowest_warm"]:
+        compact["slowest_warm"].popitem()
+        compact["slowest_first"].popitem()
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,18 @@ def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def _f_lit(x) -> str:
+    """Render a trained-codebook float as a Spark SQL double literal.
+    ``repr(float)+'D'`` renders NaN/inf as ``nanD``/``infD``, which fail
+    SQL parsing — a degenerate (non-finite) centroid from pathological
+    training input maps to a dead 0.0 slot instead, matching the
+    tolerance of the former ``F.lit`` expression-tree path."""
+    import math
+
+    v = float(x)
+    return (repr(v) + "D") if math.isfinite(v) else "0.0D"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold — deterministic summation order."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -45,7 +57,7 @@ def _sql_pq_lut_cols(books, sub: int) -> list[Column]:
     for j, book in enumerate(books):
         cid_centers = dict(book)
         arr = "array(" + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D"
+            "array(" + ",".join(_f_lit(x)
                                 for x in cid_centers.get(i, zeros)) + ")"
             for i in range(max(cid_centers) + 1)) + ")"
         cols.append(F.expr(
@@ -254,7 +266,7 @@ def _sql_nearest_cids(vec_sql: str, centers: list[tuple[int, list[float]]],
     literals costs real driver time per invocation.
     """
     cents = "array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        "array(" + ",".join(_f_lit(x) for x in c) + ")"
         for _cid, c in centers) + ")"
     cids = "array(" + ",".join(str(cid) for cid, _c in centers) + ")"
     # Per-centroid arithmetic is IDENTICAL to the former unrolled form
@@ -541,7 +553,7 @@ def ivfpq_topk_portable(corpus: DataFrame, queries: DataFrame, id_col: str,
     coarse = train_ivf_centroids_portable(
         corpus, id_col, vec_col, n_clusters, n_iter, cache_key=cache_key)
     coarse_arr_sql = ("array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in cvec) + ")"
+        "array(" + ",".join(_f_lit(x) for x in cvec) + ")"
         for _cid, cvec in coarse) + ")")
     cid_pos = {cid: i for i, (cid, _cv) in enumerate(coarse)}
     enc_src = corpus

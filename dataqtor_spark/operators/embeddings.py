@@ -95,8 +95,13 @@ def embedding_drift(df: DataFrame, split: Column, id_col: str,
     report replays bit-identically in ANSI SQL."""
     from dataqtor_spark.functions.exact import round_ratio
 
-    ex = df.select(F.col(id_col).alias("__id"), split.alias("__a"),
-                   F.posexplode(_dbl(F.col(vec_col))).alias("__dim", "__x"))
+    # ex feeds BOTH the centroid aggregate and the per-row dot join —
+    # pinned (lazy localCheckpoint) so the corpus posexplode materializes
+    # once instead of once per consumer (a free 2x at 100 TB embedding
+    # volume; the blocks spill to disk on executors at cluster scale)
+    ex = (df.select(F.col(id_col).alias("__id"), split.alias("__a"),
+                    F.posexplode(_dbl(F.col(vec_col))).alias("__dim", "__x"))
+          .localCheckpoint(eager=False))
     cent = (ex.groupBy("__dim")
             .agg(F.round(F.avg(F.when(F.col("__a"), F.col("__x"))), 6)
                  .alias("ma"),

@@ -9362,9 +9362,13 @@ def bpe03_tokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # serving path: the tokenizer is an offline artifact — train once per
     # process per sf_dir (the ann06 trainer-cache contract; bpe02 stays
-    # the honest training benchmark)
-    _merges, words = TX.bpe_train(docs, rounds=_BPE_ROUNDS,
-                                  cache_key=f"bpe03:{sf_dir}")
+    # the honest training benchmark).  The corpus fingerprint in the key
+    # makes in-process regeneration of the parquet a cache MISS instead
+    # of silently serving a tokenizer trained on the old bytes.
+    _merges, words = TX.bpe_train(
+        docs, rounds=_BPE_ROUNDS,
+        cache_key=f"bpe03:{sf_dir}:"
+                  f"{_corpus_fingerprint(f'{sf_dir}/documents.parquet')}")
     n_sub = F.size(F.filter(F.split(F.col("seq"), " "),
                             lambda x: x != "")).cast("long")
     wl = words.select(F.col("word"), n_sub.alias("n_sub"))

@@ -277,3 +277,36 @@ def test_chunking_and_packing_null_text(spark, tmp_path):
            QUERIES["pack01_sequence_packing"](spark, str(tmp_path)).collect()}
     assert out[1]["n_tokens"] is None and out[1]["n_blocks"] == 0
     assert out[2]["tok_start"] == 0 and out[3]["tok_start"] == 2
+
+
+def test_bpe03_cache_misses_on_regenerated_corpus(spark, tmp_path):
+    # the bpe03 trainer-cache key folds in the parquet fingerprint
+    # (size+mtime): regenerating documents.parquet IN PROCESS must be a
+    # cache MISS — the old key would silently serve a tokenizer trained
+    # on the replaced bytes (round-14 ADVICE item, closed properly here)
+    from dataqtor_spark.operators import textstats as TX2
+    from dataqtor_spark.queries import QUERIES
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, "aa bb cc dd ee ff " * 3, "en", "src0", 60)
+         for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet", mode="overwrite")
+    TX2._BPE_TRAIN_CACHE.clear()
+    out1 = QUERIES["bpe03_tokenizer_token_counts"](spark, sf).collect()
+    keys1 = set(TX2._BPE_TRAIN_CACHE)
+    assert len(keys1) == 1
+
+    # regenerate with different content (and a different byte size, so
+    # the fingerprint changes even within mtime's 1 s granularity)
+    spark.createDataFrame(
+        [(i, "zzzz yyyy xxxx wwww " * 5, "en", "src0", 100)
+         for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet", mode="overwrite")
+    out2 = QUERIES["bpe03_tokenizer_token_counts"](spark, sf).collect()
+    keys2 = set(TX2._BPE_TRAIN_CACHE)
+    assert keys2 - keys1, "regenerated corpus must mint a NEW cache key"
+    assert sorted(map(tuple, out1)) != sorted(map(tuple, out2))
+    TX2._BPE_TRAIN_CACHE.clear()

@@ -135,7 +135,10 @@ def main() -> None:
     ):
         res = {}
         for k in (1, 10):
-            src = f"{work}/{sink}_in_k{k}"
+            # key the reusable input dir by sf_dir too — a rerun against
+            # a different SF must not silently measure stale inputs
+            tag = os.path.basename(sf_dir.rstrip("/"))
+            src = f"{work}/{sink}_in_{tag}_k{k}"
             df = build(k)
             if not os.path.exists(src):
                 df.repartition(N_BATCH_FILES).write.parquet(
