@@ -179,7 +179,8 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+                       with_count: bool = False) -> DataFrame:
     """(id, shingle-hash) — shingles are xxhash64'd at the source so every
     downstream shuffle/join moves 8-byte longs instead of shingle strings
     (collision probability ~2⁻⁶⁴ per shingle pair: irrelevant next to the
@@ -192,7 +193,15 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     cost is n array reads + one fixed-arity hash (no string allocation).
     Same distinct-shingles-per-doc semantics as :func:`word_shingles`
     (distinct applied to the hash array; equal shingles ⇔ equal hash
-    tuples up to the accepted 2⁻⁶⁴ collision odds)."""
+    tuples up to the accepted 2⁻⁶⁴ collision odds).
+
+    ``with_count=True`` additionally carries the doc's distinct-shingle
+    count (``__nd``) on every exploded row — computed in-row from the
+    same array, no extra pass — so an UNCAPPED pairs consumer needs no
+    separate per-doc sizes aggregation or join-back (the count rides the
+    posting lists as an (id, n) struct).  Only valid when no doc-freq
+    cut follows: post-cut sizes must be re-derived from the surviving
+    posting lists, which the capped path still does."""
     from dataqtor_spark.session import parallelize
 
     base = parallelize(df.select(F.col(id_col).alias("__id"),
@@ -209,6 +218,20 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
         F.sequence(F.lit(1), k),
         lambda i: F.xxhash64(*[F.element_at(F.col("__wh"), i + j)
                                for j in range(n)]))))
+    if with_count:
+        # alias the array below the Generate so size() and explode()
+        # share one computation of it.  explode_OUTER, deliberately:
+        # plain explode(attr) makes Catalyst infer `size(__arr) > 0 AND
+        # isnotnull(__arr)` and push it through the alias chain to the
+        # SCAN, cloning the whole tokenize+hash expression into the
+        # (single-task, pre-repartition) scan stage — measured 9x on
+        # d02.  The shingle array is non-empty by construction (the
+        # k<=0 branch emits one whole-text hash even for NULL text), so
+        # outer semantics are identical.
+        arr = base.select("__id", shingles.alias("__arr"))
+        return arr.select("__id", F.size("__arr").alias("__nd"),
+                          F.explode_outer("__arr").alias("__sh")) \
+                  .select("__id", "__nd", "__sh")
     return base.select("__id", F.explode(shingles).alias("__sh"))
 
 
@@ -739,7 +762,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         else:
             deferred_auto = True
             max_doc_freq = None
-    ex = _exploded_shingles(df, id_col, text_col, n)
+    uncapped = max_doc_freq is None and not deferred_auto
+    ex = _exploded_shingles(df, id_col, text_col, n, with_count=uncapped)
+    if uncapped:
+        # no doc-freq cut → per-doc sizes ride the exploded rows
+        # (computed in-row, see _exploded_shingles with_count): one
+        # consumer, no persist needed, two exchanges total
+        pairs = _ngram_pairs_from_posts_nc(_ngram_posts_nc(ex), threshold)
+        return pairs if not materialize else pairs.localCheckpoint()
     if not materialize:
         # LAZY form for callers that immediately rematerialize the pairs
         # themselves (connected_components writes its edge list to
@@ -783,6 +813,42 @@ def _ngram_posts(ex: DataFrame, max_doc_freq, deferred_auto: bool,
     elif max_doc_freq is not None:
         posts = posts.filter(F.size("ids") <= max_doc_freq)
     return posts
+
+
+def _ngram_posts_nc(ex: DataFrame) -> DataFrame:
+    """Uncapped posting lists carrying (id, distinct-shingle-count)
+    structs — sorted by id, so pair expansion stays a < b."""
+    return (ex.groupBy("__sh")
+            .agg(F.sort_array(F.collect_list(F.struct("__id", "__nd")))
+                 .alias("ids")))
+
+
+def _ngram_pairs_from_posts_nc(posts: DataFrame,
+                               threshold: float) -> DataFrame:
+    """Pair expansion for the UNCAPPED path: per-doc sizes ride the
+    posting-list structs, so there is no separate sizes aggregation and
+    no join-back — two corpus-scale exchanges total (posting-list
+    groupBy, pair groupBy) instead of three plus two joins.  Grouping by
+    (id_a, n_a, id_b, n_b) has the same cardinality as (id_a, id_b):
+    the count is functionally dependent on the id."""
+    inter = (posts.filter(F.size("ids") > 1)
+             .select(F.explode(F.expr(
+                 "flatten(transform(ids, (x, i) -> "
+                 "transform(slice(ids, i + 2, size(ids)), "
+                 "y -> struct(x.__id as a, x.__nd as na, "
+                 "y.__id as b, y.__nd as nb))))")).alias("p"))
+             .groupBy(F.col("p.a").alias("id_a"),
+                      F.col("p.na").alias("n_a"),
+                      F.col("p.b").alias("id_b"),
+                      F.col("p.nb").alias("n_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    return (inter.withColumn(
+                "jaccard",
+                F.round(F.col("n_common")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                        6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def _ngram_pairs_from_posts(posts: DataFrame, threshold: float) -> DataFrame:
