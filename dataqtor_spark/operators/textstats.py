@@ -728,7 +728,12 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
     toks = (parallelize(df.select(F.col(id_col).alias("__id"),
                                   ref_pred.alias("__t"),
                                   _clean_tokens(text_col).alias("__tk")))
-            .withColumn("__n", F.size("__tk")))
+            .withColumn("__n", F.size("__tk"))
+            # three consumers (firsts, bigram stream, reference unigrams)
+            # — persist the tokenized frame so the corpus is scanned and
+            # tokenized ONCE, not three times; released in the finally
+            # with ref_uni/docg_t (blocks spill to disk at cluster scale)
+            .persist())
     # first-token stream (position 1) and bigram stream (positions 2..n)
     firsts = (toks.filter(F.col("__n") >= 1)
               .select("__id", "__t", F.element_at("__tk", 1).alias("__w")))
@@ -794,6 +799,7 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
                         6).alias("avg_logprob")).localCheckpoint()
         return out
     finally:
+        toks.unpersist()
         ref_uni.unpersist()
         if docg_t is not None:
             docg_t.unpersist()
