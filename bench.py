@@ -132,6 +132,11 @@ HEADLINE = [
     "e05_embedding_drift",
     "t42_token_budget",
     "t43_ngram_novelty",
+    # round-15 adds: containment (near-superset) dedup pairs on the d02
+    # device, Luhn-screened payment-card PII scan, tokenizer fertility
+    "d14_containment_pairs",
+    "pii03_payment_card_scan",
+    "t44_tokenizer_fertility",
 ]
 
 # Queries that serve from a persisted index: the first call at a given
@@ -153,7 +158,12 @@ AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
 # kept on count() and noted here so the gap is a recorded trade, not
 # an oversight).
 MATERIALIZE = {"t40_exact_substring_scrub", "t41_within_doc_collapse",
-               "f02_string_repairs_part", "x01_json_extract_props"}
+               "f02_string_repairs_part", "x01_json_extract_props",
+               # pii03 is a pure computed projection (count() would skip
+               # the regex+Luhn work entirely); t44 is a groupBy whose
+               # aggregate expressions count() prunes down to a distinct-
+               # source count, skipping the tokenizer passes
+               "pii03_payment_card_scan", "t44_tokenizer_fertility"}
 
 
 def run_query(name, df) -> int | None:

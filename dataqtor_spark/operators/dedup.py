@@ -734,7 +734,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         auto_guard_min_docs: int | None = None,
                         unbounded: bool = False,
                         n_docs: int | None = None,
-                        materialize: bool = True) -> DataFrame:
+                        materialize: bool = True,
+                        metric: str = "jaccard") -> DataFrame:
     """Exact Jaccard over distinct word n-grams via inverted-index
     self-join.  ``max_doc_freq`` drops shingles shared by more than that
     many docs (stop-shingle cut) — at scale this bounds the quadratic
@@ -768,7 +769,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # no doc-freq cut → per-doc sizes ride the exploded rows
         # (computed in-row, see _exploded_shingles with_count): one
         # consumer, no persist needed, two exchanges total
-        pairs = _ngram_pairs_from_posts_nc(_ngram_posts_nc(ex), threshold)
+        pairs = _ngram_pairs_from_posts_nc(_ngram_posts_nc(ex), threshold,
+                                           metric)
         return pairs if not materialize else pairs.localCheckpoint()
     if not materialize:
         # LAZY form for callers that immediately rematerialize the pairs
@@ -780,7 +782,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         # persist is needed either.
         return _ngram_pairs_plan(ex, max_doc_freq, deferred_auto,
                                  df.select(id_col), auto_guard_min_docs,
-                                 threshold)
+                                 threshold, metric)
     # Posting lists FIRST: the one heavy exchange (exploded (id, hash) rows
     # hash-partitioned on the shingle) happens exactly once, and everything
     # else derives from the much smaller posting-list table:
@@ -797,9 +799,37 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # two consumers (sizes, pair expansion): persist the compact lists
     posts = posts.persist()
     try:
-        return _ngram_pairs_from_posts(posts, threshold).localCheckpoint()
+        return _ngram_pairs_from_posts(posts, threshold, metric) \
+            .localCheckpoint()
     finally:
         posts.unpersist()
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3, threshold: float = 0.8,
+                            max_doc_freq: int | str | None = "auto",
+                            auto_guard_min_docs: int | None = None,
+                            unbounded: bool = False,
+                            n_docs: int | None = None,
+                            materialize: bool = True) -> DataFrame:
+    """Near-superset duplication pairs: Broder CONTAINMENT over distinct
+    word n-grams — |A∩B| / min(|A|, |B|) — on the exact inverted-index
+    device of :func:`ngram_jaccard_pairs` (same posting lists, same skew
+    guards, same uncapped fast path; only the pair formula differs).
+
+    Containment catches what symmetric Jaccard structurally cannot: a
+    document fully embedded in another 10x its length scores containment
+    1.0 but Jaccard ≤ 0.1 — the quote-farm / article-plus-boilerplate /
+    doc-inside-digest duplication shape an LLM corpus accumulates, where
+    the small side is pure redundancy once the large side is kept.
+    Returns ``(id_a, id_b, containment)`` with id_a < id_b."""
+    return ngram_jaccard_pairs(df, id_col, text_col, n=n,
+                               threshold=threshold,
+                               max_doc_freq=max_doc_freq,
+                               auto_guard_min_docs=auto_guard_min_docs,
+                               unbounded=unbounded, n_docs=n_docs,
+                               materialize=materialize,
+                               metric="containment")
 
 
 def _ngram_posts(ex: DataFrame, max_doc_freq, deferred_auto: bool,
@@ -823,8 +853,28 @@ def _ngram_posts_nc(ex: DataFrame) -> DataFrame:
                  .alias("ids")))
 
 
-def _ngram_pairs_from_posts_nc(posts: DataFrame,
-                               threshold: float) -> DataFrame:
+def _pair_metric(metric: str):
+    """Similarity formula over (n_a, n_b, n_common) pair rows.
+
+    ``jaccard``: |A∩B| / |A∪B| — the symmetric near-dup signal.
+    ``containment``: |A∩B| / min(|A|, |B|) — Broder's containment taken
+    from the smaller side: 1.0 means one document's shingle set is a
+    SUBSET of the other's (quote farms, article + wrapper boilerplate,
+    doc-inside-digest), the near-superset duplication Jaccard under-
+    scores when the sizes differ (a doc fully contained in one 10x its
+    length has containment 1.0 but Jaccard ≤ 0.1)."""
+    if metric == "jaccard":
+        return F.round(F.col("n_common")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                       6)
+    if metric == "containment":
+        return F.round(F.col("n_common")
+                       / F.least(F.col("n_a"), F.col("n_b")), 6)
+    raise ValueError(metric)
+
+
+def _ngram_pairs_from_posts_nc(posts: DataFrame, threshold: float,
+                               metric: str = "jaccard") -> DataFrame:
     """Pair expansion for the UNCAPPED path: per-doc sizes ride the
     posting-list structs, so there is no separate sizes aggregation and
     no join-back — two corpus-scale exchanges total (posting-list
@@ -842,16 +892,14 @@ def _ngram_pairs_from_posts_nc(posts: DataFrame,
                       F.col("p.b").alias("id_b"),
                       F.col("p.nb").alias("n_b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
-    return (inter.withColumn(
-                "jaccard",
-                F.round(F.col("n_common")
-                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                        6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    score = _pair_metric(metric)
+    return (inter.withColumn(metric, score)
+            .filter(F.col(metric) >= threshold)
+            .select("id_a", "id_b", metric))
 
 
-def _ngram_pairs_from_posts(posts: DataFrame, threshold: float) -> DataFrame:
+def _ngram_pairs_from_posts(posts: DataFrame, threshold: float,
+                            metric: str = "jaccard") -> DataFrame:
     sizes = (posts.select(F.explode("ids").alias("__id"))
              .groupBy("__id").agg(F.count(F.lit(1)).alias("__n")))
     inter = (posts.filter(F.size("ids") > 1)
@@ -865,22 +913,21 @@ def _ngram_pairs_from_posts(posts: DataFrame, threshold: float) -> DataFrame:
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common")
-                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .withColumn(metric, _pair_metric(metric))
+            .filter(F.col(metric) >= threshold)
+            .select("id_a", "id_b", metric))
 
 
 def _ngram_pairs_plan(ex: DataFrame, max_doc_freq, deferred_auto: bool,
                       count_src: DataFrame, auto_guard_min_docs: int | None,
-                      threshold: float) -> DataFrame:
+                      threshold: float,
+                      metric: str = "jaccard") -> DataFrame:
     """Fully lazy n-gram Jaccard pair plan (no persist, no checkpoint) —
     the posts shuffle is shared across its two consumers by Catalyst's
     exchange reuse when one action consumes the whole plan."""
     posts = _ngram_posts(ex, max_doc_freq, deferred_auto, count_src,
                          auto_guard_min_docs)
-    return _ngram_pairs_from_posts(posts, threshold)
+    return _ngram_pairs_from_posts(posts, threshold, metric)
 
 
 # ---------------------------------------------------------------------------

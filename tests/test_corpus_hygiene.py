@@ -608,3 +608,50 @@ def test_dsir_hash_buckets_bounds_features_and_keeps_target_bias(spark):
     tgt_ranks = [gh[d]["rank"] for d in gh if d < 100]
     oth_ranks = [gh[d]["rank"] for d in gh if d >= 100]
     assert max(tgt_ranks) < min(oth_ranks)
+
+
+def test_pii03_luhn_screens_card_candidates(spark, tmp_path):
+    # the planted corpus: doc_id%19 carries a Luhn-VALID 16-digit card,
+    # doc_id%29 a same-shape INVALID run — the validator must separate
+    # them (candidates count both, valid counts only the real shape)
+    from dataqtor_spark.queries import QUERIES
+    import pyspark.sql.functions as F
+
+    spark.createDataFrame(
+        [(i, f"dokuman metni {i}", "en", "src0", 20) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           QUERIES["pii03_payment_card_scan"](spark, str(tmp_path)).collect()}
+    assert len(out) == 60
+    for i, r in out.items():
+        want_valid = 1 if i % 19 == 0 else 0
+        want_cand = (1 if i % 19 == 0 else 0) + (1 if i % 29 == 0 else 0)
+        assert r["n_card_candidates"] == want_cand, i
+        assert r["n_cards_valid"] == want_valid, i
+        assert r["has_payment_pii"] == (want_valid > 0), i
+
+
+def test_t44_fertility_exact_ppm_and_null_text(spark, tmp_path):
+    # "aa bb" = 2 words / 2 subwords -> fertility 1.0 = 1_000_000 ppm;
+    # "a-b c" = 2 words / 4 subwords (a, -, b, c) -> 2_000_000 ppm;
+    # NULL text contributes NULL sums (skipped) in BOTH engines; a
+    # source with only empty text yields NULL ratios, never a div-0
+    from dataqtor_spark.queries import QUERIES
+
+    spark.createDataFrame(
+        [(1, "aa bb", "en", "s1", 5), (2, None, "en", "s1", 0),
+         (3, "a-b c", "en", "s2", 5), (4, "", "en", "s3", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["source"]: r for r in
+           QUERIES["t44_tokenizer_fertility"](spark, str(tmp_path)).collect()}
+    assert out["s1"]["n_word_tokens"] == 2
+    assert out["s1"]["subword_per_word_ppm"] == 1_000_000
+    # bytes count the WHOLE text (whitespace included): 5 bytes / 2 pieces
+    assert out["s1"]["bytes_per_subword_ppm"] == 2_500_000
+    assert out["s2"]["n_subword_tokens"] == 4
+    assert out["s2"]["subword_per_word_ppm"] == 2_000_000
+    assert out["s3"]["n_word_tokens"] == 0
+    assert out["s3"]["subword_per_word_ppm"] is None
+    assert out["s3"]["bytes_per_subword_ppm"] is None

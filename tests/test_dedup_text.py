@@ -1290,3 +1290,32 @@ def test_binary_at_rest_matches_brute_binary(spark, tmp_path):
     assert ar == br
     plan = at_rest._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__cluster" in plan
+
+
+def test_containment_pairs_flags_embedded_doc(spark):
+    # doc 1 verbatim-embedded inside doc 2 (10x wrapper): containment is
+    # exactly 1.0 while Jaccard stays under the same threshold — the
+    # near-superset shape the asymmetric metric exists to catch
+    from dataqtor_spark.operators import dedup as DD
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    wrapper = " ".join(f"w{i}" for i in range(12))
+    tail = " ".join(f"v{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, core), (2, f"{wrapper} {core} {tail}"),
+         (3, "totally unrelated words only here nothing shared at all")],
+        "doc_id long, text string")
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in DD.ngram_containment_pairs(
+                df, "doc_id", "text", n=5, threshold=0.8,
+                unbounded=True).collect()}
+    assert cont == {(1, 2): 1.0}
+    jac = DD.ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.8,
+                                 unbounded=True).collect()
+    assert jac == []
+    # the capped path computes the same metric over cut posting lists
+    cont_cut = {(r.id_a, r.id_b): r.containment
+                for r in DD.ngram_containment_pairs(
+                    df, "doc_id", "text", n=5, threshold=0.8,
+                    max_doc_freq=64).collect()}
+    assert cont_cut == {(1, 2): 1.0}

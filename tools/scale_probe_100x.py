@@ -119,7 +119,12 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "t42_token_budget",
                # novelty = one 8-byte shingle-hash explode + a
                # reference-sized hash join
-               "t43_ngram_novelty"]
+               "t43_ngram_novelty",
+               # r15: containment = the d02 inverted index with the
+               # asymmetric formula (same posting-list cost envelope);
+               # card scan + fertility = single-projection linear passes
+               "d14_containment_pairs", "pii03_payment_card_scan",
+               "t44_tokenizer_fertility"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
