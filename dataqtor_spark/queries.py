@@ -3385,6 +3385,81 @@ def t44_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_subword_tokens") > 0, bps).cast("long")
         .alias("bytes_per_subword_ppm"))
 
+# --- t45 — code-switch (mixed-language) scan --------------------------------
+# Per-doc language consistency over fixed 20-token chunks: the stopword-
+# vote langid (t03's heuristic) applied per CHUNK instead of per doc, so
+# a document that switches language mid-way (wrapper boilerplate in one
+# language around content in another — the shape a doc-level langid
+# mislabels) surfaces as n_langs >= 2.  The corpus is single-language by
+# construction, so markers are PLANTED (the pii01 device): a German
+# marker sentence on doc_id%31, a Spanish one on doc_id%37.
+_T45_CHUNK = 20
+_T45_DE = " der die und das nicht ist der die und das"
+_T45_ES = " el los las es en que el los las es"
+
+_T45_SQL = f"""WITH aug AS (
+  SELECT doc_id, concat(text,
+    CASE WHEN doc_id % 31 = 0 THEN '{_T45_DE}' ELSE '' END,
+    CASE WHEN doc_id % 37 = 0 THEN '{_T45_ES}' ELSE '' END) AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+'),
+                     t -> t <> '') AS tk
+  FROM aug
+),
+ch AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tk, t.i * {_T45_CHUNK} + 1,
+                                    (t.i + 1) * {_T45_CHUNK}), ' ') AS chunk
+  FROM base,
+       unnest(generate_series(0,
+         CAST(ceil(len(tk) / {_T45_CHUNK}.0) AS INT) - 1)) AS t(i)
+  WHERE len(tk) > 0
+),
+lg AS (SELECT doc_id, {{langid}} AS lang FROM ch)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+  sum(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END)::BIGINT AS n_lang_chunks,
+  count(DISTINCT CASE WHEN lang <> 'und' THEN lang END)::BIGINT AS n_langs,
+  count(DISTINCT CASE WHEN lang <> 'und' THEN lang END) >= 2 AS is_mixed
+FROM lg GROUP BY doc_id"""
+_T45_SQL = _T45_SQL.format(langid=_langid_sql("chunk"))
+
+
+@register("t45_code_switch_scan", _T45_SQL)
+def t45_code_switch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language (code-switch) detection: the t03 stopword-vote
+    langid per fixed 20-token chunk, aggregated to per-doc language
+    counts — docs with >= 2 determined chunk languages are flagged.
+    One explode + one groupBy; the langid is a codegen'd projection."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text").cast("string"),
+        F.when(did % 31 == 0, F.lit(_T45_DE)).otherwise(F.lit("")),
+        F.when(did % 37 == 0, F.lit(_T45_ES)).otherwise(F.lit("")))
+    base = docs.select("doc_id", TX._clean_tokens(aug).alias("__tk"))
+    nchunks = F.ceil(F.size("__tk") / _T45_CHUNK).cast("int")
+    chunk_arr = F.when(
+        F.size("__tk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("__tk"), i * _T45_CHUNK + 1,
+                             _T45_CHUNK)))).otherwise(
+        F.array().cast("array<string>"))
+    ch = base.select("doc_id", F.explode(chunk_arr).alias("__chunk"))
+    lg = ch.select("doc_id", TX.lang_id("__chunk").alias("__lang"))
+    det = F.when(F.col("__lang") != "und", F.col("__lang"))
+    return (lg.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum((F.col("__lang") != "und").cast("long"))
+                 .cast("long").alias("n_lang_chunks"),
+                 F.count_distinct(det).cast("long").alias("n_langs"),
+                 (F.count_distinct(det) >= 2).alias("is_mixed")))
+
+
 
 # t42 — training-token budget planner (epochs per source after exact
 # dedup under a uniform budget split; the t17 integer-ppm surface)
@@ -12396,10 +12471,10 @@ _R15_PREFIX = [
     "fd02_inclusion_dependencies",
     "g01_pagerank_transitions",
     "g02_triangle_count",
-    "m02_image_decode_features",
     "mb01_copurchase_pairs",
     # registered this round — must sit inside the graded window
-    # (o05/o07/pctl01, last graded r8, got bumped to make room)
+    # (o05/o07/pctl01/m02, last graded r8, got bumped to make room)
+    "t45_code_switch_scan",
     "d14_containment_pairs",
     "pii03_payment_card_scan",
     "t44_tokenizer_fertility",

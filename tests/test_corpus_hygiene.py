@@ -655,3 +655,29 @@ def test_t44_fertility_exact_ppm_and_null_text(spark, tmp_path):
     assert out["s3"]["n_word_tokens"] == 0
     assert out["s3"]["subword_per_word_ppm"] is None
     assert out["s3"]["bytes_per_subword_ppm"] is None
+
+
+def test_t45_code_switch_flags_mixed_chunks(spark, tmp_path):
+    # doc 2 switches en->de exactly at the 20-token chunk boundary ->
+    # two determined chunk languages; doc 1 is pure en; doc 3 has no
+    # stopword votes at all; doc 31 hits the %31 plant (German marker
+    # appended) on an English base -> mixed
+    from dataqtor_spark.queries import QUERIES
+
+    en20 = "the and of is with that " * 3 + "a b"      # 20 tokens
+    de20 = "der die und das nicht ist " * 3 + "x y"    # 20 tokens
+    rows = [(1, en20 + " " + en20, "en", "s", 0),
+            (2, en20 + " " + de20, "en", "s", 0),
+            (3, "qq ww ee rr tt yy uu ii oo pp", "en", "s", 0),
+            (31, en20, "en", "s", 0)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           QUERIES["t45_code_switch_scan"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_langs"] == 1 and not out[1]["is_mixed"]
+    assert out[2]["n_langs"] == 2 and out[2]["is_mixed"]
+    assert out[3]["n_lang_chunks"] == 0 and out[3]["n_langs"] == 0
+    assert not out[3]["is_mixed"]
+    assert out[31]["is_mixed"]  # the planted German marker

@@ -124,7 +124,9 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                # asymmetric formula (same posting-list cost envelope);
                # card scan + fertility = single-projection linear passes
                "d14_containment_pairs", "pii03_payment_card_scan",
-               "t44_tokenizer_fertility"]
+               "t44_tokenizer_fertility",
+               # code-switch scan = chunk explode + per-chunk regex votes
+               "t45_code_switch_scan"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
