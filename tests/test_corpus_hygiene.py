@@ -681,3 +681,44 @@ def test_t45_code_switch_flags_mixed_chunks(spark, tmp_path):
     assert out[3]["n_lang_chunks"] == 0 and out[3]["n_langs"] == 0
     assert not out[3]["is_mixed"]
     assert out[31]["is_mixed"]  # the planted German marker
+
+
+def test_repeated_spans_min_docs_above_two(spark):
+    # the general-threshold branch (count of distinct docs per hash,
+    # partial-agg — the r15 rewrite of the windowed collect_set): a span
+    # in 3 docs passes min_docs=3, a span in only 2 does not
+    tri = "alpha beta gamma delta epsilon zeta eta theta"      # 8 tokens
+    duo = "one two three four five six seven eight"            # 8 tokens
+    df = _docs(spark, [
+        (1, tri + " aa bb"), (2, tri + " cc dd"), (3, tri + " ee ff"),
+        (4, duo + " gg hh"), (5, duo + " ii jj")])
+    out = {r["doc_id"]: r for r in
+           T.repeated_spans(df, span_tokens=8, min_docs=3).collect()}
+    assert out[1]["n_shared_windows"] == 1
+    assert out[3]["n_shared_windows"] == 1
+    assert out[4]["n_shared_windows"] == 0
+    assert out[5]["n_shared_windows"] == 0
+    # scrub honors the same threshold: the 3-doc span is removed, the
+    # 2-doc span survives
+    sc = {r["doc_id"]: r for r in
+          T.scrub_shared_spans(df, span_tokens=8, min_docs=3).collect()}
+    assert sc[1]["n_removed"] == 8 and sc[1]["cleaned_text"] == "aa bb"
+    assert sc[4]["n_removed"] == 0
+    assert sc[4]["cleaned_text"].startswith("one two three")
+
+
+def test_paragraph_dedup_max_df_above_one(spark):
+    # max_df=2: a 10-token chunk shared by THREE docs is dropped, one
+    # shared by exactly two survives (count(DISTINCT doc) > max_df —
+    # the r15 partial-agg rewrite of the windowed collect_set)
+    c3 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    c2 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    df = _docs(spark, [
+        (1, c3 + " " + c2), (2, c3 + " " + c2),
+        (3, c3 + " z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")])
+    out = {r["doc_id"]: r for r in
+           T.paragraph_dedup(df, chunk_tokens=10, max_df=2).collect()}
+    assert out[1]["n_dropped"] == 1 and out[1]["clean_text"] == c2
+    assert out[2]["n_dropped"] == 1 and out[2]["clean_text"] == c2
+    assert out[3]["n_dropped"] == 1
+    assert out[3]["clean_text"].startswith("z1")
