@@ -160,9 +160,7 @@ def main() -> None:
                      g_b, g_s, res[10][2]))
 
     lines = [
-        "",
-        "## Round-14 streaming-sink probe — per-batch cost vs batch path "
-        "at 10x",
+        "## Streaming-sink probe — per-batch cost vs batch path at 10x",
         "",
         "Same foreachBatch code path; the only variable is trigger",
         "granularity (1 availableNow batch vs ~5 maxFilesPerTrigger",
@@ -178,12 +176,21 @@ def main() -> None:
     for (sink, b1, s1, b10, s10, gb, gs, n10) in rows:
         lines.append(f"| {sink} | {b1:.2f} | {s1:.2f} | {b10:.2f} | "
                      f"{s10:.2f} | {gb:.1f}x | {gs:.1f}x | {n10:,} |")
-    text = "\n".join(lines) + "\n"
-    print(text)
+    import re
+
+    block = "\n".join(lines) + "\n"
+    print(block)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALE_PROBE.md"), "a") as f:
-        f.write(text)
-    print("appended to SCALE_PROBE.md", file=sys.stderr)
+    path = os.path.join(repo, "SCALE_PROBE.md")
+    text = open(path).read() if os.path.exists(path) else "# SCALE_PROBE\n"
+    # replace this tool's own section (any round-titled legacy copy too)
+    # rather than appending a duplicate on every rerun
+    pat = re.compile(r"(?ms)^## (?:Round-14 )?[Ss]treaming-sink probe.*?"
+                     r"(?=^## |\Z)")
+    text = pat.sub("", text)
+    with open(path, "w") as f:
+        f.write(text.rstrip("\n") + "\n\n" + block)
+    print("wrote SCALE_PROBE.md section", file=sys.stderr)
 
 
 if __name__ == "__main__":
