@@ -1778,8 +1778,14 @@ def bpe_word_counts(df: DataFrame, text_col: str = "text",
     viable at 100 TB: corpus size only affects this first groupBy."""
     from dataqtor_spark.session import parallelize
 
+    # explode_OUTER, deliberately: plain explode(attr) makes Catalyst
+    # infer `size(__toks) > 0` and push it through the alias chain into
+    # the pre-repartition scan, cloning the whole tokenize expression
+    # into that stage (the d02 with_count trap).  Outer emits a NULL
+    # word for empty/NULL token arrays, which the rlike filter drops —
+    # identical output, tokenize runs once, after the repartition.
     return (parallelize(df.select(_clean_tokens(text_col).alias("__toks")))
-            .select(F.explode("__toks").alias("word"))
+            .select(F.explode_outer("__toks").alias("word"))
             .filter(F.col("word").rlike(word_pattern))
             .groupBy("word")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))

@@ -9551,7 +9551,10 @@ def bpe03_tokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source"),
             F.filter(F.split(F.trim(F.lower(F.col("text"))), TX.WS_PLUS),
                      lambda t: t != "").alias("__toks")))
-         .select("source", F.explode("__toks").alias("word"))
+         # explode_outer: stops the inferred size()>0 filter from
+         # cloning the tokenize into the pre-repartition scan (the d02
+         # with_count trap); the NULL word it emits fails the rlike
+         .select("source", F.explode_outer("__toks").alias("word"))
          .filter(F.col("word").rlike("^[a-z]+$")))
     return (d.join(wl, "word")
             .groupBy("source")
