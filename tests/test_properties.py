@@ -612,3 +612,51 @@ def test_hilbert_reference_agreement_random_points(bits, data):
 
     for x, y in pts:
         assert fold(bits, x, y) == xy2d(bits, x, y)
+
+
+# --- pair-metric invariants (d02 / d14 share one device) --------------------
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from("abcdefgh"), min_size=1,
+                         max_size=12).map(" ".join),
+                min_size=2, max_size=8))
+def test_containment_dominates_jaccard(spark, texts):
+    # containment = |A∩B| / min(|A|,|B|)  >=  jaccard = |A∩B| / |A∪B|
+    # on every pair, and both are in (0, 1]; pairs are a<b exactly once
+    from dataqtor_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in DD.ngram_jaccard_pairs(
+               df, "doc_id", "text", n=3, threshold=1e-9,
+               unbounded=True).collect()}
+    con = {(r.id_a, r.id_b): r.containment
+           for r in DD.ngram_containment_pairs(
+               df, "doc_id", "text", n=3, threshold=1e-9,
+               unbounded=True).collect()}
+    assert set(jac) == set(con)          # same candidate pairs
+    for k, j in jac.items():
+        assert k[0] < k[1]
+        assert 0 < j <= con[k] <= 1.0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=1,
+                         max_size=10).map(" ".join),
+                min_size=2, max_size=6))
+def test_uncapped_pairs_match_capped_with_huge_cap(spark, texts):
+    # the r15 uncapped fast path (counts riding posting-list structs)
+    # must agree exactly with the legacy capped path when the cap can
+    # never engage — same pairs, same jaccard values
+    from dataqtor_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    fast = sorted(map(tuple, DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01,
+        unbounded=True).collect()))
+    legacy = sorted(map(tuple, DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01,
+        max_doc_freq=10_000).collect()))
+    assert fast == legacy
