@@ -225,13 +225,19 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int,
         # isnotnull(__arr)` and push it through the alias chain to the
         # SCAN, cloning the whole tokenize+hash expression into the
         # (single-task, pre-repartition) scan stage — measured 9x on
-        # d02.  The shingle array is non-empty by construction (the
-        # k<=0 branch emits one whole-text hash even for NULL text), so
-        # outer semantics are identical.
+        # d02.  NULL text makes the whole array NULL (ANSI size(NULL)
+        # short-circuits the k<=0 branch), and outer emits a NULL-hash
+        # row where plain explode emitted nothing — the isNotNull filter
+        # below restores drop semantics EXACTLY; without it every
+        # NULL-text doc would pool into one uncapped __sh=NULL posting
+        # list and expand ~N²/2 pairs in a single task.  (The filter is
+        # on the GENERATED attribute, so it cannot be pushed back below
+        # the Generate and re-trigger the inference.)
         arr = base.select("__id", shingles.alias("__arr"))
-        return arr.select("__id", F.size("__arr").alias("__nd"),
-                          F.explode_outer("__arr").alias("__sh")) \
-                  .select("__id", "__nd", "__sh")
+        return (arr.select("__id", F.size("__arr").alias("__nd"),
+                           F.explode_outer("__arr").alias("__sh"))
+                .filter(F.col("__sh").isNotNull())
+                .select("__id", "__nd", "__sh"))
     return base.select("__id", F.explode(shingles).alias("__sh"))
 
 

@@ -1074,13 +1074,19 @@ def d02b_jaccard_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other's — the quote-farm / article+boilerplate shape symmetric Jaccard
 # under-scores when sizes differ.  Same inverted index, same uncapped fast
 # path (per-doc sizes ride the posting-list structs); threshold 0.5.
-_D14_PAIRS_SQL = """WITH ex AS (
-  SELECT DISTINCT doc_id AS id, sh FROM (
-    SELECT doc_id,
-           array_to_string(words[i:i+4], ' ') AS sh
-    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+') AS words
-          FROM documents),
-         UNNEST(generate_series(1, len(words) - 4)) AS t(i)
+_D14_PAIRS_SQL = """WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f]+') AS words
+  FROM documents WHERE text IS NOT NULL
+), ex AS (
+  -- docs with <5 words contribute their whole token string as ONE
+  -- shingle (the Spark k<=0 branch / word_shingles contract); NULL-text
+  -- docs are absent on both engines
+  SELECT DISTINCT id, sh FROM (
+    SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS sh
+    FROM w, UNNEST(generate_series(1, len(words) - 4)) AS t(i)
+    UNION ALL
+    SELECT doc_id, array_to_string(words, ' ') FROM w
+    WHERE len(words) <= 4
   )
 ), sizes AS (
   SELECT id, count(*) AS n FROM ex GROUP BY id
@@ -3435,7 +3441,10 @@ def t45_code_switch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + one groupBy; the langid is a codegen'd projection."""
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    aug = F.concat(
+    # concat_ws("") mirrors DuckDB concat()'s NULL-skipping (t41 class):
+    # a NULL-text doc hitting a %31/%37 plant must chunk the marker alone
+    aug = F.concat_ws(
+        "",
         F.col("text").cast("string"),
         F.when(did % 31 == 0, F.lit(_T45_DE)).otherwise(F.lit("")),
         F.when(did % 37 == 0, F.lit(_T45_ES)).otherwise(F.lit("")))
@@ -11153,7 +11162,11 @@ def _pii_planted(docs: DataFrame) -> DataFrame:
     d11 = F.pmod(sum(d[1:], d[0]) + d10, F.lit(10))
     tcid = F.concat(base9, d10.cast("string"), d11.cast("string"))
     blank = F.lit("")
-    aug = F.concat(
+    # concat_ws("") — NOT F.concat — mirrors DuckDB concat()'s
+    # NULL-skipping: a NULL-text doc must scan as its planted parts (or
+    # ''), never as NULL (the t41 NULL-parity class)
+    aug = F.concat_ws(
+        "",
         F.col("text"),
         F.when(did % 7 == 0, F.concat(
             F.lit(" iletisim: kisi"), (did % 50).cast("string"),
@@ -11259,7 +11272,9 @@ def _pii03_planted(docs: DataFrame) -> DataFrame:
     check = F.pmod(F.lit(10) - F.pmod(total, F.lit(10)), F.lit(10))
     bad = F.pmod(check + 5, F.lit(10))
     blank = F.lit("")
-    aug = F.concat(
+    # concat_ws("") mirrors DuckDB concat()'s NULL-skipping (t41 class)
+    aug = F.concat_ws(
+        "",
         F.col("text"),
         F.when(did % 19 == 0, F.concat(
             F.lit(" kart no "), base15, check.cast("string")))

@@ -722,3 +722,60 @@ def test_paragraph_dedup_max_df_above_one(spark):
     assert out[2]["n_dropped"] == 1 and out[2]["clean_text"] == c2
     assert out[3]["n_dropped"] == 1
     assert out[3]["clean_text"].startswith("z1")
+
+
+def test_null_text_oracle_parity_pii03_t45_d14(spark, tmp_path):
+    # NULL-text and sub-5-word documents: the r15 review fixes — plant
+    # concat must skip NULLs like DuckDB concat() (pii03/t45), and d14's
+    # oracle needs the whole-text shingle fallback for short docs.
+    # Differential: Spark vs DuckDB on the SAME planted parquet.
+    import duckdb
+    import pandas as pd
+
+    from dataqtor_spark.queries import ORACLES, QUERIES
+    from tools.check_oracle import compare
+
+    docs = pd.DataFrame({
+        # 19 hits the pii03 valid-card plant on a NULL text; 31 hits the
+        # t45 German plant on a NULL text; 3/6 are duplicate SHORT docs
+        # (one whole-text shingle each -> a d14 containment-1.0 pair)
+        "doc_id": [19, 31, 3, 6, 2],
+        "text": [None, None, "hello world", "hello world",
+                 "one two three four five six seven eight nine ten"],
+        "lang": ["en"] * 5, "source": ["s"] * 5, "n_chars": [0] * 5})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW documents AS SELECT *
+                    FROM read_parquet('{tmp_path}/documents.parquet')""")
+    for name in ["pii03_payment_card_scan", "t45_code_switch_scan",
+                 "d14_containment_pairs"]:
+        sdf = QUERIES[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(ORACLES[name]).fetchdf()
+        assert compare(name, sdf, odf) == [], name
+    # and the semantics are the intended ones, not just engine-equal:
+    pii = {r["doc_id"]: r for r in
+           QUERIES["pii03_payment_card_scan"](spark, str(tmp_path)).collect()}
+    assert pii[19]["n_cards_valid"] == 1          # planted card on NULL text
+    t45 = {r["doc_id"]: r for r in
+           QUERIES["t45_code_switch_scan"](spark, str(tmp_path)).collect()}
+    assert t45[31]["n_langs"] == 1                # marker chunk alone
+    d14 = {(r.id_a, r.id_b): r.containment for r in
+           QUERIES["d14_containment_pairs"](spark, str(tmp_path)).collect()}
+    assert d14[(3, 6)] == 1.0                     # duplicate short docs
+
+
+def test_exploded_shingles_null_text_drops_rows(spark):
+    # with_count explode_outer must not leak a NULL-hash posting row per
+    # NULL-text doc (they would pool into ONE uncapped posting list and
+    # expand ~N^2/2 pairs in a single task)
+    from dataqtor_spark.operators import dedup as DD
+    from dataqtor_spark.operators.dedup import _exploded_shingles
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(20)] + [(100, "a b"), (101, "a b")],
+        "doc_id long, text string")
+    ex = _exploded_shingles(df, "doc_id", "text", 5, with_count=True)
+    assert ex.filter("__sh IS NULL").count() == 0
+    pairs = DD.ngram_jaccard_pairs(df, "doc_id", "text", n=5,
+                                   threshold=0.5, unbounded=True).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(100, 101, 1.0)]

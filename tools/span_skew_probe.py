@@ -9,10 +9,11 @@ header, a site footer) appears in a large fraction of all documents, so
 whatever marks "this window is shared" sees one key holding millions of
 rows.  This probe plants that shape:
 
-* documents: ONE fixed 10-token boilerplate sentence is prepended to 50 %
+* documents: ONE fixed 11-token boilerplate sentence is prepended to 50 %
   of all docs (even doc_id), at 1x / 10x / 100x corpus scale — the
-  10-token prefix yields 3 fully-internal 8-token windows and 1 aligned
-  10-token chunk shared by half the corpus.  Probed: t16_repeated_spans,
+  11-token prefix yields 4 fully-internal 8-token windows and 1 fully-
+  boilerplate 10-token chunk (chunk 0) shared by half the corpus.
+  Probed: t16_repeated_spans,
   t40_exact_substring_scrub, t20_paragraph_dedup (the post-rewrite
   partial-agg marker), plus a CONTRAST arm reproducing the pre-round-15
   ``Window.partitionBy(hash)`` marker — a window function cannot
@@ -47,10 +48,12 @@ import pyspark.sql.functions as F  # noqa: E402
 
 MARK = "## Adversarial hot-key probe (window devices)"
 
-# 10 whitespace tokens; prepended to even doc_ids.  With span_tokens=8
-# (t16/t40) windows starting at 1..3 are fully inside the prefix — three
+# 11 whitespace tokens; prepended to even doc_ids.  With span_tokens=8
+# (t16/t40) windows starting at 1..4 are fully inside the prefix — four
 # hash keys each held by 50% of the corpus; with chunk_tokens=10 (t20)
-# chunk 0 is the prefix exactly — one md5 key held by 50% of the corpus.
+# chunk 0 falls entirely inside the prefix — one md5 key held by 50% of
+# the corpus (later chunks shift one token into doc text and stay
+# per-doc unique).
 BOILER = ("standard license header do not remove this notice "
           "all rights reserved")
 
@@ -79,11 +82,20 @@ ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def build_planted(spark, base_dir: str, out_dir: str) -> None:
     """Planted copy of ``base_dir``: documents get the boilerplate prefix
     in 50% of rows, events get the hot user on 25% of rows, everything
-    else is symlinked.  Rebuilt unconditionally keyed on base_dir — a
-    reused dir from a different base would silently measure stale data."""
+    else is symlinked.  Reuse is keyed on the base path PLUS content
+    fingerprints of the planted tables — a reused dir from a different
+    or regenerated base would silently measure stale data."""
+    from dataqtor_spark.queries import _corpus_fingerprint
+
+    # key on the base dir's CONTENT fingerprint, not just its path —
+    # testdata regenerates between rounds, and a path-only key would
+    # silently reuse a stale planted corpus (the bpe03 cache lesson)
+    want = (f"{base_dir}\n"
+            f"{_corpus_fingerprint(f'{base_dir}/documents.parquet')}\n"
+            f"{_corpus_fingerprint(f'{base_dir}/events.parquet')}")
     key = os.path.join(out_dir, "_base")
     if os.path.isdir(out_dir) and os.path.exists(key) \
-            and open(key).read() == base_dir:
+            and open(key).read() == want:
         return
     os.makedirs(out_dir, exist_ok=True)
     for t in ALL_TABLES:
@@ -100,7 +112,7 @@ def build_planted(spark, base_dir: str, out_dir: str) -> None:
             if not os.path.exists(dst):
                 os.symlink(os.path.realpath(f"{base_dir}/{t}.parquet"), dst)
     with open(key, "w") as f:
-        f.write(base_dir)
+        f.write(want)
 
 
 def repeated_spans_window_marker(df, span_tokens: int = 8):
