@@ -138,6 +138,7 @@ HEADLINE = [
     "pii03_payment_card_scan",
     "t44_tokenizer_fertility",
     "t45_code_switch_scan",
+    "d15_minhash_containment",
 ]
 
 # Queries that serve from a persisted index: the first call at a given

@@ -469,6 +469,62 @@ def minhash_signatures_portable(df: DataFrame, id_col: str, text_col: str,
                        _portable_min_sig(num_hashes).alias("sig"))
 
 
+def minhash_containment_pairs_portable(df: DataFrame, id_col: str,
+                                       text_col: str,
+                                       threshold: float = 0.5,
+                                       num_hashes: int = 64,
+                                       bands: int = 16,
+                                       shingle_n: int = 3) -> DataFrame:
+    """Sketch-estimated Broder CONTAINMENT on the banded MinHash pass —
+    the d03-style scale sibling of :func:`ngram_containment_pairs`: the
+    signatures and LSH candidates are the ones the Jaccard dedup pass
+    already computes, per-doc distinct-shingle counts are an IN-ROW
+    array size (no extra shuffle), and the containment estimate is pure
+    integer arithmetic from the signature-agreement count k:
+
+        Ĵ = k/H,  Î = Ĵ·(|A|+|B|)/(1+Ĵ)  ⇒
+        containment ≈ k·(|A|+|B|) / ((H+k)·min(|A|,|B|))
+
+    rounded on the exact integer-rational surface (functions/exact.py) —
+    no float ever meets round(), so the SQL replay is bit-identical.
+
+    Documented recall limit: candidates come from JACCARD banding, which
+    under-recalls extreme size-ratio pairs (a tiny doc inside one 100×
+    its length has high containment but Ĵ ≈ 0, so its bands rarely
+    collide).  This op is the cheap containment column on the LSH pass
+    you already run; exact :func:`ngram_containment_pairs` (d14) is the
+    authority when superset recall itself is the requirement."""
+    from dataqtor_spark.functions.exact import round_ratio
+
+    sig = minhash_signatures_portable(df, id_col, text_col, num_hashes,
+                                      shingle_n)
+    sig = sig.persist()
+    try:
+        cand = minhash_candidates(sig, id_col, num_hashes, bands)
+        a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+        sizes = df.select(F.col(id_col),
+                          F.size(word_shingles(text_col, shingle_n))
+                          .alias("__n"))
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+        k = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                       lambda x, y: x == y), lambda z: z))
+        est = round_ratio(
+            F.col("__k") * (F.col("__na") + F.col("__nb")),
+            (F.lit(num_hashes) + F.col("__k"))
+            * F.least(F.col("__na"), F.col("__nb")), 6)
+        out = (F.broadcast(cand).join(a, "id_a").join(b, "id_b")
+               .withColumn("__k", k)
+               .join(sa, "id_a").join(sb, "id_b")
+               .withColumn("est_containment", est)
+               .filter(F.col("est_containment") >= threshold)
+               .select("id_a", "id_b", "est_containment"))
+        return out.localCheckpoint()
+    finally:
+        sig.unpersist()
+
+
 def minhash_dedup_pairs_portable(df: DataFrame, id_col: str, text_col: str,
                                  threshold: float = 0.7, num_hashes: int = 64,
                                  bands: int = 16, shingle_n: int = 3) -> DataFrame:

@@ -1215,6 +1215,45 @@ def d03_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
 
 
+# --- d15 — sketch-estimated containment on the banded MinHash pass ----------
+# The d03-sibling of d14: containment estimated from signature agreement
+# k and in-row distinct-shingle sizes, all-integer arithmetic on the
+# exact rounding surface.  Recall limit documented on the operator:
+# Jaccard banding under-recalls extreme size-ratio pairs; d14 is the
+# exact authority.
+
+def _d15_oracle_sql() -> str:
+    from dataqtor_spark.functions.exact import round_ratio_sql
+
+    nh = _MH_HASHES
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                    for i in range(nh))
+    est = round_ratio_sql("k * (na + nb)", f"({nh} + k) * least(na, nb)", 6)
+    return f"""{_minhash_cte_prefix()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+scored AS (
+  SELECT c.id_a, c.id_b, ({eq}) AS k, sa.n AS na, sb.n AS nb
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, est_containment FROM (
+  SELECT id_a, id_b, {est} AS est_containment FROM scored)
+WHERE est_containment >= 0.5"""
+
+
+@register("d15_minhash_containment", _d15_oracle_sql())
+def d15_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment estimated on the existing banded-MinHash pass
+    (dedup.minhash_containment_pairs_portable): k-agreement signatures +
+    in-row shingle counts, exact integer rounding — the cheap
+    near-superset column on the LSH dedup you already run (d14 = the
+    exact authority when superset recall is the requirement)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_containment_pairs_portable(
+        docs, "doc_id", "text", threshold=0.5,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=_MH_SHINGLE)
+
+
 # --- d13 — train/val split leakage audit + repair ---------------------------
 # Near-dup pairs CROSSING the deterministic train/val boundary are the
 # leakage that inflates eval numbers; the val-side member of each leaking
@@ -12489,9 +12528,9 @@ _R15_PREFIX = [
     "fd02_inclusion_dependencies",
     "g01_pagerank_transitions",
     "g02_triangle_count",
-    "mb01_copurchase_pairs",
     # registered this round — must sit inside the graded window
-    # (o05/o07/pctl01/m02, last graded r8, got bumped to make room)
+    # (o05/o07/pctl01/m02/mb01, last graded r8, got bumped to make room)
+    "d15_minhash_containment",
     "t45_code_switch_scan",
     "d14_containment_pairs",
     "pii03_payment_card_scan",

@@ -1319,3 +1319,23 @@ def test_containment_pairs_flags_embedded_doc(spark):
                     df, "doc_id", "text", n=5, threshold=0.8,
                     max_doc_freq=64).collect()}
     assert cont_cut == {(1, 2): 1.0}
+
+
+def test_minhash_containment_estimates_identical_docs(spark):
+    # two identical docs: every signature position agrees (k = H) so the
+    # estimate collapses to (na+nb)/(2*min) = 1.0 exactly; the unrelated
+    # doc never pairs.  Also pins the documented recall limit: the
+    # embedded-short-doc pair (true containment 1.0, low Jaccard) is NOT
+    # required to surface — banding keys on overall similarity.
+    from dataqtor_spark.operators import dedup as DD
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, text), (2, text),
+         (3, "completely different content nothing shared here at all")],
+        "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.est_containment
+           for r in DD.minhash_containment_pairs_portable(
+               df, "doc_id", "text", threshold=0.5,
+               num_hashes=64, bands=16, shingle_n=3).collect()}
+    assert out == {(1, 2): 1.0}

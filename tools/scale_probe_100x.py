@@ -126,7 +126,9 @@ QUERY_NAMES = ["d02b_ngram_jaccard_cut", "d03_minhash_pairs",
                "d14_containment_pairs", "pii03_payment_card_scan",
                "t44_tokenizer_fertility",
                # code-switch scan = chunk explode + per-chunk regex votes
-               "t45_code_switch_scan"]
+               "t45_code_switch_scan",
+               # sketch containment = the d03 banding pass + in-row sizes
+               "d15_minhash_containment"]
 
 AT_REST = {"ann11_ivfpq_at_rest", "ann14_filtered_at_rest",
            "ann15_sq8_at_rest", "ann18_binary_at_rest"}
