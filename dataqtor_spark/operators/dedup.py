@@ -495,19 +495,29 @@ def minhash_containment_pairs_portable(df: DataFrame, id_col: str,
     you already run; exact :func:`ngram_containment_pairs` (d14) is the
     authority when superset recall itself is the requirement."""
     from dataqtor_spark.functions.exact import round_ratio
+    from dataqtor_spark.session import parallelize
 
-    sig = minhash_signatures_portable(df, id_col, text_col, num_hashes,
-                                      shingle_n)
+    # the signature pass carries the per-doc distinct-shingle count for
+    # FREE (size of the same in-row hash array the signature minimizes
+    # over) — no second tokenize pass, no sizes join-back; this is the
+    # minhash_signatures_portable body plus one size() column
+    base = (parallelize(df.select(F.col(id_col).alias("__id"),
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", F.transform(word_shingles("__txt", shingle_n),
+                                        portable_string_hash).alias("__vs")))
+    sig = base.select(F.col("__id").alias(id_col),
+                      _portable_min_sig(num_hashes).alias("sig"),
+                      F.size("__vs").alias("__n"))
     sig = sig.persist()
     try:
-        cand = minhash_candidates(sig, id_col, num_hashes, bands)
-        a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-        b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-        sizes = df.select(F.col(id_col),
-                          F.size(word_shingles(text_col, shingle_n))
-                          .alias("__n"))
-        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+        cand = minhash_candidates(sig.drop("__n"), id_col, num_hashes,
+                                  bands)
+        a = sig.select(F.col(id_col).alias("id_a"),
+                       F.col("sig").alias("sig_a"),
+                       F.col("__n").alias("__na"))
+        b = sig.select(F.col(id_col).alias("id_b"),
+                       F.col("sig").alias("sig_b"),
+                       F.col("__n").alias("__nb"))
         k = F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                        lambda x, y: x == y), lambda z: z))
         est = round_ratio(
@@ -516,7 +526,6 @@ def minhash_containment_pairs_portable(df: DataFrame, id_col: str,
             * F.least(F.col("__na"), F.col("__nb")), 6)
         out = (F.broadcast(cand).join(a, "id_a").join(b, "id_b")
                .withColumn("__k", k)
-               .join(sa, "id_a").join(sb, "id_b")
                .withColumn("est_containment", est)
                .filter(F.col("est_containment") >= threshold)
                .select("id_a", "id_b", "est_containment"))
