@@ -41,6 +41,12 @@ def main() -> None:
         i = args.index("--tag")
         tag = args[i + 1]
         args = args[:i] + args[i + 2:]
+    # steady-state by default (bench --full medians keep trainer caches
+    # warm after rep 1); --cold clears them per rep, which matches the
+    # driver bench's first_sec column instead
+    cold = "--cold" in args
+    if cold:
+        args.remove("--cold")
     names = args
 
     from bench import AT_REST, run_query
@@ -62,18 +68,41 @@ def main() -> None:
             fn(spark, sf_dir).count()                 # offline index build
         if plan_dir and tag:
             os.makedirs(plan_dir, exist_ok=True)
-            from tools.explain_audit import _patch_checkpoints
-            _patch_checkpoints()
+            # patch checkpoints to identity ONLY for the explain (a
+            # checkpoint truncates explain output) and RESTORE them
+            # before timing — leaving the patch live would time every
+            # later query without checkpoint materialization
             import contextlib
             import io
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                fn(spark, sf_dir).explain("formatted")
-            with open(os.path.join(plan_dir, f"{name}_{tag}.txt"), "w") as f:
-                f.write(buf.getvalue())
+
+            import pyspark.sql as pssql
+            from tools.explain_audit import _patch_checkpoints
+            saved = []
+            classes = [pssql.DataFrame]
+            try:
+                from pyspark.sql.classic.dataframe import \
+                    DataFrame as ClassicDF
+                classes.append(ClassicDF)
+            except ImportError:
+                pass
+            for cls in classes:
+                saved.append((cls, cls.localCheckpoint, cls.checkpoint))
+            _patch_checkpoints()
+            try:
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    fn(spark, sf_dir).explain("formatted")
+                with open(os.path.join(plan_dir, f"{name}_{tag}.txt"),
+                          "w") as f:
+                    f.write(buf.getvalue())
+            finally:
+                for cls, lc, cp in saved:
+                    cls.localCheckpoint = lc
+                    cls.checkpoint = cp
         samples = []
         for r in range(reps):
-            clear_trainer_caches() if name not in AT_REST else None
+            if cold and name not in AT_REST:
+                clear_trainer_caches()
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"{name}:rep{r}")
             t0 = time.perf_counter()
