@@ -5730,24 +5730,33 @@ def h21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
                                               "l_shipdate")
-    late = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-            .filter(F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
-            .select("l_orderkey", "l_suppkey").distinct())
-    # late feeds two consumers; deliberately NOT localCheckpoint'd — the
+    # ONE (orderkey, suppkey) aggregate replaces the earlier shape's two
+    # distinct() passes (all-pairs + late-pairs): has_late = any line of
+    # that supplier in that order shipped >90 days late — identical to
+    # the old distinct late set; n_supp/n_late then derive from this
+    # pair table with a small second aggregate.  Only F-order pairs are
+    # kept, which is equivalence-preserving: the qualifying-order
+    # intersection was already inner on the late (hence F-order) side.
+    # no broadcast hint on orders: the F-status slice is ~half the orders
+    # table and scales with the data — let AQE pick the strategy
+    pairs = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+             .groupBy("l_orderkey", "l_suppkey")
+             .agg(F.max(F.when(
+                 F.col("l_shipdate")
+                 > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                 1).otherwise(0)).alias("__late")))
+    # pairs feeds two consumers; deliberately NOT localCheckpoint'd — the
     # recompute is cheaper than hiding the scans' pushdown evidence from
     # the plan audit and losing lineage-based recompute on executor loss
-    n_supp = (li.select("l_orderkey", "l_suppkey").distinct()
-              .groupBy("l_orderkey")
-              .agg(F.count(F.lit(1)).alias("n_supp")))
-    n_late = late.groupBy(F.col("l_orderkey").alias("ok_l")).agg(
-        F.count(F.lit(1)).alias("n_late"))
-    qual = (n_supp.filter(F.col("n_supp") > 1)
-            .join(n_late.filter(F.col("n_late") == 1),
-                  F.col("l_orderkey") == F.col("ok_l"))
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("__late").alias("n_late"))
+    qual = (per_order.filter((F.col("n_supp") > 1)
+                             & (F.col("n_late") == 1))
             .select("l_orderkey"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (late.join(F.broadcast(qual), "l_orderkey", "left_semi")
+    return (pairs.filter(F.col("__late") == 1)
+            .join(F.broadcast(qual), "l_orderkey", "left_semi")
             .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).cast("long").alias("numwait")))
