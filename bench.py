@@ -171,6 +171,23 @@ MATERIALIZE = {"t40_exact_substring_scrub", "t41_within_doc_collapse",
                "t45_code_switch_scan"}
 
 
+def _isolate(spark) -> None:
+    """Pre-timing isolation (runs OUTSIDE every timed region): drop the
+    Python references accumulated by earlier queries and ask the JVM to
+    collect, so a query's timing never pays the previous queries' GC
+    debt or still-pinned localCheckpoint blocks (a full headline pass
+    leaves ~4.3 GB of collectable heap behind; `clearCache` alone does
+    not release checkpoint RDDs, which are freed by reference GC via
+    the ContextCleaner)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def run_query(name, df) -> int | None:
     """Execute a benchmark query with the honest action for its shape.
     Returns the row count for count-actioned queries; ``None`` for
@@ -210,6 +227,7 @@ def run_full(spark, sf_dir: str, warm_dir: str, reps: int,
     for rep in range(reps):
         for name in HEADLINE:
             spark.catalog.clearCache()
+            _isolate(spark)
             t0 = time.perf_counter()
             n = run_query(name, QUERIES[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
@@ -308,6 +326,7 @@ def main() -> None:
         else:
             clear_trainer_caches()
         spark.catalog.clearCache()
+        _isolate(spark)
         t0 = time.perf_counter()
         n = run_query(name, fn(spark, sf_dir))
         firsts[name] = round(time.perf_counter() - t0, 3)

@@ -667,6 +667,12 @@ def dsir_importance(df: DataFrame, target_pred: Column,
                      - F.log((F.col("__cr") + 1)
                              / (F.col("__tr") + F.col("__v"))),
                      9).cast("decimal(18,9)").alias("__lr")))
+        # with feature hashing the ratio table is bounded at B rows by
+        # construction — broadcast it so docf never shuffles on __f (the
+        # identity-key mode keeps a corpus-vocabulary ratio table, where
+        # a broadcast would not survive scale; AQE decides there)
+        if hash_buckets is not None:
+            ratio = F.broadcast(ratio)
         scored = (docf.join(ratio, "__f")
                   .groupBy("__id")
                   .agg(F.sum("__c").cast("long").alias("n_feats"),
@@ -745,7 +751,13 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
                   F.element_at("__tk", i + 1).alias("b")))).alias("__g"))
           .select("__id", "__t", F.col("__g.a").alias("__a"),
                   F.col("__g.b").alias("__b")))
-    # unigram stream for the reference LM (ALL positions, not just firsts)
+    # unigram stream for the reference LM (ALL positions, not just
+    # firsts).  NOTE (r15 opt round): deriving ref_uni from firsts +
+    # the per-doc gram table (every token is a doc-first or the "b" of
+    # exactly one bigram) was tried and REVERTED — the __t filter
+    # already pushes below this explode so the stream is
+    # reference-sized, and chaining ref_uni onto docg_t serializes two
+    # branches that here run in parallel (measured 3.1 → 7-19 s)
     uni = toks.select("__id", "__t",
                       F.explode("__tk").alias("__w"))
     ref_uni = (uni.filter("__t").groupBy("__w")
