@@ -431,8 +431,14 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     """
     from dataqtor_spark.session import parallelize
 
+    # repartition RAW text, tokenize above the exchange: single-row-group
+    # inputs otherwise evaluate the tokenizer inside the one-task scan
+    # stage (and the exchange would carry token arrays, not raw text);
+    # the two consumers below reuse the raw exchange and re-tokenize at
+    # full width — cheap CPU against a serialized stage
     base = (parallelize(df.select(F.col(id_col).alias("__id"),
-                                  _clean_tokens(text_col).alias("__tk")))
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", _clean_tokens("__txt").alias("__tk"))
             .withColumn("__n", F.size("__tk")))
     sig = base.select(
         "__id", "__n", "__tk",
@@ -447,13 +453,17 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
                / (F.col("__n") - 1))
         .otherwise(F.lit(0.0)).alias("repeat_adjacent_frac"),
     )
-    grams = (base.filter(F.col("__n") >= 2)
-             .select("__id",
-                     F.explode(F.transform(
-                         F.sequence(F.lit(1), F.col("__n") - 1),
-                         lambda i: F.xxhash64(F.concat_ws(
-                             " ", F.element_at(F.col("__tk"), i),
-                             F.element_at(F.col("__tk"), i + 1))))).alias("__g")))
+    # the <2-token guard lives INSIDE the explode operand (explode of the
+    # NULL `when` branch emits nothing): a `.filter(__n >= 2)` here is
+    # pushed below the parallelize exchange with the whole tokenize
+    # expression cloned into the single-task scan stage
+    grams = (base.select("__id",
+                         F.explode(F.when(F.col("__n") >= 2, F.transform(
+                             F.sequence(F.lit(1), F.col("__n") - 1),
+                             lambda i: F.xxhash64(F.concat_ws(
+                                 " ", F.element_at(F.col("__tk"), i),
+                                 F.element_at(F.col("__tk"), i + 1))))))
+                         .alias("__g")))
     topg = (grams.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
             .groupBy("__id")
             .agg((F.max("__c") / F.sum("__c")).alias("top_2gram_frac")))
@@ -551,8 +561,11 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
     """
     from dataqtor_spark.session import parallelize
 
+    # raw text through the exchange, tokenize above it (single-row-group
+    # inputs otherwise tokenize inside the one-task scan stage)
     base = (parallelize(df.select(F.col(id_col).alias("__id"),
-                                  _clean_tokens(text_col).alias("__tk")))
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", _clean_tokens("__txt").alias("__tk"))
             .withColumn("__n", F.size("__tk")))
     wins_expr = F.when(
         F.col("__n") >= span_tokens,
@@ -617,46 +630,59 @@ def dsir_importance(df: DataFrame, target_pred: Column,
     log-ratios rounded to 9 dp as DECIMAL so the sum is exact and
     summation order can never leak into the result.
 
-    ONE corpus-scale pass total: tokenize → explode → the per-doc
-    feature groupBy (``docf``), persisted across its two consumers.
-    Both distributions then AGGREGATE FROM ``docf`` (Σc per feature,
-    conditionally for the target side) — the raw gram stream is never
-    re-scanned, which halved the 100× wall-clock vs the earlier
-    two-pass shape (grams feeding docf and feat independently
-    re-tokenized the corpus).  Vocab totals ride broadcast scalars; the
+    ONE corpus-scale pass total: the tokenized corpus (``toks``, one
+    array row per doc — the smallest corpus-shaped frame in the
+    pipeline) is persisted across the two gram consumers; explode is
+    replayed from it in-memory.  The feature distribution aggregates
+    straight off the occurrence stream (map-side partials reduce to the
+    per-partition vocabulary before the exchange), and the per-document
+    score joins the occurrence stream with the ratio table directly —
+    ``Σ_f c_f·lr_f ≡ Σ_occurrences lr`` exactly in DECIMAL (decimal ×
+    integer count is repeated exact addition), so the former per-(doc,
+    feature) count aggregate — an occurrence-scale exchange whose keys
+    were nearly unique per partition, i.e. zero map-side reduction —
+    is gone outright; the per-doc aggregate's partials now collapse to
+    ~1 row per doc per partition BEFORE its exchange (a doc's
+    occurrences are colocated after explode).  Vocab totals ride
+    broadcast scalars off the persisted (vocab-sized) ``feat``; the
     final top-k is a TakeOrderedAndProject, never a global sort.
     Returns ``(id, n_feats, log_weight, rank)`` for the k selected docs.
     """
     from dataqtor_spark.session import parallelize
 
+    # repartition the RAW text first, tokenize above the exchange: the
+    # driver testdata is one row group per file, so an inner tokenize
+    # would run inside the single-task scan stage (and the exchange
+    # would carry token arrays instead of the lighter raw text)
     toks = (parallelize(df.select(F.col(id_col).alias("__id"),
                                   target_pred.alias("__t"),
-                                  _clean_tokens(text_col).alias("__tk")))
-            .withColumn("__n", F.size("__tk")))
-    bigrams = F.when(
-        F.col("__n") >= 2,
-        F.transform(F.sequence(F.lit(1), F.col("__n") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("__tk", i),
-                        F.element_at("__tk", i + 1)))
-    ).otherwise(F.array().cast("array<string>"))
-    grams = toks.select("__id", "__t",
-                        F.explode(F.concat("__tk", bigrams)).alias("__f"))
-    if hash_buckets is not None:
-        grams = grams.select(
-            "__id", "__t",
-            (F.conv(F.substring(F.md5(F.col("__f")), 1, 15), 16, 10)
-             .cast("long") % F.lit(int(hash_buckets))).alias("__f"))
-    # per-doc feature counts (the c_f vector, exploded); __t is constant
-    # per doc, carried through the key so feat derives from docf below
-    docf = grams.groupBy("__id", "__t", "__f").agg(
-        F.count(F.lit(1)).alias("__c")).persist()
+                                  F.col(text_col).alias("__text")))
+            .select("__id", "__t", _clean_tokens("__text").alias("__tk"))
+            .withColumn("__n", F.size("__tk")).persist())
+    feat = None
     try:
-        # both distributions from docf — no second pass over raw grams
-        feat = docf.groupBy("__f").agg(
-            F.sum("__c").alias("__cr"),
-            F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0)))
-            .alias("__ct"))
+        bigrams = F.when(
+            F.col("__n") >= 2,
+            F.transform(F.sequence(F.lit(1), F.col("__n") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("__tk", i),
+                            F.element_at("__tk", i + 1)))
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toks.select("__id", "__t",
+                            F.explode(F.concat("__tk", bigrams))
+                            .alias("__f"))
+        if hash_buckets is not None:
+            grams = grams.select(
+                "__id", "__t",
+                (F.conv(F.substring(F.md5(F.col("__f")), 1, 15), 16, 10)
+                 .cast("long") % F.lit(int(hash_buckets))).alias("__f"))
+        # per-feature occurrence counts, straight from the gram stream —
+        # partial aggregation reduces each partition to its vocabulary
+        # before the exchange; persisted because tot AND ratio consume it
+        feat = grams.groupBy("__f").agg(
+            F.count(F.lit(1)).alias("__cr"),
+            F.sum(F.when(F.col("__t"), F.lit(1)).otherwise(F.lit(0)))
+            .alias("__ct")).persist()
         tot = feat.agg(F.sum("__cr").alias("__tr"),
                        F.sum("__ct").alias("__tt"),
                        F.count(F.lit(1)).alias("__v"))
@@ -668,20 +694,18 @@ def dsir_importance(df: DataFrame, target_pred: Column,
                              / (F.col("__tr") + F.col("__v"))),
                      9).cast("decimal(18,9)").alias("__lr")))
         # with feature hashing the ratio table is bounded at B rows by
-        # construction — broadcast it so docf never shuffles on __f (the
+        # construction — broadcast it so grams never shuffle on __f (the
         # identity-key mode keeps a corpus-vocabulary ratio table, where
         # a broadcast would not survive scale; AQE decides there)
         if hash_buckets is not None:
             ratio = F.broadcast(ratio)
-        scored = (docf.join(ratio, "__f")
+        # every occurrence contributes its feature's lr once: the DECIMAL
+        # sum equals the former sum(c_f * lr_f) term for term, with the
+        # 6dp round still applied IN DECIMAL SPACE before the double cast
+        scored = (grams.join(ratio, "__f")
                   .groupBy("__id")
-                  .agg(F.sum("__c").cast("long").alias("n_feats"),
-                       # round the exact DECIMAL sum at 6dp IN DECIMAL
-                       # SPACE, then cast — rounding after a double cast
-                       # reintroduces the float tie the DECIMAL
-                       # accumulation exists to avoid
-                       F.round(F.sum(F.col("__c").cast("decimal(10,0)")
-                                     * F.col("__lr")), 6).cast("double")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+                       F.round(F.sum("__lr"), 6).cast("double")
                        .alias("log_weight")))
         top = (scored.orderBy(F.col("log_weight").desc(), F.col("__id"))
                .limit(top_k))
@@ -689,12 +713,15 @@ def dsir_importance(df: DataFrame, target_pred: Column,
 
         # rank AFTER the limit — TakeOrderedAndProject bounds the window
         w = Window.orderBy(F.col("log_weight").desc(), F.col("__id"))
-        return (top.select(F.col("__id").alias(id_col), "n_feats",
-                           "log_weight",
-                           F.row_number().over(w).cast("long").alias("rank"))
-                .localCheckpoint())
+        out = (top.select(F.col("__id").alias(id_col), "n_feats",
+                          "log_weight",
+                          F.row_number().over(w).cast("long").alias("rank"))
+               .localCheckpoint())
+        return out
     finally:
-        docf.unpersist()
+        if feat is not None:
+            feat.unpersist()
+        toks.unpersist()
 
 
 def ngram_lm_score(df: DataFrame, ref_pred: Column,
@@ -731,9 +758,12 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
     from dataqtor_spark.functions.exact import round_ratio
     from dataqtor_spark.session import parallelize
 
+    # raw text through the exchange, tokenize above it (single-row-group
+    # inputs otherwise tokenize inside the one-task scan stage)
     toks = (parallelize(df.select(F.col(id_col).alias("__id"),
                                   ref_pred.alias("__t"),
-                                  _clean_tokens(text_col).alias("__tk")))
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", "__t", _clean_tokens("__txt").alias("__tk"))
             .withColumn("__n", F.size("__tk"))
             # three consumers (firsts, bigram stream, reference unigrams)
             # — persist the tokenized frame so the corpus is scanned and
@@ -917,8 +947,11 @@ def scrub_shared_spans(df: DataFrame, id_col: str = "doc_id",
     """
     from dataqtor_spark.session import parallelize
 
+    # raw text through the exchange, tokenize above it (single-row-group
+    # inputs otherwise tokenize inside the one-task scan stage)
     base = (parallelize(df.select(F.col(id_col).alias("__id"),
-                                  _clean_tokens(text_col).alias("__tk")))
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", _clean_tokens("__txt").alias("__tk"))
             .withColumn("__n", F.size("__tk")))
     wins_expr = F.when(
         F.col("__n") >= span_tokens,
@@ -1028,9 +1061,14 @@ def token_budget(df: DataFrame, budget: int, source_col: str = "source",
     and a broadcast 1-row total.  Token counts ride the dedup groupBy
     (identical across copies, ``min`` picks deterministically), so the
     corpus is scanned once."""
-    per_text = (df.groupBy(F.col(source_col).alias("source"),
-                           F.md5(F.col(text_col).cast("string"))
-                           .alias("__h"))
+    from dataqtor_spark.session import parallelize
+
+    # exchange raw text first: the md5 + token_count expressions
+    # otherwise evaluate inside the single-task scan stage
+    per_text = (parallelize(df.select(source_col, text_col))
+                .groupBy(F.col(source_col).alias("source"),
+                         F.md5(F.col(text_col).cast("string"))
+                         .alias("__h"))
                 .agg(F.count(F.lit(1)).alias("__dups"),
                      F.min(token_count(text_col)).alias("__tok")))
     agg = per_text.groupBy("source").agg(
@@ -1080,8 +1118,11 @@ def collapse_repeated_spans(df: DataFrame, id_col: str = "doc_id",
     the cross-doc op's coverage test."""
     from dataqtor_spark.session import parallelize
 
+    # raw text through the exchange, tokenize above it (single-row-group
+    # inputs otherwise tokenize inside the one-task scan stage)
     base = (parallelize(df.select(F.col(id_col).alias("__id"),
-                                  _clean_tokens(text_col).alias("__tk")))
+                                  F.col(text_col).alias("__txt")))
+            .select("__id", _clean_tokens("__txt").alias("__tk"))
             .withColumn("__n", F.size("__tk")))
     span = F.lit(span_tokens)
     hashes = F.when(
@@ -1149,7 +1190,12 @@ def source_mix(df: DataFrame, source_col: str = "source",
     to |sources| rows, so the shuffle is tiny no matter the corpus size; the
     grand total rides a broadcast scalar.
     """
-    agg = (df.groupBy(F.col(source_col).alias("source"))
+    from dataqtor_spark.session import parallelize
+
+    # exchange raw text first: token_count's regex split otherwise
+    # evaluates inside the single-task scan stage on one-row-group input
+    agg = (parallelize(df.select(source_col, text_col))
+           .groupBy(F.col(source_col).alias("source"))
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.sum(token_count(text_col)).alias("n_tokens")))
     tot = agg.agg(F.sum("n_tokens").alias("__tt"),
@@ -1527,12 +1573,17 @@ def bpe_merge_candidates(df: DataFrame, id_col: str = "doc_id",
     """
     from dataqtor_spark.session import parallelize
 
-    toks = _clean_tokens(text_col)
-    pairs = (parallelize(df.select(toks.alias("toks")))
-             .filter(F.size("toks") > 1)
-             .select(F.explode(F.expr(
+    # raw text through the exchange, tokenize above it (single-row-group
+    # inputs otherwise tokenize inside the one-task scan stage).  The
+    # short-doc guard lives INSIDE the explode operand (explode of the
+    # NULL `when` branch emits nothing) — a `.filter(size(toks) > 1)`
+    # here would be pushed below the exchange with the tokenize
+    # expression cloned into the single-task scan stage.
+    pairs = (parallelize(df.select(F.col(text_col).alias("__txt")))
+             .select(_clean_tokens("__txt").alias("toks"))
+             .select(F.explode(F.when(F.size("toks") > 1, F.expr(
                  "transform(slice(toks, 1, size(toks) - 1), "
-                 "(x, i) -> struct(x AS a, toks[i + 1] AS b))")).alias("p")))
+                 "(x, i) -> struct(x AS a, toks[i + 1] AS b))"))).alias("p")))
     return (pairs.groupBy(F.col("p.a").alias("tok_a"),
                           F.col("p.b").alias("tok_b"))
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -1790,13 +1841,16 @@ def bpe_word_counts(df: DataFrame, text_col: str = "text",
     viable at 100 TB: corpus size only affects this first groupBy."""
     from dataqtor_spark.session import parallelize
 
+    # raw text through the exchange, tokenize above it (single-row-group
+    # inputs otherwise tokenize inside the one-task scan stage).
     # explode_OUTER, deliberately: plain explode(attr) makes Catalyst
-    # infer `size(__toks) > 0` and push it through the alias chain into
-    # the pre-repartition scan, cloning the whole tokenize expression
-    # into that stage (the d02 with_count trap).  Outer emits a NULL
-    # word for empty/NULL token arrays, which the rlike filter drops —
-    # identical output, tokenize runs once, after the repartition.
-    return (parallelize(df.select(_clean_tokens(text_col).alias("__toks")))
+    # infer `size(__toks) > 0` and push it through the alias chain below
+    # the repartition, cloning the whole tokenize expression into the
+    # single-task scan stage (the d02 with_count trap).  Outer emits a
+    # NULL word for empty/NULL token arrays, which the rlike filter
+    # drops — identical output, tokenize runs once, after the exchange.
+    return (parallelize(df.select(F.col(text_col).alias("__txt")))
+            .select(_clean_tokens("__txt").alias("__toks"))
             .select(F.explode_outer("__toks").alias("word"))
             .filter(F.col("word").rlike(word_pattern))
             .groupBy("word")
@@ -1965,7 +2019,12 @@ def domain_mixture_plan(df: DataFrame, domain_col: str,
     wtab = df.sparkSession.createDataFrame(
         sorted((d, int(w)) for d, w in weights.items()),
         "domain string, weight long")
-    avail = (df.groupBy(F.col(domain_col).alias("domain"))
+    from dataqtor_spark.session import parallelize
+
+    # exchange raw text first: token_count's regex split otherwise
+    # evaluates inside the single-task scan stage
+    avail = (parallelize(df.select(domain_col, text_col))
+             .groupBy(F.col(domain_col).alias("domain"))
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum(token_count(text_col)).alias("avail_tokens")))
     base = (wtab.join(avail, "domain", "left")
@@ -2015,7 +2074,12 @@ def temperature_mixture_plan(df: DataFrame, domain_col: str, budget: int,
     after runs on the |domains|-row frame."""
     from pyspark.sql.window import Window
 
-    avail = (df.groupBy(F.col(domain_col).alias("domain"))
+    from dataqtor_spark.session import parallelize
+
+    # exchange raw text first: token_count's regex split otherwise
+    # evaluates inside the single-task scan stage
+    avail = (parallelize(df.select(domain_col, text_col))
+             .groupBy(F.col(domain_col).alias("domain"))
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum(token_count(text_col)).alias("avail_tokens")))
     r = F.floor(F.sqrt(F.col("avail_tokens"))).cast("long")

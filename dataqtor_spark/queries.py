@@ -2758,7 +2758,13 @@ def d08_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2)
     comp = DD.connected_components(pairs)
-    scores = docs.select("doc_id", TX.quality_score("text").alias("quality_score"))
+    from dataqtor_spark.session import parallelize
+
+    # quality_score is a wide regex/ratio expression — exchange the raw
+    # text first so it does not evaluate inside the one-task scan stage
+    scores = (parallelize(docs.select("doc_id", "text"))
+              .select("doc_id",
+                      TX.quality_score("text").alias("quality_score")))
     return DD.select_survivors(comp, scores, "doc_id", "quality_score")
 
 
@@ -3405,8 +3411,12 @@ def t44_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ppm surface — textstats.token_count /
     subword_token_count aggregated once per source."""
     docs = _t(spark, sf_dir, "documents")
+    from dataqtor_spark.session import parallelize
+
     c = F.col("text").cast("string")
-    d = docs.select(
+    # exchange raw text first: the token/subword regex splits otherwise
+    # evaluate inside the single-task scan stage (one-row-group input)
+    d = parallelize(docs.select("source", "text")).select(
         "source",
         F.length(c).alias("__ch"),
         F.octet_length(c).alias("__by"),
@@ -3487,7 +3497,13 @@ def t45_code_switch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("string"),
         F.when(did % 31 == 0, F.lit(_T45_DE)).otherwise(F.lit("")),
         F.when(did % 37 == 0, F.lit(_T45_ES)).otherwise(F.lit("")))
-    base = docs.select("doc_id", TX._clean_tokens(aug).alias("__tk"))
+    from dataqtor_spark.session import parallelize
+
+    # exchange the raw text first: documents.parquet is one row group,
+    # so without it the tokenize + per-chunk langid regex voting (the
+    # CPU of this query) runs inside the single-task scan stage
+    base = (parallelize(docs.select("doc_id", "text"))
+            .select("doc_id", TX._clean_tokens(aug).alias("__tk")))
     nchunks = F.ceil(F.size("__tk") / _T45_CHUNK).cast("int")
     chunk_arr = F.when(
         F.size("__tk") > 0,
@@ -3623,7 +3639,11 @@ def t17b_source_mix_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic split of t17: raw per-source doc/token counts only — no
     derived ratios at all.  If t17 is ever red while t17b is green the
     divergence is in ratio hashing; if both are red it is tokenization."""
-    d = _t(spark, sf_dir, "documents")
+    from dataqtor_spark.session import parallelize
+
+    # exchange raw text first: token_count's regex split otherwise
+    # evaluates inside the single-task scan stage (one-row-group input)
+    d = parallelize(_t(spark, sf_dir, "documents").select("source", "text"))
     return (d.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(TX.token_count("text").cast("long")).alias("n_tokens")))
@@ -9604,12 +9624,15 @@ def bpe03_tokenizer_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lambda x: x != "")).cast("long")
     wl = words.select(F.col("word"), n_sub.alias("n_sub"))
     from dataqtor_spark.session import parallelize
-    d = (parallelize(docs.select(
+    # raw text through the exchange, tokenize above it (single-row-group
+    # inputs otherwise tokenize inside the one-task scan stage)
+    d = (parallelize(docs.select("source", "text"))
+         .select(
             F.col("source"),
             F.filter(F.split(F.trim(F.lower(F.col("text"))), TX.WS_PLUS),
-                     lambda t: t != "").alias("__toks")))
+                     lambda t: t != "").alias("__toks"))
          # explode_outer: stops the inferred size()>0 filter from
-         # cloning the tokenize into the pre-repartition scan (the d02
+         # cloning the tokenize below the repartition (the d02
          # with_count trap); the NULL word it emits fails the rlike
          .select("source", F.explode_outer("__toks").alias("word"))
          .filter(F.col("word").rlike("^[a-z]+$")))
