@@ -1061,14 +1061,14 @@ def token_budget(df: DataFrame, budget: int, source_col: str = "source",
     and a broadcast 1-row total.  Token counts ride the dedup groupBy
     (identical across copies, ``min`` picks deterministically), so the
     corpus is scanned once."""
-    from dataqtor_spark.session import parallelize
-
-    # exchange raw text first: the md5 + token_count expressions
-    # otherwise evaluate inside the single-task scan stage
-    per_text = (parallelize(df.select(source_col, text_col))
-                .groupBy(F.col(source_col).alias("source"),
-                         F.md5(F.col(text_col).cast("string"))
-                         .alias("__h"))
+    # NOT parallelize()d (r15 opt round, measured): the (source, md5)
+    # partial aggregation does not reduce rows — md5 is distinct per doc
+    # — so a pre-exchange of raw text would ADD a corpus-row shuffle
+    # while the existing exchange already carries only (md5, counts)
+    # rows; at real scale the scan parallelizes on its own.
+    per_text = (df.groupBy(F.col(source_col).alias("source"),
+                           F.md5(F.col(text_col).cast("string"))
+                           .alias("__h"))
                 .agg(F.count(F.lit(1)).alias("__dups"),
                      F.min(token_count(text_col)).alias("__tok")))
     agg = per_text.groupBy("source").agg(
@@ -1944,7 +1944,19 @@ def bpe_train(df: DataFrame, text_col: str = "text", rounds: int = 8,
     cached = words.cache()
     words = cached
     merges: list[dict] = []
+    sess = df.sparkSession
+    # materialize the ONE corpus-sized pass (word counts) under AQE,
+    # then run the merge rounds with AQE off: every round is a bounded
+    # aggregate over the cached distinct-word table, where AQE's
+    # per-exchange stage materialization adds a fixed re-planning wait
+    # per round and has nothing to coalesce or skew-split — the round
+    # inputs are vocabulary-sized by construction.  Restored in the
+    # finally; plans compiled after training (the returned ``words``
+    # consumer) see the caller's setting again.
+    cached.count()
+    aqe_prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
     try:
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
         for r in range(rounds):
             top = (_bpe_pair_counts(words)
                    .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
@@ -1957,6 +1969,7 @@ def bpe_train(df: DataFrame, text_col: str = "text", rounds: int = 8,
             words = words.withColumn("seq",
                                      _bpe_merge_seq(F.col("seq"), a, b))
     finally:
+        sess.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         cached.unpersist()
     if memo_key is not None:
         _BPE_TRAIN_CACHE[memo_key] = merges
