@@ -173,19 +173,24 @@ MATERIALIZE = {"t40_exact_substring_scrub", "t41_within_doc_collapse",
 
 def _isolate(spark) -> None:
     """Pre-timing isolation (runs OUTSIDE every timed region): drop the
-    Python references accumulated by earlier queries and ask the JVM to
-    collect, so a query's timing never pays the previous queries' GC
-    debt or still-pinned localCheckpoint blocks (a full headline pass
-    leaves ~4.3 GB of collectable heap behind; `clearCache` alone does
-    not release checkpoint RDDs, which are freed by reference GC via
-    the ContextCleaner)."""
+    Python references accumulated by earlier queries so the
+    ContextCleaner can release still-pinned localCheckpoint blocks
+    (`clearCache` alone does not release checkpoint RDDs).
+
+    Deliberately NO JVM ``System.gc()`` here (r15 optimization round,
+    measured): a forced full GC before every timed region made the
+    SUBSEQUENT timing 1.2-1.6x SLOWER on codegen-heavy queries (3-mode
+    interleaved A/B, medians: ann03 1.90 s with full-GC vs 1.19 none,
+    rrf01 3.50 vs 1.68 python-gc-only, t40 1.99 vs 1.72) — full GC
+    unloads generated-class state the warm pass exists to keep hot, the
+    exact opposite of the isolation it was added for.  Python
+    ``gc.collect()`` measured ≈ no-op on timings while still unpinning
+    checkpoint blocks via reference release.  This restores timing
+    methodology comparability with BENCH_LOCAL_r14 and the r15-opt
+    baseline (both pre-System.gc artifacts)."""
     import gc
 
     gc.collect()
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
 
 
 def run_query(name, df) -> int | None:

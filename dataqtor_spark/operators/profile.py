@@ -1330,6 +1330,15 @@ def entropy_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     j = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
          .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
          .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return _entropy_mi_from_joint(j)
+
+
+def _entropy_mi_from_joint(j: DataFrame) -> DataFrame:
+    """Entropy/MI math over a prepared joint table ``(a, b, n)`` — split
+    out so a multi-pair matrix (pr26) can derive every pair's joint from
+    ONE contingency-cube pass instead of re-scanning the source per
+    pair; the counts are identical integers, so the rounded doubles
+    cannot differ from the single-pair path."""
     tot = j.agg(F.sum("n").alias("t"))
     pa = j.groupBy("a").agg(F.sum("n").alias("na"))
     pb = j.groupBy("b").agg(F.sum("n").alias("nb"))
@@ -1361,6 +1370,11 @@ def json_key_type_profile(df: DataFrame, json_col: str,
     engines return scalars as bare strings), never via engine ``typeof``
     whose type names differ — so the histogram replays identically.
     One scan, |keys| extractions per row, all codegen'd."""
+    from dataqtor_spark.session import parallelize
+
+    # exchange the raw JSON first: the |keys|×4 per-row extractions
+    # otherwise run inside the single-task scan stage
+    df = parallelize(df.select(json_col))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, k in enumerate(keys):
         v = F.get_json_object(F.col(json_col), f"$.{k}")

@@ -135,8 +135,20 @@ def kll_quantile_rollup(df: DataFrame, value_col: str, group_col: str,
 def _cms_tokens(df: DataFrame, text_col: str) -> DataFrame:
     from dataqtor_spark.operators.dedup import portable_string_hash
     from dataqtor_spark.operators.textstats import _clean_tokens
+    from dataqtor_spark.session import parallelize
 
-    return (df.select(F.explode(_clean_tokens(text_col)).alias("__t"))
+    # raw text through the exchange, tokenize + md5-hash above it: on
+    # one-row-group inputs the per-token md5 otherwise runs inside the
+    # single-task scan stage (and twice — both the cells and the exact
+    # side rebuild this frame; the raw exchange is what ReuseExchange
+    # dedups).  explode_OUTER + isNotNull on the GENERATED attribute so
+    # no inferred size()>0 filter clones the tokenize below the
+    # exchange (the d02 with_count trap); _clean_tokens never yields
+    # NULL elements, so the filter restores plain-explode semantics.
+    return (parallelize(df.select(F.col(text_col).alias("__txt")))
+            .select(_clean_tokens("__txt").alias("__tk"))
+            .select(F.explode_outer("__tk").alias("__t"))
+            .filter(F.col("__t").isNotNull())
             .withColumn("__v", portable_string_hash(F.col("__t"))))
 
 

@@ -2264,8 +2264,13 @@ def x01_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read over a JSON string column: get_json_object stays in
     codegen (no Python), and only the extracted path is materialized."""
     ev = _t(spark, sf_dir, "events")
+    from dataqtor_spark.session import parallelize
+
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return (ev.select("event_type", k.alias("k"))
+    # exchange the raw JSON first: the per-row parse otherwise runs in
+    # the single-task scan stage (one-row-group input)
+    return (parallelize(ev.select("event_type", "props"))
+            .select("event_type", k.alias("k"))
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("k").cast("long").alias("sum_k"),
@@ -9387,11 +9392,23 @@ def pr26_nmi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = o.select(F.col("o_orderstatus").alias("status"),
                    F.col("o_orderpriority").alias("priority"),
                    dow.alias("dow"))
-    outs = []
     labels = [la for la, _ in _PR26_COLS]
+    # ONE corpus pass: the full |labels|-way contingency cube (bounded by
+    # the product of the categorical cardinalities, ~105 rows here);
+    # every pair's joint table re-aggregates the cube — identical integer
+    # counts, so the rounded entropy/MI doubles cannot differ from the
+    # per-pair scans this replaces (3 orders scans -> 1).  Eager
+    # localCheckpoint so the pass runs once across the 3 pair consumers.
+    cube = (src.groupBy(*labels)
+            .agg(F.count(F.lit(1)).alias("__n")).localCheckpoint())
+    outs = []
     for i, la in enumerate(labels):
         for lb in labels[i + 1:]:
-            m = P.entropy_mi(src, la, lb)
+            j = (cube.filter(F.col(la).isNotNull()
+                             & F.col(lb).isNotNull())
+                 .groupBy(F.col(la).alias("a"), F.col(lb).alias("b"))
+                 .agg(F.sum("__n").cast("double").alias("n")))
+            m = P._entropy_mi_from_joint(j)
             outs.append(m.select(
                 F.lit(la).alias("col_a"), F.lit(lb).alias("col_b"),
                 "entropy_a", "entropy_b",
