@@ -765,22 +765,28 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
                                   F.col(text_col).alias("__txt")))
             .select("__id", "__t", _clean_tokens("__txt").alias("__tk"))
             .withColumn("__n", F.size("__tk"))
-            # three consumers (firsts, bigram stream, reference unigrams)
-            # — persist the tokenized frame so the corpus is scanned and
-            # tokenized ONCE, not three times; released in the finally
+            # two consumers (fused gram stream, reference unigrams) —
+            # persist the tokenized frame so the corpus is scanned and
+            # tokenized ONCE, not twice; released in the finally
             # with ref_uni/docg_t (blocks spill to disk at cluster scale)
             .persist())
-    # first-token stream (position 1) and bigram stream (positions 2..n)
-    firsts = (toks.filter(F.col("__n") >= 1)
-              .select("__id", "__t", F.element_at("__tk", 1).alias("__w")))
-    bi = (toks.filter(F.col("__n") >= 2)
-          .select("__id", "__t", F.explode(F.transform(
-              F.sequence(F.lit(1), F.col("__n") - 1),
-              lambda i: F.struct(
-                  F.element_at("__tk", i).alias("a"),
-                  F.element_at("__tk", i + 1).alias("b")))).alias("__g"))
-          .select("__id", "__t", F.col("__g.a").alias("__a"),
-                  F.col("__g.b").alias("__b")))
+    # start + bigram terms FUSED into one gram stream (r16 opt round,
+    # §2.4: the start leg previously ran its own firsts⋈ref_uni join and
+    # a union into the per-doc sum — one more toks consumer, one more
+    # join subtree).  Position 1 emits (a=NULL, b=w1); positions 2..n
+    # emit (w_{i-1}, w_i).  A NULL ``__a`` uniquely marks the start term:
+    # _clean_tokens never yields NULL elements, so no real bigram can
+    # collide with the marker.  The when() guard keeps element_at from
+    # ever seeing index 0 (ANSI): CaseWhen evaluates only the matched
+    # branch.
+    gram = (toks.filter(F.col("__n") >= 1)
+            .select("__id", "__t", F.explode(F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: F.struct(
+                    F.when(i >= 2, F.element_at("__tk", i - 1)).alias("a"),
+                    F.element_at("__tk", i).alias("b")))).alias("__g"))
+            .select("__id", "__t", F.col("__g.a").alias("__a"),
+                    F.col("__g.b").alias("__b")))
     # unigram stream for the reference LM (ALL positions, not just
     # firsts).  NOTE (r15 opt round): deriving ref_uni from firsts +
     # the per-doc gram table (every token is a doc-first or the "b" of
@@ -798,35 +804,40 @@ def ngram_lm_score(df: DataFrame, ref_pred: Column,
                               F.count(F.lit(1)).alias("__lmV"))
         lp9 = lambda num, den: F.round(F.log(num / den), 9) \
             .cast("decimal(18,9)")  # noqa: E731
-        # start term per doc
-        start = (firsts.join(ref_uni, "__w", "left")
-                 .crossJoin(F.broadcast(ref_tot))
-                 .select("__id", lp9(
-                     F.coalesce(F.col("__cu"), F.lit(0)) + 1,
-                     F.col("__lmT") + F.col("__lmV")).alias("__lp"),
-                     F.lit(1).alias("__c")))
-        # bigram terms: ONE explode feeds the per-doc gram counts, and the
-        # reference bigram LM re-aggregates the (much smaller) per-doc
-        # table instead of re-exploding the corpus — __t is constant per
-        # doc, so carrying it through the groupBy costs nothing.
-        # persist (released in the finally, the ref_uni pattern) rather
-        # than a lazy localCheckpoint, which would pin an
-        # O(corpus-grams) block until Python GC drops the frame
-        docg_t = (bi.groupBy("__id", "__t", "__a", "__b")
+        # per-doc gram counts: ONE explode feeds them (start term rides
+        # along as the NULL-__a row, count 1 by construction — exactly
+        # the old union leg's F.lit(1)), and the reference bigram LM
+        # re-aggregates the (much smaller) per-doc table instead of
+        # re-exploding the corpus — __t is constant per doc, so carrying
+        # it through the groupBy costs nothing.  persist (released in
+        # the finally, the ref_uni pattern) rather than a lazy
+        # localCheckpoint, which would pin an O(corpus-grams) block
+        # until Python GC drops the frame
+        docg_t = (gram.groupBy("__id", "__t", "__a", "__b")
                   .agg(F.count(F.lit(1)).alias("__c"))).persist()
-        ref_bi = (docg_t.filter("__t").groupBy("__a", "__b")
+        # start rows (NULL __a) are excluded: the reference bigram table
+        # must count positions 2..n only (and a NULL key could never
+        # equi-join anyway)
+        ref_bi = (docg_t.filter("__t").filter(F.col("__a").isNotNull())
+                  .groupBy("__a", "__b")
                   .agg(F.sum("__c").cast("long").alias("__cb")))
-        docg = docg_t.drop("__t")
-        prev = ref_uni.select(F.col("__w").alias("__a"),
-                              F.col("__cu").alias("__ca"))
-        grams = (docg.join(ref_bi, ["__a", "__b"], "left")
-                 .join(prev, "__a", "left")
+        # one unigram lookup serves both term kinds: gram rows need
+        # c(prev) = ref_uni[__a], the start row needs c(w1) = ref_uni[__b]
+        docg = (docg_t.drop("__t")
+                .withColumn("__k", F.coalesce("__a", "__b")))
+        prev = ref_uni.select(F.col("__w").alias("__k"),
+                              F.col("__cu").alias("__ck"))
+        is_start = F.col("__a").isNull()
+        ck0 = F.coalesce(F.col("__ck"), F.lit(0))
+        terms = (docg.join(ref_bi, ["__a", "__b"], "left")
+                 .join(prev, "__k", "left")
                  .crossJoin(F.broadcast(ref_tot))
                  .select("__id", lp9(
-                     F.coalesce(F.col("__cb"), F.lit(0)) + 1,
-                     F.coalesce(F.col("__ca"), F.lit(0)) + F.col("__lmV"))
+                     F.when(is_start, ck0 + 1)
+                     .otherwise(F.coalesce(F.col("__cb"), F.lit(0)) + 1),
+                     F.when(is_start, F.col("__lmT") + F.col("__lmV"))
+                     .otherwise(ck0 + F.col("__lmV")))
                      .alias("__lp"), "__c"))
-        terms = start.unionByName(grams)
         scored = (terms.groupBy("__id")
                   .agg(F.sum(F.col("__c").cast("decimal(10,0)")
                              * F.col("__lp")).alias("__sum"),
