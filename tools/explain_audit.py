@@ -40,23 +40,57 @@ INTERESTING = (
 
 
 _ELIDED = 0
+_ELIDE_CAP: int | None = None
 
 
-def _patch_checkpoints() -> None:
+def _observed_root(df) -> bool:
+    """True when an ``Observation`` rides this frame (root analyzed node
+    is CollectMetrics).  Root-node check only — a full plan toString on
+    recursively-elided lineage (connected_components) is itself
+    exponential."""
+    try:
+        return df._jdf.queryExecution().analyzed().nodeName() \
+            == "CollectMetrics"
+    except Exception:  # noqa: BLE001 — Connect / non-classic frames
+        return False
+
+
+def _patch_checkpoints(max_elide: int | None = None) -> None:
     """Route DataFrame.(local)checkpoint to identity, counting elisions.
 
     Spark 4 note: ``pyspark.sql.DataFrame`` is the abstract interface;
     instance lookups resolve on the concrete classic (and, if importable,
-    Connect) subclass, so those are what must be patched."""
+    Connect) subclass, so those are what must be patched.
+
+    r16 fixes (VERDICT r15 item 8):
+    - An elided barrier that carries an ``Observation`` still fires the
+      metrics via ``count()`` — ``connected_components`` blocks on
+      ``obs.get`` after each round's barrier, so pure-identity elision
+      deadlocked every CC-consuming query's ``--plan`` capture (the d08
+      hang).
+    - ``max_elide`` caps elisions per query (reset ``_ELIDED`` between
+      queries): past the cap the REAL checkpoint runs, truncating
+      recursive lineage (CC label rounds reference the previous round's
+      plan ~6x, so an uncapped elided plan grows exponentially and
+      ``explain`` never returns).
+    """
+    global _ELIDE_CAP
+    _ELIDE_CAP = max_elide
     import pyspark.sql as pssql
 
-    def _elide(self, *args, **kwargs):  # noqa: ANN001, ARG001
-        # accept any checkpoint signature (Spark 4 adds keyword
-        # storageLevel=... to localCheckpoint) — audit mode must never
-        # TypeError on an argument the real method would take
-        global _ELIDED
-        _ELIDED += 1
-        return self
+    def _make(real):
+        def _elide(self, *args, **kwargs):  # noqa: ANN001, ARG001
+            # accept any checkpoint signature (Spark 4 adds keyword
+            # storageLevel=... to localCheckpoint) — audit mode must
+            # never TypeError on an argument the real method would take
+            global _ELIDED
+            if _ELIDE_CAP is not None and _ELIDED >= _ELIDE_CAP:
+                return real(self, *args, **kwargs)
+            _ELIDED += 1
+            if _observed_root(self):
+                self.count()    # fire the Observation; keep lineage
+            return self
+        return _elide
 
     classes = [pssql.DataFrame]
     try:
@@ -70,8 +104,9 @@ def _patch_checkpoints() -> None:
     except ImportError:
         pass
     for cls in classes:
-        cls.localCheckpoint = _elide
-        cls.checkpoint = _elide
+        real_lc, real_cp = cls.localCheckpoint, cls.checkpoint
+        cls.localCheckpoint = _make(real_lc)
+        cls.checkpoint = _make(real_cp)
 
 
 def main() -> None:
@@ -85,7 +120,7 @@ def main() -> None:
     sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
     assert len(dirs) <= 1, f"multiple sf_dirs given: {dirs}"
 
-    _patch_checkpoints()
+    _patch_checkpoints(max_elide=12)
     from dataqtor_spark.queries import QUERIES
     from dataqtor_spark.session import get_spark
 

@@ -76,6 +76,7 @@ def main() -> None:
             import io
 
             import pyspark.sql as pssql
+            import tools.explain_audit as _ea
             from tools.explain_audit import _patch_checkpoints
             saved = []
             classes = [pssql.DataFrame]
@@ -85,16 +86,41 @@ def main() -> None:
                 classes.append(ClassicDF)
             except ImportError:
                 pass
+            # mirror _patch_checkpoints' full class list (ADVICE r15):
+            # under Spark Connect the patch also lands on ConnectDF, and
+            # a saved list missing it would leak the identity patch past
+            # the finally — every later timed rep would run with
+            # checkpoints elided (mistimed without materialization)
+            try:
+                from pyspark.sql.connect.dataframe import \
+                    DataFrame as ConnectDF
+                classes.append(ConnectDF)
+            except ImportError:
+                pass
             for cls in classes:
                 saved.append((cls, cls.localCheckpoint, cls.checkpoint))
-            _patch_checkpoints()
+            # cap elisions (r16, VERDICT item 8): recursively-checkpointed
+            # lineage (connected_components label rounds) grows the elided
+            # plan exponentially — past the cap the real checkpoint runs
+            # and truncates, so d08-style captures terminate
+            _ea._ELIDED = 0
+            _patch_checkpoints(max_elide=12)
             try:
                 buf = io.StringIO()
                 with contextlib.redirect_stdout(buf):
                     fn(spark, sf_dir).explain("formatted")
+                n_elided = _ea._ELIDED
+                hdr = ""
+                if n_elided:
+                    hdr = (f"-- pinned-elided: {n_elided} checkpoint "
+                           "boundary(ies) elided for plan visibility."
+                           "\n-- Subplans below an elided checkpoint "
+                           "appear DUPLICATED in this dump (each consumer"
+                           "\n-- replays the lineage); production "
+                           "materializes each checkpointed frame ONCE.\n\n")
                 with open(os.path.join(plan_dir, f"{name}_{tag}.txt"),
                           "w") as f:
-                    f.write(buf.getvalue())
+                    f.write(hdr + buf.getvalue())
             finally:
                 for cls, lc, cp in saved:
                     cls.localCheckpoint = lc
