@@ -135,20 +135,20 @@ def kll_quantile_rollup(df: DataFrame, value_col: str, group_col: str,
 def _cms_tokens(df: DataFrame, text_col: str) -> DataFrame:
     from dataqtor_spark.operators.dedup import portable_string_hash
     from dataqtor_spark.operators.textstats import _clean_tokens
-    from dataqtor_spark.session import parallelize
 
-    # raw text through the exchange, tokenize + md5-hash above it: on
-    # one-row-group inputs the per-token md5 otherwise runs inside the
-    # single-task scan stage (and twice — both the cells and the exact
-    # side rebuild this frame; the raw exchange is what ReuseExchange
-    # dedups).  explode_OUTER + isNotNull on the GENERATED attribute so
-    # no inferred size()>0 filter clones the tokenize below the
-    # exchange (the d02 with_count trap); _clean_tokens never yields
-    # NULL elements, so the filter restores plain-explode semantics.
-    return (parallelize(df.select(F.col(text_col).alias("__txt")))
-            .select(_clean_tokens("__txt").alias("__tk"))
-            .select(F.explode_outer("__tk").alias("__t"))
-            .filter(F.col("__t").isNotNull())
+    # Tokenize + md5 INSIDE the scan stage, no exchange (the pre-r15
+    # shape).  r15 moved the work above a parallelize() exchange (raw
+    # text shuffled, tokenize+md5 after) to escape the single-task scan
+    # stage; the r16 quiet-host interleaved A/B measured that variant
+    # LOSING at 32 cores — med 1.19 s vs 0.97 s for this shape — the
+    # same failure mode as t42's rejected pre-exchange: the exchange
+    # carries raw text that the scan-stage partial aggregation of the
+    # downstream groupBy otherwise reduces before any shuffle, and the
+    # CMS consumers aggregate straight into width-bounded cells, so
+    # parallelizing the md5 buys less than the extra corpus-sized
+    # exchange costs.  Reverted per the r15 verdict (keep the winner);
+    # numbers in OPTIMIZATION_r16.md.
+    return (df.select(F.explode(_clean_tokens(text_col)).alias("__t"))
             .withColumn("__v", portable_string_hash(F.col("__t"))))
 
 
