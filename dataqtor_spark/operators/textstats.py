@@ -1889,18 +1889,116 @@ def _bpe_merge_seq(seq: Column, a: str, b: str) -> Column:
     return F.replace(F.replace(seq, pat, repl), pat, repl)
 
 
+def _bpe_syms(seq: Column) -> Column:
+    """Symbol string → symbol array (drops the separator-padding empties)."""
+    return F.filter(F.split(seq, " "), lambda x: x != "")
+
+
 def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts weighted by word frequency, from the
     ``seq`` column — in-row array expressions (split → slice/transform
     zip), only (a, b, partial count) rows reach the shuffle."""
-    syms = F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
-    pairs = (words.select(F.col("cnt"), syms.alias("l"))
+    pairs = (words.select(F.col("cnt"), _bpe_syms(F.col("seq")).alias("l"))
              .filter(F.size("l") > 1)
              .select("cnt", F.explode(F.expr(
                  "transform(slice(l, 1, size(l) - 1), "
                  "(x, i) -> struct(x AS a, l[i + 1] AS b))")).alias("p")))
     return (pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").cast("long").alias("n")))
+
+
+# vocabulary size up to which the merge rounds run ON THE DRIVER over
+# the collected (word, cnt) table — the bounded-collect contract of the
+# ann/kcenter trainers (driver state is vocabulary-sized, never
+# corpus-sized).  Measured motivation (r16 opt round): each distributed
+# round pays ~0.3 s of plan/codegen latency on a 31-row vocabulary —
+# the per-round floor is job overhead, not compute.  Above the bound
+# the rounds stay distributed (ledger + per-round pair-count DELTAS
+# over only the words the merge changed — never a full re-aggregation
+# after round 0).
+_BPE_DRIVER_VOCAB_MAX = 1 << 18
+
+# signature of a pair-delta row stream: old-seq pairs enter at -1,
+# new-seq pairs at +1, weighted by the word count
+_BPE_DELTA_EXPR = (
+    "CASE WHEN size({l}) < 2 THEN "
+    "CAST(array() AS array<struct<a:string,b:string,s:int>>) "
+    "ELSE transform(slice({l}, 1, size({l}) - 1), "
+    "(x, i) -> struct(x AS a, {l}[i + 1] AS b, {s} AS s)) END")
+
+
+def _bpe_pair_delta(words: DataFrame, a: str, b: str) -> list:
+    """Pair-count delta of applying merge ``(a, b)`` to ``words``.
+
+    Only words whose seq contains ``" a b "`` change under the merge
+    (``_bpe_merge_seq`` is a literal replace), so the delta job scans
+    the word table once, keeps those rows, and emits every new-seq pair
+    at ``+cnt`` and every old-seq pair at ``−cnt``, pre-aggregated by
+    pair (output is bounded by the distinct-symbol-pair count).  Summed
+    with the previous round's totals this is EXACTLY the full
+    re-aggregation — pair counts are plain integer sums over words.
+    Returns a list of ``((a, b), delta)``, either sign."""
+    pat = f" {a} {b} "
+    aff = (words.filter(F.col("seq").contains(pat))
+           .select("cnt", _bpe_syms(F.col("seq")).alias("lo"),
+                   _bpe_syms(_bpe_merge_seq(F.col("seq"), a, b))
+                   .alias("ln")))
+    rows = aff.select(
+        "cnt",
+        F.explode(F.concat(
+            F.expr(_BPE_DELTA_EXPR.format(l="ln", s="1")),
+            F.expr(_BPE_DELTA_EXPR.format(l="lo", s="-1")))).alias("p"))
+    return [((rw["a"], rw["b"]), rw["d"])
+            for rw in (rows.groupBy("p.a", "p.b")
+                       .agg(F.sum(F.col("p.s") * F.col("cnt"))
+                            .cast("long").alias("d")).collect())
+            if rw["d"] != 0]
+
+
+# Java regex "." (UNIX_LINES off) excludes all five line terminators;
+# the driver-side replica of ``_bpe_char_seq``'s regexp_replace must
+# match it exactly (tokens can never contain \n/\r — the tokenizer
+# splits on them — but a caller-supplied word_pattern could admit
+# / / , which Python's "." would otherwise space out)
+_BPE_JAVA_DOT = "([^\\n\\r\\u0085\\u2028\\u2029])"
+
+
+def _bpe_train_driver(vocab: list, rounds: int) -> list[dict]:
+    """Merge-round loop over the COLLECTED (word, cnt) vocabulary — an
+    exact driver-side replica of the distributed formulation, operation
+    for operation:
+
+    - char seq: ``" " + regexp_replace(word, "(.)", "$1 ")`` →
+      ``re.sub`` with the Java-dot class above;
+    - pair counts: adjacent symbol pairs of the space-split seq,
+      weighted by word count, plain integer sums;
+    - argmax: count desc, pair asc — Python str comparison is
+      code-point order, which equals Spark's binary UTF8String order
+      for any valid UTF-8;
+    - merge: literal non-rescanning replace applied twice
+      (``str.replace`` ≡ ``F.replace``), the documented two-pass
+      convention of ``_bpe_merge_seq``.
+    """
+    import re
+
+    words = [(" " + re.sub(_BPE_JAVA_DOT, r"\1 ", w), int(c))
+             for w, c in vocab]
+    merges: list[dict] = []
+    for r in range(rounds):
+        counts: dict = {}
+        for seq, cnt in words:
+            syms = [s for s in seq.split(" ") if s]
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + cnt
+        if not counts:
+            break
+        a, b = min(counts, key=lambda k: (-counts[k], k))
+        merges.append({"round": r, "sym_a": a, "sym_b": b,
+                       "merged": a + b, "n": counts[(a, b)]})
+        pat, repl = f" {a} {b} ", f" {a}{b} "
+        words = [(s.replace(pat, repl).replace(pat, repl), c)
+                 for s, c in words]
+    return merges
 
 
 # trained merge tables per cache key — the ann trainer-cache device:
@@ -1937,12 +2035,21 @@ def bpe_train(df: DataFrame, text_col: str = "text", rounds: int = 8,
     (list of ``{round, sym_a, sym_b, merged, n}`` dicts) and the
     vocabulary DataFrame with the post-training ``seq`` segmentation.
 
-    Distribution shape: one corpus-sized shuffle (word counts), then per
-    round one bounded aggregation over the DISTINCT-WORD table plus a
-    1-row driver collect (the winning pair — ledger state, the g01
-    fixed-rounds device); the merge itself is a literal-replace column
-    rewrite, no shuffle.  The word table is cached for the loop and
-    unpersisted before returning."""
+    Distribution shape: one corpus-sized shuffle (word counts), after
+    which everything is DISTINCT-WORD-bounded.  Small vocabularies
+    (≤ ``_BPE_DRIVER_VOCAB_MAX``) collect the (word, cnt) table once
+    and run the merge rounds on the driver (``_bpe_train_driver`` —
+    the ann/kcenter bounded-collect trainer contract; zero jobs per
+    round, measured ~0.3 s/round of plan+codegen latency removed).
+    Larger vocabularies keep the rounds distributed: ONE full
+    pair-count aggregation seeds a driver-side LEDGER, each round's
+    argmax reads the ledger (no job, no sort), and a single filtered
+    scan over only the words the merge CHANGED collects the exact
+    integer pair-count delta (``_bpe_pair_delta``) — never a full
+    re-aggregation after round 0.  The merge itself is a
+    literal-replace column rewrite, no shuffle.  No session conf is
+    mutated (the r15 AQE toggle is gone), so concurrently-planned
+    queries are unaffected."""
     memo_key = None
     if cache_key is not None:
         memo_key = (cache_key, text_col, rounds, word_pattern)
@@ -1950,37 +2057,43 @@ def bpe_train(df: DataFrame, text_col: str = "text", rounds: int = 8,
         if hit is not None:
             return hit, _bpe_words_from_merges(df, hit, text_col,
                                                word_pattern)
-    words = (bpe_word_counts(df, text_col, word_pattern)
-             .withColumn("seq", _bpe_char_seq(F.col("word"))))
-    cached = words.cache()
-    words = cached
+    base = (bpe_word_counts(df, text_col, word_pattern)
+            .withColumn("seq", _bpe_char_seq(F.col("word"))))
     merges: list[dict] = []
-    sess = df.sparkSession
-    # materialize the ONE corpus-sized pass (word counts) under AQE,
-    # then run the merge rounds with AQE off: every round is a bounded
-    # aggregate over the cached distinct-word table, where AQE's
-    # per-exchange stage materialization adds a fixed re-planning wait
-    # per round and has nothing to coalesce or skew-split — the round
-    # inputs are vocabulary-sized by construction.  Restored in the
-    # finally; plans compiled after training (the returned ``words``
-    # consumer) see the caller's setting again.
-    cached.count()
-    aqe_prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    cached = base.cache()
+    words = cached
     try:
-        sess.conf.set("spark.sql.adaptive.enabled", "false")
-        for r in range(rounds):
-            top = (_bpe_pair_counts(words)
-                   .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                   .limit(1).collect())
-            if not top:
-                break  # vocabulary fully merged — nothing left to count
-            a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
-            merges.append({"round": r, "sym_a": a, "sym_b": b,
-                           "merged": a + b, "n": n})
-            words = words.withColumn("seq",
-                                     _bpe_merge_seq(F.col("seq"), a, b))
+        # materialize the ONE corpus-sized pass (word counts) under AQE
+        n_vocab = cached.count()
+        if n_vocab <= _BPE_DRIVER_VOCAB_MAX:
+            vocab = [(rw["word"], rw["cnt"])
+                     for rw in cached.select("word", "cnt").collect()]
+            merges = _bpe_train_driver(vocab, rounds)
+            for m in merges:
+                words = words.withColumn(
+                    "seq", _bpe_merge_seq(F.col("seq"),
+                                          m["sym_a"], m["sym_b"]))
+        else:
+            # full pair counts ONCE → driver ledger (exact integers)
+            ledger = {(rw["a"], rw["b"]): rw["n"]
+                      for rw in _bpe_pair_counts(words).collect()}
+            for r in range(rounds):
+                live = {k: v for k, v in ledger.items() if v > 0}
+                if not live:
+                    break  # vocabulary fully merged
+                # argmax, count desc / pair asc — the same total order
+                # as the retired orderBy(desc n, asc a, asc b): Python
+                # str comparison is code-point order, which equals
+                # Spark's binary UTF8String order for any valid UTF-8
+                a, b = min(live, key=lambda k: (-live[k], k))
+                merges.append({"round": r, "sym_a": a, "sym_b": b,
+                               "merged": a + b, "n": live[(a, b)]})
+                if r + 1 < rounds:
+                    for k, d in _bpe_pair_delta(words, a, b):
+                        ledger[k] = ledger.get(k, 0) + d
+                words = words.withColumn(
+                    "seq", _bpe_merge_seq(F.col("seq"), a, b))
     finally:
-        sess.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         cached.unpersist()
     if memo_key is not None:
         _BPE_TRAIN_CACHE[memo_key] = merges

@@ -83,12 +83,18 @@ def test_pin_checkpoint_dispatch_when_connect(spark, monkeypatch, tmp_path):
 
     df = spark.range(10)
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
-    monkeypatch.setattr(O, "_spark_context_or_none", lambda s: None)
-    # reliable=True → checkpoint command (needs the configured dir above)
-    assert O._pin(df, True).count() == 10
-    # None/False → the no-checkpoint localCheckpoint fallback
-    assert O._pin(df, None).count() == 10
-    assert O._pin(df, False).count() == 10
+    try:
+        monkeypatch.setattr(O, "_spark_context_or_none", lambda s: None)
+        # reliable=True → checkpoint command (needs the configured dir)
+        assert O._pin(df, True).count() == 10
+        # None/False → the no-checkpoint localCheckpoint fallback
+        assert O._pin(df, None).count() == 10
+        assert O._pin(df, False).count() == 10
+    finally:
+        # a leaked checkpoint dir flips durability-aware operators
+        # (connected_components) into their reliable-checkpoint mode for
+        # every later test in the session
+        spark.sparkContext.setCheckpointDir(None)
 
 
 def test_connect_round_trip():

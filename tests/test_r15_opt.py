@@ -79,9 +79,11 @@ def test_entropy_mi_from_joint_matches_direct(spark):
 
 
 def test_bpe_train_restores_aqe_conf(spark):
-    """bpe_train toggles spark.sql.adaptive.enabled off for the merge
-    rounds; it must restore the caller's value on success AND when the
-    loop raises mid-round."""
+    """r15 toggled spark.sql.adaptive.enabled off for the merge rounds
+    and restored it; r16's ledger rework removed the toggle entirely
+    (ADVICE r15 thread-safety note).  The invariant this pins is the
+    surviving contract: the session conf reads unchanged after training,
+    on success AND when the pair-count pass raises mid-training."""
     from dataqtor_spark.operators import textstats as TX
     from dataqtor_spark.queries import _t
 
@@ -90,15 +92,16 @@ def test_bpe_train_restores_aqe_conf(spark):
     TX.bpe_train(docs, rounds=2)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
-    # failure path: poison the pair-count helper for one call
-    orig = TX._bpe_pair_counts
-    TX._bpe_pair_counts = lambda *_: (_ for _ in ()).throw(
+    # failure path: poison the round loop for one call (the driver-side
+    # trainer is the entry the small-vocab path always takes)
+    orig = TX._bpe_train_driver
+    TX._bpe_train_driver = lambda *_: (_ for _ in ()).throw(
         RuntimeError("boom"))
     try:
         with pytest.raises(RuntimeError):
             TX.bpe_train(docs, rounds=2)
     finally:
-        TX._bpe_pair_counts = orig
+        TX._bpe_train_driver = orig
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 

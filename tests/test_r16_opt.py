@@ -105,15 +105,14 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     from dataqtor_spark.operators import dedup as DD
 
     sc = spark.sparkContext
-    assert sc.getCheckpointDir() is None
+    prior = sc.getCheckpointDir()          # tolerate leakage, restore it
     ckpt = tmp_path / "cc_ckpt"
     sc.setCheckpointDir(str(ckpt))
     try:
         got = {r["id"]: r["component"]
                for r in DD.connected_components(_cc_pairs(spark)).collect()}
     finally:
-        sc.setCheckpointDir(None)
-    assert sc.getCheckpointDir() is None
+        sc.setCheckpointDir(prior)
     assert got == _CC_WANT
     landed = [p for p in ckpt.rglob("*") if p.is_file()]
     assert landed, "reliable checkpoint wrote nothing under the dir"
@@ -132,3 +131,77 @@ def test_connected_components_work_dir_lands_edges_parquet(spark, tmp_path):
     assert got == _CC_WANT
     assert os.path.isdir(os.path.join(d, "edges")), \
         "edges parquet missing from work_dir"
+
+
+# --- bpe_train pair-count ledger (r16: incremental deltas) -------------------
+
+_BPE_CORPUS = [
+    # back-to-back self-pairs (the two-pass replace convention), ties on
+    # count (broken by pair asc), words that fully merge away, repeats
+    ("aaaa bb ab abab the cat",),
+    ("the cat sat on the mat aaaaa",),
+    ("ababab banana bandana",),
+    ("zz zz zz yy yy xyzzy",),
+    ("a b c ab bc abc",),
+]
+
+
+def _bpe_train_full_reaggregation(words, rounds):
+    """The retired r15 formulation: every round re-aggregates pair counts
+    over the full word table and takes the (count desc, pair asc) top-1."""
+    from dataqtor_spark.operators import textstats as TX
+
+    merges = []
+    for r in range(rounds):
+        top = (TX._bpe_pair_counts(words)
+               .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append({"round": r, "sym_a": a, "sym_b": b,
+                       "merged": a + b, "n": n})
+        words = words.withColumn(
+            "seq", TX._bpe_merge_seq(F.col("seq"), a, b))
+    return merges
+
+
+def test_bpe_driver_path_equals_full_reaggregation(spark):
+    """r16 collects small vocabularies and runs the merge rounds on the
+    driver (the trainer bounded-collect contract).  The merge TABLE
+    (pairs, order, counts) must be bit-identical to the retired
+    full-re-aggregation formulation's."""
+    from dataqtor_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(_BPE_CORPUS, "text string")
+    got, _ = TX.bpe_train(docs, rounds=10)
+
+    words = (TX.bpe_word_counts(docs, "text", "^[a-z]+$")
+             .withColumn("seq", TX._bpe_char_seq(F.col("word"))))
+    want = _bpe_train_full_reaggregation(words, rounds=10)
+    assert got == want
+
+
+def test_bpe_distributed_ledger_path_matches(spark, monkeypatch):
+    """The big-vocabulary path (distributed ledger + per-round pair-count
+    deltas over only the changed words) must produce the same merges as
+    the driver path / retired formulation."""
+    from dataqtor_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(_BPE_CORPUS, "text string")
+    base, _ = TX.bpe_train(docs, rounds=6)
+    monkeypatch.setattr(TX, "_BPE_DRIVER_VOCAB_MAX", 0)
+    via_ledger, _ = TX.bpe_train(docs, rounds=6)
+    assert via_ledger == base
+
+
+def test_bpe_train_never_mutates_session_conf(spark):
+    """The r15 AQE toggle is gone (ADVICE r15: session-global conf
+    mutation is not thread-safe); training must leave the session conf
+    untouched throughout."""
+    from dataqtor_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(_BPE_CORPUS, "text string")
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    TX.bpe_train(docs, rounds=3)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
