@@ -1101,12 +1101,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     from pyspark.sql import Observation
 
-    from dataqtor_spark.operators.ordered import _spark_context_or_none
+    from dataqtor_spark.operators.ordered import (
+        _spark_context_or_none, configured_checkpoint_dir)
 
     spark = pairs.sparkSession
     d = work_dir
     sc = _spark_context_or_none(spark)
-    durable = sc is not None and sc.getCheckpointDir() is not None
+    # operator-CONFIGURED dir only: the driver-local temp dir that
+    # ordered_prefix's reliable=True local fallback auto-creates is
+    # session-global and would otherwise silently flip every later CC
+    # call into file-checkpoint-per-round mode with zero durability gain
+    durable = sc is not None and configured_checkpoint_dir(sc) is not None
     # Memory barrier per round (eager localCheckpoint: one job, no file
     # commit/listing) instead of a parquet round-trip: round time on a
     # probe-scale graph dropped ~1.0 s -> ~0.35 s, and typical near-dup

@@ -74,16 +74,37 @@ def _pin(df: DataFrame, reliable: bool | None) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+# checkpoint dirs AUTO-CREATED by the reliable=True local-master
+# fallback below (resolved URIs, as getCheckpointDir reports them).
+# setCheckpointDir is session-global and the checkpoint executes lazily,
+# so the fallback dir cannot be unset after use — durability-aware
+# AUTO-selection elsewhere (connected_components; _resolve_reliable's
+# None branch) must not mistake this driver-local temp dir for an
+# operator-configured fault-tolerant path.
+_AUTO_CKPT_DIRS: set = set()
+
+
+def configured_checkpoint_dir(sc):
+    """The checkpoint dir IF a cluster operator configured one — None
+    when unset, and None for the driver-local temp dir the
+    ``reliable=True`` local fallback auto-creates (that dir makes
+    checkpoints WORK locally but provides no fault tolerance, which is
+    the property durability auto-selection is asking about)."""
+    d = sc.getCheckpointDir()
+    return None if d is None or d in _AUTO_CKPT_DIRS else d
+
+
 def _resolve_reliable(sc, reliable: bool | None) -> bool:
     """Decide reliable-vs-local checkpointing for :func:`ordered_prefix`.
 
-    ``None`` → reliable iff a checkpoint dir is already configured (the
-    cluster operator opted into fault tolerance once, every caller gets
-    it).  Explicit ``True`` with no dir: local masters fall back to a
-    temp dir with a warning; anything else raises — a driver-local path
-    is not fault-tolerant, which is the one property the flag promises."""
+    ``None`` → reliable iff a checkpoint dir was operator-configured
+    (the cluster operator opted into fault tolerance once, every caller
+    gets it; the local-fallback temp dir below does NOT count).
+    Explicit ``True`` with no dir: local masters fall back to a temp
+    dir with a warning; anything else raises — a driver-local path is
+    not fault-tolerant, which is the one property the flag promises."""
     if reliable is None:
-        return sc.getCheckpointDir() is not None
+        return configured_checkpoint_dir(sc) is not None
     if reliable and sc.getCheckpointDir() is None:
         master = sc.master or ""
         if not master.startswith("local"):
@@ -100,6 +121,7 @@ def _resolve_reliable(sc, reliable: bool | None) -> bool:
             f"using local temp dir {d} (acceptable only on local[*])",
             stacklevel=3)
         sc.setCheckpointDir(d)
+        _AUTO_CKPT_DIRS.add(sc.getCheckpointDir())
     return bool(reliable)
 
 

@@ -133,6 +133,43 @@ def test_connected_components_work_dir_lands_edges_parquet(spark, tmp_path):
         "edges parquet missing from work_dir"
 
 
+def test_cc_auto_durability_ignores_ordered_fallback_dir(spark, tmp_path):
+    """ordered_prefix(reliable=True) on a local master auto-creates a
+    session-global checkpoint dir it cannot unset (the checkpoint runs
+    lazily).  connected_components' durability AUTO-selection must not
+    mistake that driver-local temp dir for an operator-configured
+    fault-tolerant path — with work_dir given, edges must still land on
+    parquet there (the r16 full-suite red: CC silently flipped into
+    file-checkpoint-per-round mode after any reliable=True fallback)."""
+    from dataqtor_spark.operators import dedup as DD
+    from dataqtor_spark.operators.ordered import (
+        configured_checkpoint_dir, ordered_prefix)
+
+    sc = spark.sparkContext
+    prior = sc.getCheckpointDir()
+    if prior is None:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ordered_prefix(spark.range(50),
+                           [F.col("id")], out_rn="rn",
+                           reliable=True).collect()
+    assert sc.getCheckpointDir() is not None
+    try:
+        assert configured_checkpoint_dir(sc) is None or prior is not None
+        d = str(tmp_path / "cc_work_after_fallback")
+        got = {r["id"]: r["component"]
+               for r in DD.connected_components(_cc_pairs(spark),
+                                                work_dir=d).collect()}
+        assert got == _CC_WANT
+        assert os.path.isdir(os.path.join(d, "edges")), \
+            "edges parquet missing: auto-durability misread the " \
+            "ordered_prefix fallback dir as operator-configured"
+    finally:
+        sc.setCheckpointDir(prior)
+
+
 # --- bpe_train pair-count ledger (r16: incremental deltas) -------------------
 
 _BPE_CORPUS = [
