@@ -105,14 +105,18 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     from dataqtor_spark.operators import dedup as DD
 
     sc = spark.sparkContext
-    prior = sc.getCheckpointDir()          # tolerate leakage, restore it
     ckpt = tmp_path / "cc_ckpt"
     sc.setCheckpointDir(str(ckpt))
     try:
         got = {r["id"]: r["component"]
                for r in DD.connected_components(_cc_pairs(spark)).collect()}
     finally:
-        sc.setCheckpointDir(prior)
+        # clear, never "restore" a prior dir string: setCheckpointDir
+        # nests a fresh UUID subdir under whatever it is given, so
+        # re-setting a prior getCheckpointDir() value creates a NEW dir
+        # that auto-dir tracking (ordered._AUTO_CKPT_DIRS) has never
+        # seen — later durability-aware tests would silently go durable
+        sc.setCheckpointDir(None)
     assert got == _CC_WANT
     landed = [p for p in ckpt.rglob("*") if p.is_file()]
     assert landed, "reliable checkpoint wrote nothing under the dir"
@@ -146,8 +150,12 @@ def test_cc_auto_durability_ignores_ordered_fallback_dir(spark, tmp_path):
         configured_checkpoint_dir, ordered_prefix)
 
     sc = spark.sparkContext
-    prior = sc.getCheckpointDir()
-    if prior is None:
+    if configured_checkpoint_dir(sc) is not None:
+        # an operator-configured dir would legitimately take the durable
+        # path; clear it so the scenario under test (fallback dir ONLY)
+        # is what actually runs
+        sc.setCheckpointDir(None)
+    if sc.getCheckpointDir() is None:
         import warnings
 
         with warnings.catch_warnings():
@@ -157,7 +165,7 @@ def test_cc_auto_durability_ignores_ordered_fallback_dir(spark, tmp_path):
                            reliable=True).collect()
     assert sc.getCheckpointDir() is not None
     try:
-        assert configured_checkpoint_dir(sc) is None or prior is not None
+        assert configured_checkpoint_dir(sc) is None
         d = str(tmp_path / "cc_work_after_fallback")
         got = {r["id"]: r["component"]
                for r in DD.connected_components(_cc_pairs(spark),
@@ -167,7 +175,9 @@ def test_cc_auto_durability_ignores_ordered_fallback_dir(spark, tmp_path):
             "edges parquet missing: auto-durability misread the " \
             "ordered_prefix fallback dir as operator-configured"
     finally:
-        sc.setCheckpointDir(prior)
+        # clear (see the reliable-checkpoint test above for why tests
+        # never "restore" a prior dir string)
+        sc.setCheckpointDir(None)
 
 
 # --- bpe_train pair-count ledger (r16: incremental deltas) -------------------
